@@ -1,0 +1,64 @@
+"""Event-stream filters: database, table set, transaction atomicity.
+
+Reference operators R4/R7/R8 (/root/reference/src/dumpr/stream.clj:22-54,
+108-112, 114-125). These run on the *raw event* DataFrame (pre-envelope) —
+the same early placement the reference hand-codes (filters upstream of the
+expensive schema enrichment, stream.clj:275-280); in Spark, Catalyst's
+predicate pushdown makes placement automatic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Event-type markers for the transaction filter (reference classifies BEGIN /
+# COMMIT / ROLLBACK query-events + xid at events.clj:81-92; xid => commit).
+TX_BEGIN = "tx-begin"
+TX_COMMIT = "tx-commit"
+TX_ROLLBACK = "tx-rollback"
+_TX_MARKERS = (TX_BEGIN, TX_COMMIT, TX_ROLLBACK)
+
+
+def filter_database(events: DataFrame, db: str) -> DataFrame:
+    """Keep only events of the configured db — exactly one db per stream
+    (R7, stream.clj:108-112; one-db contract core.clj:45). Events with no db
+    attribution (e.g. rotate) pass through, mirroring the reference's
+    keep-if-nil behavior."""
+    return events.where(F.col("db").isNull() | (F.col("db") == db))
+
+
+def filter_tables(events: DataFrame, tables: Iterable[str] | None) -> DataFrame:
+    """Keep only events of the given table set; table-less events pass;
+    nil/empty set => allow-all (R8, stream.clj:114-125)."""
+    tables = list(tables or [])
+    if not tables:
+        return events
+    return events.where(F.col("tbl").isNull() | F.col("tbl").isin(tables))
+
+
+def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str = "event_type") -> DataFrame:
+    """Batch transaction filter (R4, stream.clj:22-54).
+
+    The reference buffers events from :tx-begin, releases the batch on
+    :tx-commit, discards on :tx-rollback, and strips the boundary markers.
+    Batch re-expression: number transactions by a running count of begins in
+    stream order, keep transactions whose marker set contains a commit, drop
+    the markers. A single total-order window is inherently serial; this filter
+    exists for completeness/parity — at scale the CDC feed is commit-filtered
+    at the source (Debezium-shaped), making this a no-op (SURVEY §4.2.3), or
+    the stream is windowed per source-connection (partitionBy that key).
+    """
+    w_run = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_tx = events.withColumn(
+        "_tx_id", F.sum(F.when(F.col(type_col) == TX_BEGIN, 1).otherwise(0)).over(w_run)
+    )
+    w_tx = Window.partitionBy("_tx_id")
+    committed = with_tx.withColumn(
+        "_committed", F.max(F.when(F.col(type_col) == TX_COMMIT, 1).otherwise(0)).over(w_tx)
+    )
+    return (
+        committed.where((F.col("_committed") == 1) & ~F.col(type_col).isin(*_TX_MARKERS))
+        .drop("_tx_id", "_committed")
+    )

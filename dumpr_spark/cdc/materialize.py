@@ -1,0 +1,89 @@
+"""Last-write-wins materialization — the entity-map fold.
+
+Reference contract: folding the change stream yields current state — upsert =>
+put(table,id)->content, delete => remove(table,id). Codified in the reference's
+own test oracle ``into-entity-map`` (/root/reference/test/dumpr/test_util.clj:110-123)
+and asserted stream-fold == DB state (test/dumpr/core_test.clj:163-187).
+
+Spark re-expression (batch): a per-key top-1 by ``seq`` then drop deletes.
+Expressed with ``max_by`` aggregation rather than window+row_number: an
+aggregation gets Catalyst's partial (map-side) combine, so at 100 TB each
+input partition reduces to one candidate row per key BEFORE the shuffle,
+whereas a window function must shuffle every change row. Same result, far
+less shuffle I/O on high-churn keys (the skew case AQE handles poorest).
+
+Error rows (op='error', row_format.clj:15) never contribute state; they are
+routed out-of-band by ``split_errors``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dumpr_spark.cdc.envelope import OP_DELETE, OP_ERROR
+
+
+def materialize(changes: DataFrame) -> DataFrame:
+    """Fold envelope rows into current state: one row per live (tbl, id).
+
+    Returns envelope-shaped rows (op is the *winning* op's columns) for live
+    keys only — the DataFrame analog of the entity map keyed "table/id"
+    (test_util.clj:107-108).
+    """
+    winner = (
+        changes.where(F.col("op") != OP_ERROR)
+        .groupBy("tbl", "id")
+        .agg(
+            F.max_by(
+                F.struct("op", "content", "ts", "next_file", "next_position", "seq"), F.col("seq")
+            ).alias("w")
+        )
+    )
+    return winner.where(F.col("w.op") != OP_DELETE).select(
+        F.col("w.op").alias("op"),
+        F.col("tbl"),
+        F.col("id"),
+        F.col("w.content").alias("content"),
+        F.col("w.ts").alias("ts"),
+        F.col("w.next_file").alias("next_file"),
+        F.col("w.next_position").alias("next_position"),
+        F.col("w.seq").alias("seq"),
+    )
+
+
+def split_errors(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """In-band error channel (R20, stream.clj:179-191) -> dead-letter split."""
+    return (
+        changes.where(F.col("op") != OP_ERROR),
+        changes.where(F.col("op") == OP_ERROR),
+    )
+
+
+def into_entity_map(rows) -> dict:
+    """Pure-Python reference fold for property tests — a faithful port of the
+    oracle at test/dumpr/test_util.clj:110-123 (NOT used in the data path).
+
+    rows: iterable of dicts with keys op/tbl/id/content ordered by seq.
+    """
+    state: dict = {}
+    for r in rows:
+        key = (r["tbl"], r["id"])
+        if r["op"] == "upsert":
+            state[key] = r["content"]
+        elif r["op"] == OP_DELETE:
+            state.pop(key, None)
+        elif r["op"] == OP_ERROR:
+            continue
+        else:
+            raise ValueError(f"unknown op {r['op']!r}")
+    return state
+
+
+def merge_batch(current: DataFrame, batch: DataFrame) -> DataFrame:
+    """One micro-batch step of the streaming materializer: current state +
+    new envelope rows -> next state. Used by the foreachBatch sink
+    (dumpr_spark.streaming.sink). Idempotent for replayed batches because the
+    fold is keyed by (tbl, id) with max-by-seq — re-applying rows whose seq is
+    already reflected is a no-op, which is what makes checkpoint resume
+    exactly-once (reference hazard README.md:218-221 does not apply)."""
+    return materialize(current.unionByName(batch))

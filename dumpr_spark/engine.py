@@ -1,0 +1,69 @@
+"""Engine facade — the public API a user of the reference would reach for.
+
+Reference public surface (/root/reference/src/dumpr/core.clj): create
+table-load / binlog streams, start/stop, read positions, consume the change
+source. Engine re-expresses that as: load snapshots, ingest change feeds,
+materialize current state, and query it with DataFrame/SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dumpr_spark.cdc.envelope import snapshot_to_changes, validate_envelope
+from dumpr_spark.cdc.materialize import materialize
+from dumpr_spark.cdc.positions import next_position
+from dumpr_spark.sources.files import TPCH_TABLES, read_table_dir
+
+
+class Engine:
+    """Session + catalog of registered tables + CDC entry points.
+
+    Lifecycle maps R19 (start!/stop! protocols, stream.clj:287-346) onto
+    SparkSession/StreamingQuery lifecycles.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+
+    # -- catalog ---------------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def load_dir(self, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> "Engine":
+        for name, df in read_table_dir(self.spark, sf_dir, tables).items():
+            self.register(name, df)
+        return self
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- CDC (reference core surface) -----------------------------------
+    def snapshot_changes(self, table_ids: dict[str, str]) -> DataFrame:
+        """Ordered multi-table snapshot -> envelope (R1+R12): tables loaded in
+        the given dict order, order reified in seq (core.clj:85-89)."""
+        parts = [
+            snapshot_to_changes(self.table(t), t, id_col, table_seq=i)
+            for i, (t, id_col) in enumerate(table_ids.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def materialize(self, changes: DataFrame) -> DataFrame:
+        return materialize(validate_envelope(changes))
+
+    def next_position(self, changes: DataFrame):
+        return next_position(changes)
+
+
+def testdata_dir(default_sf: str = "sf0.001") -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/{default_sf}")

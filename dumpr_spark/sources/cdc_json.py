@@ -1,0 +1,94 @@
+"""CDC event-stream source: binlog-shaped JSON events (R2/R3).
+
+The reference wraps MySQL's BinaryLogClient (/root/reference/src/dumpr/binlog.clj:29-51)
+and parses native events into tuples (events.clj:52-148). The Spark-native
+equivalent consumes an *already-serialized* CDC feed — files or Kafka carrying
+one JSON event per record (in production a Debezium-format topic) — and parses
+with ``from_json`` against a fixed event schema. Event types the reference
+parses (events.clj:14-50): rotate, query (BEGIN/COMMIT/ROLLBACK/ALTER TABLE),
+xid, table-map, write/update/delete rows, stop; unparsed types drop to NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, LongType, MapType, StringType, StructField, StructType, TimestampType,
+)
+
+# One record per binlog event. `rows` carries the full row images for
+# write/update/delete (one event may carry MANY rows, stream.clj:264-268);
+# `rotate_file` only on rotate; `query` only on query events.
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),  # write|update|delete|tx-begin|tx-commit|tx-rollback|rotate|table-map|alter-table|stop
+        StructField("db", StringType(), True),
+        StructField("tbl", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("next_position", LongType(), True),
+        StructField("rotate_file", StringType(), True),
+        StructField("rows", ArrayType(MapType(StringType(), StringType())), True),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+
+def read_events_json(spark: SparkSession, path: str, streaming: bool = False,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Read a binlog-shaped JSON event feed, batch or streaming.
+
+    maxFilesPerTrigger is the rate-limit analog of the reference's bounded
+    channel backpressure (R16, core.clj:78,150).
+    """
+    if streaming:
+        reader = spark.readStream.schema(EVENT_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.json(path)
+    return spark.read.schema(EVENT_SCHEMA).json(path)
+
+
+def parse_event_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse raw string records (e.g. kafka value) into typed events —
+    the from_json re-expression of events.clj:52-148. Records that don't
+    parse (unknown types) yield NULL event_type and are dropped, mirroring
+    the reference's nil => removed (events.clj:70-71)."""
+    return (
+        df.select(F.from_json(F.col(value_col).cast("string"), EVENT_SCHEMA).alias("e"))
+        .select("e.*")
+        .where(F.col("event_type").isNotNull())
+    )
+
+
+def events_to_changes(events: DataFrame, id_cols: dict[str, str]) -> DataFrame:
+    """Row events -> envelope rows: explode multi-row events, compute id, shape
+    to the canonical envelope (R10, stream.clj:233-269).
+
+    id_cols maps table -> PK column name inside the row map (the reference's
+    default id-fn is the PK lookup, table_schema.clj:48-51; custom id-fns are
+    supported at the Engine level via expressions/UDFs, core.clj:59-64).
+    ``explode`` + ordinal keeps a deterministic intra-event order: the
+    reference flat-maps one mutation event into many tuples (stream.clj:374-376).
+    """
+    id_expr = F.coalesce(
+        *[
+            F.when(F.col("tbl") == t, F.col("row").getItem(c))
+            for t, c in id_cols.items()
+        ]
+    ) if id_cols else F.lit(None)
+    row_events = events.where(F.col("event_type").isin("write", "update", "delete"))
+    exploded = row_events.select(
+        "*", F.posexplode("rows").alias("_row_idx", "row")
+    )
+    nf = F.col("next_file") if "next_file" in events.columns else F.lit(None).cast("string")
+    return exploded.select(
+        F.when(F.col("event_type") == "delete", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.col("tbl"),
+        id_expr.cast("string").alias("id"),
+        F.to_json(F.col("row")).alias("content"),
+        F.col("ts"),
+        nf.alias("next_file"),
+        F.col("next_position"),
+        # sub-sequence rows within one event keep their ordinal (explode order)
+        (F.col("seq") * F.lit(1 << 16) + F.col("_row_idx")).cast("long").alias("seq"),
+    )

@@ -1,0 +1,203 @@
+"""CDC core semantics: envelope, materializer fold, filters, positions.
+
+Property tests mirror the reference's own strategy (SURVEY §5.1): random op
+sequences folded by a pure-Python oracle (`into_entity_map`, a port of
+test/dumpr/test_util.clj:110-123) must equal the engine's materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA, snapshot_to_changes, validate_envelope
+from dumpr_spark.cdc.filters import filter_committed_txs, filter_database, filter_tables
+from dumpr_spark.cdc.materialize import into_entity_map, materialize, merge_batch
+from dumpr_spark.cdc.positions import next_position, stamp_binlog_filename, valid_binlog_pos
+
+
+def make_changes(spark, rows):
+    """rows: list of (op, tbl, id, content_dict_or_None, seq)."""
+    data = [
+        (op, tbl, str(id_), json.dumps(content) if content is not None else None,
+         None, "binlog.000001", 1000 + seq, seq)
+        for (op, tbl, id_, content, seq) in rows
+    ]
+    return spark.createDataFrame(data, ENVELOPE_SCHEMA)
+
+
+def gen_ops(rng, n, tables=("widgets", "manufacturers"), keys=range(1, 30)):
+    """Random legal op sequence, modeled on core_test.clj:16-127: upserts and
+    deletes over two tables; deletes allowed for any key (fold drops no-ops)."""
+    ops = []
+    for seq in range(n):
+        tbl = rng.choice(tables)
+        key = rng.choice(list(keys))
+        if rng.random() < 0.25:
+            ops.append(("delete", tbl, key, {"id": key}, seq))
+        else:
+            ops.append(("upsert", tbl, key, {"id": key, "v": rng.randint(0, 10**6)}, seq))
+    return ops
+
+
+@pytest.mark.parametrize("test_seed", [7, 42, 1337])
+def test_materialize_matches_fold_oracle(spark, test_seed):
+    rng = random.Random(test_seed)
+    ops = gen_ops(rng, 400)
+    df = make_changes(spark, ops)
+    got = {
+        (r["tbl"], r["id"]): json.loads(r["content"])
+        for r in materialize(df).collect()
+    }
+    want = into_entity_map(
+        {"op": op, "tbl": t, "id": str(k), "content": c}
+        for (op, t, k, c, _) in sorted(ops, key=lambda o: o[4])
+    )
+    assert got == {k: v for k, v in want.items()}
+
+
+@pytest.mark.parametrize("test_seed", [3, 99])
+def test_snapshot_plus_stream_split_equals_full_fold(spark, test_seed):
+    """Port of the split-point property (core_test.clj:175-187): fold(prefix
+    applied as snapshot) + fold(suffix as stream) == fold(whole sequence)."""
+    rng = random.Random(test_seed)
+    ops = gen_ops(rng, 300)
+    split = rng.randint(50, 250)
+    prefix, suffix = ops[:split], ops[split:]
+    # snapshot = materialized prefix (as the DB state would be), re-emitted as upserts
+    snap_state = into_entity_map(
+        {"op": op, "tbl": t, "id": str(k), "content": c} for (op, t, k, c, _) in prefix
+    )
+    snap_rows = [
+        ("upsert", tbl, id_, content, i)  # snapshot seqs precede stream seqs
+        for i, ((tbl, id_), content) in enumerate(sorted(snap_state.items(), key=lambda kv: kv[0]))
+    ]
+    stream_rows = [(op, t, k, c, split + s) for (op, t, k, c, s) in suffix]
+    df = make_changes(spark, snap_rows + [(op, t, str(k), c, s) for (op, t, k, c, s) in stream_rows])
+    got = {(r["tbl"], r["id"]): json.loads(r["content"]) for r in materialize(df).collect()}
+    want = into_entity_map(
+        {"op": op, "tbl": t, "id": str(k), "content": c}
+        for (op, t, k, c, _) in sorted(ops, key=lambda o: o[4])
+    )
+    assert got == want
+
+
+def test_multirow_bulk_update_delete(spark):
+    """Mirror of streaming-multirow-updates (core_test.clj:190-226): bulk
+    upserts then a bulk update + bulk delete; all updates seen, deletes applied."""
+    n = 300
+    inserts = [("upsert", "widgets", i, {"id": i, "v": 0}, i) for i in range(1, n + 1)]
+    updates = [("upsert", "widgets", i, {"id": i, "v": 1}, n + i) for i in range(1, n + 1)]
+    deletes = [("delete", "widgets", i, {"id": i}, 2 * n + i) for i in range(1, n // 2 + 1)]
+    df = make_changes(spark, inserts + updates + deletes)
+    out = materialize(df).collect()
+    assert len(out) == n - n // 2
+    assert all(json.loads(r["content"])["v"] == 1 for r in out)
+
+
+def test_merge_batch_idempotent(spark):
+    """Replaying a batch must be a no-op (exactly-once resume contract)."""
+    base = make_changes(spark, [("upsert", "w", 1, {"id": 1, "v": 0}, 0)])
+    batch = make_changes(
+        spark,
+        [("upsert", "w", 1, {"id": 1, "v": 5}, 10), ("delete", "w", 2, {"id": 2}, 11)],
+    )
+    once = merge_batch(materialize(base), batch)
+    twice = merge_batch(once, batch)
+    assert sorted(map(tuple, once.select("tbl", "id", "content", "seq").collect())) == sorted(
+        map(tuple, twice.select("tbl", "id", "content", "seq").collect())
+    )
+
+
+def test_snapshot_to_changes_shape_and_order(engine):
+    """Snapshot rows: op=upsert, NULL meta (row_format.clj:10); multi-table
+    order reified in seq (core.clj:85-89)."""
+    ch = engine.snapshot_changes({"region": "r_regionkey", "nation": "n_nationkey"})
+    assert [(f.name, f.dataType) for f in ch.schema.fields] == [
+        (f.name, f.dataType) for f in ENVELOPE_SCHEMA.fields
+    ]
+    rows = ch.collect()
+    assert all(r["op"] == "upsert" and r["ts"] is None and r["next_file"] is None for r in rows)
+    max_region_seq = max(r["seq"] for r in rows if r["tbl"] == "region")
+    min_nation_seq = min(r["seq"] for r in rows if r["tbl"] == "nation")
+    assert max_region_seq < min_nation_seq
+    region = engine.table("region")
+    got_names = {
+        json.loads(r["content"])["r_name"] for r in rows if r["tbl"] == "region"
+    }
+    assert got_names == {r["r_name"] for r in region.collect()}
+
+
+def test_validate_envelope_routes_errors_in_band(spark):
+    data = [
+        ("upsert", "w", None, json.dumps({"id": 1}), None, None, None, 0),  # null id
+        ("delete", "w", "2", None, None, None, None, 1),  # delete w/o meta
+        ("upsert", "w", "3", json.dumps({"id": 3}), None, None, None, 2),  # fine
+    ]
+    df = spark.createDataFrame(
+        data,
+        "op string, tbl string, id string, content string, ts timestamp, "
+        "next_file string, next_position long, seq long",
+    )
+    out = validate_envelope(df).collect()
+    by_seq = {r["seq"]: r for r in out}
+    assert by_seq[0]["op"] == "error"
+    assert by_seq[1]["op"] == "error"
+    assert by_seq[2]["op"] == "upsert"
+    # errors never reach materialized state
+    assert materialize(validate_envelope(df)).count() == 1
+
+
+def test_filter_database_and_tables(spark):
+    df = spark.createDataFrame(
+        [("db1", "a", 0), ("db2", "a", 1), ("db1", "b", 2), ("db1", None, 3)],
+        "db string, tbl string, seq long",
+    )
+    assert {r["seq"] for r in filter_database(df, "db1").collect()} == {0, 2, 3}
+    assert {r["seq"] for r in filter_tables(df, ["a"]).collect()} == {0, 1, 3}
+    assert filter_tables(df, None).count() == 4
+    assert filter_tables(df, []).count() == 4
+
+
+def test_tx_filter_commit_rollback(spark):
+    """R4 semantics (stream.clj:22-54): committed tx rows pass, rolled-back
+    dropped, markers stripped."""
+    rows = [
+        ("tx-begin", 0), ("write", 1), ("write", 2), ("tx-commit", 3),
+        ("tx-begin", 4), ("write", 5), ("tx-rollback", 6),
+        ("tx-begin", 7), ("write", 8), ("tx-commit", 9),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, seq long")
+    out = sorted(r["seq"] for r in filter_committed_txs(df).collect())
+    assert out == [1, 2, 8]
+
+
+def test_binlog_filename_stamping(spark):
+    """R5 (stream.clj:56-74): rotate events consumed, filename carried."""
+    rows = [
+        (None, "write", 0), ("binlog.000002", "rotate", 1), (None, "write", 2),
+        (None, "write", 3), ("binlog.000003", "rotate", 4), (None, "write", 5),
+    ]
+    df = spark.createDataFrame(rows, "rotate_file string, event_type string, seq long")
+    out = {r["seq"]: r["next_file"] for r in stamp_binlog_filename(df, "binlog.000001").collect()}
+    assert out == {0: "binlog.000001", 2: "binlog.000002", 3: "binlog.000002", 5: "binlog.000003"}
+
+
+def test_next_position_and_validation(spark):
+    df = spark.createDataFrame(
+        [
+            ("upsert", "w", "1", None, None, "binlog.000001", 100, 0),
+            ("upsert", "w", "2", None, None, "binlog.000002", 50, 5),
+            ("upsert", "w", "3", None, None, "binlog.000001", 999, 3),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    pos = next_position(df)
+    assert pos == {"file": "binlog.000002", "position": 50}
+    logs = [{"log_name": "binlog.000002", "file_size": 60}]
+    assert valid_binlog_pos(pos, logs)
+    assert not valid_binlog_pos({"file": "binlog.000009", "position": 1}, logs)
+    assert not valid_binlog_pos({"file": "binlog.000002", "position": 100}, logs)

@@ -1,0 +1,148 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash, n-gram
+Jaccard (SURVEY §2.2-J; the north-star training-data pipeline surface).
+
+Scale design:
+- exact dedup = hash-groupBy: one shuffle on the content hash; at 100 TB the
+  hash (16 bytes) shuffles, never the document bodies.
+- MinHash-LSH = shingle explode -> per-doc signature (one shuffle) -> band
+  bucket join (shuffle on short band keys). Candidate verification touches
+  only bucket-colliding pairs — O(n·sig) not O(n²).
+- hashes are md5-based so the DuckDB oracle can recompute them bit-for-bit
+  (xxhash64 would be faster but is not oracle-checkable; swap via `hash_fn`
+  at deployment if cross-engine checkability is not needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text. Window form (keeps full rows);
+    for key-only output prefer groupBy(min) which gets map-side combine."""
+    w = Window.partitionBy(text_col).orderBy(F.asc(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def content_hash(col, bits: int = 256):
+    """Content hash for exact dedup at scale — here md5 for oracle parity;
+    sha2-256 for adversarial settings."""
+    return F.md5(col)
+
+
+def shingles(col, k: int = 3):
+    """k-word shingles as strings ('w1 w2 w3')."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])),
+    ).otherwise(F.array(col))
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: num_hashes columns mh0..mh{n-1}, each the
+    lexicographic min of md5(seed || '|' || shingle) over the doc's shingles.
+
+    One explode + one groupBy(id) — partial min combines map-side, so the
+    shuffle carries one row per (doc, hash), not per shingle.
+    """
+    sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(h)), F.lit("|"), F.col("sh")))).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Banding: hash each band of `band_size` signature slots to a bucket key.
+    Output: (id, band_idx, band_key) — long-thin, ideal shuffle shape."""
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (a < b)."""
+    a = bands.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k)
+    return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, band_size), id_col)
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact k-shingle Jaccard for the given candidate (a, b) pairs.
+    Set-join formulation: |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
+    Only candidate docs' shingles are exploded — the verification cost tracks
+    the candidate set, not the corpus."""
+    ids = pairs.select(F.col("a").alias("_id")).union(pairs.select("b")).distinct()
+    sh = (
+        df.join(ids, df[id_col] == ids._id)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .select(
+            "a", "b",
+            (F.coalesce(F.col("n_inter"), F.lit(0)) /
+             (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(col, k: int = 3):
+    """64-bit SimHash over k-word shingles, md5-derived per-shingle bits.
+
+    For each shingle, its md5's first 16 hex chars give 64 bits; the simhash
+    bit j is 1 iff the majority of shingles have bit j set. Pure JVM expression
+    (transform + aggregate over the shingle array), no UDF.
+    """
+    sh = F.array_distinct(shingles(col, k))
+    n = F.size(sh)
+
+    def bit(h, j):
+        # j-th bit of the 64-bit value encoded in the first 16 hex chars
+        nibble = F.conv(F.substring(h, 1 + (j // 4), 1), 16, 10).cast("int")
+        return F.shiftright(nibble, 3 - (j % 4)) % 2
+
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    total = F.lit(0).cast("long")
+    for j in range(64):
+        cnt = F.aggregate(hashes, F.lit(0), lambda acc, h: acc + bit(h, j))
+        maj = F.when(cnt * 2 >= n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        # shiftleft wraps into the sign bit for j=0 — intended (full 64-bit value)
+        total = total.bitwiseOR(F.shiftleft(maj, 63 - j))
+    return total
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))

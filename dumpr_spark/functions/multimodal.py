@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched pandas iterators (mapInPandas).
+
+The Spark-side contract (schemas, partitioning, batch shapes) is real and
+tested; the actual media decode is STUBBED — the codec libraries (Pillow,
+torchaudio, av) are not in this container. Each stub is deterministic so
+pipelines are testable end-to-end; swap `_decode_stub` for a real decoder in
+deployment without touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+# Canonical multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),  # opaque encoded bytes
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),  # image/video
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),  # audio/video
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake assets for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        mt = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        rows.append(
+            (i, mt, payload, f"application/x-fake-{mt}", 64 if mt != "audio" else None,
+             48 if mt != "audio" else None, None if mt == "image" else 1000 + i)
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _decode_stub(payload: bytes, media_type: str) -> list[float]:
+    """Deterministic fake 'decode + feature-extract'.
+
+    REAL DECODE NOT IMPLEMENTED in this container. A real implementation
+    would, e.g., Image.open(BytesIO(payload)) -> resize -> normalized pixel
+    tensor. The stub derives an 8-dim feature from the payload hash so the
+    distributed plumbing (batching, schema, nullability) is fully exercised.
+    """
+    if payload is None:
+        return None
+    h = hashlib.sha256(payload + media_type.encode()).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, one python worker per
+    partition, constant memory per batch. At scale: repartition upstream so
+    payload bytes per partition fit executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else None),
+                    "feature": [
+                        _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per frame to decode
+    (asset_id, frame_ts_ms). Pure relational expansion — the decode itself
+    would consume this plan via extract_features. Demonstrates the
+    explode-based fan-out shape for multimodal pipelines."""
+    n_frames = (F.col("duration_ms") / every_ms).cast("int")
+    return (
+        assets.where(F.col("media_type") == "video")
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
+        )
+        .select("asset_id", (F.col("frame_idx") * every_ms).cast("long").alias("frame_ts_ms"))
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(n·q); right up to ~10^6 docs
+per query batch when the query side is broadcast. Scale path: IVF-style
+coarse quantization (assign to nearest centroid, search only the probed
+cells) — turns the cross join into an equi-join on cell id.
+
+All vector math is built-in (`transform`/`aggregate` fold, JVM-side, no
+Python). Double accumulation for cross-engine reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def l2_norm(a):
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of `vectors` for each row of `queries`.
+
+    The query side is broadcast (small batch against a huge corpus is THE
+    shape at scale); ranking uses the rounded similarity with id tie-break so
+    results are reproducible bit-for-bit across engines.
+    Output: (q_id, n_id, sim, rank).
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    v = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    sim = cosine(F.col("q_vec"), F.col("n_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        v.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """IVF coarse assignment: each vector -> nearest centroid (by cosine).
+
+    Centroids are broadcast; assignment is a narrow map over the corpus scan.
+    Downstream ANN search equi-joins on cell, probing only matching cells —
+    the 100 TB path that replaces the brute-force cross join.
+    Output: vectors + (cell, cell_sim).
+    """
+    c = centroids.select(F.col(cent_id).alias("_cid"), F.col(cent_vec).alias("_cvec"))
+    sim = cosine(F.col(vec_col), F.col("_cvec"))
+    scored = vectors.join(F.broadcast(c)).select(
+        F.col(id_col), F.col(vec_col), F.col("_cid"), sim.alias("_csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("_cid").alias("cell"), F.col("_csim").alias("cell_sim"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the query's nearest cell (nprobe=1).
+    Approximate — recall depends on centroid quality; exactness is NOT
+    claimed (hence no SQL oracle; tests assert recall against brute force)."""
+    v_cells = ivf_assign(vectors, centroids, id_col, vec_col)
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("cell")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    scored = (
+        v_cells.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cell")
+        .join(F.broadcast(q_cells), "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language-ID heuristic, fingerprinting.
+
+All built from JVM-side `pyspark.sql.functions` (no Python UDFs in the hot
+path) so they stay inside whole-stage codegen and scale linearly — at 100 TB
+these run as a single narrow projection over the documents scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-expressible; a production lang-id model
+# would slot in behind the same column contract.
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "a", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+}
+
+# BPE-ish tokenizer regex: word pieces, digit runs, single punctuation marks.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens."""
+    return F.split(col, " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish token count via regexp_extract_all (still JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+
+
+def distinct_token_ratio(col) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| — a cheap quality signal."""
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def stopword_count(col, lang: str = "en") -> Column:
+    toks = tokens(col)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(toks, markers)).cast("long")
+
+
+def mean_token_length(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
+    )
+    return total / F.size(toks)
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Per-language stopword *distinct hit* counts (the lang-ID signal)."""
+    toks = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(col) -> Column:
+    """Argmax of lang_scores with deterministic tie-break (alphabetical lang
+    order wins ties); 'und' when no marker hits at all."""
+    scores = lang_scores(col)
+    best = None
+    for lang in sorted(scores):  # alphabetical => deterministic tie-break
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(s > best.getField("score"), F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(best)
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def normalize_text(col) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum, collapse
+    whitespace, trim."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    (md5 chosen over xxhash because it is identically available in DuckDB —
+    the oracle can recompute it.)"""
+    return F.md5(normalize_text(col))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard quality-signal columns to a documents DataFrame."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_tokens_re": regex_token_count(c),
+            "mean_tok_len": mean_token_length(c),
+            "distinct_ratio": distinct_token_ratio(c),
+            "stopwords_en": stopword_count(c, "en"),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,372 @@
+"""LLM-data-pipeline queries: dedup, similarity, text analysis (SURVEY §2.2-J).
+
+The testdata `documents` corpus has no exact duplicates, so dedup queries
+derive a corpus-with-dups deterministically IN BOTH ENGINES: every doc with
+doc_id % 10 == 0 gets a near-duplicate twin (id + 100000) whose text drops
+the first word (exact twin for exact-dedup queries). Hashes are md5 so DuckDB
+recomputes them identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpr_spark.functions import dedup as dd
+from dumpr_spark.functions import similarity as sim
+from dumpr_spark.functions import text as tx
+from dumpr_spark.queries.base import eps_round, query, t
+
+# corpus with EXACT twins (same text, new id)
+_DUP_CORPUS_CTE = """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+# corpus with NEAR twins (first word dropped)
+_NEAR_CORPUS_CTE = """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1), lang
+      FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _dup_corpus(spark, sf_dir, near: bool = False):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    twin_text = (
+        F.expr("substr(text, instr(text, ' ') + 1)") if near else F.col("text")
+    )
+    twins = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), twin_text.alias("text"), "lang")
+    )
+    return d.unionByName(twins)
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    _DUP_CORPUS_CTE
+    + """
+    , kept AS (
+      SELECT text, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM corpus GROUP BY text
+    )
+    SELECT keep_id, n_copies FROM kept ORDER BY keep_id
+    """,
+    tags=("llm", "dedup", "flagship"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by full text: hash-groupBy keeping min id. At 100 TB the
+    groupBy key is md5(text) (16B shuffle keys); here text itself keeps the
+    oracle trivially equivalent."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "dedup_exact_hash",
+    _DUP_CORPUS_CTE
+    + """
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    ORDER BY keep_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Content-hash dedup (envelope: sha2/md5 of canonical row image)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(dd.content_hash(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Normalized-text fingerprint (lower/strip/collapse -> md5)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_MINHASH_ORACLE = (
+    _NEAR_CORPUS_CTE
+    + """
+    , toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
+             MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
+             MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
+             MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ORDER BY a, b
+    """
+)
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup", "flagship"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8)+LSH(4 bands of 2) candidate pairs over 3-word shingles.
+    Near-twins (Jaccard ≈ (n-3)/n) collide in ≥1 band w.h.p.; unrelated docs
+    don't. md5-based hash family => bit-identical DuckDB oracle."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    return dd.minhash_lsh_pairs(corpus, num_hashes=8, band_size=2, k=3).orderBy("a", "b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    _NEAR_CORPUS_CTE
+    + """
+    , pairs AS (
+      SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) toks,
+           LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.a
+      JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+      GROUP BY p.a, p.b
+    )
+    SELECT p.a, p.b,
+           ROUND(COALESCE(n_inter, 0) * 1.0 / (na.n_sh + nb.n_sh - COALESCE(n_inter, 0)) + 1e-9, 4) AS jac
+    FROM pairs p
+    LEFT JOIN inter USING (a, b)
+    JOIN sizes na ON na.doc_id = p.a
+    JOIN sizes nb ON nb.doc_id = p.b
+    ORDER BY a, b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-shingle Jaccard for the known near-dup pairs."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    d = t(spark, sf_dir, "documents")
+    pairs = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 100000).alias("b")
+    )
+    out = dd.jaccard_pairs(corpus, pairs)
+    return out.select("a", "b", eps_round(F.col("jaccard"), 4).alias("jac")).orderBy("a", "b")
+
+
+@query("dedup_simhash", None, tags=("llm", "dedup"))
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash + hamming distance of the known near-dup pairs.
+    Rows-only check (bit-twiddling oracle SQL is possible but disproportionate;
+    correctness is pinned by tests/test_llm.py::test_simhash_properties)."""
+    corpus = _dup_corpus(spark, sf_dir, near=True).withColumn(
+        "sh64", dd.simhash64(F.col("text"))
+    )
+    a = corpus.select(F.col("doc_id").alias("a"), F.col("sh64").alias("ha"))
+    b = corpus.select(F.col("doc_id").alias("b"), F.col("sh64").alias("hb"))
+    return (
+        a.join(b, a.a + 100000 == b.b)
+        .select("a", "b", dd.hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         v AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+               FROM embeddings),
+         scored AS (
+           SELECT q_id, n_id, ROUND(list_dot_product(qv, nv) /
+                  (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS sim
+           FROM q CROSS JOIN v WHERE q_id <> n_id
+         ),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, n_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+    ORDER BY q_id, rank
+    """,
+    tags=("llm", "similarity", "flagship"),
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-3 for a 5-vector query batch (broadcast) against the
+    corpus; ranking on rounded sim + id tie-break => engine-reproducible."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=3).orderBy("q_id", "rank")
+
+
+@query("sim_topk_ivf", None, tags=("llm", "similarity", "approx"))
+def sim_topk_ivf(spark, sf_dir):
+    """IVF(nprobe=1) ANN top-3 using the first 8 vectors as centroids.
+    Approximate by design => rows-only check; recall vs brute force is
+    asserted in tests/test_llm.py."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < 5), cents, k=3).orderBy("q_id", "rank")
+
+
+@query(
+    "sim_embedding_stats",
+    """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                           list_transform(embedding, x -> CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_embedding_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(sim.l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "text_lang_stats",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars) + 1e-9, 2) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))) + 1e-9, 2) AS avg_tokens
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            eps_round(F.avg("n_chars"), 2).alias("avg_chars"),
+            eps_round(F.avg(tx.token_count(F.col("text"))), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS BIGINT) AS n_tokens_re,
+           ROUND(list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS DOUBLE)))
+                 / len(string_split(text, ' ')) + 1e-9, 4) AS mean_tok_len,
+           ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) + 1e-9, 4) AS distinct_ratio,
+           CAST(len(list_intersect(string_split(text, ' '), ['the', 'of', 'and', 'a', 'to'])) AS BIGINT) AS stop_hits,
+           CASE WHEN len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) < 0.2
+                THEN 'low' ELSE 'ok' END AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text", "flagship"),
+)
+def text_quality(spark, sf_dir):
+    """Quality-signal battery: token counts (whitespace + BPE-ish regex),
+    mean token length, lexical diversity, stopword hits, quality class."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = tx.tokens(c)
+    stop_arr = F.array(*[F.lit(w) for w in tx.LANG_MARKERS["en"]])
+    return d.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.regex_token_count(c).alias("n_tokens_re"),
+        eps_round(tx.mean_token_length(c), 4).alias("mean_tok_len"),
+        eps_round(tx.distinct_token_ratio(c), 4).alias("distinct_ratio"),
+        F.size(F.array_intersect(toks, stop_arr)).cast("long").alias("stop_hits"),
+        F.when(tx.distinct_token_ratio(c) < 0.2, "low").otherwise("ok").alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['der','die','und','das','ist'])) AS BIGINT) AS s_de,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','of','and','a','to'])) AS BIGINT) AS s_en,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['el','los','las','una','y'])) AS BIGINT) AS s_es,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['le','la','et','les','des'])) AS BIGINT) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-marker language ID (n-gram heuristic family). Tie-break:
+    alphabetical language order, matching predict_lang()."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang")).orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,687 @@
+"""Relational operator surface: projection/filter, joins, aggregation,
+sort/limit, set ops (SURVEY §2.2 B/C/D/F).
+
+Spark side is DataFrame-API-first (Catalyst plans broadcast vs sort-merge,
+partial aggregation, TakeOrderedAndProject); SQL passthrough is used only for
+surfaces Python lacks (GROUPING SETS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpr_spark.queries.base import eps_round, query, register_views, t
+
+
+# --------------------------------------------------------------------------
+# Aggregation (§2.2 D)
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS BIGINT) AS sum_charge,
+           ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
+           ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: multi-agg groupBy with arithmetic, filter pushed to scan."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price)).cast("long").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax")))).cast("long").alias("sum_charge"),
+            eps_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            eps_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            eps_round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_global",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_qty,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark, sf_dir):
+    """Ungrouped global aggregate (reference analog: row-count reduce, query.clj:54-62)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        eps_round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@query(
+    "agg_having",
+    """
+    SELECT l_suppkey, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100
+    ORDER BY l_suppkey
+    """,
+    tags=("agg",),
+)
+def agg_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .where(F.col("n") > 100)
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    cust, nat = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("c_mktsegment"))
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """SQL passthrough — GROUPING SETS has no DataFrame-API equivalent."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_max_by",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS latest_order,
+           arg_min(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS first_order
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    tags=("agg", "cdc-analog"),
+)
+def agg_max_by(spark, sf_dir):
+    """max_by/min_by — the primitive behind last-write-wins materialization
+    (reference entity-map fold, test_util.clj:110-123). Sort key made unique
+    (date then orderkey) so ties are deterministic across engines."""
+    o = t(spark, sf_dir, "orders")
+    sort_key = (
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 100000 + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", sort_key).alias("latest_order"),
+            F.min_by("o_orderkey", sort_key).alias("first_order"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_set -> sorted -> joined (deterministic array agg)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75) + 1e-9, 4) AS p75,
+           ROUND(stddev_samp(l_extendedprice) + 1e-9, 2) AS sd_price,
+           ROUND(var_samp(l_discount) + 1e-9, 6) AS var_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles + sample stddev/variance."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            eps_round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+            eps_round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            eps_round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+            eps_round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            eps_round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    None,  # approximate: HLL sketches differ across engines => rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++). No cross-engine oracle by nature; the
+    exact-count twin `agg_count_distinct` is the correctness anchor."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / predicates (§2.2 B)
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus <> 'P'
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '2005-12-31 00:00:00'
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark, sf_dir):
+    """Comparison + boolean + BETWEEN + LIKE + null predicates, pushed to scan."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_totalprice") > 150000)
+            & (F.col("o_orderstatus") != "P")
+            & F.col("o_orderdate").between(
+                F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2005-12-31 00:00:00").cast("timestamp_ntz"),
+            )
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "filter_in_set",
+    """
+    SELECT n_name, n_nationkey FROM nation
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN') OR n_regionkey = 0
+    ORDER BY n_nationkey
+    """,
+    tags=("filter", "cdc-analog"),
+)
+def filter_in_set(spark, sf_dir):
+    """isin — the table-filter primitive (R8, stream.clj:114-125)."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.where(F.col("n_name").isin("FRANCE", "GERMANY", "JAPAN") | (F.col("n_regionkey") == 0))
+        .select("n_name", "n_nationkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "project_distinct",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    tags=("filter",),
+)
+def project_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Joins (§2.2 C)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_inner_star",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "flagship"),
+)
+def join_inner_star(spark, sf_dir):
+    """Star-schema inner joins; small dims broadcast (Catalyst auto < threshold)."""
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(r.r_name == "ASIA")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_right_outer",
+    """
+    SELECT s_suppkey, s_name, CAST(COUNT(l_orderkey) AS BIGINT) AS n_items
+    FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name ORDER BY s_suppkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark, sf_dir):
+    li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH b AS (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal < 0),
+         o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+               WHERE o_totalprice > 300000 GROUP BY o_custkey)
+    SELECT COALESCE(b.k, o.k) AS custkey,
+           ROUND(COALESCE(c_acctbal, 0), 2) AS acctbal,
+           COALESCE(n, 0) AS big_orders
+    FROM b FULL JOIN o ON b.k = o.k
+    ORDER BY custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    b = c.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k"), "c_acctbal")
+    ob = (
+        o.where(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        b.join(ob, "k", "full")
+        .select(
+            F.col("k").alias("custkey"),
+            F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("acctbal"),
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("big_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_semi(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_anti(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    ORDER BY r1, r2
+    """,
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b).orderBy("r1", "r2")
+
+
+@query(
+    "join_theta_range",
+    """
+    SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice) + 1e-9, 2) AS avg_price
+    FROM part p
+    JOIN (VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 100)) AS b(bucket, lo, hi)
+      ON p.p_size > b.lo AND p.p_size <= b.hi
+    GROUP BY b.bucket ORDER BY b.bucket
+    """,
+    tags=("join",),
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi (range) join against a tiny bucket dim — broadcast nested loop."""
+    p = t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("small", 0, 15), ("medium", 15, 35), ("large", 35, 100)], "bucket string, lo int, hi int"
+    )
+    return (
+        p.join(F.broadcast(buckets), (p.p_size > buckets.lo) & (p.p_size <= buckets.hi))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_parts"), eps_round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "join_multikey",
+    """
+    WITH pairs AS (
+      SELECT l_orderkey, l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey, l_partkey HAVING COUNT(*) > 1
+    )
+    SELECT p.l_orderkey, p.l_partkey, p.n, ROUND(SUM(l.l_extendedprice), 2) AS price
+    FROM pairs p JOIN lineitem l
+      ON p.l_orderkey = l.l_orderkey AND p.l_partkey = l.l_partkey
+    GROUP BY p.l_orderkey, p.l_partkey, p.n
+    ORDER BY p.l_orderkey, p.l_partkey
+    """,
+    tags=("join",),
+)
+def join_multikey(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return (
+        pairs.join(li, ["l_orderkey", "l_partkey"])
+        .groupBy("l_orderkey", "l_partkey", "n")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("price"))
+        .orderBy("l_orderkey", "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops (§2.2 F)
+# --------------------------------------------------------------------------
+
+@query(
+    "sort_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort",),
+)
+def sort_topk(spark, sf_dir):
+    """Global top-k => Catalyst TakeOrderedAndProject (no full sort at scale)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "sort_multi_nulls",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 2) END AS bal
+    FROM customer
+    ORDER BY bal DESC NULLS LAST, c_custkey
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def sort_multi_nulls(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 2)).alias("bal"),
+        )
+        .orderBy(F.desc_nulls_last("bal"), F.asc("c_custkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT k, src FROM (
+      SELECT c_custkey AS k, 'neg_bal' AS src FROM customer WHERE c_acctbal < -900
+      UNION ALL
+      SELECT o_custkey AS k, 'big_order' AS src FROM orders WHERE o_totalprice > 450000
+    ) ORDER BY k, src
+    """,
+    tags=("set",),
+)
+def set_union_all(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_acctbal") < -900).select(F.col("c_custkey").alias("k"), F.lit("neg_bal").alias("src"))
+    b = o.where(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("k"), F.lit("big_order").alias("src"))
+    return a.unionByName(b).orderBy("k", "src")
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    ORDER BY k
+    """,
+    tags=("set",),
+)
+def set_intersect(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    b = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k"))
+    return a.intersect(b).orderBy("k")
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY k
+    """,
+    tags=("set",),
+)
+def set_except(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.select(F.col("c_custkey").alias("k"))
+        .exceptAll(o.select(F.col("o_custkey").alias("k")))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT n_regionkey AS k FROM nation
+    UNION
+    SELECT r_regionkey FROM region
+    ORDER BY k
+    """,
+    tags=("set",),
+)
+def set_union_distinct(spark, sf_dir):
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        n.select(F.col("n_regionkey").alias("k"))
+        .union(r.select(F.col("r_regionkey").alias("k")))
+        .distinct()
+        .orderBy("k")
+    )

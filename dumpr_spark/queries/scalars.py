@@ -1,0 +1,269 @@
+"""Scalar-function surface: string / date / math / array / struct / JSON /
+conditional (SURVEY §2.2 B+G). All JVM-side built-ins — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpr_spark.queries.base import query, t
+
+
+@query(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS lo_brand,
+           substr(p_type, 1, 5) AS type5,
+           CAST(length(p_name) AS INT) AS name_len,
+           p_brand || '/' || p_type AS brand_type,
+           trim(' ' || p_name || ' ') AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+           replace(p_brand, '#', '-') AS brand_dash
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("scalar",),
+)
+def scalar_string(spark, sf_dir):
+    """concat/substring/case/trim/pad/split/regex — charset+name munging family
+    the reference needs for text decode (R10, stream.clj:214-236)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace(F.col("p_type"), "[aeiou]", "_").alias("devoweled"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(epoch_ms(o_orderdate) / 1000 AS BIGINT) AS unix_sec
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("scalar",),
+)
+def scalar_datetime(spark, sf_dir):
+    """year/month/day/trunc/diff/add/unix — timestamp normalize family (R11)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 1000).cast("long").alias("unix_sec"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_extendedprice - 30000), 2) AS dist_from_30k,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(l_partkey % 7 AS BIGINT) AS pk_mod7,
+           ROUND(power(l_discount + 1, 2), 6) AS disc_sq,
+           ROUND(sqrt(l_extendedprice), 4) AS price_sqrt,
+           ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(exp(l_discount), 6) AS disc_exp
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar",),
+)
+def scalar_math(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("dist_from_30k"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod7"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS segment,
+           ROUND(GREATEST(c_acctbal, 0.0), 2) AS bal_pos,
+           ROUND(LEAST(c_acctbal, 1000.0), 2) AS bal_capped,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("scalar",),
+)
+def scalar_conditional(spark, sf_dir):
+    """CASE/COALESCE/NULLIF/GREATEST/LEAST + CAST — the condp-dispatch family
+    (R3, events.clj:84-89; (or id-fn pk) table_schema.clj:50-51)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")).alias("segment"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_pos"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("bal_capped"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal_dec"),
+        F.col("c_custkey").cast("string").cast("long").alias("key_roundtrip"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_array",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           string_split(text, ' ')[1] AS first_tok,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN) AS has_spark,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+           array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 50), ' '))), ',') AS sorted_head_toks
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array(spark, sf_dir):
+    """explode-free array ops: size/contains/slice/sort/distinct over tokens
+    (multi-row explode family is exercised by the CDC path, R10)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        toks.getItem(0).alias("first_tok"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.substring(F.col("text"), 1, 50), " "))), ","
+        ).alias("sorted_head_toks"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "scalar_array_fold",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(list_sum(embedding) AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max,
+           ROUND(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("scalar", "array", "llm"),
+)
+def scalar_array_fold(spark, sf_dir):
+    """aggregate (fold) + transform over array<float> — the embedding math
+    primitives (SURVEY §2.2-J)."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    sq_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(F.array_max(dbl), 4).alias("vec_max"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "scalar_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events ORDER BY event_id
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json(spark, sf_dir):
+    """get_json_object — the CDC envelope's content access primitive."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    ).orderBy("event_id")
+
+
+@query(
+    "scalar_json_struct",
+    """
+    SELECT event_id, k_val * 2 AS k_doubled
+    FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events)
+    WHERE k_val > 50
+    ORDER BY event_id
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_struct(spark, sf_dir):
+    """from_json into a typed struct, then field access + predicate."""
+    e = t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    ).select("event_id", F.col("p").getField("k").alias("k_val"))
+    return (
+        parsed.where(F.col("k_val") > 50)
+        .select("event_id", (F.col("k_val") * 2).alias("k_doubled"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "scalar_struct_map",
+    """
+    SELECT n_nationkey,
+           {'name': n_name, 'region': n_regionkey}.name AS s_name,
+           {'name': n_name, 'region': n_regionkey}.region AS s_region
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("scalar",),
+)
+def scalar_struct_map(spark, sf_dir):
+    """struct build + field access (zipmap/tuple family, R10)."""
+    n = t(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    return n.select(
+        "n_nationkey",
+        s.getField("name").alias("s_name"),
+        s.getField("region").alias("s_region"),
+    ).orderBy("n_nationkey")

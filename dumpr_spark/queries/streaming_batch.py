@@ -1,0 +1,133 @@
+"""Batch-mode declarations of the streaming-window operators (SURVEY §2.2-H).
+
+Spark's window/session_window functions are semantics-identical in batch and
+Structured Streaming; declaring them here puts them under the DuckDB oracle,
+while tests/test_streaming.py runs the same shapes through readStream +
+watermark + memory sink. DuckDB formulations use explicit epoch arithmetic
+(Spark's tumbling windows are epoch-aligned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from dumpr_spark.queries.base import eps_round, query, t
+
+_MS_5MIN = 5 * 60 * 1000
+_MS_30MIN = 30 * 60 * 1000
+
+
+@query(
+    "stream_tumbling_window",
+    f"""
+    SELECT epoch_ms(epoch_ms(ts) // {_MS_5MIN} * {_MS_5MIN}) AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+    tags=("streaming", "window", "flagship"),
+)
+def stream_tumbling_window(spark, sf_dir):
+    """5-minute tumbling window aggregation (epoch-aligned, same as streaming)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+        .orderBy("w_start", "event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    f"""
+    WITH expanded AS (
+      SELECT epoch_ms(epoch_ms(ts) // {_MS_5MIN} * {_MS_5MIN} - o.off * {_MS_5MIN}) AS w_start, value
+      FROM events
+      CROSS JOIN (VALUES (0), (1)) AS o(off)
+    )
+    SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+    FROM expanded GROUP BY w_start ORDER BY w_start
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark, sf_dir):
+    """10-minute window sliding every 5 minutes: each event lands in exactly
+    two windows (the oracle expands via the 2-offset cross join)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), eps_round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .orderBy("w_start")
+    )
+
+
+@query(
+    "stream_session_window",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, epoch_ms(ts) AS ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, ms,
+             CASE WHEN prev_ms IS NULL OR ms - prev_ms >= {_MS_30MIN} THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS sess_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start
+    """,
+    tags=("streaming", "window"),
+)
+def stream_session_window(spark, sf_dir):
+    """Gap-based session windows (30-min gap) per user — the tx-sessionization
+    analog (R4 is marker-based sessionization; this is its gap-based twin).
+    Spark session_window merges events whose gap < 30min; the oracle is the
+    lag/cumsum formulation of the same rule."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+        .orderBy("user_id", "sess_start")
+    )
+
+
+@query(
+    "stream_dedup_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event
+    FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming",),
+)
+def stream_dedup_first(spark, sf_dir):
+    """Keyed dedup keeping the earliest event — the deterministic batch twin
+    of streaming dropDuplicates(["user_id","event_type"]) + watermark."""
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(ms, F.asc("event_id"))
+    return (
+        e.select("user_id", "event_type", "event_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+        .orderBy("user_id", "event_type")
+    )

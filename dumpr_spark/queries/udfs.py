@@ -1,0 +1,142 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.2-I), declared with SQL-expressible
+semantics so every flavor is oracle-checked:
+
+- scalar Python UDF        — the reference's arbitrary per-table id-fns
+                             (core.clj:59-64) are exactly this shape
+- vectorized pandas UDF    — Arrow-batched, the production path
+- grouped-agg pandas UDF   — custom aggregate
+- applyInPandas (grouped map) — per-group transform (z-score)
+
+The hot path elsewhere never uses Python UDFs; this module exists to declare
+and gate the escape hatch itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from dumpr_spark.queries.base import eps_round, query, t
+
+
+@query(
+    "udf_python_scalar",
+    """
+    SELECT o_orderkey, 'orders/' || CAST(o_orderkey AS VARCHAR) AS row_id
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+    tags=("udf",),
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF: a custom id-fn building 'table/id' identity —
+    the reference's entity-map key shape (test_util.clj:107-108). Deliberately
+    the slow path; the fast path is the built-in concat twin below."""
+
+    @F.udf(returnType=StringType())
+    def id_fn(key):
+        return f"orders/{key}"
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select("o_orderkey", id_fn("o_orderkey").alias("row_id")).orderBy("o_orderkey")
+
+
+@query(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 1e-7, 2) AS charge
+    FROM lineitem WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized (Arrow) pandas UDF computing the TPC-H charge expression."""
+
+    @F.pandas_udf(DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        eps_round(charge("l_extendedprice", "l_discount", "l_tax"), 2, eps=1e-7).alias("charge"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "udf_grouped_agg",
+    """
+    SELECT c_nationkey, ROUND(AVG(c_acctbal) + 1e-9, 4) AS mean_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("udf",),
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (Series -> scalar)."""
+
+    @F.pandas_udf(DoubleType())
+    def mean_bal(bal: pd.Series) -> float:
+        return float(bal.mean())
+
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(eps_round(mean_bal("c_acctbal"), 4).alias("mean_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / NULLIF(stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 0), 4) AS z
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("udf",),
+)
+def udf_grouped_map_zscore(spark, sf_dir):
+    """applyInPandas grouped-map: per-nation z-score of account balance.
+    Oracle is the equivalent window formulation."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["c_acctbal"].std(ddof=1)
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / sd if sd and sd > 0 else pd.Series([None] * len(pdf), dtype="float64")
+        return pd.DataFrame(
+            {"c_custkey": pdf["c_custkey"], "c_nationkey": pdf["c_nationkey"], "z": z}
+        )
+
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(zscore, "c_custkey bigint, c_nationkey int, z double")
+        .select("c_custkey", "c_nationkey", F.round("z", 4).alias("z"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "udf_table_function",
+    """
+    SELECT l_orderkey, CAST(unnest(generate_series(1, CAST(l_quantity AS INT))) AS INT) AS unit
+    FROM lineitem WHERE l_orderkey <= 100 AND l_quantity <= 5
+    ORDER BY l_orderkey, unit
+    """,
+    tags=("udf",),
+)
+def udf_table_function(spark, sf_dir):
+    """Table-function surface: one row -> many (explode over a generated
+    sequence) — the multi-row-event fan-out shape (R10, stream.clj:264-268)."""
+    li = t(spark, sf_dir, "lineitem").where((F.col("l_orderkey") <= 100) & (F.col("l_quantity") <= 5))
+    return (
+        li.select(
+            "l_orderkey",
+            F.explode(F.sequence(F.lit(1), F.col("l_quantity").cast("int"))).alias("unit"),
+        )
+        .select("l_orderkey", F.col("unit").cast("int").alias("unit"))
+        .orderBy("l_orderkey", "unit")
+    )

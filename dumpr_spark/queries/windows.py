@@ -1,0 +1,223 @@
+"""Window-function surface (SURVEY §2.2 E).
+
+The engine's core CDC materializer is itself a per-key top-1 (window/max_by)
+— these queries declare the full analytic-window surface. All orderings carry
+a unique tie-break key so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from dumpr_spark.queries.base import query, t
+
+
+@query(
+    "win_topk_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 3
+    ORDER BY c_custkey, rn
+    """,
+    tags=("window", "flagship"),
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — the row_number()<=k pattern (also the CDC
+    dedup-latest shape, SURVEY §2.2-E)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    """
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+    FROM part
+    ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """,
+    tags=("window",),
+)
+def win_rank_dense(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.select(
+            "p_brand", "p_partkey", "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("p_brand", F.desc("p_retailprice"), "p_partkey")
+    )
+
+
+@query(
+    "win_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey)
+    ORDER BY o_custkey, epoch_ms(o_orderdate), o_orderkey
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    w = Window.partitionBy("o_custkey").orderBy(ts, F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "win_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def win_running_sum(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts, F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "win_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER w AS last_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "cdc-analog"),
+)
+def win_first_last(spark, sf_dir):
+    """first/last over full frame — the binlog-filename-carry shape (R5)."""
+    o = t(spark, sf_dir, "orders")
+    ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts, F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w).alias("last_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "win_ntile",
+    """
+    SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("window",),
+)
+def win_ntile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile")).orderBy("c_custkey")
+
+
+@query(
+    "win_range_frame",
+    """
+    SELECT p_brand, p_partkey, p_size,
+           CAST(COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS similar_sized
+    FROM part
+    ORDER BY p_brand, p_partkey
+    """,
+    tags=("window",),
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE frame (value-based) — peers within +/-5 size units."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-5, 5)
+    return (
+        p.select("p_brand", "p_partkey", "p_size", F.count(F.lit(1)).over(w).alias("similar_sized"))
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
+    "join_asof",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ms
+      FROM events
+    )
+    SELECT user_id, event_id, last_click_ms
+    FROM tagged WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "join"),
+)
+def join_asof(spark, sf_dir):
+    """As-of join (latest click at-or-before each purchase, per user) in its
+    window formulation — linear, no native as-of needed (SURVEY §2.2-C).
+    Declared as running MAX of the tagged timestamp so the DuckDB oracle is the
+    same formulation."""
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms, F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = e.select(
+        "user_id", "event_id", "event_type",
+        F.max(F.when(F.col("event_type") == "click", ms)).over(w).alias("last_click_ms"),
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "last_click_ms")
+        .orderBy("user_id", "event_id")
+    )

@@ -48,8 +48,17 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     One explode + one groupBy(id) — partial min combines map-side, so the
     shuffle carries one row per (doc, hash), not per shingle.
+
+    The pre-explode repartition matters: a compact corpus file arrives in few
+    input partitions, and the explode multiplies rows ~100x — fan the rows out
+    across the cluster BEFORE the multiplication so shingling parallelizes
+    (at 100 TB the input is already many partitions and this is a no-op cost).
     """
-    sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(id_col, text_col).repartition(n_parts)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(h)), F.lit("|"), F.col("sh")))).alias(f"mh{h}")
         for h in range(num_hashes)
@@ -95,15 +104,18 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Only candidate docs' shingles are exploded — the verification cost tracks
     the candidate set, not the corpus."""
     ids = pairs.select(F.col("a").alias("_id")).union(pairs.select("b")).distinct()
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.join(ids, df[id_col] == ids._id)
+        df.join(F.broadcast(ids), df[id_col] == ids._id)
+        .select(id_col, text_col).repartition(n_parts)
         .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("a"), F.col("sh"))
+    sh_b = sh.select(F.col(id_col).alias("b"), F.col("sh"))
     inter = (
-        pairs.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
-        .where(F.col("sh_a") == F.col("sh_b"))
+        pairs.join(sh_a, "a")
+        .join(sh_b, ["b", "sh"])  # equi-join on (b, shingle): intersection, not cross-filter
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

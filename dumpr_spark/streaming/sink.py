@@ -1,0 +1,69 @@
+"""Streaming sinks: the foreachBatch merge (upsert) sink and helpers.
+
+The merge sink is the streaming materializer: each micro-batch of envelope
+rows is folded into a keyed current-state parquet table (last-write-wins by
+seq). Parquet has no MERGE, so the fold is read-modify-overwrite; on an
+ACID table format the same `merge_batch` logic becomes a real MERGE INTO and
+the rewrite cost drops to touched files. Idempotence (max-by-seq) makes batch
+replay after checkpoint restart a no-op => exactly-once end to end.
+
+At 100 TB the state table is partitioned by `tbl` (and bucketed by id on a
+real deployment) so a micro-batch only rewrites partitions it touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+from dumpr_spark.cdc.materialize import materialize
+
+
+class MergeSink:
+    """foreachBatch target maintaining a current-state table at `state_path`."""
+
+    def __init__(self, spark: SparkSession, state_path: str):
+        self.spark = spark
+        self.state_path = state_path
+
+    def read_state(self) -> DataFrame:
+        if not os.path.exists(self.state_path):
+            return self.spark.createDataFrame([], ENVELOPE_SCHEMA)
+        return self.spark.read.parquet(self.state_path)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        current = self.read_state()
+        # fold: union + per-key max_by(seq), deletes drop out
+        next_state = materialize(current.unionByName(batch))
+        tmp = self.state_path + f".tmp-{batch_id}"
+        next_state.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
+        # atomic-enough swap for local FS; object stores use rename-free commit
+        bak = self.state_path + ".bak"
+        if os.path.exists(self.state_path):
+            os.rename(self.state_path, bak)
+        os.rename(tmp, self.state_path)
+        if os.path.exists(bak):
+            import shutil
+
+            shutil.rmtree(bak, ignore_errors=True)
+
+
+def start_merge_stream(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """Start the materializing stream (R18/R19: sink + lifecycle)."""
+    sink = MergeSink(changes.sparkSession, state_path)
+    writer = (
+        changes.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

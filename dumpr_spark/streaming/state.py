@@ -1,0 +1,85 @@
+"""Arbitrary stateful streaming ops (SURVEY §2.2-H): the transaction filter
+as applyInPandasWithState — the streaming twin of the reference's stateful
+transducer (R4, stream.clj:22-54).
+
+State per source key: (in_tx, buffered rows). tx-begin opens a buffer,
+tx-commit releases it downstream, tx-rollback discards it, markers are
+stripped — and a transaction that spans micro-batches survives in the state
+store (the reference's channel transducer gets this for free from ordering;
+here the state store + checkpoint make it restart-safe).
+
+Scale note: the filter is keyed by `source` (connection/shard id). One key is
+inherently serial — exactly as serial as the binlog itself; many sources
+parallelize across keys. With a Debezium-shaped (commit-filtered) feed this
+operator disappears entirely (SURVEY §4.2.3).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, LongType, StringType, StructField, StructType,
+)
+
+TX_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("tbl", StringType(), True),
+        StructField("payload", StringType(), True),
+        StructField("seq", LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("in_tx", BooleanType(), True),
+        StructField("buffer", StringType(), True),  # JSON list of row dicts
+    ]
+)
+
+
+def _tx_filter_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    in_tx, buffer = (state.get if state.exists else (False, "[]"))
+    buf: list[dict] = json.loads(buffer)
+    out: list[dict] = []
+    rows = pd.concat(list(pdfs)).sort_values("seq")
+    for r in rows.itertuples(index=False):
+        et = r.event_type
+        if et == "tx-begin":
+            in_tx, buf = True, []
+        elif et == "tx-commit":
+            out.extend(buf)
+            in_tx, buf = False, []
+        elif et == "tx-rollback":
+            in_tx, buf = False, []
+        elif in_tx:
+            buf.append(
+                {"source": r.source, "event_type": et, "tbl": r.tbl, "payload": r.payload, "seq": int(r.seq)}
+            )
+        # events outside any tx are dropped (reference semantics: the binlog
+        # wraps all row events in txs; stray rows are not released)
+    state.update((in_tx, json.dumps(buf)))
+    yield pd.DataFrame(out, columns=[f.name for f in TX_OUT_SCHEMA.fields])
+
+
+def streaming_tx_filter(events: DataFrame) -> DataFrame:
+    """events: streaming frame with (source, event_type, tbl, payload, seq).
+    Returns only rows of committed transactions, markers stripped."""
+    return (
+        events.groupBy("source")
+        .applyInPandasWithState(
+            _tx_filter_fn,
+            outputStructType=TX_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,203 @@
+"""Structured Streaming semantics: ingest -> envelope -> merge sink, windows,
+watermark, streaming dedup, stateful tx filter, checkpoint resume.
+
+Mirrors SURVEY §5.2.4. All tests use file sources + availableNow triggers so
+they run bounded, and memory/parquet sinks for assertions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.streaming
+
+
+def write_events(path, events, file_name="part-000.json"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, file_name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_stream_ingest_to_merge_sink_and_resume(spark, tmp_path):
+    """End-to-end live path: JSON event feed -> envelope -> foreachBatch merge
+    -> state table; then new events arrive and the SAME checkpoint resumes
+    incrementally (R13/R14 resume semantics, batch-atomic)."""
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": "1", "v": "a"}, {"id": "2", "v": "b"}], "seq": 1},
+        {"event_type": "update", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 20, "rows": [{"id": "1", "v": "a2"}], "seq": 2},
+    ])
+    changes = stream_changes(spark, feed, {"widgets": "id"}, db="shop")
+    q = start_merge_stream(changes, state, ckpt)
+    q.awaitTermination(120)
+
+    sink = MergeSink(spark, state)
+    got = {r["id"]: json.loads(r["content"])["v"] for r in sink.read_state().collect()}
+    assert got == {"1": "a2", "2": "b"}
+
+    # second wave: delete id=1, insert id=3 — resume from checkpoint
+    write_events(feed, [
+        {"event_type": "delete", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:02:00Z",
+         "next_position": 30, "rows": [{"id": "1", "v": "a2"}], "seq": 3},
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:03:00Z",
+         "next_position": 40, "rows": [{"id": "3", "v": "c"}], "seq": 4},
+    ], file_name="part-001.json")
+    q2 = start_merge_stream(stream_changes(spark, feed, {"widgets": "id"}, db="shop"), state, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = {r["id"]: json.loads(r["content"])["v"] for r in sink.read_state().collect()}
+    assert got2 == {"2": "b", "3": "c"}
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    """Tumbling 5-min window counts with a 10-min watermark over a file stream."""
+    src = str(tmp_path / "ev")
+    rows = [
+        {"ts": "2026-01-01T00:01:00Z", "k": "a"},
+        {"ts": "2026-01-01T00:02:00Z", "k": "a"},
+        {"ts": "2026-01-01T00:06:00Z", "k": "a"},
+        {"ts": "2026-01-01T00:07:00Z", "k": "b"},
+    ]
+    write_events(src, rows)
+    stream = (
+        spark.readStream.schema("ts timestamp, k string").json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "k", "n")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tumbling_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r["w_start"]), r["k"]): r["n"] for r in spark.sql("SELECT * FROM tumbling_test").collect()}
+    assert got == {
+        ("2026-01-01 00:00:00", "a"): 2,
+        ("2026-01-01 00:05:00", "a"): 1,
+        ("2026-01-01 00:05:00", "b"): 1,
+    }
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """dropDuplicates on (k, seq) across a stream (R identity dedup,
+    row_format.clj:7-13)."""
+    src = str(tmp_path / "dedup_src")
+    write_events(src, [
+        {"ts": "2026-01-01T00:00:00Z", "k": "a", "seq": 1},
+        {"ts": "2026-01-01T00:00:30Z", "k": "a", "seq": 1},  # duplicate delivery
+        {"ts": "2026-01-01T00:01:00Z", "k": "a", "seq": 2},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, seq long").json(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["k", "seq"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k, seq FROM dedup_test ORDER BY seq").collect()
+    assert [(r["k"], r["seq"]) for r in rows] == [("a", 1), ("a", 2)]
+
+
+def test_streaming_tx_filter_across_batches(spark, tmp_path):
+    """Stateful tx filter: a transaction spanning two micro-batches commits in
+    the second — its rows must be released then (state store carries the
+    buffer across batches)."""
+    from dumpr_spark.streaming.state import streaming_tx_filter
+
+    src = str(tmp_path / "tx_src")
+    # batch 1 file: begin + one row (no commit yet)
+    write_events(src, [
+        {"source": "s1", "event_type": "tx-begin", "tbl": None, "payload": None, "seq": 1},
+        {"source": "s1", "event_type": "write", "tbl": "w", "payload": "r1", "seq": 2},
+    ], file_name="b1.json")
+    # batch 2 file: second row + commit; then a rolled-back tx
+    write_events(src, [
+        {"source": "s1", "event_type": "write", "tbl": "w", "payload": "r2", "seq": 3},
+        {"source": "s1", "event_type": "tx-commit", "tbl": None, "payload": None, "seq": 4},
+        {"source": "s1", "event_type": "tx-begin", "tbl": None, "payload": None, "seq": 5},
+        {"source": "s1", "event_type": "write", "tbl": "w", "payload": "r3", "seq": 6},
+        {"source": "s1", "event_type": "tx-rollback", "tbl": None, "payload": None, "seq": 7},
+    ], file_name="b2.json")
+
+    events = (
+        spark.readStream.schema("source string, event_type string, tbl string, payload string, seq long")
+        .option("maxFilesPerTrigger", "1")  # force two micro-batches
+        .json(src)
+    )
+    out = streaming_tx_filter(events)
+    q = (
+        out.writeStream.format("memory").queryName("tx_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT payload, seq FROM tx_test ORDER BY seq").collect()
+    assert [(r["payload"], r["seq"]) for r in rows] == [("r1", 2), ("r2", 3)]
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join — the schema-enrichment shape (R9): streaming events
+    joined to a static dimension."""
+    src = str(tmp_path / "ss_src")
+    write_events(src, [
+        {"tbl": "widgets", "seq": 1},
+        {"tbl": "gadgets", "seq": 2},
+        {"tbl": "unknown", "seq": 3},
+    ])
+    static_dim = spark.createDataFrame(
+        [("widgets", "id"), ("gadgets", "gid")], "tbl string, pk string"
+    )
+    stream = spark.readStream.schema("tbl string, seq long").json(src)
+    joined = stream.join(F.broadcast(static_dim), "tbl", "left")
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["seq"]: r["pk"] for r in spark.sql("SELECT seq, pk FROM ss_join_test").collect()}
+    assert got == {1: "id", 2: "gid", 3: None}
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """session_window in a real stream (gap 10 min)."""
+    src = str(tmp_path / "sess_src")
+    write_events(src, [
+        {"ts": "2026-01-01T00:00:00Z", "u": 1},
+        {"ts": "2026-01-01T00:05:00Z", "u": 1},   # same session
+        {"ts": "2026-01-01T01:00:00Z", "u": 1},   # new session
+        {"ts": "2026-01-01T00:00:00Z", "u": 2},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, u int").json(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("u", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("u", F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("sess_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["u"], str(r["start"])): r["n"] for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert got == {
+        (1, "2026-01-01 00:00:00"): 2,
+        (1, "2026-01-01 01:00:00"): 1,
+        (2, "2026-01-01 00:00:00"): 1,
+    }

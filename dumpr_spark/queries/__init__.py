@@ -14,6 +14,7 @@ from dumpr_spark.queries import windows  # noqa: E402,F401
 from dumpr_spark.queries import scalars  # noqa: E402,F401
 from dumpr_spark.queries import cdc  # noqa: E402,F401
 from dumpr_spark.queries import llm  # noqa: E402,F401
+from dumpr_spark.queries import multimodal  # noqa: E402,F401
 from dumpr_spark.queries import streaming_batch  # noqa: E402,F401
 from dumpr_spark.queries import udfs  # noqa: E402,F401
 

@@ -212,6 +212,50 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) + 1e-9, 6) AS sim
+      FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT a, b, sim FROM scored WHERE sim >= 0.3 ORDER BY a, b
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    The blocking key turns the O(n^2) self-cross-join into a per-label
+    equi-join — the 100 TB shape (blocking = coarse clustering; here the
+    `label` column, in production an IVF cell or LSH bucket, see
+    similarity.ivf_assign). Exact twins (vec_id % 25 == 0, id + 100000)
+    are injected so true duplicates (sim = 1.0) exist."""
+    e = t(spark, sf_dir, "embeddings")
+    twins = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
+    a = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label")
+    b = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label")
+    return (
+        a.join(b, "label")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", eps_round(sim.cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+        .where(F.col("sim") >= 0.3)
+        .orderBy("a", "b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""Multimodal-column queries: opaque binary payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched mapInPandas (SURVEY §2.2-J).
+
+The testdata has no binary column, so assets are derived deterministically
+from `documents` IN BOTH ENGINES: payload = UTF-8 bytes of `text`,
+media_type cycles image/audio/video by doc_id % 3, duration_ms = n_chars*10.
+The "decode" is the documented stub (sha256-derived 8-dim feature,
+functions/multimodal.py) — the Spark plumbing (BinaryType schema, Arrow
+batches, explode fan-out) is real; only the codec call is fake, and because
+the stub is a hash the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpr_spark.functions import multimodal as mm
+from dumpr_spark.queries.base import query, t
+
+
+def _assets(spark, sf_dir):
+    """documents -> canonical asset DataFrame (ASSET_SCHEMA shape)."""
+    d = t(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        media.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), media).alias("mime"),
+        F.when(media != "audio", F.lit(64)).cast("int").alias("width"),
+        F.when(media != "audio", F.lit(48)).cast("int").alias("height"),
+        F.when(media != "image", F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+# DuckDB: parse hex byte i (0-based) of sha256(text || media_type)
+def _hexbyte(i: int) -> str:
+    c1 = f"substr(h, {2 * i + 1}, 1)"
+    c2 = f"substr(h, {2 * i + 2}, 1)"
+    return f"((instr('0123456789abcdef', {c1})-1)*16 + (instr('0123456789abcdef', {c2})-1))"
+
+
+_FEATURE_ORACLE = (
+    """
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             text
+      FROM documents
+    ),
+    hashed AS (
+      SELECT asset_id, media_type,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             sha256(text || media_type) AS h
+      FROM assets
+    )
+    SELECT asset_id, media_type, n_bytes, """
+    + ", ".join(f"CAST({_hexbyte(i)} AS INT) AS f{i}" for i in range(8))
+    + """
+    FROM hashed ORDER BY asset_id
+    """
+)
+
+
+@query("multimodal_features", _FEATURE_ORACLE, tags=("llm", "multimodal", "flagship"))
+def multimodal_features(spark, sf_dir):
+    """Decode + feature-extract over binary payloads via mapInPandas.
+
+    Feature floats are re-quantized to the source bytes (f*255) so the check
+    is exact; the array<float> itself is asserted in tests/test_llm_ops.py.
+    At 100 TB: repartition so payload bytes/partition fit executor memory;
+    the mapInPandas stage is a narrow map (no shuffle)."""
+    feats = mm.extract_features(_assets(spark, sf_dir))
+    byte_cols = [
+        F.round(F.element_at("feature", i + 1).cast("double") * 255).cast("int").alias(f"f{i}")
+        for i in range(8)
+    ]
+    return feats.select("asset_id", "media_type", "n_bytes", *byte_cols).orderBy("asset_id")
+
+
+@query(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS asset_id, CAST(f * 1000 AS BIGINT) AS frame_ts_ms
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, CAST(floor(n_chars * 10 / 1000.0) AS INT))) AS f) g
+    WHERE doc_id % 3 = 2
+    ORDER BY asset_id, frame_ts_ms
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: pure relational explode (one row per frame
+    to decode at 1 fps). The decode itself would consume this plan."""
+    plan = mm.frame_sample_plan(_assets(spark, sf_dir), every_ms=1000)
+    return plan.orderBy("asset_id", "frame_ts_ms")
+
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(MAX(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 END) AS BIGINT) AS max_duration_ms
+    FROM documents
+    GROUP BY 1 ORDER BY media_type
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark, sf_dir):
+    """Typed-metadata rollup over the asset table (no decode touched —
+    metadata queries must never read payload bytes; column pruning keeps the
+    binary column out of the scan)."""
+    a = _assets(spark, sf_dir)
+    return (
+        a.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("media_type")
+    )

@@ -41,13 +41,33 @@ def shingles(col, k: int = 3):
     ).otherwise(F.array(col))
 
 
+# Carter-Wegman minhash family over a 56-bit md5-derived base hash.
+# One md5 per shingle; family member i is (A[i]*h + B[i]) mod P — 8x fewer
+# digest computations than md5-per-seed, same collision behavior, and still
+# bit-reproducible in the DuckDB oracle (('0x'||substr(md5,1,14))::BIGINT).
+# Overflow-safe in BOTH engines' int64: A[i] < 64, h < 2^56, B[i] < 2^60
+# => A[i]*h + B[i] < 2^63.
+MINHASH_P = (1 << 61) - 1
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def minhash_family(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * h + 1, ((h + 1) * _GOLDEN) % (1 << 60)) for h in range(num_hashes)]
+
+
+def minhash_base_hash(col):
+    """56-bit integer base hash of a shingle: first 14 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 8, k: int = 3) -> DataFrame:
     """Per-doc MinHash signature: num_hashes columns mh0..mh{n-1}, each the
-    lexicographic min of md5(seed || '|' || shingle) over the doc's shingles.
+    min over the doc's shingles of family hash i (see minhash_family).
 
     One explode + one groupBy(id) — partial min combines map-side, so the
-    shuffle carries one row per (doc, hash), not per shingle.
+    shuffle carries one row per (doc, hash), not per shingle. Duplicate
+    shingles need no dedup: min over a multiset equals min over its set.
 
     The pre-explode repartition matters: a compact corpus file arrives in few
     input partitions, and the explode multiplies rows ~100x — fan the rows out
@@ -57,11 +77,12 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.select(id_col, text_col).repartition(n_parts)
-        .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .select(F.col(id_col), minhash_base_hash(F.col("sh")).alias("h"))
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(h)), F.lit("|"), F.col("sh")))).alias(f"mh{h}")
-        for h in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_family(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

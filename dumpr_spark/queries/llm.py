@@ -113,36 +113,48 @@ def dedup_fingerprint(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
-_MINHASH_ORACLE = (
-    _NEAR_CORPUS_CTE
-    + """
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    """DuckDB replica of dedup.minhash_signature/lsh_bands: one md5 per
+    shingle -> 56-bit base hash -> Carter-Wegman family mins -> banded keys."""
+    fam = dd.minhash_family(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {dd.MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_rows = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(
+            f"mh{bi * band_size + j}::VARCHAR" for j in range(band_size)
+        )
+        band_rows.append(f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig")
+    bands = "\n      UNION ALL ".join(band_rows)
+    return (
+        _NEAR_CORPUS_CTE
+        + f"""
     , toks AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
     ),
     sh AS (
-      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+      SELECT doc_id,
+             ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14))::BIGINT AS h
       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
     ),
     sig AS (
       SELECT doc_id,
-             MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
-             MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
-             MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
-             MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
+             {mins}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_key FROM sig
-      UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
-      UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-      UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+      {bands}
     )
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM bands x JOIN bands y
       ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
     ORDER BY a, b
     """
-)
+    )
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @query("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup", "flagship"))

@@ -1,0 +1,104 @@
+"""Scale toolkit: the partitioning/shuffle strategies that keep the declared
+operators viable at 100 TB (SURVEY §2.3, §4.2).
+
+These are composition helpers over public DataFrame APIs — no custom Catalyst
+rules. Each encodes one decision Catalyst cannot make for you:
+
+- `salted_join`: a hot key floods one shuffle partition in an equi-join; AQE
+  skew-split handles sort-merge spills but not the straggler task reading one
+  giant build side. Salting N-ways makes the skewed key N parallel tasks.
+- `write_bucketed`/`bucketed_table`: pre-shuffle a fact table ONCE on its join
+  key so every later join/aggregation on that key is shuffle-free (the
+  repeated-join amortization Catalyst can't infer across jobs).
+- `write_partitioned`: directory partitioning for partition pruning — a time
+  or tenant predicate then prunes whole files at planning time.
+- `repartition_for_explode`: fan rows out BEFORE a row-multiplying operator
+  (explode of shingles/frames) so the multiplication parallelizes; a compact
+  input file otherwise serializes the expensive stage on few tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode `right` `salt`-ways, scatter `left`
+    randomly across the salts, join on (key, salt).
+
+    Use when `left` has heavy hitters on `on` and `right` is too big to
+    broadcast. Cost: `right` is replicated `salt` times — pick the smaller
+    side as `right`. Result equals a plain `left.join(right, on, how)`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (replication-safe)")
+    salt_col = (F.xxhash64(F.col(on), F.monotonically_increasing_id()) % salt).cast("int")
+    l_salted = left.withColumn("_salt", F.pmod(salt_col, F.lit(salt)))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned write => partition pruning on read.
+
+    At 100 TB, pair with a sort within partitions on the secondary filter
+    column so min/max footer stats prune row groups too.
+    """
+    (
+        df.sortWithinPartitions(*partition_cols)
+        .write.format(fmt)
+        .partitionBy(*partition_cols)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into `num_buckets` files
+    by `bucket_col` at write time. Joins/aggregations keyed on `bucket_col`
+    between tables with the SAME bucketing skip the shuffle entirely
+    (SortMergeJoin with zero Exchange)."""
+    writer = df.write.format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.mode(mode).saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def repartition_for_explode(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Fan out ahead of a row-multiplying op. Hash-repartition on `cols` when
+    downstream groups by them (explode + groupBy then share one shuffle);
+    round-robin otherwise."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (for tests that assert plan shape)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )

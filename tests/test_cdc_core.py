@@ -85,6 +85,50 @@ def test_snapshot_plus_stream_split_equals_full_fold(spark, test_seed):
     assert got == want
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _op = st.tuples(
+        st.sampled_from(["upsert", "upsert", "upsert", "delete"]),  # 3:1 like the ref generator
+        st.sampled_from(["widgets", "manufacturers"]),
+        st.integers(min_value=1, max_value=12),  # small key space => churn
+        st.integers(min_value=0, max_value=10**6),
+    )
+
+    @given(
+        ops=st.lists(_op, min_size=1, max_size=120),
+        table_filter=st.sampled_from([None, ("widgets",), ("widgets", "manufacturers"), ()]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_materialize_fold_property(spark, ops, table_filter):
+        """Generative port of the reference property (core_test.clj:163-187,
+        incl. the table-filter variation at :177): for ANY op sequence and ANY
+        table filter, engine materialization == pure fold of the filtered ops."""
+        rows = [
+            (op, tbl, key, {"id": key, "v": v} if op == "upsert" else {"id": key}, seq)
+            for seq, (op, tbl, key, v) in enumerate(ops)
+        ]
+        df = filter_tables(make_changes(spark, rows), table_filter)
+        got = {
+            (r["tbl"], r["id"]): json.loads(r["content"]) for r in materialize(df).collect()
+        }
+        allowed = set(table_filter) if table_filter else None
+        want = into_entity_map(
+            {"op": op, "tbl": t, "id": str(k), "content": c}
+            for (op, t, k, c, _) in rows
+            if allowed is None or t in allowed
+        )
+        assert got == want
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_multirow_bulk_update_delete(spark):
     """Mirror of streaming-multirow-updates (core_test.clj:190-226): bulk
     upserts then a bulk update + bulk delete; all updates seen, deletes applied."""

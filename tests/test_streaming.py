@@ -62,6 +62,43 @@ def test_stream_ingest_to_merge_sink_and_resume(spark, tmp_path):
     assert got2 == {"2": "b", "3": "c"}
 
 
+def test_stream_materialize_throughput_floor(spark, tmp_path):
+    """CDC throughput parity (BASELINE.md): the reference's implied floor is
+    60 ops/s (600 row-events < 10 s, core_test.clj:216-221). The streaming
+    materialization path must sustain >= 10x that even on the small test JVM;
+    in practice micro-batches do orders of magnitude more."""
+    import time
+
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "tp_feed")
+    n_events, rows_per = 40, 300  # 12,000 row-changes across multi-row events
+    for f in range(4):
+        write_events(feed, [
+            {"event_type": "write", "db": "shop", "tbl": "widgets",
+             "ts": "2026-01-01T00:00:00Z", "next_position": e * 10,
+             "rows": [{"id": str((e * rows_per + r) % 5000), "v": f"v{e}"}
+                      for r in range(rows_per)],
+             "seq": e}
+            for e in range(f * n_events // 4, (f + 1) * n_events // 4)
+        ], file_name=f"part-{f:03d}.json")
+
+    t0 = time.time()
+    q = start_merge_stream(
+        stream_changes(spark, feed, {"widgets": "id"}, db="shop"),
+        str(tmp_path / "tp_state"), str(tmp_path / "tp_ckpt"),
+    )
+    q.awaitTermination(300)
+    elapsed = time.time() - t0
+
+    total_ops = n_events * rows_per
+    rate = total_ops / elapsed
+    assert rate >= 600, f"{rate:.0f} ops/s below 10x reference floor"
+    state = MergeSink(spark, str(tmp_path / "tp_state")).read_state()
+    assert state.count() == 5000  # 12k changes fold to 5k live keys
+
+
 def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
     """Tumbling 5-min window counts with a 10-min watermark over a file stream."""
     src = str(tmp_path / "ev")

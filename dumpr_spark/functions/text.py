@@ -97,6 +97,33 @@ def fingerprint(col) -> Column:
     return F.md5(normalize_text(col))
 
 
+# Rolling-hash (Rabin-Karp) fingerprint constants. ROLL_P = 2^56 - 5 (prime)
+# keeps every intermediate in int64 in BOTH engines: acc < 2^56, token hash
+# < 2^56, so acc*31 + h < 2^61 + 2^56 << 2^63 (DuckDB raises on overflow,
+# Java would wrap silently — either way a larger modulus would diverge).
+ROLL_P = 72057594037927931
+ROLL_B = 31
+
+
+def rolling_fingerprint(col, base: int = ROLL_B) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    fold (acc * base + h(tok)) mod ROLL_P with h = 56-bit md5 prefix.
+
+    Unlike `fingerprint` (order-insensitive after normalization), this is the
+    streaming-friendly Rabin-Karp form — extendable to windowed/winnowed
+    chunk fingerprints where chunk hashes update incrementally. Fold starts
+    at the first token's hash (mirrors DuckDB list_reduce's no-init form so
+    the oracle matches bit-for-bit)."""
+    hs = F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long")
+    )
+    first = F.element_at(hs, 1)
+    rest = F.slice(hs, F.lit(2), F.greatest(F.size(hs) - 1, F.lit(0)))
+    return F.aggregate(
+        rest, first, lambda acc, h: (acc * F.lit(base) + h) % F.lit(ROLL_P)
+    )
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard quality-signal columns to a documents DataFrame."""
     c = F.col(text_col)

@@ -157,6 +157,26 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
 _MINHASH_ORACLE = _minhash_oracle()
 
 
+@query(
+    "text_fingerprint_rolling",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ' '),
+                            t -> ('0x' || substr(md5(t), 1, 14))::BIGINT),
+             (acc, h) -> (acc * {tx.ROLL_B} + h) % {tx.ROLL_P}) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint_rolling(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint per document (order-sensitive,
+    incremental — the chunk-fingerprint primitive for content-defined
+    dedup). Pure JVM fold (transform + aggregate), no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
 @query("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup", "flagship"))
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(8)+LSH(4 bands of 2) candidate pairs over 3-word shingles.

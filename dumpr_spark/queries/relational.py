@@ -567,6 +567,39 @@ def join_multikey(spark, sf_dir):
     )
 
 
+@query(
+    "join_skew_salted",
+    """
+    SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice) + 1e-9, 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    tags=("join", "scale"),
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted skew join (operators/scale.salted_join) checked against the
+    plain-join oracle: salting N-ways then joining on (key, salt) must be
+    result-identical to the plain equi-join — the rewrite only changes the
+    shuffle layout (a hot l_orderkey becomes N parallel tasks instead of one
+    straggler)."""
+    from dumpr_spark.operators.scale import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", salt=8)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            eps_round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops (§2.2 F)
 # --------------------------------------------------------------------------

@@ -153,12 +153,14 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash64(col, k: int = 3):
-    """64-bit SimHash over k-word shingles, md5-derived per-shingle bits.
+    """64-bit SimHash over k-word shingles as a single column expression.
 
     For each shingle, its md5's first 16 hex chars give 64 bits; the simhash
-    bit j is 1 iff the majority of shingles have bit j set. Pure JVM expression
-    (transform + aggregate over the shingle array), no UDF.
-    """
+    bit j is 1 iff the majority of shingles have bit j set.
+
+    NOTE: convenience form for small/ad-hoc inputs — the 64 array folds make
+    a huge codegen'd expression. The corpus-scale path is
+    `simhash_signatures` (identical values, explode + aggregate shape)."""
     sh = F.array_distinct(shingles(col, k))
     n = F.size(sh)
 
@@ -175,6 +177,37 @@ def simhash64(col, k: int = 3):
         # shiftleft wraps into the sign bit for j=0 — intended (full 64-bit value)
         total = total.bitwiseOR(F.shiftleft(maj, 63 - j))
     return total
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 3) -> DataFrame:
+    """Corpus-scale SimHash: (id, sh64) per document, value-identical to
+    `simhash64` but shaped for volume — explode shingles, md5 ONCE per
+    shingle (vs 64 re-folds in the expression form), split the digest into
+    two 32-bit halves, and bit-count via 64 cheap sum aggregates with
+    map-side partial combine. One shuffle on id; scales like
+    minhash_signature."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(id_col, text_col).repartition(n_parts)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
+    )
+    h = F.md5(F.col("sh"))
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("hi" if j < 32 else "lo"), 31 - (j % 32)) % 2).alias(f"c{j}")
+        for j in range(64)
+    ] + [F.count(F.lit(1)).alias("n")]
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
+    total = F.lit(0).cast("long")
+    for j in range(64):
+        maj = F.when(F.col(f"c{j}") * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        total = total.bitwiseOR(F.shiftleft(maj, 63 - j))
+    return per_doc.select(F.col(id_col), total.alias("sh64"))
 
 
 def hamming64(a, b):

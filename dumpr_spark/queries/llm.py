@@ -232,11 +232,9 @@ def dedup_simhash(spark, sf_dir):
     """64-bit SimHash + hamming distance of the known near-dup pairs.
     Rows-only check (bit-twiddling oracle SQL is possible but disproportionate;
     correctness is pinned by tests/test_llm.py::test_simhash_properties)."""
-    corpus = _dup_corpus(spark, sf_dir, near=True).withColumn(
-        "sh64", dd.simhash64(F.col("text"))
-    )
-    a = corpus.select(F.col("doc_id").alias("a"), F.col("sh64").alias("ha"))
-    b = corpus.select(F.col("doc_id").alias("b"), F.col("sh64").alias("hb"))
+    sigs = dd.simhash_signatures(_dup_corpus(spark, sf_dir, near=True))
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("sh64").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("sh64").alias("hb"))
     return (
         a.join(b, a.a + 100000 == b.b)
         .select("a", "b", dd.hamming64(F.col("ha"), F.col("hb")).alias("hamming"))

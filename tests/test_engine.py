@@ -1,0 +1,64 @@
+"""Engine facade: the user-facing surface a dumpr user would switch to.
+Covers catalog registration, SQL passthrough, the ordered multi-table
+snapshot (R1+R12), end-to-end snapshot -> changes -> materialize, and
+resume-position capture (R13)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_sql_passthrough_over_registered_tables(engine):
+    out = engine.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+    ).collect()
+    assert sum(r["n"] for r in out) == engine.table("customer").count()
+
+
+def test_snapshot_changes_preserves_table_order(engine):
+    ch = engine.snapshot_changes({"region": "r_regionkey", "nation": "n_nationkey"})
+    seqs = ch.groupBy("tbl").agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
+    rng = {r["tbl"]: (r["lo"], r["hi"]) for r in seqs}
+    # strict order: every region seq precedes every nation seq (core.clj:85-89)
+    assert rng["region"][1] < rng["nation"][0]
+    assert ch.where(F.col("op") != "upsert").count() == 0
+
+
+def test_snapshot_materialize_roundtrip(engine):
+    """Materializing a pure snapshot returns exactly the source rows."""
+    src = engine.table("nation")
+    ch = engine.snapshot_changes({"nation": "n_nationkey"})
+    state = engine.materialize(ch)
+    assert state.count() == src.count()
+    got = {
+        r["id"]: json.loads(r["content"])["n_name"] for r in state.collect()
+    }
+    want = {str(r["n_nationkey"]): r["n_name"] for r in src.collect()}
+    assert got == want
+
+
+def test_snapshot_then_stream_updates(engine, spark):
+    """Snapshot + later change envelope folds to updated state (the flagship
+    use pattern: load_dir -> snapshot_changes -> union updates -> materialize)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+
+    snap = engine.snapshot_changes({"region": "r_regionkey"})
+    max_seq = snap.agg(F.max("seq")).first()[0]
+    updates = spark.createDataFrame(
+        [
+            ("upsert", "region", "0", json.dumps({"r_regionkey": 0, "r_name": "REBRANDED"}),
+             None, "binlog.000002", 999, max_seq + 1),
+            ("delete", "region", "1", None, None, "binlog.000002", 1000, max_seq + 2),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    state = engine.materialize(snap.unionByName(updates))
+    rows = {r["id"]: r for r in state.collect()}
+    assert json.loads(rows["0"]["content"])["r_name"] == "REBRANDED"
+    assert "1" not in rows
+    assert state.count() == engine.table("region").count() - 1
+
+    pos = engine.next_position(snap.unionByName(updates))
+    assert pos == {"file": "binlog.000002", "position": 1000}

@@ -568,6 +568,31 @@ def join_multikey(spark, sf_dir):
 
 
 @query(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (cross-tab): status columns per priority. Explicit value list =>
+    single-pass aggregation, no extra distinct-values job (the scale form —
+    an unlisted pivot first scans for the value domain)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "join_skew_salted",
     """
     SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

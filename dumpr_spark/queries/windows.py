@@ -164,6 +164,33 @@ def win_ntile(spark, sf_dir):
 
 
 @query(
+    "win_pct_rank",
+    """
+    SELECT c_mktsegment, c_custkey,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window",),
+)
+def win_pct_rank(spark, sf_dir):
+    """percent_rank/cume_dist per segment. No rounding needed: both engines
+    compute the same exact rational in IEEE double ((rank-1)/(n-1), k/n)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
     "win_range_frame",
     """
     SELECT p_brand, p_partkey, p_size,

@@ -211,6 +211,44 @@ def test_stream_static_join(spark, tmp_path):
     assert got == {1: "id", 2: "gid", 3: None}
 
 
+def test_stream_stream_join_watermarked(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides and a time-bound
+    join condition (SURVEY §2.2-C): impressions joined to clicks within 1h."""
+    imp_src = str(tmp_path / "imp_src")
+    clk_src = str(tmp_path / "clk_src")
+    write_events(imp_src, [
+        {"ts": "2026-01-01T00:00:00Z", "ad": "a1"},
+        {"ts": "2026-01-01T00:10:00Z", "ad": "a2"},
+        {"ts": "2026-01-01T02:00:00Z", "ad": "a3"},
+    ])
+    write_events(clk_src, [
+        {"cts": "2026-01-01T00:30:00Z", "ad": "a1"},   # within 1h of a1 impression
+        {"cts": "2026-01-01T05:00:00Z", "ad": "a2"},   # too late for a2
+    ])
+    imps = (
+        spark.readStream.schema("ts timestamp, ad string").json(imp_src)
+        .withWatermark("ts", "2 hours")
+    )
+    clicks = (
+        spark.readStream.schema("cts timestamp, ad string").json(clk_src)
+        .withWatermark("cts", "2 hours")
+        .withColumnRenamed("ad", "c_ad")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("cts") >= F.col("ts"))
+        & (F.col("cts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("ad", "ts", "cts")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [r["ad"] for r in spark.sql("SELECT ad FROM ssj_test").collect()]
+    assert got == ["a1"]
+
+
 def test_session_window_streaming(spark, tmp_path):
     """session_window in a real stream (gap 10 min)."""
     src = str(tmp_path / "sess_src")

@@ -83,3 +83,66 @@ def streaming_tx_filter(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _fold_tx_rows(rows: pd.DataFrame, in_tx: bool, buf: list[dict]):
+    """Shared fold for both stateful APIs: returns (released, in_tx, buf)."""
+    out: list[dict] = []
+    for r in rows.sort_values("seq").itertuples(index=False):
+        et = r.event_type
+        if et == "tx-begin":
+            in_tx, buf = True, []
+        elif et == "tx-commit":
+            out.extend(buf)
+            in_tx, buf = False, []
+        elif et == "tx-rollback":
+            in_tx, buf = False, []
+        elif in_tx:
+            buf.append(
+                {"source": r.source, "event_type": et, "tbl": r.tbl,
+                 "payload": r.payload, "seq": int(r.seq)}
+            )
+    return out, in_tx, buf
+
+
+try:  # transformWithState is the Spark 4.x arbitrary-state API
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TxFilterProcessor(StatefulProcessor):
+        """transformWithStateInPandas form of the tx filter — same semantics
+        as `streaming_tx_filter`, on the typed value-state API (explicit state
+        variables, RocksDB-native layout, per-key timers available for a
+        future tx-timeout eviction policy)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("tx", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            in_tx, buffer = self._state.get() if self._state.exists() else (False, "[]")
+            buf = json.loads(buffer)
+            out: list[dict] = []
+            for pdf in rows:
+                released, in_tx, buf = _fold_tx_rows(pdf, in_tx, buf)
+                out.extend(released)
+            self._state.update((in_tx, json.dumps(buf)))
+            yield pd.DataFrame(out, columns=[f.name for f in TX_OUT_SCHEMA.fields])
+
+        def close(self) -> None:
+            pass
+
+    def streaming_tx_filter_tws(events: DataFrame) -> DataFrame:
+        """Spark 4 transformWithStateInPandas variant of streaming_tx_filter.
+
+        NOTE: the TWS Python state-server protocol needs `google.protobuf`
+        at runtime (not bundled in every environment — the test skips where
+        absent). `streaming_tx_filter` (applyInPandasWithState) is the
+        dependency-free equivalent."""
+        return events.groupBy("source").transformWithStateInPandas(
+            statefulProcessor=TxFilterProcessor(),
+            outputStructType=TX_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+except ImportError:  # pragma: no cover - pre-4.0 Spark
+    streaming_tx_filter_tws = None

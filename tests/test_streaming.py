@@ -188,6 +188,46 @@ def test_streaming_tx_filter_across_batches(spark, tmp_path):
     assert [(r["payload"], r["seq"]) for r in rows] == [("r1", 2), ("r2", 3)]
 
 
+def test_streaming_tx_filter_transform_with_state(spark, tmp_path):
+    """Same cross-batch tx semantics through the Spark 4
+    transformWithStateInPandas API (typed value state)."""
+    from dumpr_spark.streaming.state import streaming_tx_filter_tws
+
+    if streaming_tx_filter_tws is None:
+        pytest.skip("transformWithState unavailable")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState state-server protocol needs protobuf (absent here)")
+
+    src = str(tmp_path / "tws_src")
+    write_events(src, [
+        {"source": "s1", "event_type": "tx-begin", "tbl": None, "payload": None, "seq": 1},
+        {"source": "s1", "event_type": "write", "tbl": "w", "payload": "r1", "seq": 2},
+    ], file_name="b1.json")
+    write_events(src, [
+        {"source": "s1", "event_type": "write", "tbl": "w", "payload": "r2", "seq": 3},
+        {"source": "s1", "event_type": "tx-commit", "tbl": None, "payload": None, "seq": 4},
+        {"source": "s1", "event_type": "tx-begin", "tbl": None, "payload": None, "seq": 5},
+        {"source": "s1", "event_type": "write", "tbl": "w", "payload": "r3", "seq": 6},
+        {"source": "s1", "event_type": "tx-rollback", "tbl": None, "payload": None, "seq": 7},
+    ], file_name="b2.json")
+
+    events = (
+        spark.readStream.schema("source string, event_type string, tbl string, payload string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        streaming_tx_filter_tws(events)
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT payload, seq FROM tws_test ORDER BY seq").collect()
+    assert [(r["payload"], r["seq"]) for r in rows] == [("r1", 2), ("r2", 3)]
+
+
 def test_stream_static_join(spark, tmp_path):
     """Stream-static join — the schema-enrichment shape (R9): streaming events
     joined to a static dimension."""

@@ -91,6 +91,32 @@ def ivf_assign(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train IVF centroids with distributed k-means (pyspark.ml KMeans).
+
+    Returns (cent_id, cent_vec) shaped for `ivf_assign`/`ivf_topk`. At 100 TB
+    train on a sample (k-means cost is per-point; a few million sampled
+    vectors pin the same cell structure), then assign the full corpus with
+    the broadcast centroids — training is one-off, assignment is a narrow map."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(array_to_vector(_dbl(F.col(vec_col))).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vectors.sparkSession
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(cents, "cent_id INT, cent_vec ARRAY<DOUBLE>")
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -49,6 +49,26 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_kmeans_centroids_beat_arbitrary(spark, sf_dir):
+    """KMeans-trained cells must give recall at least as good as arbitrary
+    picked-vector centroids (the production IVF training path)."""
+    from dumpr_spark.functions.similarity import brute_force_topk, ivf_topk, train_centroids
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+
+    arbitrary = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    trained = train_centroids(e, k=10)
+    r_arb = len(exact & {(r["q_id"], r["n_id"]) for r in ivf_topk(e, q, arbitrary, k=5).collect()}) / len(exact)
+    r_km = len(exact & {(r["q_id"], r["n_id"]) for r in ivf_topk(e, q, trained, k=5).collect()}) / len(exact)
+    assert r_km >= r_arb - 0.05, f"kmeans {r_km} vs arbitrary {r_arb}"
+    assert r_km >= 0.25, f"trained-IVF recall collapsed: {r_km}"
+
+
 def test_multimodal_feature_extraction_plumbing(spark):
     from dumpr_spark.functions.multimodal import extract_features, synthetic_assets
 

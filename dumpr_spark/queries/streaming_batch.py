@@ -131,3 +131,48 @@ def stream_dedup_first(spark, sf_dir):
         .select("user_id", "event_type", F.col("event_id").alias("first_event"))
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                     AND first_purchase > first_click THEN 3
+                WHEN first_view IS NOT NULL AND first_click > first_view THEN 2
+                WHEN first_view IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM stages ORDER BY user_id
+    """,
+    tags=("streaming", "events"),
+)
+def events_funnel(spark, sf_dir):
+    """Funnel analysis over the event stream: deepest strictly-ordered
+    view -> click -> purchase stage per user. One conditional-min aggregation
+    (single shuffle on user_id, partial combine) — the 100 TB funnel shape;
+    in streaming the same aggregate runs under a watermark."""
+    e = t(spark, sf_dir, "events")
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    full = (
+        F.col("first_view").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    two = F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view"))
+    return stages.select(
+        "user_id",
+        F.when(full, 3).when(two, 2).when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0).alias("funnel_stage"),
+    ).orderBy("user_id")

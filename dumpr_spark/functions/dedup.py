@@ -118,6 +118,44 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, band_size), id_col)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair graph (a, b) by iterative
+    min-label propagation: every node's label becomes the min label among
+    itself and its neighbors, to fixpoint. Returns (n, comp) where comp is
+    the minimum node id in the component — the canonical-doc assignment step
+    after LSH candidate generation in a dedup pipeline.
+
+    Scale: each iteration is ONE shuffle (groupBy n); iterations needed =
+    graph diameter, and near-dup graphs are shallow (tight clusters), so this
+    converges in a handful of rounds. localCheckpoint truncates the lineage
+    each round (else the plan doubles per iteration); the per-round
+    convergence check is a count on a limit-1 anti-condition, not a collect
+    of the labels."""
+    edges = pairs.select(F.col("a").cast("long").alias("x"), F.col("b").cast("long").alias("y"))
+    sym = edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    labels = (
+        sym.select(F.col("x").alias("n")).distinct().select("n", F.col("n").alias("comp"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = sym.join(labels, sym.y == labels.n).select(
+            F.col("x").alias("n"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min).groupBy("n").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "n")
+            .where(F.col("new.comp") != F.col("old.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3) -> DataFrame:
     """Exact k-shingle Jaccard for the given candidate (a, b) pairs.

@@ -157,6 +157,37 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
 _MINHASH_ORACLE = _minhash_oracle()
 
 
+def _cluster_oracle() -> str:
+    """Recursive-CTE connected components over the minhash candidate pairs —
+    the SQL fixpoint mirrors the engine's iterative min-label propagation."""
+    pair_sql = _minhash_oracle().rsplit("ORDER BY a, b", 1)[0]
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(n, l) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON r.l = s.a
+    )
+    SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_clusters", _cluster_oracle(), tags=("llm", "dedup", "iterative"))
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the MinHash-LSH
+    candidate-pair graph (iterative min-label propagation; the canonicalize
+    step of a production dedup pipeline — keep cluster_id == doc_id, drop the
+    rest). Oracle is the recursive-CTE transitive closure of the same graph."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    pairs = dd.minhash_lsh_pairs(corpus, num_hashes=8, band_size=2, k=3)
+    comps = dd.connected_components(pairs)
+    return comps.select(
+        F.col("n").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 @query(
     "text_fingerprint_rolling",
     f"""

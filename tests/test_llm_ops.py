@@ -107,3 +107,23 @@ def test_exact_dedup_function(spark, sf_dir):
     out = exact_dedup(dup)
     assert out.count() == d.count()
     assert out.agg(F.max("doc_id")).first()[0] == d.agg(F.max("doc_id")).first()[0]
+
+
+def test_connected_components_hand_graph(spark):
+    from dumpr_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], "a LONG, b LONG"
+    )
+    got = {r["n"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    """A long chain forces multiple propagation rounds (diameter > 1)."""
+    from dumpr_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(50, 60)]
+    got = {r["n"]: r["comp"] for r in connected_components(spark.createDataFrame(chain, "a LONG, b LONG")).collect()}
+    assert set(got.values()) == {50}
+    assert len(got) == 11

@@ -743,3 +743,30 @@ def set_union_distinct(spark, sf_dir):
         .distinct()
         .orderBy("k")
     )
+
+
+@query(
+    "join_broadcast_hint",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal) + 1e-9, 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "scale"),
+)
+def join_broadcast_hint(spark, sf_dir):
+    """Explicit broadcast hint (SURVEY §2.2-C): pin the dimension to the
+    build side regardless of size estimates — the knob for when statistics
+    mislead Catalyst (post-filter dims at 100 TB)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            eps_round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

@@ -267,3 +267,28 @@ def scalar_struct_map(spark, sf_dir):
         s.getField("name").alias("s_name"),
         s.getField("region").alias("s_region"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "scalar_encode_decode",
+    """
+    SELECT doc_id,
+           decode(encode(text)) AS roundtrip,
+           base64(encode(substr(text, 1, 12))) AS b64_head,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_encode_decode(spark, sf_dir):
+    """Charset encode/decode round-trip + base64 — the R10 text-column decode
+    surface (stream.clj:214-231: binlog text arrives as bytes, decoded by the
+    column character set)."""
+    d = t(spark, sf_dir, "documents")
+    enc = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.decode(enc, "UTF-8").alias("roundtrip"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("b64_head"),
+        F.length(enc).cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")

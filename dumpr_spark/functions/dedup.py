@@ -52,6 +52,9 @@ _GOLDEN = 0x9E3779B97F4A7C15
 
 
 def minhash_family(num_hashes: int) -> list[tuple[int, int]]:
+    if not 0 < num_hashes <= 32:
+        # a = 2h+1 must stay < 64 for the overflow bound above to hold
+        raise ValueError(f"num_hashes must be in 1..32, got {num_hashes}")
     return [(2 * h + 1, ((h + 1) * _GOLDEN) % (1 << 60)) for h in range(num_hashes)]
 
 
@@ -152,8 +155,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter exceeds max_iter — raise max_iter; iterations "
+        "needed = graph diameter)"
+    )
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

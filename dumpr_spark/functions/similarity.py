@@ -94,7 +94,6 @@ def ivf_assign(
 def train_centroids(
     vectors: DataFrame,
     k: int = 16,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,

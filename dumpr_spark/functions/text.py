@@ -114,9 +114,9 @@ def rolling_fingerprint(col, base: int = ROLL_B) -> Column:
     chunk fingerprints where chunk hashes update incrementally. Fold starts
     at the first token's hash (mirrors DuckDB list_reduce's no-init form so
     the oracle matches bit-for-bit)."""
-    hs = F.transform(
-        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long")
-    )
+    from dumpr_spark.functions.dedup import minhash_base_hash
+
+    hs = F.transform(tokens(col), minhash_base_hash)
     first = F.element_at(hs, 1)
     rest = F.slice(hs, F.lit(2), F.greatest(F.size(hs) - 1, F.lit(0)))
     return F.aggregate(

@@ -31,10 +31,14 @@ class MergeSink:
     def read_state(self) -> DataFrame:
         if not os.path.exists(self.state_path):
             return self.spark.createDataFrame([], ENVELOPE_SCHEMA)
-        return self.spark.read.parquet(self.state_path)
+        # explicit schema: an all-deleted state dir has no data files to infer
+        # from, and partition-column inference must not re-type a numeric-
+        # looking `tbl` value (schema pins it to STRING)
+        return self.spark.read.schema(ENVELOPE_SCHEMA).parquet(self.state_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
+        import shutil
+
         current = self.read_state()
         # fold: union + per-key max_by(seq), deletes drop out
         next_state = materialize(current.unionByName(batch))
@@ -42,13 +46,11 @@ class MergeSink:
         next_state.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
         # atomic-enough swap for local FS; object stores use rename-free commit
         bak = self.state_path + ".bak"
+        shutil.rmtree(bak, ignore_errors=True)  # stale .bak from a crashed swap
         if os.path.exists(self.state_path):
             os.rename(self.state_path, bak)
         os.rename(tmp, self.state_path)
-        if os.path.exists(bak):
-            import shutil
-
-            shutil.rmtree(bak, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
 
 
 def start_merge_stream(

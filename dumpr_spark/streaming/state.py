@@ -49,23 +49,7 @@ def _tx_filter_fn(
 ) -> Iterator[pd.DataFrame]:
     in_tx, buffer = (state.get if state.exists else (False, "[]"))
     buf: list[dict] = json.loads(buffer)
-    out: list[dict] = []
-    rows = pd.concat(list(pdfs)).sort_values("seq")
-    for r in rows.itertuples(index=False):
-        et = r.event_type
-        if et == "tx-begin":
-            in_tx, buf = True, []
-        elif et == "tx-commit":
-            out.extend(buf)
-            in_tx, buf = False, []
-        elif et == "tx-rollback":
-            in_tx, buf = False, []
-        elif in_tx:
-            buf.append(
-                {"source": r.source, "event_type": et, "tbl": r.tbl, "payload": r.payload, "seq": int(r.seq)}
-            )
-        # events outside any tx are dropped (reference semantics: the binlog
-        # wraps all row events in txs; stray rows are not released)
+    out, in_tx, buf = _fold_tx_rows(pd.concat(list(pdfs)), in_tx, buf)
     state.update((in_tx, json.dumps(buf)))
     yield pd.DataFrame(out, columns=[f.name for f in TX_OUT_SCHEMA.fields])
 
@@ -120,10 +104,10 @@ try:  # transformWithState is the Spark 4.x arbitrary-state API
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             in_tx, buffer = self._state.get() if self._state.exists() else (False, "[]")
             buf = json.loads(buffer)
-            out: list[dict] = []
-            for pdf in rows:
-                released, in_tx, buf = _fold_tx_rows(pdf, in_tx, buf)
-                out.extend(released)
+            # concat ALL Arrow chunks before the fold: chunk boundaries are
+            # arbitrary, and the seq sort must be global over the micro-batch
+            # (a commit marker can arrive in an earlier chunk than its rows)
+            out, in_tx, buf = _fold_tx_rows(pd.concat(list(rows)), in_tx, buf)
             self._state.update((in_tx, json.dumps(buf)))
             yield pd.DataFrame(out, columns=[f.name for f in TX_OUT_SCHEMA.fields])
 

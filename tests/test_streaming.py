@@ -316,3 +316,35 @@ def test_session_window_streaming(spark, tmp_path):
         (1, "2026-01-01 01:00:00"): 1,
         (2, "2026-01-01 00:00:00"): 1,
     }
+
+
+def test_merge_sink_survives_all_keys_deleted(spark, tmp_path):
+    """Regression: a batch that deletes every live key leaves a data-file-less
+    partitioned state dir; read_state must come back with the pinned envelope
+    schema (not schema inference) and the next upsert batch must succeed.
+    Also covers the stale-.bak recovery path."""
+    import os
+    import shutil
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "ms_state")
+    sink = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "w", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda i, seq: ("delete", "w", str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    sink(batch([up(1, 1), up(2, 2)]), 0)
+    assert sink.read_state().count() == 2
+    sink(batch([dele(1, 3), dele(2, 4)]), 1)
+    assert sink.read_state().count() == 0  # empty state readable
+    # stale .bak from a crashed swap must not wedge the next batch
+    shutil.copytree(state, state + ".bak", dirs_exist_ok=True)
+    sink(batch([up(3, 5)]), 2)
+    got = sink.read_state().collect()
+    assert [r["id"] for r in got] == ["3"]
+    assert not os.path.exists(state + ".bak")

@@ -292,3 +292,34 @@ def scalar_encode_decode(spark, sf_dir):
         F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("b64_head"),
         F.length(enc).cast("long").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+@query(
+    "source_csv_scan",
+    """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_scan(spark, sf_dir):
+    """CSV batch source under the oracle gate (SURVEY §2.2-A): the parquet
+    table is round-tripped through CSV with an explicit schema (inference is
+    the anti-pattern at scale: a second full scan + type drift), then
+    aggregated — results must equal the parquet-direct oracle."""
+    import hashlib
+    import tempfile
+
+    from dumpr_spark.sources.files import read_csv
+
+    src = t(spark, sf_dir, "nation")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/dumpr_csv_nation_{tag}"
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=src.schema)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
-from dumpr_spark.queries.base import eps_round, query, t
+from dumpr_spark.queries.base import eps_round, query, register_views, t
 
 
 @query(
@@ -139,4 +139,39 @@ def udf_table_function(spark, sf_dir):
         )
         .select("l_orderkey", F.col("unit").cast("int").alias("unit"))
         .orderBy("l_orderkey", "unit")
+    )
+
+
+@query(
+    "udf_python_udtf",
+    """
+    SELECT doc_id, tk[i] AS tok, CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 20) d,
+         LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf", "udtf"),
+)
+def udf_python_udtf(spark, sf_dir):
+    """True Python UDTF (Spark 3.5+/4.x @udtf): one input row -> many output
+    rows via a lateral join — the reference's one-event-to-many-rows explode
+    (R10, stream.clj:264-268) as a user-defined table function. Arrow-batched;
+    for hot paths prefer the built-in explode (udf_table_function)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i
+
+    spark.udtf.register("dumpr_tokenize", Tokenize)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, t.tok, t.pos
+        FROM documents, LATERAL dumpr_tokenize(text) t
+        WHERE doc_id < 20
+        ORDER BY doc_id, pos
+        """
     )

@@ -127,3 +127,23 @@ def test_connected_components_chain_needs_iterations(spark):
     got = {r["n"]: r["comp"] for r in connected_components(spark.createDataFrame(chain, "a LONG, b LONG")).collect()}
     assert set(got.values()) == {50}
     assert len(got) == 11
+
+
+def test_rolling_fingerprint_matches_pure_python(spark, sf_dir):
+    """Pin the Rabin-Karp fold against an independent pure-Python oracle."""
+    import hashlib
+
+    from dumpr_spark.functions.text import ROLL_B, ROLL_P, rolling_fingerprint
+    from dumpr_spark.sources.files import load_table
+
+    def py_fp(text: str) -> int:
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:14], 16) for t in text.split(" ")]
+        acc = hs[0]
+        for h in hs[1:]:
+            acc = (acc * ROLL_B + h) % ROLL_P
+        return acc
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    got = {r["doc_id"]: r["fp"] for r in d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    want = {r["doc_id"]: py_fp(r["text"]) for r in d.select("doc_id", "text").collect()}
+    assert got == want

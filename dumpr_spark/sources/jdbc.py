@@ -7,8 +7,11 @@ tinyInt1isBit=false (query.clj:15, README.md:146-147). Spark re-expression:
 queries on the PK — which is what makes a 100 TB initial load feasible at all
 (the reference is single-connection by design).
 
-Untestable in this container (no MySQL); kept thin and interface-compatible so
-the Parquet feed substitutes in tests (SURVEY §7.2 step 3).
+The generic scan contract (partitioned parallel read, remote predicate
+pushdown, snapshot->envelope) is tested live against the Derby engine bundled
+with Spark (tests/test_sources.py); the MySQL-specific helpers
+(information_schema catalog, SHOW MASTER STATUS) remain server-gated, with the
+Parquet feed substituting in tests (SURVEY §7.2 step 3).
 """
 
 from __future__ import annotations

@@ -67,3 +67,46 @@ def test_jdbc_snapshot_requires_server(spark):
             spark, "jdbc:mysql://127.0.0.1:1/nope", "t",
             user="u", password="p", num_partitions=2,
         ).collect()
+
+
+def test_jdbc_partitioned_snapshot_against_embedded_derby(spark, tmp_path):
+    """REAL JDBC round-trip (R1) against the Derby engine bundled with Spark:
+    partitioned parallel range scan, remote predicate pushdown, and the
+    snapshot -> envelope path. MySQL-specific bits (information_schema, SHOW
+    MASTER STATUS) remain server-gated; the generic scan contract is live."""
+    import json
+
+    from dumpr_spark.cdc.envelope import snapshot_to_changes
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.sources.jdbc import snapshot_table
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE widgets (id INT PRIMARY KEY, name VARCHAR(50), mfg_id INT)")
+    ps = conn.prepareStatement("INSERT INTO widgets VALUES (?, ?, ?)")
+    for i in range(1, 101):
+        ps.setInt(1, i)
+        ps.setString(2, f"w{i}")
+        ps.setInt(3, i % 7)
+        ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+
+    df = snapshot_table(
+        spark, url, "widgets", user="APP", password="any",  # Derby: user == default schema
+        partition_column="ID", lower_bound=1, upper_bound=100, num_partitions=4,
+    )
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 4  # parallel range scan, not 1 connection
+
+    filtered = df.where(F.col("MFG_ID") == 3).select("ID", "NAME")
+    plan = explain_str(filtered, "formatted")
+    assert "PushedFilters" in plan and "MFG_ID" in plan  # filter reaches remote SQL
+    assert filtered.count() == sum(1 for i in range(1, 101) if i % 7 == 3)
+
+    changes = snapshot_to_changes(df, "widgets", "ID")
+    row = changes.where(F.col("id") == "42").first()
+    assert row["op"] == "upsert" and json.loads(row["content"])["NAME"] == "w42"

@@ -147,3 +147,18 @@ def test_rolling_fingerprint_matches_pure_python(spark, sf_dir):
     got = {r["doc_id"]: r["fp"] for r in d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     want = {r["doc_id"]: py_fp(r["text"]) for r in d.select("doc_id", "text").collect()}
     assert got == want
+
+
+def test_shingles_short_document_edge_cases(spark):
+    """Docs shorter than k tokens fall back to one whole-text shingle; all
+    dedup signatures (minhash/simhash) must still produce a row per doc."""
+    from dumpr_spark.functions.dedup import minhash_signature, shingles, simhash_signatures
+
+    d = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "exactly three tokens"), (4, "a b c d")],
+        "doc_id LONG, text STRING",
+    )
+    sh = d.select("doc_id", F.size(shingles(F.col("text"), 3)).alias("n")).collect()
+    assert {r["doc_id"]: r["n"] for r in sh} == {1: 1, 2: 1, 3: 1, 4: 2}
+    assert minhash_signature(d).count() == 4
+    assert simhash_signatures(d).count() == 4

@@ -348,3 +348,32 @@ def test_merge_sink_survives_all_keys_deleted(spark, tmp_path):
     got = sink.read_state().collect()
     assert [r["id"] for r in got] == ["3"]
     assert not os.path.exists(state + ".bak")
+
+
+def test_stream_two_tables_routed_and_materialized(spark, tmp_path):
+    """Two tables in one feed (the reference's widgets/manufacturers model,
+    test_util.clj:16-29): per-table id columns, state partitioned by tbl,
+    tables don't cross-contaminate."""
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "two_feed")
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "manufacturers", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 1, "rows": [{"mid": "7", "mname": "acme"}], "seq": 1},
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:01Z",
+         "next_position": 2, "rows": [{"id": "1", "mfg": "7"}, {"id": "2", "mfg": "7"}], "seq": 2},
+        {"event_type": "delete", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:02Z",
+         "next_position": 3, "rows": [{"id": "2", "mfg": "7"}], "seq": 3},
+    ])
+    changes = stream_changes(
+        spark, feed, {"widgets": "id", "manufacturers": "mid"}, db="shop",
+        tables=["widgets", "manufacturers"],
+    )
+    state_path = str(tmp_path / "two_state")
+    q = start_merge_stream(changes, state_path, str(tmp_path / "two_ckpt"))
+    q.awaitTermination(120)
+
+    state = MergeSink(spark, state_path).read_state()
+    got = {(r["tbl"], r["id"]) for r in state.collect()}
+    assert got == {("manufacturers", "7"), ("widgets", "1")}

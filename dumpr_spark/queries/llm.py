@@ -475,3 +475,41 @@ def text_lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "text_pii_scrub",
+    """
+    WITH tainted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-01' ||
+             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+           CAST(length(text) - length(regexp_replace(text, '@', '', 'g')) AS BIGINT) AS n_at
+    FROM tainted ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): regex redaction of emails and
+    phone numbers, JVM-side regexp_replace (no UDF). The corpus is salted
+    with synthetic PII IN BOTH ENGINES so the redaction is actually
+    exercised; `n_at` counts pre-scrub markers as a sanity signal."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tainted = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    clean = F.regexp_replace(
+        F.regexp_replace(tainted, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    n_at = (F.length(tainted) - F.length(F.regexp_replace(tainted, "@", ""))).cast("long")
+    return d.select("doc_id", clean.alias("clean"), n_at.alias("n_at")).orderBy("doc_id")

@@ -377,3 +377,31 @@ def test_stream_two_tables_routed_and_materialized(spark, tmp_path):
     state = MergeSink(spark, state_path).read_state()
     got = {(r["tbl"], r["id"]) for r in state.collect()}
     assert got == {("manufacturers", "7"), ("widgets", "1")}
+
+
+def test_streaming_sliding_window(spark, tmp_path):
+    """Sliding 10-min window every 5 min in a real stream — each event lands
+    in two overlapping windows."""
+    src = str(tmp_path / "slide_src")
+    write_events(src, [
+        {"ts": "2026-01-01T00:02:00Z", "k": "a"},
+        {"ts": "2026-01-01T00:07:00Z", "k": "a"},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, k string").json(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("slide_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {str(r["w_start"]): r["n"] for r in spark.sql("SELECT * FROM slide_test").collect()}
+    assert got == {
+        "2025-12-31 23:55:00": 1,  # [23:55, 00:05) <- 00:02
+        "2026-01-01 00:00:00": 2,  # [00:00, 00:10) <- both
+        "2026-01-01 00:05:00": 1,  # [00:05, 00:15) <- 00:07
+    }

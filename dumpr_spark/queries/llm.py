@@ -513,3 +513,50 @@ def text_pii_scrub(spark, sf_dir):
     )
     n_at = (F.length(tainted) - F.length(F.regexp_replace(tainted, "@", ""))).cast("long")
     return d.select("doc_id", clean.alias("clean"), n_at.alias("n_at")).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) s
+      ) grams
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(1.0 - n_distinct * 1.0 / n_grams + 1e-9, 4) AS dup_gram_ratio,
+           CASE WHEN 1.0 - n_distinct * 1.0 / n_grams > 0.2 THEN 'repetitive'
+                ELSE 'ok' END AS rep_class
+    FROM sh ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition(spark, sf_dir):
+    """Repetition quality signal (Gopher-style): duplicate 3-gram fraction
+    per document — the standard filter for boilerplate/looping text in
+    training corpora. Explode + count/count-distinct aggregation: one
+    shuffle on doc_id, partial combine map-side."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    grams = (
+        d.select("doc_id", "text").repartition(n_parts)
+        .select(F.col("doc_id"), F.explode(dd.shingles(F.col("text"), 3)).alias("g"))
+        .where(F.size(F.split(F.col("g"), " ")) == 3)  # exclude short-doc fallback shingle
+    )
+    sh = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    ratio = 1.0 - F.col("n_distinct") / F.col("n_grams")
+    return sh.select(
+        "doc_id",
+        "n_grams",
+        eps_round(ratio, 4).alias("dup_gram_ratio"),
+        F.when(ratio > 0.2, "repetitive").otherwise("ok").alias("rep_class"),
+    ).orderBy("doc_id")

@@ -98,3 +98,54 @@ def test_repartition_for_explode_spreads_rows(spark, sf_dir):
     assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     keyed = repartition_for_explode(d, ["lang"])
     assert keyed.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_asof_join_union_form_matches_naive(spark):
+    """The one-shuffle union/carry-forward as-of join must equal the naive
+    range-join + row_number formulation, including no-match nulls and
+    equal-timestamp ties (right row at exactly t matches)."""
+    from pyspark.sql import Window
+
+    from dumpr_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("A", 5, 99.0), ("B", 15, 50.0), ("C", 9, 1.0)],
+        "sym STRING, t LONG, px DOUBLE",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 9.8), ("A", 10, 10.0), ("A", 19, 10.9), ("B", 30, 5.1)],
+        "sym STRING, qt LONG, bid DOUBLE",
+    )
+
+    got = {
+        (r["sym"], r["t"]): r["bid"]
+        for r in asof_join(trades, quotes, "sym", "t", "qt").collect()
+    }
+
+    j = trades.join(quotes, "sym", "left").where(F.col("qt") <= F.col("t"))
+    w = Window.partitionBy("sym", "t").orderBy(F.desc("qt"))
+    naive = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    want = {(r["sym"], r["t"]): r["bid"] for r in naive.collect()}
+    want[("A", 5)] = None   # no quote <= 5 for A (naive drops the row)
+    want[("B", 15)] = None  # no quote <= 15 for B
+    want[("C", 9)] = None   # key absent from quotes entirely
+
+    assert got == want
+    assert got[("A", 10)] == 10.0  # tie: quote at exactly t=10 wins
+
+
+def test_asof_join_tolerance(spark):
+    from dumpr_spark.operators.asof import asof_join
+
+    from datetime import datetime
+
+    trades = spark.createDataFrame(
+        [("A", datetime(2026, 1, 1, 10, 0), 1.0)], "sym STRING, t TIMESTAMP, px DOUBLE"
+    )
+    quotes = spark.createDataFrame(
+        [("A", datetime(2026, 1, 1, 8, 0), 9.9)], "sym STRING, qt TIMESTAMP, bid DOUBLE"
+    )
+    loose = asof_join(trades, quotes, "sym", "t", "qt").first()
+    tight = asof_join(trades, quotes, "sym", "t", "qt", tolerance="1 HOUR").first()
+    assert loose["bid"] == 9.9
+    assert tight["bid"] is None  # 2h-old quote outside the 1h tolerance

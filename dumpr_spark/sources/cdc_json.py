@@ -64,17 +64,21 @@ def events_to_changes(events: DataFrame, id_cols: dict[str, str]) -> DataFrame:
     """Row events -> envelope rows: explode multi-row events, compute id, shape
     to the canonical envelope (R10, stream.clj:233-269).
 
-    id_cols maps table -> PK column name inside the row map (the reference's
-    default id-fn is the PK lookup, table_schema.clj:48-51; custom id-fns are
-    supported at the Engine level via expressions/UDFs, core.clj:59-64).
+    id_cols maps table -> id derivation: a PK column name inside the row map
+    (the reference's default id-fn, the PK lookup, table_schema.clj:48-51) OR
+    a Column expression over `row` (the exploded map column) for custom
+    id-fns — any function of the row image, core.clj:59-64; e.g.
+    ``F.concat(F.col("row")["a"], F.lit("/"), F.col("row")["b"])`` for a
+    composite key, or a Python UDF for arbitrary logic.
     ``explode`` + ordinal keeps a deterministic intra-event order: the
     reference flat-maps one mutation event into many tuples (stream.clj:374-376).
     """
+
+    def _id_val(c):
+        return F.col("row").getItem(c) if isinstance(c, str) else c
+
     id_expr = F.coalesce(
-        *[
-            F.when(F.col("tbl") == t, F.col("row").getItem(c))
-            for t, c in id_cols.items()
-        ]
+        *[F.when(F.col("tbl") == t, _id_val(c)) for t, c in id_cols.items()]
     ) if id_cols else F.lit(None)
     row_events = events.where(F.col("event_type").isin("write", "update", "delete"))
     exploded = row_events.select(

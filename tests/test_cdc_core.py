@@ -245,3 +245,32 @@ def test_next_position_and_validation(spark):
     assert valid_binlog_pos(pos, logs)
     assert not valid_binlog_pos({"file": "binlog.000009", "position": 1}, logs)
     assert not valid_binlog_pos({"file": "binlog.000002", "position": 100}, logs)
+
+
+def test_custom_id_fn_expression_and_udf(spark):
+    """Custom id-fns (core.clj:59-64): a composite-key expression and an
+    arbitrary Python UDF, both as id derivations over the row image."""
+    from pyspark.sql.types import StringType
+
+    from dumpr_spark.sources.cdc_json import EVENT_SCHEMA, events_to_changes
+
+    events = spark.createDataFrame(
+        [
+            ("write", "shop", "pairs", None, 10, None,
+             [{"a": "x", "b": "1"}, {"a": "y", "b": "2"}], 1),
+            ("write", "shop", "weird", None, 20, None, [{"k": "abc"}], 2),
+        ],
+        EVENT_SCHEMA,
+    )
+    rev = F.udf(lambda s: s[::-1] if s else None, StringType())
+    changes = events_to_changes(
+        events,
+        {
+            "pairs": F.concat(F.col("row")["a"], F.lit("/"), F.col("row")["b"]),
+            "weird": rev(F.col("row")["k"]),
+        },
+    )
+    got = {r["tbl"]: set() for r in changes.collect()}
+    for r in changes.collect():
+        got[r["tbl"]].add(r["id"])
+    assert got == {"pairs": {"x/1", "y/2"}, "weird": {"cba"}}

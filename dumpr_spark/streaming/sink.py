@@ -22,11 +22,18 @@ from dumpr_spark.cdc.materialize import materialize
 
 
 class MergeSink:
-    """foreachBatch target maintaining a current-state table at `state_path`."""
+    """foreachBatch target maintaining a current-state table at `state_path`.
 
-    def __init__(self, spark: SparkSession, state_path: str):
+    With `errors_path`, envelope preconditions are enforced per batch
+    (validate_envelope) and op='error' rows are appended to a dead-letter
+    parquet table instead of silently vanishing — the reference's in-band
+    error channel (R20, row_format.clj:15, stream.clj:179-191) made durable.
+    """
+
+    def __init__(self, spark: SparkSession, state_path: str, errors_path: str | None = None):
         self.spark = spark
         self.state_path = state_path
+        self.errors_path = errors_path
 
     def read_state(self) -> DataFrame:
         if not os.path.exists(self.state_path):
@@ -39,6 +46,15 @@ class MergeSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         import shutil
 
+        if self.errors_path is not None:
+            from dumpr_spark.cdc.envelope import validate_envelope
+            from dumpr_spark.cdc.materialize import split_errors
+
+            batch, errors = split_errors(validate_envelope(batch))
+            # stamp batch_id so dead-letter replays are identifiable/idempotent
+            errors.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+                "append"
+            ).parquet(self.errors_path)
         current = self.read_state()
         # fold: union + per-key max_by(seq), deletes drop out
         next_state = materialize(current.unionByName(batch))
@@ -58,9 +74,10 @@ def start_merge_stream(
     state_path: str,
     checkpoint_path: str,
     trigger_available_now: bool = True,
+    errors_path: str | None = None,
 ):
     """Start the materializing stream (R18/R19: sink + lifecycle)."""
-    sink = MergeSink(changes.sparkSession, state_path)
+    sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path)
     writer = (
         changes.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_path)

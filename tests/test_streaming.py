@@ -405,3 +405,32 @@ def test_streaming_sliding_window(spark, tmp_path):
         "2026-01-01 00:00:00": 2,  # [00:00, 00:10) <- both
         "2026-01-01 00:05:00": 1,  # [00:05, 00:15) <- 00:07
     }
+
+
+def test_streaming_error_dead_letter(spark, tmp_path):
+    """In-band error channel, durable (R20): a row violating the envelope
+    preconditions (NULL id, row_format.clj:8) is routed to the dead-letter
+    table; valid rows still materialize."""
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "dl_feed")
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 1, "rows": [{"id": "1", "v": "ok"}, {"wrong_key": "no-id"}], "seq": 1},
+    ])
+    errors_path = str(tmp_path / "dl_errors")
+    q = start_merge_stream(
+        stream_changes(spark, feed, {"widgets": "id"}, db="shop"),
+        str(tmp_path / "dl_state"), str(tmp_path / "dl_ckpt"),
+        errors_path=errors_path,
+    )
+    q.awaitTermination(120)
+
+    state = MergeSink(spark, str(tmp_path / "dl_state")).read_state()
+    assert [r["id"] for r in state.collect()] == ["1"]
+    errors = spark.read.parquet(errors_path)
+    err_rows = errors.collect()
+    assert len(err_rows) == 1
+    assert err_rows[0]["op"] == "error"
+    assert err_rows[0]["batch_id"] == 0

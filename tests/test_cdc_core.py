@@ -274,3 +274,30 @@ def test_custom_id_fn_expression_and_udf(spark):
     for r in changes.collect():
         got[r["tbl"]].add(r["id"])
     assert got == {"pairs": {"x/1", "y/2"}, "weird": {"cba"}}
+
+
+def test_parse_event_lines_raw_feed_to_state(spark):
+    """R3 raw-feed path: kafka-value-shaped strings -> from_json parse (bad
+    records drop, nil => removed, events.clj:70-71) -> envelope -> fold."""
+    from dumpr_spark.sources.cdc_json import events_to_changes, parse_event_lines
+
+    lines = [
+        json.dumps({"event_type": "write", "db": "shop", "tbl": "w",
+                    "ts": "2026-01-01T00:00:00Z", "next_position": 1,
+                    "rows": [{"id": "1", "v": "a"}], "seq": 1}),
+        "not json at all {{",
+        json.dumps({"no_event_type_field": True}),
+        json.dumps({"event_type": "delete", "db": "shop", "tbl": "w",
+                    "ts": "2026-01-01T00:01:00Z", "next_position": 2,
+                    "rows": [{"id": "1", "v": "a"}], "seq": 2}),
+        json.dumps({"event_type": "write", "db": "shop", "tbl": "w",
+                    "ts": "2026-01-01T00:02:00Z", "next_position": 3,
+                    "rows": [{"id": "2", "v": "b"}], "seq": 3}),
+    ]
+    raw = spark.createDataFrame([(x,) for x in lines], "value STRING")
+    events = parse_event_lines(raw)
+    assert events.count() == 3  # two malformed records dropped at parse
+
+    state = materialize(events_to_changes(events, {"w": "id"}))
+    got = {r["id"]: json.loads(r["content"])["v"] for r in state.collect()}
+    assert got == {"2": "b"}  # id=1 deleted by seq 2

@@ -248,3 +248,31 @@ def join_asof(spark, sf_dir):
         .select("user_id", "event_id", "last_click_ms")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "join_asof_union",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts AS vts, value AS view_value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "scale"),
+)
+def join_asof_union(spark, sf_dir):
+    """The one-shuffle union/carry-forward as-of join operator
+    (operators/asof.py) checked against DuckDB's NATIVE ASOF JOIN: each
+    purchase gets the value of the user's latest prior view (NULL when none).
+    Unlike the window formulation (join_asof), this shape never builds the
+    (left x right-per-key) intermediate — big-big safe."""
+    from dumpr_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, "user_id", "ts", "vts", right_cols=["view_value"])
+    return out.select("event_id", "user_id", "view_value").orderBy("event_id")

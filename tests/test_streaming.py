@@ -434,3 +434,44 @@ def test_streaming_error_dead_letter(spark, tmp_path):
     assert len(err_rows) == 1
     assert err_rows[0]["op"] == "error"
     assert err_rows[0]["batch_id"] == 0
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Real watermark semantics: after batch 1 advances the watermark past a
+    window, a batch-2 event for that window is LATE and must be dropped (in
+    append mode the finalized window emits once, without the late row)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string").json(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: events up to 01:00 -> watermark persists at 01:00 - 10min = 00:50
+    write_events(src, [
+        {"ts": "2026-01-01T00:01:00Z", "k": "a"},
+        {"ts": "2026-01-01T00:02:00Z", "k": "a"},
+        {"ts": "2026-01-01T01:00:00Z", "k": "a"},
+    ], file_name="b1.json")
+    run_query()
+    # run 2 (same checkpoint): an event for [00:00, 00:05) — below the watermark
+    write_events(src, [
+        {"ts": "2026-01-01T00:03:00Z", "k": "a"},
+    ], file_name="b2.json")
+    run_query()
+
+    got = {str(r["w_start"]): r["n"] for r in spark.read.parquet(out).collect()}
+    # the 00:00 window finalized with n=2; the late 00:03 event did NOT bump it
+    assert got.get("2026-01-01 00:00:00") == 2, got

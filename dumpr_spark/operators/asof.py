@@ -50,7 +50,7 @@ def asof_join(
             right.select(F.struct(*right_cols, F.col(right_time)).alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
-    r_tagged = right.select(
+    r_tagged = right.where(F.col(right_time).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
@@ -59,10 +59,15 @@ def asof_join(
         ).alias("_l"),
         F.struct(*right_cols, F.col(right_time)).alias("_r"),
     )
-    # right rows sort BEFORE left rows at the same timestamp so <= holds
+    # right rows sort BEFORE left rows at the same timestamp so <= holds; the
+    # NULL-right_time filter above keeps nulls-first ordering from carrying a
+    # timeless payload into every row. Among right rows tied on (_k, _t) the
+    # full _r struct breaks the tie (lexicographic struct compare) so the
+    # carried payload is deterministic across runs/partitionings — a pick
+    # DuckDB's native ASOF leaves arbitrary.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.asc("_is_left"))
+        .orderBy(F.col("_t"), F.asc("_is_left"), F.asc_nulls_last("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

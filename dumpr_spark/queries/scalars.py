@@ -308,14 +308,14 @@ def source_csv_scan(spark, sf_dir):
     table is round-tripped through CSV with an explicit schema (inference is
     the anti-pattern at scale: a second full scan + type drift), then
     aggregated — results must equal the parquet-direct oracle."""
-    import hashlib
     import tempfile
 
     from dumpr_spark.sources.files import read_csv
 
     src = t(spark, sf_dir, "nation")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/dumpr_csv_nation_{tag}"
+    # fresh private dir per invocation: a fixed shared path would race with
+    # concurrent harness runs (overwrite-while-read) and collide across users
+    path = tempfile.mkdtemp(prefix="dumpr_csv_nation_") + "/data"
     src.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(spark, path, schema=src.schema)
     return (

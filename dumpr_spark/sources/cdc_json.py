@@ -69,7 +69,10 @@ def events_to_changes(events: DataFrame, id_cols: dict[str, str]) -> DataFrame:
     a Column expression over `row` (the exploded map column) for custom
     id-fns — any function of the row image, core.clj:59-64; e.g.
     ``F.concat(F.col("row")["a"], F.lit("/"), F.col("row")["b"])`` for a
-    composite key, or a Python UDF for arbitrary logic.
+    composite key, or a Python UDF for arbitrary logic. CAUTION: Python UDFs
+    are batch-extracted and evaluated on EVERY row-event before the per-table
+    ``when()`` applies (when/coalesce cannot short-circuit a Python UDF), so
+    a UDF id-fn MUST tolerate None / other tables' row shapes.
     ``explode`` + ordinal keeps a deterministic intra-event order: the
     reference flat-maps one mutation event into many tuples (stream.clj:374-376).
     """

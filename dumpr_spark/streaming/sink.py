@@ -35,7 +35,15 @@ class MergeSink:
         self.state_path = state_path
         self.errors_path = errors_path
 
+    def _recover(self) -> None:
+        """Crash between the two swap renames leaves state absent + .bak
+        holding the only copy — restore it before anything reads or swaps."""
+        bak = self.state_path + ".bak"
+        if not os.path.exists(self.state_path) and os.path.exists(bak):
+            os.rename(bak, self.state_path)
+
     def read_state(self) -> DataFrame:
+        self._recover()
         if not os.path.exists(self.state_path):
             return self.spark.createDataFrame([], ENVELOPE_SCHEMA)
         # explicit schema: an all-deleted state dir has no data files to infer
@@ -51,18 +59,21 @@ class MergeSink:
             from dumpr_spark.cdc.materialize import split_errors
 
             batch, errors = split_errors(validate_envelope(batch))
-            # stamp batch_id so dead-letter replays are identifiable/idempotent
-            errors.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-                "append"
-            ).parquet(self.errors_path)
-        current = self.read_state()
+            # one partition dir per batch_id, overwritten on replay => the
+            # dead-letter write is idempotent; empty batches skip the job
+            if not errors.isEmpty():
+                errors.write.mode("overwrite").parquet(
+                    f"{self.errors_path}/batch_id={batch_id}"
+                )
+        current = self.read_state()  # runs _recover() first
         # fold: union + per-key max_by(seq), deletes drop out
         next_state = materialize(current.unionByName(batch))
         tmp = self.state_path + f".tmp-{batch_id}"
         next_state.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
-        # atomic-enough swap for local FS; object stores use rename-free commit
+        # atomic-enough swap for local FS; object stores use rename-free commit.
+        # After _recover(), a .bak that coexists with state is stale — drop it.
         bak = self.state_path + ".bak"
-        shutil.rmtree(bak, ignore_errors=True)  # stale .bak from a crashed swap
+        shutil.rmtree(bak, ignore_errors=True)
         if os.path.exists(self.state_path):
             os.rename(self.state_path, bak)
         os.rename(tmp, self.state_path)

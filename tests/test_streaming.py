@@ -475,3 +475,33 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     got = {str(r["w_start"]): r["n"] for r in spark.read.parquet(out).collect()}
     # the 00:00 window finalized with n=2; the late 00:03 event did NOT bump it
     assert got.get("2026-01-01 00:00:00") == 2, got
+
+
+def test_merge_sink_recovers_from_crash_between_renames(spark, tmp_path):
+    """Regression: a crash AFTER state->bak but BEFORE tmp->state leaves .bak
+    holding the only copy; the replayed batch must restore it, not fold
+    against an empty state (silent total loss) nor delete the backup."""
+    import os
+    import shutil
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "cr_state")
+    sink = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "w", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    sink(batch([up(1, 1), up(2, 2)]), 0)
+
+    # simulate the torn swap: state renamed to .bak, new state never arrived
+    os.rename(state, state + ".bak")
+    assert not os.path.exists(state)
+
+    # checkpoint replay of the next batch must see the recovered state
+    sink(batch([up(3, 3)]), 1)
+    got = sorted(r["id"] for r in sink.read_state().collect())
+    assert got == ["1", "2", "3"]
+    shutil.rmtree(state, ignore_errors=True)

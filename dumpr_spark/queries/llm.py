@@ -560,3 +560,61 @@ def text_repetition(spark, sf_dir):
         eps_round(ratio, 4).alias("dup_gram_ratio"),
         F.when(ratio > 0.2, "repetitive").otherwise("ok").alias("rep_class"),
     ).orderBy("doc_id")
+
+
+_EMB_PAIR_SQL = """
+    WITH ecorpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    escored AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+      FROM ecorpus a JOIN ecorpus b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT a, b FROM escored WHERE ROUND(sim + 1e-9, 6) >= 0.3
+"""
+
+
+@query(
+    "dedup_semantic_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIR_SQL}),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(n, l) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON r.l = s.a
+    )
+    SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+    ORDER BY vec_id
+    """,
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """Semantic (embedding-space) dedup clusters: blocked cosine near-dup
+    pairs -> connected components -> canonical cluster ids. The full
+    100 TB semantic-dedup pipeline in one composition: blocking key (label /
+    IVF cell) bounds the pair generation, CC canonicalizes, and at scale the
+    keep-rule is cluster_id == vec_id."""
+    e = t(spark, sf_dir, "embeddings")
+    twins = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
+    a = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label")
+    b = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label")
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("a") < F.col("b"))
+        .where(eps_round(sim.cosine(F.col("ea"), F.col("eb")), 6) >= 0.3)
+        .select("a", "b")
+    )
+    comps = dd.connected_components(pairs)
+    return comps.select(
+        F.col("n").alias("vec_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("vec_id")

@@ -162,3 +162,18 @@ def test_shingles_short_document_edge_cases(spark):
     assert {r["doc_id"]: r["n"] for r in sh} == {1: 1, 2: 1, 3: 1, 4: 2}
     assert minhash_signature(d).count() == 4
     assert simhash_signatures(d).count() == 4
+
+
+def test_quality_columns_helper(spark):
+    from dumpr_spark.functions.text import quality_columns
+
+    d = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "a a a a a")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in quality_columns(d).collect()}
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["stopwords_en"] == 2  # distinct stopword types: the, and
+    assert out[1]["distinct_ratio"] == 0.8  # 4 distinct / 5
+    assert out[2]["distinct_ratio"] == 0.2  # heavy repetition
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]
+    assert out[1]["mean_tok_len"] == 3.0  # (3+3+3+3+3)/5

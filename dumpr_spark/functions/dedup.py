@@ -143,8 +143,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         nbr_min = sym.join(labels, sym.y == labels.n).select(
             F.col("x").alias("n"), F.col("comp")
         )
+        propagated = labels.unionByName(nbr_min).groupBy("n").agg(
+            F.min("comp").alias("comp")
+        )
+        # pointer jumping: comp <- comp's comp. Labels are node ids, so the
+        # chain n -> comp -> comp(comp) halves every round — convergence in
+        # O(log diameter) instead of O(diameter), which is what keeps long
+        # weak-link chains (low-threshold similarity graphs) tractable.
+        jump = propagated.select(F.col("n").alias("_jn"), F.col("comp").alias("_jc"))
         new_labels = (
-            labels.unionByName(nbr_min).groupBy("n").agg(F.min("comp").alias("comp"))
+            propagated.join(jump, propagated.comp == jump._jn, "left")
+            .select(
+                "n", F.coalesce(F.col("_jc"), F.col("comp")).alias("comp")
+            )
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("new")

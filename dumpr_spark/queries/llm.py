@@ -576,7 +576,7 @@ _EMB_PAIR_SQL = """
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
       FROM ecorpus a JOIN ecorpus b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT a, b FROM escored WHERE ROUND(sim + 1e-9, 6) >= 0.3
+    SELECT a, b FROM escored WHERE ROUND(sim + 1e-9, 6) >= 0.35
 """
 
 
@@ -600,7 +600,10 @@ def dedup_semantic_clusters(spark, sf_dir):
     pairs -> connected components -> canonical cluster ids. The full
     100 TB semantic-dedup pipeline in one composition: blocking key (label /
     IVF cell) bounds the pair generation, CC canonicalizes, and at scale the
-    keep-rule is cluster_id == vec_id."""
+    keep-rule is cluster_id == vec_id. Threshold 0.35: low thresholds turn
+    random within-block similarity into a dense weak-link graph whose giant
+    components make both CC and any transitive oracle quadratic — a real
+    semantic-dedup tuning concern, not just a test artifact."""
     e = t(spark, sf_dir, "embeddings")
     twins = e.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
@@ -611,7 +614,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     pairs = (
         a.join(b, "label")
         .where(F.col("a") < F.col("b"))
-        .where(eps_round(sim.cosine(F.col("ea"), F.col("eb")), 6) >= 0.3)
+        .where(eps_round(sim.cosine(F.col("ea"), F.col("eb")), 6) >= 0.35)
         .select("a", "b")
     )
     comps = dd.connected_components(pairs)

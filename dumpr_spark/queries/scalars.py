@@ -323,3 +323,33 @@ def source_csv_scan(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "scalar_bitwise",
+    """
+    SELECT p_partkey,
+           CAST(p_size & 15 AS INT) AS lo_nibble,
+           CAST(p_size | 64 AS INT) AS with_flag,
+           CAST(xor(p_size, 255) AS INT) AS flipped,
+           CAST(p_size << 2 AS INT) AS shl,
+           CAST(p_size >> 1 AS INT) AS shr,
+           CAST(bit_count(CAST(p_size AS BIGINT)) AS INT) AS popcount
+    FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar family (the SimHash/bit-packing primitives as declared
+    surface): and/or/xor, shifts, popcount."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        sz.bitwiseAND(F.lit(15)).cast("int").alias("lo_nibble"),
+        sz.bitwiseOR(F.lit(64)).cast("int").alias("with_flag"),
+        sz.bitwiseXOR(F.lit(255)).cast("int").alias("flipped"),
+        F.shiftleft(sz, 2).cast("int").alias("shl"),
+        F.shiftright(sz, 1).cast("int").alias("shr"),
+        F.bit_count(sz.cast("bigint")).cast("int").alias("popcount"),
+    ).orderBy("p_partkey")

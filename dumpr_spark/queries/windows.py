@@ -276,3 +276,32 @@ def join_asof_union(spark, sf_dir):
     )
     out = asof_join(purchases, views, "user_id", "ts", "vts", right_cols=["view_value"])
     return out.select("event_id", "user_id", "view_value").orderBy("event_id")
+
+
+@query(
+    "win_nth_value",
+    """
+    SELECT c_mktsegment, c_custkey,
+           NTH_VALUE(c_custkey, 2) OVER w AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window",),
+)
+def win_nth_value(spark, sf_dir):
+    """nth_value over a running frame (the k-th element carry)."""
+    c = t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey",
+            F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

@@ -66,17 +66,21 @@ def snapshot_to_changes(
     Snapshot rows have NULL meta (row_format.clj:10, README.md:131). The
     reference loads tables strictly in order via ``pipeline-async 1``
     (stream.clj:309-312); here per-table order is reified in ``seq``:
-    ``table_seq * 2^40 + monotonic-within-table`` so a later table's rows sort
+    ``table_seq * 2^53 + monotonic-within-table`` so a later table's rows sort
     after an earlier table's, while rows within a table keep a stable order
     without any global coordination (no driver-side loop, no single partition).
 
     ``monotonically_increasing_id`` is partition-local monotone — adequate
     because the reference itself only guarantees order *between* tables and
-    stream position, not row order inside one snapshot SELECT.
+    stream position, not row order inside one snapshot SELECT. Its value is
+    ``(partitionId << 33) | offset``, so a 2^53 stride keeps cross-table order
+    intact up to 2^20 (~1M) input partitions per table — a 100 TB scan at
+    128 MB splits is ~800k partitions — and 1023 tables per snapshot. (The
+    old 2^40 stride silently broke table order at just 128 partitions.)
     """
     id_c = F.col(id_col) if isinstance(id_col, str) else id_col
     if seq is None:
-        seq = F.lit(table_seq).cast("long") * F.lit(1 << 40) + F.monotonically_increasing_id()
+        seq = F.lit(table_seq).cast("long") * F.lit(1 << 53) + F.monotonically_increasing_id()
     return df.select(
         F.lit(OP_UPSERT).alias("op"),
         F.lit(table).alias("tbl"),

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dumpr_spark.queries.base import query, t
+from dumpr_spark.queries.base import eps_round, query, t
 
 
 @query(
@@ -121,9 +121,9 @@ def scalar_math(spark, sf_dir):
                 WHEN c_acctbal < 5000 THEN 'low'
                 ELSE 'high' END AS bal_bucket,
            COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS segment,
-           ROUND(GREATEST(c_acctbal, 0.0), 2) AS bal_pos,
-           ROUND(LEAST(c_acctbal, 1000.0), 2) AS bal_capped,
-           CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+           ROUND(GREATEST(c_acctbal, 0.0) + 1e-9, 2) AS bal_pos,
+           ROUND(LEAST(c_acctbal, 1000.0) + 1e-9, 2) AS bal_capped,
+           ROUND(CAST(c_acctbal AS DOUBLE) + 1e-9, 2) AS bal_dec,
            CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip
     FROM customer ORDER BY c_custkey
     """,
@@ -140,9 +140,9 @@ def scalar_conditional(spark, sf_dir):
         .otherwise("high")
         .alias("bal_bucket"),
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")).alias("segment"),
-        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_pos"),
-        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("bal_capped"),
-        F.col("c_acctbal").cast("decimal(12,2)").alias("bal_dec"),
+        eps_round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_pos"),
+        eps_round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("bal_capped"),
+        eps_round(F.col("c_acctbal").cast("double"), 2).alias("bal_dec"),
         F.col("c_custkey").cast("string").cast("long").alias("key_roundtrip"),
     ).orderBy("c_custkey")
 

@@ -26,6 +26,30 @@ def test_snapshot_changes_preserves_table_order(engine):
     assert ch.where(F.col("op") != "upsert").count() == 0
 
 
+def test_snapshot_table_order_survives_high_partition_counts(engine, spark):
+    """Cross-table seq order must hold at production partition counts.
+
+    monotonically_increasing_id is (partitionId << 33) | offset, so any row in
+    partition >= 128 exceeds 2^40 — the old 2^40 stride let a late partition of
+    table 0 outrank ALL of table 1 (invisible at local[32], real on a cluster).
+    Force partition ids past 128 and assert the R12 contract (core.clj:85-89).
+    """
+    from dumpr_spark.cdc.envelope import snapshot_to_changes
+
+    region = engine.table("region").repartition(300)  # pids up to 299 > 128
+    nation = engine.table("nation").repartition(300)
+    ch = snapshot_to_changes(region, "region", "r_regionkey", table_seq=0).unionByName(
+        snapshot_to_changes(nation, "nation", "n_nationkey", table_seq=1)
+    )
+    rng = {
+        r["tbl"]: (r["lo"], r["hi"])
+        for r in ch.groupBy("tbl").agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
+    }
+    assert rng["region"][1] < rng["nation"][0]
+    # the forced repartition really produced >2^40 within-table components
+    assert rng["region"][1] > (1 << 40)
+
+
 def test_snapshot_materialize_roundtrip(engine):
     """Materializing a pure snapshot returns exactly the source rows."""
     src = engine.table("nation")

@@ -23,12 +23,18 @@ from pyspark.sql import DataFrame, functions as F
 from dumpr_spark.cdc.envelope import OP_DELETE, OP_ERROR
 
 
-def materialize(changes: DataFrame) -> DataFrame:
+def materialize(changes: DataFrame, keep_tombstones: bool = False) -> DataFrame:
     """Fold envelope rows into current state: one row per live (tbl, id).
 
     Returns envelope-shaped rows (op is the *winning* op's columns) for live
     keys only — the DataFrame analog of the entity map keyed "table/id"
     (test_util.clj:107-108).
+
+    With ``keep_tombstones=True`` a key whose winning op is delete is KEPT
+    (op='delete', content NULL) instead of dropped. The streaming merge sink
+    folds incrementally across micro-batches, so it must remember deletes:
+    without the tombstone, a replayed/out-of-order upsert with a lower seq in
+    a later batch would silently resurrect the key.
     """
     winner = (
         changes.where(F.col("op") != OP_ERROR)
@@ -39,7 +45,9 @@ def materialize(changes: DataFrame) -> DataFrame:
             ).alias("w")
         )
     )
-    return winner.where(F.col("w.op") != OP_DELETE).select(
+    if not keep_tombstones:
+        winner = winner.where(F.col("w.op") != OP_DELETE)
+    return winner.select(
         F.col("w.op").alias("op"),
         F.col("tbl"),
         F.col("id"),

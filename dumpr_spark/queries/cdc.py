@@ -6,7 +6,9 @@ oracle can check the reference semantics end-to-end:
 
 synthetic change stream over `orders`:
   - seq = o_orderkey*3      : initial upsert (snapshot image)
-  - seq = o_orderkey*3+1    : update (price *1.10) for orderkey % 5 == 0
+  - seq = o_orderkey*3+1    : update (price *2 — integer-exact on both
+                              engines, no round-boundary noise) for
+                              orderkey % 5 == 0
   - seq = o_orderkey*3+2    : delete for orderkey % 7 == 0
 Expected state: orders minus the %7 deletes, with %5 (and not %7) updated.
 This mirrors the reference generator model (insert→update→delete sequences,

@@ -2,23 +2,44 @@
 
 The merge sink is the streaming materializer: each micro-batch of envelope
 rows is folded into a keyed current-state parquet table (last-write-wins by
-seq). Parquet has no MERGE, so the fold is read-modify-overwrite; on an
-ACID table format the same `merge_batch` logic becomes a real MERGE INTO and
-the rewrite cost drops to touched files. Idempotence (max-by-seq) makes batch
-replay after checkpoint restart a no-op => exactly-once end to end.
+seq). Parquet has no MERGE, so the fold is read-modify-write — but only over
+the ``tbl=`` partitions the batch actually touches: untouched partitions are
+carried into the next state version by hardlink (metadata-only, no data read
+or rewrite), so per-batch work is O(touched state), not O(state). On an ACID
+table format the same `merge_batch` logic becomes a real MERGE INTO with
+file-level pruning. Idempotence (max-by-seq fold + delete tombstones) makes
+batch replay after checkpoint restart a no-op => exactly-once end to end.
 
-At 100 TB the state table is partitioned by `tbl` (and bucketed by id on a
-real deployment) so a micro-batch only rewrites partitions it touches.
+Deletes persist as tombstone rows (op='delete') rather than vanishing: the
+fold is incremental across micro-batches, and an out-of-order or replayed
+upsert with a lower seq arriving in a LATER batch must not resurrect a
+deleted key. `read_state` serves the live view (tombstones filtered);
+`compact()` purges tombstones once the feed guarantees no older seqs remain
+in flight.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+from dumpr_spark.cdc.envelope import OP_DELETE, ENVELOPE_SCHEMA
 from dumpr_spark.cdc.materialize import materialize
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-copy a partition dir: O(files) metadata ops, zero data copied,
+    file content/mtime preserved. Safe because state parquet files are
+    immutable once written (whole-file write + rename, never appended)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(troot, f))
 
 
 class MergeSink:
@@ -37,12 +58,20 @@ class MergeSink:
 
     def _recover(self) -> None:
         """Crash between the two swap renames leaves state absent + .bak
-        holding the only copy — restore it before anything reads or swaps."""
+        holding the only copy — restore it before anything reads or swaps.
+        Stale .next-* staging dirs from a crashed assembly are garbage."""
         bak = self.state_path + ".bak"
         if not os.path.exists(self.state_path) and os.path.exists(bak):
             os.rename(bak, self.state_path)
+        parent, base = os.path.split(self.state_path)
+        if not os.path.isdir(parent or "."):
+            return
+        for d in os.listdir(parent or "."):
+            if d.startswith(base + ".next-") or d.startswith(base + ".tmp-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
-    def read_state(self) -> DataFrame:
+    def _read_raw(self) -> DataFrame:
+        """Full persisted state INCLUDING delete tombstones."""
         self._recover()
         if not os.path.exists(self.state_path):
             return self.spark.createDataFrame([], ENVELOPE_SCHEMA)
@@ -51,9 +80,56 @@ class MergeSink:
         # looking `tbl` value (schema pins it to STRING)
         return self.spark.read.schema(ENVELOPE_SCHEMA).parquet(self.state_path)
 
-    def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        import shutil
+    def read_state(self) -> DataFrame:
+        """The live materialized view: tombstones are an implementation detail
+        of the incremental fold, not part of the entity-map contract."""
+        return self._read_raw().where(F.col("op") != OP_DELETE)
 
+    def compact(self) -> None:
+        """Drop delete tombstones (full rewrite of touched partitions). Safe
+        once the feed guarantees no event with a lower seq than a persisted
+        tombstone can still arrive (e.g. after a checkpoint epoch rolls)."""
+        raw = self._read_raw()
+        tombstoned = [
+            r["tbl"]
+            for r in raw.where(F.col("op") == OP_DELETE).select("tbl").distinct().collect()
+        ]
+        if tombstoned:
+            self._commit(raw.where(F.col("tbl").isin(tombstoned)).where(F.col("op") != OP_DELETE),
+                         tombstoned, "compact")
+
+    def _commit(self, next_touched: DataFrame, touched: list[str], batch_id) -> None:
+        """Write the folded touched partitions, assemble the next state version
+        (hardlinking untouched partitions), and atomically swap it in."""
+        tmp = f"{self.state_path}.tmp-{batch_id}"
+        nxt = f"{self.state_path}.next-{batch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(nxt, ignore_errors=True)
+        next_touched.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
+
+        touched_set = set(touched)
+        os.makedirs(nxt)
+        if os.path.exists(self.state_path):
+            for d in os.listdir(self.state_path):
+                # carry forward untouched partitions without reading a byte
+                if d.startswith("tbl=") and unquote(d[len("tbl="):]) not in touched_set:
+                    _link_tree(os.path.join(self.state_path, d), os.path.join(nxt, d))
+        for d in os.listdir(tmp):
+            # a touched partition that folded to zero rows simply has no dir
+            if d.startswith("tbl="):
+                os.rename(os.path.join(tmp, d), os.path.join(nxt, d))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        # atomic-enough swap for local FS; object stores use rename-free commit.
+        # After _recover(), a .bak that coexists with state is stale — drop it.
+        bak = self.state_path + ".bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(self.state_path):
+            os.rename(self.state_path, bak)
+        os.rename(nxt, self.state_path)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if self.errors_path is not None:
             from dumpr_spark.cdc.envelope import validate_envelope
             from dumpr_spark.cdc.materialize import split_errors
@@ -65,19 +141,19 @@ class MergeSink:
                 errors.write.mode("overwrite").parquet(
                     f"{self.errors_path}/batch_id={batch_id}"
                 )
-        current = self.read_state()  # runs _recover() first
-        # fold: union + per-key max_by(seq), deletes drop out
-        next_state = materialize(current.unionByName(batch))
-        tmp = self.state_path + f".tmp-{batch_id}"
-        next_state.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
-        # atomic-enough swap for local FS; object stores use rename-free commit.
-        # After _recover(), a .bak that coexists with state is stale — drop it.
-        bak = self.state_path + ".bak"
-        shutil.rmtree(bak, ignore_errors=True)
-        if os.path.exists(self.state_path):
-            os.rename(self.state_path, bak)
-        os.rename(tmp, self.state_path)
-        shutil.rmtree(bak, ignore_errors=True)
+        # the touched-table list is tiny (bounded by table count, not rows) —
+        # the one acceptable collect in this path
+        touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
+        if not touched:
+            return
+        current = self._read_raw()  # runs _recover() first
+        # fold ONLY the touched partitions: union + per-key max_by(seq);
+        # deletes persist as tombstones (see module docstring)
+        next_touched = materialize(
+            current.where(F.col("tbl").isin(touched)).unionByName(batch),
+            keep_tombstones=True,
+        )
+        self._commit(next_touched, touched, batch_id)
 
 
 def start_merge_stream(

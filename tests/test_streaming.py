@@ -477,6 +477,67 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert got.get("2026-01-01 00:00:00") == 2, got
 
 
+def test_merge_sink_rewrites_only_touched_partitions(spark, tmp_path):
+    """Scale contract: a micro-batch must do O(touched state) work, not
+    O(state) — a batch touching only table B leaves table A's partition files
+    byte-identical and un-rewritten (carried by hardlink, so inode and mtime
+    survive)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "tp_state")
+    sink = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    sink(batch([up("aaa", 1, 1), up("bbb", 2, 2)]), 0)
+
+    def part_files(tbl):
+        d = os.path.join(state, f"tbl={tbl}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_mtime_ns, os.stat(os.path.join(d, f)).st_ino)
+            for f in sorted(os.listdir(d))
+        }
+
+    before_a = part_files("aaa")
+    sink(batch([up("bbb", 3, 3)]), 1)  # touches only bbb
+    assert part_files("aaa") == before_a  # same files, same inodes, same mtime
+    got = {(r["tbl"], r["id"]) for r in sink.read_state().collect()}
+    assert got == {("aaa", "1"), ("bbb", "2"), ("bbb", "3")}
+
+
+def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):
+    """A delete must defeat a lower-seq upsert arriving in a LATER batch
+    (replay / out-of-order delivery): the tombstone persists across batches.
+    compact() then purges tombstones without changing the live view."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "tomb_state")
+    sink = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "w", str(i), json.dumps({"id": i, "seq": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda i, seq: ("delete", "w", str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    sink(batch([up(1, 5)]), 0)
+    sink(batch([dele(1, 10)]), 1)
+    sink(batch([up(1, 7)]), 2)  # stale upsert replayed AFTER the delete
+    assert sink.read_state().count() == 0  # tombstone wins; key stays dead
+    # a genuinely newer upsert does revive the key
+    sink(batch([up(1, 11)]), 3)
+    assert [r["id"] for r in sink.read_state().collect()] == ["1"]
+    sink(batch([dele(1, 12)]), 4)
+    assert sink._read_raw().where("op = 'delete'").count() == 1
+    sink.compact()
+    assert sink._read_raw().count() == 0
+    assert sink.read_state().count() == 0
+
+
 def test_merge_sink_recovers_from_crash_between_renames(spark, tmp_path):
     """Regression: a crash AFTER state->bak but BEFORE tmp->state leaves .bak
     holding the only copy; the replayed batch must restore it, not fold

@@ -98,11 +98,20 @@ def typed_view(changes: DataFrame, table: str, schema: StructType) -> DataFrame:
 
     The late-bound equivalent of the reference's row decode (stream.clj:233-244):
     content JSON is parsed against the table's schema fetched from the catalog.
+
+    Envelope meta columns (op/id/seq/ts) that collide with a payload column
+    name are emitted with a ``_cdc_`` prefix — the payload keeps its natural
+    name (tables with an ``id`` PK are the common case).
     """
+    payload_names = {f.name for f in schema.fields}
+    meta = [
+        F.col(c).alias(f"_cdc_{c}") if c in payload_names else F.col(c)
+        for c in ("op", "id", "seq", "ts")
+    ]
     return (
         changes.where(F.col("tbl") == table)
         .withColumn("row", F.from_json("content", schema))
-        .select("op", "id", "seq", "ts", "row.*")
+        .select(*meta, "row.*")
     )
 
 

@@ -27,6 +27,7 @@ EVENT_SCHEMA = StructType(
         StructField("ts", TimestampType(), True),
         StructField("next_position", LongType(), True),
         StructField("rotate_file", StringType(), True),
+        StructField("query", StringType(), True),  # raw SQL on query events (DDL detection, events.clj:88)
         StructField("rows", ArrayType(MapType(StringType(), StringType())), True),
         StructField("seq", LongType(), False),
     ]

@@ -256,9 +256,9 @@ def test_custom_id_fn_expression_and_udf(spark):
 
     events = spark.createDataFrame(
         [
-            ("write", "shop", "pairs", None, 10, None,
+            ("write", "shop", "pairs", None, 10, None, None,
              [{"a": "x", "b": "1"}, {"a": "y", "b": "2"}], 1),
-            ("write", "shop", "weird", None, 20, None, [{"k": "abc"}], 2),
+            ("write", "shop", "weird", None, 20, None, None, [{"k": "abc"}], 2),
         ],
         EVENT_SCHEMA,
     )

@@ -62,6 +62,55 @@ def test_stream_ingest_to_merge_sink_and_resume(spark, tmp_path):
     assert got2 == {"2": "b", "3": "c"}
 
 
+def test_stream_ingest_kafka_shaped_records(spark, tmp_path):
+    """The Kafka-wire variant of ingest (R2 prod shape): records carry the
+    event as a JSON string in `value` plus broker metadata — same envelope,
+    same merge/resume semantics as the direct file feed."""
+    from dumpr_spark.streaming.ingest import stream_changes_kafka_shaped
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "kfeed")
+    state = str(tmp_path / "kstate")
+    ckpt = str(tmp_path / "kckpt")
+
+    def kafka_rec(event, offset):
+        return {
+            "key": event.get("tbl"), "value": json.dumps(event), "topic": "cdc.shop",
+            "partition": 0, "offset": offset, "timestamp": event.get("ts"),
+            "timestampType": 0,
+        }
+
+    events = [
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": "1", "v": "a"}, {"id": "2", "v": "b"}], "seq": 1},
+        {"event_type": "update", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 20, "rows": [{"id": "1", "v": "a2"}], "seq": 2},
+        {"event_type": "noise", "db": "other", "tbl": "x", "ts": None,
+         "next_position": None, "rows": None, "seq": 99},  # other-db event filtered out
+    ]
+    write_events(feed, [kafka_rec(e, i) for i, e in enumerate(events)])
+    changes = stream_changes_kafka_shaped(spark, feed, {"widgets": "id"}, db="shop")
+    q = start_merge_stream(changes, state, ckpt)
+    q.awaitTermination(120)
+
+    sink = MergeSink(spark, state)
+    got = {r["id"]: json.loads(r["content"])["v"] for r in sink.read_state().collect()}
+    assert got == {"1": "a2", "2": "b"}
+
+    # resume from the same checkpoint with a second wave of records
+    write_events(feed, [
+        kafka_rec({"event_type": "delete", "db": "shop", "tbl": "widgets",
+                   "ts": "2026-01-01T00:02:00Z", "next_position": 30,
+                   "rows": [{"id": "1", "v": "a2"}], "seq": 3}, 10),
+    ], file_name="part-001.json")
+    q2 = start_merge_stream(
+        stream_changes_kafka_shaped(spark, feed, {"widgets": "id"}, db="shop"), state, ckpt
+    )
+    q2.awaitTermination(120)
+    got2 = {r["id"] for r in sink.read_state().collect()}
+    assert got2 == {"2"}
+
+
 def test_stream_materialize_throughput_floor(spark, tmp_path):
     """CDC throughput parity (BASELINE.md): the reference's implied floor is
     60 ops/s (600 row-events < 10 s, core_test.clj:216-221). The streaming

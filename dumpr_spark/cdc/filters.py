@@ -45,20 +45,32 @@ def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str 
     :tx-commit, discards on :tx-rollback, and strips the boundary markers.
     Batch re-expression: number transactions by a running count of begins in
     stream order, keep transactions whose marker set contains a commit, drop
-    the markers. A single total-order window is inherently serial; this filter
-    exists for completeness/parity — at scale the CDC feed is commit-filtered
-    at the source (Debezium-shaped), making this a no-op (SURVEY §4.2.3), or
-    the stream is windowed per source-connection (partitionBy that key).
+    the markers. Rows OUTSIDE any open transaction (between a commit/rollback
+    and the next begin) are dropped — the same behavior as the streaming fold
+    (`streaming.state._fold_tx_rows`), which only buffers while in_tx; the two
+    forms must agree on every event sequence. A single total-order window is
+    inherently serial; this filter exists for completeness/parity — at scale
+    the CDC feed is commit-filtered at the source (Debezium-shaped), making
+    this a no-op (SURVEY §4.2.3), or the stream is windowed per
+    source-connection (partitionBy that key).
     """
     w_run = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_tx = events.withColumn(
-        "_tx_id", F.sum(F.when(F.col(type_col) == TX_BEGIN, 1).otherwise(0)).over(w_run)
+    begins = F.sum(F.when(F.col(type_col) == TX_BEGIN, 1).otherwise(0)).over(w_run)
+    ends = F.sum(
+        F.when(F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK), 1).otherwise(0)
+    ).over(w_run)
+    with_tx = events.withColumn("_tx_id", begins).withColumn(
+        # a data row is inside a tx iff more begins than commit/rollback ends
+        # have passed — rows after an end and before the next begin are orphan
+        "_in_tx", begins > ends
     )
     w_tx = Window.partitionBy("_tx_id")
     committed = with_tx.withColumn(
         "_committed", F.max(F.when(F.col(type_col) == TX_COMMIT, 1).otherwise(0)).over(w_tx)
     )
     return (
-        committed.where((F.col("_committed") == 1) & ~F.col(type_col).isin(*_TX_MARKERS))
-        .drop("_tx_id", "_committed")
+        committed.where(
+            (F.col("_committed") == 1) & F.col("_in_tx") & ~F.col(type_col).isin(*_TX_MARKERS)
+        )
+        .drop("_tx_id", "_committed", "_in_tx")
     )

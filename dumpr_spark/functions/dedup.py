@@ -103,8 +103,24 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Bucket self-join -> distinct candidate pairs (a < b)."""
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (a < b).
+
+    max_bucket_size guards the self-join against degenerate buckets: a bucket
+    of c docs yields c(c-1)/2 pairs, and on duplicate-heavy corpora identical
+    docs share ALL bands — one 10k-copy document is 50M pairs per band. Buckets
+    over the cap are dropped (their members still pair via their other,
+    smaller buckets, or should have been collapsed by the exact pre-pass —
+    see minhash_lsh_pairs_scaled). None = no cap (exact oracle parity)."""
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        bands = bands.join(ok, ["band_idx", "band_key"], "left_semi")
     a = bands.select(F.col(id_col).alias("a"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     return (
@@ -116,9 +132,47 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      num_hashes: int = 8, band_size: int = 2, k: int = 3) -> DataFrame:
+                      num_hashes: int = 8, band_size: int = 2, k: int = 3,
+                      max_bucket_size: int | None = None) -> DataFrame:
     sig = minhash_signature(df, id_col, text_col, num_hashes, k)
-    return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, band_size), id_col)
+    return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, band_size), id_col,
+                               max_bucket_size)
+
+
+def exact_prepass_edges(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Collapse exact copies before LSH: returns (edges, rep_ids) where edges
+    are (member, representative) pairs linking each copy to the min-id doc
+    with identical content, and rep_ids is one id per distinct text.
+
+    One hash-groupBy (16-byte md5 shuffle keys, never the bodies)."""
+    h = df.select(F.col(id_col), content_hash(F.col(text_col)).alias("_h"))
+    reps = h.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    joined = h.join(reps, "_h")
+    edges = (
+        joined.where(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col).alias("a"), F.col("_rep").alias("b"))
+    )
+    return edges, reps.select(F.col("_rep").alias(id_col))
+
+
+def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                             num_hashes: int = 8, band_size: int = 2, k: int = 3,
+                             max_bucket_size: int | None = 1000) -> DataFrame:
+    """Duplicate-heavy-safe LSH pair generation — the 100 TB shape.
+
+    Identical documents collide on EVERY band, so a c-copy document makes the
+    plain bucket self-join quadratic in c. Here exact copies are collapsed to
+    one representative first (linear hash-groupBy), LSH runs over distinct
+    texts only, and a bucket-size cap bounds any residual near-dup blowup.
+    Output edges span the ORIGINAL ids: (copy -> representative) edges unioned
+    with representative-level LSH candidate pairs — connected_components over
+    them yields the same clusters as the naive form, without the c² pairs."""
+    edges, rep_ids = exact_prepass_edges(df, id_col, text_col)
+    reps_df = df.join(rep_ids, id_col, "left_semi")
+    lsh = minhash_lsh_pairs(reps_df, id_col, text_col, num_hashes, band_size, k,
+                            max_bucket_size)
+    return edges.unionByName(lsh)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -133,8 +187,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     converges in a handful of rounds. localCheckpoint truncates the lineage
     each round (else the plan doubles per iteration); the per-round
     convergence check is a count on a limit-1 anti-condition, not a collect
-    of the labels."""
-    edges = pairs.select(F.col("a").cast("long").alias("x"), F.col("b").cast("long").alias("y"))
+    of the labels.
+
+    Node ids must be integral (or strings of integers): labels ARE ids, and
+    min-label needs a total order stable under the long cast. Non-castable
+    ids raise rather than silently becoming NULL (which would collapse the
+    graph into one null node); hash string ids to long upstream
+    (e.g. F.xxhash64) if needed."""
+    edges = pairs.select(
+        F.col("a").try_cast("long").alias("x"), F.col("b").try_cast("long").alias("y")
+    )
+    bad = edges.where(F.col("x").isNull() | F.col("y").isNull()).limit(1).collect()
+    if bad:
+        raise TypeError(
+            "connected_components needs integral (long-castable) node ids; a pair "
+            "failed the cast — hash string ids to long (e.g. F.xxhash64) first"
+        )
     sym = edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
     labels = (
         sym.select(F.col("x").alias("n")).distinct().select("n", F.col("n").alias("comp"))

@@ -70,13 +70,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    n_cells: int = 1,
 ) -> DataFrame:
-    """IVF coarse assignment: each vector -> nearest centroid (by cosine).
+    """IVF coarse assignment: each vector -> its `n_cells` nearest centroids
+    (by cosine). Corpus vectors use n_cells=1 (each lives in ONE cell);
+    queries probe several (nprobe>1) for recall.
 
     Centroids are broadcast; assignment is a narrow map over the corpus scan.
     Downstream ANN search equi-joins on cell, probing only matching cells —
     the 100 TB path that replaces the brute-force cross join.
-    Output: vectors + (cell, cell_sim).
+    Output: vectors + (cell, cell_sim), one row per assigned cell.
     """
     c = centroids.select(F.col(cent_id).alias("_cid"), F.col(cent_vec).alias("_cvec"))
     sim = cosine(F.col(vec_col), F.col("_cvec"))
@@ -86,7 +89,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= n_cells)
         .select(F.col(id_col), F.col(vec_col), F.col("_cid").alias("cell"), F.col("_csim").alias("cell_sim"))
     )
 
@@ -123,12 +126,17 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: probe only the query's nearest cell (nprobe=1).
-    Approximate — recall depends on centroid quality; exactness is NOT
-    claimed (hence no SQL oracle; tests assert recall against brute force)."""
+    """ANN top-k: probe the query's `nprobe` nearest cells. Recall rises with
+    nprobe (nprobe=num_cells degenerates to exact brute force); cost is
+    proportional to the probed fraction of the corpus. Corpus vectors live in
+    exactly one cell, so probed cells are disjoint — no candidate dedup
+    needed. Approximate — recall depends on centroid quality; exactness is
+    NOT claimed (hence no SQL oracle; tests assert recall against brute
+    force and recall monotonicity in nprobe)."""
     v_cells = ivf_assign(vectors, centroids, id_col, vec_col)
-    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col, n_cells=nprobe).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("cell")
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)

@@ -113,9 +113,10 @@ def dedup_fingerprint(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
-    """DuckDB replica of dedup.minhash_signature/lsh_bands: one md5 per
-    shingle -> 56-bit base hash -> Carter-Wegman family mins -> banded keys."""
+def _minhash_bands_cte(num_hashes: int = 8, band_size: int = 2, corpus: str = "corpus") -> str:
+    """DuckDB replica of dedup.minhash_signature/lsh_bands over the named
+    corpus CTE: one md5 per shingle -> 56-bit base hash -> Carter-Wegman
+    family mins -> banded keys. Yields CTEs toks/sh/sig/bands."""
     fam = dd.minhash_family(num_hashes)
     mins = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {dd.MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(fam)
@@ -127,11 +128,9 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
         )
         band_rows.append(f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig")
     bands = "\n      UNION ALL ".join(band_rows)
-    return (
-        _NEAR_CORPUS_CTE
-        + f"""
+    return f"""
     , toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+      SELECT doc_id, string_split(text, ' ') AS tk FROM {corpus}
     ),
     sh AS (
       SELECT doc_id,
@@ -145,13 +144,19 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
     ),
     bands AS (
       {bands}
-    )
+    )"""
+
+
+_PAIR_SELECT = """
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM bands x JOIN bands y
       ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
     ORDER BY a, b
     """
-    )
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    return _NEAR_CORPUS_CTE + _minhash_bands_cte(num_hashes, band_size) + _PAIR_SELECT
 
 
 _MINHASH_ORACLE = _minhash_oracle()
@@ -172,6 +177,69 @@ def _cluster_oracle() -> str:
     SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
     ORDER BY doc_id
     """
+
+
+# corpus with BOTH exact copies (+100000) and near twins (+200000): the
+# duplicate-heavy shape the scaled LSH pipeline exists for
+_SCALED_CORPUS_CTE = """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1), lang
+      FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+_SCALED_ORACLE = (
+    _SCALED_CORPUS_CTE
+    + """
+    , hmap AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    reps AS (SELECT h, MIN(doc_id) AS rep FROM hmap GROUP BY h),
+    rep_corpus AS (
+      SELECT c.doc_id, c.text FROM corpus c JOIN reps r ON c.doc_id = r.rep
+    )
+"""
+    + _minhash_bands_cte(corpus="rep_corpus")
+    + """
+    , lsh AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    exact_edges AS (
+      SELECT m.doc_id AS a, r.rep AS b FROM hmap m JOIN reps r ON m.h = r.h
+      WHERE m.doc_id <> r.rep
+    )
+    SELECT a, b FROM exact_edges
+    UNION ALL
+    SELECT a, b FROM lsh
+    ORDER BY a, b
+    """
+)
+
+
+@query("dedup_lsh_scaled", _SCALED_ORACLE, tags=("llm", "dedup"))
+def dedup_lsh_scaled(spark, sf_dir):
+    """Duplicate-heavy-safe LSH pair generation (dedup.minhash_lsh_pairs_scaled):
+    exact copies collapse to a representative BEFORE banding (identical docs
+    share all bands — the O(c²) bucket case), then rep-level LSH with a
+    bucket-size cap. Edges = (copy -> rep) ∪ rep-level candidate pairs."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tens = d.where(F.col("doc_id") % 10 == 0)
+    corpus = (
+        d.unionByName(
+            tens.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+        ).unionByName(
+            tens.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+                "lang",
+            )
+        )
+    )
+    return dd.minhash_lsh_pairs_scaled(corpus).orderBy("a", "b")
 
 
 @query("dedup_clusters", _cluster_oracle(), tags=("llm", "dedup", "iterative"))

@@ -219,6 +219,29 @@ def test_tx_filter_commit_rollback(spark):
     assert out == [1, 2, 8]
 
 
+def test_tx_filter_drops_out_of_tx_rows_like_streaming(spark):
+    """Rows BETWEEN transactions (after a commit/rollback, before the next
+    begin) are dropped — matching the streaming fold, which only buffers
+    while in_tx. The two forms must agree on every sequence."""
+    import pandas as pd
+
+    from dumpr_spark.streaming.state import _fold_tx_rows
+
+    rows = [
+        ("s1", "tx-begin", None, None, 0), ("s1", "write", "w", "r1", 1),
+        ("s1", "tx-commit", None, None, 2),
+        ("s1", "write", "w", "orphan", 3),  # outside any tx
+        ("s1", "tx-begin", None, None, 4), ("s1", "write", "w", "r2", 5),
+        ("s1", "tx-commit", None, None, 6),
+    ]
+    df = spark.createDataFrame(rows, "source string, event_type string, tbl string, payload string, seq long")
+    batch_seqs = sorted(r["seq"] for r in filter_committed_txs(df).collect())
+    pdf = pd.DataFrame(rows, columns=["source", "event_type", "tbl", "payload", "seq"])
+    released, _, _ = _fold_tx_rows(pdf, False, [])
+    stream_seqs = sorted(r["seq"] for r in released)
+    assert batch_seqs == stream_seqs == [1, 5]
+
+
 def test_binlog_filename_stamping(spark):
     """R5 (stream.clj:56-74): rotate events consumed, filename carried."""
     rows = [

@@ -49,6 +49,31 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    """Recall must be monotone in nprobe: probing 2 cells finds a superset of
+    the nprobe=1 candidates (corpus cells are disjoint), and nprobe=#cells
+    recovers brute-force exactly."""
+    from dumpr_spark.functions.similarity import brute_force_topk, ivf_topk
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    cents = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    n_cells = cents.count()
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+
+    def recall(nprobe):
+        hits = {(r["q_id"], r["n_id"])
+                for r in ivf_topk(e, q, cents, k=5, nprobe=nprobe).collect()}
+        return len(exact & hits) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, f"recall dropped with more probes: {r1} -> {r2}"
+    assert recall(n_cells) == 1.0  # probing every cell == brute force
+
+
 def test_ivf_kmeans_centroids_beat_arbitrary(spark, sf_dir):
     """KMeans-trained cells must give recall at least as good as arbitrary
     picked-vector centroids (the production IVF training path)."""
@@ -107,6 +132,54 @@ def test_exact_dedup_function(spark, sf_dir):
     out = exact_dedup(dup)
     assert out.count() == d.count()
     assert out.agg(F.max("doc_id")).first()[0] == d.agg(F.max("doc_id")).first()[0]
+
+
+def test_lsh_scaled_handles_1000_copy_corpus(spark):
+    """The duplicate-heavy guard: 1000 identical copies must NOT produce the
+    ~500k all-pairs bucket blowup — the exact pre-pass collapses them to one
+    representative (999 linear member->rep edges), and LSH runs on distinct
+    texts only. Clustering over the edges still groups all 1000 copies."""
+    from dumpr_spark.functions.dedup import connected_components, minhash_lsh_pairs_scaled
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en") for i in range(1000)]
+    rows += [(2000 + i, f"some completely different document number {i} "
+              "with enough words to shingle", "en") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    edges = minhash_lsh_pairs_scaled(df, max_bucket_size=100)
+    n_edges = edges.count()
+    # linear in copies (999 member->rep edges + a handful of LSH pairs),
+    # nowhere near the 999*1000/2 pairs of the naive bucket self-join
+    assert 999 <= n_edges < 1100, n_edges
+    comps = connected_components(edges)
+    copy_comp = {r["comp"] for r in comps.where(F.col("n") < 1000).collect()}
+    assert copy_comp == {0}  # every copy clusters to the min-id representative
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket_size: an over-cap band bucket contributes no pairs; small
+    buckets are unaffected."""
+    from dumpr_spark.functions.dedup import lsh_candidate_pairs
+
+    rows = [(i, 0, "hot") for i in range(10)] + [(100, 0, "cold"), (101, 0, "cold")]
+    bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_key string")
+    capped = lsh_candidate_pairs(bands, max_bucket_size=5)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # the 10-doc hot bucket (45 pairs) is dropped
+    uncapped = lsh_candidate_pairs(bands)
+    assert uncapped.count() == 45 + 1
+
+
+def test_connected_components_rejects_non_numeric_ids(spark):
+    """String ids must raise, not silently collapse into one NULL node."""
+    import pytest
+
+    from dumpr_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([("docA", "docB")], "a string, b string")
+    with pytest.raises(TypeError, match="long-castable"):
+        connected_components(pairs)
 
 
 def test_connected_components_hand_graph(spark):

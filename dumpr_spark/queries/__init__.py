@@ -8,14 +8,17 @@ import of the submodules below.
 
 from dumpr_spark.queries.base import REGISTRY, oracle_sql, queries
 
-# importing registers queries
-from dumpr_spark.queries import relational  # noqa: E402,F401
-from dumpr_spark.queries import windows  # noqa: E402,F401
-from dumpr_spark.queries import scalars  # noqa: E402,F401
+# Importing registers queries. Order matters: the driver walks the registry
+# in insertion order and may stop at a budget, so families it has NOT yet
+# verified in a previous round go first (round 1 covered the first 50 —
+# relational/windows/most scalars — leaving cdc/llm/streaming/udf unchecked).
 from dumpr_spark.queries import cdc  # noqa: E402,F401
 from dumpr_spark.queries import llm  # noqa: E402,F401
 from dumpr_spark.queries import multimodal  # noqa: E402,F401
 from dumpr_spark.queries import streaming_batch  # noqa: E402,F401
 from dumpr_spark.queries import udfs  # noqa: E402,F401
+from dumpr_spark.queries import scalars  # noqa: E402,F401
+from dumpr_spark.queries import windows  # noqa: E402,F401
+from dumpr_spark.queries import relational  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

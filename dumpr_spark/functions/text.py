@@ -124,6 +124,53 @@ def rolling_fingerprint(col, base: int = ROLL_B) -> Column:
     )
 
 
+def gram_hashes(col, k: int = 3) -> Column:
+    """ARRAY<LONG> of 56-bit md5 hashes of the k-token grams, in order."""
+    from dumpr_spark.functions.dedup import minhash_base_hash, shingles
+
+    return F.transform(shingles(col, k), minhash_base_hash)
+
+
+def winnow_from_hashes(hs: Column | str, w: int = 4) -> Column:
+    """Window-min selection over a MATERIALIZED gram-hash array column.
+
+    Must be applied to a column reference from a previous select, NOT to the
+    `gram_hashes(...)` expression inline: nesting it inside this window
+    transform makes codegen re-evaluate every gram md5 once PER WINDOW —
+    measured 8x slower on the test corpus. `winnow_fingerprints_df` wires the
+    two steps correctly."""
+    c = F.col(hs) if isinstance(hs, str) else hs
+    n = F.size(c)
+    starts = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(c, i, w)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, w: int = 4, out_col: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-token gram, slide a window of w consecutive gram hashes, and
+    select each window's minimum — any shared token run of length >= w+k-1
+    between two documents is guaranteed to share a selected hash, so the
+    distinct selected set is a substring-robust fingerprint (MOSS's algorithm).
+
+    Output: (id, out_col sorted distinct ARRAY<LONG>). Pure JVM array ops (one
+    md5 per gram, no Python, no explode until the caller chooses to) — at
+    100 TB this is a narrow projection; the downstream near-dup join explodes
+    to thin (fp, doc_id) rows and equi-joins on fp, same shape as LSH bands.
+
+    Selection is by VALUE min (not the paper's rightmost-tie rule): the
+    selected *set* is identical under any tie rule once deduped, and value-min
+    is what both Spark `array_min` and the DuckDB oracle compute natively.
+    Docs shorter than one window contribute min-of-all (the paper's
+    degenerate case).
+    """
+    hs_df = df.select(F.col(id_col), gram_hashes(F.col(text_col), k).alias("_hs"))
+    return hs_df.select(F.col(id_col), winnow_from_hashes("_hs", w).alias(out_col))
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard quality-signal columns to a documents DataFrame."""
     c = F.col(text_col)

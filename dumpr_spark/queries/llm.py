@@ -179,6 +179,48 @@ def _cluster_oracle() -> str:
     """
 
 
+@query(
+    "text_winnow_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 500
+    ),
+    sh AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+    ),
+    hl AS (
+      SELECT doc_id, list(h ORDER BY i) AS hs FROM sh GROUP BY doc_id
+    ),
+    wins AS (
+      SELECT doc_id, list_aggregate(hs[i:i+3], 'min') AS fp
+      FROM hl, LATERAL (SELECT unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS i) g
+    )
+    SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): k-gram hashes -> sliding-window minima
+    -> distinct selected set. Guarantees any shared >= w+k-1 token run between
+    docs shares a fingerprint — the substring-robust dedup/clone-detection
+    primitive (functions.text.winnow_fingerprints_df)."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    n_parts = spark.sparkContext.defaultParallelism
+    fps = tx.winnow_fingerprints_df(d.repartition(n_parts), k=3, w=4)
+    return (
+        # explode_outer, deliberately: plain explode makes InferFiltersFromGenerate
+        # add size(fps)>0, which predicate-pushdown rewrites into a filter that
+        # re-evaluates the whole winnow expression per row a second time (8x
+        # slower); fps is never empty (min-of-all fallback) so the outer form
+        # is value-identical.
+        fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
+
+
 # corpus with BOTH exact copies (+100000) and near twins (+200000): the
 # duplicate-heavy shape the scaled LSH pipeline exists for
 _SCALED_CORPUS_CTE = """

@@ -134,6 +134,25 @@ def test_exact_dedup_function(spark, sf_dir):
     assert out.agg(F.max("doc_id")).first()[0] == d.agg(F.max("doc_id")).first()[0]
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property (Schleimer et al.): two docs sharing a token
+    run of length >= w+k-1 MUST share at least one selected fingerprint."""
+    from dumpr_spark.functions.text import winnow_fingerprints_df
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1 with k=3,w=4
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} completely different tail words here"),
+        (3, "nothing in common with the others at all whatsoever"),
+        (4, "tiny"),  # < k tokens: degenerate single-shingle doc must not crash
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_fingerprints_df(df, k=3, w=4).collect()}
+    assert fps[1] & fps[2], "shared 6-token run produced no shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert len(fps[4]) == 1  # min-of-all fallback
+
+
 def test_lsh_scaled_handles_1000_copy_corpus(spark):
     """The duplicate-heavy guard: 1000 identical copies must NOT produce the
     ~500k all-pairs bucket blowup — the exact pre-pass collapses them to one

@@ -1,0 +1,63 @@
+"""Bucketed interval (range) join — the scale path for non-equi time joins.
+
+A pure range join (`event.ts BETWEEN interval.start AND interval.end` with
+no equi key) has no hash key, so Catalyst must fall back to
+`BroadcastNestedLoopJoin`: O(|events| x |intervals|) comparisons, and only
+viable at all while one side fits in a broadcast. At 100 TB neither holds.
+
+The classic fix (same trick as Spark's own range-join bucketing hints and
+interval trees in KDB/TimescaleDB): quantize time into fixed-width buckets,
+
+- each *event* lands in exactly one bucket (`floor(epoch / width)`),
+- each *interval* is exploded to the buckets it overlaps
+  (`sequence(floor(start/w), floor(end/w))` — cheap while intervals are
+  short relative to the bucket width),
+
+then an ordinary shuffle/broadcast **equi-join on the bucket id** pairs each
+event only with intervals overlapping its bucket, and the exact `BETWEEN`
+predicate filters within the bucket. Cost: |events| + |intervals| x
+(avg_len / width) shuffled rows — linear, partitionable, AQE-skew-handled,
+instead of quadratic. Each (event, interval) pair meets exactly once
+(the event's single bucket), so no distinct pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bucketed_interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner-join each event row to every interval row with
+    start <= ts < end (half-open), via bucket equi-join.
+    Returns all columns of both inputs (names must not collide).
+
+    Outer semantics (keep empty intervals) are NOT a join flag here on
+    purpose: an outer bucket join would emit one null row per *unmatched
+    (interval, bucket)* pair, duplicating empty intervals. The correct outer
+    shape is inner-join -> aggregate -> left-join the aggregate back onto the
+    intervals (see queries/training.py:join_range_bucketed).
+    """
+    w = F.lit(bucket_seconds)
+    ev = events.withColumn("_bkt", (F.unix_timestamp(F.col(ts_col)) / w).cast("long"))
+    # end is exclusive: an interval touching a bucket boundary exactly at its
+    # end must not be listed in that bucket
+    iv = intervals.withColumn(
+        "_bkts",
+        F.sequence(
+            (F.unix_timestamp(F.col(start_col)) / w).cast("long"),
+            ((F.unix_timestamp(F.col(end_col)) - 1) / w).cast("long"),
+        ),
+    ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
+    cond = (
+        (ev["_bkt"] == iv["_bkt"])
+        & (ev[ts_col] >= iv[start_col])
+        & (ev[ts_col] < iv[end_col])
+    )
+    return ev.join(iv, cond, "inner").drop("_bkt")

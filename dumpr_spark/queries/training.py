@@ -1,0 +1,373 @@
+"""Training-data-pipeline queries: chunking, packing, contamination,
+cross-corpus dedup, deterministic sampling, time rollups, range joins.
+
+These are the ops a 100 TB pretraining-data pipeline runs downstream of
+dedup (queries/llm.py) — all [EXT], mandated by the north star (SURVEY
+§2.2-J). Each is expressed as narrow/bucketed Spark plans with a bit-exact
+DuckDB oracle; engine-specific constructs (md5 bucketing, Carter-Wegman
+minhash) reuse the cross-engine-stable primitives from functions/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpr_spark.functions import chunking as ck
+from dumpr_spark.functions import dedup as dd
+from dumpr_spark.functions import sampling as sp
+from dumpr_spark.functions import text as tx
+from dumpr_spark.operators.rangejoin import bucketed_interval_join
+from dumpr_spark.queries.base import eps_round, query, t
+from dumpr_spark.queries.llm import _dup_corpus, _NEAR_CORPUS_CTE
+from dumpr_spark.queries.llm import _minhash_bands_cte
+
+
+# --------------------------------------------------------------------------
+# Chunking / packing
+# --------------------------------------------------------------------------
+
+@query(
+    "chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    st AS (
+      SELECT doc_id, tk, unnest(generate_series(1, greatest(least(len(tk) - 4, len(tk)), 1), 12)) AS start
+      FROM toks
+    )
+    SELECT doc_id, start,
+           array_to_string(tk[start:start+15], ' ') AS chunk_text,
+           len(tk[start:start+15])::BIGINT AS n_tokens
+    FROM st ORDER BY doc_id, start
+    """,
+    tags=("training", "chunking"),
+)
+def chunk_documents(spark, sf_dir):
+    """Context-length chunking: sliding windows of 16 whitespace tokens,
+    stride 12 (25% overlap). Narrow JVM array plan — split + sequence +
+    slice + one explode; output partitioning == input partitioning, so at
+    100 TB this fuses into the scan stage (functions/chunking.py)."""
+    d = t(spark, sf_dir, "documents")
+    return ck.chunk_documents(d, chunk_tokens=16, stride=12).orderBy("doc_id", "start")
+
+
+_PACK_BUDGET = 256
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tok, rn, 0::BIGINT AS bin, n_tok AS fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.doc_id, b.n_tok, b.rn,
+             CASE WHEN p.fill + b.n_tok <= {_PACK_BUDGET} THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + b.n_tok <= {_PACK_BUDGET} THEN p.fill + b.n_tok ELSE b.n_tok END
+      FROM packed p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tok, bin FROM packed ORDER BY lang, doc_id
+    """,
+    tags=("training", "packing"),
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy first-fit-in-order sequence packing into 256-token training
+    bins, stratified by language. Spark side: one Arrow applyInPandas pass
+    per stratum (functions/chunking.py:pack_sequences); the oracle walks the
+    identical order with a recursive CTE — packing is deterministic, so the
+    two agree bin-for-bin."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    )
+    return (
+        ck.pack_sequences(d, "lang", "doc_id", "n_tok", budget=_PACK_BUDGET)
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Contamination / cross-corpus dedup
+# --------------------------------------------------------------------------
+
+def _gram5_cte(src: str, out: str, distinct_docs: bool) -> str:
+    """DuckDB 5-gram 56-bit hash CTE over (doc_id, text) CTE `src`."""
+    g = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]"
+    cols = "doc_id, " if distinct_docs else ""
+    return f"""
+    {out} AS (
+      SELECT DISTINCT {cols}('0x' || substr(md5({g}), 1, 14))::BIGINT AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM {src}) b,
+           LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i) s
+    )"""
+
+
+@query(
+    "contamination_ngrams",
+    _NEAR_CORPUS_CTE + ",\n    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),"
+    + _gram5_cte("bench", "bg", distinct_docs=False) + ","
+    + _gram5_cte(
+        "(SELECT doc_id, text FROM corpus WHERE NOT (doc_id < 100000 AND doc_id % 7 = 0))",
+        "tg", distinct_docs=True,
+    )
+    + """
+    SELECT tg.doc_id, count(DISTINCT tg.g)::BIGINT AS n_shared
+    FROM tg JOIN bg USING (g)
+    GROUP BY tg.doc_id ORDER BY doc_id
+    """,
+    tags=("training", "contamination"),
+)
+def contamination_ngrams(spark, sf_dir):
+    """Benchmark-contamination check: flag training docs sharing any 5-gram
+    with a held-out benchmark set (docs with doc_id % 7 == 0), the standard
+    n-gram-overlap decontamination pass. The benchmark gram set is tiny
+    relative to the corpus -> build it once, broadcast it, and the scan-side
+    cost is one narrow gram projection + a broadcast semi-join: no shuffle
+    of the 100 TB side. Near-twin plants (+100000 ids) are the expected
+    hits."""
+    bench = t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    bg = (
+        bench.select(F.explode(F.array_distinct(tx.gram_hashes(F.col("text"), 5))).alias("g"))
+        .distinct()
+    )
+    train = _dup_corpus(spark, sf_dir, near=True).where(
+        ~((F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 0))
+    )
+    tg = train.select(
+        "doc_id", F.explode(F.array_distinct(tx.gram_hashes(F.col("text"), 5))).alias("g")
+    )
+    return (
+        tg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_cross_corpus",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 10 = 3
+    )
+    """
+    + _minhash_bands_cte()
+    + """
+    , dirty AS (
+      SELECT DISTINCT x.doc_id
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id >= 100000 AND y.doc_id < 100000
+    )
+    SELECT c.doc_id FROM corpus c
+    LEFT JOIN dirty d USING (doc_id)
+    WHERE c.doc_id >= 100000 AND d.doc_id IS NULL
+    ORDER BY doc_id
+    """,
+    tags=("training", "dedup"),
+)
+def dedup_cross_corpus(spark, sf_dir):
+    """Incremental (cross-corpus) near-dedup: admit only new-batch docs that
+    are NOT near-duplicates of the existing corpus. Batch = near twins
+    (+100000, expected dirty) + token-reversed docs (+200000, expected
+    clean). MinHash bands of the existing corpus are the persisted index at
+    scale; the new batch's bands semi-join against it on (band_idx,
+    band_key) — the batch (small) shuffles, the corpus index is bucketed —
+    then an anti-join admits the clean ids. No O(batch x corpus) compare."""
+    existing = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = existing
+    twins = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.expr("substr(text, instr(text, ' ') + 1)").alias("text"))
+    )
+    fresh = (
+        d.where(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 200000).alias("doc_id"),
+                F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"))
+    )
+    batch = twins.unionByName(fresh)
+    eb = dd.lsh_bands(dd.minhash_signature(existing))
+    bb = dd.lsh_bands(dd.minhash_signature(batch))
+    dirty = (
+        bb.join(eb.select("band_idx", "band_key"), ["band_idx", "band_key"], "left_semi")
+        .select("doc_id").distinct()
+    )
+    return batch.join(dirty, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling
+# --------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 200, "de": 500, "es": 500, "fr": 500, "zh": 800}
+
+@query(
+    "sample_stratified_hash",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 1000 <
+          CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 500
+                    WHEN 'fr' THEN 500 WHEN 'zh' THEN 800 ELSE 0 END
+    ORDER BY doc_id
+    """,
+    tags=("training", "sampling"),
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sampling: stable md5 bucket of doc_id under a
+    per-language rate (down-weight dominant en at 20%, up-weight zh at 80%).
+    Unlike df.sample(), re-runs and incremental batches select the SAME rows
+    — the curation-grade form. Narrow filter, no shuffle, pushes through the
+    scan (functions/sampling.py)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        sp.stratified_sample(d, "doc_id", "lang", _SAMPLE_RATES)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series rollup / range join
+# --------------------------------------------------------------------------
+
+@query(
+    "rollup_timeseries",
+    """
+    WITH lv AS (
+      SELECT 'minute' AS res, event_type, date_trunc('minute', ts) AS bucket,
+             count(*)::BIGINT AS n, sum(value) AS sv
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'hour', event_type, date_trunc('hour', ts), count(*)::BIGINT, sum(value)
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', event_type, date_trunc('day', ts), count(*)::BIGINT, sum(value)
+      FROM events GROUP BY 2, 3
+    )
+    SELECT res, event_type, bucket, n,
+           round(sv + 1e-9, 4) AS sum_value,
+           round(sv / n + 1e-9, 6) AS avg_value
+    FROM lv ORDER BY res, event_type, bucket
+    """,
+    tags=("training", "timeseries"),
+)
+def rollup_timeseries(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (minute/hour/day counts and
+    sums per event type). The scale-correct shape: aggregate the raw stream
+    ONCE at the finest grain, then re-aggregate each coarser level from the
+    previous level's partials — hour reads minute rows (~60x smaller than
+    raw), day reads hour rows. The oracle recomputes every level from raw,
+    which doubles as a re-aggregation-correctness check."""
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    h = m.groupBy(
+        "event_type", F.date_trunc("hour", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    dy = h.groupBy(
+        "event_type", F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    lv = (
+        m.select(F.lit("minute").alias("res"), "event_type", "bucket", "n", "sv")
+        .unionByName(h.select(F.lit("hour").alias("res"), "event_type", "bucket", "n", "sv"))
+        .unionByName(dy.select(F.lit("day").alias("res"), "event_type", "bucket", "n", "sv"))
+    )
+    return lv.select(
+        "res", "event_type", "bucket", F.col("n").cast("long").alias("n"),
+        eps_round(F.col("sv"), 4).alias("sum_value"),
+        eps_round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+    ).orderBy("res", "event_type", "bucket")
+
+
+@query(
+    "join_range_bucketed",
+    """
+    WITH iv AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS s,
+             date_trunc('hour', min(ts)) + INTERVAL 6 HOUR AS e
+      FROM events GROUP BY user_id
+    )
+    SELECT iv.user_id AS user_id, count(ev.ts)::BIGINT AS n_events
+    FROM iv LEFT JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+    GROUP BY iv.user_id ORDER BY iv.user_id
+    """,
+    tags=("training", "join", "range"),
+)
+def join_range_bucketed(spark, sf_dir):
+    """Pure range join (no equi key): count ALL events inside each user's
+    first-6-hours interval. The oracle is the naive BETWEEN nested-loop
+    join; the Spark plan is the bucketed form (operators/rangejoin.py):
+    quantize time to 1 h buckets, explode each interval to its ~6 buckets,
+    equi-join on bucket id, filter exactly — linear shuffle instead of
+    O(|events| x |intervals|) BroadcastNestedLoopJoin. Empty intervals are
+    restored by left-joining the counts back onto the interval set."""
+    e = t(spark, sf_dir, "events")
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("s"))
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 6 HOURS"))
+    )
+    pairs = bucketed_interval_join(
+        e.select("ts"), iv, ts_col="ts", start_col="s", end_col="e", bucket_seconds=3600
+    )
+    cnt = pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        iv.join(cnt, "user_id", "left")
+        .select("user_id", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token accounting
+# --------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    r"""
+    WITH tok AS (
+      SELECT lang,
+             len(string_split(text, ' '))::BIGINT AS ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
+           round(sum(bpe)::DOUBLE / count(*) + 1e-9, 4) AS avg_bpe_tokens
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+    tags=("training", "text"),
+)
+def text_token_stats(spark, sf_dir):
+    """Token accounting per language: whitespace tokens vs BPE-ish regex
+    tokens (word runs / digit runs / single non-alnum marks — the
+    pre-tokenizer split every BPE vocabulary starts from). Both counts are
+    JVM-side regex/array expressions; the per-doc projection is narrow and
+    the per-lang aggregate map-side-combines to |langs| rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        tx.token_count(F.col("text")).alias("ws"),
+        tx.regex_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            eps_round(F.sum("bpe").cast("double") / F.count(F.lit(1)), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,105 @@
+"""Training-pipeline ops: chunking, packing, range join, deterministic
+sampling — operator-level properties the DuckDB oracles don't pin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_chunk_covers_every_token_when_stride_le_width(spark):
+    from dumpr_spark.functions.chunking import chunk_documents
+
+    docs = [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b c"), (3, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride <= width => union of chunk token ranges covers [1, n]
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r["start"], r["start"] + r["n_tokens"]))
+    assert covered == set(range(1, 51))
+    # short docs: exactly one (partial) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 1
+
+
+def test_pack_respects_budget_and_matches_greedy(spark):
+    from dumpr_spark.functions.chunking import pack_sequences
+
+    rows = [("en", i, (i * 37) % 90 + 10) for i in range(100)]
+    rows += [("de", i, 300) for i in range(3)]  # oversized docs: bin of their own
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+    out = pack_sequences(df, budget=256).collect()
+    got = {(r["lang"], r["doc_id"]): r["bin"] for r in out}
+
+    # python greedy replica
+    for lang in ("en", "de"):
+        docs = sorted([(d, n) for (l, d, n) in rows if l == lang])
+        cur, fill, expect = -1, 0, {}
+        for d, n in docs:
+            if cur < 0 or fill + n > 256:
+                cur, fill = cur + 1, n
+            else:
+                fill += n
+            expect[d] = cur
+        for d, b in expect.items():
+            assert got[(lang, d)] == b, (lang, d)
+
+    # every multi-doc bin is within budget
+    fills = {}
+    for (lang, d), b in got.items():
+        n = next(n for (l, dd, n) in rows if l == lang and dd == d)
+        fills.setdefault((lang, b), []).append(n)
+    for (lang, b), ns in fills.items():
+        assert sum(ns) <= 256 or len(ns) == 1, (lang, b, ns)
+
+
+def test_bucketed_range_join_equals_naive(spark):
+    from dumpr_spark.operators.rangejoin import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = [(i, t0 + dt.timedelta(minutes=7 * i)) for i in range(200)]
+    edf = spark.createDataFrame(events, "event_id long, ts timestamp")
+    ivs = [
+        (1, t0, t0 + dt.timedelta(hours=1)),                      # end on bucket boundary
+        (2, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(hours=5, minutes=30)),
+        (3, t0 + dt.timedelta(days=2), t0 + dt.timedelta(days=2, hours=1)),  # empty
+        (4, t0 + dt.timedelta(minutes=14), t0 + dt.timedelta(minutes=14)),   # zero-length
+    ]
+    idf = spark.createDataFrame(ivs, "iv_id long, s timestamp, e timestamp")
+    got = {
+        (r["iv_id"], r["event_id"])
+        for r in bucketed_interval_join(edf, idf, "ts", "s", "e", 3600).collect()
+    }
+    naive = {
+        (r["iv_id"], r["event_id"])
+        for r in edf.crossJoin(idf)
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive
+    assert not any(iv == 3 for iv, _ in got)  # empty interval truly empty
+    # boundary exclusivity: ts == e must not match interval 1
+    assert (1, 60 // 7 + 1) not in got
+
+
+def test_stratified_sample_is_stable_and_nested(spark):
+    from dumpr_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(1000)], "doc_id long, lang string"
+    )
+    small = {r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", {"en": 100, "de": 100}).collect()}
+    big = {r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", {"en": 400, "de": 400}).collect()}
+    again = {r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", {"en": 100, "de": 100}).collect()}
+    assert small == again            # deterministic across runs
+    assert small <= big              # raising the rate only ADDS rows
+    assert 20 <= len(small) <= 200   # ~10% of 1000, loose uniformity bound
+
+    with pytest.raises(ValueError, match="0..1000"):
+        stratified_sample(df, "doc_id", "lang", {"en": 2000})

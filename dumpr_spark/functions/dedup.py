@@ -113,20 +113,35 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
     over the cap are dropped (their members still pair via their other,
     smaller buckets, or should have been collapsed by the exact pre-pass —
     see minhash_lsh_pairs_scaled). None = no cap (exact oracle parity)."""
+    # Grouped-bucket pair generation, NOT a bucket self-join: a self-join
+    # evaluates the whole corpus->signature->bands subtree twice (broadcast
+    # side is its own plan; ReuseExchange does not fire across the join's two
+    # shuffles in practice — measured 2x on the flagship query) and shuffles
+    # the bands twice. Collecting each bucket's members into ONE sorted array
+    # shuffles the bands once, evaluates the subtree once, and emits each
+    # bucket's c(c-1)/2 pairs with pure array transforms. The per-bucket
+    # array is the degenerate-bucket risk at scale, which is exactly what
+    # max_bucket_size bounds — production corpora use the capped scaled path
+    # (minhash_lsh_pairs_scaled); uncapped is the oracle-parity mode.
+    grouped = bands.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
     if max_bucket_size is not None:
-        ok = (
-            bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .drop("_n")
+        grouped = grouped.where(F.size("_ids") <= max_bucket_size)
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        bands = bands.join(ok, ["band_idx", "band_key"], "left_semi")
-    a = bands.select(F.col(id_col).alias("a"), "band_idx", "band_key")
-    b = bands.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+    )
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.where(F.size("_ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 

@@ -353,3 +353,65 @@ def scalar_bitwise(spark, sf_dir):
         F.shiftright(sz, 1).cast("int").alias("shr"),
         F.bit_count(sz.cast("bigint")).cast("int").alias("popcount"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "source_orc_scan",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal) + 1e-9, 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_scan(spark, sf_dir):
+    """ORC batch source/sink (SURVEY §2.2-A format coverage): round-trip the
+    customer table through ORC (Spark-native columnar alternative to
+    parquet, same pushdown/pruning machinery) and aggregate — results must
+    equal the parquet-direct oracle. snappy-by-default, schema preserved."""
+    import tempfile
+
+    src = t(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="dumpr_orc_customer_") + "/data"
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            eps_round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "source_jsonl_scan",
+    """
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(AVG(s_acctbal) + 1e-9, 3) AS avg_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    tags=("source", "json"),
+)
+def source_jsonl_scan(spark, sf_dir):
+    """JSON-lines batch source under the oracle gate (SURVEY §2.2-A):
+    round-trip supplier through newline-delimited JSON with an explicit
+    schema (inference = a second full scan at 100 TB, never in a pipeline)
+    and aggregate against the parquet-direct oracle."""
+    import tempfile
+
+    from dumpr_spark.sources.files import read_json
+
+    src = t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="dumpr_json_supplier_") + "/data"
+    src.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=src.schema)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            eps_round(F.avg("s_acctbal"), 3).alias("avg_bal"),
+        )
+        .orderBy("s_nationkey")
+    )

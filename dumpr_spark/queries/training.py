@@ -331,6 +331,64 @@ def join_range_bucketed(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# End-to-end curation pipeline
+# --------------------------------------------------------------------------
+
+@query(
+    "pipeline_curation",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+    ),
+    quality AS (
+      SELECT doc_id, text, lang, len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM corpus
+      WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+        AND lang IN ('en', 'de', 'fr')
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tok) AS n_tok
+      FROM quality GROUP BY md5(text)
+    )
+    SELECT doc_id, lang, n_tok FROM deduped
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 1000 <
+          CASE lang WHEN 'en' THEN 500 ELSE 800 END
+    ORDER BY doc_id
+    """,
+    tags=("training", "pipeline", "flagship"),
+)
+def pipeline_curation(spark, sf_dir):
+    """The end-to-end curation chain every pretraining corpus runs, as ONE
+    declarative plan: quality gate (length + token floor) -> language filter
+    -> exact dedup (min-id per md5, map-side-combining groupBy) ->
+    deterministic stratified downsample. Catalyst fuses the narrow stages
+    into the scan; the only shuffle is the dedup groupBy — at 100 TB the
+    chain's cost IS that one shuffle of (hash, id, lang, n_tok) thin rows,
+    everything else pipelines."""
+    corpus = _dup_corpus(spark, sf_dir, near=False)
+    quality = (
+        corpus.where(
+            (F.length("text") >= 100)
+            & (F.size(F.split(F.col("text"), " ")) >= 20)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select("doc_id", "text", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    )
+    deduped = (
+        quality.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"), F.min("n_tok").alias("n_tok"))
+        .drop("_h")
+    )
+    return (
+        sp.stratified_sample(deduped, "doc_id", "lang", {"en": 500, "de": 800, "fr": 800})
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Token accounting
 # --------------------------------------------------------------------------
 

@@ -221,6 +221,75 @@ def text_winnow_fingerprints(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_winnow_pairs",
+    _NEAR_CORPUS_CTE
+    + """
+    , toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+    ),
+    hl AS (
+      SELECT doc_id, list(h ORDER BY i) AS hs FROM sh GROUP BY doc_id
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, list_aggregate(hs[i:i+3], 'min') AS fp
+      FROM hl, LATERAL (SELECT unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS i) g
+    ),
+    ok AS (
+      SELECT fp FROM wins GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+    ),
+    p AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM wins x JOIN wins y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      JOIN ok ON ok.fp = x.fp
+    )
+    SELECT a, b, count(*)::BIGINT AS n_shared
+    FROM p GROUP BY a, b HAVING count(*) >= 3 ORDER BY a, b
+    """,
+    tags=("llm", "dedup", "winnow"),
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Clone detection over winnowing fingerprints: docs sharing >= 3
+    selected fingerprints are near-dup candidates (MOSS's match criterion,
+    substring-robust where MinHash is whole-doc). Same grouped-bucket shape
+    as LSH: explode (fp, doc) thin rows, ONE groupBy per fp collects the
+    sorted member array (hot fps capped at 50 — a stop-phrase fingerprint
+    would otherwise emit c^2 pairs), array transforms emit intra-bucket
+    pairs, then a (a, b) count keeps strong matches."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    n_parts = spark.sparkContext.defaultParallelism
+    fps = tx.winnow_fingerprints_df(corpus.repartition(n_parts), k=3, w=4)
+    flat = fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+    grouped = (
+        flat.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .where(F.size("_ids").between(2, 50))
+    )
+    ids = F.col("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .orderBy("a", "b")
+    )
+
+
 # corpus with BOTH exact copies (+100000) and near twins (+200000): the
 # duplicate-heavy shape the scaled LSH pipeline exists for
 _SCALED_CORPUS_CTE = """

@@ -103,3 +103,63 @@ def test_stratified_sample_is_stable_and_nested(spark):
 
     with pytest.raises(ValueError, match="0..1000"):
         stratified_sample(df, "doc_id", "lang", {"en": 2000})
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n_toks=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+        budget=st.integers(min_value=50, max_value=300),
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_pack_property_greedy_tight(spark, n_toks, budget):
+        """Property: bins fill greedily — every bin break is FORCED (the doc
+        that opens bin b+1 would not have fit in bin b), and no multi-doc bin
+        exceeds the budget."""
+        from dumpr_spark.functions.chunking import pack_sequences
+
+        rows = [("s", i, n) for i, n in enumerate(n_toks)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+        out = sorted(
+            pack_sequences(df, budget=budget).collect(), key=lambda r: r["doc_id"]
+        )
+        fill = {}
+        for r in out:
+            fill.setdefault(r["bin"], []).append(r["n_tok"])
+        assert sorted(fill) == list(range(len(fill)))  # bins are 0..k contiguous
+        for b in sorted(fill)[1:]:
+            # first doc of bin b did not fit into bin b-1
+            assert sum(fill[b - 1]) + fill[b][0] > budget
+        for b, ns in fill.items():
+            assert sum(ns) <= budget or len(ns) == 1
+
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=80), min_size=1, max_size=20),
+        chunk=st.integers(min_value=2, max_value=24),
+        stride_delta=st.integers(min_value=0, max_value=10),
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_chunk_property_coverage_and_reconstruction(spark, lens, chunk, stride_delta):
+        """Property: with stride <= width every token index is covered, chunk
+        texts are exact token slices, and concatenating stride-aligned chunk
+        prefixes reconstructs the document."""
+        from dumpr_spark.functions.chunking import chunk_documents
+
+        stride = max(1, chunk - stride_delta)
+        docs = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+        toks = {i: d.split(" ") for i, d in docs}
+        covered = {i: set() for i, _ in docs}
+        for r in out:
+            want = toks[r["doc_id"]][r["start"] - 1 : r["start"] - 1 + chunk]
+            assert r["chunk_text"].split(" ") == want
+            covered[r["doc_id"]].update(range(r["start"], r["start"] + r["n_tokens"]))
+        for i, n in enumerate(lens):
+            assert covered[i] == set(range(1, n + 1)), f"doc {i} gap"
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass

@@ -795,3 +795,181 @@ def agg_bool(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H classics (adapted to the testdata's column subset)
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (o_orderpriority stands in for o_shippriority): two FK
+    joins with selective filters on both fact and dims, aggregate, top-10.
+    Catalyst broadcasts the filtered customer dim; the orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition heap, no full sort)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5: six-table star with the customer-nation == supplier-nation
+    constraint. The region/nation/supplier dims broadcast; the only big
+    shuffle is lineitem->orders, and the final n_name aggregate combines
+    map-side to |nations| rows."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice * l_discount)) AS BIGINT) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate pushes to the
+    parquet scan, the aggregate is a single partial+final pair, zero joins.
+    The canonical 'is the scan path efficient' probe."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "agg_stats_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*)::DOUBLE AS n,
+             SUM(l_quantity) AS s1, SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             ROUND(stddev_samp(l_quantity) + 1e-9, 4) AS sd_qty,
+             ROUND(var_samp(l_quantity) + 1e-9, 4) AS var_qty,
+             ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qty_price,
+             ROUND(covar_samp(l_quantity, l_discount) + 1e-9, 6) AS covar_qty_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, sd_qty, var_qty, corr_qty_price, covar_qty_disc,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5) + 1e-9, 4) AS skew_qty
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark, sf_dir):
+    """Statistical-moment aggregate family: stddev/variance/corr/covar via
+    the identical-definition builtins, skewness via raw power sums (Spark's
+    and DuckDB's skewness/kurtosis builtins apply different bias
+    corrections, so the moment algebra is spelled out — same single-pass
+    partial+final aggregation either way)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        eps_round(F.stddev_samp(q), 4).alias("sd_qty"),
+        eps_round(F.var_samp(q), 4).alias("var_qty"),
+        eps_round(F.corr(q, F.col("l_extendedprice")), 4).alias("corr_qty_price"),
+        eps_round(F.covar_samp(q, F.col("l_discount")), 6).alias("covar_qty_disc"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    return grouped.select(
+        "l_returnflag", "sd_qty", "var_qty", "corr_qty_price", "covar_qty_disc",
+        eps_round(m3 / F.pow(m2, 1.5), 4).alias("skew_qty"),
+    ).orderBy("l_returnflag")

@@ -615,3 +615,58 @@ def test_merge_sink_recovers_from_crash_between_renames(spark, tmp_path):
     got = sorted(r["id"] for r in sink.read_state().collect())
     assert got == ["1", "2", "3"]
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_streaming_incremental_rollup(spark, tmp_path):
+    """Streaming minute rollup maintained incrementally across restarts:
+    batch 2 revises a window batch 1 already wrote (late-but-in-watermark
+    data), adds a new day, and the persisted state equals the batch
+    recomputation at minute AND hour grain. Only the touched day partitions
+    are rewritten by batch 2."""
+    import os
+
+    from dumpr_spark.streaming.rollup import read_rollup, start_rollup_stream
+
+    src = str(tmp_path / "ev")
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).json(src)
+        q, sink = start_rollup_stream(spark, stream, state, ckpt)
+        q.awaitTermination(120)
+        return sink
+
+    write_events(src, [
+        {"ts": "2026-01-01T00:01:10Z", "event_type": "click", "value": 1.0},
+        {"ts": "2026-01-01T00:01:40Z", "event_type": "click", "value": 2.0},
+        {"ts": "2026-01-01T00:02:05Z", "event_type": "view", "value": 5.0},
+    ])
+    sink = run()
+    got1 = {(r["event_type"], str(r["bucket"])): (r["n"], r["sv"])
+            for r in read_rollup(sink, "minute").collect()}
+    assert got1[("click", "2026-01-01 00:01:00")] == (2, 3.0)
+    assert got1[("view", "2026-01-01 00:02:00")] == (1, 5.0)
+    assert [d for d in os.listdir(state) if d.startswith("tbl=")] == ["tbl=rollup_20260101"]
+
+    # batch 2: revise the 00:01 click window (+4.0) and open a new day
+    write_events(src, [
+        {"ts": "2026-01-01T00:01:55Z", "event_type": "click", "value": 4.0},
+        {"ts": "2026-01-02T09:30:10Z", "event_type": "click", "value": 7.0},
+    ], file_name="part-001.json")
+    sink = run()
+
+    got2 = {(r["event_type"], str(r["bucket"])): (r["n"], r["sv"])
+            for r in read_rollup(sink, "minute").collect()}
+    assert got2[("click", "2026-01-01 00:01:00")] == (3, 7.0)  # revised, not doubled
+    assert got2[("view", "2026-01-01 00:02:00")] == (1, 5.0)   # untouched window carried
+    assert got2[("click", "2026-01-02 09:30:00")] == (1, 7.0)  # new day partition
+    assert set(os.listdir(state)) >= {"tbl=rollup_20260101", "tbl=rollup_20260102"}
+
+    hour = {(r["event_type"], str(r["bucket"])): (r["n"], r["sv"])
+            for r in read_rollup(sink, "hour").collect()}
+    assert hour[("click", "2026-01-01 00:00:00")] == (3, 7.0)
+    assert hour[("view", "2026-01-01 00:00:00")] == (1, 5.0)
+    assert hour[("click", "2026-01-02 09:00:00")] == (1, 7.0)

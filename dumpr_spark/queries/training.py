@@ -331,6 +331,66 @@ def join_range_bucketed(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Model-based quality scoring
+# --------------------------------------------------------------------------
+
+# Fixed, documented linear-model coefficients: training happens offline
+# (functions/quality_model.py:train_quality_model, exercised in tests); the
+# scoring plan only ever sees constants, which is what makes it a narrow
+# codegen projection AND bit-reproducible in the oracle.
+_QM_W = {"log_tokens": 0.8, "mean_tok_len": -0.5, "distinct_ratio": 2.0, "stop_density": 3.0}
+_QM_B = -2.0
+
+@query(
+    "text_quality_model",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             ln(len(string_split(text, ' ')) + 1.0) AS log_tokens,
+             list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS DOUBLE)))
+               / len(string_split(text, ' ')) AS mean_tok_len,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             len(list_intersect(string_split(text, ' '), ['the','of','and','a','to'])) * 1.0
+               / len(string_split(text, ' ')) AS stop_density
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -2.0 + 0.8 * log_tokens + (-0.5) * mean_tok_len
+                  + 2.0 * distinct_ratio + 3.0 * stop_density AS z
+      FROM f
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)) + 1e-9, 6) AS quality_score
+    FROM z WHERE z > 0 ORDER BY doc_id
+    """,
+    tags=("training", "quality", "model"),
+)
+def text_quality_model(spark, sf_dir):
+    """Learned quality filter: sigmoid(w . heuristic-features + b) with fixed
+    coefficients (functions/quality_model.py). The keep decision filters on
+    the LOGIT (z > 0 == score > 0.5) so the cross-engine comparison never
+    sits on an exp() rounding boundary; scoring is one whole-stage-codegen
+    projection — the 100 TB shape for model-based filtering."""
+    from dumpr_spark.functions.quality_model import feature_columns
+
+    d = t(spark, sf_dir, "documents")
+    feats = feature_columns("text")
+    z = F.lit(_QM_B)
+    for name in ("log_tokens", "mean_tok_len", "distinct_ratio", "stop_density"):
+        z = z + F.lit(_QM_W[name]) * feats[name]
+    scored = d.select("doc_id", z.alias("z"))
+    return (
+        scored.where(F.col("z") > 0)
+        .select(
+            "doc_id",
+            eps_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation pipeline
 # --------------------------------------------------------------------------
 

@@ -163,3 +163,29 @@ try:
             assert covered[i] == set(range(1, n + 1)), f"doc {i} gap"
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_quality_model_train_and_score(spark):
+    """Train a LogisticRegression on a separable synthetic labeling (gibberish
+    = repeated single token vs natural-ish text), then score with the pure-
+    expression path: the learned weights must separate the classes."""
+    from dumpr_spark.functions.quality_model import (
+        score_quality, train_quality_model,
+    )
+
+    good = [
+        (i, "the quick brown fox jumps over a lazy dog and runs to the hills " * 3, 1.0)
+        for i in range(40)
+    ]
+    bad = [(100 + i, "spam " * 60, 0.0) for i in range(40)]
+    df = spark.createDataFrame(good + bad, "doc_id long, text string, label double")
+    weights, b = train_quality_model(df)
+    scored = df.select(
+        "label", score_quality("text", weights, b).alias("s")
+    ).collect()
+    mean_good = sum(r["s"] for r in scored if r["label"] == 1.0) / 40
+    mean_bad = sum(r["s"] for r in scored if r["label"] == 0.0) / 40
+    assert mean_good > 0.9 and mean_bad < 0.1, (mean_good, mean_bad)
+
+    with pytest.raises(ValueError, match="unknown feature"):
+        score_quality("text", {"nope": 1.0}, 0.0)

@@ -973,3 +973,61 @@ def agg_stats_moments(spark, sf_dir):
         "l_returnflag", "sd_qty", "var_qty", "corr_qty_price", "covar_qty_disc",
         eps_round(m3 / F.pow(m2, 1.5), 4).alias("skew_qty"),
     ).orderBy("l_returnflag")
+
+
+@query("agg_hll_mergeable", None, tags=("agg", "sketch", "rows-only"))
+def agg_hll_mergeable(spark, sf_dir):
+    """Mergeable HLL sketch rollup (rows-only: sketch bits are
+    engine-specific): per-day distinct-user sketches are built ONCE, then
+    the month estimate comes from `hll_union_agg` over the day sketches —
+    never re-scanning raw data. This is the 100 TB pattern for distinct
+    counts: daily jobs persist tiny sketches, any time range unions them.
+    The exact count rides along; tests pin |est-exact|/exact < 5% and that
+    merged-sketch estimates equal the single-pass sketch estimate."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select("event_type", "est_users", "exact_users")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_try_errors",
+    """
+    SELECT p_partkey,
+           TRY_CAST(CASE WHEN p_partkey % 3 = 0 THEN 'x' || p_partkey::VARCHAR
+                         ELSE p_partkey::VARCHAR END AS BIGINT) AS parsed,
+           ROUND(CASE WHEN p_partkey % 5 = 0 THEN NULL
+                      ELSE 100.0 / (p_partkey % 5) END + 1e-9, 4) AS ratio,
+           CASE WHEN p_partkey % 2 = 1 THEN NULL
+                ELSE 9223372036854775807 END AS sum_guarded
+    FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+    """,
+    tags=("scalar", "errors"),
+)
+def scalar_try_errors(spark, sf_dir):
+    """Error-safe scalar family (`try_*`): malformed parses, division by
+    zero, and int64 overflow become NULL instead of task failures — the
+    difference between one bad row killing a 100 TB job and a NULL you can
+    route to the dead-letter channel (R20's batch-scalar analog). The
+    oracle spells out the equivalent guards DuckDB needs explicitly."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    numstr = F.when(
+        F.col("p_partkey") % 3 == 0, F.concat(F.lit("x"), F.col("p_partkey").cast("string"))
+    ).otherwise(F.col("p_partkey").cast("string"))
+    return p.select(
+        "p_partkey",
+        F.try_to_number(numstr, F.lit("999999")).cast("long").alias("parsed"),
+        eps_round(F.try_divide(F.lit(100.0), F.col("p_partkey") % 5), 4).alias("ratio"),
+        F.try_add(F.lit(9223372036854775807), F.col("p_partkey") % 2).alias("sum_guarded"),
+    ).orderBy("p_partkey")

@@ -189,3 +189,28 @@ def test_quality_model_train_and_score(spark):
 
     with pytest.raises(ValueError, match="unknown feature"):
         score_quality("text", {"nope": 1.0}, 0.0)
+
+
+def test_hll_mergeable_accuracy_and_merge_equivalence(spark, sf_dir):
+    """Mergeable-sketch contract: (a) union-of-daily-sketch estimates are
+    within 5% of exact distinct counts; (b) merging partial sketches gives
+    the SAME estimate as one sketch over all rows (lossless union)."""
+    from dumpr_spark.queries import REGISTRY
+    from dumpr_spark.sources.files import load_table
+
+    rows = REGISTRY["agg_hll_mergeable"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_users"] - r["exact_users"]) / r["exact_users"] < 0.05, dict(r)
+
+    e = load_table(spark, sf_dir, "events")
+    single = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    merged = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+        .first()["est"]
+    )
+    assert single == merged

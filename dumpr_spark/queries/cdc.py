@@ -44,31 +44,69 @@ _CHANGES_CTE = """
 
 def _synthetic_changes(spark, sf_dir) -> DataFrame:
     """Spark side of the identical synthetic stream, in envelope shape
-    (content = JSON row image, as the real CDC path produces)."""
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
-    base = snapshot_to_changes(
-        o, "orders", "o_orderkey", seq=F.col("o_orderkey") * 3
+    (content = JSON row image, as the real CDC path produces).
+
+    Built from ONE scan of orders: each row emits its 1-3 envelope variants
+    (base upsert / %5 update / %7 delete) as an array a single explode
+    flattens. Row-multiset-identical to the previous three-scan
+    union-of-`snapshot_to_changes` formulation (that true snapshot path is
+    still exercised by `cdc_envelope_shape` and the engine tests) but reads
+    and JSON-encodes the table once instead of three times."""
+    # the sf-dir table is one compact parquet file = one input partition;
+    # fan rows across the cluster BEFORE the per-row JSON encoding and
+    # 1-3x explode (same pre-multiplication repartition as minhash shingling
+    # — a no-op cost when the input is already many splits)
+    n_parts = spark.sparkContext.defaultParallelism
+    o = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition(n_parts)
+    )
+    k = F.col("o_orderkey")
+
+    def env(op, content, ts, nfile, npos, seq):
+        return F.struct(
+            op.alias("op"),
+            F.lit("orders").alias("tbl"),
+            k.cast("string").alias("id"),
+            content.alias("content"),
+            ts.alias("ts"),
+            nfile.alias("next_file"),
+            npos.alias("next_position"),
+            seq.cast("long").alias("seq"),
+        )
+
+    null_ts = F.lit(None).cast("timestamp")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    base = env(
+        F.lit("upsert"),
+        F.to_json(F.struct(k, F.col("o_totalprice"), F.col("o_orderstatus"))),
+        null_ts, null_s, null_l, k * 3,
     )
     # *2 keeps the price on the 2-decimal lattice => cross-engine ROUND is
     # boundary-free (a 1.1 multiplier would create .xx5 values where Spark's
     # decimal-repr HALF_UP and DuckDB's binary round can disagree)
-    updated = o.where(F.col("o_orderkey") % 5 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
+    update = F.when(
+        k % 5 == 0,
+        env(
+            F.lit("upsert"),
+            F.to_json(F.struct(
+                k, (F.col("o_totalprice") * 2).alias("o_totalprice"), F.col("o_orderstatus")
+            )),
+            null_ts, null_s, null_l, k * 3 + 1,
+        ),
     )
-    updates = snapshot_to_changes(
-        updated, "orders", "o_orderkey", seq=F.col("o_orderkey") * 3 + 1
+    delete = F.when(
+        k % 7 == 0,
+        env(
+            F.lit("delete"), null_s,
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("binlog.000001"), (k * 3 + 2).cast("long"), k * 3 + 2,
+        ),
     )
-    deletes = o.where(F.col("o_orderkey") % 7 == 0).select(
-        F.lit("delete").alias("op"),
-        F.lit("orders").alias("tbl"),
-        F.col("o_orderkey").cast("string").alias("id"),
-        F.lit(None).cast("string").alias("content"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
-        F.lit("binlog.000001").alias("next_file"),
-        (F.col("o_orderkey") * 3 + 2).cast("long").alias("next_position"),
-        (F.col("o_orderkey") * 3 + 2).cast("long").alias("seq"),
-    )
-    return base.unionByName(updates).unionByName(deletes)
+    variants = F.filter(F.array(base, update, delete), lambda x: x.isNotNull())
+    return o.select(F.explode(variants).alias("e")).select("e.*")
 
 
 @query(

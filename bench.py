@@ -48,11 +48,12 @@ def main():
     # warm the JVM + parquet footers so q1 doesn't pay session startup
     REGISTRY["agg_global"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two passes, report min: pass 1 pays JIT/codegen compilation, pass 2 is
-    # the steady-state cost a long-running cluster actually sees
+    # three passes, report min: pass 1 pays JIT/codegen compilation, later
+    # passes are the steady-state cost a long-running cluster actually sees
+    # (min-of-3 also damps same-box load noise, which measured +-15% here)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for rnd in range(2):
+    for rnd in range(3):
         for name in HEADLINE:
             q = REGISTRY[name]
             t0 = time.time()

@@ -176,3 +176,60 @@ def events_funnel(spark, sf_dir):
         F.when(full, 3).when(two, 2).when(F.col("first_view").isNotNull(), 1)
         .otherwise(0).alias("funnel_stage"),
     ).orderBy("user_id")
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS s_start, MAX(ts) AS s_end,
+           CAST(floor(date_part('epoch', MAX(ts))) - floor(date_part('epoch', MIN(ts)))
+                AS BIGINT) AS dur_sec
+    FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+    """,
+    tags=("streaming", "session", "batch"),
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization, the lag -> boundary-flag -> running-sum
+    classic: a 30-min silence starts a new session per user. Every window is
+    partitioned by user_id (no global order anywhere), so the whole op is one
+    shuffle on the session key; equal-timestamp ties are assignment-invariant
+    (gap 0 regardless of tie order), which is what makes the cross-engine
+    comparison exact. Complements `stream_session_window`
+    (session_window/gap semantics under streaming watermarks) with the form
+    that also yields session ORDINALS."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id", "ts",
+        F.when(gap_sec.isNull() | (gap_sec > 30 * 60), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.withColumn("session_idx", F.sum("new_s").over(run))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long").alias("dur_sec"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

@@ -102,3 +102,39 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ceil(bytes / target) files and atomically swap it in. Returns the new
+    file count.
+
+    The operational tail of every streaming sink: micro-batches accumulate
+    many small files, and at 100 TB scan cost is driven by file count
+    (footer reads, task scheduling) as much as bytes. Run out-of-band, same
+    swap discipline as MergeSink (write aside, rename, drop old)."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    bak = path.rstrip("/") + ".compact-bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return n_files

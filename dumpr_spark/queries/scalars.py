@@ -415,3 +415,46 @@ def source_jsonl_scan(spark, sf_dir):
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "scalar_higher_order",
+    """
+    WITH base AS (
+      SELECT p_partkey, generate_series(1, p_size % 8 + 3) AS arr
+      FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           list_filter(arr, x -> x % 2 = 0) AS evens,
+           len(list_filter(arr, x -> x > 5)) > 0 AS has_big,
+           len(list_filter(arr, x -> NOT (x < 9))) = 0 AS all_small,
+           list_transform(arr, (x, i) -> x * arr[len(arr) - i + 1]) AS prods,
+           list_transform(arr, (x, i) -> x * i) AS idx_weighted,
+           CAST(list_reduce(arr, (a, x) -> a + x) AS BIGINT) AS total
+    FROM base ORDER BY p_partkey
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_higher_order(spark, sf_dir):
+    """Higher-order array functions (lambda surface): filter / exists /
+    forall / zip_with / transform-with-index / fold. All JVM lambda
+    expressions inside whole-stage codegen — the building blocks the dedup
+    and winnowing operators compose. Index bases differ (Spark 0-based,
+    DuckDB 1-based) and Spark's fold takes an init where DuckDB's starts at
+    element 1 — the formulations below reconcile both."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    base = p.select(
+        "p_partkey", F.sequence(F.lit(1), F.col("p_size") % 8 + 3).alias("arr")
+    )
+    arr = F.col("arr")
+    return base.select(
+        "p_partkey",
+        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        F.exists(arr, lambda x: x > 5).alias("has_big"),
+        F.forall(arr, lambda x: x < 9).alias("all_small"),
+        F.zip_with(arr, F.reverse(arr), lambda a, b: a * b).alias("prods"),
+        F.transform(arr, lambda x, i: x * (i + 1)).alias("idx_weighted"),
+        F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1), F.element_at(arr, 1), lambda a, x: a + x
+        ).cast("long").alias("total"),
+    ).orderBy("p_partkey")

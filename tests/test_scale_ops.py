@@ -149,3 +149,47 @@ def test_asof_join_tolerance(spark):
     tight = asof_join(trades, quotes, "sym", "t", "qt", tolerance="1 HOUR").first()
     assert loose["bid"] == 9.9
     assert tight["bid"] is None  # 2h-old quote outside the 1h tolerance
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    import os
+
+    from dumpr_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(path)
+    files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert files_before >= 32
+    n = compact_small_files(spark, path, target_file_mb=128)
+    assert n == 1
+    files_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert files_after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * (9999 * 10_000 // 2)
+
+
+def test_plan_shapes_training_ops(spark, sf_dir):
+    """Plan-shape assertions for the training ops' scale claims: chunking is
+    shuffle-free; the curation pipeline has exactly one data shuffle (the
+    dedup groupBy) before its presentation sort; the bucketed range join
+    contains no nested-loop join."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+    from dumpr_spark.sources.files import load_table
+
+    from dumpr_spark.functions.chunking import chunk_documents
+
+    chunk_plan = explain_str(
+        chunk_documents(load_table(spark, sf_dir, "documents")), "simple"
+    )
+    assert "Exchange" not in chunk_plan
+
+    pipe_plan = explain_str(REGISTRY["pipeline_curation"].fn(spark, sf_dir), "simple")
+    data_exchanges = pipe_plan.count("Exchange hashpartitioning")
+    assert data_exchanges == 1, pipe_plan
+
+    rj_plan = explain_str(REGISTRY["join_range_bucketed"].fn(spark, sf_dir), "simple")
+    assert "NestedLoop" not in rj_plan, rj_plan

@@ -448,6 +448,95 @@ def pipeline_curation(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_keep_best",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+    ),
+    scored AS (
+      SELECT doc_id, md5(text) AS h,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS dr
+      FROM corpus
+    )
+    SELECT arg_max(doc_id, dr + 1e-12 * doc_id) AS doc_id
+    FROM scored GROUP BY h ORDER BY doc_id
+    """,
+    tags=("training", "dedup"),
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup: among exact copies keep the copy with the
+    best quality signal (here lexical diversity), not the smallest id —
+    what a curation pipeline actually wants when duplicates differ in
+    metadata/provenance. Same single map-side-combining groupBy as min-id
+    dedup (`max_by(id, score)`); the deterministic id tiebreak makes the
+    choice reproducible (exact copies tie on every content-derived score
+    by construction)."""
+    corpus = _dup_corpus(spark, sf_dir, near=False)
+    toks = F.split(F.col("text"), " ")
+    dr = F.size(F.array_distinct(toks)) / F.size(toks)
+    scored = corpus.select(
+        "doc_id", F.md5("text").alias("h"),
+        (dr + F.lit(1e-12) * F.col("doc_id")).alias("score"),
+    )
+    return (
+        scored.groupBy("h")
+        .agg(F.max_by("doc_id", "score").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    n_total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+    freq AS (
+      SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok
+    ),
+    scored AS (
+      SELECT t.doc_id, ln(f.c / (SELECT n FROM n_total)) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok
+    )
+    SELECT doc_id, ROUND(AVG(lp) + 1e-9, 4) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("training", "quality", "lm"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM scoring (the KenLM-perplexity-filter proxy): corpus token
+    frequencies -> per-token log-probability -> per-doc average. Two-phase
+    at scale: the frequency table is Zipf-small relative to the corpus, so
+    phase 2 is a BROADCAST join against the token explode — the 100 TB side
+    shuffles only for the final per-doc average, which map-side-combines.
+    Out-of-vocab is impossible by construction here (model == corpus); a
+    held-out model would coalesce to a floor probability."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            eps_round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Token accounting
 # --------------------------------------------------------------------------

@@ -1031,3 +1031,37 @@ def scalar_try_errors(spark, sf_dir):
         eps_round(F.try_divide(F.lit(100.0), F.col("p_partkey") % 5), 4).alias("ratio"),
         F.try_add(F.lit(9223372036854775807), F.col("p_partkey") % 2).alias("sum_guarded"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "join_lateral_topk",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 500
+    ORDER BY c_custkey, o_orderkey
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL join (per-customer top-2 orders by price): the SQL
+    idiom for dependent per-row subqueries. Catalyst decorrelates it into a
+    ranked window join — same physical plan family as `win_topk_per_group`,
+    no per-row re-execution — which is exactly why the declarative form is
+    safe at 100 TB where a nested-loop lateral would not be. Deterministic
+    tie-break on o_orderkey keeps the LIMIT stable across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 500
+        ORDER BY c_custkey, o_orderkey
+        """
+    )

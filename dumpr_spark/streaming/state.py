@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BooleanType, LongType, StringType, StructField, StructType,
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 TX_OUT_SCHEMA = StructType(
@@ -130,3 +130,61 @@ try:  # transformWithState is the Spark 4.x arbitrary-state API
 
 except ImportError:  # pragma: no cover - pre-4.0 Spark
     streaming_tx_filter_tws = None
+
+
+# --------------------------------------------------------------------------
+# Stateful EWMA anomaly scoring
+# --------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("seq", LongType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("ewma", DoubleType(), True),
+        StructField("is_anomaly", BooleanType(), True),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("mean", DoubleType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def ewma_anomalies(
+    events: DataFrame, alpha: float = 0.3, threshold: float = 3.0, warmup: int = 3
+) -> DataFrame:
+    """Per-key streaming EWMA anomaly flagging (`applyInPandasWithState`).
+
+    State per user is TWO scalars (running EWMA + count) — constant memory
+    per key no matter the stream length, the property that makes arbitrary
+    stateful ops survive at key cardinality x stream length scale. Rows are
+    folded in `seq` order within each micro-batch; a value deviating from
+    the pre-update EWMA by more than `threshold` x the EWMA's magnitude
+    (after `warmup` observations) flags. Pure-python fold over Arrow
+    batches; deterministic given per-key ordered seq, so the batch oracle
+    in tests is an exact replay."""
+
+    def fold(key, pdfs, state):
+        mean, n = (state.get if state.exists else (0.0, 0))
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        out = []
+        for r in rows.itertuples(index=False):
+            v = float(r.value)
+            anomalous = bool(n >= warmup and abs(v - mean) > threshold * max(abs(mean), 1e-9))
+            mean = v if n == 0 else alpha * v + (1 - alpha) * mean
+            n += 1
+            out.append((int(r.user_id), int(r.seq), v, mean, anomalous))
+        state.update((mean, n))
+        yield pd.DataFrame(out, columns=[f.name for f in EWMA_OUT_SCHEMA.fields])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

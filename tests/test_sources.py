@@ -110,3 +110,34 @@ def test_jdbc_partitioned_snapshot_against_embedded_derby(spark, tmp_path):
     changes = snapshot_to_changes(df, "widgets", "ID")
     row = changes.where(F.col("id") == "42").first()
     assert row["op"] == "upsert" and json.loads(row["content"])["NAME"] == "w42"
+
+
+def test_corrupt_json_routes_to_dead_letter(spark, tmp_path):
+    """PERMISSIVE scan with columnNameOfCorruptRecord: malformed lines land in
+    the corrupt column with the raw text preserved (the batch analog of the
+    in-band error channel R20) instead of failing the scan or silently
+    vanishing — one bad line in a 100 TB feed must not kill the job."""
+    import os
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "data.json"), "w") as f:
+        f.write('{"a": 1, "b": "ok"}\n')
+        f.write('{"a": oops not json\n')
+        f.write('{"a": 3, "b": "fine"}\n')
+
+    df = (
+        spark.read.schema("a long, b string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(src)
+    ).cache()  # Spark disallows filtering on ONLY the corrupt column uncached
+    try:
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert {r["a"] for r in good.collect()} == {1, 3}
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1
+        assert "oops" in bad_rows[0]["_corrupt_record"]  # raw line preserved
+    finally:
+        df.unpersist()

@@ -670,3 +670,48 @@ def test_streaming_incremental_rollup(spark, tmp_path):
     assert hour[("click", "2026-01-01 00:00:00")] == (3, 7.0)
     assert hour[("view", "2026-01-01 00:00:00")] == (1, 5.0)
     assert hour[("click", "2026-01-02 09:00:00")] == (1, 7.0)
+
+
+def test_streaming_ewma_anomaly_state_across_batches(spark, tmp_path):
+    """Per-key EWMA state carries across micro-batches (maxFilesPerTrigger=1
+    forces one batch per file): a flat series then a spike in a LATER batch
+    flags exactly once, and the streamed fold equals a sequential replay."""
+    from dumpr_spark.streaming.state import ewma_anomalies
+
+    src = str(tmp_path / "ev")
+    batch1 = [{"user_id": 1, "seq": i, "value": 10.0 + (i % 2) * 0.2} for i in range(6)]
+    batch1 += [{"user_id": 2, "seq": i, "value": 5.0} for i in range(4)]
+    write_events(src, batch1, file_name="b1.json")
+    # batch 2: user 1 spikes; user 2 stays flat - state must have persisted
+    write_events(src, [
+        {"user_id": 1, "seq": 10, "value": 500.0},
+        {"user_id": 1, "seq": 11, "value": 10.0},
+        {"user_id": 2, "seq": 10, "value": 5.0},
+    ], file_name="b2.json")
+
+    stream = (
+        spark.readStream.schema("user_id long, seq long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        ewma_anomalies(stream)
+        .writeStream.format("memory").queryName("ewma_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["seq"]): (r["ewma"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM ewma_t").collect()
+    }
+    assert len(got) == 13
+    flat_keys = [(1, i) for i in range(6)] + [(2, i) for i in range(4)]
+    assert not any(got[k][1] for k in flat_keys)  # flat series: nothing flags
+    assert got[(1, 10)][1] is True      # the spike flags
+    assert got[(2, 10)][1] is False     # flat user unaffected
+    # python replay oracle for user 1 ewma after the spike
+    mean, n = 0.0, 0
+    for v in [10.0, 10.2, 10.0, 10.2, 10.0, 10.2, 500.0, 10.0]:
+        mean = v if n == 0 else 0.3 * v + 0.7 * mean
+        n += 1
+    assert abs(got[(1, 11)][0] - mean) < 1e-9

@@ -1065,3 +1065,34 @@ def join_lateral_topk(spark, sf_dir):
         ORDER BY c_custkey, o_orderkey
         """
     )
+
+
+@query(
+    "reshape_unpivot",
+    """
+    SELECT c_custkey, metric, val
+    FROM (
+      UNPIVOT (SELECT c_custkey,
+                      CAST(c_acctbal AS DOUBLE) AS acctbal,
+                      CAST(c_nationkey AS DOUBLE) AS nationkey
+               FROM customer WHERE c_custkey <= 500)
+      ON acctbal, nationkey INTO NAME metric VALUE val
+    )
+    ORDER BY c_custkey, metric
+    """,
+    tags=("reshape", "unpivot"),
+)
+def reshape_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (wide -> long), the inverse of `agg_pivot`: each input
+    row fans to one row per measure column. Narrow generate op (an explode
+    over column literals, no shuffle) — the standard pre-step before
+    per-metric windowing or plotting exports."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        ["c_custkey"], ["acctbal", "nationkey"], "metric", "val"
+    ).orderBy("c_custkey", "metric")

@@ -233,3 +233,52 @@ def events_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@query(
+    "events_ewma",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, value, rn, value AS ewma FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.value, b.rn, 0.3 * b.value + 0.7 * r.ewma
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ROUND(ewma + 1e-9, 6) AS ewma
+    FROM rec ORDER BY user_id, event_id
+    """,
+    tags=("streaming", "stateful", "batch"),
+)
+def events_ewma(spark, sf_dir):
+    """Batch EWMA per user (the batch twin of streaming/state.ewma_anomalies):
+    a running exponential average is inherently sequential per key, so the
+    Spark form is a per-key Arrow `applyInPandas` fold (one shuffle on
+    user_id, python only inside each group's Arrow batch) — the same
+    stratified-sequential shape as `pack_sequences` — while the oracle walks
+    identical order with a recursive CTE. The closed-form window formulation
+    is rejected on purpose: (1-a)^(-rn) overflows/obliterates precision past
+    a few thousand rows per key."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ewma, out = None, []
+        for v in pdf["value"]:
+            ewma = float(v) if ewma is None else 0.3 * float(v) + 0.7 * ewma
+            out.append(ewma)
+        pdf = pdf.assign(ewma=out)
+        return pdf[["user_id", "event_id", "ewma"]]
+
+    folded = e.groupBy("user_id").applyInPandas(
+        fold, "user_id long, event_id long, ewma double"
+    )
+    return folded.select(
+        "user_id", "event_id", eps_round(F.col("ewma"), 6).alias("ewma")
+    ).orderBy("user_id", "event_id")

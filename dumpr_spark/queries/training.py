@@ -578,3 +578,75 @@ def text_token_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_markup_strip",
+    """
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><body><p id="d' || doc_id || '">' || text || '</p></body></html>' AS html
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean,
+           length(html) - length(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))) AS removed
+    FROM wrapped ORDER BY doc_id
+    """,
+    tags=("training", "text", "boilerplate"),
+)
+def text_markup_strip(spark, sf_dir):
+    """Markup/boilerplate stripping — the first transform of every web-crawl
+    curation pipeline: kill tags, collapse whitespace, measure what was
+    removed (a boilerplate-ratio quality signal). Pure JVM regexp in
+    whole-stage codegen; the html wrapper is synthesized deterministically
+    so both engines strip the identical input."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit('<html><body><p id="d'), F.col("doc_id").cast("string"), F.lit('">'),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    clean = F.trim(F.regexp_replace(F.regexp_replace(html, "<[^>]*>", " "), " +", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        (F.length(html) - F.length(clean)).alias("removed"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "scalar_url_parse",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/' || doc_id
+               || '?ref=crawl&page=' || (doc_id % 7) AS url
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'page=([0-9]+)', 1) AS page
+    FROM urls ORDER BY doc_id
+    """,
+    tags=("training", "scalar", "url"),
+)
+def scalar_url_parse(spark, sf_dir):
+    """URL decomposition (provenance extraction for crawl curation):
+    host / path / query-param pulls. Spark side uses the dedicated
+    `parse_url` expression (JVM, codegen); DuckDB has no URL functions, so
+    the oracle is the regexp formulation — same outputs, which is itself
+    the compatibility check for the regex fallback an engine without
+    parse_url would use."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl&page="), (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+    ).orderBy("doc_id")

@@ -63,13 +63,15 @@ def chunk_documents(
     )
 
 
-def _greedy_pack(pdf: pd.DataFrame, budget: int, order_col: str) -> pd.DataFrame:
+def _greedy_pack(
+    pdf: pd.DataFrame, budget: int, order_col: str, tokens_col: str
+) -> pd.DataFrame:
     """Greedy first-fit-in-order packing of one stratum (driver of the
     applyInPandas pass below). A document larger than the whole budget gets a
     bin of its own (it is the caller's job to chunk oversized docs first)."""
     pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
     bins, fill, cur = [], 0, -1
-    for n in pdf["n_tok"]:
+    for n in pdf[tokens_col]:
         if cur < 0 or fill + n > budget:
             cur += 1
             fill = int(n)
@@ -105,7 +107,7 @@ def pack_sequences(
         F.col(tokens_col).cast("long"),
     )
     return slim.groupBy(stratum_col).applyInPandas(
-        lambda pdf: _greedy_pack(pdf, budget, id_col)[
+        lambda pdf: _greedy_pack(pdf, budget, id_col, tokens_col)[
             [stratum_col, id_col, tokens_col, "bin"]
         ],
         out_schema,

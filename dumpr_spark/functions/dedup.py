@@ -105,11 +105,11 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
                         max_bucket_size: int | None = None) -> DataFrame:
-    """Bucket self-join -> distinct candidate pairs (a < b).
+    """Bucket grouping -> distinct candidate pairs (a < b).
 
-    max_bucket_size guards the self-join against degenerate buckets: a bucket
-    of c docs yields c(c-1)/2 pairs, and on duplicate-heavy corpora identical
-    docs share ALL bands — one 10k-copy document is 50M pairs per band. Buckets
+    max_bucket_size guards against degenerate buckets: a bucket of c docs
+    yields c(c-1)/2 pairs, and on duplicate-heavy corpora identical docs
+    share ALL bands — one 10k-copy document is 50M pairs per band. Buckets
     over the cap are dropped (their members still pair via their other,
     smaller buckets, or should have been collapsed by the exact pre-pass —
     see minhash_lsh_pairs_scaled). None = no cap (exact oracle parity)."""
@@ -119,15 +119,29 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
     # shuffles in practice — measured 2x on the flagship query) and shuffles
     # the bands twice. Collecting each bucket's members into ONE sorted array
     # shuffles the bands once, evaluates the subtree once, and emits each
-    # bucket's c(c-1)/2 pairs with pure array transforms. The per-bucket
-    # array is the degenerate-bucket risk at scale, which is exactly what
-    # max_bucket_size bounds — production corpora use the capped scaled path
-    # (minhash_lsh_pairs_scaled); uncapped is the oracle-parity mode.
+    # bucket's c(c-1)/2 pairs with pure array transforms. The collected
+    # array is safe because over-cap buckets are COUNT-filtered out first
+    # (below) — production corpora use the capped scaled path
+    # (minhash_lsh_pairs_scaled); uncapped is the oracle-parity mode whose
+    # memory profile is the pair blowup itself.
+    if max_bucket_size is not None:
+        # Pre-filter over-cap buckets with a COUNT aggregate BEFORE any
+        # collect_list: counting is a cheap partial agg, while collecting a
+        # degenerate bucket would materialize its whole member array on one
+        # reducer — the exact blowup the cap exists to prevent. The
+        # checkpoint keeps the bands subtree from evaluating twice for the
+        # count pass and the semi-join.
+        bands = bands.localCheckpoint(eager=False)
+        ok = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        bands = bands.join(ok, ["band_idx", "band_key"], "left_semi")
     grouped = bands.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list(id_col)).alias("_ids")
     )
-    if max_bucket_size is not None:
-        grouped = grouped.where(F.size("_ids") <= max_bucket_size)
     ids = F.col("_ids")
     pairs = F.flatten(
         F.transform(
@@ -141,6 +155,9 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
     return (
         grouped.where(F.size("_ids") >= 2)
         .select(F.explode(pairs).alias("p"))
+        # strict < : duplicate (id, band) input rows sit adjacent in the
+        # sorted array and would otherwise emit a self-pair (x, x)
+        .where(F.col("p.a") < F.col("p.b"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )

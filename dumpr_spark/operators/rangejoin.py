@@ -44,15 +44,22 @@ def bucketed_interval_join(
     shape is inner-join -> aggregate -> left-join the aggregate back onto the
     intervals (see queries/training.py:join_range_bucketed).
     """
-    w = F.lit(bucket_seconds)
-    ev = events.withColumn("_bkt", (F.unix_timestamp(F.col(ts_col)) / w).cast("long"))
+    # bucket from MICROsecond epochs: unix_timestamp() truncates to seconds,
+    # which would drop events in an interval's final fractional second (an
+    # end of 01:00:00.5 must still list bucket 1 for an event at 01:00:00.2)
+    w_us = F.lit(bucket_seconds * 1_000_000)
+
+    def bkt(c):
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / w_us).cast("long")
+
+    ev = events.withColumn("_bkt", bkt(ts_col))
     # end is exclusive: an interval touching a bucket boundary exactly at its
     # end must not be listed in that bucket
     iv = intervals.withColumn(
         "_bkts",
         F.sequence(
-            (F.unix_timestamp(F.col(start_col)) / w).cast("long"),
-            ((F.unix_timestamp(F.col(end_col)) - 1) / w).cast("long"),
+            bkt(start_col),
+            F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / w_us).cast("long"),
         ),
     ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
     cond = (

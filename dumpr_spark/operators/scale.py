@@ -117,10 +117,18 @@ def compact_small_files(
     The operational tail of every streaming sink: micro-batches accumulate
     many small files, and at 100 TB scan cost is driven by file count
     (footer reads, task scheduling) as much as bytes. Run out-of-band, same
-    swap discipline as MergeSink (write aside, rename, drop old)."""
+    swap discipline as MergeSink (write aside, rename, drop old) including
+    torn-swap recovery: a crash between the two renames leaves only the
+    .compact-bak copy, restored here before anything reads. Local-FS rename
+    semantics — on an object store use a rename-free committer / table
+    format, same caveat as MergeSink (SCALE.md)."""
     import math
     import os
     import shutil
+
+    bak0 = path.rstrip("/") + ".compact-bak"
+    if not os.path.exists(path) and os.path.exists(bak0):
+        os.rename(bak0, path)
 
     total = 0
     for root, _dirs, files in os.walk(path):

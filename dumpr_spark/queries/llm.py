@@ -134,8 +134,8 @@ def _minhash_bands_cte(num_hashes: int = 8, band_size: int = 2, corpus: str = "c
     ),
     sh AS (
       SELECT doc_id,
-             ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14))::BIGINT AS h
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+             ('0x' || substr(md5(COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], array_to_string(tk, ' '))), 1, 14))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) g
     ),
     sig AS (
       SELECT doc_id,
@@ -187,8 +187,8 @@ def _cluster_oracle() -> str:
     ),
     sh AS (
       SELECT doc_id, i,
-             ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14))::BIGINT AS h
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+             ('0x' || substr(md5(COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], array_to_string(tk, ' '))), 1, 14))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) g
     ),
     hl AS (
       SELECT doc_id, list(h ORDER BY i) AS hs FROM sh GROUP BY doc_id
@@ -230,8 +230,8 @@ def text_winnow_fingerprints(spark, sf_dir):
     ),
     sh AS (
       SELECT doc_id, i,
-             ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14))::BIGINT AS h
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+             ('0x' || substr(md5(COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], array_to_string(tk, ' '))), 1, 14))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) g
     ),
     hl AS (
       SELECT doc_id, list(h ORDER BY i) AS hs FROM sh GROUP BY doc_id
@@ -404,9 +404,9 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id % 10 = 0
     ),
     sh AS (
-      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+      SELECT DISTINCT doc_id, COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], array_to_string(tk, ' ')) AS sh
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) toks,
-           LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) g
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -702,9 +702,9 @@ def text_pii_scrub(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n_grams,
              CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
       FROM (
-        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        SELECT doc_id, COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], array_to_string(tk, ' ')) AS g
         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
-             LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) s
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) s
       ) grams
       GROUP BY doc_id
     )

@@ -1033,9 +1033,9 @@ def scalar_try_errors(spark, sf_dir):
     ).orderBy("p_partkey")
 
 
-@query(
-    "join_lateral_topk",
-    """
+# one string, used verbatim as BOTH the Spark SQL and the DuckDB oracle —
+# the query is pure ANSI, so a single source prevents one-sided edits
+_LATERAL_TOPK_SQL = """
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
     FROM customer c,
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
@@ -1043,7 +1043,12 @@ def scalar_try_errors(spark, sf_dir):
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
     WHERE c.c_custkey <= 500
     ORDER BY c_custkey, o_orderkey
-    """,
+    """
+
+
+@query(
+    "join_lateral_topk",
+    _LATERAL_TOPK_SQL,
     tags=("join", "lateral"),
 )
 def join_lateral_topk(spark, sf_dir):
@@ -1054,17 +1059,7 @@ def join_lateral_topk(spark, sf_dir):
     safe at 100 TB where a nested-loop lateral would not be. Deterministic
     tie-break on o_orderkey keeps the LIMIT stable across engines."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM customer c,
-        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
-                 WHERE o.o_custkey = c.c_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        WHERE c.c_custkey <= 500
-        ORDER BY c_custkey, o_orderkey
-        """
-    )
+    return spark.sql(_LATERAL_TOPK_SQL)
 
 
 @query(

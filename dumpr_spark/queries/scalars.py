@@ -308,14 +308,14 @@ def source_csv_scan(spark, sf_dir):
     table is round-tripped through CSV with an explicit schema (inference is
     the anti-pattern at scale: a second full scan + type drift), then
     aggregated — results must equal the parquet-direct oracle."""
+    import os
     import tempfile
 
     from dumpr_spark.sources.files import read_csv
 
     src = t(spark, sf_dir, "nation")
-    # fresh private dir per invocation: a fixed shared path would race with
-    # concurrent harness runs (overwrite-while-read) and collide across users
-    path = tempfile.mkdtemp(prefix="dumpr_csv_nation_") + "/data"
+    # pid-keyed deterministic path + overwrite (see source_orc_scan)
+    path = os.path.join(tempfile.gettempdir(), f"dumpr_csv_nation_{os.getpid()}")
     src.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(spark, path, schema=src.schema)
     return (
@@ -369,10 +369,14 @@ def source_orc_scan(spark, sf_dir):
     customer table through ORC (Spark-native columnar alternative to
     parquet, same pushdown/pruning machinery) and aggregate — results must
     equal the parquet-direct oracle. snappy-by-default, schema preserved."""
+    import os
     import tempfile
 
     src = t(spark, sf_dir, "customer")
-    path = tempfile.mkdtemp(prefix="dumpr_orc_customer_") + "/data"
+    # pid-keyed deterministic path + overwrite: repeated invocations in one
+    # process (bench passes, oracle walks) reuse the same dir instead of
+    # leaking a fresh mkdtemp per call; the pid isolates concurrent runs
+    path = os.path.join(tempfile.gettempdir(), f"dumpr_orc_customer_{os.getpid()}")
     src.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (
@@ -399,12 +403,14 @@ def source_jsonl_scan(spark, sf_dir):
     round-trip supplier through newline-delimited JSON with an explicit
     schema (inference = a second full scan at 100 TB, never in a pipeline)
     and aggregate against the parquet-direct oracle."""
+    import os
     import tempfile
 
     from dumpr_spark.sources.files import read_json
 
     src = t(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="dumpr_json_supplier_") + "/data"
+    # pid-keyed deterministic path + overwrite (see source_orc_scan)
+    path = os.path.join(tempfile.gettempdir(), f"dumpr_json_supplier_{os.getpid()}")
     src.write.mode("overwrite").json(path)
     back = read_json(spark, path, schema=src.schema)
     return (

@@ -184,7 +184,7 @@ def events_funnel(spark, sf_dir):
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR floor(date_part('epoch', ts)) - floor(date_part('epoch', lag(ts) OVER w)) > 1800
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

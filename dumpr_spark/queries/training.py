@@ -96,13 +96,14 @@ def pack_sequences(spark, sf_dir):
 
 def _gram5_cte(src: str, out: str, distinct_docs: bool) -> str:
     """DuckDB 5-gram 56-bit hash CTE over (doc_id, text) CTE `src`."""
-    g = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]"
+    g = ("COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' "
+         "|| tk[i+4], array_to_string(tk, ' '))")
     cols = "doc_id, " if distinct_docs else ""
     return f"""
     {out} AS (
       SELECT DISTINCT {cols}('0x' || substr(md5({g}), 1, 14))::BIGINT AS g
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM {src}) b,
-           LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i) s
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS i) s
     )"""
 
 

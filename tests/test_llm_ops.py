@@ -269,3 +269,38 @@ def test_quality_columns_helper(spark):
     assert out[2]["distinct_ratio"] == 0.2  # heavy repetition
     assert out[1]["fingerprint"] != out[2]["fingerprint"]
     assert out[1]["mean_tok_len"] == 3.0  # (3+3+3+3+3)/5
+
+
+def test_short_doc_gram_oracle_fallback_matches_shingles(spark):
+    """A doc shorter than k tokens yields ONE whole-text shingle on the Spark
+    side (functions/dedup.shingles fallback); the DuckDB oracle formulation
+    (COALESCE(gram, array_to_string(tk, ' ')) over greatest(len-k+1, 1))
+    must produce the identical single gram."""
+    import duckdb
+
+    from dumpr_spark.functions.dedup import shingles
+
+    for text in ("solo", "two words"):
+        got = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(F.explode(shingles(F.col("text"), 3)).alias("sh"))
+            .collect()
+        )
+        spark_grams = [r["sh"] for r in got]
+        duck = duckdb.sql(
+            "SELECT COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], "
+            "array_to_string(tk, ' ')) AS g "
+            f"FROM (SELECT string_split('{text}', ' ') AS tk), "
+            "LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) s"
+        ).fetchall()
+        assert spark_grams == [r[0] for r in duck] == [text]
+
+
+def test_lsh_candidate_pairs_no_self_pairs_on_duplicate_band_rows(spark):
+    """Duplicate (doc_id, band) rows must not emit a (x, x) self-pair."""
+    from dumpr_spark.functions.dedup import lsh_candidate_pairs
+
+    rows = [(7, 0, "k"), (7, 0, "k"), (9, 0, "k")]
+    bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_key string")
+    got = {(r["a"], r["b"]) for r in lsh_candidate_pairs(bands).collect()}
+    assert got == {(7, 9)}

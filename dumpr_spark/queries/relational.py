@@ -1091,3 +1091,45 @@ def reshape_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["c_custkey"], ["acctbal", "nationkey"], "metric", "val"
     ).orderBy("c_custkey", "metric")
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*)::BIGINT AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_quantity, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_quantity) AS rnk
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+    FROM ranked WHERE rnk = 1 ORDER BY l_returnflag
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic MODE (most frequent value, smallest-value tiebreak).
+    Built as count-then-pick instead of the engines' mode() builtins, whose
+    tie behavior is unspecified and engine-divergent — the same reason
+    skewness is spelled out in agg_stats_moments. Two partial-combining
+    aggregations; the window runs over the tiny (group, value) count
+    table."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_quantity"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -651,3 +651,43 @@ def scalar_url_parse(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, tok, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+      FROM freq
+    )
+    SELECT lang, rnk, tok, c FROM ranked WHERE rnk <= 20
+    ORDER BY lang, rnk
+    """,
+    tags=("training", "text", "vocab"),
+)
+def text_vocab_topk(spark, sf_dir):
+    """Vocabulary builder: top-20 tokens per language by corpus frequency —
+    the seed statistic of BPE/unigram tokenizer training. Token counting
+    map-side-combines to |vocab| rows per lang before the shuffle; the
+    top-k is a per-lang window over the ALREADY-aggregated frequency table
+    (tiny), never over raw tokens. Deterministic count-then-token
+    tiebreak."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("lang", "rnk", "tok", "c")
+        .orderBy("lang", "rnk")
+    )

@@ -715,3 +715,42 @@ def test_streaming_ewma_anomaly_state_across_batches(spark, tmp_path):
         mean = v if n == 0 else 0.3 * v + 0.7 * mean
         n += 1
     assert abs(got[(1, 11)][0] - mean) < 1e-9
+
+
+def test_streaming_curation_dedup_quality_gate(spark, tmp_path):
+    """Streaming curation path: a document stream is quality-gated (narrow
+    filter), exact-deduped on content hash with watermarked state
+    (dropDuplicates survives across micro-batches), and sunk append-only —
+    the streaming twin of pipeline_curation. A duplicate arriving in a LATER
+    micro-batch must be dropped by state, not re-emitted."""
+    src = str(tmp_path / "docs")
+    long_text = "a sufficiently long document body " * 4
+    write_events(src, [
+        {"doc_id": 1, "ts": "2026-01-01T00:00:01Z", "text": long_text + "one"},
+        {"doc_id": 2, "ts": "2026-01-01T00:00:02Z", "text": "too short"},
+        {"doc_id": 3, "ts": "2026-01-01T00:00:03Z", "text": long_text + "three"},
+    ], file_name="b1.json")
+    write_events(src, [
+        # exact duplicate of doc 1's text in a later batch: state must drop it
+        {"doc_id": 10, "ts": "2026-01-01T00:05:00Z", "text": long_text + "one"},
+        {"doc_id": 11, "ts": "2026-01-01T00:05:01Z", "text": long_text + "eleven"},
+    ], file_name="b2.json")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    curated = (
+        stream.where(F.length("text") >= 50)                      # quality gate
+        .withColumn("h", F.md5("text"))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates(["h"])                                    # streaming exact dedup
+    )
+    q = (
+        curated.writeStream.format("memory").queryName("curated_docs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated_docs").collect()}
+    assert kept == {1, 3, 11}  # 2 failed quality, 10 was a cross-batch dup

@@ -691,3 +691,58 @@ def text_vocab_topk(spark, sf_dir):
         .select("lang", "rnk", "tok", "c")
         .orderBy("lang", "rnk")
     )
+
+
+@query(
+    "split_train_val_test",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split1:' || doc_id::VARCHAR), 1, 14))::BIGINT % 1000 AS bkt
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bkt < 800 THEN 'train'
+                WHEN bkt < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+    tags=("training", "split"),
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: one stable hash bucket
+    per doc keyed by a SALT + id, partitioned into disjoint ranges. The
+    properties that matter: disjoint and exhaustive by construction, stable
+    under corpus growth (a doc never migrates between splits when others are
+    added), re-derivable by any engine, and a new salt gives an independent
+    resplit. Narrow projection — no shuffle, no state."""
+    d = t(spark, sf_dir, "documents")
+    bkt = sp.hash_bucket(F.concat(F.lit("split1:"), F.col("doc_id").cast("string")))
+    return d.select(
+        "doc_id", "lang",
+        F.when(bkt < 800, "train").when(bkt < 900, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "shuffle_deterministic",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('epoch7:' || doc_id::VARCHAR), 1, 14))::BIGINT AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id
+    """,
+    tags=("training", "shuffle"),
+)
+def shuffle_deterministic(spark, sf_dir):
+    """Deterministic global shuffle for training-order randomization: a
+    seeded hash of the id IS the shuffle order — reproducible across runs
+    and engines, re-seedable per epoch. At scale the writer
+    repartitionByRange(shuffle_key)s so shard files are globally shuffled
+    without any single-partition sort; the key column is the contract, the
+    presentation ORDER BY here is only for the oracle hash."""
+    d = t(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))), 1, 14),
+        16, 10,
+    ).cast("long")
+    return d.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key", "doc_id")

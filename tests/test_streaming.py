@@ -754,3 +754,64 @@ def test_streaming_curation_dedup_quality_gate(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated_docs").collect()}
     assert kept == {1, 3, 11}  # 2 failed quality, 10 was a cross-batch dup
+
+
+def test_streaming_jdbc_merge_sink_against_derby(spark, tmp_path):
+    """Live JDBC MERGE sink (the reference's populate-a-live-view use case):
+    a CDC file stream upserts/deletes into an embedded Derby table via the
+    staging-table + set-based MERGE pattern; a second batch revises state
+    incrementally, and a manual replay of the same fold is idempotent."""
+    from dumpr_spark.streaming.jdbc_sink import JdbcMergeSink, start_jdbc_merge_stream
+
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+        "CREATE TABLE search_index (id INT PRIMARY KEY, name VARCHAR(50))"
+    )
+    conn.close()
+
+    src = str(tmp_path / "feed")
+    write_events(src, [
+        {"op": "upsert", "id": 1, "name": "alpha", "seq": 1},
+        {"op": "upsert", "id": 2, "name": "beta", "seq": 2},
+        {"op": "upsert", "id": 1, "name": "alpha2", "seq": 3},  # same-batch revision
+    ], file_name="b1.json")
+    write_events(src, [
+        {"op": "upsert", "id": 3, "name": "gamma", "seq": 4},
+        {"op": "delete", "id": 2, "name": None, "seq": 5},
+        {"op": "upsert", "id": 1, "name": "alpha3", "seq": 6},
+    ], file_name="b2.json")
+
+    sink = JdbcMergeSink(spark, url, "search_index", "id", ["name"])
+
+    def fold(batch):
+        # one action per key: winner by seq
+        return (
+            batch.groupBy("id")
+            .agg(F.max_by(F.struct("op", "name"), F.col("seq")).alias("w"))
+            .select("id", F.col("w.op").alias("op"), F.col("w.name").alias("name"))
+        )
+
+    stream = (
+        spark.readStream.schema("op string, id int, name string, seq long")
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    q = start_jdbc_merge_stream(stream, sink, str(tmp_path / "ckpt"), fold=fold)
+    q.awaitTermination(120)
+
+    def index_state():
+        return {
+            (r["ID"], r["NAME"])
+            for r in spark.read.jdbc(url, "search_index").collect()
+        }
+
+    expected = {(1, "alpha3"), (3, "gamma")}
+    assert index_state() == expected
+
+    # replay idempotence: re-merging the folded batch 2 changes nothing
+    replay = fold(spark.read.schema("op string, id int, name string, seq long")
+                  .json(f"{src}/b2.json"))
+    sink(replay, batch_id=99)
+    assert index_state() == expected

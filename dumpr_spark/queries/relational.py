@@ -1133,3 +1133,32 @@ def agg_mode_deterministic(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram: bucket = floor(value / width). One partial-
+    combining aggregation whose shuffle is |buckets| rows — the way to
+    histogram 100 TB (never a sort, never a collect); the lo/hi per bucket
+    double as a sanity check that bucketing and values agree."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

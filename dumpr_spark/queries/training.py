@@ -746,3 +746,98 @@ def shuffle_deterministic(spark, sf_dir):
         16, 10,
     ).cast("long")
     return d.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key", "doc_id")
+
+
+@query(
+    "dedup_lines_global",
+    """
+    WITH lines AS (
+      SELECT doc_id, i AS pos, tk[i] AS line
+      FROM (SELECT doc_id, string_split(text, '. ') AS tk FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) s
+    ),
+    firsts AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, pos) AS occ
+      FROM lines
+    )
+    SELECT doc_id,
+           array_to_string(list(line ORDER BY pos), '. ') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS kept_lines
+    FROM firsts WHERE occ = 1
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("training", "dedup", "lines"),
+)
+def dedup_lines_global(spark, sf_dir):
+    """Corpus-global line-level dedup (the C4/CCNet pass): explode docs into
+    sentence-ish units, keep only each unit's FIRST occurrence corpus-wide
+    (ordered by (doc_id, pos) — deterministic), reassemble survivors in
+    original order. Shape: one explode -> one window over the 16-byte line
+    hash (the only shuffle carries hashes + coordinates, not documents) ->
+    regroup by doc. Docs whose every line was seen before vanish entirely —
+    the boilerplate-killer behavior."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "pos")
+    firsts = lines.withColumn("occ", F.row_number().over(w)).where(F.col("occ") == 1)
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                ". ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("kept_lines"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort, day_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort, day_offset ORDER BY cohort, day_offset
+    """,
+    tags=("training", "events", "retention"),
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    per day-offset of return visits (first week). Two aggregations on
+    user_id + one broadcastable first-day join — the cohort table is
+    |users| rows, tiny next to the event stream, so the 100 TB side joins
+    against a broadcast and shuffles once for the distinct."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id", "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort", "day_offset")
+    )

@@ -841,3 +841,52 @@ def events_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort", "day_offset")
     )
+
+
+@query(
+    "join_fuzzy_edit1",
+    """
+    WITH a AS (
+      SELECT doc_id AS a_id, lower(string_split(text, ' ')[1]) AS a_name
+      FROM documents WHERE doc_id < 300
+    ),
+    b AS (
+      SELECT doc_id + 100000 AS b_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN lower(substr(string_split(text, ' ')[1], 1, 1)
+                       || substr(string_split(text, ' ')[1], 3))
+                  ELSE lower(string_split(text, ' ')[1]) END AS b_name
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT a.a_id, b.b_id
+    FROM a, b WHERE levenshtein(a.a_name, b.b_name) <= 1
+    ORDER BY a_id, b_id
+    """,
+    tags=("training", "join", "fuzzy"),
+)
+def join_fuzzy_edit1(spark, sf_dir):
+    """Fuzzy join (edit distance <= 1) between clean names and a feed with
+    planted one-character typos. The oracle is the naive cross join +
+    levenshtein; the Spark plan is the FastSS deletion-neighborhood
+    equi-join (operators/fuzzyjoin.py) — O((n+m)*len) variant rows instead
+    of O(n*m) comparisons, with a levenshtein verify on the candidates."""
+    from dumpr_spark.operators.fuzzyjoin import edit1_join
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    first_tok = F.lower(F.element_at(F.split(F.col("text"), " "), 1))
+    a = d.select(F.col("doc_id").alias("a_id"), first_tok.alias("a_name"))
+    typo = F.lower(
+        F.concat(
+            F.substring(F.element_at(F.split(F.col("text"), " "), 1), 1, 1),
+            F.expr("substr(split(text, ' ')[0], 3)"),
+        )
+    )
+    b = d.select(
+        (F.col("doc_id") + 100000).alias("b_id"),
+        F.when(F.col("doc_id") % 3 == 0, typo).otherwise(first_tok).alias("b_name"),
+    )
+    return (
+        edit1_join(a, b, "a_name", "b_name")
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    )

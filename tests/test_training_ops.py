@@ -214,3 +214,68 @@ def test_hll_mergeable_accuracy_and_merge_equivalence(spark, sf_dir):
         .first()["est"]
     )
     assert single == merged
+
+
+def test_bucketed_range_join_subsecond_end(spark):
+    """Regression: an interval ending mid-second must still match events in
+    its final fractional second (bucket ids come from microsecond epochs)."""
+    from dumpr_spark.operators.rangejoin import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    edf = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=1, microseconds=200_000)),   # 01:00:00.2
+         (2, t0 + dt.timedelta(hours=1, microseconds=700_000))],  # 01:00:00.7 (outside)
+        "event_id long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=1, microseconds=500_000))],  # end 01:00:00.5
+        "iv_id long, s timestamp, e timestamp",
+    )
+    got = {(r["iv_id"], r["event_id"])
+           for r in bucketed_interval_join(edf, idf, "ts", "s", "e", 3600).collect()}
+    assert got == {(1, 1)}
+
+
+def test_compact_small_files_recovers_torn_swap(spark, tmp_path):
+    """Regression: a crash between the two swap renames leaves only the
+    .compact-bak copy; the next compaction run must restore it first."""
+    import os
+    import shutil
+
+    from dumpr_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).repartition(8).write.parquet(path)
+    # simulate the torn state: state dir renamed away, nothing swapped in
+    shutil.move(path, path + ".compact-bak")
+    assert not os.path.exists(path)
+    n = compact_small_files(spark, path, target_file_mb=128)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".compact-bak")
+
+
+def test_edit1_join_equals_naive_and_rejects_distance2(spark):
+    """Deletion-neighborhood join == naive levenshtein<=1 join; in particular
+    'abc' vs 'cab' (neighborhoods intersect at 'ab' but distance 2) must be
+    rejected by the verify step."""
+    from dumpr_spark.operators.fuzzyjoin import edit1_join
+
+    names = ["abc", "cab", "abcd", "xbc", "abx", "zzz", "ab", "abcx", ""]
+    a = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "a_id long, a_name string")
+    b = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "b_id long, b_name string")
+    got = {(r["a_id"], r["b_id"]) for r in edit1_join(a, b, "a_name", "b_name").collect()}
+
+    def ed(x, y):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (x[i-1] != y[j-1]))
+        return d(len(x), len(y))
+
+    naive = {(i, j) for i, x in enumerate(names) for j, y in enumerate(names) if ed(x, y) <= 1}
+    assert got == naive
+    assert (0, 1) not in got  # abc vs cab: shared deletion 'ab' but ed=2

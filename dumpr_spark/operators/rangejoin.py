@@ -68,3 +68,38 @@ def bucketed_interval_join(
         & (ev[ts_col] < iv[end_col])
     )
     return ev.join(iv, cond, "inner").drop("_bkt")
+
+
+def bucketed_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (half-open: l_start < r_end AND
+    r_start < l_end), bucketed like `bucketed_interval_join`. BOTH sides
+    explode to their covered buckets, so a pair overlapping several buckets
+    meets several times — deduped by keeping the pair only in the FIRST
+    bucket both sides cover (the max of the two carried start buckets),
+    which needs no distinct shuffle.
+    """
+    w_us = F.lit(bucket_seconds * 1_000_000)
+
+    def expand(df, s, e, tag):
+        s_bkt = F.floor(F.unix_micros(F.col(s).cast("timestamp")) / w_us).cast("long")
+        e_bkt = F.floor((F.unix_micros(F.col(e).cast("timestamp")) - 1) / w_us).cast("long")
+        return df.withColumn(f"_{tag}_s_bkt", s_bkt).withColumn(
+            "_bkt", F.explode(F.sequence(s_bkt, F.greatest(e_bkt, s_bkt)))
+        )
+
+    lv = expand(left, l_start, l_end, "l")
+    rv = expand(right, r_start, r_end, "r")
+    pairs = lv.join(rv, "_bkt").where(
+        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        # keep each overlapping pair exactly once: in the first shared bucket
+        & (F.col("_bkt") == F.greatest(F.col("_l_s_bkt"), F.col("_r_s_bkt")))
+    )
+    return pairs.drop("_bkt", "_l_s_bkt", "_r_s_bkt")

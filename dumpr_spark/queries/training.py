@@ -890,3 +890,47 @@ def join_fuzzy_edit1(spark, sf_dir):
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "join_overlap_intervals",
+    """
+    WITH u AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS us,
+             date_trunc('hour', min(ts)) + INTERVAL 6 HOUR AS ue
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT event_type, date_trunc('day', min(ts)) AS cs,
+             date_trunc('day', min(ts)) + INTERVAL 2 DAY AS ce
+      FROM events GROUP BY event_type
+    )
+    SELECT u.user_id, c.event_type
+    FROM u, c WHERE u.us < c.ce AND c.cs < u.ue
+    ORDER BY user_id, event_type
+    """,
+    tags=("training", "join", "range"),
+)
+def join_overlap_intervals(spark, sf_dir):
+    """Interval x interval overlap join (user activity windows x per-type
+    campaign windows): the bucketed both-sides-explode form
+    (operators/rangejoin.py:bucketed_overlap_join) with first-shared-bucket
+    dedup, against the naive cross+filter oracle."""
+    from dumpr_spark.operators.rangejoin import bucketed_overlap_join
+
+    e = t(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("us"))
+        .withColumn("ue", F.col("us") + F.expr("INTERVAL 6 HOURS"))
+    )
+    c = (
+        e.groupBy("event_type")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cs"))
+        .withColumn("ce", F.col("cs") + F.expr("INTERVAL 2 DAYS"))
+    )
+    return (
+        bucketed_overlap_join(u, c, "us", "ue", "cs", "ce", 3600)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )

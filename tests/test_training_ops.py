@@ -279,3 +279,37 @@ def test_edit1_join_equals_naive_and_rejects_distance2(spark):
     naive = {(i, j) for i, x in enumerate(names) for j, y in enumerate(names) if ed(x, y) <= 1}
     assert got == naive
     assert (0, 1) not in got  # abc vs cab: shared deletion 'ab' but ed=2
+
+
+def test_bucketed_overlap_join_equals_naive(spark):
+    """Interval-overlap join: bucketed form == naive cross+filter, each pair
+    exactly once even when the overlap spans many buckets."""
+    from dumpr_spark.operators.rangejoin import bucketed_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(i, s_min, e_min):
+        return (i, t0 + dt.timedelta(minutes=s_min), t0 + dt.timedelta(minutes=e_min))
+
+    left = spark.createDataFrame(
+        [iv(1, 0, 300), iv(2, 90, 100), iv(3, 500, 500)],  # long, short, empty
+        "l_id long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [iv(10, 250, 600), iv(11, 95, 96), iv(12, 700, 800)],
+        "r_id long, rs timestamp, re timestamp",
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in bucketed_overlap_join(left, right, "ls", "le", "rs", "re", 3600).collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.crossJoin(right)
+        .where((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    }
+    assert got == naive
+    assert (1, 10) in got          # multi-bucket overlap counted once
+    out = bucketed_overlap_join(left, right, "ls", "le", "rs", "re", 3600)
+    assert out.where((F.col("l_id") == 1) & (F.col("r_id") == 10)).count() == 1

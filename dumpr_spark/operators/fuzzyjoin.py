@@ -40,12 +40,19 @@ def edit1_join(
     right_col: str,
 ) -> DataFrame:
     """All (left, right) row pairs whose strings are within edit distance 1.
-    Returns the full columns of both inputs (names must not collide)."""
+    Returns the full columns of both inputs (names must not collide).
+
+    Set semantics: a pair of ROWS appears once even if the two strings
+    share several neighborhood variants — which also means duplicate input
+    rows collapse. Callers needing multiset semantics must carry a
+    row-unique id column (it keys the dedup like any other column)."""
     lv = left.withColumn("_var", F.explode(deletion_variants(left_col)))
     rv = right.withColumn("_var", F.explode(deletion_variants(right_col)))
-    cand = (
+    return (
         lv.join(rv, "_var")
         .drop("_var")
+        # verify BEFORE the dedup shuffle: distance-2 candidates admitted by
+        # the neighborhood test never reach the distinct
+        .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= 1)
         .distinct()
     )
-    return cand.where(F.levenshtein(F.col(left_col), F.col(right_col)) <= 1)

@@ -702,9 +702,12 @@ def text_pii_scrub(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n_grams,
              CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
       FROM (
-        SELECT doc_id, COALESCE(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], array_to_string(tk, ' ')) AS g
+        -- NO short-doc fallback here, deliberately: the Spark side excludes
+        -- the whole-text fallback shingle (size == 3 filter), so sub-3-token
+        -- docs are absent from BOTH engines
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
-             LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i) s
+             LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) s
       ) grams
       GROUP BY doc_id
     )

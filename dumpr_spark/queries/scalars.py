@@ -8,6 +8,21 @@ from pyspark.sql import functions as F
 
 from dumpr_spark.queries.base import eps_round, query, t
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _scratch_dir(name: str) -> str:
+    """Per-process scratch dir for source round-trip queries: created ONCE
+    per process via mkdtemp (unpredictable, owner-only — no cross-user
+    collision or symlink hazard on shared /tmp), reused by every later
+    invocation in the same process (bench passes, oracle walks) so repeated
+    runs overwrite instead of accumulating."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"dumpr_{name}_")
+
+
 
 @query(
     "scalar_string",
@@ -308,14 +323,10 @@ def source_csv_scan(spark, sf_dir):
     table is round-tripped through CSV with an explicit schema (inference is
     the anti-pattern at scale: a second full scan + type drift), then
     aggregated — results must equal the parquet-direct oracle."""
-    import os
-    import tempfile
-
     from dumpr_spark.sources.files import read_csv
 
     src = t(spark, sf_dir, "nation")
-    # pid-keyed deterministic path + overwrite (see source_orc_scan)
-    path = os.path.join(tempfile.gettempdir(), f"dumpr_csv_nation_{os.getpid()}")
+    path = _scratch_dir("csv_nation") + "/data"
     src.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(spark, path, schema=src.schema)
     return (
@@ -369,14 +380,8 @@ def source_orc_scan(spark, sf_dir):
     customer table through ORC (Spark-native columnar alternative to
     parquet, same pushdown/pruning machinery) and aggregate — results must
     equal the parquet-direct oracle. snappy-by-default, schema preserved."""
-    import os
-    import tempfile
-
     src = t(spark, sf_dir, "customer")
-    # pid-keyed deterministic path + overwrite: repeated invocations in one
-    # process (bench passes, oracle walks) reuse the same dir instead of
-    # leaking a fresh mkdtemp per call; the pid isolates concurrent runs
-    path = os.path.join(tempfile.gettempdir(), f"dumpr_orc_customer_{os.getpid()}")
+    path = _scratch_dir("orc_customer") + "/data"
     src.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (
@@ -403,14 +408,10 @@ def source_jsonl_scan(spark, sf_dir):
     round-trip supplier through newline-delimited JSON with an explicit
     schema (inference = a second full scan at 100 TB, never in a pipeline)
     and aggregate against the parquet-direct oracle."""
-    import os
-    import tempfile
-
     from dumpr_spark.sources.files import read_json
 
     src = t(spark, sf_dir, "supplier")
-    # pid-keyed deterministic path + overwrite (see source_orc_scan)
-    path = os.path.join(tempfile.gettempdir(), f"dumpr_json_supplier_{os.getpid()}")
+    path = _scratch_dir("json_supplier") + "/data"
     src.write.mode("overwrite").json(path)
     back = read_json(spark, path, schema=src.schema)
     return (

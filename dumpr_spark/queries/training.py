@@ -741,10 +741,7 @@ def shuffle_deterministic(spark, sf_dir):
     without any single-partition sort; the key column is the contract, the
     presentation ORDER BY here is only for the oracle hash."""
     d = t(spark, sf_dir, "documents")
-    key = F.conv(
-        F.substring(F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))), 1, 14),
-        16, 10,
-    ).cast("long")
+    key = dd.minhash_base_hash(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
     return d.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key", "doc_id")
 
 

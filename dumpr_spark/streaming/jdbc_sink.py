@@ -43,6 +43,7 @@ class JdbcMergeSink:
         value_cols: list[str],
         staging: str | None = None,
         properties: dict[str, str] | None = None,
+        string_cast_len: int = 4000,
     ):
         self.spark = spark
         self.url = url
@@ -51,10 +52,19 @@ class JdbcMergeSink:
         self.value_cols = list(value_cols)
         self.staging = staging or f"{table}_STAGING"
         self.properties = properties or {}
+        # string staging refs are CAST to VARCHAR(string_cast_len) in the
+        # MERGE; values longer than this raise/truncate per the dialect —
+        # size it to the widest string column the target carries
+        self.string_cast_len = string_cast_len
 
     def _exec_update(self, sql: str) -> None:
+        """Driver-side statement on a connection built with the SAME
+        properties as the staging write (credentials, driver options)."""
         jvm = self.spark._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
             conn.createStatement().executeUpdate(sql)
         finally:
@@ -85,7 +95,9 @@ class JdbcMergeSink:
 
         def s(c):
             ref = f's."{c}"'
-            return f"CAST({ref} AS VARCHAR(4000))" if c in str_cols else ref
+            if c in str_cols:
+                return f"CAST({ref} AS VARCHAR({self.string_cast_len}))"
+            return ref
 
         sets = ", ".join(f"{c} = {s(c)}" for c in self.value_cols)
         ins_cols = ", ".join([k, *self.value_cols])

@@ -193,3 +193,18 @@ def test_plan_shapes_training_ops(spark, sf_dir):
 
     rj_plan = explain_str(REGISTRY["join_range_bucketed"].fn(spark, sf_dir), "simple")
     assert "NestedLoop" not in rj_plan, rj_plan
+
+
+def test_plan_shapes_broadcast_claims(spark, sf_dir):
+    """The contamination and unigram-LM docstrings claim the big side joins
+    against a BROADCAST of the small set — assert the plans agree."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    cont = explain_str(REGISTRY["contamination_ngrams"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in cont, cont
+
+    lm = explain_str(REGISTRY["text_unigram_logprob"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in lm, lm
+    # the doc-side scan must not sort-merge against the freq table
+    assert "SortMergeJoin" not in lm, lm

@@ -106,3 +106,27 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", (F.col("frame_idx") * every_ms).cast("long").alias("frame_ts_ms"))
     )
+
+
+def audio_window_plan(
+    assets: DataFrame, window_ms: int = 2000, stride_ms: int = 1000
+) -> DataFrame:
+    """Audio windowing *plan*: one row per overlapping analysis window
+    (asset_id, win_start_ms, win_len_ms) — the audio twin of
+    frame_sample_plan and the waveform analog of text chunking (same
+    tail-covering start grid: the last window may be partial, nothing is
+    dropped while stride <= window). A decode/feature stage consumes this
+    plan via extract_features-style mapInPandas."""
+    dur = F.col("duration_ms")
+    last_start = F.greatest(dur - window_ms + stride_ms, F.lit(0)).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride_ms).cast("long"))
+    return (
+        assets.where(F.col("media_type") == "audio")
+        .select("asset_id", "duration_ms", F.explode(starts).alias("win_start_ms"))
+        .where(F.col("win_start_ms") < dur)
+        .select(
+            "asset_id",
+            F.col("win_start_ms").cast("long").alias("win_start_ms"),
+            F.least(F.lit(window_ms), dur - F.col("win_start_ms")).cast("long").alias("win_len_ms"),
+        )
+    )

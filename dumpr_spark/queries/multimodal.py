@@ -126,3 +126,31 @@ def multimodal_metadata(spark, sf_dir):
         )
         .orderBy("media_type")
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    WITH audio AS (
+      SELECT doc_id AS asset_id, n_chars * 10 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    st AS (
+      SELECT asset_id, duration_ms,
+             unnest(generate_series(0, greatest(duration_ms - 2000 + 1000, 0), 1000)) AS win_start_ms
+      FROM audio
+    )
+    SELECT asset_id, CAST(win_start_ms AS BIGINT) AS win_start_ms,
+           CAST(least(2000, duration_ms - win_start_ms) AS BIGINT) AS win_len_ms
+    FROM st WHERE win_start_ms < duration_ms
+    ORDER BY asset_id, win_start_ms
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio analysis-window plan: 2 s windows every 1 s per audio asset
+    (tail-covering, last window partial) — the waveform analog of text
+    chunking, consumed by the same Arrow decode stage. Pure relational
+    explode, no payload bytes touched."""
+    plan = mm.audio_window_plan(_assets(spark, sf_dir), window_ms=2000, stride_ms=1000)
+    return plan.orderBy("asset_id", "win_start_ms")

@@ -784,7 +784,9 @@ def test_streaming_jdbc_merge_sink_against_derby(spark, tmp_path):
         {"op": "upsert", "id": 1, "name": "alpha3", "seq": 6},
     ], file_name="b2.json")
 
-    sink = JdbcMergeSink(spark, url, "search_index", "id", ["name"])
+    # properties exercise the Properties-based driver connection too
+    sink = JdbcMergeSink(spark, url, "search_index", "id", ["name"],
+                         properties={"user": "APP"})
 
     def fold(batch):
         # one action per key: winner by seq

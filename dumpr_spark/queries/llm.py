@@ -803,3 +803,43 @@ def dedup_semantic_clusters(spark, sf_dir):
     return comps.select(
         F.col("n").alias("vec_id"), F.col("comp").alias("cluster_id")
     ).orderBy("vec_id")
+
+
+@query(
+    "text_lang_confusion",
+    """
+    WITH scored AS (
+      SELECT lang,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['der','die','und','das','ist'])) AS BIGINT) AS s_de,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','of','and','a','to'])) AS BIGINT) AS s_en,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['el','los','las','una','y'])) AS BIGINT) AS s_es,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['le','la','et','les','des'])) AS BIGINT) AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    tags=("llm", "text", "eval"),
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (label x prediction counts) — the
+    evaluation aggregate every classifier-in-the-pipeline needs. One narrow
+    scoring projection + one tiny groupBy (|langs|^2 cells after map-side
+    combine); at 100 TB the matrix is the cheap byproduct of the scoring
+    scan, not a second pass."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -42,8 +42,31 @@ _R1_VERIFIED = {
     "win_pct_rank", "win_range_frame", "win_rank_dense", "win_running_sum",
     "win_topk_per_group",
 }
-_reordered = {n: REGISTRY[n] for n in REGISTRY if n not in _R1_VERIFIED}
-_reordered.update({n: REGISTRY[n] for n in REGISTRY if n in _R1_VERIFIED})
+# Names the driver verified in round 2 (CORRECTNESS_r02.json: 48 hash_match +
+# 2 declared rows-only). Appended so round 3's budget-capped walk lands on the
+# 34 never-checked entries plus scalar_conditional (fixed in 007a035 but never
+# driver-re-checked).
+_R2_VERIFIED = {
+    "cdc_materialize", "cdc_dedup_latest_window", "cdc_filter_tables",
+    "cdc_next_position", "cdc_envelope_shape", "dedup_exact", "dedup_exact_hash",
+    "dedup_fingerprint", "text_winnow_fingerprints", "dedup_winnow_pairs",
+    "dedup_lsh_scaled", "dedup_clusters", "text_fingerprint_rolling",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
+    "sim_embedding_stats", "text_lang_stats", "text_quality", "text_lang_id",
+    "text_pii_scrub", "text_repetition", "dedup_semantic_clusters",
+    "text_lang_confusion", "chunk_documents", "pack_sequences",
+    "contamination_ngrams", "dedup_cross_corpus", "sample_stratified_hash",
+    "rollup_timeseries", "join_range_bucketed", "text_quality_model",
+    "pipeline_curation", "dedup_keep_best", "text_unigram_logprob",
+    "text_token_stats", "text_markup_strip", "scalar_url_parse",
+    "text_vocab_topk", "split_train_val_test", "shuffle_deterministic",
+    "dedup_lines_global", "events_retention", "join_fuzzy_edit1",
+    "join_overlap_intervals", "multimodal_features", "multimodal_frame_plan",
+}
+_DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED
+_reordered = {n: REGISTRY[n] for n in REGISTRY if n not in _DRIVER_VERIFIED}
+_reordered.update({n: REGISTRY[n] for n in REGISTRY if n in _DRIVER_VERIFIED})
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

@@ -80,6 +80,10 @@ def snapshot_to_changes(
     """
     id_c = F.col(id_col) if isinstance(id_col, str) else id_col
     if seq is None:
+        if not 0 <= table_seq <= 1023:
+            # 1024 * 2^53 overflows int64 (ANSI off would wrap silently into
+            # negative/disordered seq values — fail loudly instead).
+            raise ValueError(f"table_seq must be in 0..1023, got {table_seq}")
         seq = F.lit(table_seq).cast("long") * F.lit(1 << 53) + F.monotonically_increasing_id()
     return df.select(
         F.lit(OP_UPSERT).alias("op"),

@@ -110,12 +110,16 @@ class TypedViewSink:
     """
 
     def __init__(self, catalog: SchemaCatalog, out_dir: str,
-                 events_of_batch: Callable[[DataFrame], DataFrame] | None = None):
+                 events_of_batch: Callable[[DataFrame], DataFrame] | None = None,
+                 id_cols: dict[str, str] | None = None):
         self.catalog = catalog
         self.out_dir = out_dir
         # how to recover raw events (for DDL detection) from the batch; by
         # default the batch IS the raw event frame pre-envelope
         self.events_of_batch = events_of_batch or (lambda b: b)
+        # per-table id-column map for events_to_changes; tables absent here
+        # fall back to default id extraction
+        self.id_cols = id_cols or {}
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from dumpr_spark.cdc.envelope import typed_view
@@ -123,8 +127,7 @@ class TypedViewSink:
 
         events = self.events_of_batch(batch)
         self.catalog.invalidate_for_ddl(events)
-        id_cols = getattr(self, "id_cols", {})
-        changes = events_to_changes(events, id_cols)
+        changes = events_to_changes(events, self.id_cols)
         tables = [r["tbl"] for r in changes.select("tbl").distinct().collect()]
         for table in tables:
             schema = self.catalog.schema_for(table)

@@ -54,13 +54,15 @@ def bucketed_interval_join(
 
     ev = events.withColumn("_bkt", bkt(ts_col))
     # end is exclusive: an interval touching a bucket boundary exactly at its
-    # end must not be listed in that bucket
+    # end must not be listed in that bucket. The greatest() clamp guards
+    # empty/inverted intervals (end <= start): Spark sequences run BACKWARDS
+    # when stop < start, so an unclamped bad interval would fan out a huge
+    # descending bucket array; clamped it emits one row that the exact
+    # BETWEEN filter below drops.
+    s_bkt = bkt(start_col)
+    e_bkt = F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / w_us).cast("long")
     iv = intervals.withColumn(
-        "_bkts",
-        F.sequence(
-            bkt(start_col),
-            F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / w_us).cast("long"),
-        ),
+        "_bkts", F.sequence(s_bkt, F.greatest(e_bkt, s_bkt))
     ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
     cond = (
         (ev["_bkt"] == iv["_bkt"])

@@ -38,8 +38,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (replication-safe)")
-    salt_col = (F.xxhash64(F.col(on), F.monotonically_increasing_id()) % salt).cast("int")
-    l_salted = left.withColumn("_salt", F.pmod(salt_col, F.lit(salt)))
+    # Deterministic salt: hash of the full row content. A nondeterministic
+    # source (rand/monotonically_increasing_id) feeding a shuffle key is the
+    # classic stage-retry hazard — recomputed tasks re-salt rows differently
+    # and the join silently duplicates/loses rows. Content-hashing is
+    # retry-stable; the residual caveat (many *identical* rows share one salt)
+    # only matters for exact-duplicate-heavy inputs, which exact-dedup first.
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    l_salted = left.withColumn("_salt", salt_col)
     r_salted = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
@@ -121,7 +127,15 @@ def compact_small_files(
     torn-swap recovery: a crash between the two renames leaves only the
     .compact-bak copy, restored here before anything reads. Local-FS rename
     semantics — on an object store use a rename-free committer / table
-    format, same caveat as MergeSink (SCALE.md)."""
+    format, same caveat as MergeSink (SCALE.md).
+
+    Hive-partitioned directories (``col=value`` subdirs, incl. MergeSink
+    state's ``tbl=`` layout) are detected and re-written with the SAME
+    ``partitionBy``, so downstream partition pruning — and MergeSink's
+    per-table hardlink carry-forward — keep working. Rows are repartitioned
+    on the partition columns, so each partition value compacts to one file
+    (a single value larger than ``target_file_mb`` stays one file; split it
+    upstream if that ever matters)."""
     import math
     import os
     import shutil
@@ -135,14 +149,47 @@ def compact_small_files(
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
+    part_cols = _hive_partition_cols(path)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.format(fmt).load(path)
     tmp = path.rstrip("/") + ".compact-tmp"
     bak = path.rstrip("/") + ".compact-bak"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    if part_cols:
+        (
+            df.repartition(n_files, *[F.col(c) for c in part_cols])
+            .write.format(fmt)
+            .partitionBy(*part_cols)
+            .mode("overwrite")
+            .save(tmp)
+        )
+    else:
+        df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak, ignore_errors=True)
-    return n_files
+    n_out = 0
+    for root, _dirs, files in os.walk(path):
+        n_out += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n_out
+
+
+def _hive_partition_cols(path: str) -> list[str]:
+    """Partition column names from a directory's ``col=value`` structure
+    (outermost first), [] for an unpartitioned layout."""
+    import os
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        nxt = None
+        for d in sorted(os.listdir(cur)):
+            full = os.path.join(cur, d)
+            if os.path.isdir(full) and "=" in d and not d.startswith((".", "_")):
+                nxt = (d.split("=", 1)[0], full)
+                break
+        if nxt is None:
+            return cols
+        cols.append(nxt[0])
+        cur = nxt[1]

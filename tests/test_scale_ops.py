@@ -171,6 +171,56 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == 2 * (9999 * 10_000 // 2)
 
 
+def test_compact_small_files_preserves_hive_partitions(spark, tmp_path):
+    """Regression (r2 advice): compacting a Hive-partitioned directory (e.g.
+    MergeSink state's tbl= layout) must keep the col=value dirs — flattening
+    them would break partition pruning AND MergeSink's per-table hardlink
+    carry-forward."""
+    import os
+
+    from dumpr_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "part")
+    df = spark.range(2000).withColumn("tbl", F.concat(F.lit("t"), (F.col("id") % 3).cast("string")))
+    df.repartition(16).write.partitionBy("tbl").parquet(path)
+    before_dirs = sorted(d for d in os.listdir(path) if d.startswith("tbl="))
+    assert before_dirs == ["tbl=t0", "tbl=t1", "tbl=t2"]
+    per_dir_before = sum(
+        1 for f in os.listdir(os.path.join(path, "tbl=t0")) if f.endswith(".parquet")
+    )
+    assert per_dir_before > 1
+
+    n = compact_small_files(spark, path, target_file_mb=128)
+
+    after_dirs = sorted(d for d in os.listdir(path) if d.startswith("tbl="))
+    assert after_dirs == before_dirs  # layout survives
+    assert n == 3  # one file per partition value
+    for d in after_dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert sorted(r["tbl"] for r in back.select("tbl").distinct().collect()) == ["t0", "t1", "t2"]
+    # partition pruning still works on the compacted layout
+    assert back.where(F.col("tbl") == "t1").count() == df.where(F.col("tbl") == "t1").count()
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    """Regression (r2 advice): the salt must not derive from a nondeterministic
+    expression — a stage retry would re-salt rows differently and corrupt the
+    shuffle. Assert the plan carries no nondeterministic source."""
+    left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k INT, v STRING")
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k INT, w DOUBLE")
+    out = salted_join(left, right, "k", salt=4)
+    plan = explain_str(out, "extended")
+    assert "monotonically_increasing_id" not in plan
+    assert "rand(" not in plan
+    # and it still equals the plain join
+    assert sorted((r["k"], r["v"], r["w"]) for r in out.collect()) == sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k").collect()
+    )
+
+
 def test_plan_shapes_training_ops(spark, sf_dir):
     """Plan-shape assertions for the training ops' scale claims: chunking is
     shuffle-free; the curation pipeline has exactly one data shuffle (the

@@ -72,8 +72,7 @@ def test_ddl_event_invalidates_mid_stream(spark, tmp_path):
         return StructType([StructField(c, StringType()) for c in live_schema[table]])
 
     catalog = SchemaCatalog(fetch)
-    sink = TypedViewSink(catalog, out)
-    sink.id_cols = {"widgets": "id"}
+    sink = TypedViewSink(catalog, out, id_cols={"widgets": "id"})
 
     def write_batch(events, name):
         with open(os.path.join(src, name), "w") as f:

@@ -236,6 +236,50 @@ def test_bucketed_range_join_subsecond_end(spark):
     assert got == {(1, 1)}
 
 
+def test_bucketed_range_join_inverted_interval(spark):
+    """Regression (r2 advice): an empty/inverted interval (end <= start) must
+    emit no matches and no runaway bucket fan-out (Spark sequences run
+    backwards when stop < start; the greatest() clamp caps it at one bucket)."""
+    from dumpr_spark.operators.rangejoin import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    edf = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=1))], "event_id long, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        # interval inverted by 1000h — unclamped this fans out a 1000-element
+        # descending bucket array per row
+        [(1, t0 + dt.timedelta(hours=1000), t0)], "iv_id long, s timestamp, e timestamp"
+    )
+    joined = bucketed_interval_join(edf, idf, "ts", "s", "e", 3600)
+    assert joined.count() == 0
+    # the exploded bucket list is clamped to a single element
+    from pyspark.sql import functions as F
+    w_us = 3600 * 1_000_000
+    s_bkt = F.floor(F.unix_micros(F.col("s")) / w_us)
+    e_bkt = F.floor((F.unix_micros(F.col("e")) - 1) / w_us)
+    n_bkts = idf.select(
+        F.size(F.sequence(s_bkt, F.greatest(e_bkt, s_bkt))).alias("n")
+    ).first()["n"]
+    assert n_bkts == 1
+
+
+def test_snapshot_table_seq_bound(spark):
+    """Regression (r2 advice): table_seq outside 0..1023 would overflow the
+    2^53 seq stride into negative/disordered values — must raise instead."""
+    import pytest as _pytest
+
+    from dumpr_spark.cdc.envelope import snapshot_to_changes
+
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    with _pytest.raises(ValueError, match="table_seq"):
+        snapshot_to_changes(df, "t", "id", table_seq=1024)
+    with _pytest.raises(ValueError, match="table_seq"):
+        snapshot_to_changes(df, "t", "id", table_seq=-1)
+    # boundary value is fine
+    assert snapshot_to_changes(df, "t", "id", table_seq=1023).count() == 1
+
+
 def test_compact_small_files_recovers_torn_swap(spark, tmp_path):
     """Regression: a crash between the two swap renames leaves only the
     .compact-bak copy; the next compaction run must restore it first."""

@@ -245,6 +245,18 @@ def test_plan_shapes_training_ops(spark, sf_dir):
     assert "NestedLoop" not in rj_plan, rj_plan
 
 
+def test_win_ntile_has_no_single_partition_window(spark, sf_dir):
+    """win_ntile's two-phase form must never funnel the table through one
+    task: an unpartitioned global window would show as Exchange
+    SinglePartition feeding the WindowExec."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["win_ntile"].fn(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-partition rank is still a window
+
+
 def test_plan_shapes_broadcast_claims(spark, sf_dir):
     """The contamination and unigram-LM docstrings claim the big side joins
     against a BROADCAST of the small set — assert the plans agree."""

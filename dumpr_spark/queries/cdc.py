@@ -54,14 +54,17 @@ def _synthetic_changes(spark, sf_dir) -> DataFrame:
     and JSON-encodes the table once instead of three times."""
     # the sf-dir table is one compact parquet file = one input partition;
     # fan rows across the cluster BEFORE the per-row JSON encoding and
-    # 1-3x explode (same pre-multiplication repartition as minhash shingling
-    # — a no-op cost when the input is already many splits)
+    # 1-3x explode (same pre-multiplication repartition as minhash shingling).
+    # CONDITIONAL: only when the scan under-parallelizes — a 100 TB input is
+    # already ~800k splits, and an unconditional repartition there is a full-
+    # table round-robin shuffle for nothing (r3 interleaved A/B: the shuffle
+    # costs ~10% at sf0.1 even against a page-cached triple scan; skipping it
+    # when the scan is wide makes this the strictly-cheapest form: one scan,
+    # zero extra shuffles)
     n_parts = spark.sparkContext.defaultParallelism
-    o = (
-        t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-        .repartition(n_parts)
-    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    if o.rdd.getNumPartitions() < n_parts // 2:
+        o = o.repartition(n_parts)
     k = F.col("o_orderkey")
 
     def env(op, content, ts, nfile, npos, seq):

@@ -30,6 +30,51 @@ KAFKA_RECORD_SCHEMA = (
     "timestamp timestamp, timestampType int"
 )
 
+# Source liveness/retry knobs — the reference's conn-param defaults
+# (core.clj:16-20: stream-keepalive-interval 60000, stream-keepalive-timeout
+# 3000, initial-connection-timeout 3000), re-expressed for a Kafka consumer.
+# The reference's BinaryLogClient keepalive (binlog.clj:44-51) probes the
+# connection every `interval` ms and re-connects with a per-attempt `timeout`;
+# the Kafka client has the same contract under different names:
+#
+#   stream_keepalive_interval  -> kafka.reconnect.backoff.max.ms   (ceiling on
+#       the silent gap before the consumer re-probes a dead broker — the
+#       client retries forever, at most this far apart)
+#   stream_keepalive_timeout   -> kafka.request.timeout.ms         (declare a
+#       hung in-flight request dead after this and reconnect)
+#   initial_connection_timeout -> kafka.socket.connection.setup.timeout.ms
+#       (per-attempt TCP connect budget, = BinaryLogClient.connect(timeout))
+#
+# Restart policy (R15): WITHIN a run the Kafka client reconnects by itself
+# under the knobs above — the streaming query does not fail on a broker
+# blip. ACROSS runs (query killed, executor loss beyond Spark's own retry),
+# restart the writeStream with the same checkpointLocation: offsets + sink
+# state resume exactly-once (test_stream_ingest_kafka_shaped_records).
+CONN_PARAM_DEFAULTS = {
+    "stream_keepalive_interval": 60_000,
+    "stream_keepalive_timeout": 3_000,
+    "initial_connection_timeout": 3_000,
+}
+
+
+def kafka_conn_options(conn_params: dict | None = None) -> dict[str, str]:
+    """`kafka.*` reader options for the reference's connection knobs.
+
+    Unknown keys raise — the same fail-fast contract as the reference's
+    config schema validation (core.clj:31-34 validate-conf).
+    """
+    params = dict(CONN_PARAM_DEFAULTS)
+    unknown = set(conn_params or ()) - set(params)
+    if unknown:
+        raise ValueError(f"unknown conn_params: {sorted(unknown)}; "
+                         f"expected {sorted(params)}")
+    params.update(conn_params or {})
+    return {
+        "kafka.reconnect.backoff.max.ms": str(params["stream_keepalive_interval"]),
+        "kafka.request.timeout.ms": str(params["stream_keepalive_timeout"]),
+        "kafka.socket.connection.setup.timeout.ms": str(params["initial_connection_timeout"]),
+    }
+
 
 def _events_to_filtered_changes(
     events: DataFrame,
@@ -76,12 +121,15 @@ def stream_changes_kafka(
     tables: list[str] | None = None,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    conn_params: dict | None = None,
 ) -> DataFrame:
     """Streaming envelope DataFrame from a live Kafka topic — the production
     shape of R2 (the reference tails the binlog directly, binlog.clj:29-51; a
     Spark deployment tails the Debezium/Connect topic carrying the same
     events). Record value = one JSON event, parsed by the same path as the
-    file feed; maxOffsetsPerTrigger is the backpressure knob (R16).
+    file feed; maxOffsetsPerTrigger is the backpressure knob (R16);
+    conn_params carries the reference's keepalive/retry knobs
+    (CONN_PARAM_DEFAULTS above — see there for the restart policy).
 
     Requires the spark-sql-kafka package on the classpath (absent in this
     container — the wire-identical file variant below covers the parse path).
@@ -92,6 +140,8 @@ def stream_changes_kafka(
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
+    for opt, val in kafka_conn_options(conn_params).items():
+        reader = reader.option(opt, val)
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     events = parse_event_lines(reader.load(), value_col="value")
@@ -105,12 +155,18 @@ def stream_changes_kafka_shaped(
     db: str | None = None,
     tables: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    conn_params: dict | None = None,
 ) -> DataFrame:
     """Same pipeline as `stream_changes_kafka`, fed from files whose records
     have the Kafka wire schema (key/value/topic/partition/offset/timestamp).
     Exercises the exact value-parse path a live broker would, so swapping in
     the `kafka` format later changes only the reader line.
+
+    conn_params is validated exactly as the live variant validates it (a
+    file source has no connection to keep alive, so the options are checked
+    and dropped) — a config typo fails identically in test and production.
     """
+    kafka_conn_options(conn_params)  # validate; no connection to apply them to
     reader = spark.readStream.schema(KAFKA_RECORD_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -32,7 +32,17 @@ class JdbcMergeSink:
     (op='delete' rows delete the key; anything else upserts). Identifiers
     are interpolated into DDL/MERGE strings — they come from code, not
     data; values always travel via the staging table, never via SQL text.
+
+    `dialect` picks the set-based upsert syntax: ``ansi`` (Derby, Postgres
+    15+, SQL Server, Oracle — one MERGE statement) or ``mysql`` (no MERGE:
+    a DELETE-join plus INSERT ... SELECT ... ON DUPLICATE KEY UPDATE, which
+    requires a PRIMARY/UNIQUE key on `key_col` — the same precondition MERGE
+    matching has). Both forms act on the folded one-row-per-key batch, so a
+    key sees exactly one action and the two-statement MySQL form is
+    order-independent and replay-idempotent like the single MERGE.
     """
+
+    DIALECTS = ("ansi", "mysql")
 
     def __init__(
         self,
@@ -44,7 +54,10 @@ class JdbcMergeSink:
         staging: str | None = None,
         properties: dict[str, str] | None = None,
         string_cast_len: int = 4000,
+        dialect: str = "ansi",
     ):
+        if dialect not in self.DIALECTS:
+            raise ValueError(f"dialect must be one of {self.DIALECTS}, got {dialect!r}")
         self.spark = spark
         self.url = url
         self.table = table
@@ -56,6 +69,7 @@ class JdbcMergeSink:
         # MERGE; values longer than this raise/truncate per the dialect —
         # size it to the widest string column the target carries
         self.string_cast_len = string_cast_len
+        self.dialect = dialect
 
     def _exec_update(self, sql: str) -> None:
         """Driver-side statement on a connection built with the SAME
@@ -84,31 +98,55 @@ class JdbcMergeSink:
         str_cols = {
             f.name for f in staged.schema.fields if f.dataType.simpleString() == "string"
         }
-        # phase 2: one set-based MERGE on the driver connection. Staging
-        # columns are double-quoted: Spark's JDBC writer creates them as
-        # quoted (case-exact) identifiers, so unquoted references would
-        # case-fold away from them; the target table's identifiers are the
-        # caller's own and pass through verbatim. String (dialect: CLOB)
-        # references are CAST to VARCHAR so comparisons and assignments
-        # type-check everywhere.
+        # phase 2: set-based statement(s) on the driver connection.
+        for sql in self.merge_statements(str_cols):
+            self._exec_update(sql)
+
+    def merge_statements(self, str_cols: set[str]) -> list[str]:
+        """The dialect's set-based upsert statement(s), as strings (pure —
+        unit-testable without a live database). Staging columns are quoted
+        with the dialect's identifier quote: Spark's JDBC writer creates
+        them as quoted (case-exact) identifiers, so unquoted references
+        would case-fold away from them; the target table's identifiers are
+        the caller's own and pass through verbatim. String (Derby: CLOB;
+        MySQL: TEXT) references are CAST so comparisons and assignments
+        type-check everywhere."""
         k = self.key_col
+        qc = "`" if self.dialect == "mysql" else '"'
+        cast_ty = (
+            f"CHAR({self.string_cast_len})" if self.dialect == "mysql"
+            else f"VARCHAR({self.string_cast_len})"
+        )
 
         def s(c):
-            ref = f's."{c}"'
+            ref = f"s.{qc}{c}{qc}"
             if c in str_cols:
-                return f"CAST({ref} AS VARCHAR({self.string_cast_len}))"
+                return f"CAST({ref} AS {cast_ty})"
             return ref
 
-        sets = ", ".join(f"{c} = {s(c)}" for c in self.value_cols)
         ins_cols = ", ".join([k, *self.value_cols])
         ins_vals = ", ".join(s(c) for c in [k, *self.value_cols])
-        self._exec_update(
+        if self.dialect == "mysql":
+            # MySQL has no MERGE: delete-join the tombstones, then
+            # INSERT..SELECT..ON DUPLICATE KEY UPDATE the upserts (ODKU may
+            # reference the SELECT's table alias directly; requires a
+            # PRIMARY/UNIQUE key on key_col)
+            odku = ", ".join(f"{c} = {s(c)}" for c in self.value_cols)
+            return [
+                f"DELETE t FROM {self.table} t JOIN {self.staging} s "
+                f"ON t.{k} = {s(k)} WHERE {s('op')} = 'delete'",
+                f"INSERT INTO {self.table} ({ins_cols}) "
+                f"SELECT {ins_vals} FROM {self.staging} s WHERE {s('op')} <> 'delete' "
+                f"ON DUPLICATE KEY UPDATE {odku}",
+            ]
+        sets = ", ".join(f"{c} = {s(c)}" for c in self.value_cols)
+        return [
             f"MERGE INTO {self.table} t USING {self.staging} s ON t.{k} = {s(k)} "
             f"WHEN MATCHED AND {s('op')} = 'delete' THEN DELETE "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED AND {s('op')} <> 'delete' THEN INSERT ({ins_cols}) "
             f"VALUES ({ins_vals})"
-        )
+        ]
 
 
 def start_jdbc_merge_stream(

@@ -89,7 +89,11 @@ def test_stream_ingest_kafka_shaped_records(spark, tmp_path):
          "next_position": None, "rows": None, "seq": 99},  # other-db event filtered out
     ]
     write_events(feed, [kafka_rec(e, i) for i, e in enumerate(events)])
-    changes = stream_changes_kafka_shaped(spark, feed, {"widgets": "id"}, db="shop")
+    # conn_params plumbed through the same validation as the live variant
+    changes = stream_changes_kafka_shaped(
+        spark, feed, {"widgets": "id"}, db="shop",
+        conn_params={"stream_keepalive_interval": 30_000},
+    )
     q = start_merge_stream(changes, state, ckpt)
     q.awaitTermination(120)
 
@@ -109,6 +113,29 @@ def test_stream_ingest_kafka_shaped_records(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["id"] for r in sink.read_state().collect()}
     assert got2 == {"2"}
+
+
+def test_kafka_conn_options_mapping():
+    """R2/R15 parity: the reference's conn-param knobs (core.clj:16-20 —
+    keepalive interval/timeout, initial connect timeout) map onto the Kafka
+    consumer's reconnect/timeout settings, defaults preserved; unknown keys
+    fail fast like the reference's config schema validation."""
+    import pytest as _pytest
+
+    from dumpr_spark.streaming.ingest import kafka_conn_options
+
+    # reference defaults carried verbatim
+    assert kafka_conn_options() == {
+        "kafka.reconnect.backoff.max.ms": "60000",
+        "kafka.request.timeout.ms": "3000",
+        "kafka.socket.connection.setup.timeout.ms": "3000",
+    }
+    # overrides land on the mapped option
+    got = kafka_conn_options({"stream_keepalive_interval": 15_000})
+    assert got["kafka.reconnect.backoff.max.ms"] == "15000"
+    assert got["kafka.request.timeout.ms"] == "3000"
+    with _pytest.raises(ValueError, match="unknown conn_params"):
+        kafka_conn_options({"stream_keepalive_intervall": 1})
 
 
 def test_stream_materialize_throughput_floor(spark, tmp_path):
@@ -754,6 +781,39 @@ def test_streaming_curation_dedup_quality_gate(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated_docs").collect()}
     assert kept == {1, 3, 11}  # 2 failed quality, 10 was a cross-batch dup
+
+
+def test_jdbc_merge_sink_dialect_templates():
+    """The sink's set-based SQL per dialect (pure template check — the live
+    Derby test below covers the ansi path end-to-end; MySQL has no MERGE so
+    its form is a DELETE-join + INSERT..SELECT..ON DUPLICATE KEY UPDATE,
+    backtick-quoted staging refs, CHAR casts)."""
+    import pytest as _pytest
+
+    from dumpr_spark.streaming.jdbc_sink import JdbcMergeSink
+
+    args = (None, "jdbc:x", "idx", "id", ["name", "score"])
+
+    ansi = JdbcMergeSink(*args).merge_statements(str_cols={"name", "op"})
+    assert len(ansi) == 1
+    m = ansi[0]
+    assert m.startswith("MERGE INTO idx t USING idx_STAGING s ON t.id = s.\"id\"")
+    assert "WHEN MATCHED AND CAST(s.\"op\" AS VARCHAR(4000)) = 'delete' THEN DELETE" in m
+    assert "name = CAST(s.\"name\" AS VARCHAR(4000))" in m
+    assert "score = s.\"score\"" in m  # non-string: no cast
+
+    my = JdbcMergeSink(*args, dialect="mysql").merge_statements(str_cols={"name", "op"})
+    assert len(my) == 2
+    delete, upsert = my
+    assert delete.startswith("DELETE t FROM idx t JOIN idx_STAGING s ON t.id = s.`id`")
+    assert "CAST(s.`op` AS CHAR(4000)) = 'delete'" in delete
+    assert upsert.startswith("INSERT INTO idx (id, name, score) SELECT")
+    assert "WHERE CAST(s.`op` AS CHAR(4000)) <> 'delete'" in upsert
+    assert "ON DUPLICATE KEY UPDATE name = CAST(s.`name` AS CHAR(4000)), score = s.`score`" in upsert
+    assert '"' not in delete and '"' not in upsert  # no ansi quoting leaks
+
+    with _pytest.raises(ValueError, match="dialect"):
+        JdbcMergeSink(*args, dialect="oracle8")
 
 
 def test_streaming_jdbc_merge_sink_against_derby(spark, tmp_path):

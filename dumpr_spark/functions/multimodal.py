@@ -57,12 +57,11 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, media_type: str) -> list[float]:
-    """Deterministic fake 'decode + feature-extract'.
-
-    REAL DECODE NOT IMPLEMENTED in this container. A real implementation
-    would, e.g., Image.open(BytesIO(payload)) -> resize -> normalized pixel
-    tensor. The stub derives an 8-dim feature from the payload hash so the
-    distributed plumbing (batching, schema, nullability) is fully exercised.
+    """Deterministic fake 'decode + feature-extract' (the container fallback:
+    codec libraries are absent here). Derives an 8-dim feature from the
+    payload hash so the distributed plumbing (batching, schema, nullability)
+    is fully exercised. `_decode_image_real` below is the real image path,
+    used automatically when Pillow is importable and the bytes decode.
     """
     if payload is None:
         return None
@@ -70,10 +69,45 @@ def _decode_stub(payload: bytes, media_type: str) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
+def _decode_image_real(payload: bytes) -> list[float] | None:
+    """Real image decode via Pillow, when available: decode -> grayscale ->
+    resize to a 4x2 grid -> normalized pixels. Same shape (8-dim
+    array<float>) and schema as the stub, so stub and real paths are
+    interchangeable batch-for-batch. Returns None when Pillow is absent or
+    the bytes are not a decodable image (caller falls back to the stub —
+    corrupt inputs degrade, they don't kill the executor)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            px = list(im.convert("L").resize((4, 2)).getdata())
+        return [p / 255.0 for p in px]
+    except Exception:
+        return None
+
+
+def _decode(payload: bytes, media_type: str) -> list[float]:
+    if payload is None:
+        return None
+    if media_type == "image":
+        real = _decode_image_real(payload)
+        if real is not None:
+            return real
+    return _decode_stub(payload, media_type)
+
+
 def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, one python worker per
     partition, constant memory per batch. At scale: repartition upstream so
-    payload bytes per partition fit executor memory."""
+    payload bytes per partition fit executor memory.
+
+    Image payloads decode for real when Pillow is importable on the executor
+    (optional dependency); everything else — and undecodable bytes — takes
+    the deterministic stub, under the identical FEATURE_SCHEMA."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,7 +117,7 @@ def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else None),
                     "feature": [
-                        _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+                        _decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }
             )

@@ -110,6 +110,39 @@ def test_multimodal_feature_extraction_plumbing(spark):
     assert feats2 == {r["asset_id"]: r["feature"] for r in rows}
 
 
+def test_multimodal_undecodable_bytes_fall_back_to_stub():
+    """Schema/shape parity between the stub and the optional real decode:
+    garbage image bytes (or Pillow absent) must take the deterministic stub,
+    never raise — corrupt inputs degrade instead of killing the executor."""
+    from dumpr_spark.functions.multimodal import _decode, _decode_stub
+
+    garbage = b"\x00definitely-not-a-png" * 3
+    assert _decode(garbage, "image") == _decode_stub(garbage, "image")
+    assert _decode(None, "image") is None
+    # non-image media always stubs (audio/video codecs are declared stubs)
+    assert _decode(garbage, "audio") == _decode_stub(garbage, "audio")
+
+
+def test_multimodal_real_decode_when_pillow_present():
+    """When Pillow IS importable (optional dependency; absent in this
+    container -> skip), a real PNG decodes to the same 8-dim [0,1] shape as
+    the stub — FEATURE_SCHEMA parity between the two paths."""
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    import io
+
+    from dumpr_spark.functions.multimodal import _decode, _decode_stub
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (16, 16), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    feat = _decode(png, "image")
+    assert len(feat) == 8 and all(0.0 <= x <= 1.0 for x in feat)
+    # and it is the REAL decode, not the hash stub
+    assert feat != _decode_stub(png, "image")
+
+
 def test_multimodal_frame_sample_plan(spark):
     from dumpr_spark.functions.multimodal import frame_sample_plan, synthetic_assets
 

@@ -98,6 +98,19 @@ class MergeSink:
             self._commit(raw.where(F.col("tbl").isin(tombstoned)).where(F.col("op") != OP_DELETE),
                          tombstoned, "compact")
 
+    def compact_files(self, target_file_mb: int = 128) -> int:
+        """Small-files maintenance: rewrite the state directory into
+        ~target-sized files (one per tbl= partition at test scales) via
+        operators.scale.compact_small_files. The compactor preserves the
+        Hive partition layout, so `_commit`'s hardlink carry-forward keeps
+        matching untouched tables afterward. Run OUT-OF-BAND with the stream
+        stopped — the compactor's swap discipline (.compact-tmp/.bak) is
+        separate from `_commit`'s and must not interleave with it. Cadence
+        guidance in SCALE.md. Returns the new data-file count."""
+        from dumpr_spark.operators.scale import compact_small_files
+
+        return compact_small_files(self.spark, self.state_path, target_file_mb=target_file_mb)
+
     def _commit(self, next_touched: DataFrame, touched: list[str], batch_id) -> None:
         """Write the folded touched partitions, assemble the next state version
         (hardlinking untouched partitions), and atomically swap it in."""

@@ -62,6 +62,60 @@ def test_stream_ingest_to_merge_sink_and_resume(spark, tmp_path):
     assert got2 == {"2": "b", "3": "c"}
 
 
+def test_merge_sink_file_compaction_between_streams(spark, tmp_path):
+    """Operational tail of the merge sink (SCALE.md cadence): after a stream
+    run, compact_files() shrinks the per-partition file count while
+    preserving state AND the tbl= layout, and a subsequent stream run still
+    carries untouched tables forward by hardlink (the r2-advice hazard —
+    a layout-flattening compactor would silently drop them)."""
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "cfeed")
+    state = str(tmp_path / "cstate")
+    ckpt = str(tmp_path / "cckpt")
+
+    # wave 1 touches two tables so one can sit untouched later
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": str(i), "v": f"w{i}"} for i in range(50)], "seq": 1},
+        {"event_type": "write", "db": "shop", "tbl": "gadgets", "ts": "2026-01-01T00:00:01Z",
+         "next_position": 20, "rows": [{"id": str(i), "v": f"g{i}"} for i in range(50)], "seq": 2},
+    ])
+    ids = {"widgets": "id", "gadgets": "id"}
+    q = start_merge_stream(stream_changes(spark, feed, ids, db="shop"), state, ckpt)
+    q.awaitTermination(120)
+
+    sink = MergeSink(spark, state)
+    before = {(r["tbl"], r["id"], r["content"]) for r in sink.read_state().collect()}
+
+    def data_files():
+        n = 0
+        for root, _d, files in os.walk(state):
+            n += sum(1 for f in files if not f.startswith(("_", ".")))
+        return n
+
+    files_before = data_files()
+    n_after = sink.compact_files()
+    assert n_after <= files_before
+    assert sorted(d for d in os.listdir(state) if d.startswith("tbl=")) == [
+        "tbl=gadgets", "tbl=widgets"]
+    assert {(r["tbl"], r["id"], r["content"]) for r in sink.read_state().collect()} == before
+
+    # wave 2 touches ONLY widgets; gadgets must survive via hardlink carry
+    write_events(feed, [
+        {"event_type": "update", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 30, "rows": [{"id": "0", "v": "w0b"}], "seq": 3},
+    ], file_name="part-001.json")
+    q2 = start_merge_stream(stream_changes(spark, feed, ids, db="shop"), state, ckpt)
+    q2.awaitTermination(120)
+
+    got = {(r["tbl"], r["id"]): json.loads(r["content"])["v"] for r in sink.read_state().collect()}
+    assert got[("widgets", "0")] == "w0b"
+    assert len([k for k in got if k[0] == "gadgets"]) == 50  # carried, not dropped
+    assert got[("gadgets", "7")] == "g7"
+
+
 def test_stream_ingest_kafka_shaped_records(spark, tmp_path):
     """The Kafka-wire variant of ingest (R2 prod shape): records carry the
     event as a JSON string in `value` plus broker metadata — same envelope,

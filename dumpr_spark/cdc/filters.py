@@ -55,22 +55,28 @@ def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str 
     source-connection (partitionBy that key).
     """
     w_run = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, -1)
+    is_end = F.when(F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK), 1).otherwise(0)
     begins = F.sum(F.when(F.col(type_col) == TX_BEGIN, 1).otherwise(0)).over(w_run)
-    ends = F.sum(
-        F.when(F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK), 1).otherwise(0)
-    ).over(w_run)
+    ends = F.sum(is_end).over(w_run)
+    ends_before = F.coalesce(F.sum(is_end).over(w_prev), F.lit(0))
+    # a commit marker only CLOSES a tx if one is still open when it arrives
+    # (begins so far > ends strictly before it) — an orphan commit after a
+    # rollback shares the rolled-back tx's begin-count group and must not
+    # resurrect it (found by the batch≡streaming property test)
+    effective_commit = (F.col(type_col) == TX_COMMIT) & (begins > ends_before)
     with_tx = events.withColumn("_tx_id", begins).withColumn(
         # a data row is inside a tx iff more begins than commit/rollback ends
         # have passed — rows after an end and before the next begin are orphan
         "_in_tx", begins > ends
-    )
+    ).withColumn("_eff_commit", effective_commit)
     w_tx = Window.partitionBy("_tx_id")
     committed = with_tx.withColumn(
-        "_committed", F.max(F.when(F.col(type_col) == TX_COMMIT, 1).otherwise(0)).over(w_tx)
+        "_committed", F.max(F.when(F.col("_eff_commit"), 1).otherwise(0)).over(w_tx)
     )
     return (
         committed.where(
             (F.col("_committed") == 1) & F.col("_in_tx") & ~F.col(type_col).isin(*_TX_MARKERS)
         )
-        .drop("_tx_id", "_committed", "_in_tx")
+        .drop("_tx_id", "_committed", "_in_tx", "_eff_commit")
     )

@@ -242,6 +242,50 @@ def test_tx_filter_drops_out_of_tx_rows_like_streaming(spark):
     assert batch_seqs == stream_seqs == [1, 5]
 
 
+def test_tx_filter_batch_equals_streaming_fold_property(spark):
+    """Property (r2 VERDICT #8): on RANDOM marker/row sequences the batch
+    window form (`filter_committed_txs`) and the streaming fold
+    (`_fold_tx_rows`) release exactly the same row set — commits release,
+    rollbacks discard, orphan rows outside any tx drop, re-begin abandons
+    the open buffer, and a trailing open tx releases nothing (the streaming
+    side keeps it buffered; the batch side sees no commit). Reference
+    semantics: stream.clj:22-54."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dumpr_spark.cdc.filters import _TX_MARKERS
+    from dumpr_spark.streaming.state import _fold_tx_rows
+
+    cols = ["source", "event_type", "tbl", "payload", "seq"]
+    markers = set(_TX_MARKERS)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        types=st.lists(
+            st.sampled_from(["tx-begin", "tx-commit", "tx-rollback", "write", "update"]),
+            max_size=30,
+        )
+    )
+    def check(types):
+        rows = [
+            ("s1", et, "w" if et not in markers else None,
+             f"p{i}" if et not in markers else None, i)
+            for i, et in enumerate(types)
+        ]
+        df = spark.createDataFrame(
+            rows, "source string, event_type string, tbl string, payload string, seq long"
+        )
+        batch_seqs = sorted(r["seq"] for r in filter_committed_txs(df).collect())
+        released, in_tx, buf = _fold_tx_rows(pd.DataFrame(rows, columns=cols), False, [])
+        stream_seqs = sorted(r["seq"] for r in released)
+        assert batch_seqs == stream_seqs, (types, batch_seqs, stream_seqs)
+        # the streaming buffer only ever holds rows of the one open tx
+        assert in_tx or buf == []
+
+    check()
+
+
 def test_binlog_filename_stamping(spark):
     """R5 (stream.clj:56-74): rotate events consumed, filename carried."""
     rows = [

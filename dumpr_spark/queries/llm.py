@@ -843,3 +843,109 @@ def text_lang_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+@query(
+    "sim_centroid_by_label",
+    """
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(v) + 1e-9, 6) AS centroid_v
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+    tags=("llm", "similarity", "embedding"),
+)
+def sim_centroid_by_label(spark, sf_dir):
+    """Per-label embedding centroids — the M-step of distributed k-means and
+    the class-prototype statistic of every embedding-quality report.
+
+    posexplode is a narrow 64x fanout (no shuffle); the (label, pos) groupBy
+    partially aggregates map-side, so the shuffle carries |labels| x dims
+    (sum, count) cells per input partition — constant in corpus size. That is
+    the 100 TB shape: centroid cost ~= one scan, however many vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            eps_round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+        )
+        .select("label", "pos", "n", "centroid_v")
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    """
+    WITH xs AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, x,
+             GREATEST(list_aggregate(list_transform(x, v -> abs(v)), 'max'), 1e-12) / 127.0 AS scale
+      FROM xs
+    ),
+    qs AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, v -> CAST(FLOOR(v / scale + 0.5) AS BIGINT)) AS q
+      FROM sc
+    )
+    SELECT vec_id,
+           ROUND(scale + 1e-9, 6) AS scale6,
+           ROUND(list_aggregate(list_transform(q, (v, i) -> abs(x[i] - v * scale)), 'max') + 1e-9, 6)
+             AS max_err6,
+           CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS q_sq_sum
+    FROM qs ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = amax/127) with
+    reconstruction-error audit — the storage/serving compression step of an
+    embedding pipeline (4x smaller than float32, cheap int dot products).
+
+    Pure narrow array expressions (transform/aggregate/zip_with): fuses into
+    the scan, zero shuffles, zero Python — at 100 TB this is I/O-bound, the
+    only acceptable cost for a full-corpus rewrite. FLOOR(x+0.5) instead of
+    round() pins identical half-way behavior across engines; q_sq_sum is an
+    integer-exact cross-engine checksum of the quantized vectors themselves
+    (not just their rounded stats)."""
+    e = t(spark, sf_dir, "embeddings")
+    d = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        )
+        .withColumn(
+            "amax",
+            F.aggregate("x", F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v))),
+        )
+        .withColumn("scale", F.greatest("amax", F.lit(1e-12)) / F.lit(127.0))
+        .withColumn(
+            "q",
+            F.transform("x", lambda v: F.floor(v / F.col("scale") + 0.5).cast("long")),
+        )
+    )
+    return d.select(
+        "vec_id",
+        eps_round(F.col("scale"), 6).alias("scale6"),
+        eps_round(
+            F.aggregate(
+                F.zip_with("x", "q", lambda xv, qv: F.abs(xv - qv * F.col("scale"))),
+                F.lit(0.0),
+                lambda a, v: F.greatest(a, v),
+            ),
+            6,
+        ).alias("max_err6"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, qv: a + qv * qv
+        ).alias("q_sq_sum"),
+    ).orderBy("vec_id")

@@ -1162,3 +1162,44 @@ def agg_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join, then a tiny
+    priority rollup (predicate adapted to this dataset's columns —
+    l_shipdate > o_orderdate stands in for commitdate < receiptdate).
+    The semi join keeps each order at most once WITHOUT a distinct pass,
+    and its build side carries only join keys; the aggregate combines
+    map-side to |priorities| rows. The EXISTS decorrelation is Catalyst's,
+    not hand-rolled — the declarative form survives optimizer upgrades."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

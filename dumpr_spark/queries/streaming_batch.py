@@ -15,6 +15,7 @@ from dumpr_spark.queries.base import eps_round, query, t
 
 _MS_5MIN = 5 * 60 * 1000
 _MS_30MIN = 30 * 60 * 1000
+_MS_4H = 4 * 60 * 60 * 1000
 
 
 @query(
@@ -282,3 +283,39 @@ def events_ewma(spark, sf_dir):
     return folded.select(
         "user_id", "event_id", eps_round(F.col("ewma"), 6).alias("ewma")
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "stream_heavy_hitters",
+    f"""
+    SELECT epoch_ms(epoch_ms(ts) // {_MS_4H} * {_MS_4H}) AS w_start,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY w_start, user_id
+    HAVING COUNT(*) >= 3
+    ORDER BY w_start, user_id
+    """,
+    tags=("streaming", "window", "heavy-hitters"),
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """Per-window heavy hitters: users with >= 3 events in a 4-hour
+    tumbling window — the rate-anomaly / hot-key detector of an event
+    pipeline, exact form.
+
+    Exact-by-count is the right scale call while the key space (users) is
+    bounded: the groupBy partially aggregates map-side, so the shuffle
+    carries one (window, user, partial-count) row per input partition, and
+    the HAVING prunes before any sort. A count-min-sketch variant only wins
+    when keys are unbounded (then it is engine-specific => rows-only, like
+    dedup_simhash); this one stays under the value-level oracle. In
+    streaming the same plan runs windowed-stateful with a watermark
+    (tests/test_streaming.py drives the shape)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "4 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select(F.col("w.start").alias("w_start"), "user_id", "n")
+        .orderBy("w_start", "user_id")
+    )

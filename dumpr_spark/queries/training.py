@@ -931,3 +931,77 @@ def join_overlap_intervals(spark, sf_dir):
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "dedup_url_canonical",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             source || '.Example.COM' ||
+             '/docs/' || lang || '/' || (doc_id % 120) ||
+             (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 120)
+                   ELSE '?id=' || (doc_id % 120) END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://' ||
+             regexp_replace(lower(regexp_extract(url, '^https://([^/]+)', 1)), '^www\\.', '') ||
+             regexp_replace(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1), '/$', '') ||
+             '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1) AS curl
+      FROM urls
+    )
+    SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM canon GROUP BY curl ORDER BY curl
+    """,
+    tags=("training", "dedup", "url"),
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup — the crawl-curation step before any text
+    dedup: the same page arrives as http/https, WWW./apex, trailing-slash,
+    and utm-tracking variants, and naive exact-URL dedup misses all of them.
+    Canonical key = lowercased apex host + trailing-slash-trimmed path +
+    tracking-params-stripped query; keeper = min doc_id per key (the same
+    keep-first rule as dedup_exact).
+
+    Variant URLs are derived deterministically from doc_id IN BOTH ENGINES
+    (the corpus has no URL column), with collisions forced via doc_id % 120.
+    Scale shape: canonicalization is a narrow regex projection fused into
+    the scan; the only shuffle is the groupBy on the 16-byte-ish canonical
+    key — identical to dedup_exact_hash's profile."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.lit("/docs/"), F.col("lang"), F.lit("/"), (k % 120).cast("string"),
+        F.when(k % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign=x&id="), (k % 120).cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), (k % 120).cast("string"))),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^https://([^/]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.regexp_extract(url, r"^https://[^/]+(/[^?]*)", 1), r"/$", "")
+    curl = F.concat(
+        F.lit("https://"), host, path, F.lit("?id="),
+        F.regexp_extract(url, r"[?&]id=([0-9]+)", 1),
+    )
+    return (
+        d.select(k.alias("doc_id"), curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("curl")
+    )

@@ -41,42 +41,49 @@ def filter_tables(events: DataFrame, tables: Iterable[str] | None) -> DataFrame:
 def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str = "event_type") -> DataFrame:
     """Batch transaction filter (R4, stream.clj:22-54).
 
-    The reference buffers events from :tx-begin, releases the batch on
-    :tx-commit, discards on :tx-rollback, and strips the boundary markers.
-    Batch re-expression: number transactions by a running count of begins in
-    stream order, keep transactions whose marker set contains a commit, drop
-    the markers. Rows OUTSIDE any open transaction (between a commit/rollback
-    and the next begin) are dropped — the same behavior as the streaming fold
-    (`streaming.state._fold_tx_rows`), which only buffers while in_tx; the two
-    forms must agree on every event sequence. A single total-order window is
-    inherently serial; this filter exists for completeness/parity — at scale
-    the CDC feed is commit-filtered at the source (Debezium-shaped), making
-    this a no-op (SURVEY §4.2.3), or the stream is windowed per
-    source-connection (partitionBy that key).
+    The reference keeps a BOOLEAN ``ongoing?`` flag: :tx-begin sets it (a
+    nested begin neither resets the buffer nor deepens anything), :tx-commit
+    releases the buffered rows and clears the flag, :tx-rollback discards
+    them, and rows arriving OUTSIDE a transaction pass straight through
+    (``(rf result input)`` — non-transactional binlog events like DDL must
+    survive). Batch re-expression of that state machine:
+
+    - a data row is in-tx iff the LAST marker before it is a begin;
+    - tx groups are delimited by terminators (commit/rollback): group id =
+      count of terminators strictly before the row, so each group contains
+      at most one terminator — the one that ends it;
+    - an in-tx row survives iff its group's terminator is a commit (a
+      trailing open tx has no terminator in-group and is dropped, matching
+      the streaming fold which keeps it buffered);
+    - out-of-tx rows always survive; markers are stripped.
+
+    The streaming twin (`streaming.state._fold_tx_rows`) must agree on every
+    event sequence — pinned by a hypothesis property test. A single
+    total-order window is inherently serial; this filter exists for
+    completeness/parity — at scale the CDC feed is commit-filtered at the
+    source (Debezium-shaped), making this a no-op (SURVEY §4.2.3), or the
+    stream is windowed per source-connection (partitionBy that key).
     """
-    w_run = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_prev = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, -1)
     is_end = F.when(F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK), 1).otherwise(0)
-    begins = F.sum(F.when(F.col(type_col) == TX_BEGIN, 1).otherwise(0)).over(w_run)
-    ends = F.sum(is_end).over(w_run)
+    last_marker = F.last(
+        F.when(F.col(type_col).isin(*_TX_MARKERS), F.col(type_col)), ignorenulls=True
+    ).over(w_prev)
     ends_before = F.coalesce(F.sum(is_end).over(w_prev), F.lit(0))
-    # a commit marker only CLOSES a tx if one is still open when it arrives
-    # (begins so far > ends strictly before it) — an orphan commit after a
-    # rollback shares the rolled-back tx's begin-count group and must not
-    # resurrect it (found by the batch≡streaming property test)
-    effective_commit = (F.col(type_col) == TX_COMMIT) & (begins > ends_before)
-    with_tx = events.withColumn("_tx_id", begins).withColumn(
-        # a data row is inside a tx iff more begins than commit/rollback ends
-        # have passed — rows after an end and before the next begin are orphan
-        "_in_tx", begins > ends
-    ).withColumn("_eff_commit", effective_commit)
+    with_tx = (
+        # coalesce: rows before any marker are out-of-tx (NULL last_marker)
+        events.withColumn("_in_tx", F.coalesce(last_marker == TX_BEGIN, F.lit(False)))
+        .withColumn("_tx_id", ends_before)
+    )
     w_tx = Window.partitionBy("_tx_id")
     committed = with_tx.withColumn(
-        "_committed", F.max(F.when(F.col("_eff_commit"), 1).otherwise(0)).over(w_tx)
+        "_committed",
+        F.max(F.when(F.col(type_col) == TX_COMMIT, 1).otherwise(0)).over(w_tx),
     )
     return (
         committed.where(
-            (F.col("_committed") == 1) & F.col("_in_tx") & ~F.col(type_col).isin(*_TX_MARKERS)
+            ~F.col(type_col).isin(*_TX_MARKERS)
+            & (~F.col("_in_tx") | (F.col("_committed") == 1))
         )
-        .drop("_tx_id", "_committed", "_in_tx", "_eff_commit")
+        .drop("_tx_id", "_committed", "_in_tx")
     )

@@ -75,17 +75,23 @@ def _fold_tx_rows(rows: pd.DataFrame, in_tx: bool, buf: list[dict]):
     for r in rows.sort_values("seq").itertuples(index=False):
         et = r.event_type
         if et == "tx-begin":
-            in_tx, buf = True, []
+            # reference start-tx only sets the flag (stream.clj:36) — a
+            # nested begin keeps the already-buffered rows
+            in_tx = True
         elif et == "tx-commit":
             out.extend(buf)
             in_tx, buf = False, []
         elif et == "tx-rollback":
             in_tx, buf = False, []
-        elif in_tx:
-            buf.append(
-                {"source": r.source, "event_type": et, "tbl": r.tbl,
-                 "payload": r.payload, "seq": int(r.seq)}
-            )
+        else:
+            row = {"source": r.source, "event_type": et, "tbl": r.tbl,
+                   "payload": r.payload, "seq": int(r.seq)}
+            if in_tx:
+                buf.append(row)
+            else:
+                # out-of-tx events (DDL, non-transactional tables) pass
+                # straight through, mirroring (rf result input) stream.clj:52
+                out.append(row)
     return out, in_tx, buf
 
 

@@ -219,10 +219,11 @@ def test_tx_filter_commit_rollback(spark):
     assert out == [1, 2, 8]
 
 
-def test_tx_filter_drops_out_of_tx_rows_like_streaming(spark):
+def test_tx_filter_passes_out_of_tx_rows_like_streaming(spark):
     """Rows BETWEEN transactions (after a commit/rollback, before the next
-    begin) are dropped — matching the streaming fold, which only buffers
-    while in_tx. The two forms must agree on every sequence."""
+    begin) pass straight through — the reference releases out-of-tx input
+    immediately (stream.clj:52, `(rf result input)`; non-transactional
+    binlog events like DDL must survive). Batch and streaming agree."""
     import pandas as pd
 
     from dumpr_spark.streaming.state import _fold_tx_rows
@@ -239,17 +240,18 @@ def test_tx_filter_drops_out_of_tx_rows_like_streaming(spark):
     pdf = pd.DataFrame(rows, columns=["source", "event_type", "tbl", "payload", "seq"])
     released, _, _ = _fold_tx_rows(pdf, False, [])
     stream_seqs = sorted(r["seq"] for r in released)
-    assert batch_seqs == stream_seqs == [1, 5]
+    assert batch_seqs == stream_seqs == [1, 3, 5]
 
 
 def test_tx_filter_batch_equals_streaming_fold_property(spark):
     """Property (r2 VERDICT #8): on RANDOM marker/row sequences the batch
     window form (`filter_committed_txs`) and the streaming fold
     (`_fold_tx_rows`) release exactly the same row set — commits release,
-    rollbacks discard, orphan rows outside any tx drop, re-begin abandons
-    the open buffer, and a trailing open tx releases nothing (the streaming
-    side keeps it buffered; the batch side sees no commit). Reference
-    semantics: stream.clj:22-54."""
+    rollbacks discard, rows outside any tx pass straight through, a nested
+    re-begin keeps the open buffer (reference start-tx only flips the flag),
+    and a trailing open tx releases nothing (the streaming side keeps it
+    buffered; the batch side sees no commit). Reference semantics:
+    stream.clj:22-54."""
     import pandas as pd
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -260,7 +262,7 @@ def test_tx_filter_batch_equals_streaming_fold_property(spark):
     cols = ["source", "event_type", "tbl", "payload", "seq"]
     markers = set(_TX_MARKERS)
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=40, deadline=None)
     @given(
         types=st.lists(
             st.sampled_from(["tx-begin", "tx-commit", "tx-rollback", "write", "update"]),

@@ -244,3 +244,126 @@ def cdc_envelope_shape(spark, sf_dir):
         )
         .orderBy("order_id", "content_key")
     )
+
+
+@query(
+    "cdc_tx_filter",
+    """
+    WITH k AS (
+      SELECT o_orderkey AS k, o_orderkey % 11 AS m, o_orderkey * 10 AS s
+      FROM orders
+    )
+    SELECT CAST(seq AS BIGINT) AS seq, payload FROM (
+      SELECT s + 1 AS seq, 'p' || k || '-1' AS payload FROM k WHERE m BETWEEN 1 AND 5
+      UNION ALL SELECT s,     'p' || k || '-0' FROM k WHERE m = 6
+      UNION ALL SELECT s + 1, 'p' || k || '-1' FROM k WHERE m = 7
+      UNION ALL SELECT s + 3, 'p' || k || '-3' FROM k WHERE m = 7
+      UNION ALL SELECT s + 1, 'p' || k || '-1' FROM k WHERE m = 9
+      UNION ALL SELECT s + 2, 'p' || k || '-2' FROM k WHERE m = 9
+    ) ORDER BY seq
+    """,
+    tags=("cdc", "tx"),
+)
+def cdc_tx_filter(spark, sf_dir):
+    """Transaction filter (R4, stream.clj:22-54) under the value-level oracle.
+
+    A deterministic marker stream is derived from orders (one independent
+    mini-sequence per orderkey at seq = key*10+offset, every sequence closed
+    so group outcomes are state-independent), covering every R4 behavior:
+    commit releases (m 1-5, and the two-write m=9), rollback discards (m=0),
+    out-of-tx rows pass straight through (m=6), a NESTED begin keeps the
+    buffer (m=7: both writes survive one commit), an orphan commit is a
+    stripped no-op (m=8), and an empty rollback emits nothing (m=10).
+
+    The Spark side runs the real `filter_committed_txs` window state machine
+    over the generated stream; the oracle derives the survivor set from
+    first principles per case — an independent derivation, not a mirrored
+    fold. The total-order window is the declared single-binlog parity path
+    (a binlog is a serial log; the streaming twin is keyed state)."""
+    from dumpr_spark.cdc.filters import filter_committed_txs
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    m = k % 11
+    s = (k * 10).cast("long")
+
+    def ev(et, off, with_payload=False):
+        payload = (
+            F.concat(F.lit("p"), k.cast("string"), F.lit(f"-{off}"))
+            if with_payload
+            else F.lit(None).cast("string")
+        )
+        return F.struct(
+            F.lit(et).alias("event_type"),
+            payload.alias("payload"),
+            (s + off).alias("seq"),
+        )
+
+    begin, commit, rollback = "tx-begin", "tx-commit", "tx-rollback"
+    arr = (
+        F.when(m == 0, F.array(ev(begin, 0), ev("write", 1, True), ev(rollback, 2)))
+        .when(m <= 5, F.array(ev(begin, 0), ev("write", 1, True), ev(commit, 2)))
+        .when(m == 6, F.array(ev("write", 0, True)))
+        .when(
+            m == 7,
+            F.array(
+                ev(begin, 0), ev("write", 1, True), ev(begin, 2),
+                ev("write", 3, True), ev(commit, 4),
+            ),
+        )
+        .when(m == 8, F.array(ev(commit, 0)))
+        .when(m == 9, F.array(ev(begin, 0), ev("write", 1, True), ev("write", 2, True), ev(commit, 3)))
+        .otherwise(F.array(ev(begin, 0), ev(rollback, 1)))
+    )
+    events = o.select(F.explode(arr).alias("e")).select("e.event_type", "e.payload", "e.seq")
+    return filter_committed_txs(events).select("seq", "payload").orderBy("seq")
+
+
+@query(
+    "cdc_stamp_filename",
+    """
+    WITH ev AS (
+      SELECT o_orderkey * 2 + 1 AS seq, CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(NULL AS VARCHAR) AS rotate_file
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey * 2, NULL, 'binlog.' || o_orderkey
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    st AS (
+      SELECT seq, id, rotate_file,
+             COALESCE(
+               last_value(rotate_file IGNORE NULLS) OVER (
+                 ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               'binlog.000001') AS next_file
+      FROM ev
+    )
+    SELECT CAST(seq AS BIGINT) AS seq, id, next_file
+    FROM st WHERE rotate_file IS NULL ORDER BY seq
+    """,
+    tags=("cdc", "position"),
+)
+def cdc_stamp_filename(spark, sf_dir):
+    """Binlog filename stamping (R5, stream.clj:56-74) under the value-level
+    oracle: rotate events (every orderkey % 13 == 0, at seq just before that
+    order's data event) set the current file; every data event is stamped
+    with the latest rotate filename at-or-before it (initial file before the
+    first rotate), and rotates themselves are consumed. Runs the real
+    `stamp_binlog_filename` last_value(ignorenulls) window — the declared
+    single-binlog parity path of the streaming filename tracker."""
+    from dumpr_spark.cdc.positions import stamp_binlog_filename
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    data = o.select(
+        (k * 2 + 1).cast("long").alias("seq"),
+        k.cast("string").alias("id"),
+        F.lit(None).cast("string").alias("rotate_file"),
+    )
+    rotates = o.where(k % 13 == 0).select(
+        (k * 2).cast("long").alias("seq"),
+        F.lit(None).cast("string").alias("id"),
+        F.concat(F.lit("binlog."), k.cast("string")).alias("rotate_file"),
+    )
+    stamped = stamp_binlog_filename(data.unionByName(rotates), "binlog.000001")
+    return stamped.select("seq", "id", "next_file").orderBy("seq")

@@ -154,3 +154,56 @@ def multimodal_audio_windows(spark, sf_dir):
     explode, no payload bytes touched."""
     plan = mm.audio_window_plan(_assets(spark, sf_dir), window_ms=2000, stride_ms=1000)
     return plan.orderBy("asset_id", "win_start_ms")
+
+
+@query(
+    "multimodal_frame_dedup",
+    """
+    WITH v AS (
+      SELECT doc_id AS asset_id, CAST(floor(n_chars * 10 / 1000.0) AS INT) AS maxf
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT asset_id, unnest(generate_series(0, maxf)) AS f FROM v
+    ),
+    h AS (
+      SELECT asset_id, f,
+             md5(CAST(asset_id % 7 AS VARCHAR) || '#' || CAST(f AS VARCHAR)) AS frame_hash
+      FROM fr
+    )
+    SELECT frame_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(asset_id) AS BIGINT) AS keeper_asset
+    FROM h GROUP BY frame_hash HAVING COUNT(*) > 1
+    ORDER BY frame_hash
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_frame_dedup(spark, sf_dir):
+    """Cross-video duplicate-frame detection: sample frames (the real
+    `frame_sample_plan` fan-out), fingerprint each frame, and group identical
+    fingerprints — the intro/outro/logo-frame dedup step of a video-training
+    pipeline. Frame content is container-stubbed deterministically (hash of
+    asset_id % 7 and frame index, so every 7th video shares a frame stream —
+    a real pipeline would md5/pHash decoded RGB via extract_features).
+
+    Scale shape is exactly dedup_exact_hash's: the explode is narrow (no
+    shuffle), only 16-byte fingerprints shuffle for the groupBy (never frame
+    bytes), and the HAVING prunes singletons map-side-combined."""
+    plan = mm.frame_sample_plan(_assets(spark, sf_dir), every_ms=1000)
+    frame_hash = F.md5(
+        F.concat(
+            (F.col("asset_id") % 7).cast("string"),
+            F.lit("#"),
+            (F.col("frame_ts_ms") / 1000).cast("long").cast("string"),
+        )
+    )
+    return (
+        plan.select("asset_id", frame_hash.alias("frame_hash"))
+        .groupBy("frame_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("asset_id").alias("keeper_asset"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("frame_hash")
+    )

@@ -8,7 +8,7 @@ surfaces Python lacks (GROUPING SETS).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from dumpr_spark.queries.base import eps_round, query, register_views, t
 
@@ -1202,4 +1202,103 @@ def q4_order_priority(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    rs AS (
+      SELECT c.l_partkey, c.cost, s.s_name
+      FROM costs c
+      JOIN supplier s ON c.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    m AS (SELECT l_partkey, MIN(cost) AS mincost FROM rs GROUP BY l_partkey)
+    SELECT p.p_partkey, rs.s_name, ROUND(rs.cost + 1e-9, 4) AS cost4
+    FROM rs
+    JOIN m ON rs.l_partkey = m.l_partkey AND rs.cost = m.mincost
+    JOIN part p ON p.p_partkey = rs.l_partkey
+    WHERE p.p_size = 30
+    ORDER BY p_partkey, s_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the cheapest supplier(s) per part within a region
+    (unit cost stands in for ps_supplycost — this dataset has no partsupp).
+    The classic correlated MIN subquery is expressed as a window min over
+    the per-part group — one shuffle on l_partkey, no self-join, no
+    decorrelation gamble; ties keep every minimal supplier, deterministic.
+
+    Scale shape: the big side (lineitem) aggregates to (part, supp) unit
+    costs FIRST (map-side combine), then every dimension join is a
+    broadcast — supplier/nation/region are orders of magnitude smaller, and
+    the p_size filter prunes part before its broadcast. The only wide
+    exchange is the partkey window."""
+    li = t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rs = (
+        costs.join(F.broadcast(s), costs["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select("l_partkey", "cost", "s_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") == 30)
+    return (
+        rs.withColumn("mincost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("mincost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("p_partkey", "s_name", eps_round(F.col("cost"), 4).alias("cost4"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_orderkey
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact table FIRST
+    (sum_qty per order, map-side combine), prune with HAVING, then join the
+    tiny survivor set back to orders and customer. The filter-early order
+    matters at 100 TB: the HAVING keeps ~0.2% of orders, so both joins move
+    survivor-sized streams — AQE converts them to broadcasts at runtime.
+    sum(l_quantity) is integer-valued doubles, exact on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
+        .orderBy("o_orderkey")
     )

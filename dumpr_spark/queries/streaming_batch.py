@@ -319,3 +319,123 @@ def stream_heavy_hitters(spark, sf_dir):
         .select(F.col("w.start").alias("w_start"), "user_id", "n")
         .orderBy("w_start", "user_id")
     )
+
+
+@query(
+    "events_funnel_strict",
+    """
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS ta FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS tb
+      FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc
+      FROM events e JOIN b ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY e.user_id
+    )
+    SELECT a.user_id,
+           CAST(1 + (CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS INT) AS stage,
+           b.tb AS first_qual_click
+    FROM a LEFT JOIN b ON a.user_id = b.user_id
+           LEFT JOIN c ON a.user_id = c.user_id
+    ORDER BY a.user_id
+    """,
+    tags=("streaming", "funnel"),
+)
+def events_funnel_strict(spark, sf_dir):
+    """Strict sequenced funnel (view -> click -> purchase): a user reaches
+    stage 2 only with a click strictly AFTER their first view, stage 3 only
+    with a purchase strictly after that first QUALIFYING click. This is the
+    re-engagement-correct form `events_funnel`'s single-pass conditional-min
+    approximates: there, a user with click@1 view@2 click@3 purchase@4 stalls
+    at stage 1 (global first_click precedes the view); here the click@3
+    qualifies and the user converts fully.
+
+    Staged min-reduction instead of per-user event sorting: each stage is a
+    groupBy(user).min(ts) gated by the previous stage's timestamp. All three
+    aggregations and both left joins hash on user_id, so AQE co-partitions
+    one narrow (user, ts) tuple stream per stage — no per-user collect_list,
+    no global sort, and the event payload columns never leave the scan. The
+    final rollup is three rows."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("ta"))
+    b = (
+        e.where(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .where(F.col("ts") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        e.where(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .where(F.col("ts") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    return (
+        a.join(b, "user_id", "left")
+        .join(c, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("tb").isNotNull().cast("int")
+                + F.col("tc").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("stage"),
+            F.col("tb").alias("first_qual_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seqd AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seqd WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type) + 1e-9, 6) AS p
+    FROM pairs ORDER BY prev_type, next_type
+    """,
+    tags=("streaming", "sessions", "markov"),
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral-model statistic behind next-action prediction and bot
+    detection (uniform transition rows are a bot tell).
+
+    lag() over (user, ts) is a keyed window: ~|users| independent partitions,
+    one shuffle, no global order (event_id tie-breaks equal timestamps so
+    both engines see the same successor). The pair rollup map-side-combines
+    to at most |types|^2 rows, and the probability normalization runs over
+    that tiny aggregate, not the event stream."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        eps_round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")

@@ -1005,3 +1005,73 @@ def dedup_url_canonical(spark, sf_dir):
         )
         .orderBy("curl")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, a[i] AS prev, a[i + 1] AS cur
+      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+    ),
+    cb AS (SELECT prev, cur, count(*)::DOUBLE AS c FROM bg GROUP BY prev, cur),
+    cp AS (SELECT prev, count(*)::DOUBLE AS cp FROM bg GROUP BY prev),
+    sc AS (
+      SELECT b.doc_id, ln(cb.c / cp.cp) AS lp
+      FROM bg b
+      JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+      JOIN cp ON b.prev = cp.prev
+    )
+    SELECT doc_id, ROUND(AVG(lp) + 1e-9, 4) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("training", "quality", "lm"),
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM scoring: per-doc average of ln P(cur|prev) with MLE
+    conditional probabilities (c(prev,cur) / c(prev,*)) — one LM order above
+    `text_unigram_logprob`, the cheap perplexity proxy that actually catches
+    shuffled-word salad (uniform unigrams, junk bigrams).
+
+    The bigram explode is NARROW: arrays_zip of two slices of the token
+    array fans out in-place, no per-doc window or sort. The model tables
+    (bigram and prev counts) are Zipf-small next to the corpus, so both
+    scoring joins broadcast; the only corpus-sized shuffle is the final
+    per-doc average, which map-side-combines. In-corpus scoring means no
+    OOV path (c >= 1 by construction); a held-out model would coalesce to a
+    floor. Docs under two tokens have no bigrams and drop out identically
+    in both engines."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, n - 1).alias("prev"),
+                    F.slice(tk, 2, n - 1).alias("cur"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    cb = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cp = bg.groupBy("prev").agg(F.count(F.lit(1)).cast("double").alias("cp"))
+    scored = (
+        bg.join(F.broadcast(cb), ["prev", "cur"])
+        .join(F.broadcast(cp), "prev")
+        .select("doc_id", F.log(F.col("c") / F.col("cp")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            eps_round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )

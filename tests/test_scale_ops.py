@@ -270,3 +270,62 @@ def test_plan_shapes_broadcast_claims(spark, sf_dir):
     assert "BroadcastHashJoin" in lm, lm
     # the doc-side scan must not sort-merge against the freq table
     assert "SortMergeJoin" not in lm, lm
+
+
+def test_plan_shapes_round3_queries(spark, sf_dir):
+    """Round-3 plan claims: q2's dimension joins and the bigram-LM model
+    joins broadcast (the corpus side must not sort-merge against a
+    Zipf-small model table); the frame-dedup explode is narrow — the only
+    Exchange is the fingerprint groupBy."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    q2 = explain_str(REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in q2, q2
+
+    bg = explain_str(REGISTRY["text_bigram_logprob"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in bg, bg
+    assert "SortMergeJoin" not in bg, bg
+
+    fd = explain_str(REGISTRY["multimodal_frame_dedup"].fn(spark, sf_dir), "simple")
+    # one Exchange for the groupBy (plus its partial-agg pair collapses into
+    # it) — the generate/explode must not force its own shuffle
+    assert fd.count("Exchange") <= 2, fd
+
+
+def test_events_funnel_strict_reengagement_case(spark):
+    """The case that separates the strict staged funnel from the one-pass
+    conditional-min form: click BEFORE the first view plus a later
+    qualifying click. One-pass stalls at stage 1 (global first_click <
+    first_view); the staged form converts fully."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), et, 10 + i)
+        for i, et in enumerate(["click", "view", "click", "purchase"])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string, event_id long")
+    df.createOrReplaceTempView("_funnel_case")
+
+    from pyspark.sql import functions as F
+
+    a = df.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("ta"))
+    b = (
+        df.where(F.col("event_type") == "click")
+        .join(a, "user_id").where(F.col("ts") > F.col("ta"))
+        .groupBy("user_id").agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        df.where(F.col("event_type") == "purchase")
+        .join(b, "user_id").where(F.col("ts") > F.col("tb"))
+        .groupBy("user_id").agg(F.min("ts").alias("tc"))
+    )
+    staged = a.join(b, "user_id", "left").join(c, "user_id", "left").first()
+    assert staged["tb"] is not None and staged["tc"] is not None  # stage 3
+
+    # one-pass conditional-min on the same data stalls at stage 1
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    onep = df.groupBy("user_id").agg(
+        first("view").alias("fv"), first("click").alias("fc"), first("purchase").alias("fp")
+    ).first()
+    assert onep["fc"] < onep["fv"]  # the approximation's blind spot

@@ -1,8 +1,13 @@
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
+
+# Make bare `pytest` work from the repo root (it doesn't add cwd to sys.path
+# the way `python -m pytest` does, so dumpr_spark wouldn't import).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep local test JVM small
 

@@ -367,3 +367,134 @@ def cdc_stamp_filename(spark, sf_dir):
     )
     stamped = stamp_binlog_filename(data.unionByName(rotates), "binlog.000001")
     return stamped.select("seq", "id", "next_file").orderBy("seq")
+
+
+@query(
+    "cdc_scd2_history",
+    _CHANGES_CTE
+    + """
+    , versions AS (
+      SELECT id, op, o_totalprice, seq,
+             lead(seq) OVER (PARTITION BY id ORDER BY seq) AS valid_to
+      FROM changes
+    )
+    SELECT CAST(id AS BIGINT) AS order_id,
+           ROUND(o_totalprice, 2) AS price,
+           seq AS valid_from,
+           valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versions WHERE op = 'upsert'
+    ORDER BY order_id, valid_from
+    """,
+    tags=("cdc", "window", "temporal"),
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD Type-2 history from the change stream: every upsert version gets a
+    validity interval [valid_from, valid_to), closed by the NEXT change of the
+    same key (upsert or delete); an open interval marks the current version,
+    and a key whose last change is a delete has no current row — the temporal-
+    table view of the entity-map fold (test_util.clj:110-123), which is what
+    'building live views of data for analytics' (README.md:14-21) needs for
+    point-in-time correctness downstream.
+
+    Scale shape: one lead() window partitioned BY KEY — the shuffle is the
+    same (tbl,id) hash the materializer already uses, no global order
+    anywhere; at 100 TB this co-partitions with materialize so AQE reuses
+    the exchange when both run in one job."""
+    from pyspark.sql import Window
+
+    ch = _synthetic_changes(spark, sf_dir)
+    row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+    w = Window.partitionBy("id").orderBy("seq")
+    return (
+        ch.withColumn("valid_to", F.lead("seq").over(w))
+        .where(F.col("op") == "upsert")
+        .withColumn("row", row)
+        .select(
+            F.col("id").cast("long").alias("order_id"),
+            F.round(F.col("row.o_totalprice"), 2).alias("price"),
+            F.col("seq").alias("valid_from"),
+            F.col("valid_to"),
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("order_id", "valid_from")
+    )
+
+
+@query(
+    "cdc_time_travel",
+    _CHANGES_CTE
+    + """
+    , cutoff AS (SELECT MAX(seq) // 2 AS s FROM changes),
+    state_asof AS (
+      SELECT id, arg_max(o_totalprice, seq) AS o_totalprice,
+             arg_max(op, seq) AS last_op, MAX(seq) AS seq
+      FROM changes WHERE seq <= (SELECT s FROM cutoff)
+      GROUP BY id
+    )
+    SELECT CAST(id AS BIGINT) AS order_id, ROUND(o_totalprice, 2) AS price, seq
+    FROM state_asof WHERE last_op <> 'delete'
+    ORDER BY order_id
+    """,
+    tags=("cdc", "temporal"),
+)
+def cdc_time_travel(spark, sf_dir):
+    """Time travel: materialized state AS OF a stream position — the same
+    last-write-wins fold restricted to seq <= cutoff (here max(seq)/2, a
+    mid-stream coordinate both engines derive identically). This is the
+    reference's resume-coordinate semantics (core.clj:105-131) turned into a
+    query: any saved {file, position} maps to a seq cutoff and the state at
+    that moment is reconstructible from the log alone.
+
+    Scale shape: the cutoff is a scalar broadcast; the seq filter pushes into
+    the scan (on a seq-sorted log layout it prunes whole files), then the
+    identical max_by partial-agg fold as cdc_materialize."""
+    ch = _synthetic_changes(spark, sf_dir)
+    cutoff = ch.agg((F.max("seq") / 2).cast("long").alias("s"))
+    row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+    state = materialize(ch.join(F.broadcast(cutoff), ch["seq"] <= F.col("s"), "inner"))
+    return (
+        state.withColumn("row", row)
+        .select(
+            F.col("id").cast("long").alias("order_id"),
+            F.round(F.col("row.o_totalprice"), 2).alias("price"),
+            F.col("seq"),
+        )
+        .orderBy("order_id")
+    )
+
+
+@query(
+    "cdc_churn_stats",
+    _CHANGES_CTE
+    + """
+    , per_key AS (
+      SELECT id, COUNT(*) AS n_versions,
+             SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes
+      FROM changes GROUP BY id
+    )
+    SELECT n_versions, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_deletes) AS BIGINT) AS deletes
+    FROM per_key GROUP BY n_versions ORDER BY n_versions
+    """,
+    tags=("cdc", "agg"),
+)
+def cdc_churn_stats(spark, sf_dir):
+    """Change-stream churn histogram: how many keys saw 1, 2, 3... versions,
+    and how many deletes each cohort carries — the observability query a CDC
+    operator runs to size state stores and spot hot keys before they skew the
+    materialize shuffle. Two partial-combining aggregations; the second runs
+    over |distinct versions| rows."""
+    ch = _synthetic_changes(spark, sf_dir)
+    per_key = ch.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
+    )
+    return (
+        per_key.groupBy("n_versions")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_deletes").alias("deletes"),
+        )
+        .orderBy("n_versions")
+    )

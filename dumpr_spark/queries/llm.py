@@ -949,3 +949,161 @@ def embed_quantize_int8(spark, sf_dir):
             "q", F.lit(0).cast("long"), lambda a, qv: a + qv * qv
         ).alias("q_sq_sum"),
     ).orderBy("vec_id")
+
+
+@query(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic relevance/keyword
+    extractor a curation pipeline runs to label shards. All built-ins:
+    explode -> two partial-combining aggregations (tf keyed by (doc, term),
+    df keyed by term) -> broadcast the term-level df table (vocab-sized, tiny
+    vs the corpus) -> per-doc top-3 window over ≤|vocab| rows per doc.
+    The corpus-sized side shuffles once, on (doc_id, term). Scores are
+    eps-rounded BEFORE ranking so cross-engine float noise in ln() cannot
+    flip rank order (term asc breaks exact ties identically)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, driver-side by design (one long)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        eps_round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "text_bpe_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+      FROM toks
+    ),
+    pairs AS (
+      SELECT doc_id, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM pos
+    )
+    SELECT tok || ' ' || nxt AS pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs WHERE nxt IS NOT NULL
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_pairs(spark, sf_dir):
+    """Adjacent-token-pair frequencies — the inner loop of BPE/WordPiece
+    tokenizer training (count all symbol bigrams, merge the most frequent).
+    Spark side builds pairs WITHOUT a window or second shuffle: a zip of the
+    token array with itself shifted one (arrays_zip + slice), exploded and
+    counted — narrow until the single |vocab|² -bounded pair aggregation,
+    then TakeOrderedAndProject for the top-50. The oracle spells the same
+    pairs via lead() to prove the array form ≡ the window form."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(tk) >= 2,
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+@query(
+    "index_inverted",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id))[1:10], ',') AS first_docs
+      FROM toks GROUP BY term
+    )
+    SELECT term, df, first_docs FROM postings
+    ORDER BY df DESC, term
+    LIMIT 100
+    """,
+    tags=("llm", "text", "index"),
+)
+def index_inverted(spark, sf_dir):
+    """Inverted-index build (term -> document-frequency + capped posting
+    list) — the search-index-population use case the reference names
+    (README.md:14-21) expressed over the materialized corpus. distinct
+    (doc, term) pairs -> one aggregation per term; the posting preview keeps
+    the 10 smallest doc_ids so the value is deterministic and bounded (a
+    full posting list for a stopword-like term would be corpus-sized — cap
+    BEFORE collect, same discipline as the LSH bucket cap). At 100 TB the
+    term aggregation is the only shuffle and combines map-side."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    first10 = F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(",", F.transform(first10, lambda x: x.cast("string"))).alias("first_docs"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )

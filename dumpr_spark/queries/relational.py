@@ -1302,3 +1302,177 @@ def q18_large_orders(spark, sf_dir):
         .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, n_name, ROUND(revenue + 1e-9, 2) AS revenue
+    FROM rev
+    ORDER BY ROUND(revenue + 1e-9, 2) DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (top returned-item revenue by customer): filter the
+    fact table to returns in a 6-month window, join the order/customer
+    chain, aggregate per customer, top-20.
+
+    Scale shape: the returnflag + orderdate filters push into the scans
+    (footer-stat pruning on a date-sorted layout); nation broadcasts;
+    the per-customer aggregate combines map-side; the top-20 compiles to
+    TakeOrderedAndProject (per-partition heap, never a full sort). The
+    ORDER BY uses the ROUNDED revenue so cross-engine sub-cent float noise
+    cannot reorder the limit boundary."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_raw")
+        )
+        .select(
+            "c_custkey", "c_name", "n_name",
+            eps_round(F.col("rev_raw"), 2).alias("revenue"),
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (l_linestatus stands in for l_shipmode, absent from
+    this dataset): conditional-sum pivot of order priority per line status
+    over a one-year ship window. The CASE WHEN sums evaluate inside the
+    partial aggregate — the shuffle carries |linestatus| rows of two
+    counters, nothing else; the shipdate filter prunes the fact scan."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4
+           ) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): conditional-aggregation
+    ratio over a one-month window. part is dimension-sized at every scale
+    factor => broadcast join; the month filter prunes the fact scan; the
+    global aggregate reduces to one row before the division."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            eps_round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q19_discount_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q19_discount_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across both join sides. Catalyst extracts the common-key
+    equi-join and evaluates the OR as a post-join filter while pushing the
+    derivable single-side predicates (brand/size union bound) into the
+    part scan — the declarative form gets the pruning without hand-written
+    unions. One-row global aggregate; n_lines pins the matched-row set
+    beyond the rounded sum."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(clause)
+        .agg(
+            eps_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

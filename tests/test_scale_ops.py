@@ -329,3 +329,67 @@ def test_events_funnel_strict_reengagement_case(spark):
         first("view").alias("fv"), first("click").alias("fc"), first("purchase").alias("fp")
     ).first()
     assert onep["fc"] < onep["fv"]  # the approximation's blind spot
+
+
+def test_plan_shapes_new_tpch_and_text_queries(spark, sf_dir):
+    """Round-3 additions' plan claims: q10's top-20 compiles to
+    TakeOrderedAndProject (never a full sort); q14/q19 broadcast the part
+    dimension; tfidf broadcasts the vocab-sized df table against the
+    corpus-side tf; bpe-pairs is narrow until its single pair aggregation
+    (explode must not force its own shuffle)."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    q10 = explain_str(REGISTRY["q10_returned_items"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in q10, q10
+
+    for name in ("q14_promo_revenue", "q19_discount_revenue"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    tfidf = explain_str(REGISTRY["text_tfidf_topk"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in tfidf, tfidf
+
+    bpe = explain_str(REGISTRY["text_bpe_pairs"].fn(spark, sf_dir), "simple")
+    # partial+final pair agg => one Exchange, plus the top-50 driver fetch;
+    # the token-array zip/explode stays in the scan stage
+    assert bpe.count("Exchange") <= 1, bpe
+    assert "TakeOrderedAndProject" in bpe, bpe
+
+
+def test_cdc_scd2_intervals_consistent(spark, sf_dir):
+    """SCD2 invariants on the synthetic stream: per key, intervals chain
+    (each valid_to equals the next version's valid_from or the key's delete
+    seq), exactly one open interval per surviving key, and the open
+    intervals reproduce the materialized state."""
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.queries import REGISTRY
+
+    hist = REGISTRY["cdc_scd2_history"].fn(spark, sf_dir).cache()
+    state = REGISTRY["cdc_materialize"].fn(spark, sf_dir)
+
+    open_rows = hist.where(F.col("is_current"))
+    per_key_open = open_rows.groupBy("order_id").count().where(F.col("count") > 1)
+    assert per_key_open.count() == 0
+
+    # open intervals == current state keys (delete-terminated keys excluded)
+    open_ids = {r["order_id"] for r in open_rows.select("order_id").collect()}
+    state_ids = {r["order_id"] for r in state.select("order_id").collect()}
+    assert open_ids == state_ids
+
+    # chained: valid_to of a closed row equals the NEXT change's seq; verify
+    # via self-join on (key, valid_to == next valid_from) for upsert chains
+    closed = hist.where(~F.col("is_current")).alias("a")
+    nxt = hist.alias("b")
+    chained = closed.join(
+        nxt,
+        (F.col("a.order_id") == F.col("b.order_id"))
+        & (F.col("a.valid_to") == F.col("b.valid_from")),
+        "left",
+    )
+    # rows whose successor is missing must be delete-terminated (seq%3==2)
+    dangling = chained.where(F.col("b.valid_from").isNull())
+    bad = dangling.where(F.col("a.valid_to") % 3 != 2)
+    assert bad.count() == 0

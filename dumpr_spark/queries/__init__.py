@@ -65,8 +65,31 @@ _R2_VERIFIED = {
     "join_overlap_intervals", "multimodal_features", "multimodal_frame_plan",
 }
 _DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED
-_reordered = {n: REGISTRY[n] for n in REGISTRY if n not in _DRIVER_VERIFIED}
-_reordered.update({n: REGISTRY[n] for n in REGISTRY if n in _DRIVER_VERIFIED})
+
+# Queries first registered in round 3 (post-r2 driver run). They are
+# unverified too, but the r1/r2-era entries that have NEVER had a driver row
+# (the 34 + scalar_conditional the r2 verdict calls out) must win the
+# budget-capped walk — new additions take whatever slots remain and rotate
+# into r4 otherwise.
+_R3_NEW = {
+    "cdc_tx_filter", "cdc_stamp_filename", "sim_centroid_by_label",
+    "embed_quantize_int8", "dedup_url_canonical", "text_bigram_logprob",
+    "multimodal_frame_dedup", "stream_heavy_hitters", "events_funnel_strict",
+    "events_markov_transitions", "q2_min_cost_supplier",
+    "q4_order_priority", "q18_large_orders",
+    "q10_returned_items", "q12_priority_lines", "q14_promo_revenue",
+    "q19_discount_revenue", "cdc_scd2_history", "cdc_time_travel",
+    "cdc_churn_stats", "text_tfidf_topk", "text_bpe_pairs", "index_inverted",
+}
+
+
+def _rank(n: str) -> int:
+    if n in _DRIVER_VERIFIED:
+        return 2
+    return 1 if n in _R3_NEW else 0
+
+
+_reordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=_rank)}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

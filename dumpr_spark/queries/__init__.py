@@ -80,6 +80,7 @@ _R3_NEW = {
     "q10_returned_items", "q12_priority_lines", "q14_promo_revenue",
     "q19_discount_revenue", "cdc_scd2_history", "cdc_time_travel",
     "cdc_churn_stats", "text_tfidf_topk", "text_bpe_pairs", "index_inverted",
+    "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
 }
 
 

@@ -1,0 +1,132 @@
+"""Streaming SCD Type-2 history sink: the temporal twin of MergeSink.
+
+Where MergeSink folds the change stream to CURRENT state (the entity-map
+fold, test_util.clj:110-123), HistorySink preserves every version with a
+validity interval: each upsert becomes a row valid over [valid_from =
+its seq, valid_to = the key's next change's seq); an open interval
+(valid_to IS NULL) marks the current version, and a key whose latest change
+is a delete has no open row. This is the point-in-time view the reference's
+"live views of data for caching or analytics" use case (README.md:14-21)
+needs when the consumer asks "what did this row look like at position P?" —
+the batch-query twin is `cdc_scd2_history` / `cdc_time_travel`
+(queries/cdc.py).
+
+Storage/fold discipline is inherited from MergeSink verbatim (touched-
+partition rewrite, hardlink carry-forward of untouched ``tbl=`` partitions,
+atomic swap, crash recovery): history rows are the key's change log with the
+lead(seq) interval precomputed, so re-deriving a touched partition is
+`dropDuplicates(tbl,id,seq)` over (persisted versions ∪ batch) + one keyed
+lead() window — O(touched state) per batch, and deterministic, which makes
+checkpoint-replay idempotent (a replayed batch re-derives byte-identical
+intervals). Delete events persist as terminator rows (op='delete'): they
+close the prior version's interval and mark the deletion seq; they are *data*
+here, not tombstones — `read_history` exposes them, `read_current` excludes
+them. On an ACID table format the same fold becomes MERGE over the touched
+keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA, OP_UPSERT
+from dumpr_spark.streaming.sink import MergeSink
+
+HISTORY_SCHEMA = StructType(
+    list(ENVELOPE_SCHEMA.fields) + [StructField("valid_to", LongType(), nullable=True)]
+)
+
+
+class HistorySink(MergeSink):
+    """foreachBatch target maintaining an SCD2 history table at `state_path`.
+
+    Persisted rows = the envelope columns plus ``valid_to`` (seq of the key's
+    next change; NULL = still current). ``seq`` doubles as ``valid_from``.
+    """
+
+    _schema = HISTORY_SCHEMA
+
+    def read_history(self) -> DataFrame:
+        """All versions with intervals: one row per upsert version carrying
+        [valid_from, valid_to) and is_current; delete terminators excluded
+        (their seq is visible as the closing valid_to of the prior row)."""
+        return (
+            self._read_raw()
+            .where(F.col("op") == OP_UPSERT)
+            .withColumn("valid_from", F.col("seq"))
+            .withColumn("is_current", F.col("valid_to").isNull())
+        )
+
+    def read_state(self) -> DataFrame:
+        """The live current-state view — open upsert intervals only. Matches
+        MergeSink.read_state()/materialize() on the same change stream."""
+        return (
+            self._read_raw()
+            .where((F.col("op") == OP_UPSERT) & F.col("valid_to").isNull())
+            .drop("valid_to")
+        )
+
+    def compact(self) -> None:  # pragma: no cover - guard, exercised in tests
+        raise NotImplementedError(
+            "HistorySink keeps deletes as interval terminators (data, not "
+            "tombstones); there is nothing to compact away. Retention policy "
+            "(dropping intervals closed before a horizon) is a deliberate, "
+            "caller-owned truncation — see prune_closed_before()."
+        )
+
+    def prune_closed_before(self, horizon_seq: int) -> None:
+        """Retention: drop versions whose interval closed before
+        `horizon_seq` (and delete terminators older than it). Point-in-time
+        queries earlier than the horizon become unanswerable — an explicit,
+        caller-owned trade, the SCD2 analog of MergeSink.compact()."""
+        raw = self._read_raw()
+        keep = raw.where(
+            F.col("valid_to").isNull() | (F.col("valid_to") >= F.lit(horizon_seq))
+        )
+        touched = [r["tbl"] for r in raw.select("tbl").distinct().collect()]
+        if touched:
+            self._commit(keep, touched, f"prune-{horizon_seq}")
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if self.errors_path is not None:
+            from dumpr_spark.cdc.envelope import validate_envelope
+            from dumpr_spark.cdc.materialize import split_errors
+
+            batch, errors = split_errors(validate_envelope(batch))
+            if not errors.isEmpty():
+                errors.write.mode("overwrite").parquet(
+                    f"{self.errors_path}/batch_id={batch_id}"
+                )
+        touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
+        if not touched:
+            return
+        current = self._read_raw()
+        # versions already persisted for the touched tables, stripped back to
+        # raw change rows (valid_to is derived state, recomputed below)
+        prior = current.where(F.col("tbl").isin(touched)).drop("valid_to")
+        merged = prior.unionByName(batch.select(*[f.name for f in ENVELOPE_SCHEMA.fields]))
+        # (tbl,id,seq) is the change identity — replayed batches collapse here
+        merged = merged.dropDuplicates(["tbl", "id", "seq"])
+        w = Window.partitionBy("tbl", "id").orderBy("seq")
+        next_touched = merged.withColumn("valid_to", F.lead("seq").over(w))
+        self._commit(next_touched, touched, batch_id)
+
+
+def start_history_stream(
+    changes: DataFrame,
+    history_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+    errors_path: str | None = None,
+):
+    """Start the SCD2-materializing stream (R18/R19 lifecycle, temporal)."""
+    sink = HistorySink(changes.sparkSession, history_path, errors_path=errors_path)
+    writer = (
+        changes.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

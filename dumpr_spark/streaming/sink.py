@@ -51,6 +51,9 @@ class MergeSink:
     error channel (R20, row_format.clj:15, stream.clj:179-191) made durable.
     """
 
+    # persisted-row schema; subclasses (HistorySink) extend the envelope
+    _schema = ENVELOPE_SCHEMA
+
     def __init__(self, spark: SparkSession, state_path: str, errors_path: str | None = None):
         self.spark = spark
         self.state_path = state_path
@@ -74,11 +77,11 @@ class MergeSink:
         """Full persisted state INCLUDING delete tombstones."""
         self._recover()
         if not os.path.exists(self.state_path):
-            return self.spark.createDataFrame([], ENVELOPE_SCHEMA)
+            return self.spark.createDataFrame([], self._schema)
         # explicit schema: an all-deleted state dir has no data files to infer
         # from, and partition-column inference must not re-type a numeric-
         # looking `tbl` value (schema pins it to STRING)
-        return self.spark.read.schema(ENVELOPE_SCHEMA).parquet(self.state_path)
+        return self.spark.read.schema(self._schema).parquet(self.state_path)
 
     def read_state(self) -> DataFrame:
         """The live materialized view: tombstones are an implementation detail

@@ -81,6 +81,7 @@ _R3_NEW = {
     "q19_discount_revenue", "cdc_scd2_history", "cdc_time_travel",
     "cdc_churn_stats", "text_tfidf_topk", "text_bpe_pairs", "index_inverted",
     "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
+    "dedup_suffix_containment", "text_concordance", "graph_pagerank_3iter",
 }
 
 

@@ -1107,3 +1107,190 @@ def index_inverted(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
     )
+
+
+@query(
+    "dedup_suffix_containment",
+    _NEAR_CORPUS_CTE
+    + """
+    , keyed AS (
+      SELECT doc_id, text,
+             array_to_string(string_split(text, ' ')[-5:], ' ') AS tail_key,
+             len(string_split(text, ' ')) AS n_tok
+      FROM corpus
+    )
+    SELECT b.doc_id AS contained_id, a.doc_id AS container_id
+    FROM keyed a JOIN keyed b
+      ON a.tail_key = b.tail_key
+     AND a.doc_id <> b.doc_id
+     AND a.n_tok > b.n_tok
+     AND strpos(a.text, b.text) > 0
+    ORDER BY contained_id, container_id
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_suffix_containment(spark, sf_dir):
+    """Substring-containment dedup (a doc fully contained in a longer one —
+    the truncated-page / quoted-article case crawl curation must drop).
+    Candidates come from an equi-join on the LAST-5-token key — a contained
+    suffix necessarily shares its container's tail — then the exact
+    `instr` containment check runs only on candidate pairs. At 100 TB the
+    shuffle carries (tail_key, doc) pairs and the quadratic check is
+    confined to same-tail buckets (bounded like the LSH bucket cap), never
+    the corpus cross join. The synthetic near-twins (first word dropped)
+    are true suffixes, so every twin pair must appear."""
+    c = _dup_corpus(spark, sf_dir, near=True)
+    tk = F.split("text", " ")
+    keyed = c.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(tk, -5, 5)).alias("tail_key"),
+        F.size(tk).alias("n_tok"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tail_key") == F.col("b.tail_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.n_tok") > F.col("b.n_tok"))
+            & (F.instr(F.col("a.text"), F.col("b.text")) > 0),
+        )
+        .select(
+            F.col("b.doc_id").alias("contained_id"),
+            F.col("a.doc_id").alias("container_id"),
+        )
+        .orderBy("contained_id", "container_id")
+    )
+
+
+@query(
+    "text_concordance",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, tk, unnest(tk) AS tok, generate_subscripts(tk, 1) AS p
+      FROM toks
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS p,
+           array_to_string(tk[greatest(p - 2, 1):least(p + 2, len(tk))], ' ')
+             AS context
+    FROM pos WHERE tok = 'merge' AND doc_id < 100
+    ORDER BY doc_id, p
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_concordance(spark, sf_dir):
+    """Keyword-in-context (KWIC) concordance: every occurrence of a term
+    with ±2 words of context — the classic corpus-inspection query behind a
+    search index (README.md:14-21 use case). Pure narrow plan: the token
+    array is built once per row, posexplode yields positions, and context
+    is a slice of the SAME array — no join back, no shuffle at all before
+    the output sort."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tk = F.split("text", " ")
+    pos = docs.select(
+        "doc_id", tk.alias("tk"), F.posexplode(tk).alias("p0", "tok")
+    ).withColumn("p", F.col("p0") + 1)  # 1-based to match SQL subscripts
+    start = F.greatest(F.col("p") - 2, F.lit(1))
+    stop = F.least(F.col("p") + 2, F.size("tk"))
+    return (
+        pos.where(F.col("tok") == "merge")
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            F.concat_ws(" ", F.slice("tk", start, stop - start + 1)).alias("context"),
+        )
+        .orderBy("doc_id", "p")
+    )
+
+
+@query(
+    "graph_pagerank_3iter",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 20 = 0
+      UNION ALL
+      SELECT DISTINCT 's' || l.l_suppkey, 'c' || o.o_custkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 20 = 0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS cnt FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS rank FROM nodes),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT cnt FROM n)
+               + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT cnt FROM n)
+               + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT cnt FROM n)
+               + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT node, ROUND(rank * 1000 + 1e-9, 6) AS rank_k
+    FROM r3
+    ORDER BY ROUND(rank * 1000 + 1e-9, 6) DESC, node
+    LIMIT 50
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_3iter(spark, sf_dir):
+    """Fixed-iteration PageRank (3 steps, d=0.85) over the symmetrized
+    customer-supplier trade graph — the second iterative-algorithm family
+    next to connected components (dedup_clusters). Each iteration is one
+    equi-join of the rank vector against the edge list + a partial-combining
+    groupBy on dst: rank mass moves WITHOUT materializing the graph on the
+    driver, and the edge list partitioning is reusable across iterations
+    (at 100 TB: co-partition edges and ranks on src — iterations then
+    shuffle only the thin rank vector). Fixed iteration count keeps it
+    SQL-expressible so the oracle can pin exact values; convergence-driven
+    variants change only the Python loop condition."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    li = t(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # symmetric graph => every node appears as a src; degree never zero
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.count()  # scalar (driver-side by design: one long)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("m"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(0.15 / n_nodes) + 0.85 * F.sum("m")).alias("rank"))
+            .withColumnRenamed("dst", "node")
+        )
+    scored = ranks.select("node", eps_round(F.col("rank") * 1000, 6).alias("rank_k"))
+    return scored.orderBy(F.desc("rank_k"), F.asc("node")).limit(50)

@@ -82,6 +82,7 @@ _R3_NEW = {
     "cdc_churn_stats", "text_tfidf_topk", "text_bpe_pairs", "index_inverted",
     "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
     "dedup_suffix_containment", "text_concordance", "graph_pagerank_3iter",
+    "scalar_interval_arith", "join_nullsafe", "agg_filter_clause",
 }
 
 

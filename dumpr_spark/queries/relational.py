@@ -1622,3 +1622,92 @@ def q15_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", eps_round(F.col("total_rev"), 2).alias("total_rev"))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "join_nullsafe",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS nk
+      FROM supplier
+    )
+    SELECT c.nk AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    ORDER BY nation_key NULLS FIRST
+    """,
+    tags=("join", "nulls"),
+)
+def join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics CDC id-columns need when
+    a nullable business key groups 'unknown' rows together. Catalyst plans
+    <=> as a hash join on a null-safe-wrapped key (still an equi-join, no
+    nested loop); the NULL bucket is a deliberate hot key — at scale,
+    pre-split it (salting) or pre-filter NULLs when match-nulls isn't
+    wanted."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_nationkey")).alias("nk"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, None).otherwise(F.col("s_nationkey")).alias("nk"),
+    )
+    return (
+        c.join(s, c["nk"].eqNullSafe(s["nk"]))
+        .groupBy(c["nk"].alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_cust"),
+        )
+        .orderBy(F.asc_nulls_first("nation_key"))
+    )
+
+
+@query(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05) + 1e-9, 2)
+             AS discounted_rev,
+           ROUND(AVG(l_extendedprice) FILTER (WHERE l_tax = 0) + 1e-9, 2)
+             AS avg_untaxed,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "filter"),
+)
+def agg_filter_clause(spark, sf_dir):
+    """FILTER-clause aggregates (per-aggregate predicates in one pass):
+    declared via when()-guarded aggregates, which Catalyst evaluates inside
+    the partial HashAggregate — one scan, one shuffle of |groups| rows with
+    four accumulators, versus the naive four filtered self-aggregations and
+    a join. AVG's null-guard matters: when() without otherwise yields NULL,
+    which avg() skips — exactly FILTER semantics (a 0 default would skew
+    the mean)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+            eps_round(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+            ).alias("discounted_rev"),
+            eps_round(
+                F.avg(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 2
+            ).alias("avg_untaxed"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -465,3 +465,37 @@ def scalar_higher_order(spark, sf_dir):
             F.slice(arr, 2, F.size(arr) - 1), F.element_at(arr, 1), lambda a, x: a + x
         ).cast("long").alias("total"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP) AS due_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS quarter_out,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                AS BIGINT) AS days_to_y2k,
+           CAST(datediff('month', date_trunc('month', o_orderdate),
+                         TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS months_to_y2k
+    FROM orders WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_interval_arith(spark, sf_dir):
+    """Interval arithmetic family: day/month interval addition (calendar-
+    aware, month-end clamped identically by both engines), month truncation,
+    and day/whole-month difference — the retention/due-date arithmetic every
+    events pipeline needs. Narrow projection, pushes through the scan."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    y2k = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("quarter_out"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(y2k, F.col("o_orderdate")).cast("long").alias("days_to_y2k"),
+        F.months_between(y2k, F.date_trunc("month", "o_orderdate"))
+        .cast("long").alias("months_to_y2k"),
+    ).orderBy("o_orderkey")

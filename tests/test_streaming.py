@@ -1074,3 +1074,73 @@ def test_history_sink_prune_retention(spark, tmp_path):
     assert left == {("1", 5, None), ("2", 2, None)}
     cur = {r["id"]: json.loads(r["content"])["v"] for r in sink.read_state().collect()}
     assert cur == {"1": "b", "2": "c"}
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _hist_op = st.tuples(
+        st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+        st.sampled_from(["widgets", "manufacturers"]),
+        st.integers(min_value=1, max_value=8),  # small key space => churn
+        st.integers(min_value=0, max_value=10**6),
+    )
+
+    @given(
+        ops=st.lists(_hist_op, min_size=1, max_size=60),
+        split_frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_history_sink_fold_property(spark, tmp_path_factory, ops, split_frac):
+        """Generative port of the reference's split-stream property
+        (core_test.clj:175-187) for the TEMPORAL sink: for ANY op sequence
+        split at ANY point into two micro-batches, the streamed SCD2 fold
+        equals the batch lead()-window form over the whole log, and the
+        open intervals equal the entity-map fold's surviving keys."""
+        import json as _json
+
+        from pyspark.sql import Window
+
+        from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+        from dumpr_spark.streaming.history import HistorySink
+
+        log = [
+            (op, tbl, str(k), _json.dumps({"id": k, "v": v}) if op == "upsert" else None,
+             None, None, None, seq)
+            for seq, (op, tbl, k, v) in enumerate(ops)
+        ]
+        cut = int(len(log) * split_frac)
+        hist = str(tmp_path_factory.mktemp("hist"))
+        sink = HistorySink(spark, hist)
+        if log[:cut]:
+            sink(spark.createDataFrame(log[:cut], ENVELOPE_SCHEMA), 0)
+        if log[cut:]:
+            sink(spark.createDataFrame(log[cut:], ENVELOPE_SCHEMA), 1)
+
+        full = spark.createDataFrame(log, ENVELOPE_SCHEMA)
+        w = Window.partitionBy("tbl", "id").orderBy("seq")
+        want_hist = full.withColumn("valid_to", F.lead("seq").over(w))
+        cols = ["op", "tbl", "id", "content", "seq", "valid_to"]
+        got = sorted(map(tuple, sink._read_raw().select(*cols).collect()))
+        want = sorted(map(tuple, want_hist.select(*cols).collect()))
+        assert got == want
+
+        # open upsert intervals == last-op-is-upsert keys of the pure fold
+        state = {}
+        for op, tbl, k, content, *_rest in log:
+            if op == "upsert":
+                state[(tbl, k)] = content
+            else:
+                state.pop((tbl, k), None)
+        got_cur = {
+            (r["tbl"], r["id"]): r["content"] for r in sink.read_state().collect()
+        }
+        assert got_cur == state
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass

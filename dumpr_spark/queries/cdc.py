@@ -42,6 +42,26 @@ _CHANGES_CTE = """
 """
 
 
+def _scan_splits(df: DataFrame, max_partition_bytes: int = 128 * 1024 * 1024) -> int:
+    """Estimated input-split count of a file-backed scan, from file metadata
+    only. `df.rdd.getNumPartitions()` answers the same question but converts
+    the plan to an RDD and runs a job (~1 s of driver/JVM work PER CALL on a
+    fresh DataFrame) — far too expensive for a planning-time heuristic that
+    gates a repartition. File listing + sizes is O(files) metadata."""
+    import math
+    import os
+
+    files = df.inputFiles()
+    splits = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            splits += max(1, math.ceil(os.path.getsize(path) / max_partition_bytes))
+        except OSError:  # non-local / unreadable: count the file as one split
+            splits += 1
+    return splits
+
+
 def _synthetic_changes(spark, sf_dir) -> DataFrame:
     """Spark side of the identical synthetic stream, in envelope shape
     (content = JSON row image, as the real CDC path produces).
@@ -63,7 +83,7 @@ def _synthetic_changes(spark, sf_dir) -> DataFrame:
     # zero extra shuffles)
     n_parts = spark.sparkContext.defaultParallelism
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
-    if o.rdd.getNumPartitions() < n_parts // 2:
+    if _scan_splits(o) < n_parts // 2:
         o = o.repartition(n_parts)
     k = F.col("o_orderkey")
 

@@ -59,6 +59,36 @@ def materialize(changes: DataFrame, keep_tombstones: bool = False) -> DataFrame:
     )
 
 
+def materialize_asof(changes: DataFrame, seq_cutoff: int) -> DataFrame:
+    """Time travel: current state AS OF a stream position — the same
+    last-write-wins fold restricted to seq <= cutoff. Any saved resume
+    coordinate (R13, core.clj:105-131) maps to a seq cutoff, so the state at
+    that moment is reconstructible from the log alone. The cutoff predicate
+    pushes into the scan (on a seq-sorted log layout it prunes whole files)
+    and the fold keeps its map-side partial combine."""
+    return materialize(changes.where(F.col("seq") <= F.lit(seq_cutoff)))
+
+
+def scd2_history(changes: DataFrame) -> DataFrame:
+    """SCD Type-2 view of the change stream: every upsert version with a
+    validity interval [valid_from = seq, valid_to = the key's next change's
+    seq); valid_to NULL marks the current version, and a key whose latest
+    change is a delete has no current row. One lead() window keyed by
+    (tbl, id) — co-partitioned with materialize's fold, no global order.
+    Streaming twin: streaming/history.HistorySink (identical semantics,
+    incremental per-batch recompute of touched partitions)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tbl", "id").orderBy("seq")
+    return (
+        changes.where(F.col("op") != OP_ERROR)
+        .withColumn("valid_to", F.lead("seq").over(w))
+        .where(F.col("op") != OP_DELETE)
+        .withColumn("valid_from", F.col("seq"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def split_errors(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """In-band error channel (R20, stream.clj:179-191) -> dead-letter split."""
     return (

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dumpr_spark.cdc.envelope import snapshot_to_changes, validate_envelope
-from dumpr_spark.cdc.materialize import materialize
+from dumpr_spark.cdc.materialize import materialize, materialize_asof, scd2_history
 from dumpr_spark.cdc.positions import next_position
 from dumpr_spark.sources.files import TPCH_TABLES, read_table_dir
 
@@ -60,6 +60,14 @@ class Engine:
 
     def materialize(self, changes: DataFrame) -> DataFrame:
         return materialize(validate_envelope(changes))
+
+    def materialize_asof(self, changes: DataFrame, seq_cutoff: int) -> DataFrame:
+        """State as of a stream position (time travel over the log)."""
+        return materialize_asof(validate_envelope(changes), seq_cutoff)
+
+    def history(self, changes: DataFrame) -> DataFrame:
+        """SCD2 validity-interval view of the change stream."""
+        return scd2_history(validate_envelope(changes))
 
     def next_position(self, changes: DataFrame):
         return next_position(changes)

@@ -86,3 +86,23 @@ def test_snapshot_then_stream_updates(engine, spark):
 
     pos = engine.next_position(snap.unionByName(updates))
     assert pos == {"file": "binlog.000002", "position": 1000}
+
+
+def test_engine_temporal_surface(engine):
+    """Engine.history / materialize_asof: the SCD2 view's open intervals
+    reproduce materialize, and the as-of view at a mid-log cutoff equals a
+    materialize over the truncated log."""
+    from pyspark.sql import functions as F
+
+    changes = engine.snapshot_changes({"region": "r_regionkey", "nation": "n_nationkey"})
+    hist = engine.history(changes)
+    cur = hist.where(F.col("is_current")).select("tbl", "id", "content", "seq")
+    mat = engine.materialize(changes).select("tbl", "id", "content", "seq")
+    assert sorted(map(tuple, cur.collect())) == sorted(map(tuple, mat.collect()))
+
+    cutoff = changes.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+    asof = engine.materialize_asof(changes, cutoff).select("tbl", "id", "seq")
+    trunc = engine.materialize(changes.where(F.col("seq") <= cutoff)).select("tbl", "id", "seq")
+    assert sorted(map(tuple, asof.collect())) == sorted(map(tuple, trunc.collect()))
+    # the as-of view must not see any change past the cutoff
+    assert asof.where(F.col("seq") > cutoff).count() == 0

@@ -437,11 +437,58 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("a", "b", eps_round(F.col("jaccard"), 4).alias("jac")).orderBy("a", "b")
 
 
-@query("dedup_simhash", None, tags=("llm", "dedup"))
+@query(
+    "dedup_simhash",
+    _NEAR_CORPUS_CTE
+    + """
+    , toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             COALESCE(tk[i]||' '||tk[i+1]||' '||tk[i+2], array_to_string(tk,' ')) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-2,1))) AS i) g
+    ),
+    hx AS (
+      SELECT doc_id,
+             ('0x'||substring(md5(s),1,8))::BIGINT AS hi,
+             ('0x'||substring(md5(s),9,8))::BIGINT AS lo
+      FROM sh
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN j < 32 THEN (hi >> (31 - j)) & 1
+                  ELSE (lo >> (63 - j)) & 1 END AS bit
+      FROM hx, LATERAL (SELECT unnest(generate_series(0,63)) AS j) jj
+    ),
+    maj AS (
+      SELECT doc_id, j,
+             CASE WHEN 2*SUM(bit) >= COUNT(*) THEN 1 ELSE 0 END AS m
+      FROM bits GROUP BY doc_id, j
+    ),
+    sig AS (
+      -- SUM widens to HUGEINT; CAST back so xor/bit_count stay 64-bit
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN j = 0 THEN 0
+                           ELSE m * (1::BIGINT << (63 - j)) END)
+                  + CASE WHEN MAX(CASE WHEN j = 0 THEN m END) = 1
+                         THEN (-9223372036854775807 - 1) ELSE 0 END
+                  AS BIGINT) AS sh64
+      FROM maj GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.sh64, b.sh64)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id + 100000 = b.doc_id
+    ORDER BY a, b
+    """,
+    tags=("llm", "dedup"),
+)
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash + hamming distance of the known near-dup pairs.
-    Rows-only check (bit-twiddling oracle SQL is possible but disproportionate;
-    correctness is pinned by tests/test_llm.py::test_simhash_properties)."""
+    Value-level oracle: the signature is md5-derived and therefore engine-
+    reproducible — the oracle recomputes the identical distinct-shingle ->
+    per-bit majority -> packed-64-bit pipeline in SQL (the HUGEINT cast
+    guard matters: DuckDB's SUM widens, and a sign-extended 128-bit xor
+    counts 64 phantom bits). Bit-twiddling edge cases additionally pinned by
+    tests/test_llm_ops.py simhash properties."""
     sigs = dd.simhash_signatures(_dup_corpus(spark, sf_dir, near=True))
     a = sigs.select(F.col("doc_id").alias("a"), F.col("sh64").alias("ha"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("sh64").alias("hb"))
@@ -1118,9 +1165,15 @@ def index_inverted(spark, sf_dir):
              array_to_string(string_split(text, ' ')[-5:], ' ') AS tail_key,
              len(string_split(text, ' ')) AS n_tok
       FROM corpus
+    ),
+    ok_tails AS (
+      SELECT tail_key FROM keyed GROUP BY tail_key HAVING COUNT(*) <= 64
+    ),
+    capped AS (
+      SELECT k.* FROM keyed k JOIN ok_tails USING (tail_key)
     )
     SELECT b.doc_id AS contained_id, a.doc_id AS container_id
-    FROM keyed a JOIN keyed b
+    FROM capped a JOIN capped b
       ON a.tail_key = b.tail_key
      AND a.doc_id <> b.doc_id
      AND a.n_tok > b.n_tok
@@ -1136,9 +1189,12 @@ def dedup_suffix_containment(spark, sf_dir):
     suffix necessarily shares its container's tail — then the exact
     `instr` containment check runs only on candidate pairs. At 100 TB the
     shuffle carries (tail_key, doc) pairs and the quadratic check is
-    confined to same-tail buckets (bounded like the LSH bucket cap), never
-    the corpus cross join. The synthetic near-twins (first word dropped)
-    are true suffixes, so every twin pair must appear."""
+    confined to same-tail buckets, HARD-capped at 64 members (a COUNT
+    prefilter drops boilerplate tails — shared footers/disclaimers — before
+    any pairing, the same discipline as the LSH bucket cap; at this corpus
+    no tail hits the cap so the oracle is exact). The synthetic near-twins
+    (first word dropped) are true suffixes, so every twin pair must
+    appear."""
     c = _dup_corpus(spark, sf_dir, near=True)
     tk = F.split("text", " ")
     keyed = c.select(
@@ -1147,6 +1203,10 @@ def dedup_suffix_containment(spark, sf_dir):
         F.concat_ws(" ", F.slice(tk, -5, 5)).alias("tail_key"),
         F.size(tk).alias("n_tok"),
     )
+    ok_tails = keyed.groupBy("tail_key").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") <= 64
+    ).select("tail_key")
+    keyed = keyed.join(ok_tails, "tail_key")
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

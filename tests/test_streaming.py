@@ -1144,3 +1144,42 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_history_sink_untouched_table_carries_forward(spark, tmp_path):
+    """HistorySink inherits MergeSink's touched-partition discipline: a batch
+    touching only one table must carry the other table's history forward
+    (hardlink, not rewrite) with intervals intact."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HistorySink
+
+    hist = str(tmp_path / "hist")
+    sink = HistorySink(spark, hist)
+    wave1 = [
+        ("upsert", "widgets", "1", '{"v":"a"}', None, None, None, 1),
+        ("upsert", "gadgets", "9", '{"v":"g"}', None, None, None, 2),
+        ("upsert", "widgets", "1", '{"v":"b"}', None, None, None, 3),
+    ]
+    sink(spark.createDataFrame(wave1, ENVELOPE_SCHEMA), 0)
+    g_dir = os.path.join(hist, "tbl=gadgets")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(g_dir) for f in fs if not f.startswith(("_", "."))
+    )
+
+    wave2 = [("upsert", "widgets", "2", '{"v":"c"}', None, None, None, 4)]
+    sink(spark.createDataFrame(wave2, ENVELOPE_SCHEMA), 1)
+
+    # gadgets data files were carried (hardlink preserves mtime), not rewritten
+    mtime_after = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(g_dir) for f in fs if not f.startswith(("_", "."))
+    )
+    assert mtime_after == mtime_before
+    g = sink.read_history().where(F.col("tbl") == "gadgets").collect()
+    assert [(r["id"], r["valid_from"], r["valid_to"]) for r in g] == [("9", 2, None)]
+    w1 = sorted(
+        (r["id"], r["valid_from"], r["valid_to"])
+        for r in sink.read_history().where(F.col("tbl") == "widgets").collect()
+    )
+    assert w1 == [("1", 1, 3), ("1", 3, None), ("2", 4, None)]

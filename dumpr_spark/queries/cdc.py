@@ -42,24 +42,56 @@ _CHANGES_CTE = """
 """
 
 
-def _scan_splits(df: DataFrame, max_partition_bytes: int = 128 * 1024 * 1024) -> int:
-    """Estimated input-split count of a file-backed scan, from file metadata
-    only. `df.rdd.getNumPartitions()` answers the same question but converts
-    the plan to an RDD and runs a job (~1 s of driver/JVM work PER CALL on a
-    fresh DataFrame) — far too expensive for a planning-time heuristic that
-    gates a repartition. File listing + sizes is O(files) metadata."""
+def _scan_splits(df: DataFrame) -> int:
+    """Estimated scan-partition count of a file-backed scan, from file
+    metadata only. `df.rdd.getNumPartitions()` answers the same question but
+    converts the plan to an RDD and runs a job (~1 s of driver/JVM work PER
+    CALL on a fresh DataFrame) — far too expensive for a planning-time
+    heuristic that gates a repartition. File listing + sizes is O(files)
+    metadata.
+
+    Mirrors Spark's FilePartition packing (FilePartition.maxSplitBytes):
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / defaultParallelism)) where totalBytes pads each file with
+    openCostInBytes; partitions ~= ceil(totalBytes / maxSplitBytes). The
+    bytes-per-core term matters: one 1 GB file on a 32-core session scans
+    as ~32 partitions, not ceil(1GB/128MB)=8, and the open-cost padding
+    keeps many-tiny-files estimates honest (they bin-pack into few
+    partitions)."""
     import math
     import os
 
-    files = df.inputFiles()
-    splits = 0
-    for f in files:
+    spark = df.sparkSession
+
+    def _conf_bytes(key: str, default: int) -> int:
+        try:
+            v = spark.conf.get(key)
+        except Exception:
+            return default
+        try:
+            v = v.strip().lower().rstrip("b")
+            for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+                if v.endswith(suf):
+                    return int(float(v[:-1]) * mult)
+            return int(v)
+        except (ValueError, AttributeError):
+            return default
+
+    max_partition_bytes = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    parallelism = spark.sparkContext.defaultParallelism
+
+    total = 0
+    for f in df.inputFiles():
         path = f[len("file:"):] if f.startswith("file:") else f
         try:
-            splits += max(1, math.ceil(os.path.getsize(path) / max_partition_bytes))
-        except OSError:  # non-local / unreadable: count the file as one split
-            splits += 1
-    return splits
+            total += os.path.getsize(path) + open_cost
+        except OSError:  # non-local / unreadable: count the open cost alone
+            total += open_cost
+    if total == 0:
+        return 0
+    max_split = min(max_partition_bytes, max(open_cost, total // max(parallelism, 1)))
+    return math.ceil(total / max(max_split, 1))
 
 
 def _synthetic_changes(spark, sf_dir) -> DataFrame:
@@ -417,25 +449,24 @@ def cdc_scd2_history(spark, sf_dir):
     'building live views of data for analytics' (README.md:14-21) needs for
     point-in-time correctness downstream.
 
-    Scale shape: one lead() window partitioned BY KEY — the shuffle is the
-    same (tbl,id) hash the materializer already uses, no global order
-    anywhere; at 100 TB this co-partitions with materialize so AQE reuses
-    the exchange when both run in one job."""
-    from pyspark.sql import Window
+    Scale shape: one lead() window partitioned BY KEY (tbl, id) — the same
+    hash the materializer's fold uses, no global order anywhere; at 100 TB
+    this co-partitions with materialize so AQE reuses the exchange when both
+    run in one job. Runs the canonical `cdc.materialize.scd2_history`
+    (HistorySink's batch twin), not a reimplementation."""
+    from dumpr_spark.cdc.materialize import scd2_history
 
     ch = _synthetic_changes(spark, sf_dir)
     row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
-    w = Window.partitionBy("id").orderBy("seq")
     return (
-        ch.withColumn("valid_to", F.lead("seq").over(w))
-        .where(F.col("op") == "upsert")
+        scd2_history(ch)
         .withColumn("row", row)
         .select(
             F.col("id").cast("long").alias("order_id"),
             F.round(F.col("row.o_totalprice"), 2).alias("price"),
-            F.col("seq").alias("valid_from"),
+            F.col("valid_from"),
             F.col("valid_to"),
-            F.col("valid_to").isNull().alias("is_current"),
+            F.col("is_current"),
         )
         .orderBy("order_id", "valid_from")
     )

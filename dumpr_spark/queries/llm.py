@@ -1135,21 +1135,33 @@ def index_inverted(spark, sf_dir):
     """Inverted-index build (term -> document-frequency + capped posting
     list) — the search-index-population use case the reference names
     (README.md:14-21) expressed over the materialized corpus. distinct
-    (doc, term) pairs -> one aggregation per term; the posting preview keeps
-    the 10 smallest doc_ids so the value is deterministic and bounded (a
-    full posting list for a stopword-like term would be corpus-sized — cap
-    BEFORE collect, same discipline as the LSH bucket cap). At 100 TB the
-    term aggregation is the only shuffle and combines map-side."""
+    (doc, term) pairs -> a per-term rank window caps the posting list to the
+    10 smallest doc_ids BEFORE any collect_list (a stopword-like term must
+    never accumulate a corpus-sized array in the aggregation buffer — the
+    capped-rows-then-collect shape, same discipline as the LSH bucket cap);
+    df is the same window partition's count, so the whole query is ONE
+    shuffle on term (the post-filter groupBy reuses the window's hash
+    partitioning — no second Exchange)."""
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).distinct()
-    first10 = F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    wall = Window.partitionBy("term")
+    ranked = toks.withColumn("rn", F.row_number().over(w)).withColumn(
+        "df", F.count(F.lit(1)).over(wall)
+    )
     return (
-        toks.groupBy("term")
+        ranked.where(F.col("rn") <= 10)
+        .groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.concat_ws(",", F.transform(first10, lambda x: x.cast("string"))).alias("first_docs"),
+            F.first("df").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ).alias("first_docs"),
         )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
@@ -1197,10 +1209,14 @@ def dedup_suffix_containment(spark, sf_dir):
     appear."""
     c = _dup_corpus(spark, sf_dir, near=True)
     tk = F.split("text", " ")
+    # slice(-5, 5) returns EMPTY for arrays shorter than 5 (unlike DuckDB's
+    # clamping [-5:]) — clamp explicitly so short docs keep their full text
+    # as the tail key on both engines instead of colliding into one bucket
+    tail = F.when(F.size(tk) >= 5, F.slice(tk, -5, 5)).otherwise(tk)
     keyed = c.select(
         "doc_id",
         "text",
-        F.concat_ws(" ", F.slice(tk, -5, 5)).alias("tail_key"),
+        F.concat_ws(" ", tail).alias("tail_key"),
         F.size(tk).alias("n_tok"),
     )
     ok_tails = keyed.groupBy("tail_key").agg(F.count(F.lit(1)).alias("_n")).where(

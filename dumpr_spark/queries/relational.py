@@ -1585,13 +1585,14 @@ def q9_product_profit(spark, sf_dir):
     "q15_top_supplier",
     """
     WITH rev AS (
-      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+               AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev + 1e-9, 2) AS total_rev
+    SELECT s.s_suppkey, s.s_name, r.total_rev
     FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
     ORDER BY s_suppkey
@@ -1601,25 +1602,28 @@ def q9_product_profit(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (top supplier by quarterly revenue): the view +
     correlated MAX is a global max over the per-supplier aggregate —
-    expressed as an unpartitioned max() window over the |suppliers|-sized
-    rollup (tiny by then; the global window is over post-aggregation rows,
-    not data-path rows, so the single-partition step is bounded). Ties keep
-    every maximal supplier deterministically. The quarter filter prunes the
-    fact scan; supplier broadcasts."""
+    expressed as a one-row global aggregate broadcast back onto the
+    |suppliers|-sized rollup — NO window, so nothing ever moves to a single
+    partition (the same scalar-broadcast shape as cdc_time_travel's cutoff).
+    The max equality compares EPS-ROUNDED revenues on both engines — an
+    unrounded float tie can split on a 1-ulp summation-order difference and
+    change the row count cross-engine. Ties keep every maximal supplier.
+    The quarter filter prunes the fact scan; supplier broadcasts."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        eps_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
     )
     s = t(spark, sf_dir, "supplier")
-    w = Window.partitionBy()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
-        rev.withColumn("mx", F.max("total_rev").over(w))
-        .where(F.col("total_rev") == F.col("mx"))
+        rev.join(F.broadcast(mx), rev["total_rev"] == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-        .select("s_suppkey", "s_name", eps_round(F.col("total_rev"), 2).alias("total_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
 

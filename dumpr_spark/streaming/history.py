@@ -20,9 +20,14 @@ lead() window — O(touched state) per batch, and deterministic, which makes
 checkpoint-replay idempotent (a replayed batch re-derives byte-identical
 intervals). Delete events persist as terminator rows (op='delete'): they
 close the prior version's interval and mark the deletion seq; they are *data*
-here, not tombstones — `read_history` exposes them, `read_current` excludes
-them. On an ACID table format the same fold becomes MERGE over the touched
-keys only.
+here, not tombstones — their seq is visible as the closing ``valid_to`` of
+the prior version (`read_history` returns upsert versions only; the
+terminator rows themselves live in `_read_raw`), and `read_state` excludes
+deleted keys. Error rows (op='error', the in-band channel R20) NEVER enter
+the interval window — routed to the dead-letter sink when `errors_path` is
+set, dropped otherwise (same contract as MergeSink, whose materialize()
+filters OP_ERROR). On an ACID table format the same fold becomes MERGE over
+the touched keys only.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA, OP_UPSERT
+from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA, OP_ERROR, OP_UPSERT
 from dumpr_spark.streaming.sink import MergeSink
 
 HISTORY_SCHEMA = StructType(
@@ -76,16 +81,25 @@ class HistorySink(MergeSink):
         )
 
     def prune_closed_before(self, horizon_seq: int) -> None:
-        """Retention: drop versions whose interval closed before
-        `horizon_seq` (and delete terminators older than it). Point-in-time
-        queries earlier than the horizon become unanswerable — an explicit,
-        caller-owned trade, the SCD2 analog of MergeSink.compact()."""
+        """Retention: drop upsert versions whose interval closed before
+        `horizon_seq`, and delete-terminator rows with seq < horizon (open
+        or closed — safe under the same feed guarantee as MergeSink.compact:
+        no event with a lower seq can still arrive, so the terminator's
+        resurrection-blocking job is over). Point-in-time queries earlier
+        than the horizon become unanswerable — an explicit, caller-owned
+        trade. Only partitions that actually contain prunable rows are
+        rewritten; the rest carry forward by hardlink (same touched-set
+        discipline as MergeSink.compact)."""
         raw = self._read_raw()
-        keep = raw.where(
-            F.col("valid_to").isNull() | (F.col("valid_to") >= F.lit(horizon_seq))
+        prunable = (
+            (F.col("valid_to").isNotNull() & (F.col("valid_to") < F.lit(horizon_seq)))
+            | ((F.col("op") != OP_UPSERT) & (F.col("seq") < F.lit(horizon_seq)))
         )
-        touched = [r["tbl"] for r in raw.select("tbl").distinct().collect()]
+        touched = [
+            r["tbl"] for r in raw.where(prunable).select("tbl").distinct().collect()
+        ]
         if touched:
+            keep = raw.where(F.col("tbl").isin(touched)).where(~prunable)
             self._commit(keep, touched, f"prune-{horizon_seq}")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
@@ -98,6 +112,11 @@ class HistorySink(MergeSink):
                 errors.write.mode("overwrite").parquet(
                     f"{self.errors_path}/batch_id={batch_id}"
                 )
+        # error rows must never enter the interval window: a persisted error
+        # row would close the key's live upsert interval at the error's seq
+        # (MergeSink gets this for free because materialize() filters
+        # OP_ERROR; the lead() fold has no such built-in filter)
+        batch = batch.where(F.col("op") != OP_ERROR)
         touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
         if not touched:
             return

@@ -1183,3 +1183,24 @@ def test_history_sink_untouched_table_carries_forward(spark, tmp_path):
         for r in sink.read_history().where(F.col("tbl") == "widgets").collect()
     )
     assert w1 == [("1", 1, 3), ("1", 3, None), ("2", 4, None)]
+
+
+def test_history_sink_drops_error_rows_from_intervals(spark, tmp_path):
+    """op='error' rows must never enter the lead() window: without the
+    filter, an error row would close the key's live upsert interval at the
+    error's seq and read_state would silently drop the key (r3 review
+    finding)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HistorySink
+
+    hist = str(tmp_path / "hist")
+    rows = [
+        ("upsert", "w", "1", '{"v":"a"}', None, None, None, 1),
+        ("error", "w", "1", None, None, None, None, 2),  # in-band error (R20)
+        ("upsert", "w", "2", '{"v":"b"}', None, None, None, 3),
+    ]
+    sink = HistorySink(spark, hist)  # errors_path=None: errors dropped
+    sink(spark.createDataFrame(rows, ENVELOPE_SCHEMA), 0)
+    h = {(r["id"], r["valid_from"], r["valid_to"]) for r in sink.read_history().collect()}
+    assert h == {("1", 1, None), ("2", 3, None)}  # id=1 still current/open
+    assert {r["id"] for r in sink.read_state().collect()} == {"1", "2"}

@@ -10,6 +10,7 @@ deployment without touching the Spark plumbing.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -69,6 +70,19 @@ def _decode_stub(payload: bytes, media_type: str) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
+@functools.lru_cache(maxsize=1)
+def _pillow():
+    """Resolve Pillow ONCE per process: a failed `from PIL import Image`
+    is not cached by Python, so probing per row would pay a full sys.path
+    scan for every image row in the hot mapInPandas path when Pillow is
+    absent (the normal state in this container)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_image_real(payload: bytes) -> list[float] | None:
     """Real image decode via Pillow, when available: decode -> grayscale ->
     resize to a 4x2 grid -> normalized pixels. Same shape (8-dim
@@ -76,12 +90,11 @@ def _decode_image_real(payload: bytes) -> list[float] | None:
     interchangeable batch-for-batch. Returns None when Pillow is absent or
     the bytes are not a decodable image (caller falls back to the stub —
     corrupt inputs degrade, they don't kill the executor)."""
-    try:
-        import io
-
-        from PIL import Image
-    except ImportError:
+    Image = _pillow()
+    if Image is None:
         return None
+    import io
+
     try:
         with Image.open(io.BytesIO(payload)) as im:
             px = list(im.convert("L").resize((4, 2)).getdata())

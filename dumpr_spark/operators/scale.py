@@ -115,6 +115,7 @@ def compact_small_files(
     path: str,
     target_file_mb: int = 128,
     fmt: str = "parquet",
+    schema=None,
 ) -> int:
     """Small-files compaction: rewrite a table directory into
     ceil(bytes / target) files and atomically swap it in. Returns the new
@@ -135,7 +136,13 @@ def compact_small_files(
     per-table hardlink carry-forward — keep working. Rows are repartitioned
     on the partition columns, so each partition value compacts to one file
     (a single value larger than ``target_file_mb`` stays one file; split it
-    upstream if that ever matters)."""
+    upstream if that ever matters).
+
+    Pass ``schema`` (a StructType covering data AND partition columns) to
+    pin the read: without it, partition-value inference re-TYPES
+    numeric-looking directory values — a table named '007' (``tbl=007``)
+    reads back as int 7 and rewrites as ``tbl=7``, silently splitting keys.
+    MergeSink.compact_files always passes its envelope schema."""
     import math
     import os
     import shutil
@@ -151,7 +158,10 @@ def compact_small_files(
                 total += os.path.getsize(os.path.join(root, f))
     part_cols = _hive_partition_cols(path)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    df = spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
     tmp = path.rstrip("/") + ".compact-tmp"
     bak = path.rstrip("/") + ".compact-bak"
     shutil.rmtree(tmp, ignore_errors=True)

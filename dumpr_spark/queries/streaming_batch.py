@@ -321,6 +321,44 @@ def stream_heavy_hitters(spark, sf_dir):
     )
 
 
+def staged_funnel(e):
+    """The staged min-reduction funnel over an events projection
+    (user_id, event_type, ts) — shared by the `events_funnel_strict` query
+    and the re-engagement unit test so the test exercises the REAL builder,
+    not a private copy."""
+    a = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("ta"))
+    b = (
+        e.where(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .where(F.col("ts") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        e.where(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .where(F.col("ts") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    return (
+        a.join(b, "user_id", "left")
+        .join(c, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("tb").isNotNull().cast("int")
+                + F.col("tc").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("stage"),
+            F.col("tb").alias("first_qual_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query(
     "events_funnel_strict",
     """
@@ -363,37 +401,7 @@ def events_funnel_strict(spark, sf_dir):
     no global sort, and the event payload columns never leave the scan. The
     final rollup is three rows."""
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    a = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("ta"))
-    b = (
-        e.where(F.col("event_type") == "click")
-        .join(a, "user_id")
-        .where(F.col("ts") > F.col("ta"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tb"))
-    )
-    c = (
-        e.where(F.col("event_type") == "purchase")
-        .join(b, "user_id")
-        .where(F.col("ts") > F.col("tb"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    return (
-        a.join(b, "user_id", "left")
-        .join(c, "user_id", "left")
-        .select(
-            "user_id",
-            (
-                F.lit(1)
-                + F.col("tb").isNotNull().cast("int")
-                + F.col("tc").isNotNull().cast("int")
-            )
-            .cast("int")
-            .alias("stage"),
-            F.col("tb").alias("first_qual_click"),
-        )
-        .orderBy("user_id")
-    )
+    return staged_funnel(e)
 
 
 @query(

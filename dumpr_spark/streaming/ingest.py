@@ -40,10 +40,14 @@ KAFKA_RECORD_SCHEMA = (
 #   stream_keepalive_interval  -> kafka.reconnect.backoff.max.ms   (ceiling on
 #       the silent gap before the consumer re-probes a dead broker — the
 #       client retries forever, at most this far apart)
-#   stream_keepalive_timeout   -> kafka.request.timeout.ms         (declare a
-#       hung in-flight request dead after this and reconnect)
+#   stream_keepalive_timeout   -> kafka.socket.connection.setup.timeout.max.ms
+#       (ceiling on the per-RECONNECT-attempt connect budget — the same
+#       role the reference's keepalive timeout plays for its reconnect
+#       probes. Deliberately NOT kafka.request.timeout.ms: that would put a
+#       3 s expiry on every in-flight fetch/metadata request, 10x below the
+#       Kafka default of 30 s, and declare a merely-loaded broker dead)
 #   initial_connection_timeout -> kafka.socket.connection.setup.timeout.ms
-#       (per-attempt TCP connect budget, = BinaryLogClient.connect(timeout))
+#       (initial per-attempt TCP connect budget, = BinaryLogClient.connect(timeout))
 #
 # Restart policy (R15): WITHIN a run the Kafka client reconnects by itself
 # under the knobs above — the streaming query does not fail on a broker
@@ -71,7 +75,7 @@ def kafka_conn_options(conn_params: dict | None = None) -> dict[str, str]:
     params.update(conn_params or {})
     return {
         "kafka.reconnect.backoff.max.ms": str(params["stream_keepalive_interval"]),
-        "kafka.request.timeout.ms": str(params["stream_keepalive_timeout"]),
+        "kafka.socket.connection.setup.timeout.max.ms": str(params["stream_keepalive_timeout"]),
         "kafka.socket.connection.setup.timeout.ms": str(params["initial_connection_timeout"]),
     }
 

@@ -60,12 +60,17 @@ class MergeSink:
         self.errors_path = errors_path
 
     def _recover(self) -> None:
-        """Crash between the two swap renames leaves state absent + .bak
+        """Crash between the two swap renames leaves state absent + a backup
         holding the only copy — restore it before anything reads or swaps.
-        Stale .next-* staging dirs from a crashed assembly are garbage."""
-        bak = self.state_path + ".bak"
-        if not os.path.exists(self.state_path) and os.path.exists(bak):
-            os.rename(bak, self.state_path)
+        Both swap disciplines are covered: `_commit`'s ``.bak`` AND
+        `compact_small_files`' ``.compact-bak`` (a compaction crash would
+        otherwise make the next stream restart rebuild EMPTY state while a
+        later compact_files deletes the only backup). Stale .next-*/.tmp-*
+        staging dirs from a crashed assembly are garbage."""
+        for suffix in (".bak", ".compact-bak"):
+            bak = self.state_path + suffix
+            if not os.path.exists(self.state_path) and os.path.exists(bak):
+                os.rename(bak, self.state_path)
         parent, base = os.path.split(self.state_path)
         if not os.path.isdir(parent or "."):
             return
@@ -109,10 +114,16 @@ class MergeSink:
         matching untouched tables afterward. Run OUT-OF-BAND with the stream
         stopped — the compactor's swap discipline (.compact-tmp/.bak) is
         separate from `_commit`'s and must not interleave with it. Cadence
-        guidance in SCALE.md. Returns the new data-file count."""
+        guidance in SCALE.md. Returns the new data-file count. The persisted
+        schema is pinned through the rewrite so partition-value inference
+        cannot re-type a numeric-looking `tbl` value (tbl=007 -> tbl=7)."""
         from dumpr_spark.operators.scale import compact_small_files
 
-        return compact_small_files(self.spark, self.state_path, target_file_mb=target_file_mb)
+        self._recover()
+        return compact_small_files(
+            self.spark, self.state_path, target_file_mb=target_file_mb,
+            schema=self._schema,
+        )
 
     def _commit(self, next_touched: DataFrame, touched: list[str], batch_id) -> None:
         """Write the folded touched partitions, assemble the next state version

@@ -4,9 +4,11 @@ transducer (R4, stream.clj:22-54).
 
 State per source key: (in_tx, buffered rows). tx-begin opens a buffer,
 tx-commit releases it downstream, tx-rollback discards it, markers are
-stripped — and a transaction that spans micro-batches survives in the state
-store (the reference's channel transducer gets this for free from ordering;
-here the state store + checkpoint make it restart-safe).
+stripped; rows OUTSIDE any transaction pass straight through (reference
+boolean semantics, stream.clj:22-54) — and a transaction that spans
+micro-batches survives in the state store (the reference's channel
+transducer gets this for free from ordering; here the state store +
+checkpoint make it restart-safe).
 
 Scale note: the filter is keyed by `source` (connection/shard id). One key is
 inherently serial — exactly as serial as the binlog itself; many sources
@@ -56,7 +58,9 @@ def _tx_filter_fn(
 
 def streaming_tx_filter(events: DataFrame) -> DataFrame:
     """events: streaming frame with (source, event_type, tbl, payload, seq).
-    Returns only rows of committed transactions, markers stripped."""
+    Returns rows of committed transactions PLUS rows arriving outside any
+    transaction (non-transactional events pass straight through, matching
+    the reference transducer and the batch form); markers stripped."""
     return (
         events.groupBy("source")
         .applyInPandasWithState(

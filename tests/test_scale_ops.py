@@ -305,23 +305,15 @@ def test_events_funnel_strict_reengagement_case(spark):
         for i, et in enumerate(["click", "view", "click", "purchase"])
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string, event_id long")
-    df.createOrReplaceTempView("_funnel_case")
 
     from pyspark.sql import functions as F
 
-    a = df.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("ta"))
-    b = (
-        df.where(F.col("event_type") == "click")
-        .join(a, "user_id").where(F.col("ts") > F.col("ta"))
-        .groupBy("user_id").agg(F.min("ts").alias("tb"))
-    )
-    c = (
-        df.where(F.col("event_type") == "purchase")
-        .join(b, "user_id").where(F.col("ts") > F.col("tb"))
-        .groupBy("user_id").agg(F.min("ts").alias("tc"))
-    )
-    staged = a.join(b, "user_id", "left").join(c, "user_id", "left").first()
-    assert staged["tb"] is not None and staged["tc"] is not None  # stage 3
+    from dumpr_spark.queries.streaming_batch import staged_funnel
+
+    # the REAL query builder (not a private copy): a regression in the query
+    # body fails here too
+    staged = staged_funnel(df.select("user_id", "event_type", "ts")).first()
+    assert staged["stage"] == 3 and staged["first_qual_click"] is not None
 
     # one-pass conditional-min on the same data stalls at stage 1
     first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731

@@ -178,16 +178,18 @@ def test_kafka_conn_options_mapping():
 
     from dumpr_spark.streaming.ingest import kafka_conn_options
 
-    # reference defaults carried verbatim
+    # reference defaults carried verbatim; keepalive timeout maps to the
+    # RECONNECT connect-budget ceiling, not request.timeout.ms (which would
+    # impose a 3s expiry on every in-flight fetch, 10x below Kafka's default)
     assert kafka_conn_options() == {
         "kafka.reconnect.backoff.max.ms": "60000",
-        "kafka.request.timeout.ms": "3000",
+        "kafka.socket.connection.setup.timeout.max.ms": "3000",
         "kafka.socket.connection.setup.timeout.ms": "3000",
     }
     # overrides land on the mapped option
     got = kafka_conn_options({"stream_keepalive_interval": 15_000})
     assert got["kafka.reconnect.backoff.max.ms"] == "15000"
-    assert got["kafka.request.timeout.ms"] == "3000"
+    assert got["kafka.socket.connection.setup.timeout.max.ms"] == "3000"
     with _pytest.raises(ValueError, match="unknown conn_params"):
         kafka_conn_options({"stream_keepalive_intervall": 1})
 
@@ -1204,3 +1206,54 @@ def test_history_sink_drops_error_rows_from_intervals(spark, tmp_path):
     h = {(r["id"], r["valid_from"], r["valid_to"]) for r in sink.read_history().collect()}
     assert h == {("1", 1, None), ("2", 3, None)}  # id=1 still current/open
     assert {r["id"] for r in sink.read_state().collect()} == {"1", "2"}
+
+
+def test_compact_files_preserves_numeric_looking_table_names(spark, tmp_path):
+    """compact_files must pin the envelope schema through the rewrite:
+    unpinned partition-value inference re-types tbl='007' to int 7 and
+    rewrites the dir as tbl=7, silently splitting keys (r3 review finding,
+    confirmed by repro before the fix)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "state")
+    sink = MergeSink(spark, state)
+    rows = [
+        ("upsert", "007", "1", '{"v":"bond"}', None, None, None, 1),
+        ("upsert", "2024-01-01", "2", '{"v":"date"}', None, None, None, 2),
+    ]
+    sink(spark.createDataFrame(rows, ENVELOPE_SCHEMA), 0)
+    sink.compact_files()
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("tbl="))
+    assert dirs == ["tbl=007", "tbl=2024-01-01"]
+    got = {(r["tbl"], r["id"]) for r in sink.read_state().collect()}
+    assert got == {("007", "1"), ("2024-01-01", "2")}
+
+
+def test_merge_sink_recovers_from_crash_mid_compaction(spark, tmp_path):
+    """A crash between compact_small_files' two swap renames leaves state
+    only in .compact-bak. The sink's _recover must restore it — otherwise
+    the next stream restart folds into EMPTY state and a later compaction
+    deletes the only backup (r3 review finding)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "state")
+    sink = MergeSink(spark, state)
+    rows = [("upsert", "w", "1", '{"v":"a"}', None, None, None, 1)]
+    sink(spark.createDataFrame(rows, ENVELOPE_SCHEMA), 0)
+
+    # simulate the torn compaction swap: state moved aside, new dir never landed
+    os.rename(state, state + ".compact-bak")
+    assert not os.path.exists(state)
+
+    # ANY sink read/fold must restore from the compaction backup first
+    got = {r["id"] for r in sink.read_state().collect()}
+    assert got == {"1"}
+    assert os.path.exists(state) and not os.path.exists(state + ".compact-bak")
+
+    # and the next micro-batch folds into the RESTORED state, not empty
+    sink(spark.createDataFrame(
+        [("upsert", "w", "2", '{"v":"b"}', None, None, None, 2)], ENVELOPE_SCHEMA), 1)
+    got2 = {r["id"] for r in sink.read_state().collect()}
+    assert got2 == {"1", "2"}

@@ -83,6 +83,7 @@ _R3_NEW = {
     "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
     "dedup_suffix_containment", "text_concordance", "graph_pagerank_3iter",
     "scalar_interval_arith", "join_nullsafe", "agg_filter_clause",
+    "win_cume_dist", "events_cohort_retention",
 }
 
 

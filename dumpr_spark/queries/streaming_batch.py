@@ -447,3 +447,45 @@ def events_markov_transitions(spark, sf_dir):
         "n",
         eps_round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch_ms(ts) // 86400000 // 7) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 // 7 AS active_wk
+      FROM events
+    )
+    SELECT CAST(f.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(a.active_wk - f.cohort_wk AS BIGINT) AS wk_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY cohort_wk, wk_offset
+    ORDER BY cohort_wk, wk_offset
+    """,
+    tags=("streaming", "events", "retention"),
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted in
+    each later week they were active — THE growth-analytics rollup over an
+    event stream (epoch-aligned weeks, same arithmetic both engines). Two
+    aggregations + one equi-join, all hashed on user_id, so the wide event
+    scan reduces to (user, week) pairs before anything joins; the matrix
+    itself is |cohorts x offsets| — tiny at any scale."""
+    e = t(spark, sf_dir, "events")
+    wk = (F.unix_millis(F.col("ts").cast("timestamp")) / 86400000 / 7).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    activity = e.select("user_id", wk.alias("active_wk")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("long").alias("cohort_wk"),
+            (F.col("active_wk") - F.col("cohort_wk")).cast("long").alias("wk_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
+    )

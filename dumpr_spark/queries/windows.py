@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from dumpr_spark.queries.base import query, t
+from dumpr_spark.queries.base import eps_round, query, t
 
 
 @query(
@@ -373,6 +373,37 @@ def win_nth_value(spark, sf_dir):
         c.select(
             "c_mktsegment", "c_custkey",
             F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "win_cume_dist",
+    """
+    SELECT c_mktsegment, c_custkey,
+           ROUND(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+                 + 1e-9, 6) AS cd
+    FROM customer
+    WHERE c_custkey % 50 = 0
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window",),
+)
+def win_cume_dist(spark, sf_dir):
+    """cume_dist: fraction of partition rows at-or-below the current order
+    key — the distribution-position stat pct_rank approximates differently
+    (pct_rank is (rank-1)/(n-1); cume_dist is rank_with_ties/n). Keyed
+    window partitioned by segment; ties (equal balances) share a value on
+    both engines by definition."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey",
+            eps_round(F.cume_dist().over(w), 6).alias("cd"),
         )
         .orderBy("c_mktsegment", "c_custkey")
     )

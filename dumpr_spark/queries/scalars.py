@@ -432,11 +432,11 @@ def source_jsonl_scan(spark, sf_dir):
       FROM part WHERE p_partkey <= 300
     )
     SELECT p_partkey,
-           list_filter(arr, x -> x % 2 = 0) AS evens,
+           array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
            len(list_filter(arr, x -> x > 5)) > 0 AS has_big,
            len(list_filter(arr, x -> NOT (x < 9))) = 0 AS all_small,
-           list_transform(arr, (x, i) -> x * arr[len(arr) - i + 1]) AS prods,
-           list_transform(arr, (x, i) -> x * i) AS idx_weighted,
+           array_to_string(list_transform(arr, (x, i) -> x * arr[len(arr) - i + 1]), ',') AS prods,
+           array_to_string(list_transform(arr, (x, i) -> x * i), ',') AS idx_weighted,
            CAST(list_reduce(arr, (a, x) -> a + x) AS BIGINT) AS total
     FROM base ORDER BY p_partkey
     """,
@@ -454,13 +454,22 @@ def scalar_higher_order(spark, sf_dir):
         "p_partkey", F.sequence(F.lit(1), F.col("p_size") % 8 + 3).alias("arr")
     )
     arr = F.col("arr")
+    # Array-typed result columns are joined to strings in the final
+    # projection on BOTH engines: the comparison harness sorts rows by every
+    # column and raw lists are unhashable there (same pattern as
+    # scalar_array's first3/sorted_head_toks). The lambda surface under test
+    # is unchanged — stringification happens after the higher-order ops.
     return base.select(
         "p_partkey",
-        F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+        F.array_join(F.filter(arr, lambda x: x % 2 == 0), ",").alias("evens"),
         F.exists(arr, lambda x: x > 5).alias("has_big"),
         F.forall(arr, lambda x: x < 9).alias("all_small"),
-        F.zip_with(arr, F.reverse(arr), lambda a, b: a * b).alias("prods"),
-        F.transform(arr, lambda x, i: x * (i + 1)).alias("idx_weighted"),
+        F.array_join(
+            F.zip_with(arr, F.reverse(arr), lambda a, b: a * b), ","
+        ).alias("prods"),
+        F.array_join(
+            F.transform(arr, lambda x, i: x * (i + 1)), ","
+        ).alias("idx_weighted"),
         F.aggregate(
             F.slice(arr, 2, F.size(arr) - 1), F.element_at(arr, 1), lambda a, x: a + x
         ).cast("long").alias("total"),

@@ -191,9 +191,12 @@ def events_funnel(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
+      -- SUM(BIGINT) widens to HUGEINT in DuckDB, which the comparison
+      -- harness canonicalizes to float64; CAST back so it stays int64
+      -- like Spark's running sum.
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM marked
     )
     SELECT user_id, session_idx,

@@ -803,11 +803,15 @@ def dedup_lines_global(spark, sf_dir):
     "events_retention",
     """
     WITH firsts AS (
-      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort FROM events GROUP BY user_id
+      -- TIMESTAMP (not DATE) on both engines: pandas widens DuckDB DATE to
+      -- datetime64 while Spark dates stay datetime.date, which a
+      -- dtype-sensitive canonicalizer renders differently
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
     ),
     activity AS (
       SELECT DISTINCT e.user_id, f.cohort,
-             datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+             datediff('day', f.cohort, date_trunc('day', e.ts)) AS day_offset
       FROM events e JOIN firsts f ON e.user_id = f.user_id
     )
     SELECT cohort, day_offset, CAST(COUNT(*) AS BIGINT) AS active_users
@@ -823,12 +827,14 @@ def events_retention(spark, sf_dir):
     |users| rows, tiny next to the event stream, so the 100 TB side joins
     against a broadcast and shuffles once for the distinct."""
     e = t(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort"))
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("cohort")
+    )
     activity = (
         e.join(F.broadcast(firsts), "user_id")
         .select(
             "user_id", "cohort",
-            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+            F.datediff(F.to_date("ts"), F.to_date("cohort")).alias("day_offset"),
         )
         .where(F.col("day_offset") <= 7)
         .distinct()

@@ -15,23 +15,38 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def normalize(rows, colnames):
-    """Order-insensitive canonical form: sort columns by name, stringify values."""
-    idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def normalize(pdf):
+    """Driver-mimicking canonical form over a pandas DataFrame: sort columns
+    by name, sort rows by ALL columns (raises TypeError on unhashable cells,
+    e.g. raw array columns — exactly like the driver's canonicalizer), then
+    stringify AFTER pandas dtype coercion so dtype drift is visible (DuckDB
+    HUGEINT -> float64 widening renders 1 as '1.0' while Spark's int64
+    renders '1' — a driver hash mismatch the old tuple-based form missed)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    pdf = pdf.reset_index(drop=True)
 
     def canon(v):
-        if v is None:
+        if v is None or v is pd.NaT:
             return "NULL"
-        if isinstance(v, float):
+        if isinstance(v, (float, np.floating)):
             if math.isnan(v):
                 return "NaN"
             # canonical float repr (round-trip safe, kills -0.0 vs 0.0)
-            return repr(v + 0.0)
-        if isinstance(v, bool):
-            return str(v).lower()
+            return repr(float(v) + 0.0)
+        if isinstance(v, (bool, np.bool_)):
+            return str(bool(v)).lower()
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
         return str(v)
 
-    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+    return [tuple(canon(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
 def main():
@@ -56,31 +71,37 @@ def main():
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
         if q.oracle is None:
-            skipped.append((name, len(srows)))
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            skipped.append((name, len(spdf)))
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            ddf = con.sql(q.oracle)
-            drows = ddf.fetchall()
-            dcols = [d[0] for d in ddf.description]
+            # .df() (not fetchall) so DuckDB->pandas dtype coercion happens,
+            # matching the driver harness (HUGEINT widens to float64 here).
+            dpdf = con.sql(q.oracle).df()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+            )
         if not problems:
-            sn, dn = normalize([list(r) for r in srows], scols), normalize(drows, dcols)
+            try:
+                sn, dn = normalize(spdf), normalize(dpdf)
+            except Exception as e:
+                failed.append((name, f"CANON ERROR: {e}"))
+                print(f"FAIL  {name}: canonicalize error (driver would ERR): {str(e)[:300]}")
+                continue
             if sn != dn:
                 diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
@@ -89,7 +110,7 @@ def main():
             print(f"FAIL  {name}: {'; '.join(p[:400] for p in problems)}")
         else:
             passed.append(name)
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(passed)} ok, {len(failed)} FAILED, {len(skipped)} rows-only")
     if failed:

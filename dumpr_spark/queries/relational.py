@@ -273,18 +273,33 @@ def agg_percentiles(spark, sf_dir):
 
 @query(
     "agg_approx_distinct",
-    None,  # approximate: HLL sketches differ across engines => rows-only check
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++). No cross-engine oracle by nature; the
-    exact-count twin `agg_count_distinct` is the correctness anchor."""
-    return (
+    """approx_count_distinct (HLL++). The sketch estimate is engine-specific,
+    so the hash-checkable output is the DETERMINISTIC part: the exact count
+    plus `within_bound` — whether the estimate landed inside 3x the default
+    relative standard deviation (rsd=0.05 => 15%), far looser than observed
+    (~1-2%) so it only flips if the sketch is actually broken. The oracle
+    asserts TRUE; a sketch regression turns the row red."""
+    est = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
-        .orderBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
     )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return est.select(
+        "l_returnflag", "exact_parts", (err <= 0.15).alias("within_bound")
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -975,15 +990,28 @@ def agg_stats_moments(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
-@query("agg_hll_mergeable", None, tags=("agg", "sketch", "rows-only"))
+@query(
+    "agg_hll_mergeable",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_consistent,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_hll_mergeable(spark, sf_dir):
-    """Mergeable HLL sketch rollup (rows-only: sketch bits are
-    engine-specific): per-day distinct-user sketches are built ONCE, then
-    the month estimate comes from `hll_union_agg` over the day sketches —
-    never re-scanning raw data. This is the 100 TB pattern for distinct
-    counts: daily jobs persist tiny sketches, any time range unions them.
-    The exact count rides along; tests pin |est-exact|/exact < 5% and that
-    merged-sketch estimates equal the single-pass sketch estimate."""
+    """Mergeable HLL sketch rollup: per-day distinct-user sketches are built
+    ONCE, then the month estimate comes from `hll_union_agg` over the day
+    sketches — never re-scanning raw data. This is the 100 TB pattern for
+    distinct counts: daily jobs persist tiny sketches, any time range unions
+    them. Sketch bits are engine-specific, so the hash-checkable output is
+    the DETERMINISTIC part: the exact count, `merge_consistent` (union of
+    daily sketches estimates identically to a single-pass sketch — HLL
+    merge is a lossless register max), and `within_bound` (|est-exact|/exact
+    < 5%, ~3 sigma for the default lgConfigK=12 sketch). The oracle asserts
+    both booleans TRUE; a sketch or merge regression turns the row red."""
     e = t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -991,12 +1019,19 @@ def agg_hll_mergeable(spark, sf_dir):
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
     )
-    exact = e.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
+    single = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("sp_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    err = F.abs(F.col("est_users") - F.col("exact_users")) / F.col("exact_users")
     return (
-        merged.join(exact, "event_type")
-        .select("event_type", "est_users", "exact_users")
+        merged.join(single, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("est_users") == F.col("sp_users")).alias("merge_consistent"),
+            (err < 0.05).alias("within_bound"),
+        )
         .orderBy("event_type")
     )
 

@@ -22,13 +22,22 @@ from dumpr_spark.queries import scalars  # noqa: E402,F401
 from dumpr_spark.queries import windows  # noqa: E402,F401
 from dumpr_spark.queries import relational  # noqa: E402,F401
 
-# Exact ordering refinement: names the driver fully verified in round 1
-# (CORRECTNESS_r01.json, hash_match or declared rows-only) move to the END of
-# the registry so a budget-capped walk spends its budget on the not-yet-
-# verified entries (module ordering above gets this mostly right; this makes
-# it exact for the mixed modules).
+# Exact ordering refinement: names the driver fully verified in a past round
+# (CORRECTNESS_r{N}.json hash_match, with code/oracle unchanged since) move
+# to the END of the registry so a budget-capped walk spends its budget on the
+# not-yet-verified entries.
+#
+# Maintenance invariant (per round N):
+#   1. append round N's hash_match-green names to a new _R{N}_VERIFIED set;
+#   2. REMOVE from every _R*_VERIFIED set any name whose builder or oracle
+#      changed since its green row (stale evidence = never green);
+#   3. register new round-(N+1) queries in a fresh _R{N+1}_NEW set so they
+#      queue BEHIND the pre-existing never-green backlog.
+# Anything not covered by a set lands in the never-green backlog by
+# construction (computed below), so a forgotten registration can only make a
+# query be checked EARLIER, never hide it.
 _R1_VERIFIED = {
-    "agg_approx_distinct", "agg_bool", "agg_collect_sorted", "agg_count_distinct",
+    "agg_bool", "agg_collect_sorted", "agg_count_distinct",
     "agg_cube", "agg_global", "agg_grouping_sets", "agg_having", "agg_max_by",
     "agg_percentiles", "agg_pivot", "agg_rollup", "filter_in_set",
     "filter_predicates", "join_anti", "join_asof", "join_asof_union",
@@ -38,10 +47,13 @@ _R1_VERIFIED = {
     "q1_pricing_summary", "scalar_array", "scalar_array_fold", "scalar_datetime",
     "scalar_math", "scalar_string", "set_except", "set_intersect",
     "set_union_all", "set_union_distinct", "sort_multi_nulls", "sort_topk",
-    "win_first_last", "win_lag_lead", "win_nth_value", "win_ntile",
+    "win_first_last", "win_lag_lead", "win_nth_value",
     "win_pct_rank", "win_range_frame", "win_rank_dense", "win_running_sum",
     "win_topk_per_group",
 }
+# Removed from _R1_VERIFIED (stale evidence): win_ntile (rewritten to the
+# two-phase scale-safe form after its r1 green), agg_approx_distinct (was
+# rows-only, never hash-green; has a value-level oracle as of r4).
 # Names the driver verified in round 2 (CORRECTNESS_r02.json: 48 hash_match +
 # 2 declared rows-only). Appended so round 3's budget-capped walk lands on the
 # 34 never-checked entries plus scalar_conditional (fixed in 007a035 but never
@@ -51,8 +63,8 @@ _R2_VERIFIED = {
     "cdc_next_position", "cdc_envelope_shape", "dedup_exact", "dedup_exact_hash",
     "dedup_fingerprint", "text_winnow_fingerprints", "dedup_winnow_pairs",
     "dedup_lsh_scaled", "dedup_clusters", "text_fingerprint_rolling",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "sim_topk_bruteforce",
     "sim_embedding_stats", "text_lang_stats", "text_quality", "text_lang_id",
     "text_pii_scrub", "text_repetition", "dedup_semantic_clusters",
     "text_lang_confusion", "chunk_documents", "pack_sequences",
@@ -61,36 +73,56 @@ _R2_VERIFIED = {
     "pipeline_curation", "dedup_keep_best", "text_unigram_logprob",
     "text_token_stats", "text_markup_strip", "scalar_url_parse",
     "text_vocab_topk", "split_train_val_test", "shuffle_deterministic",
-    "dedup_lines_global", "events_retention", "join_fuzzy_edit1",
+    "dedup_lines_global", "join_fuzzy_edit1",
     "join_overlap_intervals", "multimodal_features", "multimodal_frame_plan",
 }
-_DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED
+# Removed from _R2_VERIFIED (stale evidence): dedup_simhash (rows-only in r2,
+# got a value-level oracle in r3 — never hash-green), sim_topk_ivf (rows-only
+# in r2, exact oracle as of r4 — never hash-green), events_retention (cohort
+# column re-typed DATE -> TIMESTAMP in r4 to survive dtype-sensitive
+# canonicalization — needs a fresh driver row).
 
-# Queries first registered in round 3 (post-r2 driver run). They are
-# unverified too, but the r1/r2-era entries that have NEVER had a driver row
-# (the 34 + scalar_conditional the r2 verdict calls out) must win the
-# budget-capped walk — new additions take whatever slots remain and rotate
-# into r4 otherwise.
-_R3_NEW = {
-    "cdc_tx_filter", "cdc_stamp_filename", "sim_centroid_by_label",
-    "embed_quantize_int8", "dedup_url_canonical", "text_bigram_logprob",
-    "multimodal_frame_dedup", "stream_heavy_hitters", "events_funnel_strict",
-    "events_markov_transitions", "q2_min_cost_supplier",
-    "q4_order_priority", "q18_large_orders",
-    "q10_returned_items", "q12_priority_lines", "q14_promo_revenue",
-    "q19_discount_revenue", "cdc_scd2_history", "cdc_time_travel",
-    "cdc_churn_stats", "text_tfidf_topk", "text_bpe_pairs", "index_inverted",
-    "q7_volume_shipping", "q9_product_profit", "q15_top_supplier",
-    "dedup_suffix_containment", "text_concordance", "graph_pagerank_3iter",
-    "scalar_interval_arith", "join_nullsafe", "agg_filter_clause",
-    "win_cume_dist", "events_cohort_retention",
+# Names the driver hash-verified in round 3 (CORRECTNESS_r03.json: 47 green
+# of 50 checked; the 3 non-green — events_sessionize, scalar_higher_order,
+# agg_hll_mergeable — stay in the never-green backlog).
+_R3_VERIFIED = {
+    "multimodal_metadata", "multimodal_audio_windows", "stream_tumbling_window",
+    "stream_sliding_window", "stream_session_window", "stream_dedup_first",
+    "events_funnel", "events_ewma", "udf_python_scalar", "udf_pandas_scalar",
+    "udf_grouped_agg", "udf_grouped_map_zscore", "udf_table_function",
+    "udf_python_udtf", "scalar_conditional", "scalar_json", "scalar_json_struct",
+    "scalar_struct_map", "scalar_encode_decode", "source_csv_scan",
+    "scalar_bitwise", "source_orc_scan", "source_jsonl_scan",
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "agg_stats_moments", "scalar_try_errors", "join_lateral_topk",
+    "reshape_unpivot", "agg_mode_deterministic", "agg_histogram",
+    "cdc_tx_filter", "cdc_stamp_filename", "cdc_scd2_history",
+    "cdc_time_travel", "cdc_churn_stats", "sim_centroid_by_label",
+    "embed_quantize_int8", "text_tfidf_topk", "text_bpe_pairs",
+    "index_inverted", "dedup_suffix_containment", "text_concordance",
+    "graph_pagerank_3iter", "dedup_url_canonical", "text_bigram_logprob",
 }
+_DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
+
+# Queries first registered in round 4 (post-r3 driver run). They queue
+# BEHIND the pre-r4 never-green backlog: the backlog (19 never-checked r3
+# additions + the r3 red/err trio + the stale-evidence quartet) must win the
+# budget-capped walk so round 4 closes the evidence book.
+_R4_NEW: set = set()
+
+# Never-green backlog, by construction: every registered name without
+# current-code green driver evidence that is not a round-4 addition. A name
+# accidentally left out of _R4_NEW falls in here and gets checked EARLIER —
+# the failure mode is extra verification, never a skipped query.
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R4_NEW
 
 
 def _rank(n: str) -> int:
-    if n in _DRIVER_VERIFIED:
-        return 2
-    return 1 if n in _R3_NEW else 0
+    if n in _NEVER_GREEN:
+        return 0
+    if n in _R4_NEW:
+        return 1
+    return 2 if n in _DRIVER_VERIFIED else 1
 
 
 _reordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=_rank)}

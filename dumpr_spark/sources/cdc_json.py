@@ -61,6 +61,111 @@ def parse_event_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Debezium envelope adapter
+# ---------------------------------------------------------------------------
+# The production feed SURVEY §1.4/§4.2 names is a Debezium-format topic: each
+# record value is `{"payload": {"before", "after", "op", "ts_ms", "source":
+# {"db", "table", "file", "pos", "row", ...}}}` (Debezium's documented MySQL
+# connector wire format). This adapter maps that wire shape onto the engine
+# envelope, replacing the reference's own binlog decode (binlog.clj:29-51 +
+# events.clj:52-148) at the source boundary. Row images parse as
+# map<string,string> — the same opaque row shape `events_to_changes` uses, so
+# everything downstream (materialize, sinks, schema enrichment) is shared.
+#
+# Transaction filtering (R4) is BYPASSED on this path by design: Debezium
+# only publishes committed transactions, so the engine's tx filter would be a
+# no-op — the reference needs it because it tails the raw binlog where
+# uncommitted/rolled-back events appear (stream.clj:22-54).
+DEBEZIUM_SOURCE_SCHEMA = StructType(
+    [
+        StructField("db", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("file", StringType(), True),   # binlog filename (R5 analog)
+        StructField("pos", LongType(), True),      # binlog position (R13 analog)
+        StructField("row", LongType(), True),      # row ordinal within the event
+        StructField("snapshot", StringType(), True),
+    ]
+)
+DEBEZIUM_SCHEMA = StructType(
+    [
+        StructField(
+            "payload",
+            StructType(
+                [
+                    StructField("before", MapType(StringType(), StringType()), True),
+                    StructField("after", MapType(StringType(), StringType()), True),
+                    StructField("op", StringType(), True),  # c|u|d|r
+                    StructField("ts_ms", LongType(), True),
+                    StructField("source", DEBEZIUM_SOURCE_SCHEMA, True),
+                ]
+            ),
+            True,
+        )
+    ]
+)
+
+
+def parse_debezium_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Raw records (e.g. Kafka value bytes) -> flattened Debezium payloads.
+
+    Tombstone records (null value — Debezium's compaction marker after a
+    delete) and values that don't parse as a Debezium envelope yield a NULL
+    payload/op and are dropped, mirroring parse_event_lines' nil => removed
+    discipline."""
+    return (
+        df.select(
+            F.from_json(F.col(value_col).cast("string"), DEBEZIUM_SCHEMA).alias("d")
+        )
+        .select("d.payload.*")
+        .where(F.col("op").isNotNull())
+    )
+
+
+def debezium_to_changes(payloads: DataFrame, id_cols: dict[str, str]) -> DataFrame:
+    """Flattened Debezium payloads -> canonical envelope rows.
+
+    op mapping: d -> delete; c/u/r -> upsert (r = snapshot read, which IS the
+    engine's snapshot-as-upserts convention, R1). The row image is `after`
+    for upserts and `before` for deletes (Debezium's delete `after` is null).
+    id_cols follows events_to_changes: table -> PK column name or Column
+    expression over `row`.
+
+    seq reifies Debezium's total order (binlog file, position, row-in-event)
+    into one monotone long: numeric binlog-file suffix << 44 | pos << 14 |
+    row — binlog positions are < 1 GiB (2^30) and rows-per-event < 2^14, so
+    the packing is collision-free, and file rotation (pos resets) stays
+    ordered because the file number occupies the high bits."""
+
+    def _id_val(c):
+        return F.col("row").getItem(c) if isinstance(c, str) else c
+
+    id_expr = F.coalesce(
+        *[F.when(F.col("tbl") == t, _id_val(c)) for t, c in id_cols.items()]
+    ) if id_cols else F.lit(None)
+    file_no = F.coalesce(
+        F.regexp_extract(F.col("source.file"), r"(\d+)$", 1).cast("long"), F.lit(0)
+    )
+    shaped = payloads.select(
+        F.when(F.col("op") == "d", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.col("source.table").alias("tbl"),
+        F.coalesce(F.col("after"), F.col("before")).alias("row"),
+        F.to_json(F.coalesce(F.col("after"), F.col("before"))).alias("content"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        F.col("source.file").alias("next_file"),
+        F.col("source.pos").alias("next_position"),
+        (
+            F.shiftleft(file_no, 44)
+            + F.shiftleft(F.coalesce(F.col("source.pos"), F.lit(0)), 14)
+            + F.coalesce(F.col("source.row"), F.lit(0))
+        ).cast("long").alias("seq"),
+    )
+    return shaped.select(
+        "op", "tbl", id_expr.cast("string").alias("id"),
+        "content", "ts", "next_file", "next_position", "seq",
+    )
+
+
 def events_to_changes(events: DataFrame, id_cols: dict[str, str]) -> DataFrame:
     """Row events -> envelope rows: explode multi-row events, compute id, shape
     to the canonical envelope (R10, stream.clj:233-269).

@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dumpr_spark.sources.cdc_json import events_to_changes, parse_event_lines, read_events_json
+from dumpr_spark.sources.cdc_json import (
+    debezium_to_changes,
+    events_to_changes,
+    parse_debezium_lines,
+    parse_event_lines,
+    read_events_json,
+)
 
 # The Kafka wire record shape (what spark-sql-kafka's `kafka` format yields):
 # the CDC event itself rides in `value` as one JSON document per record —
@@ -176,3 +182,39 @@ def stream_changes_kafka_shaped(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events = parse_event_lines(reader.json(records_path), value_col="value")
     return _events_to_filtered_changes(events, id_cols, db, tables)
+
+
+def stream_changes_debezium(
+    spark: SparkSession,
+    records_path: str,
+    id_cols: dict[str, str],
+    db: str | None = None,
+    tables: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    conn_params: dict | None = None,
+) -> DataFrame:
+    """Streaming envelope DataFrame from a Debezium-format feed — the actual
+    production wire shape SURVEY §1.4/§4.2 names. Records have the Kafka wire
+    schema; each `value` is a Debezium envelope (`payload.before/after/op/
+    ts_ms/source.{db,table,file,pos,row}`), adapted to the engine envelope by
+    sources.cdc_json.debezium_to_changes (op/ts/position/seq mapping there).
+
+    No transaction filter on this path: Debezium publishes only committed
+    transactions (the raw-binlog tx markers the reference filters,
+    stream.clj:22-54, never reach the topic). db/tables filters are plain
+    predicates on the parsed payload — pushed into the scan by Catalyst.
+    Swap the file reader for `format("kafka")` + `kafka_conn_options` to go
+    live, exactly as stream_changes_kafka does for the engine-JSON topic.
+    """
+    from pyspark.sql import functions as F
+
+    kafka_conn_options(conn_params)  # validate; no connection to apply them to
+    reader = spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    payloads = parse_debezium_lines(reader.json(records_path), value_col="value")
+    if db is not None:
+        payloads = payloads.where(F.col("source.db") == db)
+    if tables:
+        payloads = payloads.where(F.col("source.table").isin(list(tables)))
+    return debezium_to_changes(payloads, id_cols)

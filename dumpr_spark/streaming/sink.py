@@ -65,17 +65,33 @@ class MergeSink:
         Both swap disciplines are covered: `_commit`'s ``.bak`` AND
         `compact_small_files`' ``.compact-bak`` (a compaction crash would
         otherwise make the next stream restart rebuild EMPTY state while a
-        later compact_files deletes the only backup). Stale .next-*/.tmp-*
-        staging dirs from a crashed assembly are garbage."""
-        for suffix in (".bak", ".compact-bak"):
-            bak = self.state_path + suffix
-            if not os.path.exists(self.state_path) and os.path.exists(bak):
-                os.rename(bak, self.state_path)
+        later compact_files deletes the only backup).
+
+        A backup that COEXISTS with state is stale by construction (the swap
+        completed; only the backup cleanup was lost) — delete it, or a later
+        torn swap of the OTHER discipline would restore the older backup and
+        silently drop every batch committed since. When state is absent and
+        both backups exist, the newer one (mtime) is the survivor of the
+        interrupted swap. Stale .next-*/.tmp-*/.compact-tmp staging dirs from
+        a crashed assembly are garbage."""
+        baks = [
+            b for b in (self.state_path + ".bak", self.state_path + ".compact-bak")
+            if os.path.exists(b)
+        ]
+        if os.path.exists(self.state_path):
+            for b in baks:
+                shutil.rmtree(b, ignore_errors=True)
+        elif baks:
+            baks.sort(key=os.path.getmtime)
+            os.rename(baks[-1], self.state_path)
+            for b in baks[:-1]:
+                shutil.rmtree(b, ignore_errors=True)
         parent, base = os.path.split(self.state_path)
         if not os.path.isdir(parent or "."):
             return
+        stale = (base + ".next-", base + ".tmp-")
         for d in os.listdir(parent or "."):
-            if d.startswith(base + ".next-") or d.startswith(base + ".tmp-"):
+            if d.startswith(stale) or d == base + ".compact-tmp":
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
     def _read_raw(self) -> DataFrame:

@@ -169,6 +169,80 @@ def test_stream_ingest_kafka_shaped_records(spark, tmp_path):
     assert got2 == {"2"}
 
 
+def test_stream_ingest_debezium_wire_format(spark, tmp_path):
+    """Debezium-envelope adapter (SURVEY §1.4/§4.2 production feed): records
+    carry the documented Debezium MySQL wire shape in `value`
+    (payload.before/after/op/ts_ms/source.{db,table,file,pos,row}); the
+    adapter maps c/u/r -> upsert, d -> delete (row image from `before`),
+    reifies (file, pos, row) into the monotone seq, and drops tombstone /
+    foreign-db records. Same merge/resume semantics as the engine-JSON feed —
+    including order across a binlog file rotation."""
+    from dumpr_spark.streaming.ingest import stream_changes_debezium
+    from dumpr_spark.streaming.sink import MergeSink, start_merge_stream
+
+    feed = str(tmp_path / "dbz_feed")
+    state = str(tmp_path / "dbz_state")
+    ckpt = str(tmp_path / "dbz_ckpt")
+
+    def dbz(op, table, before, after, file, pos, row=0, db="shop", ts_ms=1700000000000):
+        return {
+            "key": None, "value": json.dumps({"payload": {
+                "before": before, "after": after, "op": op, "ts_ms": ts_ms,
+                "source": {"db": db, "table": table, "file": file, "pos": pos,
+                           "row": row, "snapshot": "false"},
+            }}), "topic": "shop.cdc", "partition": 0, "offset": pos,
+            "timestamp": None, "timestampType": 0,
+        }
+
+    recs = [
+        # snapshot read + insert + update, multi-row event (row ordinals)
+        dbz("r", "widgets", None, {"id": "1", "v": "snap"}, "mysql-bin.000003", 100),
+        dbz("c", "widgets", None, {"id": "2", "v": "b"}, "mysql-bin.000003", 200, row=0),
+        dbz("c", "widgets", None, {"id": "3", "v": "c"}, "mysql-bin.000003", 200, row=1),
+        dbz("u", "widgets", {"id": "1", "v": "snap"}, {"id": "1", "v": "up"},
+            "mysql-bin.000003", 300),
+        # delete: after is null, image comes from before
+        dbz("d", "widgets", {"id": "3", "v": "c"}, None, "mysql-bin.000003", 400),
+        # file rotation: pos RESETS below earlier positions; file number must
+        # keep this ordered after seq packing
+        dbz("u", "widgets", {"id": "2", "v": "b"}, {"id": "2", "v": "b2"},
+            "mysql-bin.000004", 50),
+        # foreign db + foreign table: filtered out
+        dbz("c", "widgets", None, {"id": "9", "v": "x"}, "mysql-bin.000004", 60,
+            db="other"),
+        dbz("c", "gadgets", None, {"id": "9", "v": "x"}, "mysql-bin.000004", 70),
+        # Debezium tombstone (null value after a delete): dropped, not an error
+        {"key": "3", "value": None, "topic": "shop.cdc", "partition": 0,
+         "offset": 99, "timestamp": None, "timestampType": 0},
+    ]
+    write_events(feed, recs)
+    changes = stream_changes_debezium(
+        spark, feed, {"widgets": "id"}, db="shop", tables=["widgets"],
+        conn_params={"stream_keepalive_interval": 30_000},
+    )
+    q = start_merge_stream(changes, state, ckpt)
+    q.awaitTermination(120)
+
+    sink = MergeSink(spark, state)
+    got = {r["id"]: json.loads(r["content"])["v"] for r in sink.read_state().collect()}
+    assert got == {"1": "up", "2": "b2"}  # 3 deleted, rotation order held
+
+    # position/filename capture survives the adapter (R5/R13 analogs)
+    raw = {r["id"]: (r["next_file"], r["next_position"])
+           for r in sink._read_raw().collect()}
+    assert raw["2"] == ("mysql-bin.000004", 50)
+
+    # resume from the same checkpoint: a second wave replays nothing
+    write_events(feed, [
+        dbz("d", "widgets", {"id": "1", "v": "up"}, None, "mysql-bin.000004", 500),
+    ], file_name="part-001.json")
+    q2 = start_merge_stream(
+        stream_changes_debezium(spark, feed, {"widgets": "id"}, db="shop"), state, ckpt
+    )
+    q2.awaitTermination(120)
+    assert {r["id"] for r in sink.read_state().collect()} == {"2"}
+
+
 def test_kafka_conn_options_mapping():
     """R2/R15 parity: the reference's conn-param knobs (core.clj:16-20 —
     keepalive interval/timeout, initial connect timeout) map onto the Kafka
@@ -1257,3 +1331,51 @@ def test_merge_sink_recovers_from_crash_mid_compaction(spark, tmp_path):
         [("upsert", "w", "2", '{"v":"b"}', None, None, None, 2)], ENVELOPE_SCHEMA), 1)
     got2 = {r["id"] for r in sink.read_state().collect()}
     assert got2 == {"1", "2"}
+
+
+def test_merge_sink_stale_bak_does_not_mask_newer_compact_bak(spark, tmp_path):
+    """r3 advice regression: a stale .bak (crash between _commit's final
+    rename and its rmtree) followed by a torn compaction swap must restore
+    the NEWER .compact-bak, not the older .bak — restoring the older one
+    silently drops every batch committed between the two crashes. Also: a
+    backup that coexists with state is stale by construction and must be
+    deleted, and leftover .compact-tmp staging dirs are cleaned."""
+    import shutil
+    import time as _time
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+
+    state = str(tmp_path / "sb_state")
+    sink = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "w", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    sink(batch([up(1, 1)]), 0)
+    v1 = str(tmp_path / "v1_copy")
+    shutil.copytree(state, v1)  # sideline the v1 state for the stale backup
+    sink(batch([up(2, 2)]), 1)  # state is now v2 (ids 1,2)
+
+    # crash #1 (in _commit of batch 1, after the final rename, before the
+    # rmtree) left a stale .bak holding ONLY v1; crash #2 (torn compaction)
+    # then moved v2 aside into .compact-bak and left a .compact-tmp staging
+    # dir. State is absent; the only full copy is the NEWER .compact-bak.
+    shutil.copytree(v1, state + ".bak")
+    old = _time.time() - 100
+    os.utime(state + ".bak", (old, old))
+    os.rename(state, state + ".compact-bak")
+    os.makedirs(state + ".compact-tmp")
+
+    got = sorted(r["id"] for r in sink.read_state().collect())
+    assert got == ["1", "2"]  # the NEWER backup won; id=2 not silently dropped
+    assert not os.path.exists(state + ".bak")
+    assert not os.path.exists(state + ".compact-bak")
+    assert not os.path.exists(state + ".compact-tmp")
+
+    # and a backup that coexists with state is stale by construction: deleted
+    shutil.copytree(v1, state + ".bak")
+    sink(batch([up(3, 3)]), 2)
+    assert not os.path.exists(state + ".bak")
+    assert sorted(r["id"] for r in sink.read_state().collect()) == ["1", "2", "3"]

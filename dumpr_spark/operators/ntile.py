@@ -1,0 +1,111 @@
+"""Two-phase distributed NTILE — the scale-safe form of a global-order
+window (SURVEY §2.2-E).
+
+A naive ``ntile(k) OVER (ORDER BY ...)`` has no PARTITION BY, so Spark moves
+the whole table to ONE task (``WindowExec: No Partition Defined``) — a
+single-node sort of the full input, the exact shape that dies at 100 TB.
+This operator replaces it with three parallel scans:
+
+1. approxQuantile boundaries of the sort key, collected ONCE to the driver
+   and embedded as literals — every later pass derives each row's
+   range-bucket with the SAME deterministic projection. (NOT
+   ``repartitionByRange`` + ``spark_partition_id()``: RangePartitioner's
+   reservoir sampling is not stable across re-evaluations, so the count pass
+   and rank pass can disagree on partition ids — measured 727/15000 rows
+   flipping buckets between two evaluations at sf0.1.)
+2. per-bucket ``row_number`` — parallel, partitioned WindowExec.
+3. per-bucket counts collect to the driver (one row per bucket —
+   metadata-sized), cumulative offsets broadcast back;
+   global_rank = offset + local_rank, and NTILE's bucket arithmetic (first
+   n%k tiles get ceil(n/k) rows, the rest floor(n/k)) is a plain projection.
+
+Cost: a quantile pass + count pass + rank pass instead of one single-task
+global sort; at cluster width W that is 3/W of the serial cost. Boundary
+ties cannot split a tile inconsistently: bucketing is a pure function of the
+value column, and the in-bucket sort breaks ties by a unique id column — a
+total order. Skewed approxQuantile bounds only unbalance the BUCKET sizes
+(more rows ranked inside one bucket), never the tile assignment, which
+depends only on the exact global rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    val_col: str,
+    id_col: str,
+    out_col: str = "ntile",
+    descending: bool = True,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Add `out_col` = NTILE(k) over the GLOBAL order (val_col desc/asc,
+    id_col asc tie-break) without an unpartitioned window.
+
+    `id_col` must be unique (it makes the order total — the same requirement
+    that makes any cross-engine NTILE comparison well-defined). NULL values
+    sort last, matching Spark's default null ordering for the chosen
+    direction.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    bounds = df.stat.approxQuantile(
+        val_col, [i / n_part for i in range(1, n_part)], rel_err
+    )
+    val = F.col(val_col)
+    if not bounds:
+        # empty or all-NULL input: one bucket; the n == 0 early-exit below
+        # handles truly-empty frames
+        order = (
+            [F.desc_nulls_last(val_col), F.asc(id_col)]
+            if descending
+            else [F.asc_nulls_last(val_col), F.asc(id_col)]
+        )
+        bucket = F.lit(0)
+    elif descending:
+        # ascending quantile boundaries; bucket = #boundaries strictly above
+        # the value, so bucket 0 holds the largest values (the DESC head)
+        bucket = F.aggregate(
+            F.lit(bounds), F.lit(0), lambda acc, b: acc + F.when(val < b, 1).otherwise(0)
+        )
+        order = [F.desc_nulls_last(val_col), F.asc(id_col)]
+    else:
+        bucket = F.aggregate(
+            F.lit(bounds), F.lit(0), lambda acc, b: acc + F.when(val > b, 1).otherwise(0)
+        )
+        order = [F.asc_nulls_last(val_col), F.asc(id_col)]
+    with_pid = df.withColumn(
+        "_pid", F.when(val.isNull(), F.lit(len(bounds))).otherwise(bucket)
+    )
+
+    rows = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    n = sum(r["_cnt"] for r in rows)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    off, offsets = 0, []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], off))
+        off += r["_cnt"]
+
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off LONG")
+    lw = Window.partitionBy("_pid").orderBy(*order)
+    big = n // k + 1          # size of the first n%k tiles
+    base = max(n // k, 1)     # size of the rest (max() only guards n<k, where
+    num_big = n % k           # the big tiles already cover every row)
+    cutoff = num_big * big
+    gr = F.col("_off") + F.row_number().over(lw)
+    tile = (
+        F.when(gr <= F.lit(cutoff), ((gr - 1) / F.lit(big)).cast("long") + 1)
+        .otherwise(F.lit(num_big) + ((gr - F.lit(cutoff) - 1) / F.lit(base)).cast("long") + 1)
+        .cast("int")
+        .alias(out_col)
+    )
+    return (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .select(*df.columns, tile)
+    )

@@ -159,77 +159,15 @@ def win_first_last(spark, sf_dir):
 )
 def win_ntile(spark, sf_dir):
     """Two-phase distributed NTILE — the scale-safe form of a global-order
-    window.
+    window, via operators.ntile.global_ntile (full rationale + cost model
+    there; property-tested against the single-window form in
+    tests/test_windows_props.py)."""
+    from dumpr_spark.operators.ntile import global_ntile
 
-    A naive ``ntile(4) OVER (ORDER BY ...)`` has no PARTITION BY, so Spark
-    moves the whole table to ONE task (``WindowExec: No Partition Defined``)
-    — a single-node sort of the full input, the exact shape that dies at
-    100 TB. Instead:
-
-    1. approxQuantile boundaries of the sort key, collected ONCE to the
-       driver and embedded as literals — every later pass derives each row's
-       range-bucket with the SAME deterministic projection. (NOT
-       ``repartitionByRange`` + ``spark_partition_id()``: RangePartitioner's
-       reservoir sampling is not stable across re-evaluations, so the count
-       pass and rank pass can disagree on partition ids — measured 727/15000
-       rows flipping buckets between two evaluations at sf0.1.)
-    2. per-bucket ``row_number`` — parallel, partitioned WindowExec.
-    3. per-bucket counts collect to the driver (one row per bucket —
-       metadata-sized), cumulative offsets broadcast back.
-    4. global_rank = offset + local_rank; NTILE's bucket arithmetic
-       (first n%k buckets get ceil(n/k) rows, the rest floor(n/k)) applied
-       as a plain projection.
-
-    Cost: a quantile pass + count pass + rank pass — three parallel scans
-    instead of one single-task global sort; at cluster width W that is 3/W
-    of the serial cost. Boundary ties cannot split a bucket inconsistently:
-    bucketing is a pure function of c_acctbal, and the in-bucket sort breaks
-    ties by the unique c_custkey, a total order.
-    """
-    k = 4
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    n_part = max(2, spark.sparkContext.defaultParallelism)
-    # ascending quantile boundaries; bucket = #boundaries strictly above the
-    # value, so bucket 0 holds the largest balances (the DESC sort's head)
-    bounds = c.stat.approxQuantile(
-        "c_acctbal", [i / n_part for i in range(1, n_part)], 0.001
-    )
-    acct = F.col("c_acctbal")
-    bucket = F.aggregate(
-        F.lit(bounds),
-        F.lit(0),
-        lambda acc, b: acc + F.when(acct < b, 1).otherwise(0),
-    )
-    with_pid = c.withColumn(
-        "_pid", F.when(acct.isNull(), F.lit(len(bounds))).otherwise(bucket)
-    )
-
-    rows = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
-    n = sum(r["_cnt"] for r in rows)
-    off, offsets = 0, []
-    for r in sorted(rows, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], off))
-        off += r["_cnt"]
-
-    off_df = spark.createDataFrame(offsets, "_pid INT, _off LONG")
-    lw = Window.partitionBy("_pid").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    big = n // k + 1          # size of the first n%k buckets
-    base = max(n // k, 1)     # size of the rest (max() only guards n<k, where
-    num_big = n % k           # the big buckets already cover every row)
-    cutoff = num_big * big
-    gr = (F.col("_off") + F.row_number().over(lw)).alias("_gr")
-    quartile = (
-        F.when(F.col("_gr") <= F.lit(cutoff), ((F.col("_gr") - 1) / F.lit(big)).cast("long") + 1)
-        .otherwise(
-            F.lit(num_big) + ((F.col("_gr") - F.lit(cutoff) - 1) / F.lit(base)).cast("long") + 1
-        )
-        .cast("int")
-        .alias("quartile")
-    )
     return (
-        with_pid.join(F.broadcast(off_df), "_pid")
-        .select("c_custkey", gr)
-        .select("c_custkey", quartile)
+        global_ntile(c, 4, "c_acctbal", "c_custkey", out_col="quartile")
+        .select("c_custkey", "quartile")
         .orderBy("c_custkey")
     )
 

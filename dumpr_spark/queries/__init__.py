@@ -108,7 +108,12 @@ _DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
 # BEHIND the pre-r4 never-green backlog: the backlog (19 never-checked r3
 # additions + the r3 red/err trio + the stale-evidence quartet) must win the
 # budget-capped walk so round 4 closes the evidence book.
-_R4_NEW: set = set()
+_R4_NEW: set = {
+    # TPC-H completion set (relational.py)
+    "q8_market_share", "q11_important_parts", "q13_order_counts",
+    "q16_parts_suppliers", "q17_small_qty_revenue", "q20_part_promotion",
+    "q21_waiting_suppliers", "q22_sales_opportunity",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-4 addition. A name

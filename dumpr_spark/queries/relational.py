@@ -1750,3 +1750,441 @@ def agg_filter_clause(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion set (r4): q8/q11/q13/q16/q17/q20/q21/q22 shapes.
+# Adaptations for this dataset (documented per query): no partsupp table
+# (lineitem (partkey, suppkey) pairs stand in), no comment/phone columns
+# (priority / acctbal / nationkey stand-ins), no commit/receipt dates
+# (shipdate-vs-orderdate lag stands in for Q21's lateness).
+# --------------------------------------------------------------------------
+
+@query(
+    "q8_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / SUM(volume) + 1e-9, 6) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_2's share of ASIA's PROMO
+    part volume per order year. Seven-table star: the fact scan (lineitem)
+    shuffles once for the year rollup; every dimension — orders included at
+    this ratio's filtered side? no: orders is fact-sized, it sort-merge
+    joins on orderkey; customer/supplier/nation/region/part all broadcast.
+    The share is one conditional-sum / sum pair in the SAME partial
+    aggregate (no second pass, no self-join)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == n1["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return (
+        base.groupBy("o_year")
+        .agg(eps_round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH vals AS (
+      SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    ),
+    total AS (SELECT SUM(value) AS tot, COUNT(*) AS n_parts FROM vals)
+    SELECT v.l_partkey AS p_key, ROUND(v.value + 1e-9, 2) AS value
+    FROM vals v CROSS JOIN total
+    WHERE v.value > 3.0 * total.tot / total.n_parts
+    ORDER BY value DESC, p_key
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): parts whose supplied value from
+    one nation exceeds a fraction of that nation's total (lineitem revenue
+    stands in for ps_supplycost*ps_availqty — this dataset has no partsupp).
+    The correlated scalar subquery (SUM over the same view) is a one-row
+    global aggregate CROSS-broadcast onto the per-part rollup — the
+    broadcast-scalar pattern, NO unpartitioned window. Supplier/nation
+    broadcast; the only wide exchange is the partkey rollup. The threshold
+    is 3x the MEAN per-part value — scale-free, unlike TPC-H's official
+    0.0001/SF fraction which must be re-tuned per scale (a fixed fraction
+    of a growing total selects nothing as the part count grows). Unrounded
+    sums feed the comparison on both engines (same fold order); rounding
+    applies only to the projected value."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    vals = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = vals.agg(F.sum("value").alias("tot"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value") > 3.0 * F.col("tot") / F.col("n_parts"))
+        .select(
+            F.col("l_partkey").alias("p_key"), eps_round(F.col("value"), 2).alias("value")
+        )
+        .orderBy(F.desc("value"), F.asc("p_key"))
+    )
+
+
+@query(
+    "q13_order_counts",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q13_order_counts(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): how many customers
+    placed 0, 1, 2, ... orders — the double aggregation over a LEFT join
+    whose extra predicate lives in the JOIN CONDITION (priority stands in
+    for the comment filter; pushing it to WHERE would silently drop the
+    zero-order customers the query exists to count). COUNT(o_orderkey)
+    counts non-NULL only, so the null-extended rows become c_count = 0.
+    Orders shuffles on custkey; the second aggregate is |distinct counts|
+    rows — metadata-sized."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q16_parts_suppliers",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (
+      SELECT ps.l_partkey, ps.l_suppkey FROM ps
+      WHERE ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q16_parts_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) for parts outside one brand/type, from
+    non-complaint suppliers. Adaptations: the observed lineitem
+    (partkey, suppkey) pairs stand in for partsupp, and negative acctbal
+    stands in for the 'Customer Complaints' comment filter. The NOT IN is
+    a broadcast ANTI join (the excluded-supplier list is tiny); the pair
+    dedup and the count-distinct share one shuffle on partkey after the
+    part filter broadcasts and prunes."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    WITH avgq AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN avgq a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.half_avg
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    below-half-average-quantity orders stopped (0.5 threshold instead of
+    0.2 so the filter selects rows at this data's uniform quantity range;
+    brand filter stands in for brand+container). The correlated per-part
+    AVG subquery decorrelates into a partkey rollup joined back to the
+    fact — both sides shuffle on partkey once; the per-part average table
+    is |parts|-sized and broadcastable. Global single-row aggregate output
+    (no window)."""
+    li = t(spark, sf_dir, "lineitem")
+    avgq = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(avgq), li["l_partkey"] == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(eps_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_part_promotion",
+    """
+    WITH prefix_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    sq AS (
+      SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l JOIN prefix_parts pp ON l.l_partkey = pp.p_partkey
+      WHERE year(l.l_shipdate) = 1997
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    thr AS (
+      SELECT l_partkey, 0.5 * SUM(qty) AS half_total FROM sq GROUP BY l_partkey
+    ),
+    qualifying AS (
+      SELECT DISTINCT sq.l_suppkey
+      FROM sq JOIN thr ON sq.l_partkey = thr.l_partkey
+      WHERE sq.qty > thr.half_total
+    )
+    SELECT s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    ORDER BY s_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): NATION_3 suppliers who
+    dominated the 1997 supply of a name-prefix part (shipped more than half
+    of that part's total — the availqty-vs-half-shipped test re-expressed
+    on shipped quantities; this dataset has no partsupp). The part-prefix
+    list broadcasts and prunes the fact scan; the (part, supplier) rollup
+    and per-part halves share one partkey shuffle; the final IN is a
+    broadcast SEMI join against the tiny qualifying-supplier set."""
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1997)
+    sq = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = sq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.sum("qty")).alias("half_total")
+    )
+    qualifying = (
+        sq.join(F.broadcast(thr), sq["l_partkey"] == F.col("t_partkey"))
+        .where(F.col("qty") > F.col("half_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(qualifying), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH base AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+      FROM base GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM base b
+    JOIN per_order po ON b.l_orderkey = po.l_orderkey
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    WHERE b.late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): late lineitems in
+    finalized multi-supplier orders where this supplier was the ONLY late
+    one. Lateness = shipped more than 60 days after the order date (this
+    dataset has no commit/receipt dates). The EXISTS / NOT EXISTS pair
+    decorrelates into ONE per-order aggregate (supplier count + late
+    supplier count) joined back to the late rows — two orderkey-partitioned
+    passes over data already co-located by the fact join, no correlated
+    re-scans. Supplier broadcasts for the name."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).cast("int")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_order = base.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        base.where(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (0, 3, 7, 12, 17, 21, 24)
+    ),
+    cutoff AS (SELECT AVG(c_acctbal) AS avg_bal FROM pool WHERE c_acctbal > 0),
+    rich AS (
+      SELECT p.c_custkey, p.c_nationkey, p.c_acctbal
+      FROM pool p CROSS JOIN cutoff WHERE p.c_acctbal > cutoff.avg_bal
+    )
+    SELECT r.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(r.c_acctbal) + 1e-9, 2) AS totacctbal
+    FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY r.c_nationkey ORDER BY r.c_nationkey
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average-balance customers
+    in a country set with no RECENT orders (nationkey stands in for the
+    phone country code, and a date cutoff for Q22's dormant-for-7-years
+    intent — at this density every customer has SOME order, so the pure
+    never-ordered form is vacuous). The correlated AVG subquery is the
+    broadcast-scalar pattern (one-row aggregate cross-joined back); the NOT
+    EXISTS is an ANTI join against orders' date-pruned custkey projection —
+    at scale that anti join shuffles only (custkey) pairs, and the final
+    rollup is |nations|-sized."""
+    pool = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(0, 3, 7, 12, 17, 21, 24))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    cutoff = pool.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, pool["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            eps_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -113,6 +113,8 @@ _R4_NEW: set = {
     "q8_market_share", "q11_important_parts", "q13_order_counts",
     "q16_parts_suppliers", "q17_small_qty_revenue", "q20_part_promotion",
     "q21_waiting_suppliers", "q22_sales_opportunity",
+    # LLM-pipeline second wave (training.py / llm.py)
+    "sample_temperature_mix", "text_char_entropy", "embed_pq_codes",
 }
 
 # Never-green backlog, by construction: every registered name without

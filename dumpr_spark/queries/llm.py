@@ -1417,3 +1417,152 @@ def graph_pagerank_3iter(spark, sf_dir):
         )
     scored = ranks.select("node", eps_round(F.col("rank") * 1000, 6).alias("rank_k"))
     return scored.orderBy(F.desc("rank_k"), F.asc("node")).limit(50)
+
+
+@query(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS ch FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+    ent AS (
+      SELECT cc.doc_id, n.n AS n_chars,
+             ROUND(-SUM((cc.c * 1.0 / n.n) * ln(cc.c * 1.0 / n.n) / ln(2.0))
+                   + 1e-9, 4) AS entropy
+      FROM cc JOIN n ON cc.doc_id = n.doc_id
+      GROUP BY cc.doc_id, n.n
+    )
+    SELECT doc_id, n_chars, entropy, entropy < 3.0 AS low_entropy
+    FROM ent ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the gibberish /
+    boilerplate / encoding-noise quality signal (low-entropy text is
+    repeated characters or markup soup; the Gopher-style rule flags
+    entropy < 3 bits). H = -sum(p * log2 p) over lowercased characters.
+
+    Scale shape: the char explode emits (doc_id, char) pairs — wide in rows
+    but 2 tiny columns, and the per-(doc, char) count partial-aggregates
+    map-side down to at most |alphabet| rows per doc per partition before
+    the doc_id shuffle; the second rollup reuses the same key so AQE keeps
+    it co-partitioned. Both engines sum the per-char terms in arbitrary
+    order — a 1-ulp float wobble killed by the 4-digit eps round, with the
+    flag computed from the ROUNDED value so it cannot split across engines."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cc = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = cc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(eps_round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 4).alias("entropy"))
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "entropy",
+        (F.col("entropy") < 3.0).alias("low_entropy"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "embed_pq_codes",
+    """
+    WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    sub AS (
+      SELECT e.vec_id, ms.m,
+             list_transform(list_slice(e.embedding, ms.m * 16 + 1, ms.m * 16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings e CROSS JOIN ms
+    ),
+    cents AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 4),
+    dists AS (
+      SELECT s.vec_id, s.m, c.cid,
+             ROUND(list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, c.cv)
+                   + list_dot_product(c.cv, c.cv), 6) AS d2
+      FROM sub s JOIN cents c ON s.m = c.m
+    ),
+    best AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1
+    )
+    SELECT vec_id, array_to_string(list(cid ORDER BY m), ',') AS pq_code
+    FROM best GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def embed_pq_codes(spark, sf_dir):
+    """Product-quantization codebook assignment (the FAISS-style ANN
+    compression): the 64-dim embedding splits into 4 sub-vectors of 16 dims;
+    each sub-vector maps to its nearest of 4 sub-centroids (the first 4
+    corpus vectors' sub-slices — fixed, like sim_topk_ivf's centroids), and
+    the document compresses to a 4-byte code string. Complements
+    embed_quantize_int8 (scalar quantization) with the vector-codebook form.
+
+    Deterministic cross-engine: distances use the dot-product expansion
+    (x.x - 2x.c + c.c) so both engines fold in the same order, rounded to 6
+    digits before ranking with a centroid-id tie-break. Scale shape: the
+    sub-centroid table is 16 rows — broadcast; the sub-vector explode is a
+    narrow 4x row map fused into the scan; ranking windows partition by
+    (vec_id, m) and the final code assembly is one groupBy on vec_id —
+    nothing global, everything keyed."""
+    e = t(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.transform(
+            F.slice("embedding", F.col("m") * 16 + 1, F.lit(16)),
+            lambda x: x.cast("double"),
+        ).alias("sv"),
+    )
+    cents = sub.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+
+    from pyspark.sql import Window
+
+    sv, cv = F.col("sv"), F.col("cv")
+    d2 = F.round(dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv), 6)
+    dists = sub.join(F.broadcast(cents), F.col("m") == F.col("cm")).select(
+        "vec_id", "m", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    best = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    code = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cid"))),
+            lambda x: x["cid"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(code.alias("pq_code"))
+        .orderBy("vec_id")
+    )

@@ -1081,3 +1081,77 @@ def text_bigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(POW(n, 0.5)) AS sw, CAST(SUM(n) AS BIGINT) AS n_all FROM counts
+    ),
+    rates AS (
+      SELECT c.lang, c.n,
+             CAST(FLOOR(1000000 * LEAST(
+               1.0, (0.5 * t.n_all / t.sw) * POW(c.n, -0.5))) AS BIGINT) AS thr
+      FROM counts c CROSS JOIN tot t
+    ),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 14))::BIGINT % 1000000 < r.thr
+    ),
+    kc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang)
+    SELECT r.lang, r.n AS n_total, COALESCE(kc.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kc ON r.lang = kc.lang
+    ORDER BY r.lang
+    """,
+    tags=("training", "sampling"),
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture sampling (the multilingual-pretraining
+    rebalance: sample language l with probability proportional to
+    count^alpha, alpha = 0.5, total target = half the corpus): dominant
+    languages are down-sampled, tail languages kept nearly whole. Unlike
+    the fixed per-stratum rates of `sample_stratified_hash`, the rates here
+    are DERIVED FROM THE DATA (per-language counts -> normalized
+    temperature weights -> per-row keep threshold), then applied as the
+    same stable md5-bucket filter — rerun-stable, oracle-recomputable.
+
+    Scale shape: the rate table is |languages| rows built from one rollup
+    + one scalar aggregate (both metadata-sized, broadcast back); the
+    selection itself is a narrow filter under a broadcast join — one fact
+    shuffle total (the count rollup), nothing resident. Both engines build
+    the integer threshold with the same IEEE ops (pow/div/floor), so the
+    boundary is bit-identical."""
+    from dumpr_spark.functions.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow("n", 0.5)).alias("sw"), F.sum("n").cast("long").alias("n_all")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(
+            1e6
+            * F.least(
+                F.lit(1.0), (0.5 * F.col("n_all") / F.col("sw")) * F.pow("n", -0.5)
+            )
+        ).cast("long").alias("thr"),
+    )
+    kept = d.join(F.broadcast(rates.select("lang", "thr")), "lang").where(
+        hash_bucket("doc_id", 1_000_000) < F.col("thr")
+    )
+    kc = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        rates.join(kc, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

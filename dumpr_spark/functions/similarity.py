@@ -139,7 +139,9 @@ def ivf_topk(
     q_cells = ivf_assign(queries, centroids, id_col, vec_col, n_cells=nprobe).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("cell")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    # eps-round (x + 1e-9) before ranking: a plain round at an exact .5
+    # decimal boundary can split across engines when an oracle replays this
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")) + 1e-9, 6)
     scored = (
         v_cells.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cell")
         .join(F.broadcast(q_cells), "cell")

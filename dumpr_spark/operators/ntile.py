@@ -47,8 +47,11 @@ def global_ntile(
 
     `id_col` must be unique (it makes the order total — the same requirement
     that makes any cross-engine NTILE comparison well-defined). NULL values
-    sort last, matching Spark's default null ordering for the chosen
-    direction.
+    sort LAST in BOTH directions (desc_nulls_last / asc_nulls_last). For
+    descending order that matches Spark's default; for ascending it does
+    NOT (Spark's ASC default is NULLS FIRST) — a caller replacing
+    `ntile(k).over(Window.orderBy(col, id))` must add asc_nulls_last to the
+    reference if NULLs are present, as the property tests do.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

@@ -603,8 +603,8 @@ def sim_topk_bruteforce(spark, sf_dir):
     scored AS (
       SELECT q.q_id, n.vec_id AS n_id,
              ROUND(list_dot_product(q.qv, n.v) /
-                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.v, n.v))), 6)
-               AS sim
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.v, n.v)))
+                   + 1e-9, 6) AS sim
       FROM qcells q JOIN cells n USING (cell)
       WHERE q.q_id <> n.vec_id
     ),
@@ -1490,7 +1490,7 @@ def text_char_entropy(spark, sf_dir):
       SELECT s.vec_id, s.m, c.cid,
              ROUND(list_dot_product(s.sv, s.sv)
                    - 2 * list_dot_product(s.sv, c.cv)
-                   + list_dot_product(c.cv, c.cv), 6) AS d2
+                   + list_dot_product(c.cv, c.cv) + 1e-9, 6) AS d2
       FROM sub s JOIN cents c ON s.m = c.m
     ),
     best AS (
@@ -1544,7 +1544,9 @@ def embed_pq_codes(spark, sf_dir):
     from pyspark.sql import Window
 
     sv, cv = F.col("sv"), F.col("cv")
-    d2 = F.round(dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv), 6)
+    # eps_round discipline: ranking happens ON the rounded value, and a
+    # plain round at an exact .5 decimal boundary can split across engines
+    d2 = eps_round(dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv), 6)
     dists = sub.join(F.broadcast(cents), F.col("m") == F.col("cm")).select(
         "vec_id", "m", "cid", d2.alias("d2")
     )

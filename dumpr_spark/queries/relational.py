@@ -1007,11 +1007,13 @@ def agg_hll_mergeable(spark, sf_dir):
     sketches — never re-scanning raw data. This is the 100 TB pattern for
     distinct counts: daily jobs persist tiny sketches, any time range unions
     them. Sketch bits are engine-specific, so the hash-checkable output is
-    the DETERMINISTIC part: the exact count, `merge_consistent` (union of
-    daily sketches estimates identically to a single-pass sketch — HLL
-    merge is a lossless register max), and `within_bound` (|est-exact|/exact
-    < 5%, ~3 sigma for the default lgConfigK=12 sketch). The oracle asserts
-    both booleans TRUE; a sketch or merge regression turns the row red."""
+    the DETERMINISTIC part: the exact count, `merge_consistent` (the union
+    of daily sketches estimates within 1% of the single-pass sketch — NOT
+    bit-identity: once sketches leave small-count mode, datasketches union
+    preserves the error bound but not the exact register state; measured
+    0.4% apart at sf0.1), and `within_bound` (|est-exact|/exact < 5%,
+    ~3 sigma for the default lgConfigK=12 sketch). The oracle asserts both
+    booleans TRUE; a sketch or merge regression turns the row red."""
     e = t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -1024,12 +1026,13 @@ def agg_hll_mergeable(spark, sf_dir):
         F.count_distinct("user_id").alias("exact_users"),
     )
     err = F.abs(F.col("est_users") - F.col("exact_users")) / F.col("exact_users")
+    merge_gap = F.abs(F.col("est_users") - F.col("sp_users")) / F.col("exact_users")
     return (
         merged.join(single, "event_type")
         .select(
             "event_type",
             "exact_users",
-            (F.col("est_users") == F.col("sp_users")).alias("merge_consistent"),
+            (merge_gap < 0.01).alias("merge_consistent"),
             (err < 0.05).alias("within_bound"),
         )
         .orderBy("event_type")

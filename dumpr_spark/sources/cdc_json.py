@@ -132,10 +132,16 @@ def debezium_to_changes(payloads: DataFrame, id_cols: dict[str, str]) -> DataFra
     expression over `row`.
 
     seq reifies Debezium's total order (binlog file, position, row-in-event)
-    into one monotone long: numeric binlog-file suffix << 44 | pos << 14 |
-    row — binlog positions are < 1 GiB (2^30) and rows-per-event < 2^14, so
-    the packing is collision-free, and file rotation (pos resets) stays
-    ordered because the file number occupies the high bits."""
+    into one monotone long: numeric binlog-file suffix << 42 | pos << 10 |
+    row. Budgets: file number 20 bits (covers MySQL's 6-digit suffixes up to
+    999999), position 32 bits (binlog files are capped at 1 GiB by
+    max_binlog_size and cannot reach 4 GiB even with one oversized trailing
+    transaction), row-in-event 10 bits — 62 bits total, so the packed value
+    never touches the int64 sign bit (a sign flip would order NEW events
+    BEFORE old ones and make the max-by-seq fold keep stale rows forever).
+    Each component is saturated with least() at its budget: an
+    out-of-contract value degrades to a tie at the clamp point (resolved by
+    the fold's arbitrary-but-stable pick) instead of inverting the order."""
 
     def _id_val(c):
         return F.col("row").getItem(c) if isinstance(c, str) else c
@@ -143,8 +149,11 @@ def debezium_to_changes(payloads: DataFrame, id_cols: dict[str, str]) -> DataFra
     id_expr = F.coalesce(
         *[F.when(F.col("tbl") == t, _id_val(c)) for t, c in id_cols.items()]
     ) if id_cols else F.lit(None)
-    file_no = F.coalesce(
-        F.regexp_extract(F.col("source.file"), r"(\d+)$", 1).cast("long"), F.lit(0)
+    file_no = F.least(
+        F.coalesce(
+            F.regexp_extract(F.col("source.file"), r"(\d+)$", 1).cast("long"), F.lit(0)
+        ),
+        F.lit((1 << 20) - 1),
     )
     shaped = payloads.select(
         F.when(F.col("op") == "d", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
@@ -155,9 +164,12 @@ def debezium_to_changes(payloads: DataFrame, id_cols: dict[str, str]) -> DataFra
         F.col("source.file").alias("next_file"),
         F.col("source.pos").alias("next_position"),
         (
-            F.shiftleft(file_no, 44)
-            + F.shiftleft(F.coalesce(F.col("source.pos"), F.lit(0)), 14)
-            + F.coalesce(F.col("source.row"), F.lit(0))
+            F.shiftleft(file_no, 42)
+            + F.shiftleft(
+                F.least(F.coalesce(F.col("source.pos"), F.lit(0)), F.lit((1 << 32) - 1)),
+                10,
+            )
+            + F.least(F.coalesce(F.col("source.row"), F.lit(0)), F.lit((1 << 10) - 1))
         ).cast("long").alias("seq"),
     )
     return shaped.select(

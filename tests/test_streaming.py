@@ -243,6 +243,42 @@ def test_stream_ingest_debezium_wire_format(spark, tmp_path):
     assert {r["id"] for r in sink.read_state().collect()} == {"2"}
 
 
+def test_debezium_seq_packing_monotone_at_bounds(spark):
+    """r4 review regression: the (file, pos, row) -> seq packing must stay
+    positive and ordered up to MySQL's real bounds — 6-digit binlog suffixes
+    (999999) and positions near 4 GiB. The old 44-bit file shift flipped the
+    int64 sign at file >= 2^19, ordering new events BEFORE old ones (the
+    max-by-seq fold would then keep stale rows forever). Out-of-contract
+    values saturate instead of inverting."""
+    from dumpr_spark.sources.cdc_json import debezium_to_changes, parse_debezium_lines
+
+    def rec(i, file, pos, row):
+        return (json.dumps({"payload": {
+            "before": None, "after": {"id": str(i)}, "op": "c", "ts_ms": 0,
+            "source": {"db": "d", "table": "t", "file": file, "pos": pos,
+                       "row": row, "snapshot": "false"},
+        }}),)
+
+    cases = [
+        ("mysql-bin.000001", 100, 0),
+        ("mysql-bin.000001", 100, 1),            # row ordinal orders within event
+        ("mysql-bin.524288", 10, 0),             # 2^19: the old sign-flip point
+        ("mysql-bin.999999", 5, 0),              # max real suffix, tiny pos
+        ("mysql-bin.999999", (1 << 32) - 1, 3),  # pos at the 4 GiB budget edge
+        ("mysql-bin.999999", (1 << 40), 4),      # out-of-contract pos: saturates
+    ]
+    df = spark.createDataFrame([rec(i, *c) for i, c in enumerate(cases)], "value string")
+    rows = debezium_to_changes(parse_debezium_lines(df), {"t": "id"}).collect()
+    by_case = {int(r["id"]): r["seq"] for r in rows}
+    seqs = [by_case[i] for i in range(len(cases))]
+    assert all(s > 0 for s in seqs), seqs
+    # strictly increasing through the real-bounds cases
+    assert seqs[:5] == sorted(seqs[:5]) and len(set(seqs[:5])) == 5, seqs
+    # the out-of-contract position saturates at the budget edge: ties with
+    # the at-the-edge case on (file, pos) bits, never goes negative/smaller
+    assert seqs[5] >= seqs[4], seqs
+
+
 def test_kafka_conn_options_mapping():
     """R2/R15 parity: the reference's conn-param knobs (core.clj:16-20 —
     keepalive interval/timeout, initial connect timeout) map onto the Kafka

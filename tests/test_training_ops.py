@@ -214,7 +214,9 @@ def test_hll_mergeable_accuracy_and_merge_equivalence(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
         .first()["est"]
     )
-    assert single == merged
+    # NOT exact equality: past small-count mode, datasketches union keeps
+    # the error bound but not register-identical state (0.4% gap at sf0.1)
+    assert abs(single - merged) / max(single, 1) < 0.01, (single, merged)
 
 
 def test_bucketed_range_join_subsecond_end(spark):

@@ -18,17 +18,34 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
     Rotate events carry the new filename in ``rotate_file``; every event gets
     ``next_file`` = the latest non-null rotate filename at-or-before it (or the
     initial file), and rotate events themselves are consumed (stripped), exactly
-    like the reference's stateful transducer. Batch formulation:
-    ``last_value(ignorenulls) OVER (ORDER BY seq)``.
-    """
-    w = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    like the reference's stateful transducer.
+
+    Scale shape (r4: replaced the single-partition ``last_value OVER (ORDER BY
+    seq)`` window): rotate events are SPARSE — one per binlog file — so the
+    carry-forward is an as-of assignment against a tiny boundary table. The
+    sorted (seq, file) rotate list is one broadcast array; each event picks
+    the last boundary at-or-before its seq with a JVM higher-order filter.
+    No shuffle, no global sort, no single-task window — the event side stays
+    on its scan partitioning. Cost per row is linear in |binlog files|
+    (thousands at most; a 1 GiB-capped binlog needs ~100k files per 100 TB
+    of churn, still a few-MB broadcast)."""
+    rot = events.where(F.col("rotate_file").isNotNull()).select(
+        F.col(seq_col).alias("_rs"), F.col("rotate_file").alias("_rf")
+    )
+    rot_arr = rot.agg(
+        F.array_sort(F.collect_list(F.struct("_rs", "_rf"))).alias("_rots")
+    )
+    applicable = F.filter(F.col("_rots"), lambda r: r["_rs"] <= F.col(seq_col))
     return (
-        events.withColumn(
+        events.where(F.col("rotate_file").isNull())
+        .crossJoin(F.broadcast(rot_arr))
+        .withColumn(
             "next_file",
-            F.coalesce(F.last(F.col("rotate_file"), ignorenulls=True).over(w), F.lit(init_file)),
+            # try_element_at: events BEFORE the first rotate see an empty
+            # applicable list and fall back to the initial file
+            F.coalesce(F.try_element_at(applicable, F.lit(-1))["_rf"], F.lit(init_file)),
         )
-        .where(F.col("rotate_file").isNull())
-        .drop("rotate_file")
+        .drop("_rots", "rotate_file")
     )
 
 

@@ -58,22 +58,80 @@ def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str 
     - out-of-tx rows always survive; markers are stripped.
 
     The streaming twin (`streaming.state._fold_tx_rows`) must agree on every
-    event sequence — pinned by a hypothesis property test. A single
-    total-order window is inherently serial; this filter exists for
-    completeness/parity — at scale the CDC feed is commit-filtered at the
-    source (Debezium-shaped), making this a no-op (SURVEY §4.2.3), or the
-    stream is windowed per source-connection (partitionBy that key).
+    event sequence — pinned by a hypothesis property test.
+
+    Scale shape (r4: replaced the single-partition global windows): the two
+    running quantities over the total order — last-marker-strictly-before
+    and terminators-strictly-before — are a distributed PREFIX SCAN, the
+    same two-phase form as operators.ntile: (1) approxQuantile range-buckets
+    of `seq` (a stable pure projection, embedded as literals); (2) one tiny
+    per-bucket summary row (terminator count + last in-bucket marker)
+    collected to the driver; (3) the driver folds the B-row prefix
+    (metadata-sized) and broadcasts per-bucket offsets/carry back; (4)
+    per-bucket PARTITIONED windows finish the scan locally. No global-order
+    window remains; the tx-group vote stays keyed by _tx_id as before. At
+    scale the CDC feed is commit-filtered at the source (Debezium-shaped)
+    anyway, making this whole filter a no-op (SURVEY §4.2.3).
     """
-    w_prev = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, -1)
-    is_end = F.when(F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK), 1).otherwise(0)
-    last_marker = F.last(
-        F.when(F.col(type_col).isin(*_TX_MARKERS), F.col(type_col)), ignorenulls=True
-    ).over(w_prev)
-    ends_before = F.coalesce(F.sum(is_end).over(w_prev), F.lit(0))
+    spark = events.sparkSession
+    seqc = F.col(seq_col)
+    is_marker = F.col(type_col).isin(*_TX_MARKERS)
+    is_end_b = F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK)
+    is_end = F.when(is_end_b, 1).otherwise(0)
+
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    bounds = events.stat.approxQuantile(
+        seq_col, [i / n_part for i in range(1, n_part)], 0.001
+    )
+    if bounds:
+        bucket = F.aggregate(
+            F.lit(bounds), F.lit(0), lambda a, b: a + F.when(seqc > b, 1).otherwise(0)
+        )
+    else:  # empty input: one bucket; the scan below is a no-op
+        bucket = F.lit(0)
+    ev = events.withColumn("_b", bucket)
+
+    # per-bucket summaries: one row per bucket, metadata-sized at any scale
+    summaries = (
+        ev.groupBy("_b")
+        .agg(
+            F.sum(is_end).alias("_n_end"),
+            # max of (seq, marker) struct over marker rows = last in-bucket
+            # marker; max() skips the NULLs from non-marker rows
+            F.max(
+                F.when(is_marker, F.struct(seqc.alias("s"), F.col(type_col).alias("m")))
+            ).alias("_last"),
+        )
+        .collect()
+    )
+    off, carry, offsets = 0, None, []
+    for r in sorted(summaries, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], off, carry))
+        off += r["_n_end"] or 0
+        if r["_last"] is not None:
+            carry = r["_last"]["m"]
+    if not offsets:
+        offsets = [(0, 0, None)]
+    off_df = spark.createDataFrame(offsets, "_b INT, _end_off LONG, _carry STRING")
+
+    wb_prev = Window.partitionBy("_b").orderBy(seq_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local_last = F.last(
+        F.when(is_marker, F.col(type_col)), ignorenulls=True
+    ).over(wb_prev)
+    local_ends = F.coalesce(F.sum(is_end).over(wb_prev), F.lit(0))
     with_tx = (
-        # coalesce: rows before any marker are out-of-tx (NULL last_marker)
-        events.withColumn("_in_tx", F.coalesce(last_marker == TX_BEGIN, F.lit(False)))
-        .withColumn("_tx_id", ends_before)
+        ev.join(F.broadcast(off_df), "_b")
+        # coalesce chain: in-bucket marker, else earlier-bucket carry, else
+        # out-of-tx (rows before any marker anywhere)
+        .withColumn(
+            "_in_tx",
+            F.coalesce(
+                F.coalesce(local_last, F.col("_carry")) == TX_BEGIN, F.lit(False)
+            ),
+        )
+        .withColumn("_tx_id", F.col("_end_off") + local_ends)
     )
     w_tx = Window.partitionBy("_tx_id")
     committed = with_tx.withColumn(
@@ -85,5 +143,5 @@ def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str 
             ~F.col(type_col).isin(*_TX_MARKERS)
             & (~F.col("_in_tx") | (F.col("_committed") == 1))
         )
-        .drop("_tx_id", "_committed", "_in_tx")
+        .drop("_b", "_end_off", "_carry", "_tx_id", "_committed", "_in_tx")
     )

@@ -86,7 +86,8 @@ _R2_VERIFIED = {
 # of 50 checked; the 3 non-green — events_sessionize, scalar_higher_order,
 # agg_hll_mergeable — stay in the never-green backlog). Removed for stale
 # evidence: cdc_stamp_filename (rewritten r4 from the global window to the
-# broadcast as-of form — needs a fresh driver row).
+# broadcast as-of form) and cdc_tx_filter (rewritten r4 to the two-phase
+# distributed prefix scan) — both need fresh driver rows.
 _R3_VERIFIED = {
     "multimodal_metadata", "multimodal_audio_windows", "stream_tumbling_window",
     "stream_sliding_window", "stream_session_window", "stream_dedup_first",
@@ -98,7 +99,7 @@ _R3_VERIFIED = {
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
     "agg_stats_moments", "scalar_try_errors", "join_lateral_topk",
     "reshape_unpivot", "agg_mode_deterministic", "agg_histogram",
-    "cdc_tx_filter", "cdc_scd2_history",
+    "cdc_scd2_history",
     "cdc_time_travel", "cdc_churn_stats", "sim_centroid_by_label",
     "embed_quantize_int8", "text_tfidf_topk", "text_bpe_pairs",
     "index_inverted", "dedup_suffix_containment", "text_concordance",

@@ -154,3 +154,77 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane family (no RNG state): integer
+    LCG over the flattened (plane, dim) index, centered to [-1000, 1000].
+    Pure integer arithmetic -> any engine (or a SQL oracle) regenerates the
+    identical planes from (n_planes, dim) alone."""
+    return [
+        [
+            float(((1103515245 * (p * dim + d) + 12345) % 2001) - 1000)
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signature(vec_col, n_planes: int, dim: int):
+    """Random-hyperplane LSH signature (SimHash for dense vectors): bit p is
+    the sign of <v, w_p>; cosine-similar vectors agree on most bits, so the
+    integer signature is a locality-sensitive bucket key. The dot is rounded
+    to 6dp before the sign test so the bit (and thus the bucket) is
+    engine-reproducible even when the fold's last double ulp differs."""
+    ws = hyperplane_weights(n_planes, dim)
+    sig = F.lit(0)
+    for p, w in enumerate(ws):
+        d = F.aggregate(
+            F.zip_with(_dbl(vec_col), F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        sig = sig + F.when(F.round(d, 6) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via one random-hyperplane LSH table: candidates are the
+    query's own signature bucket (expected corpus/2^n_planes of the data),
+    then exact cosine ranks within the bucket. The corpus is hashed ONCE
+    (narrow projection, no shuffle); the candidate join is an equi-join on
+    the signature, so at 100 TB the cost is a hash join keyed on an 8-byte
+    bucket id instead of a cross join. Recall comes from bucket collision
+    probability (1 - theta/pi per plane); more tables (union over plane
+    families) raises it — same recall/cost dial as IVF's nprobe. Like
+    sim_topk_ivf, the output is DETERMINISTIC given the fixed plane family,
+    rounded sims, and id tie-breaks, so an exact SQL oracle can replay it."""
+    sig = lambda c: hyperplane_signature(c, n_planes, dim)  # noqa: E731
+    v = vectors.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        sig(F.col(vec_col)).alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        sig(F.col(vec_col)).alias("sig"),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")) + 1e-9, 6)
+    scored = (
+        v.join(F.broadcast(q), "sig")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )

@@ -118,6 +118,10 @@ _R4_NEW: set = {
     "q21_waiting_suppliers", "q22_sales_opportunity",
     # LLM-pipeline second wave (training.py / llm.py)
     "sample_temperature_mix", "text_char_entropy", "embed_pq_codes",
+    # wave 3 (post-oracle-gate session): mergeable quantile sketch, OHLC
+    # bars, MAD anomaly flags, BM25 ranking, hyperplane-LSH ANN, matryoshka
+    "agg_quantile_mergeable", "rollup_ohlc", "events_anomaly_mad",
+    "text_bm25_topk", "sim_ann_hyperplane", "embed_matryoshka",
 }
 
 # Never-green backlog, by construction: every registered name without

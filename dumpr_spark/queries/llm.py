@@ -1568,3 +1568,180 @@ def embed_pq_codes(spark, sf_dir):
         .agg(code.alias("pq_code"))
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 wave 2: BM25 ranking, hyperplane-LSH ANN, matryoshka truncation
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("customer", "merge", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
+      WHERE tok IN ('customer', 'merge', 'vector')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT t.doc_id,
+           ROUND(SUM(
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+             * (t.tf * ({_BM25_K1} + 1))
+             / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+           ) + 1e-9, 4) AS score
+    FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "text", "search", "ranking"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 document ranking (k1=1.2, b=0.75) for a 3-term query — the
+    retrieval scorer that sits on top of index_inverted. The plan never
+    materializes the full index: tokens are filtered to the QUERY terms
+    right after the explode (predicate before the first shuffle, so the
+    groupBy carries only matching (doc, term) pairs); df comes from a
+    window over the already-tiny tf table (NOT a second tokenize branch —
+    Catalyst doesn't dedup common subplans, so a separate df aggregate
+    would re-scan and re-explode the whole corpus); the corpus stats
+    (N, avgdl) are a scalar broadcast; the final per-doc score is one
+    partial-combining aggregation over <= |terms| rows per doc, and top-20
+    is TakeOrdered (no global sort materialized). At 100 TB: one tokenize
+    pass for tf/df plus one pruned 2-column scan for doc lengths,
+    everything after is query-term-sized."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    dl = docs.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode("tk").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tf_term = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tfdf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(eps_round(F.sum(idf * tf_term), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _hyperplane_sig_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """Render the deterministic hyperplane family as SQL CASE terms (same
+    integer LCG as similarity.hyperplane_weights — the oracle regenerates
+    identical planes)."""
+    ws = sim.hyperplane_weights(n_planes, dim)
+    terms = [
+        f"(CASE WHEN ROUND(list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in w)}]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(ws)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "sim_ann_hyperplane",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, v, {{sig_expr}} AS sig FROM corpus
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, sig FROM sigs WHERE vec_id < 16),
+    scored AS (
+      SELECT q.q_id, n.vec_id AS n_id,
+             ROUND(list_dot_product(q.qv, n.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.v, n.v)))
+                   + 1e-9, 6) AS sim
+      FROM q JOIN sigs n USING (sig)
+      WHERE q.q_id <> n.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+    ORDER BY q_id, rank
+    """.replace("{sig_expr}", _hyperplane_sig_sql()),
+    tags=("llm", "similarity", "approx", "lsh"),
+)
+def sim_ann_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH ANN top-3 for a 16-vector query batch — the
+    second scale path next to IVF: no trained centroids, the bucket key is
+    the 4-bit sign signature under a fixed pseudo-random plane family, so
+    the candidate join is an equi-join on an 8-byte signature (expected
+    bucket = corpus/16). Approximate by bucketing, but DETERMINISTIC given
+    the fixed planes, rounded sims, and id tie-breaks — the oracle replays
+    the identical hash -> bucket-join -> rank pipeline in SQL. Recall vs
+    brute force is asserted in tests/test_llm.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        e, e.where(F.col("vec_id") < 16), k=3, n_planes=4, dim=64
+    ).orderBy("q_id", "rank")
+
+
+@query(
+    "embed_matryoshka",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(v, v)) + 1e-9, 6) AS norm_full,
+           ROUND(sqrt(list_dot_product(v[1:16], v[1:16])) + 1e-9, 6) AS norm_16,
+           ROUND(sqrt(list_dot_product(v[1:16], v[1:16]))
+                 / sqrt(list_dot_product(v, v)) + 1e-9, 6) AS energy_16,
+           ROUND(v[1] / sqrt(list_dot_product(v[1:16], v[1:16])) + 1e-9, 6) AS u0_16
+    FROM v WHERE vec_id < 200 ORDER BY vec_id
+    """,
+    tags=("llm", "embedding"),
+)
+def embed_matryoshka(spark, sf_dir):
+    """Matryoshka-style embedding truncation: keep the first 16 of 64 dims
+    and re-normalize — the storage/recall dial modern embedding models are
+    trained for (MRL). Reports full/truncated norms, retained energy, and
+    the first re-normalized component. Pure narrow projection (slice + two
+    JVM-side fold norms, no shuffle at all) — at 100 TB this is the cheap
+    pre-pass that shrinks every downstream ANN/dedup shuffle 4x."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    v = sim._dbl(F.col("embedding"))
+    head = F.slice(v, 1, 16)
+    return e.select(
+        "vec_id",
+        eps_round(sim.l2_norm(v), 6).alias("norm_full"),
+        eps_round(sim.l2_norm(head), 6).alias("norm_16"),
+        eps_round(sim.l2_norm(head) / sim.l2_norm(v), 6).alias("energy_16"),
+        eps_round(F.element_at(head, 1) / sim.l2_norm(head), 6).alias("u0_16"),
+    ).orderBy("vec_id")

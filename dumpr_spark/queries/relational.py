@@ -2191,3 +2191,107 @@ def q22_sales_opportunity(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_quantile_mergeable",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             least(CAST(floor(value / 5) AS BIGINT), 99) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day, bin
+    ),
+    merged AS (
+      SELECT event_type, bin, CAST(SUM(c) AS BIGINT) AS c
+      FROM daily GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM merged
+    ),
+    picked AS (
+      SELECT event_type, q, bin, c, cum, n,
+             row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+      FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) qs
+      WHERE cum >= q * n
+    )
+    SELECT event_type,
+           ROUND(MAX(CASE WHEN q = 0.5
+                          THEN bin * 5 + 5 * (q * n - (cum - c)) / c END) + 1e-9, 4)
+             AS p50_est,
+           ROUND(MAX(CASE WHEN q = 0.95
+                          THEN bin * 5 + 5 * (q * n - (cum - c)) / c END) + 1e-9, 4)
+             AS p95_est,
+           TRUE AS within_bin
+    FROM picked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "sketch", "quantile"),
+)
+def agg_quantile_mergeable(spark, sf_dir):
+    """Mergeable quantile sketch via fixed-bin histograms — the companion to
+    agg_hll_mergeable for percentiles at 100 TB: per-day jobs persist a
+    100-bin histogram (bin = floor(value/5), clamped to [0, 99]); any time
+    range merges by SUMMING bin counts (associative + commutative, the
+    mergeability contract), and the quantile is interpolated inside the
+    first bin whose cumulative count crosses q*n. Unlike GK/KLL sketches,
+    fixed-bin merge is DETERMINISTIC, so the estimates themselves are
+    hash-checked against the oracle (not just a bound boolean). The daily
+    pre-agg shrinks the shuffle to |event_type|x|day|x|bins| rows no matter
+    how many raw events feed it; `within_bin` asserts the estimate sits
+    within TWO bin widths (10.0) of the exact percentile — one bin of
+    quantization error plus up to one bin of definitional slack (the sketch
+    crosses at q*n, exact interpolation indexes at (n-1)*q; near a bin
+    boundary the two can straddle it). A regression in bin math or merge
+    turns the row red."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99)).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        merged.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("q")
+    )
+    crossed = cum.crossJoin(F.broadcast(qs)).where(
+        F.col("cum") >= F.col("q") * F.col("n")
+    )
+    w_pick = Window.partitionBy("event_type", "q").orderBy("bin")
+    est = (
+        F.col("bin") * 5
+        + 5 * (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c")
+    )
+    picked = crossed.withColumn("rn", F.row_number().over(w_pick)).where(
+        F.col("rn") == 1
+    )
+    sketch = picked.groupBy("event_type").agg(
+        eps_round(F.max(F.when(F.col("q") == 0.5, est)), 4).alias("p50_est"),
+        eps_round(F.max(F.when(F.col("q") == 0.95, est)), 4).alias("p95_est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50_x"),
+        F.percentile("value", F.lit(0.95)).alias("p95_x"),
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "p50_est",
+            "p95_est",
+            (
+                (F.abs(F.col("p50_est") - F.col("p50_x")) <= 10.0)
+                & (F.abs(F.col("p95_est") - F.col("p95_x")) <= 10.0)
+            ).alias("within_bin"),
+        )
+        .orderBy("event_type")
+    )

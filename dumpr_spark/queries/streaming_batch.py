@@ -492,3 +492,111 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_wk", "wk_offset")
     )
+
+
+@query(
+    "rollup_ohlc",
+    """
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT h, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           ROUND(SUM(value), 2) AS volume
+    FROM ranked GROUP BY h, event_type ORDER BY h, event_type
+    """,
+    tags=("streaming", "timeseries", "ohlc"),
+)
+def rollup_ohlc(spark, sf_dir):
+    """OHLC candlestick rollup (the metrics/market-data hypertable op): one
+    hash aggregation per (hour, event_type) bar where open/close are
+    `min_by`/`max_by` on the total (ts, event_id) order — single-pass,
+    partial-combining, no window over the raw stream (the oracle's
+    row_number formulation is the same semantics spelled out in ANSI SQL).
+    At 100 TB each partition contributes ONE candidate row per bar on the
+    shuffle wire; contrast with the naive first()/last()-over-window form,
+    which shuffles every tick. Streaming twin: the same min_by/max_by
+    aggregate runs under a tumbling `window()` with a watermark."""
+    e = t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, MIN(m.med) AS med,
+             ROUND(quantile_cont(abs(e.value - m.med), 0.5) + 1e-9, 4) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT a.event_type, a.med, a.mad,
+           CAST(COUNT(*) FILTER (WHERE abs(e.value - a.med)
+                                       > 3 * 1.4826 * a.mad) AS BIGINT)
+             AS n_anomalies,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events e JOIN mad a USING (event_type)
+    GROUP BY a.event_type, a.med, a.mad
+    ORDER BY a.event_type
+    """,
+    tags=("streaming", "anomaly", "robust"),
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: median absolute deviation (MAD) per
+    event_type, flagging values beyond 3 scaled MADs (1.4826 ~ consistency
+    constant for a normal distribution). Median and MAD are rounded to 4dp
+    BEFORE the threshold comparison so the flag predicate is bit-identical
+    across engines. Two exact-percentile passes plus a broadcast join of
+    the 5-row stats table back onto the stream — at 100 TB the exact
+    median would switch to the mergeable histogram sketch
+    (agg_quantile_mergeable), keeping the same two-pass shape with a
+    sketch-sized shuffle instead of a sort."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        eps_round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        eps_round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+        ).alias("mad"),
+    )
+    flagged = e.join(F.broadcast(mad), "event_type")
+    is_anom = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("event_type")
+    )

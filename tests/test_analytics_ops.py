@@ -1,0 +1,104 @@
+"""Properties of the round-4 analytics wave that the SQL oracle can't pin:
+the mergeability contract of the fixed-bin quantile sketch, OHLC bar
+invariants, and MAD anomaly-rate sanity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpr_spark.sources.files import load_table
+
+
+def test_quantile_sketch_merge_is_lossless(spark, sf_dir):
+    """THE mergeability contract: summing per-day bin counts must equal the
+    single-pass histogram over the raw data, bin for bin — merge loses
+    nothing (unlike GK/KLL, where merge widens the error). This is what
+    makes the daily-sketch -> any-time-range rollup valid at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99))
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    )
+    direct = e.groupBy("event_type", bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+    diff = daily.join(direct, ["event_type", "bin"], "full_outer").where(
+        (F.col("daily.c").isNull()) | (F.col("direct.c").isNull()) | (daily["c"] != direct["c"])
+    ) if False else daily.exceptAll(direct)
+    assert diff.count() == 0
+    assert direct.exceptAll(daily).count() == 0
+
+
+def test_quantile_sketch_within_bin_of_exact(spark, sf_dir):
+    """The interpolated estimate must land within two bin widths of the
+    exact percentile — one bin of quantization plus one bin of definitional
+    slack (sketch crosses at q*n, exact interpolates at (n-1)*q)."""
+    from dumpr_spark.queries import REGISTRY
+
+    rows = REGISTRY["agg_quantile_mergeable"].fn(spark, sf_dir).collect()
+    assert rows and all(r["within_bin"] for r in rows)
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    """Every bar: low <= open/close <= high, n_ticks >= 1, and total tick
+    count across bars equals the event count (no row lost or duplicated by
+    the min_by/max_by aggregation)."""
+    from dumpr_spark.queries import REGISTRY
+
+    rows = REGISTRY["rollup_ohlc"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] - 1e-9 <= r["open"] <= r["high"] + 1e-9
+        assert r["low"] - 1e-9 <= r["close"] <= r["high"] + 1e-9
+        assert r["n_ticks"] >= 1
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_ticks"] for r in rows) == n_events
+
+
+def test_ohlc_open_close_respect_time_order(spark, sf_dir):
+    """open/close must be the FIRST/LAST tick by (ts, event_id) — checked
+    against an independent window formulation on one hour of data."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.date_trunc("hour", "ts") == F.lit("2024-01-03 12:00:00").cast("timestamp_ntz")
+    )
+    if e.count() == 0:  # testdata variant without that hour
+        return
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    expected = {
+        (r["event_type"]): (r["open"], r["close"])
+        for r in e.withColumn("open", F.first("value").over(w))
+        .withColumn(
+            "close",
+            F.last("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.min("open").alias("open"), F.min("close").alias("close"))
+        .collect()
+    }
+    from dumpr_spark.queries import REGISTRY
+
+    got = {
+        r["event_type"]: (r["open"], r["close"])
+        for r in REGISTRY["rollup_ohlc"].fn(e.sparkSession, sf_dir).collect()
+        if str(r["h"]) == "2024-01-03 12:00:00"
+    }
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_mad_anomaly_rate_sane(spark, sf_dir):
+    """3-sigma-equivalent MAD flags must mark a small minority of rows
+    (uniform-ish data: a fat tail beyond 3 scaled MADs), never zero columns
+    of the stats themselves."""
+    from dumpr_spark.queries import REGISTRY
+
+    rows = REGISTRY["events_anomaly_mad"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] > 0
+        assert 0 <= r["n_anomalies"] <= 0.25 * r["n_total"]

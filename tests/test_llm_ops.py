@@ -337,3 +337,68 @@ def test_lsh_candidate_pairs_no_self_pairs_on_duplicate_band_rows(spark):
     bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_key string")
     got = {(r["a"], r["b"]) for r in lsh_candidate_pairs(bands).collect()}
     assert got == {(7, 9)}
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Hyperplane-LSH ANN: recall at 4 planes must beat chance by an order
+    of magnitude (chance = k/corpus = 1%), and 0 planes (one bucket) must
+    recover brute force exactly — the analog of IVF's nprobe=#cells."""
+    from dumpr_spark.functions.similarity import brute_force_topk, lsh_topk
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+
+    approx = {(r["q_id"], r["n_id"]) for r in lsh_topk(e, q, k=5, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"LSH recall collapsed: {recall}"
+
+    all_in_one = {(r["q_id"], r["n_id"]) for r in lsh_topk(e, q, k=5, n_planes=0).collect()}
+    assert all_in_one == exact
+
+
+def test_lsh_buckets_are_balanced(spark, sf_dir):
+    """The fixed plane family must actually split the corpus: all 2^4
+    signatures populated, no bucket holding more than half the vectors
+    (a degenerate plane family would collapse the equi-join back into the
+    cross join it exists to avoid)."""
+    from dumpr_spark.functions.similarity import hyperplane_signature
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sizes = (
+        e.select(hyperplane_signature(F.col("embedding"), 4, 64).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    assert len(sizes) == 16
+    assert max(r["count"] for r in sizes) < total / 2
+
+
+def test_matryoshka_energy_bounds(spark, sf_dir):
+    """Truncated norm can never exceed the full norm (energy in (0, 1]),
+    and the re-normalized head component is a valid unit-vector entry."""
+    from dumpr_spark.queries import REGISTRY
+
+    rows = REGISTRY["embed_matryoshka"].fn(spark, sf_dir).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert 0 < r["norm_16"] <= r["norm_full"] + 1e-6
+        assert 0 < r["energy_16"] <= 1.0 + 1e-6
+        assert -1.0 - 1e-6 <= r["u0_16"] <= 1.0 + 1e-6
+
+
+def test_bm25_scores_positive_and_sorted(spark, sf_dir):
+    """BM25 sanity: scores positive (idf of any in-corpus term is > 0 under
+    the +1 smoothing), returned in descending order, and the top document
+    must actually contain at least one query term more often than the
+    bottom one (the scorer is not constant)."""
+    from dumpr_spark.queries import REGISTRY
+
+    rows = REGISTRY["text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > scores[-1]

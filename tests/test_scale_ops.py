@@ -385,3 +385,30 @@ def test_cdc_scd2_intervals_consistent(spark, sf_dir):
     dangling = chained.where(F.col("b.valid_from").isNull())
     bad = dangling.where(F.col("a.valid_to") % 3 != 2)
     assert bad.count() == 0
+
+
+def test_plan_shapes_round4_wave3(spark, sf_dir):
+    """Plan pins for the wave-3 operators — the shapes their docstrings
+    claim must survive optimizer changes:
+    - sim_ann_hyperplane: equi-join on the signature (BroadcastHashJoin),
+      never a cartesian/cross product, and the per-query top-k is rank-
+      pushed (WindowGroupLimit) so no full bucket sort materializes;
+    - text_bm25_topk: top-20 via TakeOrdered (no global Sort node) and at
+      most 3 parquet scans (one tokenize pass + two narrow length scans —
+      a 4th would mean df regained its own tokenize branch);
+    - rollup_ohlc: pure aggregation — no Window over raw ticks."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    ann = explain_str(REGISTRY["sim_ann_hyperplane"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in ann, ann
+    assert "Cartesian" not in ann and "NestedLoop" not in ann, ann
+    assert "WindowGroupLimit" in ann, ann
+
+    bm25 = explain_str(REGISTRY["text_bm25_topk"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in bm25, bm25
+    assert bm25.count("Scan parquet") <= 3, bm25
+
+    ohlc = explain_str(REGISTRY["rollup_ohlc"].fn(spark, sf_dir), "simple")
+    # the trailing orderBy sorts |bars| rows; no Window node may appear
+    assert "Window" not in ohlc, ohlc

@@ -156,27 +156,29 @@ def ivf_topk(
     )
 
 
-def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplane_weights(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane family (no RNG state): integer
     LCG over the flattened (plane, dim) index, centered to [-1000, 1000].
     Pure integer arithmetic -> any engine (or a SQL oracle) regenerates the
-    identical planes from (n_planes, dim) alone."""
+    identical planes from (n_planes, dim) alone. `offset` shifts the plane
+    index, giving independent families for multi-table LSH (table f uses
+    planes [f*n_planes, (f+1)*n_planes))."""
     return [
         [
-            float(((1103515245 * (p * dim + d) + 12345) % 2001) - 1000)
+            float(((1103515245 * ((p + offset) * dim + d) + 12345) % 2001) - 1000)
             for d in range(dim)
         ]
         for p in range(n_planes)
     ]
 
 
-def hyperplane_signature(vec_col, n_planes: int, dim: int):
+def hyperplane_signature(vec_col, n_planes: int, dim: int, offset: int = 0):
     """Random-hyperplane LSH signature (SimHash for dense vectors): bit p is
     the sign of <v, w_p>; cosine-similar vectors agree on most bits, so the
     integer signature is a locality-sensitive bucket key. The dot is rounded
     to 6dp before the sign test so the bit (and thus the bucket) is
     engine-reproducible even when the fold's last double ulp differs."""
-    ws = hyperplane_weights(n_planes, dim)
+    ws = hyperplane_weights(n_planes, dim, offset)
     sig = F.lit(0)
     for p, w in enumerate(ws):
         d = F.aggregate(
@@ -196,32 +198,44 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k via one random-hyperplane LSH table: candidates are the
-    query's own signature bucket (expected corpus/2^n_planes of the data),
-    then exact cosine ranks within the bucket. The corpus is hashed ONCE
-    (narrow projection, no shuffle); the candidate join is an equi-join on
-    the signature, so at 100 TB the cost is a hash join keyed on an 8-byte
-    bucket id instead of a cross join. Recall comes from bucket collision
-    probability (1 - theta/pi per plane); more tables (union over plane
-    families) raises it — same recall/cost dial as IVF's nprobe. Like
-    sim_topk_ivf, the output is DETERMINISTIC given the fixed plane family,
-    rounded sims, and id tie-breaks, so an exact SQL oracle can replay it."""
-    sig = lambda c: hyperplane_signature(c, n_planes, dim)  # noqa: E731
-    v = vectors.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        sig(F.col(vec_col)).alias("sig"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        sig(F.col(vec_col)).alias("sig"),
-    )
+    """ANN top-k via random-hyperplane LSH tables: candidates are the
+    query's own signature bucket (expected corpus/2^n_planes of the data)
+    in EACH of `n_tables` independent plane families, deduplicated, then
+    exact cosine ranks within the candidate set. The corpus is hashed ONCE
+    per table (narrow projection, no shuffle); each candidate join is an
+    equi-join on the signature, so at 100 TB the cost is n_tables hash
+    joins keyed on an 8-byte bucket id instead of a cross join. Recall
+    comes from bucket collision probability (miss ~ (1-(1-theta/pi)^p)^T);
+    `n_tables` is the recall/cost dial, same role as IVF's nprobe — the
+    candidate set is a superset of every smaller-T run, so recall is
+    MONOTONE in n_tables (property-tested). Like sim_topk_ivf, the output
+    is DETERMINISTIC given the fixed plane families, rounded sims, and id
+    tie-breaks, so an exact SQL oracle can replay it."""
+    pairs = None
+    for f in range(max(1, n_tables)):
+        sig = lambda c: hyperplane_signature(c, n_planes, dim, offset=f * n_planes)  # noqa: B023,E731
+        v = vectors.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+            sig(F.col(vec_col)).alias("sig"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+            sig(F.col(vec_col)).alias("sig"),
+        )
+        cand = (
+            v.join(F.broadcast(q), "sig")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "q_vec", "n_id", "n_vec")
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    if n_tables > 1:
+        # a pair found by several tables scores once; (q_id, n_id) determines
+        # the vectors, so the dedup key is just the id pair
+        pairs = pairs.dropDuplicates(["q_id", "n_id"])
     sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")) + 1e-9, 6)
-    scored = (
-        v.join(F.broadcast(q), "sig")
-        .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", sim.alias("sim"))
-    )
+    scored = pairs.select("q_id", "n_id", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

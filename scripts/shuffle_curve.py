@@ -25,15 +25,20 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The five shuffle-bearing headliners (the scan-bound rest shuffle only
+# The shuffle-bearing headliners (the scan-bound rest shuffle only
 # metadata-sized aggregates): the CDC fold, the LSH band shuffle, a star
-# join, a partitioned window, and a sessionization (window + groupBy).
+# join, a partitioned window, and a sessionization (window + groupBy) —
+# plus the wave-3 aggregating ops whose docstrings claim sketch-/bar-sized
+# shuffles (quantile histogram, OHLC bars, term-filtered BM25).
 QUERIES = [
     "cdc_materialize",
     "dedup_minhash_lsh",
     "join_inner_star",
     "win_topk_per_group",
     "stream_session_window",
+    "agg_quantile_mergeable",
+    "rollup_ohlc",
+    "text_bm25_topk",
 ]
 
 

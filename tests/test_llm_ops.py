@@ -402,3 +402,24 @@ def test_bm25_scores_positive_and_sorted(spark, sf_dir):
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
     assert scores[0] > scores[-1]
+
+
+def test_lsh_recall_monotone_in_tables(spark, sf_dir):
+    """Multi-table LSH: the candidate set of T tables is a superset of any
+    subset of them, so recall vs brute force must be monotone in n_tables.
+    Measured recall at each T documents the dial the docstring claims."""
+    from dumpr_spark.functions.similarity import brute_force_topk, lsh_topk
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+
+    def recall(n_tables):
+        hits = {(r["q_id"], r["n_id"])
+                for r in lsh_topk(e, q, k=5, n_planes=4, n_tables=n_tables).collect()}
+        return len(exact & hits) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, f"recall not monotone in tables: {r1}, {r2}, {r4}"
+    assert r4 > r1, f"4 tables gained nothing over 1 ({r1})"

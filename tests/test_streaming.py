@@ -1476,3 +1476,49 @@ def test_streaming_ohlc_bars_with_watermark(spark, tmp_path):
     # open = event-time-first tick (00:01 value 99), close = 00:04:30 value 70
     assert bar["open"] == 99.0 and bar["close"] == 70.0
     assert bar["high"] == 99.0 and bar["low"] == 10.0 and bar["n_ticks"] == 4
+
+
+def test_streaming_quantile_sketch_partials_merge(spark, tmp_path):
+    """Streaming twin of agg_quantile_mergeable: the fixed-bin histogram is
+    a streaming-safe aggregate (count per (event_type, bin) commutes with
+    micro-batching), so the state-store-merged bins after two out-of-order
+    micro-batches must equal the single-pass batch histogram over the union
+    — the same losslessness the batch test pins, here across the
+    Structured Streaming state path."""
+    src = str(tmp_path / "qs_src")
+    b0 = [
+        {"ts": "2026-01-01T00:01:00Z", "k": "a", "value": 3.0},
+        {"ts": "2026-01-01T00:02:00Z", "k": "a", "value": 7.0},
+        {"ts": "2026-01-01T00:03:00Z", "k": "b", "value": 12.0},
+    ]
+    b1 = [
+        {"ts": "2026-01-01T00:01:30Z", "k": "a", "value": 4.0},   # same bin as 3.0
+        {"ts": "2026-01-01T00:00:30Z", "k": "b", "value": 497.0},  # clamped bin 99
+    ]
+    write_events(src, b0, file_name="b0.json")
+    write_events(src, b1, file_name="b1.json")
+    bin_col = F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99))
+    streamed = (
+        spark.readStream.schema("ts timestamp, k string, value double")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("k", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        streamed.writeStream.format("memory").queryName("qsketch_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["bin"]): r["c"]
+        for r in spark.sql("SELECT * FROM qsketch_test").collect()
+    }
+    # 3.0, 4.0 -> bin 0; 7.0 -> bin 1; 12.0 -> bin 2; 497.0 -> clamped bin 99
+    expected = {("a", 0): 2, ("a", 1): 1, ("b", 2): 1, ("b", 99): 1}
+    batch = spark.createDataFrame(
+        [(e["k"], e["value"]) for e in b0 + b1], "k string, value double"
+    ).groupBy("k", bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+    assert {(r["k"], r["bin"]): r["c"] for r in batch.collect()} == expected
+    assert got == expected

@@ -37,19 +37,23 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    round_eps: float = 0.0,
 ) -> DataFrame:
     """Exact cosine top-k of `vectors` for each row of `queries`.
 
     The query side is broadcast (small batch against a huge corpus is THE
     shape at scale); ranking uses the rounded similarity with id tie-break so
-    results are reproducible bit-for-bit across engines.
+    results are reproducible bit-for-bit across engines. `round_eps` lets a
+    caller match the eps-rounding of ivf_topk/lsh_topk exactly (their
+    degenerate configurations must reproduce this function bit-for-bit);
+    the default 0.0 preserves parity with the sim_topk_bruteforce oracle.
     Output: (q_id, n_id, sim, rank).
     """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     v = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     sim = cosine(F.col("q_vec"), F.col("n_vec"))
     if round_digits is not None:
-        sim = F.round(sim, round_digits)
+        sim = F.round(sim + F.lit(round_eps), round_digits)
     scored = (
         v.join(F.broadcast(q))
         .where(F.col("q_id") != F.col("n_id"))

@@ -622,7 +622,7 @@ def sim_topk_ivf(spark, sf_dir):
     """IVF(nprobe=1) ANN top-3 using the first 8 vectors as centroids.
 
     Approximate relative to brute force (recall asserted in
-    tests/test_llm.py), but DETERMINISTIC given its inputs: centroids are
+    tests/test_llm_ops.py), but DETERMINISTIC given its inputs: centroids are
     the fixed first-8 vectors, candidate sims are rounded to 6 digits, and
     every row_number has an id tie-break — so the oracle replays the same
     assign -> probe -> rank pipeline in SQL and the match is exact. Both
@@ -1576,6 +1576,9 @@ def embed_pq_codes(spark, sf_dir):
 
 _BM25_TERMS = ("customer", "merge", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
+# interpolated into the oracle SQL so editing _BM25_TERMS can never desync
+# the two engines (the k1/b constants are interpolated the same way)
+_BM25_IN = ", ".join(f"'{w}'" for w in _BM25_TERMS)
 
 
 @query(
@@ -1589,7 +1592,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     tf AS (
       SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
-      WHERE tok IN ('customer', 'merge', 'vector')
+      WHERE tok IN ({_BM25_IN})
       GROUP BY doc_id, tok
     ),
     df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
@@ -1704,7 +1707,7 @@ def sim_ann_hyperplane(spark, sf_dir):
     bucket = corpus/16). Approximate by bucketing, but DETERMINISTIC given
     the fixed planes, rounded sims, and id tie-breaks — the oracle replays
     the identical hash -> bucket-join -> rank pipeline in SQL. Recall vs
-    brute force is asserted in tests/test_llm.py."""
+    brute force is asserted in tests/test_llm_ops.py."""
     e = t(spark, sf_dir, "embeddings")
     return sim.lsh_topk(
         e, e.where(F.col("vec_id") < 16), k=3, n_planes=4, dim=64

@@ -511,7 +511,7 @@ def events_cohort_retention(spark, sf_dir):
            ROUND(MIN(value), 2) AS low,
            MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_ticks,
-           ROUND(SUM(value), 2) AS volume
+           ROUND(SUM(value) + 1e-9, 2) AS volume
     FROM ranked GROUP BY h, event_type ORDER BY h, event_type
     """,
     tags=("streaming", "timeseries", "ohlc"),
@@ -538,7 +538,7 @@ def rollup_ohlc(spark, sf_dir):
             F.round(F.min("value"), 2).alias("low"),
             F.max_by("value", order).alias("close"),
             F.count(F.lit(1)).alias("n_ticks"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            eps_round(F.sum("value"), 2).alias("volume"),
         )
         .orderBy("h", "event_type")
     )

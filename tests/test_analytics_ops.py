@@ -16,24 +16,26 @@ def test_quantile_sketch_merge_is_lossless(spark, sf_dir):
     nothing (unlike GK/KLL, where merge widens the error). This is what
     makes the daily-sketch -> any-time-range rollup valid at 100 TB."""
     e = load_table(spark, sf_dir, "events")
-    bin_col = F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99))
+    bin_col = F.greatest(
+        F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99)), F.lit(0)
+    )
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"), bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
     )
     direct = e.groupBy("event_type", bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
-    diff = daily.join(direct, ["event_type", "bin"], "full_outer").where(
-        (F.col("daily.c").isNull()) | (F.col("direct.c").isNull()) | (daily["c"] != direct["c"])
-    ) if False else daily.exceptAll(direct)
-    assert diff.count() == 0
+    assert daily.exceptAll(direct).count() == 0
     assert direct.exceptAll(daily).count() == 0
 
 
 def test_quantile_sketch_within_bin_of_exact(spark, sf_dir):
-    """The interpolated estimate must land within two bin widths of the
-    exact percentile — one bin of quantization plus one bin of definitional
-    slack (sketch crosses at q*n, exact interpolates at (n-1)*q)."""
+    """The estimate must land within two bin widths of the exact
+    interpolated percentile. This is an EMPIRICAL bound for this data's
+    dense bins (the structural guarantee is only bin-containment of the
+    ceil(q*n)-th order statistic; a sparse tail could interpolate further
+    away) — the query's within_bin column asserts the same bound, so this
+    test failing on new testdata means the oracle needs re-deriving too."""
     from dumpr_spark.queries import REGISTRY
 
     rows = REGISTRY["agg_quantile_mergeable"].fn(spark, sf_dir).collect()
@@ -65,7 +67,9 @@ def test_ohlc_open_close_respect_time_order(spark, sf_dir):
         F.date_trunc("hour", "ts") == F.lit("2024-01-03 12:00:00").cast("timestamp_ntz")
     )
     if e.count() == 0:  # testdata variant without that hour
-        return
+        import pytest
+
+        pytest.skip("pinned hour absent from this testdata variant")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     expected = {
         (r["event_type"]): (r["open"], r["close"])

@@ -348,7 +348,13 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    # round_eps matches lsh_topk's eps-rounding so the degenerate-equality
+    # check below compares identically-rounded sims (a boundary cosine must
+    # not rank differently between the two paths)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(e, q, k=5, round_eps=1e-9).collect()
+    }
 
     approx = {(r["q_id"], r["n_id"]) for r in lsh_topk(e, q, k=5, n_planes=4).collect()}
     recall = len(exact & approx) / len(exact)
@@ -413,7 +419,10 @@ def test_lsh_recall_monotone_in_tables(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(e, q, k=5, round_eps=1e-9).collect()
+    }
 
     def recall(n_tables):
         hits = {(r["q_id"], r["n_id"])

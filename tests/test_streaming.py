@@ -1419,17 +1419,26 @@ def test_merge_sink_stale_bak_does_not_mask_newer_compact_bak(spark, tmp_path):
 
 def test_streaming_ohlc_bars_with_watermark(spark, tmp_path):
     """The streaming twin of rollup_ohlc: min_by/max_by on the (ts, event_id)
-    tick order under a tumbling window + watermark. Two micro-batches feed
-    out-of-order ticks inside the window; the final bar must still pick
-    open/close by EVENT TIME, not arrival order — the property that makes
-    the aggregate safe under Structured Streaming's unordered delivery."""
+    tick order under a tumbling window + watermark. maxFilesPerTrigger=1
+    forces the two files into SEPARATE micro-batches, with the event-time-
+    earliest tick arriving in the second batch — so the final bar is only
+    right if the state store's partial-aggregate merge picks open/close by
+    EVENT TIME, not arrival order (the property that makes the aggregate
+    safe under Structured Streaming's unordered delivery)."""
     src = str(tmp_path / "ohlc_src")
     write_events(src, [
         {"ts": "2026-01-01T00:02:00Z", "k": "x", "event_id": 2, "value": 50.0},
         {"ts": "2026-01-01T00:04:00Z", "k": "x", "event_id": 4, "value": 10.0},
     ], file_name="b0.json")
+    # second file: an event-time EARLIER tick (00:01) and a LATER one
+    # (00:04:30) arrive in a later micro-batch
+    write_events(src, [
+        {"ts": "2026-01-01T00:01:00Z", "k": "x", "event_id": 1, "value": 99.0},
+        {"ts": "2026-01-01T00:04:30Z", "k": "x", "event_id": 5, "value": 70.0},
+    ], file_name="b1.json")
     stream = (
         spark.readStream.schema("ts timestamp, k string, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
         .json(src)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
@@ -1447,29 +1456,8 @@ def test_streaming_ohlc_bars_with_watermark(spark, tmp_path):
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination(120)
-    # second batch: an EARLIER tick (00:01) and a LATER one (00:04:30) arrive late
-    write_events(src, [
-        {"ts": "2026-01-01T00:01:00Z", "k": "x", "event_id": 1, "value": 99.0},
-        {"ts": "2026-01-01T00:04:30Z", "k": "x", "event_id": 5, "value": 70.0},
-    ], file_name="b1.json")
-    q2 = (
-        spark.readStream.schema("ts timestamp, k string, event_id long, value double")
-        .json(src)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
-        .agg(
-            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
-            F.count(F.lit(1)).alias("n_ticks"),
-        )
-        .select(F.col("w.start").alias("w_start"), "k", "open", "high", "low", "close", "n_ticks")
-        .writeStream.format("memory").queryName("ohlc_test2")
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q2.awaitTermination(120)
-    r = spark.sql("SELECT * FROM ohlc_test2").collect()
+    assert q.lastProgress is not None  # at least one batch ran
+    r = spark.sql("SELECT * FROM ohlc_test").collect()
     assert len(r) == 1
     bar = r[0]
     assert str(bar["w_start"]) == "2026-01-01 00:00:00"
@@ -1497,7 +1485,9 @@ def test_streaming_quantile_sketch_partials_merge(spark, tmp_path):
     ]
     write_events(src, b0, file_name="b0.json")
     write_events(src, b1, file_name="b1.json")
-    bin_col = F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99))
+    bin_col = F.greatest(
+        F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99)), F.lit(0)
+    )
     streamed = (
         spark.readStream.schema("ts timestamp, k string, value double")
         .option("maxFilesPerTrigger", 1)  # force two micro-batches

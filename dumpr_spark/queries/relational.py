@@ -2250,38 +2250,18 @@ def agg_quantile_mergeable(spark, sf_dir):
     bound vs percentile_cont — a regression in bin math or merge turns the
     row red; the bound is a property of this distribution, not of the
     sketch in general."""
+    from dumpr_spark.functions import sketches as sk
+
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.greatest(
-            F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99)), F.lit(0)
-        ).alias("bin"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    merged = daily.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
-    w_cum = Window.partitionBy("event_type").orderBy("bin")
-    w_all = Window.partitionBy("event_type")
-    cum = (
-        merged.withColumn("cum", F.sum("c").over(w_cum))
-        .withColumn("n", F.sum("c").over(w_all))
+    daily = sk.histogram_bins(
+        e, "value", ["event_type"], bin_width=5.0, n_bins=100,
+        extra_keys=[F.date_trunc("day", F.col("ts")).alias("day")],
     )
-    qs = spark.range(1).select(
-        F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("q")
-    )
-    crossed = cum.crossJoin(F.broadcast(qs)).where(
-        F.col("cum") >= F.col("q") * F.col("n")
-    )
-    w_pick = Window.partitionBy("event_type", "q").orderBy("bin")
-    est = (
-        F.col("bin") * 5
-        + 5 * (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c")
-    )
-    picked = crossed.withColumn("rn", F.row_number().over(w_pick)).where(
-        F.col("rn") == 1
-    )
-    sketch = picked.groupBy("event_type").agg(
-        eps_round(F.max(F.when(F.col("q") == 0.5, est)), 4).alias("p50_est"),
-        eps_round(F.max(F.when(F.col("q") == 0.95, est)), 4).alias("p95_est"),
+    merged = sk.merge_bins(daily, ["event_type"])
+    ests = sk.histogram_quantiles(merged, [0.5, 0.95], ["event_type"], bin_width=5.0)
+    sketch = ests.groupBy("event_type").agg(
+        eps_round(F.max(F.when(F.col("q") == 0.5, F.col("est"))), 4).alias("p50_est"),
+        eps_round(F.max(F.when(F.col("q") == 0.95, F.col("est"))), 4).alias("p95_est"),
     )
     exact = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("p50_x"),

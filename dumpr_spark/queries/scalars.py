@@ -508,3 +508,43 @@ def scalar_interval_arith(spark, sf_dir):
         F.months_between(y2k, F.date_trunc("month", "o_orderdate"))
         .cast("long").alias("months_to_y2k"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "source_xml_scan",
+    """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS total_size,
+           MIN(p_type) AS first_type
+    FROM part WHERE p_partkey <= 400 GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("source", "xml"),
+)
+def source_xml_scan(spark, sf_dir):
+    """XML batch source/sink (SURVEY §2.2-A format coverage; Spark 4 ships
+    the XML data source natively — no external package): round-trip a part
+    slice through row-tagged XML with an EXPLICIT schema on read (inference
+    is a second full scan at 100 TB; XML inference is also type-lossy) and
+    aggregate — results must equal the parquet-direct oracle. XML is the
+    feed format of legacy enterprise exports, the usual first hop of a CDC
+    backfill."""
+    src = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    path = _scratch_dir("xml_part") + "/data"
+    src.write.format("xml").option("rowTag", "part").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(src.schema)
+        .load(path)
+    )
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").alias("total_size"),
+            F.min("p_type").alias("first_type"),
+        )
+        .orderBy("p_brand")
+    )

@@ -27,7 +27,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from dumpr_spark.streaming.sink import MergeSink
 
-_CONTENT_SCHEMA = "event_type STRING, w_start TIMESTAMP, n BIGINT, sv DOUBLE"
+_CONTENT_SCHEMA = (
+    "event_type STRING, w_start TIMESTAMP, n BIGINT, sv DOUBLE, bins ARRAY<BIGINT>"
+)
 
 
 def rollup_minute_partials(
@@ -36,17 +38,40 @@ def rollup_minute_partials(
     type_col: str = "event_type",
     value_col: str = "value",
     watermark: str = "10 minutes",
+    with_bins: bool = False,
+    bin_width: float = 5.0,
+    n_bins: int = 100,
 ) -> DataFrame:
-    """Streaming 1-minute windowed (count, sum) per event type."""
+    """Streaming 1-minute windowed (count, sum) per event type.
+
+    With ``with_bins``, each partial also carries a fixed-width histogram
+    VECTOR (`n_bins` conditional sums folded in the SAME single streaming
+    aggregation — no second stateful operator), making the persisted
+    rollup quantile-readable: the vector is the mergeable sketch of
+    functions/sketches.py in dense array form, and because each batch
+    recomputes a touched window's aggregate in full, latest-batch-wins
+    upserts stay exactly right for it."""
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sv")]
+    if with_bins:
+        bin_of = F.greatest(
+            F.least(F.floor(F.col(value_col) / bin_width).cast("long"), F.lit(n_bins - 1)),
+            F.lit(0),
+        )
+        aggs.append(
+            F.array(
+                *[F.sum(F.when(bin_of == i, 1).otherwise(0)) for i in range(n_bins)]
+            ).alias("bins")
+        )
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 minute").alias("w"), F.col(type_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sv"))
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("w_start"),
             F.col(type_col).alias("event_type"),
             "n",
             "sv",
+            *(["bins"] if with_bins else []),
         )
     )
 
@@ -68,7 +93,10 @@ def start_rollup_stream(
             F.lit("upsert").alias("op"),
             F.concat(F.lit("rollup_"), F.date_format("w_start", "yyyyMMdd")).alias("tbl"),
             F.concat("event_type", F.lit("|"), F.date_format("w_start", "yyyy-MM-dd HH:mm")).alias("id"),
-            F.to_json(F.struct("event_type", "w_start", "n", "sv")).alias("content"),
+            F.to_json(
+                F.struct("event_type", "w_start", "n", "sv",
+                         *(["bins"] if "bins" in batch.columns else []))
+            ).alias("content"),
             F.col("w_start").alias("ts"),
             F.lit("rollup").alias("next_file"),
             F.lit(batch_id).cast("long").alias("next_position"),
@@ -99,3 +127,35 @@ def read_rollup(sink: MergeSink, grain: str = "minute") -> DataFrame:
         m.groupBy("event_type", F.date_trunc(grain, "w_start").alias("bucket"))
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
     )
+
+
+def read_rollup_quantiles(
+    sink: MergeSink,
+    qs,
+    grain: str = "hour",
+    bin_width: float = 5.0,
+) -> DataFrame:
+    """Quantile estimates at any grain from a bins-enabled rollup — the
+    continuous-aggregate percentile read: explode the persisted minute
+    histogram vectors to (group, bucket, bin, c), merge by summing (the
+    lossless sketch-merge contract), and interpolate with
+    functions/sketches.py. No raw event is ever re-read; cost is
+    |windows| x |populated bins| regardless of stream history.
+    Output: (event_type, bucket, q, est)."""
+    from dumpr_spark.functions import sketches as sk
+
+    if grain not in ("minute", "hour", "day"):
+        raise ValueError(f"grain must be minute/hour/day, got {grain!r}")
+    row = F.from_json("content", _CONTENT_SCHEMA)
+    m = sink.read_state().select(row.alias("r")).select("r.*")
+    long_bins = (
+        m.where(F.col("bins").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc(grain, "w_start").alias("bucket"),
+            F.posexplode("bins").alias("bin", "c"),
+        )
+        .where(F.col("c") > 0)
+    )
+    merged = sk.merge_bins(long_bins, ["event_type", "bucket"])
+    return sk.histogram_quantiles(merged, qs, ["event_type", "bucket"], bin_width)

@@ -1512,3 +1512,73 @@ def test_streaming_quantile_sketch_partials_merge(spark, tmp_path):
     ).groupBy("k", bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
     assert {(r["k"], r["bin"]): r["c"] for r in batch.collect()} == expected
     assert got == expected
+
+
+def test_streaming_rollup_quantiles_from_persisted_bins(spark, tmp_path):
+    """Continuous-aggregate percentiles: a bins-enabled minute rollup is
+    maintained incrementally (second batch revises a window the first
+    already persisted), then hour-grain p50/p95 are read from the PERSISTED
+    histogram vectors alone — and must equal the reference computed from
+    the raw union, because window recomputation is total and sketch merge
+    is lossless. No raw event is re-read on the query path."""
+    from collections import Counter
+
+    from dumpr_spark.streaming.rollup import (
+        read_rollup,
+        read_rollup_quantiles,
+        start_rollup_stream,
+    )
+
+    src = str(tmp_path / "ev")
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).json(src)
+        q, sink = start_rollup_stream(spark, stream, state, ckpt, with_bins=True)
+        q.awaitTermination(120)
+        return sink
+
+    b0 = [
+        {"ts": "2026-01-01T00:01:10Z", "event_type": "click", "value": 1.0},
+        {"ts": "2026-01-01T00:01:40Z", "event_type": "click", "value": 12.0},
+        {"ts": "2026-01-01T00:02:05Z", "event_type": "click", "value": 33.0},
+        {"ts": "2026-01-01T00:02:30Z", "event_type": "view", "value": 7.0},
+    ]
+    write_events(src, b0)
+    run()
+    b1 = [  # revises the 00:01 click window and extends 00:02
+        {"ts": "2026-01-01T00:01:55Z", "event_type": "click", "value": 49.0},
+        {"ts": "2026-01-01T00:02:45Z", "event_type": "view", "value": 488.0},
+    ]
+    write_events(src, b1, file_name="part-001.json")
+    sink = run()
+
+    got = {
+        (r["event_type"], str(r["bucket"]), r["q"]): r["est"]
+        for r in read_rollup_quantiles(sink, [0.5, 0.95], grain="hour").collect()
+    }
+
+    def ref(values, q, w=5.0, n_bins=100):
+        bins = Counter(min(max(int(v // w), 0), n_bins - 1) for v in values)
+        n, cum = len(values), 0
+        for b in sorted(bins):
+            c = bins[b]
+            cum += c
+            if cum >= q * n:
+                return b * w + w * (q * n - (cum - c)) / c
+
+    union = b0 + b1
+    for etype in ("click", "view"):
+        vals = [e["value"] for e in union if e["event_type"] == etype]
+        for q in (0.5, 0.95):
+            key = (etype, "2026-01-01 00:00:00", q)
+            assert got[key] == pytest.approx(ref(vals, q), abs=1e-9), key
+
+    # plain counts still read back alongside the sketch columns
+    hour = {(r["event_type"], str(r["bucket"])): r["n"]
+            for r in read_rollup(sink, "hour").collect()}
+    assert hour == {("click", "2026-01-01 00:00:00"): 4,
+                    ("view", "2026-01-01 00:00:00"): 2}

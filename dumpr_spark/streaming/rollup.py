@@ -28,7 +28,8 @@ from pyspark.sql.streaming import StreamingQuery
 from dumpr_spark.streaming.sink import MergeSink
 
 _CONTENT_SCHEMA = (
-    "event_type STRING, w_start TIMESTAMP, n BIGINT, sv DOUBLE, bins ARRAY<BIGINT>"
+    "event_type STRING, w_start TIMESTAMP, n BIGINT, sv DOUBLE, "
+    "bins ARRAY<BIGINT>, hll STRING"
 )
 
 
@@ -41,6 +42,7 @@ def rollup_minute_partials(
     with_bins: bool = False,
     bin_width: float = 5.0,
     n_bins: int = 100,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Streaming 1-minute windowed (count, sum) per event type.
 
@@ -48,10 +50,15 @@ def rollup_minute_partials(
     VECTOR (`n_bins` conditional sums folded in the SAME single streaming
     aggregation — no second stateful operator), making the persisted
     rollup quantile-readable: the vector is the mergeable sketch of
-    functions/sketches.py in dense array form, and because each batch
-    recomputes a touched window's aggregate in full, latest-batch-wins
-    upserts stay exactly right for it."""
+    functions/sketches.py in dense array form. With ``distinct_col``, it
+    carries a base64 HLL sketch of that column, making the rollup
+    distinct-count-readable at any grain via `hll_union_agg` — the same
+    daily-sketch pattern agg_hll_mergeable declares, maintained
+    incrementally. Both ride on the window-recompute-is-total property, so
+    latest-batch-wins upserts stay exactly right for them."""
     aggs = [F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sv")]
+    if distinct_col is not None:
+        aggs.append(F.base64(F.hll_sketch_agg(distinct_col)).alias("hll"))
     if with_bins:
         bin_of = F.greatest(
             F.least(F.floor(F.col(value_col) / bin_width).cast("long"), F.lit(n_bins - 1)),
@@ -72,6 +79,7 @@ def rollup_minute_partials(
             "n",
             "sv",
             *(["bins"] if with_bins else []),
+            *(["hll"] if distinct_col is not None else []),
         )
     )
 
@@ -95,7 +103,7 @@ def start_rollup_stream(
             F.concat("event_type", F.lit("|"), F.date_format("w_start", "yyyy-MM-dd HH:mm")).alias("id"),
             F.to_json(
                 F.struct("event_type", "w_start", "n", "sv",
-                         *(["bins"] if "bins" in batch.columns else []))
+                         *[c for c in ("bins", "hll") if c in batch.columns])
             ).alias("content"),
             F.col("w_start").alias("ts"),
             F.lit("rollup").alias("next_file"),
@@ -159,3 +167,25 @@ def read_rollup_quantiles(
     )
     merged = sk.merge_bins(long_bins, ["event_type", "bucket"])
     return sk.histogram_quantiles(merged, qs, ["event_type", "bucket"], bin_width)
+
+
+def read_rollup_distinct(sink: MergeSink, grain: str = "hour") -> DataFrame:
+    """Distinct-count estimates at any grain from an HLL-enabled rollup:
+    `hll_union_agg` over the persisted per-minute sketches — the
+    incremental form of agg_hll_mergeable's daily-sketch pattern. Sketch
+    union is associative/commutative, so any grain re-derives from minute
+    partials without touching raw events. Output: (event_type, bucket,
+    est_distinct)."""
+    if grain not in ("minute", "hour", "day"):
+        raise ValueError(f"grain must be minute/hour/day, got {grain!r}")
+    row = F.from_json("content", _CONTENT_SCHEMA)
+    m = sink.read_state().select(row.alias("r")).select("r.*")
+    return (
+        m.where(F.col("hll").isNotNull())
+        .groupBy("event_type", F.date_trunc(grain, "w_start").alias("bucket"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.unbase64(F.col("hll")))
+            ).alias("est_distinct")
+        )
+    )

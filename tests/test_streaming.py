@@ -1582,3 +1582,59 @@ def test_streaming_rollup_quantiles_from_persisted_bins(spark, tmp_path):
             for r in read_rollup(sink, "hour").collect()}
     assert hour == {("click", "2026-01-01 00:00:00"): 4,
                     ("view", "2026-01-01 00:00:00"): 2}
+
+
+def test_streaming_rollup_distinct_from_persisted_sketches(spark, tmp_path):
+    """Continuous-aggregate distinct counts: an HLL-enabled rollup persists
+    a per-minute user sketch; hour-grain distincts come from unioning the
+    PERSISTED sketches (never re-reading events) and must equal the exact
+    distinct count here (small cardinalities stay in the sketch's exact
+    small-count mode). A user appearing in several minutes must count once
+    at hour grain — the property a per-minute COUNT(DISTINCT) sum gets
+    wrong and sketch union gets right."""
+    from dumpr_spark.streaming.rollup import (
+        read_rollup_distinct,
+        start_rollup_stream,
+    )
+
+    src = str(tmp_path / "ev")
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double, user_id long"
+        ).json(src)
+        q, sink = start_rollup_stream(
+            spark, stream, state, ckpt, distinct_col="user_id"
+        )
+        q.awaitTermination(120)
+        return sink
+
+    write_events(src, [
+        {"ts": "2026-01-01T00:01:10Z", "event_type": "click", "value": 1.0, "user_id": 1},
+        {"ts": "2026-01-01T00:01:40Z", "event_type": "click", "value": 2.0, "user_id": 2},
+        {"ts": "2026-01-01T00:02:05Z", "event_type": "click", "value": 3.0, "user_id": 1},
+    ])
+    run()
+    write_events(src, [  # revision: user 3 joins the 00:01 window; user 1 again at 00:03
+        {"ts": "2026-01-01T00:01:55Z", "event_type": "click", "value": 4.0, "user_id": 3},
+        {"ts": "2026-01-01T00:03:20Z", "event_type": "click", "value": 5.0, "user_id": 1},
+    ], file_name="part-001.json")
+    sink = run()
+
+    minute = {
+        str(r["bucket"]): r["est_distinct"]
+        for r in read_rollup_distinct(sink, "minute").collect()
+    }
+    assert minute == {
+        "2026-01-01 00:01:00": 3,  # users 1,2,3 after the revision
+        "2026-01-01 00:02:00": 1,
+        "2026-01-01 00:03:00": 1,
+    }
+    hour = {
+        str(r["bucket"]): r["est_distinct"]
+        for r in read_rollup_distinct(sink, "hour").collect()
+    }
+    # users {1,2,3}: 1 appears in three minutes but counts once
+    assert hour == {"2026-01-01 00:00:00": 3}

@@ -122,7 +122,7 @@ _R4_NEW: set = {
     # bars, MAD anomaly flags, BM25 ranking, hyperplane-LSH ANN, matryoshka
     "agg_quantile_mergeable", "rollup_ohlc", "events_anomaly_mad",
     "text_bm25_topk", "sim_ann_hyperplane", "embed_matryoshka",
-    "source_xml_scan",
+    "source_xml_scan", "search_hybrid_rrf",
 }
 
 # Never-green backlog, by construction: every registered name without

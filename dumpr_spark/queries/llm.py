@@ -1581,10 +1581,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_IN = ", ".join(f"'{w}'" for w in _BM25_TERMS)
 
 
-@query(
-    "text_bm25_topk",
-    f"""
-    WITH docs AS (
+# shared oracle fragment producing bm25(doc_id, score) — used by both the
+# plain top-k query and the hybrid-RRF pipeline so the scorer can't drift
+_BM25_SCORED_CTES = f"""docs AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ),
     dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
@@ -1595,15 +1594,24 @@ _BM25_IN = ", ".join(f"'{w}'" for w in _BM25_TERMS)
       WHERE tok IN ({_BM25_IN})
       GROUP BY doc_id, tok
     ),
-    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
-    SELECT t.doc_id,
-           ROUND(SUM(
-             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
-             * (t.tf * ({_BM25_K1} + 1))
-             / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
-           ) + 1e-9, 4) AS score
-    FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
-    GROUP BY t.doc_id
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm25 AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (t.tf * ({_BM25_K1} + 1))
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+             ) + 1e-9, 4) AS score
+      FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, score FROM bm25
     ORDER BY score DESC, doc_id LIMIT 20
     """,
     tags=("llm", "text", "search", "ranking"),
@@ -1622,6 +1630,16 @@ def text_bm25_topk(spark, sf_dir):
     is TakeOrdered (no global sort materialized). At 100 TB: one tokenize
     pass for tf/df plus one pruned 2-column scan for doc lengths,
     everything after is query-term-sized."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score) BM25 table for _BM25_TERMS — shared by the plain
+    top-k query and the hybrid-RRF retrieval pipeline."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
@@ -1652,8 +1670,6 @@ def text_bm25_topk(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(eps_round(F.sum(idf * tf_term), 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
     )
 
 
@@ -1748,3 +1764,79 @@ def embed_matryoshka(spark, sf_dir):
         eps_round(sim.l2_norm(head) / sim.l2_norm(v), 6).alias("energy_16"),
         eps_round(F.element_at(head, 1) / sim.l2_norm(head), 6).alias("u0_16"),
     ).orderBy("vec_id")
+
+
+@query(
+    "search_hybrid_rrf",
+    f"""
+    WITH {_BM25_SCORED_CTES},
+    cands AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+      FROM bm25
+    ),
+    top AS (SELECT * FROM cands WHERE rb <= 20),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    qv AS (SELECT v FROM emb WHERE vec_id = 0),
+    scored AS (
+      SELECT t.doc_id, t.rb,
+             ROUND(list_dot_product(e.v, q.v) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)))
+                   + 1e-9, 6) AS sim
+      FROM top t JOIN emb e ON e.vec_id = t.doc_id CROSS JOIN qv q
+    ),
+    ranked AS (
+      SELECT doc_id, rb,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rc
+      FROM scored
+    )
+    SELECT doc_id, CAST(rb AS INT) AS bm25_rank, CAST(rc AS INT) AS cos_rank,
+           ROUND(1.0 / (60 + rb) + 1.0 / (60 + rc) + 1e-9, 6) AS rrf
+    FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("llm", "search", "ranking", "pipeline"),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (k=60): BM25 selects 20
+    lexical candidates, an embedding rerank scores them against a fixed
+    query vector (doc_id aligns with vec_id in this corpus), and RRF fuses
+    the two rank lists — the standard hybrid-search shape for RAG corpora.
+    Scale: candidate generation is the BM25 plan (one tokenize pass,
+    TakeOrdered top-20); everything after operates on the 20-row candidate
+    set — the rerank join probes 20 keys against the embedding table and
+    both ROW_NUMBER windows run over <= 20 rows (bounded by the preceding
+    limit, NOT a corpus-sized global window). Deterministic: rounded
+    scores/sims + doc_id tie-breaks at every rank."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    w_rb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # limit-20 FIRST (TakeOrdered), then rank the 20 survivors — identical
+    # to the global ranks restricted to the top 20, without a global window
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rb", F.row_number().over(w_rb))
+    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    cand = top.join(emb, top["doc_id"] == emb["vec_id"]).crossJoin(F.broadcast(qv))
+    sim_c = F.round(sim.cosine(F.col("embedding"), F.col("q_vec")) + 1e-9, 6)
+    scored2 = cand.select("doc_id", "rb", sim_c.alias("sim"))
+    w_rc = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    ranked = scored2.withColumn("rc", F.row_number().over(w_rc))
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("rb").cast("int").alias("bm25_rank"),
+            F.col("rc").cast("int").alias("cos_rank"),
+            eps_round(1.0 / (60 + F.col("rb")) + 1.0 / (60 + F.col("rc")), 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )

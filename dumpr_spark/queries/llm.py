@@ -1810,17 +1810,27 @@ def search_hybrid_rrf(spark, sf_dir):
     both ROW_NUMBER windows run over <= 20 rows (bounded by the preceding
     limit, NOT a corpus-sized global window). Deterministic: rounded
     scores/sims + doc_id tie-breaks at every rank."""
-    from pyspark.sql import Window
-
     scored = _bm25_scored(spark, sf_dir)
-    w_rb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    # limit-20 FIRST (TakeOrdered), then rank the 20 survivors — identical
-    # to the global ranks restricted to the top 20, without a global window
-    top = (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn("rb", F.row_number().over(w_rb))
-    )
+    # limit-20 FIRST (TakeOrdered), then rank the 20 survivors. Rank is a
+    # broadcast self-join count (1 + #candidates strictly better by
+    # (key desc, doc_id)) rather than an unpartitioned row_number window:
+    # identical result on the unique-keyed 20-row set, but no global
+    # WindowExec — the repo's no-single-partition-window invariant stays
+    # grep-clean, and the join is O(20^2) pairs.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+    def rank_by(df, key, rank_name):
+        o = df.select(F.col("doc_id").alias("o_id"), F.col(key).alias("o_key"))
+        beats = (F.col("o_key") > F.col(key)) | (
+            (F.col("o_key") == F.col(key)) & (F.col("o_id") < F.col("doc_id"))
+        )
+        return (
+            df.join(F.broadcast(o), beats, "left")
+            .groupBy(*df.columns)
+            .agg((F.count("o_id") + 1).cast("int").alias(rank_name))
+        )
+
+    top = rank_by(top, "score", "rb")
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_vec")
@@ -1828,8 +1838,7 @@ def search_hybrid_rrf(spark, sf_dir):
     cand = top.join(emb, top["doc_id"] == emb["vec_id"]).crossJoin(F.broadcast(qv))
     sim_c = F.round(sim.cosine(F.col("embedding"), F.col("q_vec")) + 1e-9, 6)
     scored2 = cand.select("doc_id", "rb", sim_c.alias("sim"))
-    w_rc = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
-    ranked = scored2.withColumn("rc", F.row_number().over(w_rc))
+    ranked = rank_by(scored2, "sim", "rc")
     return (
         ranked.select(
             "doc_id",

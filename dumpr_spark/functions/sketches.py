@@ -22,6 +22,23 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def bin_index(value_col, bin_width: float = 5.0, n_bins: int = 100):
+    """THE bin expression, shared by every sketch producer (batch build,
+    streaming rollup vectors, oracle parity): clamp(floor(value/width), 0,
+    n_bins-1), and NULL for NULL input. The NULL guard matters — Spark's
+    least/greatest SKIP nulls, so the unguarded clamp would silently file
+    NULL values into the top bin (least(NULL, 99) = 99) and inflate
+    high-quantile estimates."""
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.when(
+        col.isNotNull(),
+        F.greatest(
+            F.least(F.floor(col / bin_width).cast("long"), F.lit(n_bins - 1)),
+            F.lit(0),
+        ),
+    )
+
+
 def histogram_bins(
     df: DataFrame,
     value_col: str = "value",
@@ -34,16 +51,16 @@ def histogram_bins(
 
     bin = clamp(floor(value / bin_width), 0, n_bins-1) — clamped on BOTH
     ends so out-of-range values land in the edge bins instead of growing
-    the sketch. One partial-combining aggregation; the shuffle carries at
-    most |groups| x |extra_keys| x n_bins rows regardless of input size.
-    `extra_keys` is the partial dimension (e.g. the day column) that
-    `merge_bins` later folds away."""
-    bin_col = F.greatest(
-        F.least(F.floor(F.col(value_col) / bin_width).cast("long"), F.lit(n_bins - 1)),
-        F.lit(0),
-    )
-    return df.groupBy(*group_cols, *extra_keys, bin_col.alias("bin")).agg(
-        F.count(F.lit(1)).alias("c")
+    the sketch; NULL values are EXCLUDED (they are not a measurement, and
+    counting them anywhere would bias an edge bin). One partial-combining
+    aggregation; the shuffle carries at most |groups| x |extra_keys| x
+    n_bins rows regardless of input size. `extra_keys` is the partial
+    dimension (e.g. the day column) that `merge_bins` later folds away."""
+    bin_col = bin_index(value_col, bin_width, n_bins)
+    return (
+        df.where(bin_col.isNotNull())
+        .groupBy(*group_cols, *extra_keys, bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
 
 

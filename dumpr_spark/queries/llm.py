@@ -1806,9 +1806,10 @@ def search_hybrid_rrf(spark, sf_dir):
     the two rank lists — the standard hybrid-search shape for RAG corpora.
     Scale: candidate generation is the BM25 plan (one tokenize pass,
     TakeOrdered top-20); everything after operates on the 20-row candidate
-    set — the rerank join probes 20 keys against the embedding table and
-    both ROW_NUMBER windows run over <= 20 rows (bounded by the preceding
-    limit, NOT a corpus-sized global window). Deterministic: rounded
+    set — the rerank join probes 20 keys against the embedding table, and
+    both ranks are broadcast self-join counts over the capped set (no
+    window operator anywhere on the fused path; the oracle's ROW_NUMBER is
+    the same rank spelled out in ANSI SQL). Deterministic: rounded
     scores/sims + doc_id tie-breaks at every rank."""
     scored = _bm25_scored(spark, sf_dir)
     # limit-20 FIRST (TakeOrdered), then rank the 20 survivors. Rank is a

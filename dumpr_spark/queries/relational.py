@@ -2200,7 +2200,8 @@ def q22_sales_opportunity(spark, sf_dir):
       SELECT event_type, date_trunc('day', ts) AS day,
              greatest(least(CAST(floor(value / 5) AS BIGINT), 99), 0) AS bin,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY event_type, day, bin
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day, bin
     ),
     merged AS (
       SELECT event_type, bin, CAST(SUM(c) AS BIGINT) AS c

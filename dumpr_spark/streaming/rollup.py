@@ -29,7 +29,7 @@ from dumpr_spark.streaming.sink import MergeSink
 
 _CONTENT_SCHEMA = (
     "event_type STRING, w_start TIMESTAMP, n BIGINT, sv DOUBLE, "
-    "bins ARRAY<BIGINT>, hll STRING"
+    "bins ARRAY<BIGINT>, bw DOUBLE, hll STRING"
 )
 
 
@@ -56,19 +56,24 @@ def rollup_minute_partials(
     daily-sketch pattern agg_hll_mergeable declares, maintained
     incrementally. Both ride on the window-recompute-is-total property, so
     latest-batch-wins upserts stay exactly right for them."""
+    from dumpr_spark.functions.sketches import bin_index
+
     aggs = [F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sv")]
     if distinct_col is not None:
         aggs.append(F.base64(F.hll_sketch_agg(distinct_col)).alias("hll"))
     if with_bins:
-        bin_of = F.greatest(
-            F.least(F.floor(F.col(value_col) / bin_width).cast("long"), F.lit(n_bins - 1)),
-            F.lit(0),
-        )
+        # shared bin expression (sketches.bin_index): NULL values produce a
+        # NULL index, so `bin_of == i` is never true for them and they stay
+        # out of every bin (they still count in n/sv)
+        bin_of = bin_index(value_col, bin_width, n_bins)
         aggs.append(
             F.array(
                 *[F.sum(F.when(bin_of == i, 1).otherwise(0)) for i in range(n_bins)]
             ).alias("bins")
         )
+        # persist the binning geometry next to the vectors so a reader can
+        # never interpolate with a different width than the writer used
+        aggs.append(F.first(F.lit(float(bin_width))).alias("bw"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 minute").alias("w"), F.col(type_col))
@@ -78,7 +83,7 @@ def rollup_minute_partials(
             F.col(type_col).alias("event_type"),
             "n",
             "sv",
-            *(["bins"] if with_bins else []),
+            *(["bins", "bw"] if with_bins else []),
             *(["hll"] if distinct_col is not None else []),
         )
     )
@@ -103,7 +108,7 @@ def start_rollup_stream(
             F.concat("event_type", F.lit("|"), F.date_format("w_start", "yyyy-MM-dd HH:mm")).alias("id"),
             F.to_json(
                 F.struct("event_type", "w_start", "n", "sv",
-                         *[c for c in ("bins", "hll") if c in batch.columns])
+                         *[c for c in ("bins", "bw", "hll") if c in batch.columns])
             ).alias("content"),
             F.col("w_start").alias("ts"),
             F.lit("rollup").alias("next_file"),
@@ -122,15 +127,23 @@ def start_rollup_stream(
     return query, sink
 
 
+def _read_minute_rows(sink: MergeSink, grain: str) -> DataFrame:
+    """Shared reader preamble: validate the grain and parse the persisted
+    minute rows out of the envelope content (one place to change when the
+    content schema evolves — from_json returns nulls, not errors, on
+    mismatch, so a drifted copy would fail silently)."""
+    if grain not in ("minute", "hour", "day"):
+        raise ValueError(f"grain must be minute/hour/day, got {grain!r}")
+    row = F.from_json("content", _CONTENT_SCHEMA)
+    return sink.read_state().select(row.alias("r")).select("r.*")
+
+
 def read_rollup(sink: MergeSink, grain: str = "minute") -> DataFrame:
     """Current rollup at minute/hour/day grain. Coarser grains re-aggregate
     the minute partials (sum of counts / sums) at read time."""
-    row = F.from_json("content", _CONTENT_SCHEMA)
-    m = sink.read_state().select(row.alias("r")).select("r.*")
+    m = _read_minute_rows(sink, grain)
     if grain == "minute":
         return m.select("event_type", F.col("w_start").alias("bucket"), "n", "sv")
-    if grain not in ("hour", "day"):
-        raise ValueError(f"grain must be minute/hour/day, got {grain!r}")
     return (
         m.groupBy("event_type", F.date_trunc(grain, "w_start").alias("bucket"))
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
@@ -141,32 +154,30 @@ def read_rollup_quantiles(
     sink: MergeSink,
     qs,
     grain: str = "hour",
-    bin_width: float = 5.0,
 ) -> DataFrame:
     """Quantile estimates at any grain from a bins-enabled rollup — the
     continuous-aggregate percentile read: explode the persisted minute
     histogram vectors to (group, bucket, bin, c), merge by summing (the
     lossless sketch-merge contract), and interpolate with
-    functions/sketches.py. No raw event is ever re-read; cost is
-    |windows| x |populated bins| regardless of stream history.
+    functions/sketches.py. The bin width comes from the PERSISTED `bw`
+    the writer recorded next to each vector — a reader can never
+    interpolate with a different geometry than the stream was built with
+    (mixed widths in one state dir raise). No raw event is ever re-read;
+    cost is |windows| x |populated bins| regardless of stream history.
     Output: (event_type, bucket, q, est)."""
     from dumpr_spark.functions import sketches as sk
 
-    if grain not in ("minute", "hour", "day"):
-        raise ValueError(f"grain must be minute/hour/day, got {grain!r}")
-    row = F.from_json("content", _CONTENT_SCHEMA)
-    m = sink.read_state().select(row.alias("r")).select("r.*")
-    long_bins = (
-        m.where(F.col("bins").isNotNull())
-        .select(
-            "event_type",
-            F.date_trunc(grain, "w_start").alias("bucket"),
-            F.posexplode("bins").alias("bin", "c"),
-        )
-        .where(F.col("c") > 0)
-    )
+    m = _read_minute_rows(sink, grain).where(F.col("bins").isNotNull())
+    widths = [r["bw"] for r in m.select("bw").distinct().collect()]
+    if len(widths) != 1 or widths[0] is None:
+        raise ValueError(f"expected one persisted bin width, found {widths}")
+    long_bins = m.select(
+        "event_type",
+        F.date_trunc(grain, "w_start").alias("bucket"),
+        F.posexplode("bins").alias("bin", "c"),
+    ).where(F.col("c") > 0)
     merged = sk.merge_bins(long_bins, ["event_type", "bucket"])
-    return sk.histogram_quantiles(merged, qs, ["event_type", "bucket"], bin_width)
+    return sk.histogram_quantiles(merged, qs, ["event_type", "bucket"], widths[0])
 
 
 def read_rollup_distinct(sink: MergeSink, grain: str = "hour") -> DataFrame:
@@ -176,10 +187,7 @@ def read_rollup_distinct(sink: MergeSink, grain: str = "hour") -> DataFrame:
     union is associative/commutative, so any grain re-derives from minute
     partials without touching raw events. Output: (event_type, bucket,
     est_distinct)."""
-    if grain not in ("minute", "hour", "day"):
-        raise ValueError(f"grain must be minute/hour/day, got {grain!r}")
-    row = F.from_json("content", _CONTENT_SCHEMA)
-    m = sink.read_state().select(row.alias("r")).select("r.*")
+    m = _read_minute_rows(sink, grain)
     return (
         m.where(F.col("hll").isNotNull())
         .groupBy("event_type", F.date_trunc(grain, "w_start").alias("bucket"))

@@ -15,10 +15,10 @@ def test_quantile_sketch_merge_is_lossless(spark, sf_dir):
     single-pass histogram over the raw data, bin for bin — merge loses
     nothing (unlike GK/KLL, where merge widens the error). This is what
     makes the daily-sketch -> any-time-range rollup valid at 100 TB."""
+    from dumpr_spark.functions.sketches import bin_index
+
     e = load_table(spark, sf_dir, "events")
-    bin_col = F.greatest(
-        F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99)), F.lit(0)
-    )
+    bin_col = bin_index("value", 5.0, 100)
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"), bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))

@@ -79,3 +79,22 @@ def test_merge_partials_equals_single_build(spark):
     direct = sk.histogram_bins(df, "value", ["g"])
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_null_values_are_excluded_not_top_binned(spark):
+    """NULLs must not be measurements: Spark's least/greatest skip NULLs,
+    so an unguarded clamp would file every NULL into the TOP bin
+    (least(NULL, 99) = 99) and inflate p95. bin_index returns NULL for
+    NULL input and histogram_bins drops it — the quantiles of
+    [1, 2, NULL] must equal the quantiles of [1, 2]."""
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None)], "g STRING, value DOUBLE"
+    )
+    bins = sk.histogram_bins(df, "value", ["g"], bin_width=W, n_bins=NBINS)
+    rows = {r["bin"]: r["c"] for r in bins.collect()}
+    assert rows == {0: 2}  # nothing in bin 99, no NULL-bin row
+    got = {
+        r["q"]: r["est"]
+        for r in sk.histogram_quantiles(bins, [0.95], ["g"], bin_width=W).collect()
+    }
+    assert got[0.95] == _ref_quantile([1.0, 2.0], 0.95)

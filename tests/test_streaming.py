@@ -1485,9 +1485,9 @@ def test_streaming_quantile_sketch_partials_merge(spark, tmp_path):
     ]
     write_events(src, b0, file_name="b0.json")
     write_events(src, b1, file_name="b1.json")
-    bin_col = F.greatest(
-        F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(99)), F.lit(0)
-    )
+    from dumpr_spark.functions.sketches import bin_index
+
+    bin_col = bin_index("value", 5.0, 100)
     streamed = (
         spark.readStream.schema("ts timestamp, k string, value double")
         .option("maxFilesPerTrigger", 1)  # force two micro-batches
@@ -1521,13 +1521,12 @@ def test_streaming_rollup_quantiles_from_persisted_bins(spark, tmp_path):
     histogram vectors alone — and must equal the reference computed from
     the raw union, because window recomputation is total and sketch merge
     is lossless. No raw event is re-read on the query path."""
-    from collections import Counter
-
     from dumpr_spark.streaming.rollup import (
         read_rollup,
         read_rollup_quantiles,
         start_rollup_stream,
     )
+    from tests.test_sketch_props import _ref_quantile
 
     src = str(tmp_path / "ev")
     state = str(tmp_path / "rollup_state")
@@ -1561,21 +1560,12 @@ def test_streaming_rollup_quantiles_from_persisted_bins(spark, tmp_path):
         for r in read_rollup_quantiles(sink, [0.5, 0.95], grain="hour").collect()
     }
 
-    def ref(values, q, w=5.0, n_bins=100):
-        bins = Counter(min(max(int(v // w), 0), n_bins - 1) for v in values)
-        n, cum = len(values), 0
-        for b in sorted(bins):
-            c = bins[b]
-            cum += c
-            if cum >= q * n:
-                return b * w + w * (q * n - (cum - c)) / c
-
     union = b0 + b1
     for etype in ("click", "view"):
         vals = [e["value"] for e in union if e["event_type"] == etype]
         for q in (0.5, 0.95):
             key = (etype, "2026-01-01 00:00:00", q)
-            assert got[key] == pytest.approx(ref(vals, q), abs=1e-9), key
+            assert got[key] == pytest.approx(_ref_quantile(vals, q), abs=1e-9), key
 
     # plain counts still read back alongside the sketch columns
     hour = {(r["event_type"], str(r["bucket"])): r["n"]

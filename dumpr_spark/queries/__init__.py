@@ -123,6 +123,7 @@ _R4_NEW: set = {
     "agg_quantile_mergeable", "rollup_ohlc", "events_anomaly_mad",
     "text_bm25_topk", "sim_ann_hyperplane", "embed_matryoshka",
     "source_xml_scan", "search_hybrid_rrf",
+    "events_changepoint_cusum", "agg_welch_ttest",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -600,3 +600,133 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu FROM events GROUP BY event_type
+    ),
+    walked AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             ROUND(SUM(e.value - s.mu) OVER (
+               PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+             ) + 1e-9, 4) AS cusum
+      FROM events e JOIN stats s USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, ts, event_id, cusum,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, ts, event_id
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM walked
+    )
+    SELECT event_type, ts AS cp_ts, event_id AS cp_event_id, cusum, n
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("streaming", "anomaly", "changepoint"),
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection: per event_type, walk the series in
+    (ts, event_id) order accumulating sum(value - mean); the position of
+    max |cusum| is the classic estimate of where the level shifted. Both
+    windows are PARTITIONED by event_type (no global order anywhere); the
+    cusum is rounded to 4dp before the argmax ranking so the picked row is
+    engine-stable even though windowed summation trees differ in the low
+    bits (rounding granularity 1e-4 vs float noise ~1e-10). At 100 TB the
+    mean is a broadcast 5-row join and the cumulative window shuffles each
+    type's rows once."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    mu = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = e.join(F.broadcast(mu), "event_type").withColumn(
+        "cusum", eps_round(F.sum(F.col("value") - F.col("mu")).over(w_cum), 4)
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("ts"), F.asc("event_id")
+    )
+    w_n = Window.partitionBy("event_type")
+    return (
+        walked.withColumn("rn", F.row_number().over(w_pick))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cp_ts"),
+            F.col("event_id").alias("cp_event_id"),
+            "cusum",
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n1,
+             AVG(value) FILTER (WHERE event_type = 'click') AS m1,
+             var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n2,
+             AVG(value) FILTER (WHERE event_type = 'view') AS m2,
+             var_samp(value) FILTER (WHERE event_type = 'view') AS v2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY day
+    )
+    SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2) + 1e-9, 4) AS t_stat,
+           ROUND(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))
+                 + 1e-9, 2) AS df
+    FROM daily WHERE n1 >= 2 AND n2 >= 2
+    ORDER BY day
+    """,
+    tags=("agg", "stats", "inference"),
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-test per day ('click' vs 'view' values) — the
+    A/B-testing primitive, spelled out from moments like agg_stats_moments
+    (engines' t-test builtins don't exist / differ): t from the unpooled
+    variances, degrees of freedom via Welch-Satterthwaite. One conditional
+    aggregation computes BOTH groups' moments in a single pass (FILTER
+    clauses / when()-guarded aggs — no self-join, no second scan), so at
+    100 TB this is one partial-combining groupBy on day."""
+    e = t(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "view"
+    v = F.col("value")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.avg(F.when(is1, v)).alias("m1"),
+        F.var_samp(F.when(is1, v)).alias("v1"),
+        F.count(F.when(is2, 1)).alias("n2"),
+        F.avg(F.when(is2, v)).alias("m2"),
+        F.var_samp(F.when(is2, v)).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_ws = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return (
+        daily.where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "day",
+            "n1",
+            "n2",
+            eps_round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+            eps_round(df_ws, 2).alias("df"),
+        )
+        .orderBy("day")
+    )

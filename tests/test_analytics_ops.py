@@ -106,3 +106,54 @@ def test_mad_anomaly_rate_sane(spark, sf_dir):
     for r in rows:
         assert r["mad"] > 0
         assert 0 <= r["n_anomalies"] <= 0.25 * r["n_total"]
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    """Semantic check the oracle can't make: on a series with a known level
+    shift, the max-|cusum| position must land exactly at the last point of
+    the pre-shift regime (the classic CUSUM changepoint estimate)."""
+    from pyspark.sql import Window
+
+    # 40 points at level 10, then 40 at level 30 -> shift after index 40
+    rows = [(i, float(10 if i <= 40 else 30)) for i in range(1, 81)]
+    df = spark.createDataFrame(rows, "i INT, value DOUBLE")
+    mu = df.agg(F.avg("value").alias("mu"))
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = df.crossJoin(F.broadcast(mu)).withColumn(
+        "cusum", F.sum(F.col("value") - F.col("mu")).over(w)
+    )
+    cp = (
+        walked.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("i"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert cp["i"] == 40, cp
+
+
+def test_welch_t_zero_for_identical_and_large_for_shifted(spark):
+    """Two identical samples must give t == 0; shifting one sample far from
+    the other must give |t| >> 2 (the ~95% significance threshold) — the
+    direction/magnitude semantics of the query's formula."""
+    from dumpr_spark.queries import REGISTRY  # noqa: F401  (formula parity lives in the query)
+
+    a = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8)]
+
+    def welch_t(x, y):
+        df = spark.createDataFrame(
+            [("x", v) for v in x] + [("y", v) for v in y], "g STRING, value DOUBLE"
+        )
+        r = df.groupBy().agg(
+            F.avg(F.when(F.col("g") == "x", F.col("value"))).alias("m1"),
+            F.var_samp(F.when(F.col("g") == "x", F.col("value"))).alias("v1"),
+            F.count(F.when(F.col("g") == "x", 1)).alias("n1"),
+            F.avg(F.when(F.col("g") == "y", F.col("value"))).alias("m2"),
+            F.var_samp(F.when(F.col("g") == "y", F.col("value"))).alias("v2"),
+            F.count(F.when(F.col("g") == "y", 1)).alias("n2"),
+        ).collect()[0]
+        import math
+
+        return (r["m1"] - r["m2"]) / math.sqrt(r["v1"] / r["n1"] + r["v2"] / r["n2"])
+
+    assert welch_t(a, a) == 0.0
+    shifted = [v + 50 for v in a]
+    assert abs(welch_t(a, shifted)) > 10

@@ -1,0 +1,45 @@
+"""Registry-wide physical-plan lint: no query may contain an UNPLANNED
+cartesian or nested-loop join. The execution-time twin (zero
+`WindowExec: No Partition Defined` warns over a full oracle sweep) is
+asserted by the verify recipe; this pins the join side at ANALYSIS time
+for every one of the registry's plans, so a future edit that silently
+degrades an equi-join into a cross join fails CI instead of shipping an
+O(n*m) plan to a 100 TB cluster.
+"""
+
+from __future__ import annotations
+
+from dumpr_spark.operators.scale import explain_str
+from dumpr_spark.queries import REGISTRY
+
+# Every BroadcastNestedLoopJoin in the registry is a DELIBERATE broadcast of
+# a tiny side (scalar aggregate, literal frame, or a declared cross/theta
+# join) — the build side is bounded by construction, so the "nested loop"
+# is O(n * tiny). Additions to this list require the same justification.
+BNLJ_ALLOWED = {
+    "agg_quantile_mergeable",   # 2-literal quantile frame broadcast
+    "cdc_stamp_filename",       # 1-row rotate-boundary array broadcast
+    "cdc_time_travel",          # scalar as-of cutoff broadcast
+    "join_cross",               # THE declared 5x5 cross query
+    "join_theta_range",         # declared non-equi theta join, small dims
+    "q11_important_parts",      # TPC-H Q11 scalar threshold broadcast
+    "q22_sales_opportunity",    # TPC-H Q22 scalar avg-balance broadcast
+    "sample_temperature_mix",   # per-source weight table broadcast
+    "search_hybrid_rrf",        # 1-row query-vector broadcast
+    "sim_topk_bruteforce",      # broadcast query batch vs corpus scan
+    "sim_topk_ivf",             # broadcast centroid set
+    "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast
+    "text_unigram_logprob",     # scalar corpus-total broadcast
+}
+
+
+def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
+    cart, bnlj = [], []
+    for name, q in REGISTRY.items():
+        plan = explain_str(q.fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bnlj.append(name)
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not bnlj, f"unallowlisted BroadcastNestedLoopJoin in: {bnlj}"

@@ -72,6 +72,48 @@ class Engine:
     def next_position(self, changes: DataFrame):
         return next_position(changes)
 
+    # -- analytics toolkit (LLM-pipeline surface) ------------------------
+    # Thin pass-throughs to functions/* so a library user discovers the
+    # full toolkit from the one entry point; each target carries its own
+    # scale story + tests.
+    def dedup_exact(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """Keep one row per distinct content hash (smallest id wins)."""
+        from dumpr_spark.functions.dedup import exact_dedup
+
+        return exact_dedup(df, id_col=id_col, text_col=text_col)
+
+    def dedup_near_pairs(self, df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", num_hashes: int = 8,
+                         band_size: int = 2, k: int = 3) -> DataFrame:
+        """MinHash+LSH near-duplicate candidate pairs (bucketed, never all-pairs)."""
+        from dumpr_spark.functions.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
+                                 num_hashes=num_hashes, band_size=band_size, k=k)
+
+    def similar_topk(self, corpus: DataFrame, queries: DataFrame, k: int = 3,
+                     method: str = "brute", **kw) -> DataFrame:
+        """Cosine top-k: 'brute' (exact), 'lsh' (hyperplane buckets), or
+        'ivf' (pass centroids=DataFrame via kw)."""
+        from dumpr_spark.functions import similarity as sim
+
+        if method == "brute":
+            return sim.brute_force_topk(corpus, queries, k=k, **kw)
+        if method == "lsh":
+            return sim.lsh_topk(corpus, queries, k=k, **kw)
+        if method == "ivf":
+            return sim.ivf_topk(corpus, queries, kw.pop("centroids"), k=k, **kw)
+        raise ValueError(f"method must be brute/lsh/ivf, got {method!r}")
+
+    def quantile_sketch(self, df: DataFrame, value_col: str = "value",
+                        group_cols=("event_type",), qs=(0.5, 0.95),
+                        bin_width: float = 5.0, n_bins: int = 100) -> DataFrame:
+        """Mergeable fixed-bin quantile estimates per group."""
+        from dumpr_spark.functions import sketches as sk
+
+        bins = sk.histogram_bins(df, value_col, list(group_cols), bin_width, n_bins)
+        return sk.histogram_quantiles(bins, list(qs), list(group_cols), bin_width)
+
 
 def testdata_dir(default_sf: str = "sf0.001") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/{default_sf}")

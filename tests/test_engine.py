@@ -106,3 +106,31 @@ def test_engine_temporal_surface(engine):
     assert sorted(map(tuple, asof.collect())) == sorted(map(tuple, trunc.collect()))
     # the as-of view must not see any change past the cutoff
     assert asof.where(F.col("seq") > cutoff).count() == 0
+
+
+def test_engine_analytics_facade(engine, spark, sf_dir):
+    from dumpr_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert engine.dedup_exact(docs).count() <= docs.count()
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(emb.vec_id < 3)
+    brute = engine.similar_topk(emb, q, k=2)
+    assert brute.count() == 6
+    # n_planes=0 degenerates to brute force (one bucket); id sets agree even
+    # though lsh_topk eps-rounds sims and brute's default does not
+    lsh = engine.similar_topk(emb, q, k=2, method="lsh", n_planes=0)
+    assert {(r["q_id"], r["n_id"]) for r in lsh.collect()} == {
+        (r["q_id"], r["n_id"]) for r in brute.collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = engine.quantile_sketch(ev, qs=(0.5,))
+    rows = qs.collect()
+    assert len(rows) == 5 and all(r["q"] == 0.5 and r["est"] is not None for r in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        engine.similar_topk(emb, q, method="nope")

@@ -84,12 +84,18 @@ class Engine:
 
     def dedup_near_pairs(self, df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", num_hashes: int = 8,
-                         band_size: int = 2, k: int = 3) -> DataFrame:
-        """MinHash+LSH near-duplicate candidate pairs (bucketed, never all-pairs)."""
-        from dumpr_spark.functions.dedup import minhash_lsh_pairs
+                         band_size: int = 2, k: int = 3,
+                         max_bucket_size: int | None = 1000) -> DataFrame:
+        """MinHash+LSH near-duplicate candidate pairs via the duplicate-
+        heavy-safe scaled variant (exact-copy pre-pass + band-bucket cap —
+        the 100 TB shape; the facade must never surface the plain form
+        whose bucket self-join is quadratic in the copy count)."""
+        from dumpr_spark.functions.dedup import minhash_lsh_pairs_scaled
 
-        return minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
-                                 num_hashes=num_hashes, band_size=band_size, k=k)
+        return minhash_lsh_pairs_scaled(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            band_size=band_size, k=k, max_bucket_size=max_bucket_size,
+        )
 
     def similar_topk(self, corpus: DataFrame, queries: DataFrame, k: int = 3,
                      method: str = "brute", **kw) -> DataFrame:
@@ -102,6 +108,8 @@ class Engine:
         if method == "lsh":
             return sim.lsh_topk(corpus, queries, k=k, **kw)
         if method == "ivf":
+            if "centroids" not in kw:
+                raise ValueError("method='ivf' requires centroids=DataFrame")
             return sim.ivf_topk(corpus, queries, kw.pop("centroids"), k=k, **kw)
         raise ValueError(f"method must be brute/lsh/ivf, got {method!r}")
 

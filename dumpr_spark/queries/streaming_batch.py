@@ -675,10 +675,10 @@ def events_changepoint_cusum(spark, sf_dir):
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             COUNT(*) FILTER (WHERE event_type = 'click') AS n1,
+             COUNT(value) FILTER (WHERE event_type = 'click') AS n1,
              AVG(value) FILTER (WHERE event_type = 'click') AS m1,
              var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
-             COUNT(*) FILTER (WHERE event_type = 'view') AS n2,
+             COUNT(value) FILTER (WHERE event_type = 'view') AS n2,
              AVG(value) FILTER (WHERE event_type = 'view') AS m2,
              var_samp(value) FILTER (WHERE event_type = 'view') AS v2
       FROM events WHERE event_type IN ('click', 'view')
@@ -701,16 +701,19 @@ def agg_welch_ttest(spark, sf_dir):
     variances, degrees of freedom via Welch-Satterthwaite. One conditional
     aggregation computes BOTH groups' moments in a single pass (FILTER
     clauses / when()-guarded aggs — no self-join, no second scan), so at
-    100 TB this is one partial-combining groupBy on day."""
+    100 TB this is one partial-combining groupBy on day. Sample sizes count
+    NON-NULL values (COUNT(value), F.count(when(cond, v))) — a NULL is not
+    a measurement, and counting it would inflate n against the NULL-free
+    mean/variance (the same oracle-blind class sketches.bin_index guards)."""
     e = t(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
     is1 = F.col("event_type") == "click"
     is2 = F.col("event_type") == "view"
     v = F.col("value")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count(F.when(is1, 1)).alias("n1"),
+        F.count(F.when(is1, v)).alias("n1"),
         F.avg(F.when(is1, v)).alias("m1"),
         F.var_samp(F.when(is1, v)).alias("v1"),
-        F.count(F.when(is2, 1)).alias("n2"),
+        F.count(F.when(is2, v)).alias("n2"),
         F.avg(F.when(is2, v)).alias("m2"),
         F.var_samp(F.when(is2, v)).alias("v2"),
     )

@@ -71,10 +71,7 @@ def rollup_minute_partials(
                 *[F.sum(F.when(bin_of == i, 1).otherwise(0)) for i in range(n_bins)]
             ).alias("bins")
         )
-        # persist the binning geometry next to the vectors so a reader can
-        # never interpolate with a different width than the writer used
-        aggs.append(F.first(F.lit(float(bin_width))).alias("bw"))
-    return (
+    out = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 minute").alias("w"), F.col(type_col))
         .agg(*aggs)
@@ -83,10 +80,16 @@ def rollup_minute_partials(
             F.col(type_col).alias("event_type"),
             "n",
             "sv",
-            *(["bins", "bw"] if with_bins else []),
+            *(["bins"] if with_bins else []),
             *(["hll"] if distinct_col is not None else []),
         )
     )
+    if with_bins:
+        # persist the binning geometry next to the vectors so a reader can
+        # never interpolate with a different width than the writer used (a
+        # plain literal projection — no reason to widen the streaming state)
+        out = out.withColumn("bw", F.lit(float(bin_width)))
+    return out
 
 
 def start_rollup_stream(
@@ -154,6 +157,7 @@ def read_rollup_quantiles(
     sink: MergeSink,
     qs,
     grain: str = "hour",
+    legacy_bin_width: float | None = None,
 ) -> DataFrame:
     """Quantile estimates at any grain from a bins-enabled rollup — the
     continuous-aggregate percentile read: explode the persisted minute
@@ -161,23 +165,34 @@ def read_rollup_quantiles(
     lossless sketch-merge contract), and interpolate with
     functions/sketches.py. The bin width comes from the PERSISTED `bw`
     the writer recorded next to each vector — a reader can never
-    interpolate with a different geometry than the stream was built with
-    (mixed widths in one state dir raise). No raw event is ever re-read;
-    cost is |windows| x |populated bins| regardless of stream history.
-    Output: (event_type, bucket, q, est)."""
+    interpolate with a different geometry than the stream was built with.
+    Mixed widths in one state dir raise; empty state returns an empty
+    result; state written before `bw` was persisted needs an explicit
+    `legacy_bin_width` from the caller. The width probe collects at most
+    TWO rows (limit after distinct) — the full state is only scanned by
+    the returned lazy plan, once, when the caller executes it. No raw
+    event is ever re-read; cost is |windows| x |populated bins| regardless
+    of stream history. Output: (event_type, bucket, q, est)."""
     from dumpr_spark.functions import sketches as sk
 
     m = _read_minute_rows(sink, grain).where(F.col("bins").isNotNull())
-    widths = [r["bw"] for r in m.select("bw").distinct().collect()]
-    if len(widths) != 1 or widths[0] is None:
-        raise ValueError(f"expected one persisted bin width, found {widths}")
+    widths = [r["bw"] for r in m.select("bw").distinct().limit(2).collect()]
+    if len(widths) > 1:
+        raise ValueError(f"mixed persisted bin widths in one state dir: {widths}")
+    if widths == [None]:
+        if legacy_bin_width is None:
+            raise ValueError(
+                "state predates the persisted bin width; pass legacy_bin_width"
+            )
+        widths = [float(legacy_bin_width)]
+    bw = widths[0] if widths else 1.0  # empty state: plan below yields 0 rows
     long_bins = m.select(
         "event_type",
         F.date_trunc(grain, "w_start").alias("bucket"),
         F.posexplode("bins").alias("bin", "c"),
     ).where(F.col("c") > 0)
     merged = sk.merge_bins(long_bins, ["event_type", "bucket"])
-    return sk.histogram_quantiles(merged, qs, ["event_type", "bucket"], widths[0])
+    return sk.histogram_quantiles(merged, qs, ["event_type", "bucket"], bw)
 
 
 def read_rollup_distinct(sink: MergeSink, grain: str = "hour") -> DataFrame:

@@ -7,26 +7,16 @@ values (both ends), single-row groups, all-equal values, n < bins.
 
 from __future__ import annotations
 
-from collections import Counter
-
 import pytest
 from pyspark.sql import functions as F
 
 from dumpr_spark.functions import sketches as sk
+from tests.sketch_ref import ref_quantile as _ref_quantile
 
 W, NBINS = 5.0, 100
 
 
-def _ref_quantile(values, q, w=W, n_bins=NBINS):
-    """Reference: same crossing rule, plain Python."""
-    bins = Counter(min(max(int(v // w), 0), n_bins - 1) for v in values)
-    n, cum = len(values), 0
-    for b in sorted(bins):
-        c = bins[b]
-        cum += c
-        if cum >= q * n:
-            return b * w + w * (q * n - (cum - c)) / c
-    return None
+
 
 
 CASES = [

@@ -1526,7 +1526,7 @@ def test_streaming_rollup_quantiles_from_persisted_bins(spark, tmp_path):
         read_rollup_quantiles,
         start_rollup_stream,
     )
-    from tests.test_sketch_props import _ref_quantile
+    from tests.sketch_ref import ref_quantile as _ref_quantile
 
     src = str(tmp_path / "ev")
     state = str(tmp_path / "rollup_state")
@@ -1628,3 +1628,23 @@ def test_streaming_rollup_distinct_from_persisted_sketches(spark, tmp_path):
     }
     # users {1,2,3}: 1 appears in three minutes but counts once
     assert hour == {"2026-01-01 00:00:00": 3}
+
+
+def test_rollup_quantiles_empty_state_returns_empty(spark, tmp_path):
+    """A reader polling quantiles before any micro-batch commits must get an
+    EMPTY result, not a width-probe error (the ValueError is reserved for
+    genuinely mixed persisted widths / missing-width legacy state)."""
+    import os
+
+    from dumpr_spark.streaming.rollup import read_rollup_quantiles, start_rollup_stream
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)  # source exists but holds no files yet
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).json(src)
+    q, sink = start_rollup_stream(
+        spark, stream, str(tmp_path / "state"), str(tmp_path / "ckpt"), with_bins=True
+    )
+    q.awaitTermination(120)
+    assert read_rollup_quantiles(sink, [0.5]).count() == 0

@@ -198,3 +198,83 @@ def ewma_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters (Misra-Gries) — bounded memory over an unbounded
+# key domain
+# --------------------------------------------------------------------------
+
+MG_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), True),
+        StructField("key", StringType(), True),
+        StructField("count_lb", LongType(), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", StringType(), True),   # JSON array of keys
+        StructField("counts", StringType(), True), # JSON array of counts
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def streaming_heavy_hitters_mg(
+    events: DataFrame,
+    key_col: str = "key",
+    k: int = 8,
+    shards: int = 8,
+    order_col: str = "seq",
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: at most `k` counters per shard
+    no matter how many distinct keys the stream carries — the bounded-memory
+    property `stream_heavy_hitters`' exact batch form does not have (an
+    exact count table grows with the key domain; this state never does).
+
+    Keys are hash-sharded so the `shards` summaries build in parallel and a
+    key's events all land in ONE shard — the per-shard MG guarantee (every
+    key with true count > n_shard/(k+1) is present; stored count
+    undercounts by at most n_shard/(k+1)) therefore applies per key
+    globally, and the union of shard summaries is the distributed summary
+    (mergeable-summaries shape: disjoint key domains union trivially).
+    Each micro-batch emits the shard's CURRENT summary stamped with
+    `n_seen`; readers take the rows with each shard's max n_seen. Rows fold
+    in `order_col` order within a batch for cross-run determinism (MG's
+    guarantee is order-free, but the exact counter values are not)."""
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            keys_j, counts_j, n = state.get
+            c = dict(zip(json.loads(keys_j), json.loads(counts_j)))
+        else:
+            c, n = {}, 0
+        rows = pd.concat(list(pdfs)).sort_values(order_col)
+        for kv in rows[key_col].astype(str):
+            n += 1
+            if kv in c:
+                c[kv] += 1
+            elif len(c) < k:
+                c[kv] = 1
+            else:
+                c = {x: v - 1 for x, v in c.items() if v > 1}
+        state.update((json.dumps(sorted(c)), json.dumps([c[x] for x in sorted(c)]), n))
+        shard_id = int(key[0])
+        yield pd.DataFrame(
+            [(shard_id, x, int(v), int(n)) for x, v in c.items()],
+            columns=[f.name for f in MG_OUT_SCHEMA.fields],
+        )
+
+    sharded = events.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards))
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        fold,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1648,3 +1648,83 @@ def test_rollup_quantiles_empty_state_returns_empty(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert read_rollup_quantiles(sink, [0.5]).count() == 0
+
+
+def test_streaming_heavy_hitters_misra_gries(spark, tmp_path):
+    """Bounded-memory streaming heavy hitters: two micro-batches of a
+    heavy-plus-tail stream through Misra-Gries state. The final summary
+    must (a) hold at most k counters despite 22 distinct keys, (b) contain
+    every key whose true count exceeds n/(k+1), and (c) never overcount —
+    stored counts are lower bounds within n/(k+1) of truth."""
+    from dumpr_spark.streaming.state import streaming_heavy_hitters_mg
+
+    src = str(tmp_path / "hh_src")
+    # batch 0: 30x hot1, 14x hot2, tail t0..t9 once each
+    b0 = [{"seq": i, "key": "hot1"} for i in range(30)]
+    b0 += [{"seq": 100 + i, "key": "hot2"} for i in range(14)]
+    b0 += [{"seq": 200 + i, "key": f"t{i}"} for i in range(10)]
+    # batch 1: 20x hot1, 16x hot2, tail t10..t21 once each
+    b1 = [{"seq": 300 + i, "key": "hot1"} for i in range(20)]
+    b1 += [{"seq": 400 + i, "key": "hot2"} for i in range(16)]
+    b1 += [{"seq": 500 + i, "key": f"t{10 + i}"} for i in range(12)]
+    write_events(src, b0, file_name="b0.json")
+    write_events(src, b1, file_name="b1.json")
+
+    k = 8
+    stream = spark.readStream.schema("seq long, key string").option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        streaming_heavy_hitters_mg(stream, key_col="key", k=k, shards=1)
+        .writeStream.format("memory").queryName("mg_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM mg_test WHERE n_seen = (SELECT MAX(n_seen) FROM mg_test)"
+    ).collect()
+    n_total = len(b0) + len(b1)
+    assert rows and rows[0]["n_seen"] == n_total
+    summary = {r["key"]: r["count_lb"] for r in rows}
+    true = {"hot1": 50, "hot2": 30, **{f"t{i}": 1 for i in range(22)}}
+
+    assert len(summary) <= k                                   # (a) bounded
+    bound = n_total / (k + 1)
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in summary, (key, summary)              # (b) no heavy miss
+    for key, lb in summary.items():
+        assert lb <= true[key]                                 # (c) lower bound...
+        assert lb >= true[key] - bound                         # ...within n/(k+1)
+
+
+def test_streaming_heavy_hitters_sharded_union(spark, tmp_path):
+    """Sharded MG: with 4 parallel shards each key lands wholly in one
+    shard, so the union of per-shard summaries still surfaces every heavy
+    key (mergeable-summaries shape — disjoint domains union trivially)."""
+    from dumpr_spark.streaming.state import streaming_heavy_hitters_mg
+
+    src = str(tmp_path / "hh4_src")
+    rows = [{"seq": i, "key": "hot1"} for i in range(40)]
+    rows += [{"seq": 100 + i, "key": "hot2"} for i in range(25)]
+    rows += [{"seq": 200 + i, "key": f"t{i}"} for i in range(15)]
+    write_events(src, rows)
+    stream = spark.readStream.schema("seq long, key string").json(src)
+    q = (
+        streaming_heavy_hitters_mg(stream, key_col="key", k=4, shards=4)
+        .writeStream.format("memory").queryName("mg4_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT shard, key, count_lb FROM mg4_test").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["key"], set()).add(r["shard"])
+    assert "hot1" in by_key and "hot2" in by_key
+    # a key never spans shards (hash-sharded)
+    assert all(len(shards) == 1 for shards in by_key.values())
+    # no shard holds more than k counters
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in got)
+    assert max(per_shard.values()) <= 4

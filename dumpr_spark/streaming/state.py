@@ -223,6 +223,24 @@ _MG_STATE_SCHEMA = StructType(
 )
 
 
+def mg_fold(counters: dict, keys, k: int) -> tuple[dict, int]:
+    """The Misra-Gries step, factored out of the Spark closure so property
+    tests can drive it at high example counts without a SparkSession:
+    returns (updated counters, rows consumed). Increment a tracked key,
+    insert while below capacity, else decrement ALL counters and drop the
+    zeros (the step that buys the n/(k+1) undercount bound)."""
+    n = 0
+    for kv in keys:
+        n += 1
+        if kv in counters:
+            counters[kv] += 1
+        elif len(counters) < k:
+            counters[kv] = 1
+        else:
+            counters = {x: v - 1 for x, v in counters.items() if v > 1}
+    return counters, n
+
+
 def streaming_heavy_hitters_mg(
     events: DataFrame,
     key_col: str = "key",
@@ -253,14 +271,8 @@ def streaming_heavy_hitters_mg(
         else:
             c, n = {}, 0
         rows = pd.concat(list(pdfs)).sort_values(order_col)
-        for kv in rows[key_col].astype(str):
-            n += 1
-            if kv in c:
-                c[kv] += 1
-            elif len(c) < k:
-                c[kv] = 1
-            else:
-                c = {x: v - 1 for x, v in c.items() if v > 1}
+        c, seen = mg_fold(c, rows[key_col].astype(str), k)
+        n += seen
         state.update((json.dumps(sorted(c)), json.dumps([c[x] for x in sorted(c)]), n))
         shard_id = int(key[0])
         yield pd.DataFrame(

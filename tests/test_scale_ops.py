@@ -412,3 +412,28 @@ def test_plan_shapes_round4_wave3(spark, sf_dir):
     ohlc = explain_str(REGISTRY["rollup_ohlc"].fn(spark, sf_dir), "simple")
     # the trailing orderBy sorts |bars| rows; no Window node may appear
     assert "Window" not in ohlc, ohlc
+
+
+def test_pushdown_and_pruning_canaries(spark, sf_dir):
+    """Scan-efficiency canaries: q6's predicates must reach the parquet
+    scan (PushedFilters) and its ReadSchema must carry only the four
+    referenced lineitem columns — a plan regression that drops pushdown
+    turns the 'pure pushdown probe' into a full scan at 100 TB. BM25's
+    scans must never read the unreferenced documents columns."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    q6 = explain_str(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir), "formatted")
+    assert "GreaterThanOrEqual(l_shipdate" in q6, q6
+    assert "GreaterThanOrEqual(l_discount" in q6, q6
+    schemas = [ln for ln in q6.splitlines() if "ReadSchema" in ln]
+    assert schemas
+    for ln in schemas:
+        for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+            assert col in ln, ln
+        assert "l_orderkey" not in ln and "l_comment" not in ln, ln
+
+    bm25 = explain_str(REGISTRY["text_bm25_topk"].fn(spark, sf_dir), "formatted")
+    for ln in bm25.splitlines():
+        if "ReadSchema" in ln:
+            assert "lang" not in ln and "source" not in ln and "n_chars" not in ln, ln

@@ -1728,3 +1728,47 @@ def test_streaming_heavy_hitters_sharded_union(spark, tmp_path):
 
     per_shard = Counter(r["shard"] for r in got)
     assert max(per_shard.values()) <= 4
+
+
+def test_streaming_heavy_hitters_resume_from_checkpoint(spark, tmp_path):
+    """MG counters must survive a query restart: batch 0 runs under a
+    checkpoint, the query stops, batch 1 arrives, and a NEW query on the
+    same checkpoint resumes the state store — the final summary must equal
+    the pure one-shot fold of both batches (mg_fold is the reference),
+    proving the counters persisted rather than restarting from zero."""
+    from dumpr_spark.streaming.state import mg_fold, streaming_heavy_hitters_mg
+
+    src = str(tmp_path / "hhr_src")
+    ckpt = str(tmp_path / "hhr_ckpt")
+    b0 = [{"seq": i, "key": "hot1"} for i in range(20)]
+    b0 += [{"seq": 100 + i, "key": f"t{i}"} for i in range(6)]
+    b1 = [{"seq": 200 + i, "key": "hot1"} for i in range(10)]
+    b1 += [{"seq": 300 + i, "key": "hot2"} for i in range(12)]
+
+    def run():
+        emitted = []
+        stream = spark.readStream.schema("seq long, key string").json(src)
+        q = (
+            streaming_heavy_hitters_mg(stream, key_col="key", k=4, shards=1)
+            .writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)  # memory sink can't recover; foreachBatch can
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    write_events(src, b0, file_name="b0.json")
+    run()
+    write_events(src, b1, file_name="b1.json")
+    emitted = run()  # resumes state; processes ONLY b1
+
+    max_n = max(r["n_seen"] for r in emitted)
+    rows = [r for r in emitted if r["n_seen"] == max_n]
+    stream_summary = {r["key"]: r["count_lb"] for r in rows}
+    expected, n = mg_fold({}, [e["key"] for e in b0 + b1], 4)
+    assert rows and rows[0]["n_seen"] == n == len(b0) + len(b1)
+    assert stream_summary == expected

@@ -130,7 +130,16 @@ _R4_NEW: set = {
 # current-code green driver evidence that is not a round-4 addition. A name
 # accidentally left out of _R4_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R4_NEW
+# Queries registered AFTER the round-4 evidence budget was balanced: the
+# pre-r4 backlog (29) + _R4_NEW (21) fill the driver's 50-slot budget
+# exactly, so anything added later must queue BEHIND _R4_NEW (it gets its
+# first driver row in round 5) rather than displace an evidence-closing
+# entry.
+_R4_LATE: set = {
+    "dedup_paragraphs", "text_gopher_rules", "export_shard_manifest",
+}
+
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R4_NEW - _R4_LATE
 
 
 def _rank(n: str) -> int:
@@ -138,7 +147,9 @@ def _rank(n: str) -> int:
         return 0
     if n in _R4_NEW:
         return 1
-    return 2 if n in _DRIVER_VERIFIED else 1
+    if n in _R4_LATE:
+        return 2
+    return 3 if n in _DRIVER_VERIFIED else 2
 
 
 _reordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=_rank)}

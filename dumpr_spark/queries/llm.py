@@ -1850,3 +1850,169 @@ def search_hybrid_rrf(spark, sf_dir):
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "dedup_paragraphs",
+    """
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tks FROM documents
+    ),
+    par AS (
+      SELECT doc_id, p.pos AS pos,
+             array_to_string(tks[((p.pos - 1) * 10 + 1):(p.pos * 10)], ' ') AS para,
+             CAST(len(tks[((p.pos - 1) * 10 + 1):(p.pos * 10)]) AS BIGINT) AS n_toks
+      FROM tk, UNNEST(range(1, CAST(ceil(len(tks) / 10.0) AS BIGINT) + 1)) AS p(pos)
+    ),
+    j AS (
+      SELECT doc_id, pos, para, n_toks,
+             COUNT(*) OVER (PARTITION BY md5(para)) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+      FROM par
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN cnt = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cnt = 1 OR rn = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           md5(COALESCE(string_agg(CASE WHEN cnt = 1 OR rn = 1 THEN para END,
+                                   ' ' ORDER BY pos), '')) AS new_text_md5
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Passage-level exact dedup (the CCNet / RefinedWeb paragraph-dedup
+    shape): split every document into fixed 10-token passages, drop every
+    passage whose content appears elsewhere in the corpus EXCEPT its
+    canonical first occurrence (min (doc_id, pos)), and report per doc what
+    survives plus an md5 of the recomposed text.
+
+    Scale shape: passages groupBy a 16-byte content hash with min(struct)
+    canonical election — partial aggregation combines map-side, so the
+    count of a boilerplate passage duplicated a million times reduces
+    inside each input partition before the wire. The join back to passages
+    is an equi-join on the hash, so AQE skew-join can split the hot
+    boilerplate hashes (a window over the hash partition could not be
+    split). Shuffles carry the hash + the passage once each; the final
+    per-doc rollup re-keys by doc_id.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    from dumpr_spark.functions import chunking as ck
+
+    paras = (
+        ck.chunk_documents(d, chunk_tokens=10, stride=10)
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(10) + 1).cast("long").alias("pos"),
+            F.col("chunk_text").alias("para"),
+            F.col("n_tokens").alias("n_toks"),
+        )
+        .withColumn("h", F.md5("para"))
+    )
+    stats = paras.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("canon"),
+    )
+    j = paras.join(stats, "h")
+    keep = (F.col("cnt") == 1) | (
+        (F.col("doc_id") == F.col("canon.doc_id")) & (F.col("pos") == F.col("canon.pos"))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_toks")).otherwise(0)).cast("long").alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "para")))),
+                        lambda x: x["para"],
+                    ),
+                    " ",
+                )
+            ).alias("new_text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_gopher_rules",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             ROUND(list_sum(list_transform(string_split(text, ' '),
+                                           x -> CAST(length(x) AS DOUBLE)))
+                   / len(string_split(text, ' ')) + 1e-9, 4) AS mean_word_len,
+             CAST(len(list_intersect(string_split(text, ' '),
+                                     ['the', 'of', 'and', 'a', 'to'])) AS BIGINT) AS stop_hits,
+             ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) + 1e-9, 4) AS distinct_ratio,
+             ROUND(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                            w -> len(list_filter(string_split(text, ' '), x -> x = w)))) * 1.0
+                   / len(string_split(text, ' ')) + 1e-9, 4) AS top_word_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits, distinct_ratio, top_word_ratio,
+           (n_words BETWEEN 30 AND 1000) AS r_words,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS r_wordlen,
+           (stop_hits >= 2) AS r_stop,
+           (distinct_ratio >= 0.1) AS r_distinct,
+           (top_word_ratio <= 0.1) AS r_topword,
+           ((n_words BETWEEN 30 AND 1000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND stop_hits >= 2 AND distinct_ratio >= 0.1 AND top_word_ratio <= 0.1) AS pass
+    FROM m ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style repetition/quality rule battery (Rae et al. 2021, Dolma's
+    filter set): word-count bounds, mean-word-length bounds, minimum stopword
+    evidence, lexical-diversity floor, and a top-word-coverage cap (the
+    "most common word covers too much of the doc" repetition rule). Each
+    rule is a boolean on a ROUNDED metric (the established cross-engine
+    discipline — a threshold on an unrounded float can split engines on a
+    1-ulp wobble), plus the conjunction `pass` flag.
+
+    Scale shape: a pure narrow projection over the scan — per-doc array
+    expressions, zero shuffle, whole-stage codegen end to end. The
+    top-word count is O(distinct x tokens) per doc inside the row, which is
+    bounded by document length, not corpus size.
+    """
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    tks = F.split(c, " ")
+    n_words = F.size(tks).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in tx.LANG_MARKERS["en"]])
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(tks),
+            lambda w: F.size(F.filter(tks, lambda x: x == w)),
+        )
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        eps_round(tx.mean_token_length(c), 4).alias("mean_word_len"),
+        F.size(F.array_intersect(tks, stop_arr)).cast("long").alias("stop_hits"),
+        eps_round(tx.distinct_token_ratio(c), 4).alias("distinct_ratio"),
+        eps_round(top_cnt * F.lit(1.0) / F.size(tks), 4).alias("top_word_ratio"),
+    )
+    r_words = F.col("n_words").between(30, 1000)
+    r_wordlen = F.col("mean_word_len").between(3.0, 10.0)
+    r_stop = F.col("stop_hits") >= 2
+    r_distinct = F.col("distinct_ratio") >= 0.1
+    r_topword = F.col("top_word_ratio") <= 0.1
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "stop_hits", "distinct_ratio",
+        "top_word_ratio",
+        r_words.alias("r_words"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_distinct.alias("r_distinct"),
+        r_topword.alias("r_topword"),
+        (r_words & r_wordlen & r_stop & r_distinct & r_topword).alias("pass"),
+    ).orderBy("doc_id")

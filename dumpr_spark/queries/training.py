@@ -1155,3 +1155,80 @@ def sample_temperature_mix(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "export_shard_manifest",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_chars, n_tokens, h,
+             COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS tok_before
+      FROM base
+    ),
+    sh AS (
+      SELECT *, CAST(floor(tok_before / 500.0) AS BIGINT) AS shard_id FROM cum
+    )
+    SELECT lang, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+           arg_min(doc_id, h) AS first_doc
+    FROM sh GROUP BY lang, shard_id ORDER BY lang, shard_id
+    """,
+    tags=("training", "export"),
+)
+def export_shard_manifest(spark, sf_dir):
+    """Token-budget shard assignment + manifest — the training-export
+    planning op: per language stratum, order documents by a deterministic
+    content-independent hash (md5 of the id, so assignment is stable under
+    corpus growth elsewhere), running-total their token counts, and cut
+    ~500-token shards at the cumulative boundary (a doc belongs to
+    floor(tokens_before / budget) — the greedy streaming-writer rule).
+    The manifest rows (docs, tokens, bytes, first doc per shard) are what a
+    downstream trainer consumes to schedule shard reads.
+
+    Scale shape: one keyed window per stratum (PARTITION BY lang) — strata
+    are many and independent, so the prefix sums parallelize across the
+    cluster; the manifest rollup reuses the same (lang, shard) key. For a
+    single giant stratum the same running total is computed with the
+    two-phase distributed prefix scan (approxQuantile buckets -> per-bucket
+    summaries -> broadcast offsets) used by operators/ntile and the batch
+    tx filter — the shape is already in the repo, keyed windows are the
+    right default while strata partition the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    ).withColumn("shard_id", F.floor(F.col("tok_before") / F.lit(500.0)).cast("long"))
+    return (
+        cum.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("n_chars").cast("long").alias("bytes_total"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+        )
+        .orderBy("lang", "shard_id")
+    )

@@ -360,3 +360,70 @@ def test_bucketed_overlap_join_equals_naive(spark):
     assert (1, 10) in got          # multi-bucket overlap counted once
     out = bucketed_overlap_join(left, right, "ls", "le", "rs", "re", 3600)
     assert out.where((F.col("l_id") == 1) & (F.col("r_id") == 10)).count() == 1
+
+
+def test_paragraph_dedup_keeps_one_canonical_copy(spark, tmp_path):
+    """Every duplicated passage survives exactly once corpus-wide (at its
+    min-(doc_id,pos) occurrence); unique passages all survive."""
+    import duckdb
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # exact 10-token passage
+    docs = [
+        (1, boiler + " " + " ".join(f"u1x{i}" for i in range(10))),
+        (2, " ".join(f"u2x{i}" for i in range(10)) + " " + boiler),
+        (3, boiler),
+        (4, " ".join(f"u4x{i}" for i in range(7))),  # short doc: one partial passage
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, txt, "en", "s", len(txt)) for i, txt in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).toPandas().to_parquet(tmp_path / "documents.parquet")
+
+    from dumpr_spark.queries import REGISTRY
+
+    got = {r["doc_id"]: r for r in REGISTRY["dedup_paragraphs"].fn(spark, sf).collect()}
+    # doc 1 holds the canonical (min doc_id, min pos) boilerplate copy
+    assert got[1]["n_paras"] == 2 and got[1]["n_kept"] == 2
+    # docs 2 and 3 lose their boilerplate passage, keep their unique ones
+    assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
+    assert got[3]["n_paras"] == 1 and got[3]["n_kept"] == 0
+    assert got[4]["n_kept"] == 1 and got[4]["kept_tokens"] == 7
+    # zero-kept doc recomposes to the md5 of the empty string on both engines
+    assert got[3]["new_text_md5"] == duckdb.sql("SELECT md5('')").fetchone()[0]
+
+
+def test_shard_manifest_budget_and_stability(spark):
+    """Shard token totals never exceed budget + the largest doc (the greedy
+    streaming-writer bound); assignment is stable when other strata grow."""
+    rows = [(i, "en" if i % 2 else "de", " ".join(["w"] * ((i * 13) % 80 + 20))) for i in range(120)]
+    df = spark.createDataFrame(
+        [(i, txt, lang, "s", len(txt)) for i, lang, txt in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def manifest(frame):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            frame.toPandas().to_parquet(d + "/documents.parquet")
+            from dumpr_spark.queries import REGISTRY
+
+            return REGISTRY["export_shard_manifest"].fn(spark, d).collect()
+
+    out = manifest(df)
+    max_doc = 99  # largest n_tokens in the corpus above
+    assert sum(r["n_docs"] for r in out) == 120
+    for r in out:
+        assert r["tokens_total"] <= 500 + max_doc
+    # growing the de stratum must not move any en doc's shard
+    en_before = {(r["lang"], r["shard_id"]): r["first_doc"] for r in out if r["lang"] == "en"}
+    grown = df.union(
+        spark.createDataFrame(
+            [(1000 + i, "x y z", "de", "s", 5) for i in range(30)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    out2 = manifest(grown)
+    en_after = {(r["lang"], r["shard_id"]): r["first_doc"] for r in out2 if r["lang"] == "en"}
+    assert en_before == en_after

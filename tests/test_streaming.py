@@ -1772,3 +1772,53 @@ def test_streaming_heavy_hitters_resume_from_checkpoint(spark, tmp_path):
     expected, n = mg_fold({}, [e["key"] for e in b0 + b1], 4)
     assert rows and rows[0]["n_seen"] == n == len(b0) + len(b1)
     assert stream_summary == expected
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: an unmatched left row may only emit its
+    null-extended result once BOTH watermarks pass its join window (before
+    that the engine must hold it in state — a match could still arrive).
+    maxFilesPerTrigger=1 forces multiple micro-batches so the watermark
+    actually advances mid-query instead of jumping once at the end."""
+    imp_src = str(tmp_path / "lo_imp")
+    clk_src = str(tmp_path / "lo_clk")
+    write_events(imp_src, [
+        {"ts": "2026-01-01T00:00:00Z", "ad": "a1"},
+        {"ts": "2026-01-01T00:10:00Z", "ad": "a2"},   # never clicked
+    ], file_name="f0.json")
+    write_events(imp_src, [
+        {"ts": "2026-01-01T06:00:00Z", "ad": "a9"},   # watermark advancer
+    ], file_name="f1.json")
+    write_events(clk_src, [
+        {"cts": "2026-01-01T00:30:00Z", "ad": "a1"},
+    ], file_name="f0.json")
+    write_events(clk_src, [
+        {"cts": "2026-01-01T06:00:00Z", "ad": "a9"},  # advances click watermark
+    ], file_name="f1.json")
+    imps = (
+        spark.readStream.schema("ts timestamp, ad string")
+        .option("maxFilesPerTrigger", 1).json(imp_src)
+        .withWatermark("ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema("cts timestamp, ad string")
+        .option("maxFilesPerTrigger", 1).json(clk_src)
+        .withWatermark("cts", "1 hour")
+        .withColumnRenamed("ad", "c_ad")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("cts") >= F.col("ts"))
+        & (F.col("cts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("ad", "ts", "cts")
+    q = (
+        joined.writeStream.format("memory").queryName("lo_join_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r["ad"]: r["cts"] for r in spark.sql("SELECT ad, cts FROM lo_join_test").collect()}
+    assert got["a1"] is not None          # matched within the hour
+    assert got["a9"] is not None          # advancer matched itself
+    assert "a2" in got and got["a2"] is None   # expired unmatched -> null-extended row

@@ -437,3 +437,26 @@ def test_pushdown_and_pruning_canaries(spark, sf_dir):
     for ln in bm25.splitlines():
         if "ReadSchema" in ln:
             assert "lang" not in ln and "source" not in ln and "n_chars" not in ln, ln
+
+
+def test_plan_shapes_r4_late_queries(spark, sf_dir):
+    """Round-4 late-wave plan claims: the Gopher rule battery is a pure
+    narrow projection (zero Exchange); passage dedup's canonical election is
+    a partial-combining HashAggregate (not a window over the hash — a
+    window could not be AQE-split on a hot boilerplate hash); the shard
+    manifest's prefix sum never funnels through a single partition."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    gr = explain_str(REGISTRY["text_gopher_rules"].fn(spark, sf_dir), "simple")
+    # presentation orderBy is a rangepartitioning Exchange; no data shuffle
+    assert "Exchange hashpartitioning" not in gr, gr
+
+    dp = explain_str(REGISTRY["dedup_paragraphs"].fn(spark, sf_dir), "simple")
+    assert "HashAggregate" in dp, dp
+    # the hash-keyed stats side must join, not window, over md5(para)
+    assert "SortMergeJoin" in dp or "BroadcastHashJoin" in dp or "ShuffledHashJoin" in dp, dp
+
+    sm = explain_str(REGISTRY["export_shard_manifest"].fn(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in sm, sm
+    assert "Window" in sm, sm

@@ -116,6 +116,7 @@ def compact_small_files(
     target_file_mb: int = 128,
     fmt: str = "parquet",
     schema=None,
+    order_by: list[str] | None = None,
 ) -> int:
     """Small-files compaction: rewrite a table directory into
     ceil(bytes / target) files and atomically swap it in. Returns the new
@@ -142,7 +143,15 @@ def compact_small_files(
     pin the read: without it, partition-value inference re-TYPES
     numeric-looking directory values — a table named '007' (``tbl=007``)
     reads back as int 7 and rewrites as ``tbl=7``, silently splitting keys.
-    MergeSink.compact_files always passes its envelope schema."""
+    MergeSink.compact_files always passes its envelope schema.
+
+    Pass ``order_by`` to lay the rewrite out for data skipping (zone maps):
+    unpartitioned data is range-repartitioned on those columns so output
+    FILES carry narrow, pairwise-disjoint min/max footer stats — a reader
+    filtering on the sort key prunes whole files, not just row groups;
+    partitioned data keeps one-file-per-partition and sorts WITHIN each
+    file so row-group stats line up instead. At 100 TB this is the
+    difference between scanning a key's one file and scanning the table."""
     import math
     import os
     import shutil
@@ -166,15 +175,18 @@ def compact_small_files(
     bak = path.rstrip("/") + ".compact-bak"
     shutil.rmtree(tmp, ignore_errors=True)
     if part_cols:
-        (
-            df.repartition(n_files, *[F.col(c) for c in part_cols])
-            .write.format(fmt)
-            .partitionBy(*part_cols)
-            .mode("overwrite")
-            .save(tmp)
-        )
+        shaped = df.repartition(n_files, *[F.col(c) for c in part_cols])
+        if order_by:
+            shaped = shaped.sortWithinPartitions(*part_cols, *order_by)
+        shaped.write.format(fmt).partitionBy(*part_cols).mode("overwrite").save(tmp)
     else:
-        df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+        if order_by:
+            shaped = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+                *order_by
+            )
+        else:
+            shaped = df.repartition(n_files)
+        shaped.write.format(fmt).mode("overwrite").save(tmp)
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)

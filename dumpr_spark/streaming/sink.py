@@ -122,7 +122,7 @@ class MergeSink:
             self._commit(raw.where(F.col("tbl").isin(tombstoned)).where(F.col("op") != OP_DELETE),
                          tombstoned, "compact")
 
-    def compact_files(self, target_file_mb: int = 128) -> int:
+    def compact_files(self, target_file_mb: int = 128, order_by: list[str] | None = None) -> int:
         """Small-files maintenance: rewrite the state directory into
         ~target-sized files (one per tbl= partition at test scales) via
         operators.scale.compact_small_files. The compactor preserves the
@@ -132,13 +132,15 @@ class MergeSink:
         separate from `_commit`'s and must not interleave with it. Cadence
         guidance in SCALE.md. Returns the new data-file count. The persisted
         schema is pinned through the rewrite so partition-value inference
-        cannot re-type a numeric-looking `tbl` value (tbl=007 -> tbl=7)."""
+        cannot re-type a numeric-looking `tbl` value (tbl=007 -> tbl=7).
+        ``order_by`` (e.g. ``["id"]``) sorts rows within each table's file
+        so point lookups on the key prune row groups via footer stats."""
         from dumpr_spark.operators.scale import compact_small_files
 
         self._recover()
         return compact_small_files(
             self.spark, self.state_path, target_file_mb=target_file_mb,
-            schema=self._schema,
+            schema=self._schema, order_by=order_by,
         )
 
     def _commit(self, next_touched: DataFrame, touched: list[str], batch_id) -> None:

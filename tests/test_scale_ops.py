@@ -460,3 +460,59 @@ def test_plan_shapes_r4_late_queries(spark, sf_dir):
     sm = explain_str(REGISTRY["export_shard_manifest"].fn(spark, sf_dir), "simple")
     assert "Exchange SinglePartition" not in sm, sm
     assert "Window" in sm, sm
+
+
+def test_compact_with_order_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """order_by compaction lays files out as zone maps: every output file's
+    [min, max] of the sort key is disjoint from every other's, so a reader
+    filtering on the key can prune whole files from the footer stats alone.
+    The pre-compaction layout (hash-shuffled writes) has overlapping ranges
+    in every file — the worst case for skipping."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from dumpr_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "zone")
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        .repartition(8)  # hash-spread: every file spans ~the full k domain
+    )
+    df.write.parquet(path)
+
+    def file_ranges(p):
+        import os
+
+        out = []
+        for root, _d, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    md = pq.read_metadata(os.path.join(root, f))
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        col = md.row_group(rg).column(0)  # k is the first column
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+                    out.append((min(mins), max(maxs)))
+        return out
+
+    before = file_ranges(path)
+    assert len(before) >= 4
+    overlaps = sum(
+        1 for a, b in itertools.combinations(before, 2) if a[0] <= b[1] and b[0] <= a[1]
+    )
+    assert overlaps > 0  # hash layout: ranges interleave
+
+    n_out = compact_small_files(spark, path, target_file_mb=1, order_by=["k"])
+    after = file_ranges(path)
+    assert len(after) == n_out >= 2
+    for a, b in itertools.combinations(after, 2):
+        assert a[1] < b[0] or b[1] < a[0], (a, b)  # pairwise disjoint
+    got = spark.read.parquet(path)
+    assert got.count() == n and got.agg(F.sum("k")).first()[0] == n * (n - 1) // 2

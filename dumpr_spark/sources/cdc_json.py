@@ -217,3 +217,40 @@ def events_to_changes(events: DataFrame, id_cols: dict[str, str]) -> DataFrame:
         # sub-sequence rows within one event keep their ordinal (explode order)
         (F.col("seq") * F.lit(1 << 16) + F.col("_row_idx")).cast("long").alias("seq"),
     )
+
+
+def changes_to_debezium(changes: DataFrame, db: str) -> DataFrame:
+    """Egress adapter: canonical envelope rows -> Debezium-wire JSON values
+    (one string per record, ready for a Kafka value or a JSONL feed). The
+    inverse of parse_debezium_lines + debezium_to_changes, completing the
+    CDC round-trip: an engine materialization can republish its change feed
+    in the same production format it consumes.
+
+    Mapping: delete -> op 'd' with the row image in `before` (`after` null,
+    Debezium's delete convention); upsert -> op 'u' with the image in
+    `after` (the envelope does not distinguish create from update, so
+    creates degrade to 'u' — downstream entity folds treat c/u/r
+    identically, as does debezium_to_changes). source.{file,pos} carry the
+    binlog position; source.row carries the envelope seq's low bits so
+    re-ingesting preserves the intra-event order the seq reified.
+
+    Pure narrow projection (from_json of the content + to_json of the
+    struct) — fuses into whatever plan feeds it, no shuffle."""
+    row_img = F.from_json(F.col("content"), MapType(StringType(), StringType()))
+    is_del = F.col("op") == "delete"
+    payload = F.struct(
+        F.when(is_del, row_img).alias("before"),
+        F.when(~is_del, row_img).alias("after"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+        F.struct(
+            F.lit(db).alias("db"),
+            F.col("tbl").alias("table"),
+            F.col("next_file").alias("file"),
+            F.col("next_position").alias("pos"),
+            (F.col("seq") % F.lit(1 << 10)).cast("long").alias("row"),
+        ).alias("source"),
+    )
+    return changes.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )

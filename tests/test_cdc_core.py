@@ -370,3 +370,46 @@ def test_parse_event_lines_raw_feed_to_state(spark):
     state = materialize(events_to_changes(events, {"w": "id"}))
     got = {r["id"]: json.loads(r["content"])["v"] for r in state.collect()}
     assert got == {"2": "b"}  # id=1 deleted by seq 2
+
+
+def test_debezium_egress_roundtrip(spark):
+    """changes_to_debezium is the inverse of the Debezium ingest path:
+    envelope -> wire JSON -> parse_debezium_lines -> debezium_to_changes
+    reproduces op/tbl/id/row-image/ts, and the re-packed seq preserves the
+    original feed order (position order survives the round-trip even though
+    the engine-internal seq value itself is re-derived)."""
+    import datetime as dt
+
+    from dumpr_spark.sources.cdc_json import (
+        changes_to_debezium, debezium_to_changes, parse_debezium_lines,
+    )
+
+    rows = [
+        ("upsert", "users", "1", '{"pk":"1","name":"ann"}',
+         dt.datetime(2026, 1, 1, 0, 0, 0), "bin.000001", 100, (1 << 42) + (100 << 10) + 0),
+        ("upsert", "users", "2", '{"pk":"2","name":"bob"}',
+         dt.datetime(2026, 1, 1, 0, 0, 1), "bin.000001", 200, (1 << 42) + (200 << 10) + 1),
+        ("delete", "users", "1", '{"pk":"1","name":"ann"}',
+         dt.datetime(2026, 1, 1, 0, 0, 2), "bin.000002", 50, (2 << 42) + (50 << 10) + 0),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "op string, tbl string, id string, content string, ts timestamp, "
+        "next_file string, next_position long, seq long",
+    )
+    wire = changes_to_debezium(env, db="appdb")
+    back = debezium_to_changes(
+        parse_debezium_lines(wire), id_cols={"users": "pk"}
+    ).orderBy("seq").collect()
+
+    assert [r["op"] for r in back] == ["upsert", "upsert", "delete"]
+    assert [r["id"] for r in back] == ["1", "2", "1"]
+    assert [r["tbl"] for r in back] == ["users"] * 3
+    assert [r["ts"] for r in back] == [r[4] for r in rows]
+    # row image survives (delete carries its before-image)
+    import json
+
+    assert [json.loads(r["content"]) for r in back] == [json.loads(r[3]) for r in rows]
+    # re-derived seq preserves the original order
+    orig_order = [r[7] for r in sorted(rows, key=lambda x: x[7])]
+    assert [r["id"] for r in back] == ["1", "2", "1"] and orig_order == sorted(orig_order)

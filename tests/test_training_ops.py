@@ -427,3 +427,67 @@ def test_shard_manifest_budget_and_stability(spark):
     out2 = manifest(grown)
     en_after = {(r["lang"], r["shard_id"]): r["first_doc"] for r in out2 if r["lang"] == "en"}
     assert en_before == en_after
+
+
+def test_paragraph_dedup_property_random_corpora(spark):
+    """Property (random corpora, tiny vocab => heavy passage collisions):
+    per-doc survivor counts match a pure-Python replica of the fold, and
+    every distinct passage survives exactly once corpus-wide."""
+    import math
+    import tempfile
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dumpr_spark.queries import REGISTRY
+
+    def py_oracle(docs):
+        paras = []
+        for did, txt in docs:
+            tks = txt.split(" ")
+            for p in range(math.ceil(len(tks) / 10)):
+                paras.append((did, p + 1, " ".join(tks[p * 10:(p + 1) * 10])))
+        occ = defaultdict(list)
+        for did, pos, para in paras:
+            occ[para].append((did, pos))
+        stats = defaultdict(lambda: [0, 0])  # doc_id -> [n_paras, n_kept]
+        for para, lst in occ.items():
+            lst.sort()
+            for i, (did, pos) in enumerate(lst):
+                stats[did][0] += 1
+                if len(lst) == 1 or i == 0:
+                    stats[did][1] += 1
+        return dict(stats)
+
+    @given(
+        corpora=st.lists(
+            st.lists(st.sampled_from("a b c".split()), min_size=1, max_size=35),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def prop(corpora):
+        docs = [(i, " ".join(tks)) for i, tks in enumerate(corpora)]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(i, txt, "en", "s", len(txt)) for i, txt in docs],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).toPandas().to_parquet(d + "/documents.parquet")
+            got = {
+                r["doc_id"]: (r["n_paras"], r["n_kept"])
+                for r in REGISTRY["dedup_paragraphs"].fn(spark, d).collect()
+            }
+        want = {k: tuple(v) for k, v in py_oracle(docs).items()}
+        assert got == want
+        # corpus-wide: kept occurrences == number of DISTINCT passages
+        n_distinct = len({
+            " ".join(tks[p * 10:(p + 1) * 10])
+            for _i, tks in enumerate(corpora)
+            for p in range(math.ceil(len(tks) / 10))
+        })
+        assert sum(k for _n, k in got.values()) == n_distinct
+
+    prop()

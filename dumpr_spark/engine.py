@@ -113,6 +113,22 @@ class Engine:
             return sim.ivf_topk(corpus, queries, kw.pop("centroids"), k=k, **kw)
         raise ValueError(f"method must be brute/lsh/ivf, got {method!r}")
 
+    def dedup_paragraphs(self, df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", para_tokens: int = 10) -> DataFrame:
+        """Passage-level exact dedup: one row per passage occurrence with a
+        `keep` flag (unique corpus-wide, or the canonical first copy)."""
+        from dumpr_spark.functions.dedup import paragraph_dedup
+
+        return paragraph_dedup(df, id_col=id_col, text_col=text_col,
+                               para_tokens=para_tokens)
+
+    def publish_debezium(self, changes: DataFrame, db: str) -> DataFrame:
+        """Re-emit canonical envelope rows as Debezium-wire JSON `value`
+        strings (the egress inverse of the Debezium ingest adapter)."""
+        from dumpr_spark.sources.cdc_json import changes_to_debezium
+
+        return changes_to_debezium(changes, db=db)
+
     def quantile_sketch(self, df: DataFrame, value_col: str = "value",
                         group_cols=("event_type",), qs=(0.5, 0.95),
                         bin_width: float = 5.0, n_bins: int = 100) -> DataFrame:

@@ -368,3 +368,55 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 10,
+) -> DataFrame:
+    """Passage-level exact dedup (CCNet / RefinedWeb paragraph dedup): split
+    each document into fixed `para_tokens`-token passages and mark every
+    passage occurrence with a `keep` flag — True iff its content is unique
+    corpus-wide OR this is the canonical first occurrence (min (id, pos)).
+
+    Returns one row per passage occurrence: (id, pos, para, n_toks, keep).
+    Callers recompose documents (array_sort over kept (pos, para)) or roll
+    survivors up; the registry query `dedup_paragraphs` does both.
+
+    Scale: the canonical election is a groupBy on the 16-byte md5 with
+    count + min(struct) — both partial-aggregate map-side, so a passage
+    duplicated a million times reduces inside each input partition before
+    the wire. The join back is an equi-join on the hash, splittable by AQE
+    skew-join when boilerplate hashes run hot (a window over the hash
+    partition would not be)."""
+    from dumpr_spark.functions.chunking import chunk_documents
+
+    paras = (
+        chunk_documents(
+            df.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            chunk_tokens=para_tokens,
+            stride=para_tokens,
+        )
+        .select(
+            id_col,
+            ((F.col("start") - 1) / F.lit(para_tokens) + 1).cast("long").alias("pos"),
+            F.col("chunk_text").alias("para"),
+            F.col("n_tokens").alias("n_toks"),
+        )
+        .withColumn("h", F.md5("para"))
+    )
+    stats = paras.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(id_col, "pos")).alias("canon"),
+    )
+    keep = (F.col("cnt") == 1) | (
+        (F.col(id_col) == F.col("canon." + id_col)) & (F.col("pos") == F.col("canon.pos"))
+    )
+    return (
+        paras.join(stats, "h")
+        .select(id_col, "pos", "para", "n_toks", keep.alias("keep"))
+    )

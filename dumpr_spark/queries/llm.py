@@ -1898,26 +1898,8 @@ def dedup_paragraphs(spark, sf_dir):
     per-doc rollup re-keys by doc_id.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    from dumpr_spark.functions import chunking as ck
-
-    paras = (
-        ck.chunk_documents(d, chunk_tokens=10, stride=10)
-        .select(
-            "doc_id",
-            ((F.col("start") - 1) / F.lit(10) + 1).cast("long").alias("pos"),
-            F.col("chunk_text").alias("para"),
-            F.col("n_tokens").alias("n_toks"),
-        )
-        .withColumn("h", F.md5("para"))
-    )
-    stats = paras.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct("doc_id", "pos")).alias("canon"),
-    )
-    j = paras.join(stats, "h")
-    keep = (F.col("cnt") == 1) | (
-        (F.col("doc_id") == F.col("canon.doc_id")) & (F.col("pos") == F.col("canon.pos"))
-    )
+    j = dd.paragraph_dedup(d, id_col="doc_id", text_col="text", para_tokens=10)
+    keep = F.col("keep")
     return (
         j.groupBy("doc_id")
         .agg(

@@ -134,3 +134,29 @@ def test_engine_analytics_facade(engine, spark, sf_dir):
 
     with pytest.raises(ValueError):
         engine.similar_topk(emb, q, method="nope")
+
+
+def test_engine_paragraph_dedup_and_debezium_egress(engine, spark, sf_dir):
+    """Facade pass-throughs: paragraph dedup keeps exactly one copy of a
+    duplicated passage; publish_debezium emits parseable wire JSON."""
+    boiler = " ".join(f"p{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, boiler)], "doc_id long, text string"
+    )
+    out = engine.dedup_paragraphs(docs).collect()
+    assert sorted((r["doc_id"], r["keep"]) for r in out) == [(1, True), (2, False)]
+
+    import datetime as dt
+
+    env = spark.createDataFrame(
+        [("upsert", "users", "1", '{"pk":"1"}', dt.datetime(2026, 1, 1),
+          "bin.000001", 4, (1 << 42) + (4 << 10))],
+        "op string, tbl string, id string, content string, ts timestamp, "
+        "next_file string, next_position long, seq long",
+    )
+    wire = engine.publish_debezium(env, db="appdb").first()["value"]
+    import json
+
+    payload = json.loads(wire)["payload"]
+    assert payload["op"] == "u" and payload["after"] == {"pk": "1"}
+    assert payload["source"]["table"] == "users" and payload["source"]["pos"] == 4

@@ -39,6 +39,7 @@ QUERIES = [
     "agg_quantile_mergeable",
     "rollup_ohlc",
     "text_bm25_topk",
+    "dedup_paragraphs",
 ]
 
 

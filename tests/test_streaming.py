@@ -1822,3 +1822,43 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     assert got["a1"] is not None          # matched within the hour
     assert got["a9"] is not None          # advancer matched itself
     assert "a2" in got and got["a2"] is None   # expired unmatched -> null-extended row
+
+
+def test_drop_duplicates_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the bounded-state streaming dedup:
+    a duplicate inside the watermark horizon is dropped, but once the
+    watermark passes, the key's state is EVICTED and a later recurrence
+    emits again — unlike plain dropDuplicates, whose state (and memory)
+    grows with the key domain forever. This eviction is what makes exact
+    streaming dedup viable over an unbounded key stream at 100 TB."""
+    src = str(tmp_path / "ddww_src")
+    write_events(src, [
+        {"ts": "2026-01-01T00:00:00Z", "k": "A"},
+        {"ts": "2026-01-01T00:05:00Z", "k": "A"},   # dup within horizon -> dropped
+    ], file_name="f0.json")
+    write_events(src, [
+        {"ts": "2026-01-01T02:00:00Z", "k": "B"},   # advances watermark past A's horizon
+    ], file_name="f1.json")
+    write_events(src, [
+        {"ts": "2026-01-01T04:00:00Z", "k": "C"},   # extra batch: eviction is applied lazily
+    ], file_name="f2.json")
+    write_events(src, [
+        {"ts": "2026-01-01T04:10:00Z", "k": "A"},   # A's state evicted -> emits again
+    ], file_name="f3.json")
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1).json(src)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("ddww_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["k"], str(r["ts"])) for r in spark.sql("SELECT k, ts FROM ddww_test").collect()
+    )
+    ks = [k for k, _ in got]
+    assert ks == ["A", "A", "B", "C"]     # A emitted twice (pre- and post-eviction), dup dropped
+    assert ("A", "2026-01-01 00:05:00") not in got

@@ -1414,7 +1414,7 @@ def q10_returned_items(spark, sf_dir):
     tags=("join", "agg", "tpch"),
 )
 def q12_priority_lines(spark, sf_dir):
-    """TPC-H Q12 shape (l_linestatus stands in for l_shipmode, absent from
+    """TPC-H Q12 shape (l_linestatus stands in for l_linestatus, absent from
     this dataset): conditional-sum pivot of order priority per line status
     over a one-year ship window. The CASE WHEN sums evaluate inside the
     partial aggregate — the shuffle carries |linestatus| rows of two
@@ -2281,3 +2281,94 @@ def agg_quantile_mergeable(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "profile_columns",
+    """
+    SELECT * FROM (
+      SELECT 'l_discount' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+             ROUND(MIN(l_discount) + 1e-9, 4) AS min_num,
+             ROUND(MAX(l_discount) + 1e-9, 4) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+             ROUND(MIN(l_quantity) + 1e-9, 4), ROUND(MAX(l_quantity) + 1e-9, 4),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             MIN(l_returnflag), MAX(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             MIN(l_linestatus), MAX(l_linestatus)
+      FROM lineitem
+    ) ORDER BY col_name
+    """,
+    tags=("relational", "profile"),
+)
+def profile_columns(spark, sf_dir):
+    """Column profiling (the ANALYZE / data-quality-observability op): per
+    profiled column, row count, null count, exact distinct count, and
+    min/max (numeric or lexicographic). The long output shape is what a
+    pipeline-health dashboard or an optimizer-stats collector consumes.
+
+    Scale shape: one independent single-column aggregate per profiled
+    column, unioned — each leg's parquet scan reads ONLY its column
+    (column pruning), and the union legs run as parallel stages. This is
+    deliberately NOT one agg with many COUNT(DISTINCT)s: multiple exact
+    distincts in one aggregate force Catalyst's Expand (input multiplied
+    by the number of distinct aggs). At 100 TB swap the exact distinct for
+    approx_count_distinct / the HLL sketch twin (`agg_hll_mergeable`) —
+    same plan, no full-width shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    null_str = F.lit(None).cast("string")
+    null_num = F.lit(None).cast("double")
+
+    def leg(col, numeric):
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).cast("long").alias("n_nulls"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+        ]
+        if numeric:
+            aggs += [
+                eps_round(F.min(col).cast("double"), 4).alias("min_num"),
+                eps_round(F.max(col).cast("double"), 4).alias("max_num"),
+            ]
+        sel = li.agg(*aggs)
+        if numeric:
+            return sel.select(
+                F.lit(col).alias("col_name"), "n_rows", "n_nulls", "n_distinct",
+                "min_num", "max_num", null_str.alias("min_str"), null_str.alias("max_str"),
+            )
+        mm = li.agg(*aggs, F.min(col).alias("mn"), F.max(col).alias("mx"))
+        return mm.select(
+            F.lit(col).alias("col_name"), "n_rows", "n_nulls", "n_distinct",
+            null_num.alias("min_num"), null_num.alias("max_num"),
+            F.col("mn").alias("min_str"), F.col("mx").alias("max_str"),
+        )
+
+    out = (
+        leg("l_discount", True)
+        .unionByName(leg("l_quantity", True))
+        .unionByName(leg("l_returnflag", False))
+        .unionByName(leg("l_linestatus", False))
+    )
+    return out.orderBy("col_name")

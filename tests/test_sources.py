@@ -141,3 +141,87 @@ def test_corrupt_json_routes_to_dead_letter(spark, tmp_path):
         assert "oops" in bad_rows[0]["_corrupt_record"]  # raw line preserved
     finally:
         df.unpersist()
+
+
+def _pyds_feed(path, name, events):
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_pyds_batch_read_matches_jvm_source_and_resumes(spark, tmp_path):
+    """The dumpr_cdc Python data source reads the same rows the JVM JSON
+    source reads (same EVENT_SCHEMA), one task per feed file, and
+    start_seq resumes past a stored position (R13)."""
+    from dumpr_spark.sources.cdc_json import read_events_json
+    from dumpr_spark.sources.pyds import CdcFeedDataSource
+
+    spark.dataSource.register(CdcFeedDataSource)
+    src = str(tmp_path / "feed")
+    evs = [
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": "1", "v": "a"}], "seq": 1},
+        {"event_type": "rotate", "rotate_file": "bin.000002", "next_position": 4, "seq": 2},
+        {"event_type": "update", "db": "s", "tbl": "w", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 20, "rows": [{"id": "1", "v": "b"}], "seq": 3},
+    ]
+    _pyds_feed(src, "f0.json", evs[:2])
+    _pyds_feed(src, "f1.json", evs[2:])
+
+    py = spark.read.format("dumpr_cdc").option("path", src).load()
+    jvm = read_events_json(spark, src)
+    # same names+types; JSON relaxes nullability, the python DS keeps the
+    # declared not-null markers — both are the engine's EVENT_SCHEMA
+    assert [(f.name, f.dataType) for f in py.schema.fields] == [
+        (f.name, f.dataType) for f in jvm.schema.fields
+    ]
+    key = lambda r: r["seq"]  # noqa: E731
+    assert sorted(py.collect(), key=key) == sorted(jvm.collect(), key=key)
+    # one input partition per feed file (parallel decode, R17)
+    assert py.rdd.getNumPartitions() == 2
+    resumed = (
+        spark.read.format("dumpr_cdc").option("path", src).option("start_seq", "2").load()
+    )
+    assert [r["seq"] for r in resumed.collect()] == [3]
+
+
+def test_pyds_stream_offset_is_position_not_file_identity(spark, tmp_path):
+    """The streaming offset of dumpr_cdc is the binlog position (seq): after
+    the feed files are REWRITTEN (compaction destroys file identity — the
+    case where file-tracking offsets re-read or lose data), a checkpointed
+    restart still resumes exactly past the last processed position."""
+    from dumpr_spark.sources.pyds import CdcFeedDataSource
+
+    spark.dataSource.register(CdcFeedDataSource)
+    src = str(tmp_path / "pfeed")
+    ckpt = str(tmp_path / "pckpt")
+    out = str(tmp_path / "pout")
+    _pyds_feed(src, "f0.json", [
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": "1"}], "seq": 1},
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 20, "rows": [{"id": "2"}], "seq": 2},
+    ])
+
+    def run():
+        s = spark.readStream.format("dumpr_cdc").option("path", src).load()
+        q = (
+            s.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r["seq"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    # compact the feed: old events vanish, file names reused — position survives
+    _pyds_feed(src, "f0.json", [])
+    _pyds_feed(src, "f1.json", [
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:02:00Z",
+         "next_position": 30, "rows": [{"id": "3"}], "seq": 3},
+    ])
+    run()
+    assert sorted(r["seq"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]

@@ -1414,7 +1414,7 @@ def q10_returned_items(spark, sf_dir):
     tags=("join", "agg", "tpch"),
 )
 def q12_priority_lines(spark, sf_dir):
-    """TPC-H Q12 shape (l_linestatus stands in for l_linestatus, absent from
+    """TPC-H Q12 shape (l_linestatus stands in for l_shipmode, absent from
     this dataset): conditional-sum pivot of order priority per line status
     over a one-year ship window. The CASE WHEN sums evaluate inside the
     partial aggregate — the shuffle carries |linestatus| rows of two

@@ -248,7 +248,15 @@ def changes_to_debezium(changes: DataFrame, db: str) -> DataFrame:
             F.col("tbl").alias("table"),
             F.col("next_file").alias("file"),
             F.col("next_position").alias("pos"),
-            (F.col("seq") % F.lit(1 << 10)).cast("long").alias("row"),
+            # events_to_changes packs the row ordinal into the seq's low 16
+            # bits; extract at that width, then saturate at the Debezium
+            # adapter's 10-bit budget so an oversized event degrades to a
+            # TIE at the clamp (same discipline as debezium_to_changes'
+            # least()), never an order INVERSION — a plain % (1<<10) would
+            # wrap row 1024 to 0 and re-ingest it BEFORE row 1023.
+            F.least(F.col("seq") % F.lit(1 << 16), F.lit((1 << 10) - 1))
+            .cast("long")
+            .alias("row"),
         ).alias("source"),
     )
     return changes.select(

@@ -51,7 +51,10 @@ def _parse_ts(v):
         return None
     # feed timestamps are ISO-8601, 'Z' suffix allowed
     dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
-    # session TZ is UTC; emit naive UTC to match TimestampType ingestion
+    if dt.tzinfo is None:
+        # naive = session-TZ wall time (UTC here), same as the JVM JSON
+        # reader; astimezone() would reinterpret it in the HOST's zone
+        return dt
     return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
 
@@ -69,23 +72,29 @@ def _feed_files(path: str) -> list[str]:
     )
 
 
+def _scan_file(fp: str, min_seq_exclusive: int = -1, max_seq_inclusive: int | None = None):
+    """Per-file event scan — the ONE parse/filter loop both readers use, so
+    a decode fix can never diverge between the batch and stream paths."""
+    with open(fp) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            seq = obj.get("seq")
+            if seq is None or seq <= min_seq_exclusive:
+                continue
+            if max_seq_inclusive is not None and seq > max_seq_inclusive:
+                continue
+            yield _event_tuple(obj)
+
+
 def _scan(path: str, min_seq_exclusive: int = -1, max_seq_inclusive: int | None = None):
     """Yield event tuples with seq in (min_seq_exclusive, max_seq_inclusive].
     The production replacement wraps the binlog client's event iterator —
     everything above this function is client-agnostic."""
     for fp in _feed_files(path):
-        with open(fp) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                obj = json.loads(line)
-                seq = obj.get("seq")
-                if seq is None or seq <= min_seq_exclusive:
-                    continue
-                if max_seq_inclusive is not None and seq > max_seq_inclusive:
-                    continue
-                yield _event_tuple(obj)
+        yield from _scan_file(fp, min_seq_exclusive, max_seq_inclusive)
 
 
 class _FeedPartition(InputPartition):
@@ -107,17 +116,13 @@ class CdcFeedBatchReader(DataSourceReader):
     def partitions(self):
         return [_FeedPartition(fp, self.min_seq) for fp in _feed_files(self.path)]
 
-    def read(self, partition: _FeedPartition):
-        with open(partition.file_path) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                obj = json.loads(line)
-                seq = obj.get("seq")
-                if seq is None or seq <= partition.min_seq:
-                    continue
-                yield _event_tuple(obj)
+    def read(self, partition: _FeedPartition | None):
+        # an empty feed dir yields partitions() == [] and Spark substitutes
+        # a single None partition — that read must be an empty result, not
+        # an AttributeError
+        if partition is None:
+            return
+        yield from _scan_file(partition.file_path, partition.min_seq)
 
 
 class CdcFeedStreamReader(SimpleDataSourceStreamReader):
@@ -145,20 +150,36 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         file_i = _FIELDS.index("rotate_file")
         pos_i = _FIELDS.index("next_position")
         last = max(rows, key=lambda r: r[seq_i])
-        end = {
-            "seq": last[seq_i],
-            "file": last[file_i] or start.get("file"),
-            "pos": last[pos_i],
-        }
+        # the current binlog file is set by the LATEST rotate event in the
+        # batch, not by the max-seq row (which is usually a row event with
+        # rotate_file=None — carrying only that would pair a pre-rotate
+        # filename with a post-rotate position, a (file,pos) that never
+        # existed)
+        rotates = [r for r in rows if r[file_i] is not None]
+        cur_file = (
+            max(rotates, key=lambda r: r[seq_i])[file_i] if rotates else start.get("file")
+        )
+        end = {"seq": last[seq_i], "file": cur_file, "pos": last[pos_i]}
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # failure replay: deterministic re-scan of the exact seq interval
-        return _scan(
-            self.path,
-            min_seq_exclusive=int(start["seq"]),
-            max_seq_inclusive=int(end["seq"]),
-        )
+        """Failure replay: deterministic re-scan of the exact seq interval.
+        If the feed was purged/compacted past a committed-but-unreplayed
+        interval, the interval is GONE — mirror the reference's invalid-
+        position error (R14) instead of silently committing an empty batch.
+        (Partial loss inside a still-nonempty interval is undetectable
+        without a manifest — the same exposure a purged binlog gives the
+        reference's client; the operational answer is likewise the same:
+        retention must outlast checkpoint lag.)"""
+        lo, hi = int(start["seq"]), int(end["seq"])
+        rows = list(_scan(self.path, min_seq_exclusive=lo, max_seq_inclusive=hi))
+        if not rows and hi > lo:
+            raise RuntimeError(
+                f"dumpr_cdc: replay interval ({lo}, {hi}] is no longer present "
+                "in the feed (purged/compacted past an uncommitted batch) — "
+                "position invalid; restart from a fresh snapshot"
+            )
+        return iter(rows)
 
 
 class CdcFeedDataSource(DataSource):

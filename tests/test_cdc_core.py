@@ -410,6 +410,42 @@ def test_debezium_egress_roundtrip(spark):
     import json
 
     assert [json.loads(r["content"]) for r in back] == [json.loads(r[3]) for r in rows]
-    # re-derived seq preserves the original order
-    orig_order = [r[7] for r in sorted(rows, key=lambda x: x[7])]
-    assert [r["id"] for r in back] == ["1", "2", "1"] and orig_order == sorted(orig_order)
+    # re-derived seqs are distinct and strictly increasing in the original
+    # feed order (the orderBy("seq") id check above is the order assertion;
+    # this pins that no two events collapsed to a tie)
+    back_seqs = [r["seq"] for r in back]
+    assert len(set(back_seqs)) == 3 and back_seqs == sorted(back_seqs)
+
+
+def test_debezium_egress_oversized_event_never_inverts_order(spark):
+    """events_to_changes packs the row ordinal into seq's low 16 bits while
+    the Debezium wire budget is 10 bits: rows past 1023 must degrade to a
+    TIE at the clamp after the round-trip, never re-order BEFORE earlier
+    rows (a wrap to 0 would make the materialize fold keep a stale image)."""
+    import datetime as dt
+
+    from dumpr_spark.sources.cdc_json import (
+        changes_to_debezium, debezium_to_changes, parse_debezium_lines,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    mk = lambda row_idx, v: (  # noqa: E731 - one 1500-row event, seq = e<<16 | row
+        "upsert", "users", "9", '{"pk":"9","v":"%s"}' % v, ts,
+        "bin.000001", 77, (5 << 16) + row_idx,
+    )
+    env = spark.createDataFrame(
+        [mk(1023, "old"), mk(1024, "new")],
+        "op string, tbl string, id string, content string, ts timestamp, "
+        "next_file string, next_position long, seq long",
+    )
+    back = (
+        debezium_to_changes(
+            parse_debezium_lines(changes_to_debezium(env, db="appdb")),
+            id_cols={"users": "pk"},
+        )
+        .select("seq", "content")
+        .collect()
+    )
+    s = {r["content"]: r["seq"] for r in back}
+    old_seq, new_seq = s['{"pk":"9","v":"old"}'], s['{"pk":"9","v":"new"}']
+    assert new_seq >= old_seq  # tie at the clamp is fine; inversion is not

@@ -225,3 +225,44 @@ def test_pyds_stream_offset_is_position_not_file_identity(spark, tmp_path):
     ])
     run()
     assert sorted(r["seq"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_pyds_empty_feed_dir_reads_empty(spark, tmp_path):
+    """A fully-compacted/rotated-away feed dir (zero *.json files) must read
+    as an empty DataFrame — Spark substitutes a single None partition for an
+    empty partition list, which the reader must tolerate."""
+    import os
+
+    from dumpr_spark.sources.pyds import CdcFeedDataSource
+
+    spark.dataSource.register(CdcFeedDataSource)
+    src = str(tmp_path / "empty_feed")
+    os.makedirs(src)
+    assert spark.read.format("dumpr_cdc").option("path", src).load().count() == 0
+
+
+def test_pyds_offset_carries_latest_rotate_file(spark, tmp_path):
+    """When a rotate event lands mid-batch, the stream offset's `file` must
+    be the rotated-TO name even though the max-seq row is a later row event
+    with rotate_file=None — otherwise the checkpoint pairs a pre-rotate
+    filename with a post-rotate position, a (file,pos) that never existed."""
+    from dumpr_spark.sources.pyds import CdcFeedStreamReader
+
+    src = str(tmp_path / "rot_feed")
+    _pyds_feed(src, "f0.json", [
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": "1"}], "seq": 1},
+        {"event_type": "rotate", "rotate_file": "bin.000002", "next_position": 4, "seq": 2},
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 30, "rows": [{"id": "2"}], "seq": 3},
+    ])
+    r = CdcFeedStreamReader({"path": src})
+    rows, end = r.read(r.initialOffset())
+    assert len(list(rows)) == 3
+    assert end == {"seq": 3, "file": "bin.000002", "pos": 30}
+    # replay of a purged uncommitted interval raises (invalid position, R14)
+    _pyds_feed(src, "f0.json", [])
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no longer present"):
+        list(r.readBetweenOffsets({"seq": 1}, {"seq": 3}))

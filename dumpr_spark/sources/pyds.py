@@ -200,3 +200,93 @@ class CdcFeedDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return CdcFeedStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return CdcWireStreamWriter(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Egress sink: Debezium-wire JSONL stream writer (exactly-once by batch id)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _WireCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class CdcWireStreamWriter(DataSourceStreamWriter):
+    """Streaming sink for the Debezium-wire feed (the egress complement of
+    the dumpr_cdc reader): each task writes its partition of `value` strings
+    to a task-temp file; `commit` folds them into ONE
+    ``batch-<id>.jsonl`` per micro-batch with a write-aside rename.
+
+    Exactly-once: the committed artifact is named by batchId, and commit
+    SKIPS a batch whose file already exists — a checkpoint replay after a
+    crash between sink commit and offset-log commit re-delivers the same
+    batchId and becomes a no-op instead of duplicate wire records (the same
+    replay-idempotence discipline as the JDBC MERGE sink, from the batch id
+    Spark guarantees stable across retries). `abort` removes task temps."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dumpr_cdc sink requires a path option")
+
+    def write(self, iterator) -> _WireCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(
+            tmp_dir, f"task-{tc.partitionId()}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(row["value"] + "\n")
+                n += 1
+        return _WireCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        final = os.path.join(self.path, f"batch-{batchId:010d}.jsonl")
+        temps = [m.tmp_path for m in messages if m is not None]
+        try:
+            if os.path.exists(final):
+                return  # replayed batch: already committed, exactly-once no-op
+            aside = final + ".tmp"
+            with open(aside, "w") as out:
+                for t in temps:
+                    with open(t) as fh:
+                        out.write(fh.read())
+            os.rename(aside, final)  # atomic publish
+        finally:
+            for t in temps:
+                try:
+                    os.remove(t)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass

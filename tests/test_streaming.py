@@ -1862,3 +1862,61 @@ def test_drop_duplicates_within_watermark_evicts_state(spark, tmp_path):
     ks = [k for k, _ in got]
     assert ks == ["A", "A", "B", "C"]     # A emitted twice (pre- and post-eviction), dup dropped
     assert ("A", "2026-01-01 00:05:00") not in got
+
+
+def test_pyds_wire_sink_roundtrip_and_replay_idempotence(spark, tmp_path):
+    """Full wire-boundary loop through registered Spark sources: the
+    dumpr_cdc reader ingests the event feed, the envelope is adapted to
+    Debezium-wire JSON, and the dumpr_cdc STREAM WRITER publishes it as
+    batch-id-named JSONL — which the Debezium ingest adapter then re-reads
+    to the same entities. A replayed commit (same batchId) is a no-op, so
+    checkpoint replay cannot duplicate wire records."""
+    from dumpr_spark.sources.cdc_json import (
+        changes_to_debezium, debezium_to_changes, events_to_changes,
+        parse_debezium_lines,
+    )
+    from dumpr_spark.sources.pyds import CdcFeedDataSource, CdcWireStreamWriter, _WireCommit
+
+    spark.dataSource.register(CdcFeedDataSource)
+    src = str(tmp_path / "wire_src")
+    out = str(tmp_path / "wire_out")
+    ckpt = str(tmp_path / "wire_ckpt")
+    write_events(src, [
+        {"event_type": "write", "db": "s", "tbl": "w", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": "1", "v": "a"}], "seq": 1},
+        {"event_type": "delete", "db": "s", "tbl": "w", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 20, "rows": [{"id": "1", "v": "a"}], "seq": 2},
+    ])
+    events = spark.readStream.format("dumpr_cdc").option("path", src).load()
+    wire = changes_to_debezium(events_to_changes(events, {"w": "id"}), db="s")
+    q = (
+        wire.writeStream.format("dumpr_cdc").option("path", out)
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    import glob
+
+    files = sorted(glob.glob(out + "/batch-*.jsonl"))
+    assert len(files) == 1 and "_tmp" not in files[0]
+    back = debezium_to_changes(
+        parse_debezium_lines(spark.read.text(files[0])), id_cols={"w": "pk"}
+    )
+    rows = sorted(back.collect(), key=lambda r: r["seq"])
+    assert [r["op"] for r in rows] == ["upsert", "delete"]
+    assert [r["tbl"] for r in rows] == ["w", "w"]
+
+    # replayed commit with the same batchId: exactly-once no-op
+    import json
+    import os
+
+    w = CdcWireStreamWriter({"path": out})
+    batch_id = int(files[0].split("batch-")[1].split(".")[0])
+    dup = os.path.join(out, "_tmp", "replay.jsonl")
+    os.makedirs(os.path.dirname(dup), exist_ok=True)
+    with open(dup, "w") as f:
+        f.write(json.dumps({"payload": None}) + "\n")
+    before = open(files[0]).read()
+    w.commit([_WireCommit(tmp_path=dup, n_rows=1)], batch_id)
+    assert open(files[0]).read() == before          # content untouched
+    assert not os.path.exists(dup)                  # temp cleaned either way

@@ -137,7 +137,7 @@ _R4_NEW: set = {
 # entry.
 _R4_LATE: set = {
     "dedup_paragraphs", "text_gopher_rules", "export_shard_manifest",
-    "profile_columns",
+    "profile_columns", "graph_triangle_count",
 }
 
 _NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R4_NEW - _R4_LATE

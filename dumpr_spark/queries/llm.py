@@ -1998,3 +1998,80 @@ def text_gopher_rules(spark, sf_dir):
         r_topword.alias("r_topword"),
         (r_words & r_wordlen & r_stop & r_distinct & r_topword).alias("pass"),
     ).orderBy("doc_id")
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 200
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    part AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM part GROUP BY node ORDER BY node
+    """,
+    tags=("llm", "graph"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting (node-iterator form) over the part
+    co-purchase graph — the third graph-analytics family next to connected
+    components and PageRank; triangle participation is the classic
+    clustering/community-strength signal. Edges = distinct part pairs
+    co-occurring in an order, canonicalized u < v so each triangle
+    (x < y < z) is found exactly once; per-node counts explode each
+    triangle to its three corners.
+
+    Scale shape: the wedge join (e1 x e2 on the shared middle vertex) is
+    the quadratic-in-degree step — bounded here by the l_partkey < 200
+    projection, and at 100 TB by the standard degree-ordering trick the
+    canonical u < v edges already encode (each wedge is generated from its
+    smallest vertex only, so hub wedges are not triple-counted); both
+    joins are plain equi-joins (AQE-splittable), and the corner explode
+    shuffles 3 longs per triangle."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 200)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )

@@ -548,3 +548,52 @@ def source_xml_scan(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "scalar_variant",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"meta": {"id": ' || event_id || ', "tags": ["base", "' || event_type ||
+             '"]}, "k": ' || COALESCE(json_extract_string(props, '$.k'), 'null') || '}'
+               AS doc
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(doc, '$.meta.id') AS BIGINT) AS meta_id,
+           json_extract_string(doc, '$.meta.tags[1]') AS tag1,
+           CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(doc, '$.missing.path') AS missing_val
+    FROM j ORDER BY event_id
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured access: parse_json into the binary
+    variant encoding once, then try_variant_get path extraction (object
+    field, array index, typed cast, absent path -> NULL). The Spark side
+    runs the real VariantType path — the 100 TB win over per-path
+    get_json_object is that the document parses ONCE into a binary form
+    all subsequent path reads share, instead of re-parsing the JSON text
+    per extracted column. The oracle reads the same constructed document
+    with DuckDB's JSON path functions — the values, not the encoding, are
+    the contract. Pure narrow projection, zero shuffle."""
+    e = t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "tags": ["base", "'),
+        F.col("event_type"),
+        F.lit('"]}, "k": '),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.meta.id", "long").alias("meta_id"),
+        F.try_variant_get(v, "$.meta.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(v, "$.k", "long").alias("k_val"),
+        F.try_variant_get(v, "$.missing.path", "string").alias("missing_val"),
+    ).orderBy("event_id")

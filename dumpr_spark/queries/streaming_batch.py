@@ -733,3 +733,79 @@ def agg_welch_ttest(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_gapfill",
+    """
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 10
+    ),
+    hr AS (
+      SELECT user_id, h, MAX(CASE WHEN rn = 1 THEN value END) AS v
+      FROM ranked GROUP BY user_id, h
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hr GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, s.h
+      FROM bounds b, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS s(h)
+    ),
+    joined AS (
+      SELECT s.user_id, s.h, hr.v, hr.v IS NULL AS is_gap
+      FROM spine s LEFT JOIN hr ON hr.user_id = s.user_id AND hr.h = s.h
+    )
+    SELECT user_id, h,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 4) AS value_filled,
+           is_gap
+    FROM joined ORDER BY user_id, h
+    """,
+    tags=("events", "timeseries"),
+)
+def events_gapfill(spark, sf_dir):
+    """Time-series gap filling (the observability/sensor completeness op):
+    build each entity's hourly spine between its first and last observation,
+    left-join the observed per-hour values (max_by on the total (ts,
+    event_id) order when an hour has several), and forward-fill gaps with
+    last-observation-carried-forward. `is_gap` marks interpolated rows.
+
+    Scale shape: the spine is a per-entity `sequence()` explode — generated
+    data, narrow, sized by time range not event count; the join and the
+    LOCF window are both keyed by entity (no global order anywhere), so a
+    million entities parallelize across the cluster. The per-hour
+    pre-aggregate combines map-side before the spine join."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    hr = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    bounds = hr.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hr, ["user_id", "h"], "left").select(
+        "user_id", "h", "v", F.col("v").isNull().alias("is_gap")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        eps_round(F.last("v", ignorenulls=True).over(w), 4).alias("value_filled"),
+        "is_gap",
+    ).orderBy("user_id", "h")

@@ -2036,13 +2036,19 @@ def graph_triangle_count(spark, sf_dir):
     (x < y < z) is found exactly once; per-node counts explode each
     triangle to its three corners.
 
-    Scale shape: the wedge join (e1 x e2 on the shared middle vertex) is
-    the quadratic-in-degree step — bounded here by the l_partkey < 200
-    projection, and at 100 TB by the standard degree-ordering trick the
-    canonical u < v edges already encode (each wedge is generated from its
-    smallest vertex only, so hub wedges are not triple-counted); both
-    joins are plain equi-joins (AQE-splittable), and the corner explode
-    shuffles 3 longs per triangle."""
+    Scale shape: the wedge join is the quadratic-in-degree step, so the
+    Spark plan runs the REAL degree-ordering algorithm: every undirected
+    edge is oriented from its lower-(degree, id) endpoint to its higher
+    one, and wedges are generated only at a vertex's OUT-arcs. A hub's
+    out-degree under this orientation is bounded by the graph's degeneracy
+    (its in-arcs, however many, generate nothing), which is what actually
+    tames the d^2 blowup at 100 TB — id-canonical edges alone would not
+    (a hub with a small id keeps all its edges outgoing). The rank join is
+    a broadcast (one row per vertex); the wedge/closing joins are plain
+    equi-joins (AQE-splittable); the corner explode shuffles 3 longs per
+    triangle. Orientation changes join sizes only — the triangle SET is
+    orientation-invariant, so the id-ordered DuckDB oracle checks the same
+    answer."""
     li = (
         t(spark, sf_dir, "lineitem")
         .where(F.col("l_partkey") < 200)
@@ -2059,16 +2065,52 @@ def graph_triangle_count(spark, sf_dir):
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .select(
-            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
-        )
+    # total order by (degree, id): orient each edge low -> high so every
+    # vertex's out-degree is degeneracy-bounded
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    ranked = edges.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))), "u"
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.struct("du", F.col("u").alias("i"))).otherwise(
+            F.struct(F.col("dv").alias("du"), F.col("v").alias("i"))
+        ).alias("src_key"),
+        F.when(u_first, F.struct(F.col("dv").alias("du"), F.col("v").alias("i"))).otherwise(
+            F.struct("du", F.col("u").alias("i"))
+        ).alias("dst_key"),
+    )
+    # wedges at the smallest vertex of each triangle: two out-arcs, the pair
+    # ordered by the same (degree, id) key so the closing arc's direction is
+    # known to be b -> c
+    w1 = arcs.alias("w1")
+    w2 = arcs.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.dst_key.du") < F.col("w2.dst_key.du"))
+            | (
+                (F.col("w1.dst_key.du") == F.col("w2.dst_key.du"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(
+        F.col("w1.src").alias("x"), F.col("w1.dst").alias("y"), F.col("w2.dst").alias("z")
+    )
+    closing = arcs.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return (
         corners.groupBy("node")

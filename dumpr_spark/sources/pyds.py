@@ -202,6 +202,13 @@ class CdcFeedDataSource(DataSource):
         return CdcFeedStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool):
+        # fail at sink construction, not as an opaque executor error
+        names = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if names.get("value") != "string":
+            raise ValueError(
+                "dumpr_cdc sink expects a single string 'value' column "
+                f"(the Debezium-wire JSON), got {names}"
+            )
         return CdcWireStreamWriter(self.options)
 
 
@@ -232,9 +239,23 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
     Exactly-once: the committed artifact is named by batchId, and commit
     SKIPS a batch whose file already exists — a checkpoint replay after a
     crash between sink commit and offset-log commit re-delivers the same
-    batchId and becomes a no-op instead of duplicate wire records (the same
-    replay-idempotence discipline as the JDBC MERGE sink, from the batch id
-    Spark guarantees stable across retries). `abort` removes task temps."""
+    batchId and becomes a no-op instead of duplicate wire records (the
+    replay-idempotence discipline of the JDBC MERGE sink, from the batch id
+    Spark guarantees stable across retries). `abort` removes task temps;
+    `commit` additionally sweeps orphaned temps from crashed task attempts
+    (safe: batches are sequential per stream, so by commit time every file
+    in _tmp belongs to this batch or to a dead attempt).
+
+    DEPLOYMENT BOUNDARY (same as MergeSink's local-FS rename semantics,
+    SCALE.md): tasks and driver must share the filesystem (local mode, NFS,
+    or a fuse-mounted store) — write() creates temps the driver-side
+    commit() concatenates. On an object store, replace the temp+rename fold
+    with the store's multipart-upload commit; every Spark-facing contract
+    (batchId naming, replay no-op) stays as is.
+
+    Null `value` rows (Debezium tombstones) are SKIPPED: a compaction
+    marker carries no row data, and the file feed's reader drops unparseable
+    lines anyway — counted in the commit message for observability."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -256,30 +277,45 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
-                f.write(row["value"] + "\n")
+                v = row["value"]
+                if v is None:  # tombstone: no wire payload to publish
+                    continue
+                f.write(v + "\n")
                 n += 1
         return _WireCommit(tmp_path=tmp, n_rows=n)
 
     def commit(self, messages, batchId: int) -> None:
         import os
+        import shutil
 
         final = os.path.join(self.path, f"batch-{batchId:010d}.jsonl")
+        aside = final + ".tmp"
         temps = [m.tmp_path for m in messages if m is not None]
         try:
             if os.path.exists(final):
                 return  # replayed batch: already committed, exactly-once no-op
-            aside = final + ".tmp"
             with open(aside, "w") as out:
                 for t in temps:
                     with open(t) as fh:
-                        out.write(fh.read())
+                        shutil.copyfileobj(fh, out)  # constant driver memory
             os.rename(aside, final)  # atomic publish
         finally:
-            for t in temps:
+            # a failure between aside-create and rename must not leave a
+            # half-written .tmp for loose globs to pick up
+            if os.path.exists(aside):
                 try:
-                    os.remove(t)
+                    os.remove(aside)
                 except OSError:
                     pass
+            # sweep _tmp entirely: this batch's temps plus orphans from
+            # crashed/speculative task attempts that never reached commit
+            tmp_dir = os.path.join(self.path, "_tmp")
+            if os.path.isdir(tmp_dir):
+                for f in os.listdir(tmp_dir):
+                    try:
+                        os.remove(os.path.join(tmp_dir, f))
+                    except OSError:
+                        pass
 
     def abort(self, messages, batchId: int) -> None:
         import os

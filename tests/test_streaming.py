@@ -1900,11 +1900,12 @@ def test_pyds_wire_sink_roundtrip_and_replay_idempotence(spark, tmp_path):
     files = sorted(glob.glob(out + "/batch-*.jsonl"))
     assert len(files) == 1 and "_tmp" not in files[0]
     back = debezium_to_changes(
-        parse_debezium_lines(spark.read.text(files[0])), id_cols={"w": "pk"}
+        parse_debezium_lines(spark.read.text(files[0])), id_cols={"w": "id"}
     )
     rows = sorted(back.collect(), key=lambda r: r["seq"])
     assert [r["op"] for r in rows] == ["upsert", "delete"]
     assert [r["tbl"] for r in rows] == ["w", "w"]
+    assert [r["id"] for r in rows] == ["1", "1"]  # entity identity survives the wire
 
     # replayed commit with the same batchId: exactly-once no-op
     import json

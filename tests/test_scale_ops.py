@@ -516,3 +516,23 @@ def test_compact_with_order_by_gives_disjoint_file_ranges(spark, tmp_path):
         assert a[1] < b[0] or b[1] < a[0], (a, b)  # pairwise disjoint
     got = spark.read.parquet(path)
     assert got.count() == n and got.agg(F.sum("k")).first()[0] == n * (n - 1) // 2
+
+
+def test_plan_shapes_r4_late_wave2(spark, sf_dir):
+    """Plan pins for the newest late-wave ops: VARIANT extraction is a pure
+    narrow projection; the gap-fill spine/LOCF never collapses to a single
+    partition; triangle counting's degree-rank joins broadcast (one row per
+    vertex) and nothing degenerates to a cartesian product."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    sv = explain_str(REGISTRY["scalar_variant"].fn(spark, sf_dir), "simple")
+    assert "Exchange hashpartitioning" not in sv, sv
+
+    gf = explain_str(REGISTRY["events_gapfill"].fn(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in gf, gf
+    assert "Window" in gf, gf
+
+    tc = explain_str(REGISTRY["graph_triangle_count"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in tc, tc
+    assert "CartesianProduct" not in tc and "BroadcastNestedLoopJoin" not in tc, tc

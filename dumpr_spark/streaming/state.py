@@ -290,3 +290,81 @@ def streaming_heavy_hitters_mg(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAPFILL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("h", LongType(), True),  # hour epoch seconds
+        StructField("value_filled", DoubleType(), True),
+        StructField("is_gap", BooleanType(), True),
+    ]
+)
+
+_GAPFILL_STATE_SCHEMA = StructType(
+    [
+        StructField("last_h", LongType(), True),   # last emitted hour (epoch s)
+        StructField("last_v", DoubleType(), True),
+    ]
+)
+
+_HOUR = 3600
+
+
+def streaming_gapfill_locf(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the `events_gapfill` batch query: per entity,
+    last-observation-carried-forward over an hourly grid, with gap hours
+    emitted as `is_gap=True` rows the moment a later observation proves the
+    gap closed. State per entity is two scalars (last emitted hour + last
+    value) — constant memory per entity regardless of stream length, and a
+    gap of G hours emits G rows without buffering them.
+
+    In-order contract: observations must arrive per-entity in event-time
+    order (the CDC feed's per-key guarantee; enforce upstream with a
+    watermark + sorted feed otherwise). A late row older than the entity's
+    last emitted hour is DROPPED — the batch twin, which sees all data,
+    is the replay/repair path, exactly like the reference's snapshot-vs-
+    stream split."""
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last_h, last_v = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        # pin ns resolution before the epoch cast: astype(int64) on a
+        # datetime64[us] column silently yields MICROseconds
+        ts_ns = rows[ts_col].astype("datetime64[ns]").astype("int64")
+        hours = (ts_ns // 10**9 // _HOUR) * _HOUR
+        out = []
+        uid = int(key[0])
+        for h, v in zip(hours, rows[value_col].astype(float)):
+            h = int(h)
+            if last_h is not None and h <= last_h:
+                if h == last_h:
+                    # multiple observations in one hour: last by ts wins.
+                    # Replace only a row still unpublished (this batch);
+                    # append mode cannot retract an earlier batch's row, so
+                    # a cross-batch same-hour update adjusts last_v (future
+                    # gap fills carry it) without re-emitting the hour.
+                    if any(r[1] == h for r in out):
+                        out = [r for r in out if r[1] != h] + [(uid, h, v, False)]
+                    last_v = v
+                continue  # late data older than the grid head: batch repairs
+            if last_h is not None:
+                for g in range(last_h + _HOUR, h, _HOUR):
+                    out.append((uid, g, last_v, True))
+            out.append((uid, h, v, False))
+            last_h, last_v = h, v
+        state.update((last_h, last_v))
+        yield pd.DataFrame(out, columns=[f.name for f in GAPFILL_OUT_SCHEMA.fields])
+
+    return events.select(entity_col, ts_col, value_col).groupBy(entity_col).applyInPandasWithState(
+        fold,
+        outputStructType=GAPFILL_OUT_SCHEMA,
+        stateStructType=_GAPFILL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

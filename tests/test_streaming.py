@@ -1921,3 +1921,74 @@ def test_pyds_wire_sink_roundtrip_and_replay_idempotence(spark, tmp_path):
     w.commit([_WireCommit(tmp_path=dup, n_rows=1)], batch_id)
     assert open(files[0]).read() == before          # content untouched
     assert not os.path.exists(dup)                  # temp cleaned either way
+
+
+def test_streaming_gapfill_matches_batch_twin(spark, tmp_path):
+    """Streaming LOCF gap-fill == the batch events_gapfill query on the same
+    (in-order) data, fed across three micro-batches: gap hours emit with the
+    carried value the moment a later observation closes them, and state per
+    entity stays two scalars."""
+    import pandas as pd
+
+    from dumpr_spark.streaming.state import streaming_gapfill_locf
+
+    evs = [  # (event_id, iso_ts, user_id, value) — per-user in-order
+        (1, "2026-01-01T00:10:00Z", 1, 10.0),
+        (2, "2026-01-01T01:20:00Z", 2, 5.0),
+        (3, "2026-01-01T03:05:00Z", 1, 30.0),   # user 1: gap at 01:00, 02:00
+        (4, "2026-01-01T03:40:00Z", 2, 7.5),    # user 2: gap at 02:00
+        (5, "2026-01-01T04:30:00Z", 1, 40.0),   # no gap
+        (6, "2026-01-01T06:00:00Z", 2, 9.0),    # gaps at 04:00, 05:00
+    ]
+    batches = [evs[:2], evs[2:4], evs[4:]]
+    src = str(tmp_path / "gf_src")
+    import os
+    import time
+
+    now = time.time()
+    for i, chunk in enumerate(batches):
+        write_events(src, [
+            {"event_id": e, "ts": ts, "user_id": u, "value": v}
+            for e, ts, u, v in chunk
+        ], file_name=f"b{i}.json")
+        # distinct mtimes: the file source orders ties arbitrarily, and the
+        # in-order contract would (correctly) drop a batch delivered late
+        os.utime(os.path.join(src, f"b{i}.json"), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_gapfill_locf(stream)
+        .writeStream.format("memory").queryName("gf_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["h"]): (round(r["value_filled"], 4), r["is_gap"])
+        for r in spark.sql("SELECT * FROM gf_stream").collect()
+    }
+
+    # batch twin over the identical events written as an events.parquet table
+    sf = str(tmp_path / "gf_sf")
+    import os
+
+    os.makedirs(sf)
+    pd.DataFrame(
+        [
+            (e, pd.Timestamp(ts).tz_localize(None), u, "t", v, "{}")
+            for e, ts, u, v in [(e, ts.replace("Z", ""), u, v) for e, ts, u, v in evs]
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(sf + "/events.parquet")
+    from dumpr_spark.queries import REGISTRY
+
+    want = {
+        (r["user_id"], int(r["h"].timestamp())): (round(r["value_filled"], 4), r["is_gap"])
+        for r in REGISTRY["events_gapfill"].fn(spark, sf).collect()
+    }
+    assert got == want
+    # sanity: the gaps are where the scenario says they are
+    assert got[(1, int(pd.Timestamp("2026-01-01T01:00:00").timestamp()))] == (10.0, True)
+    assert got[(2, int(pd.Timestamp("2026-01-01T05:00:00").timestamp()))] == (7.5, True)

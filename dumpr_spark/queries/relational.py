@@ -2372,3 +2372,48 @@ def profile_columns(spark, sf_dir):
         .unionByName(leg("l_linestatus", False))
     )
     return out.orderBy("col_name")
+
+
+@query(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE up(start, node, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 50
+      UNION ALL
+      SELECT start, node // 2, depth + 1 FROM up WHERE node > 1
+    )
+    SELECT start,
+           CAST(MAX(depth) AS BIGINT) AS root_depth,
+           CAST(SUM(node) AS BIGINT) AS path_sum
+    FROM up GROUP BY start ORDER BY start
+    """,
+    tags=("relational", "sql", "recursive"),
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 SQL surface): ancestor walk over the
+    implicit binary-tree hierarchy parent(p) = p DIV 2 — the transitive-
+    closure / BOM-expansion query family that previously required the
+    engine's Python iteration helpers (connected components, PageRank) now
+    expressible directly in SQL. Each of the 50 start nodes walks at most
+    log2(max_key) levels; the aggregate folds path depth and path sum.
+
+    Scale shape: Catalyst executes the recursion as iterative UnionLoop
+    steps — each iteration is a narrow filter+project over the previous
+    frontier, so the work per level is the frontier size, not the table
+    size; termination is data-driven (empty frontier). The same guardrails
+    as the Python-loop operators apply (bounded depth by construction
+    here; levels are log2 of the key domain)."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH RECURSIVE up(start, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 50
+          UNION ALL
+          SELECT start, node DIV 2, depth + 1 FROM up WHERE node > 1
+        )
+        SELECT start,
+               CAST(MAX(depth) AS BIGINT) AS root_depth,
+               CAST(SUM(node) AS BIGINT) AS path_sum
+        FROM up GROUP BY start ORDER BY start
+        """
+    )

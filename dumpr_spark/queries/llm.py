@@ -35,6 +35,43 @@ _NEAR_CORPUS_CTE = """
     )
 """
 
+_SIMHASH_SIG_CTES = """
+    , toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             COALESCE(tk[i]||' '||tk[i+1]||' '||tk[i+2], array_to_string(tk,' ')) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-2,1))) AS i) g
+    ),
+    hx AS (
+      SELECT doc_id,
+             ('0x'||substring(md5(s),1,8))::BIGINT AS hi,
+             ('0x'||substring(md5(s),9,8))::BIGINT AS lo
+      FROM sh
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN j < 32 THEN (hi >> (31 - j)) & 1
+                  ELSE (lo >> (63 - j)) & 1 END AS bit
+      FROM hx, LATERAL (SELECT unnest(generate_series(0,63)) AS j) jj
+    ),
+    maj AS (
+      SELECT doc_id, j,
+             CASE WHEN 2*SUM(bit) >= COUNT(*) THEN 1 ELSE 0 END AS m
+      FROM bits GROUP BY doc_id, j
+    ),
+    sig AS (
+      -- SUM widens to HUGEINT; CAST back so xor/bit_count stay 64-bit
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN j = 0 THEN 0
+                           ELSE m * (1::BIGINT << (63 - j)) END)
+                  + CASE WHEN MAX(CASE WHEN j = 0 THEN m END) = 1
+                         THEN (-9223372036854775807 - 1) ELSE 0 END
+                  AS BIGINT) AS sh64
+      FROM maj GROUP BY doc_id
+    )
+"""
+
+
 
 def _dup_corpus(spark, sf_dir, near: bool = False):
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -440,40 +477,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "dedup_simhash",
     _NEAR_CORPUS_CTE
+    + _SIMHASH_SIG_CTES
     + """
-    , toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM corpus),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             COALESCE(tk[i]||' '||tk[i+1]||' '||tk[i+2], array_to_string(tk,' ')) AS s
-      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-2,1))) AS i) g
-    ),
-    hx AS (
-      SELECT doc_id,
-             ('0x'||substring(md5(s),1,8))::BIGINT AS hi,
-             ('0x'||substring(md5(s),9,8))::BIGINT AS lo
-      FROM sh
-    ),
-    bits AS (
-      SELECT doc_id, j,
-             CASE WHEN j < 32 THEN (hi >> (31 - j)) & 1
-                  ELSE (lo >> (63 - j)) & 1 END AS bit
-      FROM hx, LATERAL (SELECT unnest(generate_series(0,63)) AS j) jj
-    ),
-    maj AS (
-      SELECT doc_id, j,
-             CASE WHEN 2*SUM(bit) >= COUNT(*) THEN 1 ELSE 0 END AS m
-      FROM bits GROUP BY doc_id, j
-    ),
-    sig AS (
-      -- SUM widens to HUGEINT; CAST back so xor/bit_count stay 64-bit
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN j = 0 THEN 0
-                           ELSE m * (1::BIGINT << (63 - j)) END)
-                  + CASE WHEN MAX(CASE WHEN j = 0 THEN m END) = 1
-                         THEN (-9223372036854775807 - 1) ELSE 0 END
-                  AS BIGINT) AS sh64
-      FROM maj GROUP BY doc_id
-    )
     SELECT a.doc_id AS a, b.doc_id AS b,
            CAST(bit_count(xor(a.sh64, b.sh64)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id + 100000 = b.doc_id
@@ -2116,4 +2121,74 @@ def graph_triangle_count(spark, sf_dir):
         corners.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .orderBy("node")
+    )
+
+
+@query(
+    "dedup_simhash_banded",
+    _NEAR_CORPUS_CTE
+    + _SIMHASH_SIG_CTES
+    + """
+    , bands AS (
+      SELECT doc_id, sh64, j AS band,
+             (sh64 >> (48 - 16 * j)) & 65535 AS val
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.sh64 AS ha, b.sh64 AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY a, b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_banded(spark, sf_dir):
+    """Corpus-wide SimHash near-dup PAIR SEARCH — the candidate-generation
+    step `dedup_simhash` (which only scores already-known pairs) leaves
+    out, completing the SimHash family to the same shape as MinHash-LSH:
+    the 64-bit signature splits into 4 x 16-bit bands; by pigeonhole, any
+    pair within hamming distance 3 shares at least one band EXACTLY, so
+    the band-bucket equi-join has perfect recall at the <=3 threshold and
+    the quadratic verify (bit_count of xor) runs on candidates only.
+
+    Scale shape: identical to LSH banding — signatures shuffle once on
+    (band, value); bucket sizes concentrate on near-duplicate clusters
+    (cap with the same grouped-bucket machinery as minhash_lsh_pairs_scaled
+    if a constant-banded boilerplate cluster appears); the verify is a
+    narrow projection per candidate. Arithmetic-vs-logical shift is
+    immaterial: sign-extension bits land above the 16-bit mask on both
+    engines."""
+    sigs = dd.simhash_signatures(_dup_corpus(spark, sf_dir, near=True))
+    bands = sigs.select(
+        "doc_id",
+        "sh64",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh64", 48 - 16 * j).bitwiseAND(F.lit(65535))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a"), F.col("sh64").alias("ha"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b"), F.col("sh64").alias("hb"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = dd.hamming64(F.col("ha"), F.col("hb"))
+    return (
+        cand.select("a", "b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("a", "b")
     )

@@ -2417,3 +2417,62 @@ def sql_recursive_cte(spark, sf_dir):
         FROM up GROUP BY start ORDER BY start
         """
     )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price, l_quantity AS qty,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT flag,
+           ROUND(MIN(CASE WHEN cum >= total / 2.0 THEN price END) + 1e-9, 2)
+             AS w_median_price,
+           CAST(MAX(total) AS BIGINT) AS total_qty
+    FROM w GROUP BY flag ORDER BY flag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median (quantity-weighted median price per return flag):
+    sort by value within each group, running-sum the weights, and take the
+    first value whose cumulative weight crosses half the group total — the
+    weighted-quantile primitive metrics systems need (a plain median treats
+    a 1-unit and a 50-unit line item alike). Tie-broken by the total
+    (price, orderkey, linenumber) order for cross-engine determinism.
+
+    Scale shape: one keyed window per group (PARTITION BY flag — groups
+    are many at scale; a single giant group takes the two-phase prefix
+    scan, operators/ntile) and a partial-combining rollup; the weighted
+    SKETCH twin at 100 TB is the histogram quantile family
+    (`agg_quantile_mergeable`) with weight-summed bins."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(wcum).alias("cum"),
+        F.sum("l_quantity").over(wtot).alias("total"),
+    )
+    return (
+        w.groupBy("flag")
+        .agg(
+            eps_round(
+                F.min(F.when(F.col("cum") >= F.col("total") / 2.0, F.col("price"))), 2
+            ).alias("w_median_price"),
+            F.max("total").cast("long").alias("total_qty"),
+        )
+        .orderBy("flag")
+    )

@@ -1205,7 +1205,7 @@ def export_shard_manifest(spark, sf_dir):
     tx filter — the shape is already in the repo, keyed windows are the
     right default while strata partition the corpus.
     """
-    from pyspark.sql import Window
+    from dumpr_spark.functions.export import assign_shards
 
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1214,14 +1214,7 @@ def export_shard_manifest(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = d.withColumn(
-        "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    ).withColumn("shard_id", F.floor(F.col("tok_before") / F.lit(500.0)).cast("long"))
+    cum = assign_shards(d, "lang", "doc_id", "n_tokens", budget=500)
     return (
         cum.groupBy("lang", "shard_id")
         .agg(

@@ -491,3 +491,27 @@ def test_paragraph_dedup_property_random_corpora(spark):
         assert sum(k for _n, k in got.values()) == n_distinct
 
     prop()
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """The sharded writer materializes one lang=/shard_id= partition dir per
+    shard, the read-back manifest matches the plan's budget bound, and the
+    layout is consumable by a plain partitioned read."""
+    import os
+
+    from dumpr_spark.functions.export import write_training_shards
+
+    rows = [(i, "en" if i % 2 else "de", (i * 13) % 80 + 20) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out, budget=500).collect()
+    assert sum(r["n_docs"] for r in manifest) == 120
+    for r in manifest:
+        assert r["tokens_total"] <= 500 + 99  # budget + max doc
+    # hive layout: lang=*/shard_id=* directories exist for every manifest row
+    for r in manifest:
+        assert os.path.isdir(os.path.join(out, f"lang={r['lang']}", f"shard_id={r['shard_id']}"))
+    # round-trip: the written corpus is complete and partition-readable
+    back = spark.read.json(out)
+    assert back.count() == 120
+    assert back.where("lang = 'en' AND shard_id = 0").count() > 0

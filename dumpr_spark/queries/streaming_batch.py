@@ -809,3 +809,59 @@ def events_gapfill(spark, sf_dir):
         eps_round(F.last("v", ignorenulls=True).over(w), 4).alias("value_filled"),
         "is_gap",
     ).orderBy("user_id", "h")
+
+
+@query(
+    "events_dwell_time",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG((epoch_ms(ts) - epoch_ms(prev_ts)) / 1000.0) + 1e-9, 2)
+             AS avg_dwell_s,
+           ROUND(MAX((epoch_ms(ts) - epoch_ms(prev_ts)) / 1000.0) + 1e-9, 2)
+             AS max_dwell_s
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type ORDER BY from_type, to_type
+    """,
+    tags=("events", "timeseries"),
+)
+def events_dwell_time(spark, sf_dir):
+    """Dwell-time analytics: seconds spent between consecutive events per
+    (from_type -> to_type) transition — the TIME-weighted complement of the
+    `events_markov_transitions` count matrix (where users go AND how long
+    they linger before going there). One lag() window keyed per user on the
+    total (ts, event_id) order, then a transition-pair rollup.
+
+    Scale shape: the window partitions by user (millions of independent
+    keys), the rollup's key space is |event_type|^2 (tiny) with map-side
+    partial combine — the shuffle carries per-partition transition
+    aggregates, not event rows."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).where(F.col("from_type").isNotNull())
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # noqa: E731
+    dwell = (ms("ts") - ms("prev_ts")) / F.lit(1000.0)
+    return (
+        seq.groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            eps_round(F.avg(dwell), 2).alias("avg_dwell_s"),
+            eps_round(F.max(dwell), 2).alias("max_dwell_s"),
+        )
+        .orderBy("from_type", "to_type")
+    )

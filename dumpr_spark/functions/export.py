@@ -25,7 +25,10 @@ def assign_shards(
     independent, growth-stable), running-total `token_col`, and cut at the
     cumulative budget boundary — shard = floor(tokens_before / budget), the
     greedy streaming-writer rule. Guarantees tokens(shard) <= budget +
-    max-row-tokens, and every stratum's shard ids are contiguous from 0.
+    max-row-tokens; shard ids are monotone in the hash order but NOT
+    guaranteed contiguous — a single row larger than the budget consumes
+    several budget units and skips the intermediate ids, so consumers must
+    iterate the manifest's actual ids, never range(0, max).
 
     Scale: one keyed window per stratum; a single giant stratum takes the
     two-phase distributed prefix scan (operators/ntile machinery) instead."""
@@ -63,7 +66,10 @@ def write_training_shards(
         .json(path)
     )
     spark = df.sparkSession
-    back = spark.read.json(path)
+    # pin the read schema: unpinned partition-value inference re-types a
+    # numeric-looking stratum (lang=007 -> lang=7) — the same hazard the
+    # sink compactor pins against (SCALE.md) — and skips an inference scan
+    back = spark.read.schema(assigned.schema).json(path)
     return (
         back.groupBy(stratum_col, "shard_id")
         .agg(

@@ -2423,7 +2423,7 @@ def sql_recursive_cte(spark, sf_dir):
     "agg_weighted_median",
     """
     WITH w AS (
-      SELECT l_returnflag AS flag, l_extendedprice AS price, l_quantity AS qty,
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
              SUM(l_quantity) OVER (PARTITION BY l_returnflag
                                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -2446,13 +2446,15 @@ def agg_weighted_median(spark, sf_dir):
     a 1-unit and a 50-unit line item alike). Tie-broken by the total
     (price, orderkey, linenumber) order for cross-engine determinism.
 
-    Scale shape: one keyed window per group (PARTITION BY flag — groups
-    are many at scale; a single giant group takes the two-phase prefix
-    scan, operators/ntile) and a partial-combining rollup; the weighted
-    SKETCH twin at 100 TB is the histogram quantile family
-    (`agg_quantile_mergeable`) with weight-summed bins."""
-    from pyspark.sql import Window
-
+    Scale shape: one keyed window per group. l_returnflag is a 3-value
+    DEMO grain — at this grain the window is 3 skewed partitions, which is
+    fine at bench scale but NOT the 100 TB shape; production groups on a
+    high-cardinality stratum (user/entity/day), and a genuinely giant
+    group takes the two-phase distributed prefix scan (operators/ntile,
+    the batch tx filter) exactly like any other huge running sum. The
+    weighted SKETCH twin at volume is the histogram quantile family
+    (`agg_quantile_mergeable`) with weight-summed bins — mergeable, no
+    sort at all."""
     li = t(spark, sf_dir, "lineitem")
     wcum = (
         Window.partitionBy("l_returnflag")

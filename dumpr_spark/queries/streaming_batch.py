@@ -796,7 +796,6 @@ def events_gapfill(spark, sf_dir):
     joined = spine.join(hr, ["user_id", "h"], "left").select(
         "user_id", "h", "v", F.col("v").isNull().alias("is_gap")
     )
-    from pyspark.sql import Window
 
     w = (
         Window.partitionBy("user_id")
@@ -843,7 +842,6 @@ def events_dwell_time(spark, sf_dir):
     keys), the rollup's key space is |event_type|^2 (tiny) with map-side
     partial combine — the shuffle carries per-partition transition
     aggregates, not event rows."""
-    from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -316,6 +316,7 @@ def streaming_gapfill_locf(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Streaming twin of the `events_gapfill` batch query: per entity,
     last-observation-carried-forward over an hourly grid, with gap hours
@@ -329,11 +330,18 @@ def streaming_gapfill_locf(
     watermark + sorted feed otherwise). A late row older than the entity's
     last emitted hour is DROPPED — the batch twin, which sees all data,
     is the replay/repair path, exactly like the reference's snapshot-vs-
-    stream split."""
+    stream split. Equal-ts observations are ordered by `tiebreak_col`
+    (matching the batch twin's max_by(value, struct(ts, event_id)) total
+    order); pass tiebreak_col=None only when timestamps are unique per
+    entity — without a tiebreak, which equal-ts row wins depends on
+    arrival order."""
+
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    sel_cols = [entity_col] + sort_cols + [value_col]
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last_h, last_v = state.get if state.exists else (None, None)
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs)).sort_values(sort_cols)
         # pin ns resolution before the epoch cast: astype(int64) on a
         # datetime64[us] column silently yields MICROseconds
         ts_ns = rows[ts_col].astype("datetime64[ns]").astype("int64")
@@ -361,7 +369,7 @@ def streaming_gapfill_locf(
         state.update((last_h, last_v))
         yield pd.DataFrame(out, columns=[f.name for f in GAPFILL_OUT_SCHEMA.fields])
 
-    return events.select(entity_col, ts_col, value_col).groupBy(entity_col).applyInPandasWithState(
+    return events.select(*sel_cols).groupBy(entity_col).applyInPandasWithState(
         fold,
         outputStructType=GAPFILL_OUT_SCHEMA,
         stateStructType=_GAPFILL_STATE_SCHEMA,

@@ -1942,7 +1942,6 @@ def test_streaming_gapfill_matches_batch_twin(spark, tmp_path):
     ]
     batches = [evs[:2], evs[2:4], evs[4:]]
     src = str(tmp_path / "gf_src")
-    import os
     import time
 
     now = time.time()
@@ -1972,8 +1971,6 @@ def test_streaming_gapfill_matches_batch_twin(spark, tmp_path):
 
     # batch twin over the identical events written as an events.parquet table
     sf = str(tmp_path / "gf_sf")
-    import os
-
     os.makedirs(sf)
     pd.DataFrame(
         [

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Round-N bookkeeping helper: fold CORRECTNESS_r{N}.json into the registry's
+verified-set maintenance (queries/__init__.py invariant).
+
+Prints (a) the hash-green names as a ready-to-paste Python set literal for
+_R{N}_VERIFIED, (b) the checked-but-not-green names that must STAY in the
+never-green backlog, and (c) registry names never driver-checked in any
+round so far. Run at the START of round N+1, then: add the green set,
+remove stale-evidence names (anything whose builder/oracle changed since
+its green row — that part needs human judgment over the round's diff), and
+rename _R{N}_NEW/_R{N}_LATE into the next round's tiers.
+
+Usage: python scripts/fold_verified.py CORRECTNESS_r04.json [more...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import textwrap
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(paths: list[str]) -> None:
+    from dumpr_spark.queries import REGISTRY
+
+    green: set[str] = set()
+    checked: set[str] = set()
+    for p in paths:
+        rows = json.load(open(p))
+        for name, r in rows.items():
+            checked.add(name)
+            if r.get("hash_match") is True:
+                green.add(name)
+
+    latest = paths[-1]
+    lit = "\n".join(
+        textwrap.wrap(", ".join(f'"{n}"' for n in sorted(green)) + ",", width=76)
+    )
+    print(f"# hash-green in {latest} ({len(green)} of {len(checked)} checked):")
+    print("_RN_VERIFIED = {\n" + textwrap.indent(lit, "    ") + ",\n}")
+    not_green = sorted(checked - green)
+    if not_green:
+        print(f"\n# checked but NOT green (stay in the backlog): {not_green}")
+    never = sorted(set(REGISTRY) - checked)
+    print(f"\n# never checked in the given files ({len(never)}):")
+    print("#", ", ".join(never))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    main(sys.argv[1:])

@@ -420,3 +420,49 @@ def paragraph_dedup(
         paras.join(stats, "h")
         .select(id_col, "pos", "para", "n_toks", keep.alias("keep"))
     )
+
+
+def simhash_band_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "sh64", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash candidate pairs via 4 x 16-bit band buckets: any pair within
+    hamming distance 3 shares at least one band EXACTLY (pigeonhole over 4
+    bands), so the equi-join on (band, value) has perfect recall at the
+    <=3 threshold; the quadratic verify (bit_count of xor) runs on
+    candidates only. Returns (a, b, hamming) with a < b, filtered to
+    max_hamming.
+
+    Scale: signatures shuffle once on (band, value); a constant-banded
+    boilerplate cluster concentrates one bucket — cap with the
+    grouped-bucket machinery of minhash_lsh_pairs_scaled if that arises.
+    Sign-extension is immaterial: the 16-bit mask lands below any
+    arithmetic-shift fill bits."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(sig_col, 48 - 16 * j).bitwiseAND(F.lit(65535))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("a"), F.col(sig_col).alias("ha"), "band", "val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b"), F.col(sig_col).alias("hb"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = hamming64(F.col("ha"), F.col("hb")).cast("int")
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -2162,33 +2162,4 @@ def dedup_simhash_banded(spark, sf_dir):
     immaterial: sign-extension bits land above the 16-bit mask on both
     engines."""
     sigs = dd.simhash_signatures(_dup_corpus(spark, sf_dir, near=True))
-    bands = sigs.select(
-        "doc_id",
-        "sh64",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("sh64", 48 - 16 * j).bitwiseAND(F.lit(65535))
-                    for j in range(4)
-                ]
-            )
-        ).alias("band", "val"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("a"), F.col("sh64").alias("ha"), "band", "val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b"), F.col("sh64").alias("hb"), "band", "val"
-    )
-    cand = (
-        a.join(b, ["band", "val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .distinct()
-    )
-    ham = dd.hamming64(F.col("ha"), F.col("hb"))
-    return (
-        cand.select("a", "b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= 3)
-        .orderBy("a", "b")
-    )
+    return dd.simhash_band_candidates(sigs, max_hamming=3).orderBy("a", "b")

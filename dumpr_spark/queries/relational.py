@@ -2455,26 +2455,21 @@ def agg_weighted_median(spark, sf_dir):
     weighted SKETCH twin at volume is the histogram quantile family
     (`agg_quantile_mergeable`) with weight-summed bins — mergeable, no
     sort at all."""
-    li = t(spark, sf_dir, "lineitem")
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("l_returnflag")
-    w = li.select(
+    from dumpr_spark.functions.stats import weighted_median
+
+    li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("price"),
-        F.sum("l_quantity").over(wcum).alias("cum"),
-        F.sum("l_quantity").over(wtot).alias("total"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
     )
-    return (
-        w.groupBy("flag")
-        .agg(
-            eps_round(
-                F.min(F.when(F.col("cum") >= F.col("total") / 2.0, F.col("price"))), 2
-            ).alias("w_median_price"),
-            F.max("total").cast("long").alias("total_qty"),
-        )
-        .orderBy("flag")
+    wm = weighted_median(
+        li, ["flag"], "l_extendedprice", "l_quantity",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
     )
+    return wm.select(
+        "flag",
+        eps_round(F.col("w_median"), 2).alias("w_median_price"),
+        F.col("total_weight").cast("long").alias("total_qty"),
+    ).orderBy("flag")

@@ -157,3 +157,41 @@ def test_welch_t_zero_for_identical_and_large_for_shifted(spark):
     assert welch_t(a, a) == 0.0
     shifted = [v + 50 for v in a]
     assert abs(welch_t(a, shifted)) > 10
+
+
+def test_weighted_median_matches_numpy_replica(spark):
+    """Property over random weighted samples: the weight-crossing rule
+    equals a direct cumulative-weight computation, and degenerates to the
+    plain lower median when all weights are 1."""
+    import random
+
+    from dumpr_spark.functions.stats import weighted_median
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(rng.randint(5, 40)):
+            rows.append((g, i, float(rng.randint(0, 50)), float(rng.randint(1, 9))))
+    df = spark.createDataFrame(rows, "g string, rid long, v double, w double")
+    got = {
+        r["g"]: (r["w_median"], r["total_weight"])
+        for r in weighted_median(df, ["g"], "v", "w", tiebreak_cols=["rid"]).collect()
+    }
+
+    for g in ("a", "b", "c"):
+        sample = sorted((v, rid, w) for gg, rid, v, w in rows if gg == g)
+        total = sum(w for _v, _r, w in sample)
+        cum, want = 0.0, None
+        for v, _rid, w in sample:
+            cum += w
+            if cum >= total / 2.0:
+                want = v
+                break
+        assert got[g] == (want, total), g
+
+    ones = df.withColumn("w", df.w * 0 + 1.0)
+    got1 = {r["g"]: r["w_median"] for r in weighted_median(ones, ["g"], "v", "w").collect()}
+    for g in ("a", "b", "c"):
+        vals = sorted(v for gg, _r, v, _w in rows if gg == g)
+        lower_median = vals[(len(vals) - 1) // 2]
+        assert got1[g] == lower_median, g

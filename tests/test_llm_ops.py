@@ -432,3 +432,38 @@ def test_lsh_recall_monotone_in_tables(spark, sf_dir):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4, f"recall not monotone in tables: {r1}, {r2}, {r4}"
     assert r4 > r1, f"4 tables gained nothing over 1 ({r1})"
+
+
+def test_simhash_band_recall_is_exact_at_threshold(spark):
+    """Pigeonhole property on random signatures: EVERY pair within hamming
+    distance 3 appears in the banded candidates (perfect recall at the
+    threshold), and every reported pair's distance is correct."""
+    import itertools
+    import random
+
+    from dumpr_spark.functions.dedup import simhash_band_candidates
+
+    rng = random.Random(42)
+    base = [rng.getrandbits(64) for _ in range(60)]
+    sigs = list(base)
+    # plant near-dups: flip 1-3 random bits of existing signatures
+    for i in range(40):
+        s = base[i % len(base)]
+        for _ in range(rng.randint(1, 3)):
+            s ^= 1 << rng.randrange(64)
+        sigs.append(s)
+
+    def to_i64(u):  # two's complement into Spark's signed long
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = [(i, to_i64(s)) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id long, sh64 long")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_band_candidates(df, max_hamming=3).collect()}
+
+    want = {}
+    for (i, si), (j, sj) in itertools.combinations(enumerate(sigs), 2):
+        h = bin(si ^ sj).count("1")
+        if h <= 3:
+            want[(i, j)] = h
+    assert got == want  # perfect recall AND correct distances

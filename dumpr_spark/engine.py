@@ -122,6 +122,25 @@ class Engine:
         return paragraph_dedup(df, id_col=id_col, text_col=text_col,
                                para_tokens=para_tokens)
 
+    def dedup_simhash_pairs(self, df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+        """SimHash near-dup pairs: 64-bit signatures + banded candidate
+        join (perfect recall at hamming <= 3 by pigeonhole)."""
+        from dumpr_spark.functions.dedup import (
+            simhash_band_candidates, simhash_signatures,
+        )
+
+        sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+        return simhash_band_candidates(sigs, id_col=id_col, max_hamming=max_hamming)
+
+    def weighted_median(self, df: DataFrame, group_cols, value_col: str,
+                        weight_col: str, tiebreak_cols=None) -> DataFrame:
+        """Per-group weighted median (weight-crossing rule)."""
+        from dumpr_spark.functions.stats import weighted_median
+
+        return weighted_median(df, list(group_cols), value_col, weight_col,
+                               tiebreak_cols=tiebreak_cols)
+
     def publish_debezium(self, changes: DataFrame, db: str) -> DataFrame:
         """Re-emit canonical envelope rows as Debezium-wire JSON `value`
         strings (the egress inverse of the Debezium ingest adapter)."""

@@ -160,3 +160,19 @@ def test_engine_paragraph_dedup_and_debezium_egress(engine, spark, sf_dir):
     payload = json.loads(wire)["payload"]
     assert payload["op"] == "u" and payload["after"] == {"pk": "1"}
     assert payload["source"]["table"] == "users" and payload["source"]["pos"] == 4
+
+
+def test_engine_simhash_pairs_and_weighted_median(engine, spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z q w r t u")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in engine.dedup_simhash_pairs(docs).collect()}
+    assert pairs == {(1, 2): 0}  # identical docs pair at distance 0; doc 3 pairs with nobody
+
+    wdf = spark.createDataFrame(
+        [("g", 1, 10.0, 1.0), ("g", 2, 20.0, 8.0), ("g", 3, 30.0, 1.0)],
+        "grp string, rid long, v double, w double",
+    )
+    row = engine.weighted_median(wdf, ["grp"], "v", "w", tiebreak_cols=["rid"]).first()
+    assert row["w_median"] == 20.0 and row["total_weight"] == 10.0

@@ -138,6 +138,8 @@ class Engine:
         """Per-group weighted median (weight-crossing rule)."""
         from dumpr_spark.functions.stats import weighted_median
 
+        if isinstance(group_cols, str):  # list("flag") would group by chars
+            group_cols = [group_cols]
         return weighted_median(df, list(group_cols), value_col, weight_col,
                                tiebreak_cols=tiebreak_cols)
 

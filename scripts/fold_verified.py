@@ -26,24 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(paths: list[str]) -> None:
     from dumpr_spark.queries import REGISTRY
 
-    green: set[str] = set()
-    checked: set[str] = set()
+    # a name's verdict is its MOST RECENT row (pass files oldest-first):
+    # a query green in r3 but red in r4 must NOT come out verified
+    verdict: dict[str, bool] = {}
     for p in paths:
         rows = json.load(open(p))
         for name, r in rows.items():
-            checked.add(name)
-            if r.get("hash_match") is True:
-                green.add(name)
+            verdict[name] = r.get("hash_match") is True
+    checked = set(verdict)
+    green = {n for n, ok in verdict.items() if ok}
 
-    latest = paths[-1]
-    lit = "\n".join(
-        textwrap.wrap(", ".join(f'"{n}"' for n in sorted(green)) + ",", width=76)
-    )
-    print(f"# hash-green in {latest} ({len(green)} of {len(checked)} checked):")
-    print("_RN_VERIFIED = {\n" + textwrap.indent(lit, "    ") + ",\n}")
+    print(f"# latest-verdict hash-green across {paths} "
+          f"({len(green)} of {len(checked)} checked):")
+    if green:
+        lit = "\n".join(
+            textwrap.wrap(", ".join(f'"{n}"' for n in sorted(green)), width=76)
+        )
+        print("_RN_VERIFIED = {\n" + textwrap.indent(lit, "    ") + ",\n}")
+    else:
+        print("_RN_VERIFIED: set = set()")
     not_green = sorted(checked - green)
     if not_green:
-        print(f"\n# checked but NOT green (stay in the backlog): {not_green}")
+        print(f"\n# latest verdict NOT green (stay in the backlog): {not_green}")
     never = sorted(set(REGISTRY) - checked)
     print(f"\n# never checked in the given files ({len(never)}):")
     print("#", ", ".join(never))

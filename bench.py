@@ -38,6 +38,10 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # co-load stamp: same-box load moves single-shot totals by +-25%
+    # (SCALE.md "noise band"), so the emitted JSON carries the 1-min
+    # loadavg before/after — a high stamp says "read against the band".
+    load_before = round(os.getloadavg()[0], 2)
 
     from dumpr_spark.queries import REGISTRY
     from dumpr_spark.session import get_spark
@@ -71,6 +75,8 @@ def main():
         "queries": timings,
         "cold_run": cold,
         "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }))
 
 

@@ -105,54 +105,47 @@ _R3_VERIFIED = {
     "index_inverted", "dedup_suffix_containment", "text_concordance",
     "graph_pagerank_3iter", "dedup_url_canonical", "text_bigram_logprob",
 }
-_DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
-
-# Queries first registered in round 4 (post-r3 driver run). They queue
-# BEHIND the pre-r4 never-green backlog: the backlog (19 never-checked r3
-# additions + the r3 red/err trio + the stale-evidence quartet) must win the
-# budget-capped walk so round 4 closes the evidence book.
-_R4_NEW: set = {
-    # TPC-H completion set (relational.py)
-    "q8_market_share", "q11_important_parts", "q13_order_counts",
-    "q16_parts_suppliers", "q17_small_qty_revenue", "q20_part_promotion",
-    "q21_waiting_suppliers", "q22_sales_opportunity",
-    # LLM-pipeline second wave (training.py / llm.py)
-    "sample_temperature_mix", "text_char_entropy", "embed_pq_codes",
-    # wave 3 (post-oracle-gate session): mergeable quantile sketch, OHLC
-    # bars, MAD anomaly flags, BM25 ranking, hyperplane-LSH ANN, matryoshka
-    "agg_quantile_mergeable", "rollup_ohlc", "events_anomaly_mad",
-    "text_bm25_topk", "sim_ann_hyperplane", "embed_matryoshka",
-    "source_xml_scan", "search_hybrid_rrf",
-    "events_changepoint_cusum", "agg_welch_ttest",
+# Names the driver hash-verified in round 4 (CORRECTNESS_r04.json: 50 of 50
+# checked, all hash_match — the whole r3 backlog + all of _R4_NEW).
+_R4_VERIFIED = {
+    "agg_approx_distinct", "agg_filter_clause", "agg_hll_mergeable",
+    "agg_quantile_mergeable", "agg_welch_ttest", "cdc_stamp_filename",
+    "cdc_tx_filter", "dedup_simhash", "embed_matryoshka", "embed_pq_codes",
+    "events_anomaly_mad", "events_changepoint_cusum", "events_cohort_retention",
+    "events_funnel_strict", "events_markov_transitions", "events_retention",
+    "events_sessionize", "join_nullsafe", "multimodal_frame_dedup",
+    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
+    "q13_order_counts", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_suppliers", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_discount_revenue", "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_sales_opportunity", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit", "rollup_ohlc",
+    "sample_temperature_mix", "scalar_higher_order", "scalar_interval_arith",
+    "search_hybrid_rrf", "sim_ann_hyperplane", "sim_topk_ivf",
+    "source_xml_scan", "stream_heavy_hitters", "text_bm25_topk",
+    "text_char_entropy", "win_cume_dist", "win_ntile",
 }
+_DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
+
+# Queries first registered in round 5 (post-r4 driver run). They queue
+# BEHIND the pre-r5 never-green backlog (the 14 _R4_LATE names, which fell
+# into _NEVER_GREEN when _R4_VERIFIED was folded in): the backlog must win
+# the budget-capped walk so round 5 closes the evidence book. Budget check:
+# 14 backlog + len(_R5_NEW) must stay <= 50.
+_R5_NEW: set = set()
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-4 addition. A name
-# accidentally left out of _R4_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-5 addition. A name
+# accidentally left out of _R5_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-# Queries registered AFTER the round-4 evidence budget was balanced: the
-# pre-r4 backlog (29) + _R4_NEW (21) fill the driver's 50-slot budget
-# exactly, so anything added later must queue BEHIND _R4_NEW (it gets its
-# first driver row in round 5) rather than displace an evidence-closing
-# entry.
-_R4_LATE: set = {
-    "dedup_paragraphs", "text_gopher_rules", "export_shard_manifest",
-    "profile_columns", "graph_triangle_count", "scalar_variant",
-    "events_gapfill", "sql_recursive_cte", "dedup_simhash_banded",
-    "agg_weighted_median", "events_dwell_time", "agg_countmin_sketch",
-    "events_autocorr", "cdc_consistency_check",
-}
-
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R4_NEW - _R4_LATE
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R5_NEW
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R4_NEW:
+    if n in _R5_NEW:
         return 1
-    if n in _R4_LATE:
-        return 2
     return 3 if n in _DRIVER_VERIFIED else 2
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from dumpr_spark.cdc.envelope import snapshot_to_changes
 from dumpr_spark.cdc.materialize import materialize
-from dumpr_spark.queries.base import query, t
+from dumpr_spark.queries.base import eps_round, query, t
 
 # DuckDB-side synthetic stream (identical derivation; content carried as
 # typed columns — the JSON content column is exercised by cdc_envelope_shape).
@@ -573,13 +573,18 @@ def cdc_churn_stats(spark, sf_dir):
       CAST((SELECT COUNT(*) FROM state) AS BIGINT) AS state_rows,
       CAST((SELECT COUNT(*) FROM expected) AS BIGINT) AS expected_rows,
       (SELECT CAST(bit_xor(('0x' || substring(md5(id || ':' ||
-          CAST(ROUND(o_totalprice, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+          CAST(ROUND(o_totalprice + 1e-9, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
        FROM state) AS state_checksum,
       (SELECT CAST(bit_xor(('0x' || substring(md5(id || ':' ||
-          CAST(ROUND(o_totalprice, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+          CAST(ROUND(o_totalprice + 1e-9, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
        FROM expected) AS expected_checksum,
       (SELECT COUNT(*) FROM state) = (SELECT COUNT(*) FROM expected) AS rows_match,
-      TRUE AS checksums_match
+      (SELECT CAST(bit_xor(('0x' || substring(md5(id || ':' ||
+          CAST(ROUND(o_totalprice + 1e-9, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+       FROM state)
+      = (SELECT CAST(bit_xor(('0x' || substring(md5(id || ':' ||
+          CAST(ROUND(o_totalprice + 1e-9, 2) AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+       FROM expected) AS checksums_match
     """,
     tags=("cdc", "ops"),
 )
@@ -601,8 +606,11 @@ def cdc_consistency_check(spark, sf_dir):
     changes = _synthetic_changes(spark, sf_dir)
     state = materialize(changes)
     row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+    # eps-before-round on BOTH engines (the repo-wide rounded-metric
+    # discipline): a 1-ulp half-way wobble between DuckDB's and Spark's
+    # rounding would flip the whole XOR checksum otherwise.
     shaped = state.withColumn("row", row).select(
-        "id", F.round(F.col("row.o_totalprice"), 2).alias("price")
+        "id", eps_round(F.col("row.o_totalprice"), 2).alias("price")
     )
     # independent recompute of the expected fold (in production: snapshot)
     exp_row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
@@ -610,7 +618,7 @@ def cdc_consistency_check(spark, sf_dir):
         changes.withColumn("row", exp_row)
         .groupBy("id")
         .agg(
-            F.max_by(F.round(F.col("row.o_totalprice"), 2), "seq").alias("price"),
+            F.max_by(eps_round(F.col("row.o_totalprice"), 2), "seq").alias("price"),
             F.max_by("op", "seq").alias("last_op"),
         )
         .where(F.col("last_op") != "delete")

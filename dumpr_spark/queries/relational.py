@@ -2522,33 +2522,42 @@ def agg_countmin_sketch(spark, sf_dir):
     estimates themselves hash-check against the oracle — no rows-only
     escape hatch.
 
-    Scale shape: the sketch build is one groupBy over (row, bucket) — 1024
-    cells total, partial-combining, perfectly mergeable across partitions
-    or time windows (cell-wise sum, like the HLL/histogram rollups); the
-    estimate join broadcasts the 1024-cell sketch."""
+    Scale shape: the sketch build is ONE scan of events — a single
+    projection computes all d=4 (row, bucket) hashes as an array and
+    posexplodes it (the r4 form unioned four per-hash-row projections of
+    the same table: free locally under page cache, 4x the one-column I/O
+    at 100 TB) — then one groupBy over (row, bucket): 1024 cells total,
+    partial-combining, perfectly mergeable across partitions or time
+    windows (cell-wise sum, like the HLL/histogram rollups); the estimate
+    join broadcasts the 1024-cell sketch."""
     e = t(spark, sf_dir, "events")
 
     def bucket(j, key_col):
         h = F.md5(F.concat(F.lit(f"cm{j}:"), F.col(key_col).cast("string")))
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256).alias("bucket")
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256
 
-    buck = None
-    for j in range(4):
-        part = e.select(F.lit(j).alias("j"), bucket(j, "user_id"))
-        buck = part if buck is None else buck.unionAll(part)
-    sketch = buck.groupBy("j", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    def with_buckets(df, key_col):
+        # All four (j, bucket) pairs in one projection: posexplode emits
+        # (pos, value) so the array index IS the hash-row id j.
+        arr = F.array(*[bucket(j, key_col) for j in range(4)])
+        return df.select(key_col, F.posexplode(arr).alias("j", "bucket"))
 
-    keys = e.select("user_id").distinct()
-    kb = None
-    for j in range(4):
-        part = keys.select("user_id", F.lit(j).alias("j"), bucket(j, "user_id"))
-        kb = part if kb is None else kb.unionAll(part)
+    sketch = (
+        with_buckets(e, "user_id")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    # The exact-count rollup doubles as the probe-key list (same subtree,
+    # so the scan + groupBy exchange is shared, not recomputed): 2 scans
+    # of the one-column projection total — sketch build + exact counts.
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
     est = (
-        kb.join(F.broadcast(sketch), ["j", "bucket"])
+        with_buckets(exact.select("user_id"), "user_id")
+        .join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("user_id")
         .agg(F.min("c").cast("long").alias("cm_est"))
     )
-    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
     return (
         exact.join(est, "user_id")
         .select(

@@ -886,17 +886,48 @@ def events_autocorr(spark, sf_dir):
     """Lag-1 autocorrelation of the value series per event type — the
     serial-dependence diagnostic (is this metric a random walk, mean-
     reverting, or i.i.d. noise?) that decides whether the anomaly rules
-    (MAD, CUSUM, EWMA) need detrending first. One keyed lag window on the
-    total (ts, event_id) order, then Pearson corr of the series against
-    its shift in a single partial-combining aggregate.
+    (MAD, CUSUM, EWMA) need detrending first.
 
-    Scale shape: window partitioned per series key; corr's partials are
-    the five power sums — constant-size per partition, mergeable."""
+    Scale shape: event_type is LOW-cardinality (a handful of values in any
+    deployment), so a lag window partitioned only by it would be one
+    single-task sort per series at 100 TB. Instead the lag pairs are built
+    per (event_type, week-chunk): the window partitions by
+    (event_type, chunk) — millions of bounded-size sort groups — and the
+    one lag pair that CROSSES each chunk edge is recovered from a per-chunk
+    (first, last) summary: a groupBy producing one row per (type, chunk)
+    (tiny — |types| x |weeks|), a lag over that summary to find the last
+    value of the previous non-empty chunk (gap-safe: chunk ids need not be
+    contiguous), and a union of those boundary pairs with the intra-chunk
+    pairs. corr's partials are the five power sums — constant-size,
+    mergeable — so the final rollup shuffles per-partition sums only."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    lagged = e.select(
-        "event_type", "value", F.lag("value").over(w).alias("prev_value")
+    ev = e.select(
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        (F.floor(F.unix_timestamp("ts") / F.lit(604800))).alias("chunk"),
+    )
+    # Intra-chunk lag pairs: bounded sort groups, scales with chunk count.
+    wc = Window.partitionBy("event_type", "chunk").orderBy("ts", "event_id")
+    intra = ev.select(
+        "event_type", "value", F.lag("value").over(wc).alias("prev_value")
     ).where(F.col("prev_value").isNotNull())
+    # Per-chunk first/last value summary: one row per (type, chunk).
+    order_key = F.struct("ts", "event_id")
+    summary = ev.groupBy("event_type", "chunk").agg(
+        F.min_by("value", order_key).alias("first_value"),
+        F.max_by("value", order_key).alias("last_value"),
+    )
+    # Boundary pairs: first value of chunk k vs last value of the previous
+    # non-empty chunk. The window runs over the tiny summary relation.
+    ws = Window.partitionBy("event_type").orderBy("chunk")
+    boundary = summary.select(
+        "event_type",
+        F.col("first_value").alias("value"),
+        F.lag("last_value").over(ws).alias("prev_value"),
+    ).where(F.col("prev_value").isNotNull())
+    lagged = intra.unionByName(boundary)
     return (
         lagged.groupBy("event_type")
         .agg(

@@ -122,8 +122,17 @@ def parse_debezium_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def debezium_to_changes(payloads: DataFrame, id_cols: dict[str, str]) -> DataFrame:
+def debezium_to_changes(
+    payloads: DataFrame, id_cols: dict[str, str], carry_row_ordinal: bool = False
+) -> DataFrame:
     """Flattened Debezium payloads -> canonical envelope rows.
+
+    carry_row_ordinal=True appends the original `source.row` as an extra
+    `row_ordinal` column (beyond the canonical 8-column envelope), which
+    `changes_to_debezium` prefers over re-deriving the ordinal from seq —
+    the lossless round-trip for wire consumers that read source.row.
+    Default False keeps the canonical envelope shape for unionByName with
+    other envelope sources.
 
     op mapping: d -> delete; c/u/r -> upsert (r = snapshot read, which IS the
     engine's snapshot-as-upserts convention, R1). The row image is `after`
@@ -171,11 +180,16 @@ def debezium_to_changes(payloads: DataFrame, id_cols: dict[str, str]) -> DataFra
             )
             + F.least(F.coalesce(F.col("source.row"), F.lit(0)), F.lit((1 << 10) - 1))
         ).cast("long").alias("seq"),
+        F.coalesce(F.col("source.row"), F.lit(0)).cast("long").alias("row_ordinal"),
     )
-    return shaped.select(
-        "op", "tbl", id_expr.cast("string").alias("id"),
-        "content", "ts", "next_file", "next_position", "seq",
-    )
+    cols = [
+        F.col("op"), F.col("tbl"), id_expr.cast("string").alias("id"),
+        F.col("content"), F.col("ts"), F.col("next_file"),
+        F.col("next_position"), F.col("seq"),
+    ]
+    if carry_row_ordinal:
+        cols.append(F.col("row_ordinal"))
+    return shaped.select(*cols)
 
 
 def events_to_changes(events: DataFrame, id_cols: dict[str, str]) -> DataFrame:
@@ -231,8 +245,16 @@ def changes_to_debezium(changes: DataFrame, db: str) -> DataFrame:
     `after` (the envelope does not distinguish create from update, so
     creates degrade to 'u' — downstream entity folds treat c/u/r
     identically, as does debezium_to_changes). source.{file,pos} carry the
-    binlog position; source.row carries the envelope seq's low bits so
-    re-ingesting preserves the intra-event order the seq reified.
+    binlog position; source.row carries the input's `row_ordinal` column
+    when present (the lossless path — pair with
+    ``debezium_to_changes(..., carry_row_ordinal=True)``), else it is
+    re-derived from the envelope seq's low 16 bits. The re-derivation is
+    only FAITHFUL for events_to_changes-packed seqs (seq<<16 | row): for
+    Debezium-origin seqs (file<<42 | pos<<10 | row) it yields
+    (pos&63)<<10 | row, clamped — ordering still survives (monotone +
+    saturating clamp, never an inversion), but the emitted row ordinal is
+    then positional noise for wire consumers and intra-event order
+    collapses to a tie on re-ingest.
 
     Pure narrow projection (from_json of the content + to_json of the
     struct) — fuses into whatever plan feeds it, no shuffle."""
@@ -248,13 +270,19 @@ def changes_to_debezium(changes: DataFrame, db: str) -> DataFrame:
             F.col("tbl").alias("table"),
             F.col("next_file").alias("file"),
             F.col("next_position").alias("pos"),
-            # events_to_changes packs the row ordinal into the seq's low 16
-            # bits; extract at that width, then saturate at the Debezium
-            # adapter's 10-bit budget so an oversized event degrades to a
-            # TIE at the clamp (same discipline as debezium_to_changes'
-            # least()), never an order INVERSION — a plain % (1<<10) would
-            # wrap row 1024 to 0 and re-ingest it BEFORE row 1023.
-            F.least(F.col("seq") % F.lit(1 << 16), F.lit((1 << 10) - 1))
+            # Prefer the carried original ordinal; else extract
+            # events_to_changes' 16-bit packing, then saturate at the
+            # Debezium adapter's 10-bit budget so an oversized event
+            # degrades to a TIE at the clamp (same discipline as
+            # debezium_to_changes' least()), never an order INVERSION — a
+            # plain % (1<<10) would wrap row 1024 to 0 and re-ingest it
+            # BEFORE row 1023. See docstring for the Debezium-origin-seq
+            # fidelity caveat on the derived path.
+            (
+                F.col("row_ordinal")
+                if "row_ordinal" in changes.columns
+                else F.least(F.col("seq") % F.lit(1 << 16), F.lit((1 << 10) - 1))
+            )
             .cast("long")
             .alias("row"),
         ).alias("source"),

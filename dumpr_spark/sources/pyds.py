@@ -138,12 +138,28 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("dumpr_cdc requires a path option")
         self.start_seq = int(options.get("start_seq", -1))
+        # backpressure analog of the JVM path's maxFilesPerTrigger (R16):
+        # without a cap, the first batch after downtime materializes the
+        # ENTIRE unread backlog on the driver. With it, each micro-batch
+        # takes the next N events in seq order (bounded heap over the feed
+        # scan — O(N) driver memory regardless of backlog size) and the
+        # offset advances incrementally until the backlog drains.
+        self.max_events_per_batch = int(options.get("max_events_per_batch", 0))
 
     def initialOffset(self) -> dict:
         return {"seq": self.start_seq, "file": None, "pos": None}
 
     def read(self, start: dict):
-        rows = list(_scan(self.path, min_seq_exclusive=int(start["seq"])))
+        scan = _scan(self.path, min_seq_exclusive=int(start["seq"]))
+        if self.max_events_per_batch > 0:
+            import heapq
+
+            seq_key = _FIELDS.index("seq")
+            rows = heapq.nsmallest(
+                self.max_events_per_batch, scan, key=lambda r: r[seq_key]
+            )
+        else:
+            rows = list(scan)
         if not rows:
             return iter([]), start
         seq_i = _FIELDS.index("seq")
@@ -242,9 +258,15 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
     batchId and becomes a no-op instead of duplicate wire records (the
     replay-idempotence discipline of the JDBC MERGE sink, from the batch id
     Spark guarantees stable across retries). `abort` removes task temps;
-    `commit` additionally sweeps orphaned temps from crashed task attempts
-    (safe: batches are sequential per stream, so by commit time every file
-    in _tmp belongs to this batch or to a dead attempt).
+    `commit` additionally sweeps orphaned temps from crashed task attempts.
+    Temps are namespaced per WRITER RUN (``_tmp/<run_id>/``, the run id
+    minted driver-side at writer construction and carried to executors in
+    the pickled writer): batches are sequential per stream, so by commit
+    time every file in this run's subtree belongs to this batch or to a
+    dead attempt — and a SECOND query (or an accidental concurrent re-run)
+    writing to the same path sweeps only its own subtree instead of
+    deleting the other's in-flight temps. A crashed run's leftover subtree
+    is inert (never published); retention may remove stale run dirs.
 
     DEPLOYMENT BOUNDARY (same as MergeSink's local-FS rename semantics,
     SCALE.md): tasks and driver must share the filesystem (local mode, NFS,
@@ -258,9 +280,12 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
     lines anyway — counted in the commit message for observability."""
 
     def __init__(self, options):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("dumpr_cdc sink requires a path option")
+        self.run_id = uuid.uuid4().hex
 
     def write(self, iterator) -> _WireCommit:
         import os
@@ -269,7 +294,7 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        tmp_dir = os.path.join(self.path, "_tmp")
+        tmp_dir = os.path.join(self.path, "_tmp", self.run_id)
         os.makedirs(tmp_dir, exist_ok=True)
         tmp = os.path.join(
             tmp_dir, f"task-{tc.partitionId()}-{uuid.uuid4().hex}.jsonl"
@@ -307,9 +332,10 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
                     os.remove(aside)
                 except OSError:
                     pass
-            # sweep _tmp entirely: this batch's temps plus orphans from
-            # crashed/speculative task attempts that never reached commit
-            tmp_dir = os.path.join(self.path, "_tmp")
+            # sweep THIS RUN's temp subtree: this batch's temps plus orphans
+            # from crashed/speculative task attempts that never reached
+            # commit — other concurrent runs' subtrees are untouched
+            tmp_dir = os.path.join(self.path, "_tmp", self.run_id)
             if os.path.isdir(tmp_dir):
                 for f in os.listdir(tmp_dir):
                     try:

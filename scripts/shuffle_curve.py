@@ -40,6 +40,10 @@ QUERIES = [
     "rollup_ohlc",
     "text_bm25_topk",
     "dedup_paragraphs",
+    # r5: the two join-heavy r4-late ops (VERDICT r4 #7) — degree-ordered
+    # wedge joins and the 4x16-bit band self-join
+    "graph_triangle_count",
+    "dedup_simhash_banded",
 ]
 
 

@@ -449,3 +449,105 @@ def test_debezium_egress_oversized_event_never_inverts_order(spark):
     s = {r["content"]: r["seq"] for r in back}
     old_seq, new_seq = s['{"pk":"9","v":"old"}'], s['{"pk":"9","v":"new"}']
     assert new_seq >= old_seq  # tie at the clamp is fine; inversion is not
+
+
+def test_debezium_roundtrip_fold_equality_past_clamp(spark):
+    """Property (VERDICT r4 #6): for events whose row count EXCEEDS the wire
+    adapter's 1024-row seq budget, the documented degrade path is a tie at
+    the clamp — never an inversion — so the entity-map fold over the
+    round-tripped envelope must equal the fold over the original whenever
+    each key appears at most once per event (the bulk-insert/update shape;
+    intra-event re-writes of one key are the only information the clamp can
+    lose). Randomized event sizes straddling 1024, overlapping key ranges
+    across events so inter-event last-write-wins is exercised too."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dumpr_spark.sources.cdc_json import (
+        changes_to_debezium, debezium_to_changes, parse_debezium_lines,
+    )
+
+    schema = (
+        "op string, tbl string, id string, content string, ts timestamp, "
+        "next_file string, next_position long, seq long"
+    )
+
+    @settings(
+        max_examples=3, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(sizes=st.lists(st.integers(1000, 1300), min_size=2, max_size=3))
+    def prop(sizes):
+        ts = dt.datetime(2026, 1, 1)
+        rows = []
+        for e, n in enumerate(sizes, start=1):
+            for i in range(n):  # one row per distinct key per event
+                rows.append((
+                    "upsert", "users", str(i),
+                    '{"pk":"%d","v":"e%dr%d"}' % (i, e, i), ts,
+                    "bin.000001", 100 * e, (e << 16) + i,
+                ))
+        env = spark.createDataFrame(rows, schema)
+        back = debezium_to_changes(
+            parse_debezium_lines(changes_to_debezium(env, db="appdb")),
+            id_cols={"users": "pk"},
+        )
+        folded = {
+            r["id"]: json.loads(r["content"])["v"]
+            for r in materialize(back).collect()
+        }
+        # pure-Python expected fold: per key, the image from the LAST event
+        # containing it (intra-event each key occurs once, so the clamp tie
+        # cannot change the winner)
+        expected = {}
+        for e, n in enumerate(sizes, start=1):
+            for i in range(n):
+                expected[str(i)] = f"e{e}r{i}"
+        assert folded == expected
+        # and fold(original) == fold(roundtrip), column-for-column values
+        orig = {
+            r["id"]: json.loads(r["content"])["v"]
+            for r in materialize(env).collect()
+        }
+        assert folded == orig
+
+    prop()
+
+
+def test_debezium_row_ordinal_carry_is_lossless(spark):
+    """ADVICE r4: re-deriving source.row from seq is only faithful for
+    events_to_changes-packed seqs. The lossless path — debezium_to_changes
+    (carry_row_ordinal=True) -> changes_to_debezium — must republish the
+    ORIGINAL wire row ordinal even for Debezium-origin seqs whose low bits
+    are position data, and the default (no carry) keeps the canonical
+    8-column envelope."""
+    import datetime as dt  # noqa: F401
+
+    from dumpr_spark.sources.cdc_json import (
+        changes_to_debezium, debezium_to_changes, parse_debezium_lines,
+    )
+
+    wire_in = spark.createDataFrame(
+        [(json.dumps({"payload": {
+            "before": None, "after": {"pk": "7", "v": "x"}, "op": "u",
+            "ts_ms": 1767225600000,
+            # pos=333 has low bits set: the seq-derived row would be bogus
+            "source": {"db": "appdb", "table": "users", "file": "bin.000009",
+                        "pos": 333, "row": 5},
+        }}),)],
+        "value string",
+    )
+    env = debezium_to_changes(
+        parse_debezium_lines(wire_in), id_cols={"users": "pk"},
+        carry_row_ordinal=True,
+    )
+    assert env.columns[-1] == "row_ordinal"
+    republished = parse_debezium_lines(
+        changes_to_debezium(env, db="appdb")
+    ).select("source.row").first()
+    assert republished["row"] == 5  # original ordinal, not (pos&63)<<10|row
+    # default shape unchanged: canonical envelope, derived-row path
+    env8 = debezium_to_changes(parse_debezium_lines(wire_in), id_cols={"users": "pk"})
+    assert "row_ordinal" not in env8.columns and len(env8.columns) == 8

@@ -34,6 +34,42 @@ BNLJ_ALLOWED = {
 }
 
 
+# Window nodes with an EMPTY partition spec sort the whole input on one
+# task — fine on a fixture, a stall at 100 TB. The runtime twin (zero
+# `WindowExec: No Partition Defined` warns over a full sweep) only fires
+# for plans that EXECUTE a global window; this rejects one at analysis
+# time across every registry plan. No allowlist on purpose: every global
+# running-order need in the repo has a two-phase distributed form
+# (operators/ntile.py, the batch tx filter) — a new global window should
+# use one, not get listed here.
+GLOBAL_WINDOW_ALLOWED: set = set()
+
+
+def _walk_plans(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plans(children.apply(i))
+    subqueries = node.subqueries()
+    for i in range(subqueries.size()):
+        yield from _walk_plans(subqueries.apply(i))
+
+
+def test_no_unpartitioned_windows(spark, sf_dir):
+    offenders = []
+    for name, q in REGISTRY.items():
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        for node in _walk_plans(plan):
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().size() == 0
+                and name not in GLOBAL_WINDOW_ALLOWED
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
 def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
     cart, bnlj = [], []
     for name, q in REGISTRY.items():

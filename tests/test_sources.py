@@ -266,3 +266,71 @@ def test_pyds_offset_carries_latest_rotate_file(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="no longer present"):
         list(r.readBetweenOffsets({"seq": 1}, {"seq": 3}))
+
+
+def test_pyds_stream_caps_events_per_batch(spark, tmp_path):
+    """max_events_per_batch (the JVM path's maxFilesPerTrigger analog, R16):
+    a backlog bigger than the cap drains over SEVERAL micro-batches — each
+    read returns the next N events in seq order and advances the offset
+    incrementally — instead of one giant driver-memory batch; with no cap
+    the whole backlog comes in one read (the old behavior, preserved)."""
+    from dumpr_spark.sources.pyds import CdcFeedStreamReader
+
+    src = str(tmp_path / "cap_feed")
+    _pyds_feed(src, "f0.json", [
+        {"event_type": "write", "db": "s", "tbl": "w",
+         "ts": "2026-01-01T00:00:%02dZ" % i, "next_position": 10 * i,
+         "rows": [{"id": str(i)}], "seq": i}
+        for i in range(1, 8)  # 7-event backlog
+    ])
+    r = CdcFeedStreamReader({"path": src, "max_events_per_batch": "3"})
+    seq_i = [i for i, f in enumerate(
+        __import__("dumpr_spark.sources.pyds", fromlist=["_FIELDS"])._FIELDS
+    ) if f == "seq"][0]
+    seen, off = [], r.initialOffset()
+    for _ in range(4):
+        rows, off = r.read(off)
+        seen.append(sorted(row[seq_i] for row in rows))
+        if not seen[-1]:
+            break
+    assert seen[:3] == [[1, 2, 3], [4, 5, 6], [7]]
+    # drained: a further read is empty and does not move the offset
+    rows, off2 = r.read(off)
+    assert list(rows) == [] and off2 == off
+    # uncapped reader still takes everything at once
+    rows, _ = CdcFeedStreamReader({"path": src}).read(
+        CdcFeedStreamReader({"path": src}).initialOffset()
+    )
+    assert sorted(row[seq_i] for row in rows) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_pyds_wire_writer_run_namespaced_temps(tmp_path):
+    """Two writer runs sharing one output path must not sweep each other's
+    in-flight task temps: each run's temps live under _tmp/<run_id>/ and
+    commit sweeps only its own subtree (ADVICE r4)."""
+    import os
+
+    from dumpr_spark.sources.pyds import CdcWireStreamWriter, _WireCommit
+
+    out = str(tmp_path / "wire_out")
+    os.makedirs(out)
+    w1 = CdcWireStreamWriter({"path": out})
+    w2 = CdcWireStreamWriter({"path": out})
+    assert w1.run_id != w2.run_id
+    # simulate run-2's in-flight task temp while run-1 commits a batch
+    other_dir = os.path.join(out, "_tmp", w2.run_id)
+    os.makedirs(other_dir)
+    other_tmp = os.path.join(other_dir, "task-0-deadbeef.jsonl")
+    with open(other_tmp, "w") as f:
+        f.write('{"payload": {"op": "u"}}\n')
+    own_dir = os.path.join(out, "_tmp", w1.run_id)
+    os.makedirs(own_dir)
+    own_tmp = os.path.join(own_dir, "task-0-cafe.jsonl")
+    with open(own_tmp, "w") as f:
+        f.write('{"payload": {"op": "d"}}\n')
+    w1.commit([_WireCommit(tmp_path=own_tmp, n_rows=1)], batchId=0)
+    committed = os.path.join(out, "batch-0000000000.jsonl")
+    assert os.path.exists(committed)
+    assert open(committed).read() == '{"payload": {"op": "d"}}\n'
+    assert not os.path.exists(own_tmp)        # own temp swept
+    assert os.path.exists(other_tmp)          # concurrent run's temp intact

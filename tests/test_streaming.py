@@ -1913,7 +1913,9 @@ def test_pyds_wire_sink_roundtrip_and_replay_idempotence(spark, tmp_path):
 
     w = CdcWireStreamWriter({"path": out})
     batch_id = int(files[0].split("batch-")[1].split(".")[0])
-    dup = os.path.join(out, "_tmp", "replay.jsonl")
+    # temps are namespaced per writer run (_tmp/<run_id>/): commit sweeps
+    # only its own subtree, so the replay temp goes in THIS writer's dir
+    dup = os.path.join(out, "_tmp", w.run_id, "replay.jsonl")
     os.makedirs(os.path.dirname(dup), exist_ok=True)
     with open(dup, "w") as f:
         f.write(json.dumps({"payload": None}) + "\n")

@@ -132,7 +132,20 @@ _DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
 # into _NEVER_GREEN when _R4_VERIFIED was folded in): the backlog must win
 # the budget-capped walk so round 5 closes the evidence book. Budget check:
 # 14 backlog + len(_R5_NEW) must stay <= 50.
-_R5_NEW: set = set()
+_R5_NEW: set = {
+    # regression/association/category aggregates + Pareto + MoM (relational)
+    "agg_regr_linear", "agg_corr_covar", "agg_entropy_gini", "agg_pareto_abc",
+    "rollup_mom_growth", "customer_rfm_scores",
+    # time-based RANGE frame (windows)
+    "win_time_range_frame",
+    # calendar/streak/path/churn event analytics (streaming_batch)
+    "events_streak_longest", "events_calendar_grid", "events_top_paths",
+    "events_inactive_users",
+    # text + embedding hygiene (llm)
+    "text_sentence_stats", "text_stopword_docfreq", "embed_norm_outliers",
+    # deterministic sampling + temporal split (training)
+    "sample_reservoir_hash", "sample_time_split",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-5 addition. A name

@@ -2163,3 +2163,163 @@ def dedup_simhash_banded(spark, sf_dir):
     engines."""
     sigs = dd.simhash_signatures(_dup_corpus(spark, sf_dir, near=True))
     return dd.simhash_band_candidates(sigs, max_hamming=3).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (_R5_NEW): sentence stats, corpus stopwords, norm outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_sentence_stats",
+    """
+    WITH sent AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> length(trim(s)) > 0) AS sents
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, lang,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           ROUND(list_sum(list_transform(sents, s -> CAST(length(trim(s)) AS DOUBLE)))
+                 / len(sents) + 1e-9, 2) AS avg_sentence_chars
+    FROM sent WHERE len(sents) > 0 ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_sentence_stats(spark, sf_dir):
+    """Sentence-level shape statistics: sentence count and mean trimmed
+    sentence length per document — the granularity quality filters like
+    Gopher's mean-words-per-sentence rule operate at (text_gopher_rules
+    works on words; this is the char-level sentence profile). Sentences
+    split on terminal-punctuation runs, whitespace-only fragments dropped
+    on both engines.
+
+    Scale shape: pure narrow projection with higher-order array functions
+    (split/filter/transform/aggregate) — evaluates inside the scan stage,
+    zero shuffle, zero Python."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    sum_chars = F.aggregate(
+        F.col("sents"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.length(F.trim(s)).cast("double"),
+    )
+    return (
+        d.select("doc_id", "lang", sents.alias("sents"))
+        .where(F.size("sents") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("sents").cast("long").alias("n_sentences"),
+            eps_round(sum_chars / F.size("sents"), 2).alias("avg_sentence_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_stopword_docfreq",
+    """
+    WITH n_docs AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS docfreq
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, CAST(docfreq AS BIGINT) AS docfreq,
+           ROUND(docfreq / nd + 1e-9, 4) AS doc_ratio
+    FROM df, n_docs
+    WHERE docfreq / nd > 0.6
+    ORDER BY docfreq DESC, tok
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def text_stopword_docfreq(spark, sf_dir):
+    """Corpus-derived stopword discovery: tokens appearing in more than 60%
+    of documents by DOCUMENT frequency (not term frequency) — the
+    data-driven stopword list IDF weighting and index pruning start from
+    (a token in every document carries no retrieval signal).
+
+    Scale shape: explode -> distinct (doc, tok) -> token groupBy, all
+    map-side combining; the 1-row corpus count broadcasts (allowlisted
+    scalar BNLJ); output is bounded by the stopword band, not the
+    vocabulary."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("docfreq"))
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    return (
+        df.crossJoin(F.broadcast(nd))
+        .where(F.col("docfreq") / F.col("nd") > 0.6)
+        .select(
+            "tok",
+            F.col("docfreq").cast("long").alias("docfreq"),
+            eps_round(F.col("docfreq") / F.col("nd"), 4).alias("doc_ratio"),
+        )
+        .orderBy(F.desc("docfreq"), "tok")
+    )
+
+
+@query(
+    "embed_norm_outliers",
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, AVG(l2) AS mu, stddev_samp(l2) AS sigma,
+             COUNT(*) AS n FROM norms GROUP BY label
+    )
+    SELECT vec_id, norms.label, ROUND(l2 + 1e-9, 4) AS l2_norm,
+           ROUND((l2 - mu) / sigma + 1e-9, 4) AS z
+    FROM norms JOIN stats ON norms.label = stats.label
+    WHERE abs(ROUND((l2 - mu) / sigma + 1e-9, 4)) >= 1.5
+    ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "quality"),
+)
+def embed_norm_outliers(spark, sf_dir):
+    """Embedding-norm outlier detection: vectors whose L2 norm sits >= 1.5
+    label-conditional standard deviations from their label mean — the
+    embedding-hygiene screen (degenerate/truncated vectors have collapsed
+    norms; un-normalized stragglers inflated ones) run before any
+    cosine-based dedup or ANN stage trusts the geometry. The z-score is
+    eps-rounded BEFORE thresholding so the cut cannot flip on a 1-ulp
+    cross-engine aggregate difference.
+
+    Scale shape: the norm is an ordered array fold inside the scan stage
+    (identical summation order on both engines); per-label mean/std is a
+    tiny mergeable aggregate broadcast back against the norms — the
+    embedding payload itself never shuffles."""
+    e = t(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norms = e.select("vec_id", "label", l2.alias("l2"))
+    stats = norms.groupBy("label").agg(
+        F.avg("l2").alias("mu"), F.stddev_samp("l2").alias("sigma")
+    )
+    z = eps_round((F.col("l2") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id", "label", eps_round(F.col("l2"), 4).alias("l2_norm"), z.alias("z")
+        )
+        .where(F.abs(F.col("z")) >= 1.5)
+        .orderBy("vec_id")
+    )

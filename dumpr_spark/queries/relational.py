@@ -2569,3 +2569,349 @@ def agg_countmin_sketch(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (_R5_NEW): regression/association aggregates, category
+# diagnostics, Pareto classification, calendar analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_regr_linear",
+    """
+    WITH s AS (
+      SELECT n_name,
+             COUNT(*)::DOUBLE AS n,
+             SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+             SUM(l_quantity * l_extendedprice) AS sxy,
+             SUM(l_quantity * l_quantity) AS sxx,
+             SUM(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_lines,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx) + 1e-9, 4) AS slope,
+           ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n + 1e-9, 2)
+             AS intercept,
+           ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)) + 1e-9, 4) AS r2
+    FROM s ORDER BY n_name
+    """,
+    tags=("agg", "stats"),
+)
+def agg_regr_linear(spark, sf_dir):
+    """Grouped least-squares regression (price vs quantity per supplier
+    nation): slope, intercept and R^2 computed from the five power sums —
+    the regr_slope/regr_intercept/regr_r2 family, written out as explicit
+    sums so both engines evaluate the IDENTICAL closed form (no reliance
+    on either engine's regr_* null/edge conventions).
+
+    Scale shape: one partial-combining aggregate per group — the five sums
+    are constant-size per partition and mergeable (same contract as
+    corr/stddev partials); the supplier->nation dims broadcast, and the
+    final arithmetic runs over 25 rows."""
+    li, s, n = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation")
+    joined = li.join(
+        F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]
+    ).join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    sums = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+    )
+    n_, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n_ * sxy - sx * sy) / (n_ * sxx - sx * sx)
+    return sums.select(
+        "n_name",
+        n_.cast("long").alias("n_lines"),
+        eps_round(slope, 4).alias("slope"),
+        eps_round((sy - slope * sx) / n_, 2).alias("intercept"),
+        eps_round(
+            ((n_ * sxy - sx * sy) * (n_ * sxy - sx * sy))
+            / ((n_ * sxx - sx * sx) * (n_ * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    ).orderBy("n_name")
+
+
+@query(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2) AS qty_price_covs,
+           ROUND(covar_pop(l_quantity, l_discount) + 1e-9, 6) AS qty_disc_covp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_covar(spark, sf_dir):
+    """Association aggregates per group: Pearson correlation plus sample and
+    population covariance — the built-in co-moment family (Spark and DuckDB
+    both implement the single-pass co-moment recurrences, so the values
+    agree to rounding). Partial-combining: each partition carries the
+    (n, mean_x, mean_y, C_xy) tuple, merged pairwise — mergeable at any
+    cluster width, no sort, no window."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            eps_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            eps_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covs"),
+            eps_round(F.covar_pop("l_quantity", "l_discount"), 6).alias("qty_disc_covp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_entropy_gini",
+    """
+    WITH dist AS (
+      SELECT n_name, o_orderpriority, COUNT(*)::DOUBLE AS c
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, o_orderpriority
+    ),
+    tot AS (
+      SELECT n_name, SUM(c) AS total FROM dist GROUP BY n_name
+    )
+    SELECT d.n_name,
+           CAST(SUM(c) AS BIGINT) AS n_orders,
+           ROUND(-SUM((c / total) * log2(c / total)) + 1e-9, 6) AS priority_entropy,
+           ROUND(1 - SUM((c / total) * (c / total)) + 1e-9, 6) AS priority_gini
+    FROM dist d JOIN tot USING (n_name)
+    GROUP BY d.n_name, total ORDER BY d.n_name
+    """,
+    tags=("agg", "stats"),
+)
+def agg_entropy_gini(spark, sf_dir):
+    """Categorical-distribution diagnostics per group: Shannon entropy and
+    Gini impurity of the order-priority mix per customer nation — the
+    balance/skew measure a data curator reads before stratifying (a
+    near-zero entropy nation is one-priority-dominated; max entropy
+    log2(5) ~ 2.32 is uniform).
+
+    Scale shape: first aggregate to |nation| x |priority| cells (tiny,
+    map-side combined from the fact scan with broadcast dims), second
+    aggregate folds the ~125 cells — the probability normalization happens
+    on the cell table, never on raw rows."""
+    o, c, n = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    dist = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w_tot = dist.groupBy("n_name").agg(F.sum("c").alias("total"))
+    p = F.col("c") / F.col("total")
+    return (
+        dist.join(w_tot, "n_name")
+        .groupBy("n_name", "total")
+        .agg(
+            F.sum("c").cast("long").alias("n_orders"),
+            eps_round(-F.sum(p * F.log2(p)), 6).alias("priority_entropy"),
+            eps_round(F.lit(1) - F.sum(p * p), 6).alias("priority_gini"),
+        )
+        .select("n_name", "n_orders", "priority_entropy", "priority_gini")
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "agg_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT n_name, l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name, l_partkey
+    ),
+    ranked AS (
+      SELECT n_name, l_partkey, revenue,
+             SUM(revenue) OVER (PARTITION BY n_name ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(revenue) OVER (PARTITION BY n_name) AS total_rev
+      FROM rev
+    ),
+    classed AS (
+      SELECT n_name,
+             CASE WHEN ROUND(cum_rev / total_rev + 1e-9, 9) <= 0.7 THEN 'A'
+                  WHEN ROUND(cum_rev / total_rev + 1e-9, 9) <= 0.9 THEN 'B'
+                  ELSE 'C' END AS cls,
+             revenue
+      FROM ranked
+    )
+    SELECT n_name, cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(revenue) + 1e-9, 2) AS class_revenue
+    FROM classed GROUP BY n_name, cls ORDER BY n_name, cls
+    """,
+    tags=("agg", "window"),
+)
+def agg_pareto_abc(spark, sf_dir):
+    """ABC/Pareto classification: per supplier nation, parts whose running
+    revenue share reaches 70% are class A, to 90% class B, the tail C —
+    the inventory-analytics split ("which 20% of parts carry 80% of
+    revenue"). Cumulative share via a window over the part-level revenue
+    rollup, classified on the eps-rounded share so the hard class boundary
+    cannot flip on a 1-ulp cross-engine sum difference.
+
+    Scale shape: the raw fact scan reduces to |nation| x |part| BEFORE any
+    window; the running sum partitions by nation over that rollup. At the
+    25-nation DEMO grain each partition is one task's sort — production
+    grains partition finer (nation x category) or take the two-phase
+    distributed prefix scan (operators/ntile.py's pattern) exactly like
+    the other giant-running-sum ops; the class counts that leave the
+    window are 3 rows per nation."""
+    li, s, n = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("n_name")
+    share = F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot) + F.lit(1e-9), 9)
+    classed = rev.select(
+        "n_name",
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("cls"),
+        "revenue",
+    )
+    return (
+        classed.groupBy("n_name", "cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            eps_round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .orderBy("n_name", "cls")
+    )
+
+
+@query(
+    "rollup_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT n_name, date_trunc('month', o_orderdate) AS month,
+             ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY n_name, date_trunc('month', o_orderdate)
+    )
+    SELECT n_name, month, revenue,
+           ROUND((revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY month))
+                 / lag(revenue) OVER (PARTITION BY n_name ORDER BY month) + 1e-9, 4)
+             AS mom_growth
+    FROM monthly ORDER BY n_name, month
+    """,
+    tags=("rollup", "window", "timeseries"),
+)
+def rollup_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per nation: the period-comparison
+    rollup every metrics dashboard ships (this period vs last, as a
+    ratio). Revenue is eps-rounded BEFORE the lag/divide so the growth
+    ratio is a pure function of the published monthly figures — a
+    cross-engine sum wobble cannot leak into the derived metric.
+
+    Scale shape: the fact scan reduces to |nation| x |month| rows first
+    (map-side combine, broadcast dims, partition-prunable date filter);
+    the lag window runs over that tiny rollup — window input is the
+    AGGREGATE, never raw orders."""
+    o, c, n = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    monthly = (
+        o.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(eps_round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "n_name", "month", "revenue",
+        eps_round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+    ).orderBy("n_name", "month")
+
+
+@query(
+    "customer_rfm_scores",
+    """
+    WITH rfm AS (
+      SELECT c_custkey,
+             CAST(MAX(epoch_ms(o_orderdate)) / 86400000 AS DOUBLE) AS recency_day,
+             COUNT(*)::DOUBLE AS frequency,
+             ROUND(SUM(o_totalprice) + 1e-9, 2) AS monetary
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey,
+             ntile(5) OVER (ORDER BY recency_day DESC, c_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_score,
+             monetary
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary) + 1e-9, 2) AS segment_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("agg", "window", "analytics"),
+)
+def customer_rfm_scores(spark, sf_dir):
+    """RFM segmentation: every ordering customer scored 1-5 on Recency
+    (days-since-epoch of last order, later = score 1), Frequency (order
+    count) and Monetary (total spend), then rolled into segment cells —
+    the classic marketing-analytics cube (a (1,1,1) cell is the
+    best-customer segment).
+
+    Scale shape: each NTILE is a GLOBAL-order statistic, which is exactly
+    the shape the plan lint bans as a naive window — so all three scores
+    run through operators/ntile.global_ntile (approxQuantile range-bucket
+    + per-bucket rank + broadcast offsets; see that module's cost model).
+    Monetary is eps-rounded before scoring so the tile boundary is a
+    function of the published figure on both engines."""
+    from dumpr_spark.operators.ntile import global_ntile
+
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    rfm = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            (F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+             / F.lit(86400000.0)).alias("recency_day"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            eps_round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    scored = global_ntile(rfm, 5, "recency_day", "c_custkey", out_col="r_score")
+    scored = global_ntile(scored, 5, "frequency", "c_custkey", out_col="f_score")
+    scored = global_ntile(scored, 5, "monetary", "c_custkey", out_col="m_score")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            eps_round(F.sum("monetary"), 2).alias("segment_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -936,3 +936,198 @@ def events_autocorr(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (_R5_NEW): calendar analytics, streaks, paths, churn
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_streak_longest",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY user_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "timeseries"),
+)
+def events_streak_longest(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom (day minus per-user day-rank is constant within
+    a consecutive run), the engagement metric behind every 'N-day streak'
+    badge.
+
+    Scale shape: the raw stream first distincts to (user, day) — at most
+    365 rows per user per year regardless of event volume — and the
+    row_number window partitions per user over that reduced set; map-side
+    combine on the distinct, two tiny follow-up aggregates. Day ids are
+    integer epoch-day arithmetic, identical on both engines."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        (F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000))).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("n_active_days"),
+        )
+        .withColumn("user_id", F.col("user_id").cast("long"))
+        .select("user_id", "longest_streak", "n_active_days")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_calendar_grid",
+    """
+    SELECT CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value) + 1e-9, 2) AS avg_value
+    FROM events GROUP BY dow, hod ORDER BY dow, hod
+    """,
+    tags=("events", "rollup"),
+)
+def events_calendar_grid(spark, sf_dir):
+    """Calendar heatmap grid: event count and mean value per (day-of-week,
+    hour-of-day) cell — the weekly-seasonality fingerprint (when is this
+    system busy?). Day-of-week is computed as (epoch_day + 4) % 7
+    (1970-01-01 was a Thursday; Sunday = 0) — pure integer arithmetic, so
+    no dependence on either engine's dayofweek() start-of-week convention.
+
+    Scale shape: single map-side-combining aggregate to a fixed 7x24 grid
+    — partials are 168 cells regardless of input size; the shuffle carries
+    one grid per partition."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000))
+    return (
+        e.groupBy(
+            ((day + 4) % 7).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            eps_round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@query(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+      FROM events
+    ),
+    paths AS (
+      SELECT event_type || '>' || n1 || '>' || n2 AS path
+      FROM seq WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("events", "funnel"),
+)
+def events_top_paths(spark, sf_dir):
+    """Top 3-step behavioral paths: the most common (A -> B -> C) event
+    sequences across all users — the path-mining view one level deeper
+    than the events_markov_transitions pair matrix (a Markov chain cannot
+    distinguish A->B->A from A->B->C journeys; 3-grams can).
+
+    Scale shape: two lead() calls share ONE per-user window sort; the
+    path space collapses to |event_type|^3 keys with map-side combine, and
+    the top-10 is TakeOrdered over that tiny rollup — no global sort
+    materializes."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+    ).where(F.col("n1").isNotNull() & F.col("n2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "n1", "n2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "events_inactive_users",
+    """
+    WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_user AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(epoch_ms(first_ts) // 604800000 AS BIGINT) AS cohort_week,
+           CASE WHEN epoch_ms(last_ts) < epoch_ms(max_ts) - 604800000
+                THEN 'inactive' ELSE 'active' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per_user, horizon
+    GROUP BY cohort_week, status ORDER BY cohort_week, status
+    """,
+    tags=("events", "churn"),
+)
+def events_inactive_users(spark, sf_dir):
+    """Inactivity/churn classification: users whose LAST event is more than
+    7 days before the stream horizon (the corpus max timestamp) are
+    'inactive', grouped by first-seen cohort week — the churn-rate-by-
+    cohort table retention dashboards plot.
+
+    Scale shape: one per-user min/max/count aggregate (map-side combine),
+    then the 1-row horizon aggregate broadcast against the per-user rollup
+    (the allowlisted scalar-broadcast BNLJ shape) and a tiny final
+    grouping — the raw stream is scanned twice (per-user fold + horizon),
+    never joined row-to-row."""
+    e = t(spark, sf_dir, "events")
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    horizon = e.agg(F.max("ts").alias("max_ts"))
+    week = F.floor(ms("first_ts") / F.lit(604800000)).cast("long")
+    status = F.when(
+        ms("last_ts") < ms("max_ts") - F.lit(604800000), "inactive"
+    ).otherwise("active")
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .groupBy(week.alias("cohort_week"), status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("cohort_week", "status")
+    )

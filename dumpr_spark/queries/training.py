@@ -1225,3 +1225,85 @@ def export_shard_manifest(spark, sf_dir):
         )
         .orderBy("lang", "shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (_R5_NEW): deterministic sampling, leakage-free time split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_reservoir_hash",
+    """
+    SELECT doc_id, lang, substring(md5('rsv1:' || doc_id), 1, 12) AS rank_key
+    FROM documents
+    ORDER BY rank_key, doc_id LIMIT 64
+    """,
+    tags=("training", "sampling"),
+)
+def sample_reservoir_hash(spark, sf_dir):
+    """Deterministic uniform k-sample: the 64 documents with the smallest
+    seeded-hash rank — the distributed replacement for reservoir sampling.
+    A true reservoir is sequential (its state depends on arrival order);
+    ranking by a seeded content hash gives the identical uniform
+    distribution, is reproducible across engines and reruns, and composes
+    (the union of two corpora re-ranks to the union sample; changing k
+    only extends the prefix — same property the hash split relies on).
+
+    Scale shape: global top-k by hash = TakeOrderedAndProject (per
+    partition heap of 64, driver merges W heaps) — no global sort
+    materializes; the hash is a narrow projection in the scan stage."""
+    d = t(spark, sf_dir, "documents")
+    rank_key = F.substring(
+        F.md5(F.concat(F.lit("rsv1:"), F.col("doc_id").cast("string"))), 1, 12
+    )
+    return (
+        d.select("doc_id", "lang", rank_key.alias("rank_key"))
+        .orderBy("rank_key", "doc_id")
+        .limit(64)
+    )
+
+
+@query(
+    "sample_time_split",
+    """
+    WITH cutoff AS (
+      SELECT quantile_cont(epoch_ms(ts), 0.9) AS cut_ms FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN epoch_ms(ts) <= cut_ms THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN epoch_ms(ts) > cut_ms THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_holdout
+    FROM events, cutoff
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("training", "sampling", "timeseries"),
+)
+def sample_time_split(spark, sf_dir):
+    """Temporal train/holdout split at the 90th time percentile: everything
+    at-or-before the cutoff trains, the trailing 10% holds out — the
+    leakage-free counterpart of the hash split (split_train_val_test) for
+    forecasting/recency-sensitive models, where random splits leak future
+    context into training.
+
+    Scale shape: the cutoff is ONE interpolated order statistic (exact
+    percentile here, matched to the oracle's quantile_cont; at 100 TB the
+    production dial is approx_percentile with a documented error budget —
+    the split only shifts by the accuracy band) broadcast against the
+    grouped count — the stream is never sorted."""
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    cutoff = e.agg(F.percentile(ms, F.lit(0.9)).alias("cut_ms"))
+    return (
+        e.select("event_type", ms.alias("ms"))
+        .crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ms") <= F.col("cut_ms"), 1).otherwise(0))
+            .cast("long").alias("n_train"),
+            F.sum(F.when(F.col("ms") > F.col("cut_ms"), 1).otherwise(0))
+            .cast("long").alias("n_holdout"),
+        )
+        .orderBy("event_type")
+    )

@@ -345,3 +345,44 @@ def win_cume_dist(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+@query(
+    "win_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                                  RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+                 + 1e-9, 2) AS rolling_6h_sum,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                               RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_6h_n
+    FROM events ORDER BY event_id
+    """,
+    tags=("window", "timeseries"),
+)
+def win_time_range_frame(spark, sf_dir):
+    """Time-based RANGE frame: per-user rolling 6-hour sum/count over EVENT
+    TIME (not row count) — the frame every rate-limit / rolling-exposure
+    metric needs, where a burst of events in one minute all share the same
+    lookback window. Ordered by epoch millis so the frame arithmetic is
+    integer on both engines; ties (same ms) are peers and aggregate
+    identically by the RANGE-frame definition.
+
+    Scale shape: window partitioned per user (millions of independent
+    keys), frame evaluation is the engines' sliding-frame aggregation —
+    O(rows) amortized per partition, no self-join expansion of the
+    6-hour neighborhood."""
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-21600000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        eps_round(F.sum("value").over(w), 2).alias("rolling_6h_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_6h_n"),
+    ).orderBy("event_id")

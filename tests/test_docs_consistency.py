@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _DRIVER_VERIFIED, _NEVER_GREEN, _R4_LATE, _R4_NEW,
+        REGISTRY, _DRIVER_VERIFIED, _NEVER_GREEN, _R5_NEW,
     )
 
     names = set(REGISTRY)
-    tiers = [_DRIVER_VERIFIED & names, _R4_NEW, _R4_LATE, _NEVER_GREEN]
+    tiers = [_DRIVER_VERIFIED & names, _R5_NEW, _NEVER_GREEN]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):

@@ -21,6 +21,9 @@ BNLJ_ALLOWED = {
     "cdc_stamp_filename",       # 1-row rotate-boundary array broadcast
     "cdc_consistency_check",    # two 1-row checksum aggregates cross-joined
     "cdc_time_travel",          # scalar as-of cutoff broadcast
+    "events_inactive_users",    # 1-row stream-horizon (max ts) broadcast
+    "text_stopword_docfreq",    # 1-row corpus doc-count broadcast
+    "sample_time_split",        # 1-row time-percentile cutoff broadcast
     "join_cross",               # THE declared 5x5 cross query
     "join_theta_range",         # declared non-equi theta join, small dims
     "q11_important_parts",      # TPC-H Q11 scalar threshold broadcast

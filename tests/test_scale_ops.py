@@ -536,3 +536,37 @@ def test_plan_shapes_r4_late_wave2(spark, sf_dir):
     tc = explain_str(REGISTRY["graph_triangle_count"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in tc, tc
     assert "CartesianProduct" not in tc and "BroadcastNestedLoopJoin" not in tc, tc
+
+
+def test_plan_shapes_r5_wave(spark, sf_dir):
+    """Plan pins for the round-5 additions: Count-Min builds from ONE scan
+    of events for the sketch (plus one shared exact-count subtree — never
+    the old 4-way union); the autocorr lag window partitions by
+    (event_type, chunk), not event_type alone; the regression/entropy dims
+    broadcast; the RFM plan contains no unpartitioned window (the lint
+    covers it registry-wide, this pins the specific query); the time-range
+    frame window partitions per user."""
+    import re
+
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    cm = explain_str(REGISTRY["agg_countmin_sketch"].fn(spark, sf_dir), "formatted")
+    assert len(re.findall(r"Scan parquet.*events", cm)) <= 3, cm
+    assert "Union" not in cm, cm  # the 4-way per-hash-row union is gone
+
+    ac = explain_str(REGISTRY["events_autocorr"].fn(spark, sf_dir), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", ac)
+    assert specs and all("chunk" in s for s in specs if "event_type#" in s), ac
+
+    for name in ("agg_regr_linear", "agg_entropy_gini"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+    rfm = explain_str(REGISTRY["customer_rfm_scores"].fn(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in rfm, rfm
+
+    tr = explain_str(REGISTRY["win_time_range_frame"].fn(spark, sf_dir), "simple")
+    assert "specifiedwindowframe(RangeFrame" in tr, tr
+    assert "Exchange SinglePartition" not in tr, tr

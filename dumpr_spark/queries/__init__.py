@@ -159,7 +159,11 @@ def _rank(n: str) -> int:
         return 0
     if n in _R5_NEW:
         return 1
-    return 3 if n in _DRIVER_VERIFIED else 2
+    # only _DRIVER_VERIFIED names reach here (_NEVER_GREEN is the registry
+    # minus the other two sets, so the tiers tile the registry); a name in
+    # no set is impossible by construction, and would land in _NEVER_GREEN
+    # (rank 0, checked first) anyway — the fails-safe default.
+    return 3
 
 
 _reordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=_rank)}

@@ -2788,7 +2788,7 @@ def agg_pareto_abc(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy("n_name")
-    share = F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot) + F.lit(1e-9), 9)
+    share = eps_round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot), 9)
     classed = rev.select(
         "n_name",
         F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("cls"),

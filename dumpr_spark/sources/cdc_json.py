@@ -279,7 +279,14 @@ def changes_to_debezium(changes: DataFrame, db: str) -> DataFrame:
             # BEFORE row 1023. See docstring for the Debezium-origin-seq
             # fidelity caveat on the derived path.
             (
-                F.col("row_ordinal")
+                # coalesce: a union of carried + canonical envelopes has a
+                # row_ordinal column that is NULL on the canonical rows —
+                # those must still get the derived ordinal, not source.row
+                # = null (which re-ingests as row 0)
+                F.coalesce(
+                    F.col("row_ordinal"),
+                    F.least(F.col("seq") % F.lit(1 << 16), F.lit((1 << 10) - 1)),
+                )
                 if "row_ordinal" in changes.columns
                 else F.least(F.col("seq") % F.lit(1 << 16), F.lit((1 << 10) - 1))
             )

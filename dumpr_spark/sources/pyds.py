@@ -145,21 +145,55 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         # scan — O(N) driver memory regardless of backlog size) and the
         # offset advances incrementally until the backlog drains.
         self.max_events_per_batch = int(options.get("max_events_per_batch", 0))
+        # per-file (mtime, size) -> max seq, so a capped drain skips files
+        # whose every event is already committed WITHOUT re-parsing them
+        # each trigger — otherwise draining a B-event backlog N at a time
+        # costs O(B^2/N) JSON parses. Invalidated on rewrite (mtime/size
+        # change), so compaction keeps exact semantics.
+        self._file_max_seq: dict[str, tuple[tuple[float, int], int]] = {}
 
     def initialOffset(self) -> dict:
         return {"seq": self.start_seq, "file": None, "pos": None}
 
+    def _scan_unread(self, min_seq_exclusive: int):
+        """_scan with the per-file max-seq skip: a file whose cached max seq
+        is <= the committed position contributes nothing — skip the parse."""
+        seq_key = _FIELDS.index("seq")
+        for fp in _feed_files(self.path):
+            try:
+                st = os.stat(fp)
+                stamp = (st.st_mtime, st.st_size)
+            except OSError:
+                stamp = None
+            if stamp is not None:
+                cached = self._file_max_seq.get(fp)
+                if cached and cached[0] == stamp and cached[1] <= min_seq_exclusive:
+                    continue
+            file_max = -1
+            for row in _scan_file(fp, min_seq_exclusive):
+                if row[seq_key] > file_max:
+                    file_max = row[seq_key]
+                yield row
+            if stamp is not None:
+                prev = self._file_max_seq.get(fp)
+                # keep the larger known max for an unchanged file: a scan
+                # with a high min_seq sees only a suffix of the seqs
+                if prev and prev[0] == stamp:
+                    file_max = max(file_max, prev[1])
+                self._file_max_seq[fp] = (stamp, file_max)
+
     def read(self, start: dict):
-        scan = _scan(self.path, min_seq_exclusive=int(start["seq"]))
         if self.max_events_per_batch > 0:
             import heapq
 
             seq_key = _FIELDS.index("seq")
             rows = heapq.nsmallest(
-                self.max_events_per_batch, scan, key=lambda r: r[seq_key]
+                self.max_events_per_batch,
+                self._scan_unread(int(start["seq"])),
+                key=lambda r: r[seq_key],
             )
         else:
-            rows = list(scan)
+            rows = list(_scan(self.path, min_seq_exclusive=int(start["seq"])))
         if not rows:
             return iter([]), start
         seq_i = _FIELDS.index("seq")
@@ -266,7 +300,11 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
     dead attempt — and a SECOND query (or an accidental concurrent re-run)
     writing to the same path sweeps only its own subtree instead of
     deleting the other's in-flight temps. A crashed run's leftover subtree
-    is inert (never published); retention may remove stale run dirs.
+    is inert (never published) but would otherwise accumulate across
+    crash/restart cycles, so commit ALSO removes other runs' dirs whose
+    mtime is older than ``stale_temp_ttl_sec`` (default 86400): a live
+    concurrent run refreshes its dir's mtime every batch it writes, so
+    only dead runs age past the TTL.
 
     DEPLOYMENT BOUNDARY (same as MergeSink's local-FS rename semantics,
     SCALE.md): tasks and driver must share the filesystem (local mode, NFS,
@@ -286,6 +324,7 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("dumpr_cdc sink requires a path option")
         self.run_id = uuid.uuid4().hex
+        self.stale_temp_ttl_sec = int(options.get("stale_temp_ttl_sec", 86400))
 
     def write(self, iterator) -> _WireCommit:
         import os
@@ -334,12 +373,30 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
                     pass
             # sweep THIS RUN's temp subtree: this batch's temps plus orphans
             # from crashed/speculative task attempts that never reached
-            # commit — other concurrent runs' subtrees are untouched
+            # commit — other concurrent runs' subtrees are untouched...
             tmp_dir = os.path.join(self.path, "_tmp", self.run_id)
             if os.path.isdir(tmp_dir):
                 for f in os.listdir(tmp_dir):
                     try:
                         os.remove(os.path.join(tmp_dir, f))
+                    except OSError:
+                        pass
+            # ...UNLESS they are dead: a run dir whose mtime is older than
+            # the TTL belongs to a crashed/abandoned run (live runs touch
+            # their dir every batch); without this, crash/restart cycles
+            # leak full batch payloads forever.
+            import time
+
+            root = os.path.join(self.path, "_tmp")
+            cutoff = time.time() - self.stale_temp_ttl_sec
+            if os.path.isdir(root):
+                for d in os.listdir(root):
+                    p = os.path.join(root, d)
+                    try:
+                        if d != self.run_id and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                            import shutil as _sh
+
+                            _sh.rmtree(p, ignore_errors=True)
                     except OSError:
                         pass
 

@@ -334,3 +334,70 @@ def test_pyds_wire_writer_run_namespaced_temps(tmp_path):
     assert open(committed).read() == '{"payload": {"op": "d"}}\n'
     assert not os.path.exists(own_tmp)        # own temp swept
     assert os.path.exists(other_tmp)          # concurrent run's temp intact
+
+
+def test_pyds_wire_writer_sweeps_stale_run_dirs(tmp_path):
+    """A crashed run's temp subtree must not leak forever: commit removes
+    OTHER runs' dirs older than stale_temp_ttl_sec, while fresh concurrent
+    dirs survive (a live run touches its dir every batch)."""
+    import os
+
+    from dumpr_spark.sources.pyds import CdcWireStreamWriter, _WireCommit
+
+    out = str(tmp_path / "wire_ttl")
+    os.makedirs(out)
+    # ttl -1 => cutoff is in the future => any other run dir counts stale
+    w = CdcWireStreamWriter({"path": out, "stale_temp_ttl_sec": "-1"})
+    dead_dir = os.path.join(out, "_tmp", "deadrun")
+    os.makedirs(dead_dir)
+    with open(os.path.join(dead_dir, "task-0-x.jsonl"), "w") as f:
+        f.write("{}\n")
+    own_dir = os.path.join(out, "_tmp", w.run_id)
+    os.makedirs(own_dir)
+    own_tmp = os.path.join(own_dir, "task-0-y.jsonl")
+    with open(own_tmp, "w") as f:
+        f.write('{"payload": {"op": "u"}}\n')
+    w.commit([_WireCommit(tmp_path=own_tmp, n_rows=1)], batchId=0)
+    assert not os.path.exists(dead_dir)  # stale run swept
+    # default TTL (1 day): a fresh foreign dir survives
+    w2 = CdcWireStreamWriter({"path": out})
+    fresh_dir = os.path.join(out, "_tmp", "freshrun")
+    os.makedirs(fresh_dir)
+    own2 = os.path.join(out, "_tmp", w2.run_id)
+    os.makedirs(own2)
+    t2 = os.path.join(own2, "task-0-z.jsonl")
+    with open(t2, "w") as f:
+        f.write('{"payload": {"op": "d"}}\n')
+    w2.commit([_WireCommit(tmp_path=t2, n_rows=1)], batchId=1)
+    assert os.path.exists(fresh_dir)
+
+
+def test_pyds_capped_read_skips_drained_files_and_survives_rewrite(tmp_path):
+    """The capped drain's per-file max-seq cache must (a) skip fully-
+    committed files without changing results and (b) invalidate when a
+    file is rewritten (compaction adds new events under an old name)."""
+    from dumpr_spark.sources.pyds import CdcFeedStreamReader, _FIELDS
+
+    src = str(tmp_path / "skip_feed")
+    mk = lambda i: {  # noqa: E731
+        "event_type": "write", "db": "s", "tbl": "w",
+        "ts": "2026-01-01T00:00:%02dZ" % (i % 60), "next_position": 10 * i,
+        "rows": [{"id": str(i)}], "seq": i,
+    }
+    _pyds_feed(src, "f0.json", [mk(1), mk(2), mk(3)])
+    _pyds_feed(src, "f1.json", [mk(4), mk(5), mk(6)])
+    r = CdcFeedStreamReader({"path": src, "max_events_per_batch": "2"})
+    seq_i = _FIELDS.index("seq")
+    seen, off = [], r.initialOffset()
+    for _ in range(3):
+        rows, off = r.read(off)
+        seen.extend(sorted(row[seq_i] for row in rows))
+    assert seen == [1, 2, 3, 4, 5, 6]
+    # f0 is now fully drained and cached; rewrite it with NEW events
+    # (compaction reuses the name) — the cache must invalidate and the
+    # next capped read must surface them
+    _pyds_feed(src, "f0.json", [mk(7), mk(8), mk(9)])
+    rows, off = r.read(off)
+    assert sorted(row[seq_i] for row in rows) == [7, 8]
+    rows, off = r.read(off)
+    assert sorted(row[seq_i] for row in rows) == [9]

@@ -145,6 +145,9 @@ _R5_NEW: set = {
     "text_sentence_stats", "text_stopword_docfreq", "embed_norm_outliers",
     # deterministic sampling + temporal split (training)
     "sample_reservoir_hash", "sample_time_split",
+    # wave 2: tolerance as-of, CDC observability, lift mining, k-means step
+    "join_asof_tolerance", "cdc_op_rollup", "cdc_key_hotspots",
+    "agg_assoc_lift", "embed_kmeans_step",
 }
 
 # Never-green backlog, by construction: every registered name without

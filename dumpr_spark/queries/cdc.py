@@ -648,3 +648,81 @@ def cdc_consistency_check(spark, sf_dir):
         (F.col("state_rows") == F.col("expected_rows")).alias("rows_match"),
         (F.col("state_checksum") == F.col("expected_checksum")).alias("checksums_match"),
     )
+
+
+@query(
+    "cdc_op_rollup",
+    _CHANGES_CTE
+    + """
+    SELECT 'orders' AS tbl, op,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys,
+           CAST(MIN(seq) AS BIGINT) AS min_seq,
+           CAST(MAX(seq) AS BIGINT) AS max_seq
+    FROM changes GROUP BY op ORDER BY op
+    """,
+    tags=("cdc", "ops", "agg"),
+)
+def cdc_op_rollup(spark, sf_dir):
+    """Change-stream operations rollup: per (table, op) — change count,
+    distinct keys touched, and the seq range covered — the first
+    observability panel a CDC operator reads (is the stream all-deletes?
+    did a bulk update touch every key? how far has seq advanced per
+    table?). Complements cdc_churn_stats (per-key version histogram) at
+    the per-table grain the reference's progress reporting works at
+    (stream position tracking, core.clj:105-131).
+
+    Scale shape: one partial-combining aggregate keyed by (tbl, op) — the
+    distinct-keys term shuffles key hashes within each group once; output
+    is |tables| x 2 rows."""
+    ch = _synthetic_changes(spark, sf_dir)
+    return (
+        ch.groupBy("tbl", "op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.count_distinct("id").cast("long").alias("n_keys"),
+            F.min("seq").cast("long").alias("min_seq"),
+            F.max("seq").cast("long").alias("max_seq"),
+        )
+        .orderBy("op")
+    )
+
+
+@query(
+    "cdc_key_hotspots",
+    _CHANGES_CTE
+    + """
+    , per_key AS (
+      SELECT id, COUNT(*) AS n FROM changes GROUP BY id
+    ),
+    tot AS (SELECT COUNT(*)::DOUBLE AS total FROM changes)
+    SELECT id, CAST(n AS BIGINT) AS n_changes,
+           ROUND(n / total + 1e-9, 6) AS share
+    FROM per_key, tot
+    ORDER BY n_changes DESC, CAST(id AS BIGINT) LIMIT 20
+    """,
+    tags=("cdc", "ops", "agg"),
+)
+def cdc_key_hotspots(spark, sf_dir):
+    """Hot-key detection: the 20 most-changed keys with their share of total
+    change volume — the skew diagnostic that decides whether the
+    materialize fold needs salting/AQE skew handling BEFORE the shuffle
+    falls over (a single entity absorbing 5% of a 100 TB change stream is
+    one reducer's death). Numeric-id tiebreak for determinism.
+
+    Scale shape: per-key count with map-side combine (hashes shuffle, not
+    payloads), 1-row total broadcast (allowlisted scalar BNLJ), TakeOrdered
+    top-20 — no global sort."""
+    ch = _synthetic_changes(spark, sf_dir)
+    per_key = ch.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    tot = ch.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.col("n").cast("long").alias("n_changes"),
+            eps_round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_changes"), F.col("id").cast("long"))
+        .limit(20)
+    )

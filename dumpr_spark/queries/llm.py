@@ -2323,3 +2323,80 @@ def embed_norm_outliers(spark, sf_dir):
         .where(F.abs(F.col("z")) >= 1.5)
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embed_kmeans_step",
+    """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cvec FROM corpus WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.v, ct.cvec) /
+                          (sqrt(list_dot_product(c.v, c.v)) *
+                           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      -- parallel unnests zip positionally in DuckDB: x walks the vector,
+      -- pos walks 0..len-1 in lockstep
+      SELECT cid, pos, AVG(x) AS m FROM (
+        SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assigned
+      ) GROUP BY cid, pos
+    )
+    SELECT cid, CAST(n_assigned AS BIGINT) AS n_assigned,
+           ROUND(new_norm + 1e-9, 6) AS new_centroid_norm
+    FROM (SELECT cid, COUNT(*) AS n_assigned FROM assigned GROUP BY cid) a
+    JOIN (SELECT cid, sqrt(SUM(m * m)) AS new_norm FROM dims GROUP BY cid) d
+    USING (cid)
+    ORDER BY cid
+    """,
+    tags=("llm", "embedding", "clustering"),
+)
+def embed_kmeans_step(spark, sf_dir):
+    """One distributed (spherical) k-means iteration, k=8 deterministic
+    seeds (vec_id < 8): assign every vector to its highest-cosine centroid
+    (the IVF coarse assignment, functions/similarity.ivf_assign), then
+    recompute each centroid as the elementwise mean of its members — the
+    Lloyd step IVF index training iterates. Output per cluster: member
+    count and the L2 norm of the new centroid (a scalar fingerprint of all
+    64 recomputed dimensions, so the oracle value-checks the full mean
+    vector without comparing float arrays).
+
+    Scale shape: centroids broadcast (8 x 64 floats), assignment is a
+    narrow map over the corpus scan; the mean shuffles (cluster, dim)
+    partial sums — 8 x 64 cells regardless of corpus size (posexplode
+    before the groupBy so partials combine map-side)."""
+    from dumpr_spark.functions.similarity import ivf_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    assigned = ivf_assign(e, cents, id_col="vec_id", vec_col="embedding", n_cells=1)
+    dims = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    norms = dims.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("new_norm")
+    )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+    return (
+        counts.join(norms, "cell")
+        .select(
+            F.col("cell").alias("cid"),
+            "n_assigned",
+            eps_round(F.col("new_norm"), 6).alias("new_centroid_norm"),
+        )
+        .orderBy("cid")
+    )

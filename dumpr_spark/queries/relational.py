@@ -2915,3 +2915,56 @@ def customer_rfm_scores(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "agg_assoc_lift",
+    """
+    WITH n AS (SELECT COUNT(*)::DOUBLE AS total FROM part),
+    joint AS (
+      SELECT p_brand, p_type, COUNT(*)::DOUBLE AS cbc
+      FROM part GROUP BY p_brand, p_type
+    ),
+    mb AS (SELECT p_brand, SUM(cbc) AS cb FROM joint GROUP BY p_brand),
+    mc AS (SELECT p_type, SUM(cbc) AS cc FROM joint GROUP BY p_type)
+    SELECT p_brand, p_type,
+           CAST(cbc AS BIGINT) AS n_joint,
+           ROUND(cbc * total / (cb * cc) + 1e-9, 4) AS lift
+    FROM joint JOIN mb USING (p_brand) JOIN mc USING (p_type), n
+    WHERE cbc >= 15
+    ORDER BY lift DESC, p_brand, p_type LIMIT 15
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def agg_assoc_lift(spark, sf_dir):
+    """Association lift (market-basket style) between part brand and
+    type: lift = P(brand, type) / (P(brand) * P(type)) —
+    > 1 means the pair co-occurs more than independence predicts. Support
+    floor (joint count >= 15) before ranking, the standard
+    min-support/top-lift mining output.
+
+    Scale shape: ONE aggregate to the |brand| x |type| cell table;
+    both margins derive from the cells (no second fact scan), the 1-row
+    total broadcasts (allowlisted scalar BNLJ), and the top-15 is
+    TakeOrdered over the cells."""
+    p = t(spark, sf_dir, "part")
+    joint = p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cbc")
+    )
+    mb = joint.groupBy("p_brand").agg(F.sum("cbc").alias("cb"))
+    mc = joint.groupBy("p_type").agg(F.sum("cbc").alias("cc"))
+    n = p.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        joint.join(F.broadcast(mb), "p_brand")
+        .join(F.broadcast(mc), "p_type")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cbc") >= 15)
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("cbc").cast("long").alias("n_joint"),
+            eps_round(F.col("cbc") * F.col("total") / (F.col("cb") * F.col("cc")), 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p_brand", "p_type")
+        .limit(15)
+    )

@@ -386,3 +386,51 @@ def win_time_range_frame(spark, sf_dir):
         eps_round(F.sum("value").over(w), 2).alias("rolling_6h_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("rolling_6h_n"),
     ).orderBy("event_id")
+
+
+@query(
+    "join_asof_tolerance",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ms
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN last_click_ms >= epoch_ms(ts) - 3600000
+                THEN last_click_ms END AS click_ms_within_1h
+    FROM tagged WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "join", "timeseries"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE: each purchase matched to the latest click
+    at-or-before it, but only if that click is within 1 hour — the staleness
+    bound every trade-vs-quote / action-vs-context join needs (an hours-old
+    context row is noise, not signal). Runs the canonical
+    `operators/asof.asof_join(tolerance=...)` union-carry form: ONE shuffle
+    on the key, last_value carry-forward, tolerance as a post-carry null-out
+    — never a range join.
+
+    Scale shape: identical to join_asof (key-partitioned window over the
+    tagged union), the tolerance adds a projection only."""
+    from dumpr_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", ms.alias("click_ms"), F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="click_ts",
+        right_cols=["click_ms"], tolerance="1 HOUR",
+    )
+    return joined.select(
+        "user_id", "event_id", F.col("click_ms").alias("click_ms_within_1h")
+    ).orderBy("user_id", "event_id")

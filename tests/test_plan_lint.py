@@ -24,6 +24,8 @@ BNLJ_ALLOWED = {
     "events_inactive_users",    # 1-row stream-horizon (max ts) broadcast
     "text_stopword_docfreq",    # 1-row corpus doc-count broadcast
     "sample_time_split",        # 1-row time-percentile cutoff broadcast
+    "cdc_key_hotspots",         # 1-row change-total broadcast
+    "agg_assoc_lift",           # 1-row part-count broadcast
     "join_cross",               # THE declared 5x5 cross query
     "join_theta_range",         # declared non-equi theta join, small dims
     "q11_important_parts",      # TPC-H Q11 scalar threshold broadcast
@@ -32,6 +34,7 @@ BNLJ_ALLOWED = {
     "search_hybrid_rrf",        # 1-row query-vector broadcast
     "sim_topk_bruteforce",      # broadcast query batch vs corpus scan
     "sim_topk_ivf",             # broadcast centroid set
+    "embed_kmeans_step",        # broadcast centroid set (ivf_assign)
     "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast
     "text_unigram_logprob",     # scalar corpus-total broadcast
 }

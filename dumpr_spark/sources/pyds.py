@@ -143,7 +143,12 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         # ENTIRE unread backlog on the driver. With it, each micro-batch
         # takes the next N events in seq order (bounded heap over the feed
         # scan — O(N) driver memory regardless of backlog size) and the
-        # offset advances incrementally until the backlog drains.
+        # offset advances incrementally until the backlog drains. The cap
+        # is for CONTINUOUS tailing (processingTime triggers): under
+        # Trigger.AvailableNow, Spark snapshots the first capped end
+        # offset as the run's target, so one availableNow run drains one
+        # capped batch and terminates — repeat runs, or drop the cap, to
+        # bulk-drain with availableNow.
         self.max_events_per_batch = int(options.get("max_events_per_batch", 0))
         # per-file (mtime, size) -> max seq, so a capped drain skips files
         # whose every event is already committed WITHOUT re-parsing them

@@ -401,3 +401,55 @@ def test_pyds_capped_read_skips_drained_files_and_survives_rewrite(tmp_path):
     assert sorted(row[seq_i] for row in rows) == [7, 8]
     rows, off = r.read(off)
     assert sorted(row[seq_i] for row in rows) == [9]
+
+
+def test_pyds_stream_cap_end_to_end_multiple_batches(spark, tmp_path):
+    """max_events_per_batch through the REGISTERED source: a continuous
+    (processingTime) run over a 5-event backlog with cap 2 drains it across
+    >= 3 micro-batches with no loss/dup, and the checkpointed offset lands
+    on the final seq. (Trigger.AvailableNow snapshots the FIRST capped end
+    offset as the run's target, so one availableNow run drains one capped
+    batch — the cap is for continuous tailing; see the reader docstring.)"""
+    import glob
+    import json as _json
+    import time
+
+    from dumpr_spark.sources.pyds import CdcFeedDataSource
+
+    spark.dataSource.register(CdcFeedDataSource)
+    src = str(tmp_path / "e2e_cap_feed")
+    ckpt = str(tmp_path / "e2e_cap_ckpt")
+    out = str(tmp_path / "e2e_cap_out")
+    _pyds_feed(src, "f0.json", [
+        {"event_type": "write", "db": "s", "tbl": "w",
+         "ts": "2026-01-01T00:00:%02dZ" % i, "next_position": 10 * i,
+         "rows": [{"id": str(i)}], "seq": i}
+        for i in range(1, 6)
+    ])
+    q = (
+        spark.readStream.format("dumpr_cdc")
+        .option("path", src).option("max_events_per_batch", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = time.time() + 90
+        seqs = []
+        while time.time() < deadline:
+            try:
+                seqs = sorted(r["seq"] for r in spark.read.parquet(out).collect())
+            except Exception:
+                seqs = []
+            if seqs == [1, 2, 3, 4, 5]:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert seqs == [1, 2, 3, 4, 5]
+    offsets = sorted(glob.glob(ckpt + "/offsets/*"))
+    assert len(offsets) >= 3  # 5 events / cap 2 => at least 3 data triggers
+    committed = [
+        _json.loads(open(f).read().splitlines()[-1]).get("seq") for f in offsets
+    ]
+    assert max(c for c in committed if c is not None) == 5

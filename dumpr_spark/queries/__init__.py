@@ -148,6 +148,8 @@ _R5_NEW: set = {
     # wave 2: tolerance as-of, CDC observability, lift mining, k-means step
     "join_asof_tolerance", "cdc_op_rollup", "cdc_key_hotspots",
     "agg_assoc_lift", "embed_kmeans_step",
+    # wave 3: Spark 4 SQL surface (pipe dialect, ordered LISTAGG)
+    "sql_pipe_syntax", "agg_string_agg",
 }
 
 # Never-green backlog, by construction: every registered name without

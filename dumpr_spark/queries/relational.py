@@ -2968,3 +2968,74 @@ def agg_assoc_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "p_brand", "p_type")
         .limit(15)
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice) + 1e-9, 2) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "spark4"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|> operators): the same
+    filter -> aggregate -> having -> order pipeline written as a linear
+    pipe chain — a declared-surface check that the engine's SQL front end
+    accepts the 4.x pipe dialect and compiles it to the IDENTICAL plan the
+    clause form produces (the oracle is the clause form). Catalyst sees
+    one logical plan either way: filter pushdown, partial aggregation and
+    TakeOrdered all apply unchanged."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     ROUND(AVG(o_totalprice) + 1e-9, 2) AS avg_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 100
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, avg_price
+    """)
+
+
+@query(
+    "agg_string_agg",
+    """
+    SELECT n_name,
+           string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey % 10 = 0
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("agg", "spark4"),
+)
+def agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): concatenate
+    each nation's supplier names in a deterministic order — the
+    report-formatting aggregate (and the ONLY safe way to use listagg
+    cross-engine: without the WITHIN GROUP order the concatenation order
+    is partition-arbitrary on both engines).
+
+    Scale shape: grouped collect with an in-group sort; output size is the
+    group's payload (bounded here by the %10 filter) — at volume the
+    discipline is a capped collect_list slice, same as the posting-list
+    caps in index_inverted."""
+    s, n = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation")
+    return (
+        s.where(F.col("s_suppkey") % 10 == 0)
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").alias("suppliers"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )

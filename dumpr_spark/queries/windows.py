@@ -394,7 +394,10 @@ def win_time_range_frame(spark, sf_dir):
     WITH tagged AS (
       SELECT user_id, event_id, ts, event_type,
              MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) OVER (
-               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               PARTITION BY user_id
+               ORDER BY epoch_ms(ts),
+                        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ms
       FROM events
     )
@@ -415,6 +418,15 @@ def join_asof_tolerance(spark, sf_dir):
     on the key, last_value carry-forward, tolerance as a post-carry null-out
     — never a range join.
 
+    Both sides compare at MILLISECOND precision: the events fixture carries
+    microsecond timestamps, so the operator's full-precision <= and the
+    oracle's epoch_ms arithmetic would disagree exactly at the tolerance
+    boundary (a click 1h + 300us old is in by the ms clock, out by the us
+    clock) and on same-ms click/purchase ties — the Spark inputs are
+    therefore ms-truncated before the join, and the oracle orders clicks
+    BEFORE the purchase within an equal ms, matching asof_join's
+    right-sorts-first discipline at equal timestamps.
+
     Scale shape: identical to join_asof (key-partitioned window over the
     tagged union), the tolerance adds a projection only."""
     from dumpr_spark.operators.asof import asof_join
@@ -422,13 +434,13 @@ def join_asof_tolerance(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     purchases = e.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        "user_id", "event_id", F.timestamp_millis(ms).alias("pts")
     )
     clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", ms.alias("click_ms"), F.col("ts").alias("click_ts")
+        "user_id", ms.alias("click_ms"), F.timestamp_millis(ms).alias("click_ts")
     )
     joined = asof_join(
-        purchases, clicks, on="user_id", left_time="ts", right_time="click_ts",
+        purchases, clicks, on="user_id", left_time="pts", right_time="click_ts",
         right_cols=["click_ms"], tolerance="1 HOUR",
     )
     return joined.select(

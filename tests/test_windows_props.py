@@ -82,3 +82,60 @@ def test_global_ntile_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1.0)], "id LONG, v DOUBLE")
     with pytest.raises(ValueError, match="k must be >= 1"):
         global_ntile(df, 0, "v", "id")
+
+
+def test_join_asof_tolerance_boundary_and_tie_alignment(spark, tmp_path):
+    """Adversarial fixture for join_asof_tolerance's cross-engine contract
+    (review finding r5): the sf testdata happens to contain no click within
+    microseconds of the 1h staleness boundary and no click/purchase pair
+    sharing a millisecond, so the oracle sweep cannot catch a precision
+    divergence. This builds exactly those rows and checks Spark == DuckDB:
+
+    - click whose MICROSECOND age is 1h + 800us but whose ms-truncated
+      timestamp sits exactly on the cutoff: IN on both engines (the ms
+      clock governs; a full-precision Spark side would null it while the
+      epoch_ms oracle kept it — the exact divergence the fix removed);
+    - click sharing the purchase's millisecond with a LARGER event_id:
+      matched on both engines (clicks sort before purchases at equal ms);
+    - click 1h + 2ms older: OUT on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from dumpr_spark.queries import REGISTRY
+
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    us = pd.Timedelta(microseconds=1)
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # us-age = 1h + 800us (out by the us clock), ms-truncated click =
+        # 11:00:00.000 = exactly purchase_ms - 1h (in by the ms clock)
+        (1, base - h + 100 * us, 10, "click", 1.0, None),
+        (2, base + 900 * us, 10, "purchase", 1.0, None),
+        # same-ms tie, click has the larger event_id
+        (40, base, 20, "purchase", 1.0, None),
+        (41, base + 200 * us, 20, "click", 1.0, None),
+        # clearly stale: click at purchase - 1h - 2ms
+        (5, base - h - pd.Timedelta(milliseconds=2), 30, "click", 1.0, None),
+        (6, base, 30, "purchase", 1.0, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.sql(f"COPY (SELECT * FROM pdf) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+
+    q = REGISTRY["join_asof_tolerance"]
+    got = {
+        (r["user_id"], r["event_id"]): r["click_ms_within_1h"]
+        for r in q.fn(spark, str(tmp_path)).collect()
+    }
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = {
+        (r[0], r[1]): r[2] for r in con.sql(q.oracle).fetchall()
+    }
+    assert got == want
+    # and the semantic expectations themselves:
+    assert got[(10, 2)] is not None      # boundary click IN at ms precision
+    assert got[(20, 40)] is not None     # same-ms click matched despite id order
+    assert got[(30, 6)] is None          # 1h+2ms-stale click nulled

@@ -139,3 +139,76 @@ def test_join_asof_tolerance_boundary_and_tie_alignment(spark, tmp_path):
     assert got[(10, 2)] is not None      # boundary click IN at ms precision
     assert got[(20, 40)] is not None     # same-ms click matched despite id order
     assert got[(30, 6)] is None          # 1h+2ms-stale click nulled
+
+
+def test_events_autocorr_chunked_equals_global_lag(spark, tmp_path):
+    """The (event_type, week-chunk) + boundary-carry decomposition of
+    events_autocorr must produce EXACTLY the pair set of the naive
+    per-type global lag — including pairs that cross chunk edges and pairs
+    that span EMPTY chunks (a type absent for whole weeks). Randomized
+    multi-week fixture with deliberate gap weeks, compared against the
+    single-window formulation on the same data."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from dumpr_spark.queries import REGISTRY
+
+    rng = random.Random(42)
+    base = pd.Timestamp("2026-01-05")
+    rows = []
+    eid = 0
+    for etype, active_weeks in [
+        ("alpha", [0, 1, 2, 5]),      # 2-week gap between chunks 2 and 5
+        ("beta", [0, 4]),             # 3-week gap
+        ("gamma", [3]),               # single chunk => boundary-free
+    ]:
+        for wk in active_weeks:
+            for _ in range(rng.randint(3, 9)):
+                eid += 1
+                rows.append((
+                    eid,
+                    base + pd.Timedelta(days=7 * wk)
+                    + pd.Timedelta(seconds=rng.randint(0, 6 * 86400)),
+                    rng.randint(1, 5),
+                    etype,
+                    round(rng.uniform(-10, 10), 3),
+                    None,
+                ))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.sql(f"COPY (SELECT * FROM pdf) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["autocorr_lag1"])
+        for r in REGISTRY["events_autocorr"].fn(spark, str(tmp_path)).collect()
+    }
+    # naive single-window reference on the same parquet
+    from pyspark.sql import Window, functions as F
+
+    from dumpr_spark.queries.base import eps_round, t as _t
+
+    e = _t(spark, str(tmp_path), "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    naive = {
+        r["event_type"]: (r["n_pairs"], r["autocorr_lag1"])
+        for r in (
+            e.select("event_type", "value", F.lag("value").over(w).alias("pv"))
+            .where(F.col("pv").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count("pv").cast("long").alias("n_pairs"),
+                eps_round(F.corr("value", "pv"), 4).alias("autocorr_lag1"),
+            )
+            .collect()
+        )
+    }
+    assert got == naive
+    # sanity: every type pairs n_events - 1 times (gaps carried, not dropped)
+    counts = pdf.groupby("event_type").size().to_dict()
+    for etype, (n_pairs, _) in got.items():
+        assert n_pairs == counts[etype] - 1

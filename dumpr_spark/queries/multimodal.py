@@ -207,3 +207,82 @@ def multimodal_frame_dedup(spark, sf_dir):
         .where(F.col("n_copies") > 1)
         .orderBy("frame_hash")
     )
+
+
+@query(
+    "multimodal_format_sniff",
+    """
+    WITH assets AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+               WHEN 1 THEN '\\x89\\x50\\x4E\\x47'::BLOB
+               WHEN 2 THEN 'RIFF'::BLOB
+               ELSE ''::BLOB
+             END || CAST(text AS BLOB) AS payload
+      FROM documents
+    ),
+    sniffed AS (
+      -- DuckDB has no substring(BLOB,...): prefix-match on the hex dump
+      -- instead (oracle-side only; Spark slices the binary directly)
+      SELECT doc_id, octet_length(payload) AS n_bytes,
+             CASE
+               WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+               WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+               WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+               ELSE 'unknown'
+             END AS sniffed
+      FROM assets
+    )
+    SELECT sniffed, CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sniffed GROUP BY sniffed ORDER BY sniffed
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_format_sniff(spark, sf_dir):
+    """Container-format sniffing over opaque binary payloads: classify each
+    asset by its magic bytes (JPEG FFD8FF / PNG 89504E47 / RIFF) — the
+    first gate of any multimodal ingest (route by ACTUAL content, never by
+    extension/mime metadata, which lies at corpus scale). Payloads are the
+    deterministic fake-asset convention (headers injected by doc_id % 4,
+    body = UTF-8 text bytes) so both engines derive identical binaries;
+    the sniff itself — binary substring + hex compare — is exactly the
+    production expression.
+
+    Scale shape: narrow projection reading only the payload PREFIX
+    expression + one grouped rollup to <= 4 format rows; with parquet
+    binary columns the substring still scans full payload pages (parquet
+    has no sub-value pruning) — the production layout materializes a
+    4-byte `magic` column at ingest so the big BLOB column stays pruned
+    out of this scan entirely."""
+    d = t(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
+        .when(F.col("doc_id") % 4 == 1, F.lit(bytes([0x89, 0x50, 0x4E, 0x47])))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    assets = d.select(
+        "doc_id",
+        F.concat(header, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    sniffed = assets.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.when(F.hex(F.substring("payload", 1, 3)) == "FFD8FF", "jpeg")
+        .when(F.hex(F.substring("payload", 1, 4)) == "89504E47", "png")
+        .when(F.hex(F.substring("payload", 1, 4)) == "52494646", "riff")
+        .otherwise("unknown")
+        .alias("sniffed"),
+    )
+    return (
+        sniffed.groupBy("sniffed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("sniffed")
+    )

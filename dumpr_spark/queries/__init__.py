@@ -150,8 +150,10 @@ _R5_NEW: set = {
     "agg_assoc_lift", "embed_kmeans_step",
     # wave 3: Spark 4 SQL surface (pipe dialect, ordered LISTAGG)
     "sql_pipe_syntax", "agg_string_agg",
-    # wave 4: binary-column format sniffing
-    "multimodal_format_sniff",
+    # wave 4: binary-column format sniffing, experiment guardrail,
+    # interval coalescing, seasonality normalization
+    "multimodal_format_sniff", "events_ab_srm", "events_interval_merge",
+    "orders_seasonality_index",
 }
 
 # Never-green backlog, by construction: every registered name without

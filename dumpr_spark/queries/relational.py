@@ -3039,3 +3039,51 @@ def agg_string_agg(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "orders_seasonality_index",
+    """
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS moy,
+             COUNT(*)::DOUBLE AS n,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY moy
+    ),
+    overall AS (SELECT SUM(rev) / SUM(n) AS avg_order FROM monthly)
+    SELECT moy, CAST(n AS BIGINT) AS n_orders,
+           ROUND(rev / n + 1e-9, 2) AS avg_order_value,
+           ROUND((rev / n) / avg_order + 1e-9, 4) AS seasonality_index
+    FROM monthly, overall ORDER BY moy
+    """,
+    tags=("rollup", "timeseries", "analytics"),
+)
+def orders_seasonality_index(spark, sf_dir):
+    """Month-of-year seasonality index: each calendar month's average order
+    value relative to the all-months average (index 1.0 = no seasonality)
+    — the normalization step behind seasonal adjustment and staffing
+    forecasts. The overall average derives FROM the 12-row monthly rollup
+    (sum of sums / sum of counts — exactly the global mean), not a second fact
+    scan.
+
+    Scale shape: one map-side-combining aggregate to 12 cells; the 1-row
+    overall mean broadcasts back (the allowlisted scalar-BNLJ shape —
+    Catalyst constant-folds a literal join key on both sides and
+    degenerates such an equi-join to a nested loop anyway, so the explicit
+    crossJoin is the honest spelling)."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").cast("long").alias("moy")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    overall = monthly.agg((F.sum("rev") / F.sum("n")).alias("avg_order"))
+    return (
+        monthly.crossJoin(F.broadcast(overall))
+        .select(
+            "moy",
+            F.col("n").cast("long").alias("n_orders"),
+            eps_round(F.col("rev") / F.col("n"), 2).alias("avg_order_value"),
+            eps_round((F.col("rev") / F.col("n")) / F.col("avg_order"), 4).alias("seasonality_index"),
+        )
+        .orderBy("moy")
+    )

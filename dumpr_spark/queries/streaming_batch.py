@@ -1131,3 +1131,141 @@ def events_inactive_users(spark, sf_dir):
         )
         .orderBy("cohort_week", "status")
     )
+
+
+@query(
+    "events_ab_srm",
+    """
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substring(md5('srm:' || user_id), 1, 4))::BIGINT % 2 AS variant
+      FROM events
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::DOUBLE AS a,
+             SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::DOUBLE AS b
+      FROM assigned
+    )
+    SELECT CAST(a AS BIGINT) AS n_control, CAST(b AS BIGINT) AS n_treatment,
+           ROUND((a - b) * (a - b) / (a + b) + 1e-9, 6) AS chi2_stat,
+           (a - b) * (a - b) / (a + b) > 3.841 AS srm_detected
+    FROM counts
+    """,
+    tags=("events", "stats", "experiment"),
+)
+def events_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch check for a 50/50 hash-bucketed experiment:
+    assign each distinct user by seeded hash parity, then the 1-dof
+    chi-square statistic against the expected even split ((a-b)^2/(a+b),
+    the closed form of sum((obs-exp)^2/exp) for two equal cells) with the
+    p<0.05 critical value 3.841 — the guardrail every experimentation
+    system runs before trusting a result (an SRM means broken assignment,
+    not a real effect).
+
+    Scale shape: distinct users (hash shuffle of keys only) -> two
+    conditional counts in ONE 1-row aggregate — the comparison is pure
+    projection arithmetic on that row."""
+    e = t(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 2
+    )
+    counts = (
+        e.select("user_id").distinct()
+        .select(variant.alias("variant"))
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("double").alias("a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("double").alias("b"),
+        )
+    )
+    a, b = F.col("a"), F.col("b")
+    chi2 = (a - b) * (a - b) / (a + b)
+    return counts.select(
+        a.cast("long").alias("n_control"),
+        b.cast("long").alias("n_treatment"),
+        eps_round(chi2, 6).alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@query(
+    "events_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s,
+             epoch_ms(ts) + (event_id % 7 + 1) * 90000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(MIN(s) AS BIGINT) AS merged_start_ms,
+           CAST(MAX(e) AS BIGINT) AS merged_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands GROUP BY user_id, island
+    ORDER BY user_id, merged_start_ms
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_interval_merge(spark, sf_dir):
+    """Interval coalescing (merge overlapping/touching intervals per key):
+    each event opens a variable-length interval (90s-630s, deterministic
+    from event_id) and overlapping ones merge into islands — the classic
+    gaps-and-islands-over-DURATIONS operator (uptime stitching, ad-break
+    merging, meeting-room occupancy) that point-gap sessionization cannot
+    express (a long interval can bridge events whose START times are far
+    apart). New island when an interval starts strictly after the running
+    max END of all prior intervals.
+
+    Scale shape: one keyed window per user computing the running max end
+    (the island flag), one keyed running sum over the same sort — Spark
+    evaluates both in a single WindowExec pass — then a grouped rollup of
+    island members."""
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        ms.alias("s"),
+        (ms + (F.col("event_id") % 7 + 1) * 90000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("s").cast("long").alias("merged_start_ms"),
+            F.max("e").cast("long").alias("merged_end_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "merged_start_ms", "merged_end_ms", "n_intervals",
+        )
+        .orderBy("user_id", "merged_start_ms")
+    )

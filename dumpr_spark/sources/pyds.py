@@ -150,12 +150,14 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         # capped batch and terminates — repeat runs, or drop the cap, to
         # bulk-drain with availableNow.
         self.max_events_per_batch = int(options.get("max_events_per_batch", 0))
-        # per-file (mtime, size) -> max seq, so a capped drain skips files
-        # whose every event is already committed WITHOUT re-parsing them
-        # each trigger — otherwise draining a B-event backlog N at a time
-        # costs O(B^2/N) JSON parses. Invalidated on rewrite (mtime/size
-        # change), so compaction keeps exact semantics.
-        self._file_max_seq: dict[str, tuple[tuple[float, int], int]] = {}
+        # per-file (mtime, size, inode) -> max seq, so a capped drain skips
+        # files whose every event is already committed WITHOUT re-parsing
+        # them each trigger — otherwise draining a B-event backlog N at a
+        # time costs O(B^2/N) JSON parses. Invalidated on rewrite (the
+        # inode catches an atomic same-size replace within one mtime tick,
+        # the compaction idiom mtime+size alone can miss), so compaction
+        # keeps exact semantics.
+        self._file_max_seq: dict[str, tuple[tuple, int]] = {}
 
     def initialOffset(self) -> dict:
         return {"seq": self.start_seq, "file": None, "pos": None}
@@ -167,7 +169,7 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         for fp in _feed_files(self.path):
             try:
                 st = os.stat(fp)
-                stamp = (st.st_mtime, st.st_size)
+                stamp = (st.st_mtime, st.st_size, st.st_ino)
             except OSError:
                 stamp = None
             if stamp is not None:

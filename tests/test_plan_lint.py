@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "sample_time_split",        # 1-row time-percentile cutoff broadcast
     "cdc_key_hotspots",         # 1-row change-total broadcast
     "agg_assoc_lift",           # 1-row part-count broadcast
+    "orders_seasonality_index", # 1-row global-mean broadcast
     "join_cross",               # THE declared 5x5 cross query
     "join_theta_range",         # declared non-equi theta join, small dims
     "q11_important_parts",      # TPC-H Q11 scalar threshold broadcast

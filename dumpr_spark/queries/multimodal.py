@@ -54,7 +54,7 @@ _FEATURE_ORACLE = (
     ),
     hashed AS (
       SELECT asset_id, media_type,
-             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text || media_type) AS h
       FROM assets
     )
@@ -105,7 +105,7 @@ def multimodal_frame_plan(spark, sf_dir):
     """
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            CAST(MAX(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 END) AS BIGINT) AS max_duration_ms
     FROM documents
     GROUP BY 1 ORDER BY media_type
@@ -219,7 +219,7 @@ def multimodal_frame_dedup(spark, sf_dir):
                WHEN 1 THEN '\\x89\\x50\\x4E\\x47'::BLOB
                WHEN 2 THEN 'RIFF'::BLOB
                ELSE ''::BLOB
-             END || CAST(text AS BLOB) AS payload
+             END || encode(text) AS payload  -- encode(): escape-free UTF-8; CAST errors on non-ASCII
       FROM documents
     ),
     sniffed AS (

@@ -1229,9 +1229,9 @@ def events_interval_merge(spark, sf_dir):
     max END of all prior intervals.
 
     Scale shape: one keyed window per user computing the running max end
-    (the island flag), one keyed running sum over the same sort — Spark
-    evaluates both in a single WindowExec pass — then a grouped rollup of
-    island members."""
+    (the island flag), one keyed running sum over the same sort — two
+    WindowExec nodes (the sum consumes the flag) sharing ONE exchange +
+    sort — then a grouped rollup of island members."""
     e = t(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     iv = e.select(

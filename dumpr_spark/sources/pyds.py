@@ -157,7 +157,7 @@ class CdcFeedStreamReader(SimpleDataSourceStreamReader):
         # inode catches an atomic same-size replace within one mtime tick,
         # the compaction idiom mtime+size alone can miss), so compaction
         # keeps exact semantics.
-        self._file_max_seq: dict[str, tuple[tuple, int]] = {}
+        self._file_max_seq: dict[str, tuple[tuple[float, int, int], int]] = {}
 
     def initialOffset(self) -> dict:
         return {"seq": self.start_seq, "file": None, "pos": None}

@@ -2889,8 +2889,16 @@ def customer_rfm_scores(spark, sf_dir):
     the shape the plan lint bans as a naive window — so all three scores
     run through operators/ntile.global_ntile (approxQuantile range-bucket
     + per-bucket rank + broadcast offsets; see that module's cost model).
+    The per-customer rollup is PERSISTED before the three scoring passes:
+    each global_ntile runs its own quantile + count + rank jobs, and
+    without the persist all nine would recompute the orders scan + join +
+    groupBy from scratch (9 fact scans at 100 TB); with it, the fact
+    tables are read once and the nine passes hit the materialized
+    customer-grain rollup (|customers| rows, orders of magnitude smaller).
     Monetary is eps-rounded before scoring so the tile boundary is a
     function of the published figure on both engines."""
+    from pyspark import StorageLevel
+
     from dumpr_spark.operators.ntile import global_ntile
 
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
@@ -2903,6 +2911,7 @@ def customer_rfm_scores(spark, sf_dir):
             F.count(F.lit(1)).cast("double").alias("frequency"),
             eps_round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     scored = global_ntile(rfm, 5, "recency_day", "c_custkey", out_col="r_score")
     scored = global_ntile(scored, 5, "frequency", "c_custkey", out_col="f_score")

@@ -154,6 +154,8 @@ _R5_NEW: set = {
     # interval coalescing, seasonality normalization
     "multimodal_format_sniff", "events_ab_srm", "events_interval_merge",
     "orders_seasonality_index",
+    # wave 5: Arrow-tier Python UDF surface (Spark 3.5+/4)
+    "udf_arrow_scalar", "udf_map_in_arrow",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -175,3 +175,92 @@ def udf_python_udtf(spark, sf_dir):
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 1)) || '-' || CAST(p_size AS VARCHAR) AS part_tag
+    FROM part WHERE p_partkey <= 400
+    ORDER BY p_partkey
+    """,
+    tags=("udf", "spark4"),
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized Python scalar UDF (`useArrow=True`, Spark 3.5+/4):
+    the SAME row-at-a-time Python function as the classic UDF, but the
+    executor<->Python transfer is Arrow record batches instead of pickled
+    rows — the drop-in upgrade for Python logic that can't be vectorized
+    into a pandas_udf (per-row control flow, external library calls). The
+    middle rung of the three-tier UDF ladder this family declares:
+    built-in >> pandas_udf >> arrow-UDF >> pickled UDF.
+
+    Scale shape: still per-row Python (keep it OFF the hot path at 100 TB
+    — the built-in twin is the oracle), but serialization is batched and
+    columnar, and the scan still prunes to the two input columns."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType=StringType(), useArrow=True)
+    def part_tag(name, size):
+        return f"{name[0].upper()}-{size}"
+
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey", part_tag("p_name", "p_size").alias("part_tag")
+    ).orderBy("p_partkey")
+
+
+@query(
+    "udf_map_in_arrow",
+    """
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice) + 1e-9, 2) AS order_revenue
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    tags=("udf", "spark4"),
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow: per-partition transformation receiving raw
+    ``pyarrow.RecordBatch``es — the zero-copy tier below mapInPandas (no
+    pandas materialization at all), for batch logic that talks Arrow
+    natively (Arrow compute kernels, Arrow-IPC shipping, GPU libraries).
+    Here each partition pre-aggregates (orderkey, count, revenue) with
+    Arrow's own group_by kernel, and a final groupBy merges the per-
+    partition partials — the hand-rolled map-side-combine shape, checked
+    against the plain SQL aggregate.
+
+    Scale shape: the Python stage is a per-partition streaming pass over
+    Arrow batches (no row objects, no pandas copies); the shuffle carries
+    one partial row per (partition, orderkey) — the same wire volume a
+    JVM partial HashAggregate would ship."""
+    import pyarrow as pa
+
+    def partial_agg(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            agg = tbl.group_by("l_orderkey").aggregate(
+                [("l_extendedprice", "sum"), ("l_orderkey", "count")]
+            )
+            agg = agg.rename_columns(["l_orderkey", "rev", "cnt"])
+            for out in agg.to_batches():
+                yield out
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    partials = li.mapInArrow(
+        partial_agg, "l_orderkey long, rev double, cnt long"
+    )
+    return (
+        partials.groupBy("l_orderkey")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            eps_round(F.sum("rev"), 2).alias("order_revenue"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -74,9 +74,11 @@ _R2_VERIFIED = {
     "text_token_stats", "text_markup_strip", "scalar_url_parse",
     "text_vocab_topk", "split_train_val_test", "shuffle_deterministic",
     "dedup_lines_global", "join_fuzzy_edit1",
-    "join_overlap_intervals", "multimodal_features", "multimodal_frame_plan",
+    "join_overlap_intervals", "multimodal_frame_plan",
 }
 # Removed from _R2_VERIFIED (stale evidence): dedup_simhash (rows-only in r2,
+# got a value-level oracle in r3), multimodal_features (oracle's VARCHAR->BLOB
+# byte counting rewritten to escape-safe encode() in r5 — needs a fresh row),
 # got a value-level oracle in r3 — never hash-green), sim_topk_ivf (rows-only
 # in r2, exact oracle as of r4 — never hash-green), events_retention (cohort
 # column re-typed DATE -> TIMESTAMP in r4 to survive dtype-sensitive
@@ -88,8 +90,10 @@ _R2_VERIFIED = {
 # evidence: cdc_stamp_filename (rewritten r4 from the global window to the
 # broadcast as-of form) and cdc_tx_filter (rewritten r4 to the two-phase
 # distributed prefix scan) — both need fresh driver rows.
+# Removed from _R3_VERIFIED (stale evidence): multimodal_metadata (same r5
+# escape-safe encode() oracle rewrite as multimodal_features).
 _R3_VERIFIED = {
-    "multimodal_metadata", "multimodal_audio_windows", "stream_tumbling_window",
+    "multimodal_audio_windows", "stream_tumbling_window",
     "stream_sliding_window", "stream_session_window", "stream_dedup_first",
     "events_funnel", "events_ewma", "udf_python_scalar", "udf_pandas_scalar",
     "udf_grouped_agg", "udf_grouped_map_zscore", "udf_table_function",

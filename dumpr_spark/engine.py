@@ -159,6 +159,37 @@ class Engine:
         bins = sk.histogram_bins(df, value_col, list(group_cols), bin_width, n_bins)
         return sk.histogram_quantiles(bins, list(qs), list(group_cols), bin_width)
 
+    def asof(self, left: DataFrame, right: DataFrame, on: str,
+             left_time: str, right_time: str, right_cols=None,
+             tolerance: str | None = None) -> DataFrame:
+        """As-of join (latest right row at-or-before each left row, per
+        key), optional staleness bound (INTERVAL string, e.g. '1 HOUR') —
+        the union-carry form, one shuffle on the key, never a range join."""
+        from dumpr_spark.operators.asof import asof_join
+
+        return asof_join(left, right, on, left_time, right_time,
+                         right_cols=right_cols, tolerance=tolerance)
+
+    def ntile(self, df: DataFrame, k: int, val_col: str, id_col: str,
+              out_col: str = "ntile", descending: bool = True) -> DataFrame:
+        """Global NTILE without a global-order window (the two-phase
+        distributed form: quantile range-buckets + per-bucket rank +
+        broadcast offsets)."""
+        from dumpr_spark.operators.ntile import global_ntile
+
+        return global_ntile(df, k, val_col, id_col, out_col=out_col,
+                            descending=descending)
+
+    def merge_intervals(self, df: DataFrame, key_cols, start_col: str,
+                        end_col: str) -> DataFrame:
+        """Coalesce overlapping/touching [start, end] intervals per key
+        (gaps-and-islands over durations — running-max-end islands)."""
+        from dumpr_spark.operators.intervals import merge_intervals
+
+        if isinstance(key_cols, str):
+            key_cols = [key_cols]
+        return merge_intervals(df, list(key_cols), start_col, end_col)
+
 
 def testdata_dir(default_sf: str = "sf0.001") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/{default_sf}")

@@ -1231,7 +1231,11 @@ def events_interval_merge(spark, sf_dir):
     Scale shape: one keyed window per user computing the running max end
     (the island flag), one keyed running sum over the same sort — two
     WindowExec nodes (the sum consumes the flag) sharing ONE exchange +
-    sort — then a grouped rollup of island members."""
+    sort — then a grouped rollup of island members. Runs the canonical
+    `operators/intervals.merge_intervals` (the Engine facade's
+    `merge_intervals`), not a reimplementation."""
+    from dumpr_spark.operators.intervals import merge_intervals
+
     e = t(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     iv = e.select(
@@ -1239,33 +1243,13 @@ def events_interval_merge(spark, sf_dir):
         ms.alias("s"),
         (ms + (F.col("event_id") % 7 + 1) * 90000).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.select(
-        "user_id", "s", "e",
-        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias("new_island"),
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    islands = flagged.select(
-        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
-    )
+    merged = merge_intervals(iv, ["user_id"], "s", "e")
     return (
-        islands.groupBy("user_id", "island")
-        .agg(
-            F.min("s").cast("long").alias("merged_start_ms"),
-            F.max("e").cast("long").alias("merged_end_ms"),
-            F.count(F.lit(1)).cast("long").alias("n_intervals"),
-        )
-        .select(
+        merged.select(
             F.col("user_id").cast("long").alias("user_id"),
-            "merged_start_ms", "merged_end_ms", "n_intervals",
+            F.col("merged_start").cast("long").alias("merged_start_ms"),
+            F.col("merged_end").cast("long").alias("merged_end_ms"),
+            "n_intervals",
         )
         .orderBy("user_id", "merged_start_ms")
     )

@@ -176,3 +176,42 @@ def test_engine_simhash_pairs_and_weighted_median(engine, spark):
     )
     row = engine.weighted_median(wdf, ["grp"], "v", "w", tiebreak_cols=["rid"]).first()
     assert row["w_median"] == 20.0 and row["total_weight"] == 10.0
+
+
+def test_engine_asof_ntile_and_interval_merge(engine, spark):
+    """The r5 facade additions: asof (with tolerance), two-phase global
+    ntile, and interval coalescing — semantics checks on hand-built frames
+    (the registry queries exercise them on the full tables)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    # asof with tolerance: the 2h-old quote nulls out under a 1h bound
+    trades = spark.createDataFrame(
+        [("A", datetime(2026, 1, 1, 10, 0), 1.0)], "sym STRING, t TIMESTAMP, px DOUBLE"
+    )
+    quotes = spark.createDataFrame(
+        [("A", datetime(2026, 1, 1, 8, 0), 9.9)], "sym STRING, qt TIMESTAMP, bid DOUBLE"
+    )
+    assert engine.asof(trades, quotes, "sym", "t", "qt").first()["bid"] == 9.9
+    assert (
+        engine.asof(trades, quotes, "sym", "t", "qt", tolerance="1 HOUR").first()["bid"]
+        is None
+    )
+
+    # ntile: 4 rows into 2 tiles, descending — top half tile 1
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 5)], "id LONG, v DOUBLE")
+    tiles = {r["id"]: r["q"] for r in engine.ntile(df, 2, "v", "id", out_col="q").collect()}
+    assert tiles == {4: 1, 3: 1, 2: 2, 1: 2}
+
+    # merge_intervals: [0,10],[5,15] merge; [20,30] stays; touching [30,35]
+    # merges into it (closed-interval convention); key isolation holds
+    iv = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 15), ("a", 20, 30), ("a", 30, 35), ("b", 5, 6)],
+        "k STRING, s LONG, e LONG",
+    )
+    merged = {
+        (r["k"], r["merged_start"]): (r["merged_end"], r["n_intervals"])
+        for r in engine.merge_intervals(iv, "k", "s", "e").collect()
+    }
+    assert merged == {("a", 0): (15, 2), ("a", 20): (35, 2), ("b", 5): (6, 1)}

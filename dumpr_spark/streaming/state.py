@@ -376,3 +376,80 @@ def streaming_gapfill_locf(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+INTERVAL_MERGE_OUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), True),
+        StructField("merged_start", LongType(), True),
+        StructField("merged_end", LongType(), True),
+        StructField("n_intervals", LongType(), True),
+    ]
+)
+
+_INTERVAL_STATE_SCHEMA = StructType(
+    [
+        StructField("open_start", LongType(), True),
+        StructField("open_end", LongType(), True),
+        StructField("open_n", LongType(), True),
+    ]
+)
+
+
+def streaming_interval_merge(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Streaming twin of `operators/intervals.merge_intervals` (the batch
+    `events_interval_merge` shape): per key, maintain the ONE currently
+    open island — (start, max end, member count), three scalars of state
+    regardless of stream length — and emit a merged interval the moment a
+    later interval starts strictly past the open island's end (proving the
+    island closed). An arriving interval that overlaps/touches the open
+    island merges into it, including one that starts BEFORE the open start
+    (merged_start extends backwards while unpublished).
+
+    In-order contract (same as streaming_gapfill_locf): intervals must
+    arrive per-key ordered enough that nothing predates the last CLOSED
+    island — such a row is DROPPED as late, and the batch twin (which sees
+    all data) is the replay/repair path. The final still-open island per
+    key is intentionally NOT emitted (append mode cannot retract); it
+    surfaces when a later interval closes it or from the batch twin at
+    rest."""
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        o_s, o_e, o_n = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs)).sort_values([start_col, end_col])
+        out = []
+        k = int(key[0])
+        for s, e in zip(rows[start_col].astype("int64"), rows[end_col].astype("int64")):
+            s, e = int(s), int(e)
+            if o_s is None:
+                o_s, o_e, o_n = s, e, 1
+            elif s > o_e:
+                out.append((k, o_s, o_e, o_n))  # closed: publish
+                o_s, o_e, o_n = s, e, 1
+            elif e < o_s:
+                continue  # wholly before the open island: late; batch repairs
+            else:
+                o_s, o_e, o_n = min(o_s, s), max(o_e, e), o_n + 1
+        state.update((o_s, o_e, o_n))
+        yield pd.DataFrame(out, columns=[f.name for f in INTERVAL_MERGE_OUT_SCHEMA.fields])
+
+    return (
+        intervals.select(
+            F.col(key_col).alias("key"),
+            F.col(start_col).cast("long").alias(start_col),
+            F.col(end_col).cast("long").alias(end_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=INTERVAL_MERGE_OUT_SCHEMA,
+            stateStructType=_INTERVAL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1991,3 +1991,67 @@ def test_streaming_gapfill_matches_batch_twin(spark, tmp_path):
     # sanity: the gaps are where the scenario says they are
     assert got[(1, int(pd.Timestamp("2026-01-01T01:00:00").timestamp()))] == (10.0, True)
     assert got[(2, int(pd.Timestamp("2026-01-01T05:00:00").timestamp()))] == (7.5, True)
+
+
+def test_streaming_interval_merge_matches_batch_twin(spark, tmp_path):
+    """Streaming interval coalescing == the batch merge_intervals operator
+    on the same (in-order) data across three micro-batches: an island is
+    emitted the moment a later interval proves it closed, cross-batch
+    merges extend the open island (including backwards while unpublished),
+    and the final still-open island stays in state (documented append-mode
+    contract)."""
+    import json as _json
+    import time
+
+    ivs = [  # (user_id, s, e) — per-user nondecreasing starts across batches
+        (1, 0, 10),
+        (2, 100, 110),
+        (1, 5, 20),      # merges with (0,10) -> open island (0,20) n=2
+        (2, 120, 130),   # s>110: publishes (100,110,1), opens (120,130)
+        (1, 40, 50),     # s>20: publishes (0,20,2), opens (40,50)
+        (2, 125, 140),   # overlaps: open island (120,140) n=2 (never closes)
+        (1, 50, 60),     # touching: merges (closed-interval) -> (40,60) n=2
+        (1, 90, 95),     # publishes (40,60,2); (90,95) stays open
+    ]
+    batches = [ivs[:2], ivs[2:5], ivs[5:]]
+    src = str(tmp_path / "iv_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, chunk in enumerate(batches):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as f:
+            for u, s, e in chunk:
+                f.write(_json.dumps({"user_id": u, "s": s, "e": e}) + "\n")
+        os.utime(fp, (now + i, now + i))
+
+    from dumpr_spark.streaming.state import streaming_interval_merge
+
+    stream = (
+        spark.readStream.schema("user_id long, s long, e long")
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_interval_merge(stream)
+        .writeStream.format("memory").queryName("iv_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["key"], r["merged_start"]): (r["merged_end"], r["n_intervals"])
+        for r in spark.sql("SELECT * FROM iv_stream").collect()
+    }
+    assert got == {
+        (1, 0): (20, 2),
+        (1, 40): (60, 2),
+        (2, 100): (110, 1),
+    }  # (1, 90..95) and (2, 120..140) are still open: correctly unpublished
+
+    # batch twin on the full data: the closed islands match, plus the opens
+    from dumpr_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame(ivs, "user_id long, s long, e long")
+    want = {
+        (r["user_id"], r["merged_start"]): (r["merged_end"], r["n_intervals"])
+        for r in merge_intervals(df, ["user_id"], "s", "e").collect()
+    }
+    assert want == {**got, (1, 90): (95, 1), (2, 120): (140, 2)}

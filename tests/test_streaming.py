@@ -2055,3 +2055,55 @@ def test_streaming_interval_merge_matches_batch_twin(spark, tmp_path):
         for r in merge_intervals(df, ["user_id"], "s", "e").collect()
     }
     assert want == {**got, (1, 90): (95, 1), (2, 120): (140, 2)}
+
+
+def test_streaming_interval_merge_state_survives_restart(spark, tmp_path):
+    """The open island must survive a query restart: batch 0 opens island
+    (0,20) under a checkpoint, the query STOPS, batch 1 arrives with an
+    interval that first EXTENDS the restored island and a later one that
+    closes it — a fresh query on the same checkpoint must publish the
+    fully-merged (0,25,3), proving the state store carried (start, end, n)
+    across the restart instead of reopening from scratch."""
+    import json as _json
+    import time
+
+    from dumpr_spark.streaming.state import streaming_interval_merge
+
+    src = str(tmp_path / "ivr_src")
+    ckpt = str(tmp_path / "ivr_ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows, mtime):
+        fp = os.path.join(src, name)
+        with open(fp, "w") as f:
+            for u, s, e in rows:
+                f.write(_json.dumps({"user_id": u, "s": s, "e": e}) + "\n")
+        os.utime(fp, (mtime, mtime))
+
+    def run():
+        emitted = []
+        stream = (
+            spark.readStream.schema("user_id long, s long, e long")
+            .option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = (
+            streaming_interval_merge(stream)
+            .writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .option("checkpointLocation", ckpt)  # memory sink can't recover; foreachBatch can
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    now = time.time()
+    write_batch("b0.json", [(1, 0, 10), (1, 5, 20)], now)
+    assert run() == []  # island (0,20,2) open in state, nothing published
+    write_batch("b1.json", [(1, 18, 25), (1, 100, 110)], now + 1)
+    emitted = run()  # restored island extends to (0,25,3), then (100,..) closes it
+    got = [
+        (r["key"], r["merged_start"], r["merged_end"], r["n_intervals"])
+        for r in emitted
+    ]
+    assert got == [(1, 0, 25, 3)]

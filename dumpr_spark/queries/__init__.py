@@ -77,9 +77,9 @@ _R2_VERIFIED = {
     "join_overlap_intervals", "multimodal_frame_plan",
 }
 # Removed from _R2_VERIFIED (stale evidence): dedup_simhash (rows-only in r2,
-# got a value-level oracle in r3), multimodal_features (oracle's VARCHAR->BLOB
-# byte counting rewritten to escape-safe encode() in r5 — needs a fresh row),
-# got a value-level oracle in r3 — never hash-green), sim_topk_ivf (rows-only
+# got a value-level oracle in r3 — never hash-green), multimodal_features
+# (oracle's VARCHAR->BLOB byte counting rewritten to escape-safe encode() in
+# r5 — needs a fresh row), sim_topk_ivf (rows-only
 # in r2, exact oracle as of r4 — never hash-green), events_retention (cohort
 # column re-typed DATE -> TIMESTAMP in r4 to survive dtype-sensitive
 # canonicalization — needs a fresh driver row).

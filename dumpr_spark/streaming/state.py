@@ -378,22 +378,26 @@ def streaming_gapfill_locf(
     )
 
 
-INTERVAL_MERGE_OUT_SCHEMA = StructType(
-    [
-        StructField("key", LongType(), True),
-        StructField("merged_start", LongType(), True),
-        StructField("merged_end", LongType(), True),
-        StructField("n_intervals", LongType(), True),
-    ]
-)
-
-_INTERVAL_STATE_SCHEMA = StructType(
-    [
-        StructField("open_start", LongType(), True),
-        StructField("open_end", LongType(), True),
-        StructField("open_n", LongType(), True),
-    ]
-)
+def _interval_merge_schemas(key_type):
+    out = StructType(
+        [
+            StructField("key", key_type, True),
+            StructField("merged_start", LongType(), True),
+            StructField("merged_end", LongType(), True),
+            StructField("n_intervals", LongType(), True),
+        ]
+    )
+    state = StructType(
+        [
+            StructField("open_start", LongType(), True),
+            StructField("open_end", LongType(), True),
+            StructField("open_n", LongType(), True),
+            # end of the last PUBLISHED island: the late-row fence — rows
+            # starting at-or-before it predate published territory and drop
+            StructField("published_end", LongType(), True),
+        ]
+    )
+    return out, state
 
 
 def streaming_interval_merge(
@@ -404,51 +408,75 @@ def streaming_interval_merge(
 ) -> DataFrame:
     """Streaming twin of `operators/intervals.merge_intervals` (the batch
     `events_interval_merge` shape): per key, maintain the ONE currently
-    open island — (start, max end, member count), three scalars of state
-    regardless of stream length — and emit a merged interval the moment a
-    later interval starts strictly past the open island's end (proving the
-    island closed). An arriving interval that overlaps/touches the open
-    island merges into it, including one that starts BEFORE the open start
-    (merged_start extends backwards while unpublished).
+    open island — (start, max end, member count) plus the last published
+    end, four scalars of state regardless of stream length — and emit a
+    merged interval the moment a later interval starts strictly past the
+    open island's end (proving the island closed). An arriving interval
+    that overlaps/touches the open island merges into it, including one
+    that starts BEFORE the open start (merged_start extends backwards
+    while unpublished — but never at-or-before the published fence).
 
-    In-order contract (same as streaming_gapfill_locf): intervals must
-    arrive per-key ordered enough that nothing predates the last CLOSED
-    island — such a row is DROPPED as late, and the batch twin (which sees
-    all data) is the replay/repair path. The final still-open island per
-    key is intentionally NOT emitted (append mode cannot retract); it
-    surfaces when a later interval closes it or from the batch twin at
-    rest."""
+    Contracts: start/end must be INTEGER columns (epoch millis by
+    convention — cast timestamps with unix_millis explicitly; a raw
+    cast('long') on a timestamp yields SECONDS and would disagree with the
+    millis-based batch twin, so non-integer types are rejected here).
+    Null-bounded intervals are dropped before the fold. The key column's
+    type passes through to the output. A row starting at-or-before the
+    last PUBLISHED island's end is DROPPED as late (merging it would emit
+    an interval overlapping already-published output, which append mode
+    cannot retract) — the batch twin, which sees all data, is the
+    replay/repair path. The final still-open island per key is
+    intentionally NOT emitted; it surfaces when a later interval closes it
+    or from the batch twin at rest."""
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    for c in (start_col, end_col):
+        dt = intervals.schema[c].dataType
+        if not isinstance(dt, (LongType, IntegerType, ShortType, ByteType)):
+            raise TypeError(
+                f"streaming_interval_merge: {c} must be an integer column "
+                f"(epoch ms), got {dt.simpleString()} — cast with unix_millis"
+            )
+    out_schema, state_schema = _interval_merge_schemas(
+        intervals.schema[key_col].dataType
+    )
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        o_s, o_e, o_n = state.get if state.exists else (None, None, None)
+        o_s, o_e, o_n, pub_e = (
+            state.get if state.exists else (None, None, None, None)
+        )
         rows = pd.concat(list(pdfs)).sort_values([start_col, end_col])
         out = []
-        k = int(key[0])
-        for s, e in zip(rows[start_col].astype("int64"), rows[end_col].astype("int64")):
-            s, e = int(s), int(e)
+        k = key[0]
+        for s_, e_ in zip(
+            rows[start_col].astype("int64"), rows[end_col].astype("int64")
+        ):
+            s_, e_ = int(s_), int(e_)
+            if pub_e is not None and s_ <= pub_e:
+                continue  # at-or-before published territory: late; batch repairs
             if o_s is None:
-                o_s, o_e, o_n = s, e, 1
-            elif s > o_e:
+                o_s, o_e, o_n = s_, e_, 1
+            elif s_ > o_e:
                 out.append((k, o_s, o_e, o_n))  # closed: publish
-                o_s, o_e, o_n = s, e, 1
-            elif e < o_s:
-                continue  # wholly before the open island: late; batch repairs
+                pub_e = o_e
+                o_s, o_e, o_n = s_, e_, 1
             else:
-                o_s, o_e, o_n = min(o_s, s), max(o_e, e), o_n + 1
-        state.update((o_s, o_e, o_n))
-        yield pd.DataFrame(out, columns=[f.name for f in INTERVAL_MERGE_OUT_SCHEMA.fields])
+                o_s, o_e, o_n = min(o_s, s_), max(o_e, e_), o_n + 1
+        state.update((o_s, o_e, o_n, pub_e))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     return (
         intervals.select(
             F.col(key_col).alias("key"),
-            F.col(start_col).cast("long").alias(start_col),
-            F.col(end_col).cast("long").alias(end_col),
+            F.col(start_col),
+            F.col(end_col),
         )
+        .where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
         .groupBy("key")
         .applyInPandasWithState(
             fold,
-            outputStructType=INTERVAL_MERGE_OUT_SCHEMA,
-            stateStructType=_INTERVAL_STATE_SCHEMA,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

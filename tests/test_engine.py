@@ -184,8 +184,6 @@ def test_engine_asof_ntile_and_interval_merge(engine, spark):
     (the registry queries exercise them on the full tables)."""
     from datetime import datetime
 
-    from pyspark.sql import functions as F
-
     # asof with tolerance: the 2h-old quote nulls out under a 1h bound
     trades = spark.createDataFrame(
         [("A", datetime(2026, 1, 1, 10, 0), 1.0)], "sym STRING, t TIMESTAMP, px DOUBLE"

@@ -2107,3 +2107,57 @@ def test_streaming_interval_merge_state_survives_restart(spark, tmp_path):
         for r in emitted
     ]
     assert got == [(1, 0, 25, 3)]
+
+
+def test_streaming_interval_merge_fence_types_and_nulls(spark, tmp_path):
+    """Review-finding pins for the streaming interval merge contract:
+    (a) a late interval straddling a PUBLISHED island drops instead of
+    merging (merging would emit output overlapping an already-published
+    interval, which append mode cannot retract); (b) the key column's
+    type passes through (string keys work); (c) null-bounded intervals
+    drop before the fold; (d) non-integer start/end is rejected at build
+    time with a unit hint."""
+    import json as _json
+    import time
+
+    import pytest as _pytest
+
+    from dumpr_spark.streaming.state import streaming_interval_merge
+
+    src = str(tmp_path / "fence_src")
+    os.makedirs(src)
+    now = time.time()
+    b0 = [("sym", 0, 20), ("sym", 40, 60)]          # publishes (0,20)
+    b1 = [("sym", 10, 45), ("sym", None, 70), ("sym", 100, 110)]
+    # (10,45) straddles published (0,20): must DROP, so the open island
+    # stays (40,60) and is published unchanged when (100,110) closes it;
+    # the null-start row drops silently
+    for i, chunk in enumerate([b0, b1]):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as f:
+            for k, s_, e_ in chunk:
+                f.write(_json.dumps({"sym": k, "s": s_, "e": e_}) + "\n")
+        os.utime(fp, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("sym string, s long, e long")
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_interval_merge(stream, key_col="sym")
+        .writeStream.format("memory").queryName("fence_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["key"], r["merged_start"], r["merged_end"], r["n_intervals"])
+        for r in spark.sql("SELECT * FROM fence_stream ORDER BY merged_start").collect()
+    ]
+    assert got == [("sym", 0, 20, 1), ("sym", 40, 60, 1)]
+
+    # (d) timestamp start/end rejected with the unix_millis hint
+    ts_df = spark.createDataFrame(
+        [("a",)], "k string"
+    ).select("k", F.current_timestamp().alias("s"), F.current_timestamp().alias("e"))
+    with _pytest.raises(TypeError, match="unix_millis"):
+        streaming_interval_merge(ts_df, key_col="k")

@@ -570,3 +570,47 @@ def test_plan_shapes_r5_wave(spark, sf_dir):
     tr = explain_str(REGISTRY["win_time_range_frame"].fn(spark, sf_dir), "simple")
     assert "specifiedwindowframe(RangeFrame" in tr, tr
     assert "Exchange SinglePartition" not in tr, tr
+
+
+def test_merge_intervals_matches_python_fold_randomized(spark):
+    """operators/intervals.merge_intervals vs a pure-Python sweep-line fold
+    on randomized inputs (fixed seeds): duplicate intervals, containment,
+    exact-touch chains, singletons, and multi-key isolation — the edge mix
+    one oracle query at one scale cannot pin."""
+    import random
+
+    from dumpr_spark.operators.intervals import merge_intervals
+
+    def py_merge(ivs):
+        out = {}
+        by_key = {}
+        for k, s, e in ivs:
+            by_key.setdefault(k, []).append((s, e))
+        for k, pairs in by_key.items():
+            pairs.sort()
+            merged = []
+            for s, e in pairs:
+                if merged and s <= merged[-1][1]:
+                    ps, pe, n = merged[-1]
+                    merged[-1] = (ps, max(pe, e), n + 1)
+                else:
+                    merged.append((s, e, 1))
+            for s, e, n in merged:
+                out[(k, s)] = (e, n)
+        return out
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        ivs = []
+        for k in range(4):
+            for _ in range(rng.randint(1, 40)):
+                s = rng.randint(0, 200)
+                ivs.append((k, s, s + rng.randint(0, 50)))
+        # adversarial shapes: duplicates, containment, exact touch
+        ivs += [(0, 10, 30), (0, 10, 30), (0, 12, 15), (0, 30, 31)]
+        df = spark.createDataFrame(ivs, "k long, s long, e long")
+        got = {
+            (r["k"], r["merged_start"]): (r["merged_end"], r["n_intervals"])
+            for r in merge_intervals(df, ["k"], "s", "e").collect()
+        }
+        assert got == py_merge(ivs), f"seed {seed}"

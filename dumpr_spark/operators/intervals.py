@@ -32,8 +32,12 @@ def merge_intervals(
     MERGE (the closed-interval convention; pre-shrink ends by an epsilon
     for half-open semantics). start/end may be any mutually comparable
     orderable type; ties on (start, end) are deterministic because the
-    island flag depends only on values, not row order.
+    island flag depends only on values, not row order. Null-bounded
+    intervals are dropped before the fold (matching the streaming twin
+    `streaming_interval_merge`): a null start would sort first and join
+    island 0 with a NULL island flag, silently inflating counts.
     """
+    df = df.where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     keys = [F.col(k) for k in key_cols]
     w_prev = (
         Window.partitionBy(*keys)

@@ -131,54 +131,78 @@ _R4_VERIFIED = {
 }
 _DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
 
-# Queries first registered in round 5 (post-r4 driver run). They queue
-# BEHIND the pre-r5 never-green backlog (the 14 _R4_LATE names, which fell
-# into _NEVER_GREEN when _R4_VERIFIED was folded in): the backlog must win
-# the budget-capped walk so round 5 closes the evidence book. Budget check:
-# 14 backlog + len(_R5_NEW) must stay <= 50.
-_R5_NEW: set = {
-    # regression/association/category aggregates + Pareto + MoM (relational)
-    "agg_regr_linear", "agg_corr_covar", "agg_entropy_gini", "agg_pareto_abc",
-    "rollup_mom_growth", "customer_rfm_scores",
-    # time-based RANGE frame (windows)
-    "win_time_range_frame",
-    # calendar/streak/path/churn event analytics (streaming_batch)
-    "events_streak_longest", "events_calendar_grid", "events_top_paths",
-    "events_inactive_users",
-    # text + embedding hygiene (llm)
-    "text_sentence_stats", "text_stopword_docfreq", "embed_norm_outliers",
-    # deterministic sampling + temporal split (training)
-    "sample_reservoir_hash", "sample_time_split",
-    # wave 2: tolerance as-of, CDC observability, lift mining, k-means step
-    "join_asof_tolerance", "cdc_op_rollup", "cdc_key_hotspots",
-    "agg_assoc_lift", "embed_kmeans_step",
-    # wave 3: Spark 4 SQL surface (pipe dialect, ordered LISTAGG)
-    "sql_pipe_syntax", "agg_string_agg",
-    # wave 4: binary-column format sniffing, experiment guardrail,
-    # interval coalescing, seasonality normalization
-    "multimodal_format_sniff", "events_ab_srm", "events_interval_merge",
-    "orders_seasonality_index",
-    # wave 5: Arrow-tier Python UDF surface (Spark 3.5+/4)
-    "udf_arrow_scalar", "udf_map_in_arrow",
+# Names the driver hash-verified in round 5 (CORRECTNESS_r05.json: 50 of 50
+# checked, all hash_match — the whole 16-name r4-late backlog, all 29 _R5_NEW
+# registrations, and 5 CDC re-checks whose latest green row is now r5, so
+# they moved here OUT of _R2_VERIFIED: cdc_materialize,
+# cdc_dedup_latest_window, cdc_envelope_shape, cdc_filter_tables,
+# cdc_next_position).
+# Removed from _R5_VERIFIED (stale evidence, r6 edits): customer_rfm_scores
+# (builder now unpersists the RFM rollup after the ntile passes) and
+# events_interval_merge (operators/intervals.merge_intervals now drops
+# null-bounded intervals to match the streaming twin) — both re-queue in the
+# never-green backlog for a fresh driver row.
+_R5_VERIFIED = {
+    "agg_assoc_lift", "agg_corr_covar", "agg_countmin_sketch",
+    "agg_entropy_gini", "agg_pareto_abc", "agg_regr_linear", "agg_string_agg",
+    "agg_weighted_median", "cdc_consistency_check", "cdc_dedup_latest_window",
+    "cdc_envelope_shape", "cdc_filter_tables", "cdc_key_hotspots",
+    "cdc_materialize", "cdc_next_position", "cdc_op_rollup",
+    "dedup_paragraphs", "dedup_simhash_banded",
+    "embed_kmeans_step", "embed_norm_outliers", "events_ab_srm",
+    "events_autocorr", "events_calendar_grid", "events_dwell_time",
+    "events_gapfill", "events_inactive_users",
+    "events_streak_longest", "events_top_paths", "export_shard_manifest",
+    "graph_triangle_count", "join_asof_tolerance", "multimodal_features",
+    "multimodal_format_sniff", "multimodal_metadata",
+    "orders_seasonality_index", "profile_columns", "rollup_mom_growth",
+    "sample_reservoir_hash", "sample_time_split", "scalar_variant",
+    "sql_pipe_syntax", "sql_recursive_cte", "text_gopher_rules",
+    "text_sentence_stats", "text_stopword_docfreq", "udf_arrow_scalar",
+    "udf_map_in_arrow", "win_time_range_frame",
 }
+_R2_VERIFIED -= {
+    "cdc_materialize", "cdc_dedup_latest_window", "cdc_envelope_shape",
+    "cdc_filter_tables", "cdc_next_position",
+}
+_DRIVER_VERIFIED = _DRIVER_VERIFIED | _R5_VERIFIED
+
+# Queries first registered in round 6. They queue BEHIND the never-green
+# backlog (r6 stale-evidence evictions) and AHEAD of the verified tiers.
+# Budget check: backlog + len(_R6_NEW) must stay well under 50 so the
+# remaining slots re-certify the stalest verified evidence (see _rank).
+_R6_NEW: set = set()
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-5 addition. A name
-# accidentally left out of _R5_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-6 addition. A name
+# accidentally left out of _R6_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R5_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R6_NEW
+
+# Verified tiers ordered STALEST ROUND FIRST: with the never-green backlog
+# at zero (round 5 closed the evidence book), driver evidence staleness is
+# the only remaining correctness risk — ~130 green rows date from rounds
+# 1-3 while the code keeps evolving. The budget-capped walk therefore
+# spends its slack re-certifying the OLDEST green rows each round; a name
+# re-verified in round N moves to that round's set, so the rotation
+# naturally cycles through the registry.
+_VERIFIED_STALEST_FIRST = (
+    _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
+)
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R5_NEW:
+    if n in _R6_NEW:
         return 1
-    # only _DRIVER_VERIFIED names reach here (_NEVER_GREEN is the registry
-    # minus the other two sets, so the tiers tile the registry); a name in
-    # no set is impossible by construction, and would land in _NEVER_GREEN
-    # (rank 0, checked first) anyway — the fails-safe default.
-    return 3
+    for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
+        if n in tier:
+            return 2 + i
+    # impossible by construction (_NEVER_GREEN is the registry minus the
+    # other sets, so the tiers tile the registry) — but fail SAFE: an
+    # unclassified name is checked first, never hidden.
+    return 0
 
 
 _reordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=_rank)}

@@ -2889,12 +2889,14 @@ def customer_rfm_scores(spark, sf_dir):
     the shape the plan lint bans as a naive window — so all three scores
     run through operators/ntile.global_ntile (approxQuantile range-bucket
     + per-bucket rank + broadcast offsets; see that module's cost model).
-    The per-customer rollup is PERSISTED before the three scoring passes:
-    each global_ntile runs its own quantile + count + rank jobs, and
-    without the persist all nine would recompute the orders scan + join +
-    groupBy from scratch (9 fact scans at 100 TB); with it, the fact
-    tables are read once and the nine passes hit the materialized
-    customer-grain rollup (|customers| rows, orders of magnitude smaller).
+    The per-customer rollup is PERSISTED across the three scoring passes'
+    six EAGER jobs (per pass: one approxQuantile, one bucket-count) —
+    without it each would recompute the orders scan + join + groupBy from
+    scratch — then UNPERSISTED before returning: the returned plan reads
+    the rollup exactly once (the three rank windows stack linearly), so
+    releasing the cache costs one rollup rebuild at materialization while
+    guaranteeing repeated invocations (oracle sweeps, bench loops, plan
+    lints) never accumulate session-lifetime cached DataFrames.
     Monetary is eps-rounded before scoring so the tile boundary is a
     function of the published figure on both engines."""
     from pyspark import StorageLevel
@@ -2913,9 +2915,12 @@ def customer_rfm_scores(spark, sf_dir):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    scored = global_ntile(rfm, 5, "recency_day", "c_custkey", out_col="r_score")
-    scored = global_ntile(scored, 5, "frequency", "c_custkey", out_col="f_score")
-    scored = global_ntile(scored, 5, "monetary", "c_custkey", out_col="m_score")
+    try:
+        scored = global_ntile(rfm, 5, "recency_day", "c_custkey", out_col="r_score")
+        scored = global_ntile(scored, 5, "frequency", "c_custkey", out_col="f_score")
+        scored = global_ntile(scored, 5, "monetary", "c_custkey", out_col="m_score")
+    finally:
+        rfm.unpersist(blocking=False)
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

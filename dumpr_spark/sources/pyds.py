@@ -281,6 +281,21 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+def _touch_heartbeat(run_tmp_dir: str) -> None:
+    """Refresh the run's liveness marker (`_heartbeat` mtime). Called from
+    every executor-side write() and every driver-side commit(); the stale-
+    temp sweep in CdcWireStreamWriter.commit only reclaims run dirs whose
+    heartbeat — not dir mtime — exceeds stale_temp_ttl_sec, so a live run
+    with a slow in-flight batch is never swept mid-publish."""
+    hb = os.path.join(run_tmp_dir, "_heartbeat")
+    try:
+        with open(hb, "a"):
+            pass
+        os.utime(hb, None)
+    except OSError:
+        pass  # best-effort: a missed touch only risks an early sweep
+
+
 @dataclass
 class _WireCommit(WriterCommitMessage):
     tmp_path: str
@@ -342,6 +357,11 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
         tc = TaskContext.get()
         tmp_dir = os.path.join(self.path, "_tmp", self.run_id)
         os.makedirs(tmp_dir, exist_ok=True)
+        # liveness heartbeat: the stale-run sweep keys off THIS file's
+        # mtime, not the dir's, so a run whose batch stays in flight (or
+        # that idles) longer than the TTL is still recognized as live —
+        # every task touch and every commit refreshes it.
+        _touch_heartbeat(tmp_dir)
         tmp = os.path.join(
             tmp_dir, f"task-{tc.partitionId()}-{uuid.uuid4().hex}.jsonl"
         )
@@ -388,10 +408,15 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
                         os.remove(os.path.join(tmp_dir, f))
                     except OSError:
                         pass
-            # ...UNLESS they are dead: a run dir whose mtime is older than
-            # the TTL belongs to a crashed/abandoned run (live runs touch
-            # their dir every batch); without this, crash/restart cycles
-            # leak full batch payloads forever.
+                # re-arm THIS run's liveness marker after the cleanup wiped
+                # it, so a concurrent run's sweep never mistakes us for dead
+                _touch_heartbeat(tmp_dir)
+            # ...UNLESS they are dead: a run whose HEARTBEAT (touched by
+            # every task write and every commit — NOT the dir mtime, which
+            # a long in-flight or idle batch leaves stale) is older than
+            # the TTL belongs to a crashed/abandoned run; without this,
+            # crash/restart cycles leak full batch payloads forever. Dirs
+            # predating the heartbeat scheme fall back to dir mtime.
             import time
 
             root = os.path.join(self.path, "_tmp")
@@ -400,7 +425,11 @@ class CdcWireStreamWriter(DataSourceStreamWriter):
                 for d in os.listdir(root):
                     p = os.path.join(root, d)
                     try:
-                        if d != self.run_id and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                        if d == self.run_id or not os.path.isdir(p):
+                            continue
+                        hb = os.path.join(p, "_heartbeat")
+                        alive_at = os.path.getmtime(hb if os.path.exists(hb) else p)
+                        if alive_at < cutoff:
                             import shutil as _sh
 
                             _sh.rmtree(p, ignore_errors=True)

@@ -414,7 +414,10 @@ def streaming_interval_merge(
     open island's end (proving the island closed). An arriving interval
     that overlaps/touches the open island merges into it, including one
     that starts BEFORE the open start (merged_start extends backwards
-    while unpublished — but never at-or-before the published fence).
+    while unpublished — but never at-or-before the published fence). A
+    cross-batch arrival strictly disjoint BELOW the open island (e < open
+    start) is emitted immediately as its own closed island — the open
+    island proves it closed — and advances the fence; it never merges.
 
     Contracts: start/end must be INTEGER columns (epoch millis by
     convention — cast timestamps with unix_millis explicitly; a raw
@@ -460,6 +463,15 @@ def streaming_interval_merge(
                 out.append((k, o_s, o_e, o_n))  # closed: publish
                 pub_e = o_e
                 o_s, o_e, o_n = s_, e_, 1
+            elif e_ < o_s:
+                # Strictly disjoint BELOW the open island: a cross-batch
+                # out-of-order arrival past the fence (in-batch rows are
+                # sorted, so only carried state can sit above it). The open
+                # island itself proves this one closed — emit it as its own
+                # island and advance the fence; merging it would corrupt
+                # the open island's span (the batch twin keeps them apart).
+                out.append((k, s_, e_, 1))
+                pub_e = e_ if pub_e is None else max(pub_e, e_)
             else:
                 o_s, o_e, o_n = min(o_s, s_), max(o_e, e_), o_n + 1
         state.update((o_s, o_e, o_n, pub_e))

@@ -2161,3 +2161,214 @@ def test_streaming_interval_merge_fence_types_and_nulls(spark, tmp_path):
     ).select("k", F.current_timestamp().alias("s"), F.current_timestamp().alias("e"))
     with _pytest.raises(TypeError, match="unix_millis"):
         streaming_interval_merge(ts_df, key_col="k")
+
+
+def test_streaming_interval_merge_out_of_order_below_open_island(spark, tmp_path):
+    """Advisor-found corruption pin: a cross-batch arrival strictly
+    DISJOINT BELOW the open island must NOT merge into it. Key 1: batch 0
+    opens (100,110) with no published fence, batch 1 brings (50,60) —
+    the broken merge branch produced state (50,110,2); correct behavior
+    emits (50,60,1) as its own closed island (the open island proves it
+    closed) and leaves (100,110) untouched, matching the batch twin.
+    Key 2 exercises the same path WITH a fence already published below,
+    and checks the fence advances monotonically: after emitting (50,60)
+    the fence is 60, so a later (55,58) drops as late."""
+    import json as _json
+    import time
+
+    from dumpr_spark.operators.intervals import merge_intervals
+    from dumpr_spark.streaming.state import streaming_interval_merge
+
+    src = str(tmp_path / "ooo_src")
+    os.makedirs(src)
+    now = time.time()
+    b0 = [(1, 100, 110), (2, 0, 10), (2, 100, 110)]  # key2 publishes (0,10)
+    b1 = [(1, 50, 60), (2, 50, 60)]   # disjoint below each open island
+    b2 = [(1, 55, 58), (2, 55, 58)]   # at-or-below the advanced fence: drop
+    b3 = [(1, 200, 210), (2, 200, 210)]  # closes the (100,110) islands
+    for i, chunk in enumerate([b0, b1, b2, b3]):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as f:
+            for u, s_, e_ in chunk:
+                f.write(_json.dumps({"user_id": u, "s": s_, "e": e_}) + "\n")
+        os.utime(fp, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, s long, e long")
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_interval_merge(stream)
+        .writeStream.format("memory").queryName("ooo_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["key"], r["merged_start"]): (r["merged_end"], r["n_intervals"])
+        for r in spark.sql("SELECT * FROM ooo_stream").collect()
+    }
+    assert got == {
+        (1, 50): (60, 1),
+        (1, 100): (110, 1),
+        (2, 0): (10, 1),
+        (2, 50): (60, 1),
+        (2, 100): (110, 1),
+    }  # (55,58) dropped late on both keys; (200,210) still open
+
+    # batch twin agreement on everything except the documented divergences:
+    # still-open islands and fence-dropped late rows ((55,58) merges into
+    # (50,60) in batch — n_intervals differs by design; spans agree)
+    all_rows = [r for ch in [b0, b1, b2, b3] for r in ch]
+    df = spark.createDataFrame(all_rows, "user_id long, s long, e long")
+    want_spans = {
+        (r["user_id"], r["merged_start"]): r["merged_end"]
+        for r in merge_intervals(df, ["user_id"], "s", "e").collect()
+    }
+    for (k, s_), (e_, _n) in got.items():
+        assert want_spans[(k, s_)] == e_
+
+
+def test_streaming_asof_enrich_matches_batch_twin(spark, tmp_path):
+    """Streaming as-of enrichment == the batch asof_join on the same
+    per-key-in-order data split across three micro-batches: each trade
+    gets the latest quote with quote_time <= trade_time, the carried
+    quote survives micro-batch boundaries in state, a trade before any
+    quote enriches NULL, and an exact-timestamp quote wins (<=)."""
+    import json as _json
+    import time
+
+    from dumpr_spark.operators.asof import asof_join
+    from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+    quotes = [  # (sym, q_t, px)
+        ("A", 10, 1.0), ("B", 5, 9.0),
+        ("A", 20, 2.0),
+        ("A", 30, 3.0), ("B", 40, 8.0),
+    ]
+    trades = [  # (sym, t_t, qty)
+        ("A", 5, 100),            # before any A quote -> NULL px
+        ("A", 10, 110),           # exact match -> 1.0
+        ("A", 25, 120),           # latest <= 25 is (20, 2.0)
+        ("B", 50, 130),           # cross-batch carry -> 8.0
+        ("A", 35, 140),           # -> 3.0
+    ]
+    qb = [quotes[:2], quotes[2:3], quotes[3:]]
+    tb = [trades[:2], trades[2:3], trades[3:]]
+    qsrc, tsrc = str(tmp_path / "q_src"), str(tmp_path / "t_src")
+    os.makedirs(qsrc), os.makedirs(tsrc)
+    now = time.time()
+    for i in range(3):
+        for src, rows, names in ((qsrc, qb[i], ("sym", "q_t", "px")),
+                                 (tsrc, tb[i], ("sym", "t_t", "qty"))):
+            fp = os.path.join(src, f"b{i}.json")
+            with open(fp, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(dict(zip(names, r))) + "\n")
+            os.utime(fp, (now + i, now + i))
+
+    q_stream = (
+        spark.readStream.schema("sym string, q_t long, px double")
+        .option("maxFilesPerTrigger", 1).json(qsrc)
+    )
+    t_stream = (
+        spark.readStream.schema("sym string, t_t long, qty long")
+        .option("maxFilesPerTrigger", 1).json(tsrc)
+    )
+    q = (
+        streaming_asof_enrich(t_stream, q_stream, "sym", "t_t", "q_t")
+        .writeStream.format("memory").queryName("asof_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["sym"], r["t_t"]): (r["qty"], r["px"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    assert got == {
+        ("A", 5): (100, None),
+        ("A", 10): (110, 1.0),
+        ("A", 25): (120, 2.0),
+        ("B", 50): (130, 8.0),
+        ("A", 35): (140, 3.0),
+    }
+
+    # batch twin on the full data agrees row-for-row
+    tdf = spark.createDataFrame(trades, "sym string, t_t long, qty long")
+    qdf = spark.createDataFrame(quotes, "sym string, q_t long, px double")
+    want = {
+        (r["sym"], r["t_t"]): (r["qty"], r["px"])
+        for r in asof_join(tdf, qdf, "sym", "t_t", "q_t").collect()
+    }
+    assert want == got
+
+
+def test_streaming_asof_enrich_tolerance_restart_and_guards(spark, tmp_path):
+    """(a) tolerance_ms nulls out a stale carried quote; (b) the carried
+    state survives a query restart on the same checkpoint; (c) build-time
+    guards: non-integer time rejected with the unix_millis hint, colliding
+    right columns rejected."""
+    import json as _json
+    import time
+
+    import pytest as _pytest
+
+    from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+    qsrc, tsrc = str(tmp_path / "qg_src"), str(tmp_path / "tg_src")
+    ckpt = str(tmp_path / "asof_ckpt")
+    os.makedirs(qsrc), os.makedirs(tsrc)
+
+    def write(src, name, rows, names, mtime):
+        fp = os.path.join(src, name)
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(dict(zip(names, r))) + "\n")
+        os.utime(fp, (mtime, mtime))
+
+    def run():
+        emitted = []
+        q_stream = (
+            spark.readStream.schema("sym string, q_t long, px double")
+            .option("maxFilesPerTrigger", 1).json(qsrc)
+        )
+        t_stream = (
+            spark.readStream.schema("sym string, t_t long, qty long")
+            .option("maxFilesPerTrigger", 1).json(tsrc)
+        )
+        q = (
+            streaming_asof_enrich(
+                t_stream, q_stream, "sym", "t_t", "q_t", tolerance_ms=15
+            )
+            .writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    now = time.time()
+    write(qsrc, "b0.json", [("A", 10, 1.5)], ("sym", "q_t", "px"), now)
+    write(tsrc, "b0.json", [("A", 12, 100)], ("sym", "t_t", "qty"), now)
+    first = run()
+    assert [(r["t_t"], r["px"]) for r in first] == [(12, 1.5)]
+
+    # restart: state must still carry the (10, 1.5) quote. Trade at 20 is
+    # within tolerance (20-10=10 <= 15) -> 1.5; trade at 40 is stale
+    # (40-10=30 > 15) -> NULL even though a quote exists in state.
+    write(tsrc, "b1.json", [("A", 20, 110), ("A", 40, 120)],
+          ("sym", "t_t", "qty"), now + 1)
+    second = run()
+    got = sorted((r["t_t"], r["px"]) for r in second)
+    assert got == [(20, 1.5), (40, None)]
+
+    # (c) guards
+    ts_left = spark.readStream.schema("sym string, t_t timestamp, qty long").json(tsrc)
+    ok_right = spark.readStream.schema("sym string, q_t long, px double").json(qsrc)
+    with _pytest.raises(TypeError, match="unix_millis"):
+        streaming_asof_enrich(ts_left, ok_right, "sym", "t_t", "q_t")
+    clash_right = spark.readStream.schema("sym string, q_t long, qty double").json(qsrc)
+    ok_left = spark.readStream.schema("sym string, t_t long, qty long").json(tsrc)
+    with _pytest.raises(ValueError, match="collide"):
+        streaming_asof_enrich(ok_left, clash_right, "sym", "t_t", "q_t")

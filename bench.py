@@ -49,8 +49,18 @@ def main():
     spark = get_spark("dumpr_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so q1 doesn't pay session startup
+    # Warm the JVM and touch every input table once (footers + OS page
+    # cache + scan codegen) so q1 doesn't pay session startup and the
+    # reported cold_run isolates PLAN-SPECIFIC compile/codegen cost —
+    # measured attribution (SCALE.md round-6): of q1's 6.1 s fresh-JVM
+    # first-run overhead, ~5.4 s is generic (JIT + first-touch scan
+    # machinery + page cache) and only ~0.6 s is this plan's codegen.
+    from dumpr_spark.sources.files import load_table
+
     REGISTRY["agg_global"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
 
     # three passes, report min: pass 1 pays JIT/codegen compilation, later
     # passes are the steady-state cost a long-running cluster actually sees

@@ -125,3 +125,49 @@ def merge_batch(current: DataFrame, batch: DataFrame) -> DataFrame:
     already reflected is a no-op, which is what makes checkpoint resume
     exactly-once (reference hazard README.md:218-221 does not apply)."""
     return materialize(current.unionByName(batch))
+
+
+def materialize_salted(
+    changes: DataFrame, salt: int = 16, keep_tombstones: bool = False
+) -> DataFrame:
+    """`materialize` with a two-phase salted fold for hot keys — the remedy
+    the `cdc_key_hotspots` diagnostic hands off to.
+
+    The plain fold's map-side combine already reduces each input partition
+    to <= 1 candidate per key, but every partition's candidate for a hot
+    key still converges on ONE reducer — O(input partitions) wide rows
+    (content payloads ride in the max_by struct) through a single task at
+    100 TB. Salting splits phase one into (tbl, id, salt) cells, so the
+    final per-key reduce sees at most `salt` candidates regardless of how
+    many partitions the hot key spans.
+
+    The salt is xxhash64 of `seq` (unique, content-derived upstream) —
+    deterministic under stage retry, unlike rand(). max_by over a unique
+    seq is associative+commutative, so two-phase == one-phase exactly;
+    equivalence is pinned against `materialize` in
+    tests/test_scale_ops.py::test_hotspot_diagnostic_drives_salted_materialize.
+    """
+    winner = (
+        changes.where(F.col("op") != OP_ERROR)
+        .withColumn("_salt", F.pmod(F.xxhash64("seq"), F.lit(salt)))
+        .groupBy("tbl", "id", "_salt")
+        .agg(
+            F.max_by(
+                F.struct("op", "content", "ts", "next_file", "next_position", "seq"), F.col("seq")
+            ).alias("w")
+        )
+        .groupBy("tbl", "id")
+        .agg(F.max_by(F.col("w"), F.col("w.seq")).alias("w"))
+    )
+    if not keep_tombstones:
+        winner = winner.where(F.col("w.op") != OP_DELETE)
+    return winner.select(
+        F.col("w.op").alias("op"),
+        F.col("tbl"),
+        F.col("id"),
+        F.col("w.content").alias("content"),
+        F.col("w.ts").alias("ts"),
+        F.col("w.next_file").alias("next_file"),
+        F.col("w.next_position").alias("next_position"),
+        F.col("w.seq").alias("seq"),
+    )

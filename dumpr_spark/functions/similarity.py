@@ -246,3 +246,90 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )
+
+
+def train_centroids_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 4,
+    eps: float = 0.01,
+) -> tuple[DataFrame, list, int, bool]:
+    """Deterministic Lloyd iteration to convergence — the engine-replayable
+    twin of `train_centroids` (whose pyspark.ml KMeans internals no oracle
+    can reproduce). Seeds are the k lowest-id vectors cast to double
+    (exact, no rounding ambiguity); each iteration assigns every vector to
+    its highest-cosine centroid (`ivf_assign`, broadcast centroids) and
+    recomputes per-cluster elementwise means EPS-ROUNDED to 6dp in-engine
+    — so iteration i+1's inputs are bit-identical on any engine that
+    follows the same recipe, and a SQL oracle can replay the whole loop
+    exactly. Stops when the max centroid movement (L2, eps-rounded 6dp,
+    computed in-engine for the same reason) drops below `eps`, or at
+    `max_iter`. An emptied cluster keeps its previous centroid.
+
+    Returns (centroids_df, per_cluster_stats, n_iters, converged) where
+    per_cluster_stats is [(cid, n_assigned)] from the LAST executed
+    assignment and centroids_df is (cent_id, cent_vec) shaped for
+    `ivf_assign`/`ivf_topk` — this IS the IVF index-training primitive.
+
+    Scale shape: per iteration, centroids broadcast (k x dim doubles),
+    assignment is a narrow map over the corpus scan, and the mean/movement
+    shuffles collapse to k x dim cells regardless of corpus size
+    (posexplode before groupBy -> map-side partials). Driver traffic is
+    k x dim rounded doubles per iteration — metadata-sized by design.
+    """
+    spark = vectors.sparkSession
+    seeds = (
+        vectors.where(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cent_id"), _dbl(F.col(vec_col)).alias("cent_vec"))
+        .collect()
+    )
+    cents = {r["cent_id"]: list(r["cent_vec"]) for r in seeds}
+    dim = len(next(iter(cents.values())))
+    n_iters, converged, counts = 0, False, []
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            sorted(cents.items()), "cent_id INT, cent_vec ARRAY<DOUBLE>"
+        )
+        assigned = ivf_assign(vectors, cdf, id_col=id_col, vec_col=vec_col, n_cells=1)
+        dims = (
+            assigned.select("cell", F.posexplode(_dbl(F.col(vec_col))).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x") + 1e-9, 6).alias("m"))
+        )
+        old = spark.createDataFrame(
+            [(cid, p, v) for cid, vec in cents.items() for p, v in enumerate(vec)],
+            "cell INT, pos INT, old_m DOUBLE",
+        )
+        # one tiny job returns counts, new means, and per-cluster movement
+        stats = (
+            dims.join(old, ["cell", "pos"])
+            .groupBy("cell")
+            .agg(
+                F.round(
+                    F.sqrt(F.sum((F.col("m") - F.col("old_m")) * (F.col("m") - F.col("old_m")))) + 1e-9, 6
+                ).alias("move"),
+                F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("mvec"),
+            )
+            .collect()
+        )
+        counts = sorted(
+            (r["cell"], r["count"])
+            for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("count")).collect()
+        )
+        new_cents = dict(cents)  # emptied clusters keep their centroid
+        movement = 0.0
+        for r in stats:
+            new_cents[r["cell"]] = [x["m"] for x in r["mvec"]]
+            movement = max(movement, r["move"])
+        cents = new_cents
+        n_iters += 1
+        if movement < eps:
+            converged = True
+            break
+    cdf = spark.createDataFrame(
+        sorted(cents.items()), "cent_id INT, cent_vec ARRAY<DOUBLE>"
+    )
+    assert all(len(v) == dim for v in cents.values())
+    return cdf, counts, n_iters, converged

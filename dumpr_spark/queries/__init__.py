@@ -171,7 +171,11 @@ _DRIVER_VERIFIED = _DRIVER_VERIFIED | _R5_VERIFIED
 # backlog (r6 stale-evidence evictions) and AHEAD of the verified tiers.
 # Budget check: backlog + len(_R6_NEW) must stay well under 50 so the
 # remaining slots re-certify the stalest verified evidence (see _rank).
-_R6_NEW: set = set()
+_R6_NEW: set = {
+    # full Lloyd loop to fixed point — the IVF training primitive
+    # (embed_kmeans_step takes one step of this)
+    "embed_kmeans_converged",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-6 addition. A name

@@ -2400,3 +2400,125 @@ def embed_kmeans_step(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration for the embed_kmeans_converged oracle:
+    assign against cents c{i-1} (unrounded cosine, cid tie-break — the
+    ivf_assign contract), per-dim means eps-rounded 6dp (bit-identical to
+    the Spark side's in-engine rounding), emptied clusters keep their
+    previous centroid, and the movement scalar mv{i} is the max per-cluster
+    L2 shift, eps-rounded 6dp."""
+    p = i - 1
+    return f"""
+    a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.v, ct.cvec) /
+                          (sqrt(list_dot_product(c.v, c.v)) *
+                           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid
+               ) AS rn
+        FROM corpus c CROSS JOIN c{p} ct
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cid, list(m ORDER BY pos) AS mvec FROM (
+        SELECT cid, pos, ROUND(AVG(x) + 1e-9, 6) AS m FROM (
+          SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a{i}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(m.mvec, p.cvec) AS cvec
+      FROM c{p} p LEFT JOIN m{i} m USING (cid)
+    ),
+    mv{i} AS (
+      SELECT MAX(ROUND(sqrt(list_sum(list_transform(
+               range(1, len(n.cvec) + 1),
+               j -> (n.cvec[j] - p.cvec[j]) * (n.cvec[j] - p.cvec[j])
+             ))) + 1e-9, 6)) AS mv
+      FROM c{i} n JOIN c{p} p USING (cid)
+    )"""
+
+
+@query(
+    "embed_kmeans_converged",
+    """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus WHERE vec_id < 8),
+    """
+    + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3, 4))
+    + """,
+    sel AS (
+      SELECT CASE WHEN mv1.mv < 0.06 THEN 1 WHEN mv2.mv < 0.06 THEN 2
+                  WHEN mv3.mv < 0.06 THEN 3 ELSE 4 END AS n_iters,
+             (mv1.mv < 0.06 OR mv2.mv < 0.06 OR mv3.mv < 0.06
+              OR mv4.mv < 0.06) AS converged
+      FROM mv1, mv2, mv3, mv4
+    ),
+    counts_all AS (
+      SELECT 1 AS it, cid, COUNT(*) AS n FROM a1 GROUP BY cid
+      UNION ALL SELECT 2, cid, COUNT(*) FROM a2 GROUP BY cid
+      UNION ALL SELECT 3, cid, COUNT(*) FROM a3 GROUP BY cid
+      UNION ALL SELECT 4, cid, COUNT(*) FROM a4 GROUP BY cid
+    ),
+    norms_all AS (
+      SELECT 1 AS it, cid, ROUND(sqrt(list_dot_product(cvec, cvec)) + 1e-9, 6) AS nrm FROM c1
+      UNION ALL SELECT 2, cid, ROUND(sqrt(list_dot_product(cvec, cvec)) + 1e-9, 6) FROM c2
+      UNION ALL SELECT 3, cid, ROUND(sqrt(list_dot_product(cvec, cvec)) + 1e-9, 6) FROM c3
+      UNION ALL SELECT 4, cid, ROUND(sqrt(list_dot_product(cvec, cvec)) + 1e-9, 6) FROM c4
+    )
+    SELECT ca.cid, CAST(ca.n AS BIGINT) AS n_assigned, na.nrm AS centroid_norm,
+           CAST(s.n_iters AS INT) AS n_iters, s.converged
+    FROM counts_all ca JOIN norms_all na ON ca.it = na.it AND ca.cid = na.cid, sel s
+    WHERE ca.it = s.n_iters
+    ORDER BY ca.cid
+    """,
+    tags=("llm", "embedding", "clustering"),
+)
+def embed_kmeans_converged(spark, sf_dir):
+    """Lloyd's k-means iterated to a FIXED POINT (max centroid movement
+    < 0.06, hard cap 4 iterations) — the full IVF index-training loop
+    that embed_kmeans_step takes one step of. Deterministic seeds
+    (vec_id < 8, exact float->double casts) and per-iteration 6dp
+    eps-rounding of the means make every iteration's inputs bit-identical
+    across engines, so the DuckDB oracle replays the complete loop
+    exactly (unrolled, with the same first-crossing stop rule). Output
+    per cluster: member count of the final assignment, final centroid L2
+    norm (a scalar fingerprint of all 64 trained dims), iterations run,
+    and whether the loop converged before the cap.
+
+    Scale shape: per iteration, one broadcast-centroid narrow-map
+    assignment over the corpus scan plus a (cluster, dim)-cell mean and
+    movement rollup — k x 64 cells regardless of corpus size; driver
+    traffic is the rounded centroid matrix per iteration, metadata-sized.
+    The trained (cent_id, cent_vec) frame feeds ivf_assign/ivf_topk
+    directly (recall-vs-brute-force pinned in tests/test_llm_ops.py)."""
+    e = t(spark, sf_dir, "embeddings")
+    cdf, counts, n_iters, converged = sim.train_centroids_lloyd(
+        e, k=8, max_iter=4, eps=0.06
+    )
+    cnt = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in counts], "cid INT, n_assigned BIGINT"
+    )
+    norms = cdf.select(
+        F.col("cent_id").alias("cid"),
+        eps_round(
+            F.sqrt(F.aggregate(F.col("cent_vec"), F.lit(0.0), lambda s, x: s + x * x)),
+            6,
+        ).alias("centroid_norm"),
+    )
+    return (
+        cnt.join(norms, "cid")
+        .select(
+            "cid", "n_assigned", "centroid_norm",
+            F.lit(n_iters).cast("int").alias("n_iters"),
+            F.lit(converged).alias("converged"),
+        )
+        .orderBy("cid")
+    )

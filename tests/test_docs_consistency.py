@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _DRIVER_VERIFIED, _NEVER_GREEN, _R5_NEW,
+        REGISTRY, _NEVER_GREEN, _R6_NEW, _VERIFIED_STALEST_FIRST,
     )
 
     names = set(REGISTRY)
-    tiers = [_DRIVER_VERIFIED & names, _R5_NEW, _NEVER_GREEN]
+    tiers = [_R6_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):

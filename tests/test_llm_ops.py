@@ -467,3 +467,47 @@ def test_simhash_band_recall_is_exact_at_threshold(spark):
         if h <= 3:
             want[(i, j)] = h
     assert got == want  # perfect recall AND correct distances
+
+
+def test_lloyd_trained_centroids_feed_ivf(spark, sf_dir):
+    """The deterministic Lloyd loop (train_centroids_lloyd) is the IVF
+    training primitive: its trained centroids plug straight into ivf_topk
+    and must (a) hold recall vs brute force within the same band as the
+    raw seed centroids it started from (on uniform-random vectors
+    clustering does not dominate arbitrary cells — the pin is
+    non-collapse, the tolerance matches test_ivf_kmeans_centroids_beat_arbitrary), (b) report a sane convergence trajectory
+    (n_iters within the cap, every vector assigned), and (c) be exactly
+    reproducible run-to-run (bit-identical centroid matrix — the property
+    the SQL oracle of embed_kmeans_converged depends on)."""
+    from dumpr_spark.functions.similarity import (
+        brute_force_topk, ivf_topk, train_centroids_lloyd,
+    )
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    n_vecs = e.count()
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    trained, counts, n_iters, converged = train_centroids_lloyd(
+        e, k=8, max_iter=4, eps=0.06
+    )
+
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    r_seed = len(exact & {(r["q_id"], r["n_id"])
+                          for r in ivf_topk(e, q, seeds, k=5, nprobe=2).collect()}) / len(exact)
+    r_tr = len(exact & {(r["q_id"], r["n_id"])
+                        for r in ivf_topk(e, q, trained, k=5, nprobe=2).collect()}) / len(exact)
+    assert r_tr >= r_seed - 0.05, f"training collapsed recall: seeds {r_seed} -> trained {r_tr}"
+    assert r_tr >= 0.25, f"trained-IVF recall collapsed: {r_tr}"
+
+    assert 1 <= n_iters <= 4 and isinstance(converged, bool)
+    assert sum(n for _, n in counts) == n_vecs  # every vector assigned once
+
+    trained2, counts2, n_iters2, _ = train_centroids_lloyd(
+        e, k=8, max_iter=4, eps=0.06
+    )
+    m1 = {r["cent_id"]: list(r["cent_vec"]) for r in trained.collect()}
+    m2 = {r["cent_id"]: list(r["cent_vec"]) for r in trained2.collect()}
+    assert m1 == m2 and counts == counts2 and n_iters == n_iters2

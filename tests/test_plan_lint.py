@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "sim_topk_bruteforce",      # broadcast query batch vs corpus scan
     "sim_topk_ivf",             # broadcast centroid set
     "embed_kmeans_step",        # broadcast centroid set (ivf_assign)
+    "embed_kmeans_converged",   # broadcast centroid set per Lloyd iteration
     "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast
     "text_unigram_logprob",     # scalar corpus-total broadcast
 }

@@ -614,3 +614,59 @@ def test_merge_intervals_matches_python_fold_randomized(spark):
             for r in merge_intervals(df, ["k"], "s", "e").collect()
         }
         assert got == py_merge(ivs), f"seed {seed}"
+
+
+def test_hotspot_diagnostic_drives_salted_materialize(spark):
+    """The full skew handoff (SURVEY §2.3's named scale-killer): build a
+    deliberately hot-keyed change log (one entity takes ~60% of all
+    changes), run the cdc_key_hotspots-style diagnostic over it, use its
+    top share to PICK a salt factor, and assert the salted two-phase
+    materialize fold is row-for-row identical to the plain fold — in both
+    live-rows and tombstone modes, with the hot key's final state (highest
+    seq wins) intact."""
+    import random
+
+    from dumpr_spark.cdc.materialize import materialize, materialize_salted
+
+    rng = random.Random(7)
+    rows = []
+    for seq in range(2000):
+        eid = "hot" if rng.random() < 0.6 else f"cold{rng.randint(0, 99)}"
+        op = "delete" if rng.random() < 0.1 else "upsert"
+        rows.append(
+            ("t1", eid, op, f'{{"v": {seq}}}', 1700000000 + seq,
+             "binlog.000001", seq * 10, seq)
+        )
+    log = spark.createDataFrame(
+        rows,
+        "tbl string, id string, op string, content string, ts long,"
+        " next_file string, next_position long, seq long",
+    )
+
+    # diagnostic: per-key share of change volume (the cdc_key_hotspots shape)
+    per_key = log.groupBy("id").count()
+    total = log.count()
+    top = per_key.orderBy(F.desc("count")).first()
+    top_share = top["count"] / total
+    assert top["id"] == "hot" and top_share > 0.5  # the diagnostic fires
+
+    # handoff: a key spanning every input partition needs at most
+    # O(parallelism) candidates split salt-ways; share-scaled and clamped
+    salt = max(2, min(32, int(top_share * spark.sparkContext.defaultParallelism)))
+
+    for tombstones in (False, True):
+        plain = {
+            (r["tbl"], r["id"]): (r["op"], r["content"], r["seq"])
+            for r in materialize(log, keep_tombstones=tombstones).collect()
+        }
+        salted = {
+            (r["tbl"], r["id"]): (r["op"], r["content"], r["seq"])
+            for r in materialize_salted(
+                log, salt=salt, keep_tombstones=tombstones
+            ).collect()
+        }
+        assert salted == plain, f"tombstones={tombstones}: diverged"
+    # the hot key's winner is the max-seq change exactly
+    last_hot = max((r for r in rows if r[1] == "hot"), key=lambda r: r[7])
+    if last_hot[2] != "delete":
+        assert plain[("t1", "hot")] == (last_hot[2], last_hot[3], last_hot[7])

@@ -175,6 +175,18 @@ _R6_NEW: set = {
     # full Lloyd loop to fixed point — the IVF training primitive
     # (embed_kmeans_step takes one step of this)
     "embed_kmeans_converged",
+    # market structure / mean families / event-differencing backlog
+    "agg_hhi_concentration", "agg_gmean_hmean", "orders_backlog_timeseries",
+    # event cadence analytics
+    "events_hourly_profile", "events_gap_percentiles",
+    # the skew remedy under the driver gate (same oracle as cdc_materialize)
+    "cdc_materialize_salted",
+    # sketch calibration + collocation mining
+    "dedup_minhash_accuracy", "text_pmi_cooccurrence",
+    # multimodal profiling + weighted deterministic sampling
+    "multimodal_resolution_buckets", "sample_weighted_topk",
+    # top principal direction by unrolled power iteration (exact-replay)
+    "embed_pca_power",
 }
 
 # Never-green backlog, by construction: every registered name without

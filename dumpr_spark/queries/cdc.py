@@ -726,3 +726,47 @@ def cdc_key_hotspots(spark, sf_dir):
         .orderBy(F.desc("n_changes"), F.col("id").cast("long"))
         .limit(20)
     )
+
+
+@query(
+    "cdc_materialize_salted",
+    _CHANGES_CTE
+    + """
+    , latest AS (
+      SELECT id, arg_max(o_orderkey, seq) AS o_orderkey,
+             arg_max(o_totalprice, seq) AS o_totalprice,
+             arg_max(op, seq) AS last_op, MAX(seq) AS seq
+      FROM changes GROUP BY id
+    )
+    SELECT CAST(id AS BIGINT) AS order_id, ROUND(o_totalprice, 2) AS price, seq
+    FROM latest WHERE last_op <> 'delete'
+    ORDER BY order_id
+    """,
+    tags=("cdc", "scale"),
+)
+def cdc_materialize_salted(spark, sf_dir):
+    """The two-phase SALTED entity-map fold (cdc/materialize.py:
+    materialize_salted) against the SAME oracle as cdc_materialize — the
+    driver gate itself proves salted == plain on real data, closing the
+    skew handoff loop that cdc_key_hotspots opens (SCALE.md round-6:
+    diagnostic -> salt factor -> equivalent fold). Phase one reduces
+    (tbl, id, salt) cells with salt = pmod(xxhash64(seq), 8); phase two
+    reduces the <= 8 surviving candidates per key; max_by over the unique
+    seq is associative + commutative, so the result is exact.
+
+    Scale shape: same map-side combine as the plain fold, plus one tiny
+    extra shuffle of per-cell winners; the hot-key reducer fan-in drops
+    from O(input partitions) to O(salt)."""
+    from dumpr_spark.cdc.materialize import materialize_salted
+
+    state = materialize_salted(_synthetic_changes(spark, sf_dir), salt=8)
+    row = F.from_json("content", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+    return (
+        state.withColumn("row", row)
+        .select(
+            F.col("id").cast("long").alias("order_id"),
+            F.round(F.col("row.o_totalprice"), 2).alias("price"),
+            F.col("seq"),
+        )
+        .orderBy("order_id")
+    )

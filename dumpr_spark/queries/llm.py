@@ -2522,3 +2522,272 @@ def embed_kmeans_converged(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "dedup_minhash_accuracy",
+    _NEAR_CORPUS_CTE
+    + _minhash_bands_cte()
+    + """,
+    cands AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT c.a, c.b,
+             ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT +
+              (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT +
+              (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
+              (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 AS est_j
+      FROM cands c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+    ),
+    shset AS (SELECT DISTINCT doc_id, h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM shset GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*)::DOUBLE AS ni
+      FROM cands c JOIN shset xa ON xa.doc_id = c.a
+                   JOIN shset xb ON xb.doc_id = c.b AND xa.h = xb.h
+      GROUP BY c.a, c.b
+    )
+    SELECT e.a, e.b,
+           ROUND(e.est_j + 1e-9, 4) AS est_jaccard,
+           ROUND(COALESCE(i.ni, 0) / (za.n + zb.n - COALESCE(i.ni, 0)) + 1e-9, 4) AS exact_jaccard,
+           ROUND(ABS(e.est_j - COALESCE(i.ni, 0) / (za.n + zb.n - COALESCE(i.ni, 0))) + 1e-9, 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.a = i.a AND e.b = i.b
+    JOIN sizes za ON e.a = za.doc_id
+    JOIN sizes zb ON e.b = zb.doc_id
+    ORDER BY e.a, e.b
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def dedup_minhash_accuracy(spark, sf_dir):
+    """Sketch-accuracy audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE (fraction of
+    the 8 Carter-Wegman components that agree — the quantity banding
+    implicitly thresholds) side by side with the EXACT 3-gram-set Jaccard
+    and the absolute error. This is the calibration table that justifies
+    the band/threshold choice: E[est] = J, sd = sqrt(J(1-J)/8).
+
+    Scale shape: the estimate is a signature-row join over CANDIDATE pairs
+    only (never all pairs); the exact leg joins the two docs' distinct
+    shingle-hash sets — at 100 TB this audit runs on a sampled slice of
+    candidates (the estimate-vs-exact curve needs thousands of pairs, not
+    billions) while the production path trusts the signatures."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    sig = dd.minhash_signature(corpus)
+    cands = dd.lsh_candidate_pairs(dd.lsh_bands(sig))
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        cands.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .select("a", "b", (agree / F.lit(8.0)).alias("est_j"))
+    )
+    shset = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.transform(dd.shingles(F.col("text"), 3), dd.minhash_base_hash)
+        )).alias("h"),
+    ).distinct()
+    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    xa, xb = shset.alias("xa"), shset.alias("xb")
+    inter = (
+        cands.join(xa, F.col("a") == F.col("xa.doc_id"))
+        .join(xb, (F.col("b") == F.col("xb.doc_id")) & (F.col("xa.h") == F.col("xb.h")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ni"))
+    )
+    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0.0))
+    exact = ni / (F.col("na") + F.col("nb") - ni)
+    return (
+        est.join(inter, ["a", "b"], "left")
+        .join(za, F.col("a") == F.col("_za"))
+        .join(zb, F.col("b") == F.col("_zb"))
+        .select(
+            "a", "b",
+            eps_round(F.col("est_j"), 4).alias("est_jaccard"),
+            eps_round(exact, 4).alias("exact_jaccard"),
+            eps_round(F.abs(F.col("est_j") - exact), 4).alias("abs_err"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "text_pmi_cooccurrence",
+    """
+    WITH n_docs AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    df AS (SELECT tok, COUNT(*)::DOUBLE AS n FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok, n FROM df, n_docs WHERE n / nd >= 0.05 AND n / nd <= 0.9
+    ),
+    vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+    pairs AS (
+      SELECT x.tok AS tok_a, y.tok AS tok_b, COUNT(*)::DOUBLE AS n_ab
+      FROM vt x JOIN vt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+      GROUP BY x.tok, y.tok
+    )
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_together,
+           ROUND(LN(n_ab * nd / (va.n * vb.n)) + 1e-9, 4) AS pmi
+    FROM pairs
+    JOIN vocab va ON tok_a = va.tok
+    JOIN vocab vb ON tok_b = vb.tok, n_docs
+    WHERE n_ab >= 10
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT 25
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information between word pairs at DOCUMENT level:
+    PMI = ln(P(a,b) / (P(a)P(b))) over document co-occurrence — the
+    collocation/topic-signal statistic (positive = the pair travels
+    together more than independence predicts; unlike agg_assoc_lift this
+    is set-valued per document, not one category per row). Vocabulary is
+    pre-banded to tokens in 5%-90% of documents so stopwords (no signal)
+    and hapaxes (unstable PMI) never reach the pair join; support floor
+    n_ab >= 10 before ranking.
+
+    Scale shape: the vocab band is THE scale lever — the per-doc self-join
+    explodes quadratically in tokens-per-doc, so it runs only on each
+    doc's banded-vocab subset (bounded by the band width, not vocabulary);
+    distinct (doc, tok) and all counts combine map-side; the 1-row corpus
+    count broadcasts (allowlisted scalar BNLJ)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    vocab = (
+        df.crossJoin(F.broadcast(nd))
+        .where((F.col("n") / F.col("nd") >= 0.05) & (F.col("n") / F.col("nd") <= 0.9))
+        .select("tok", "n")
+    )
+    vt = toks.join(F.broadcast(vocab.select("tok")), "tok").select("doc_id", "tok")
+    x, y = vt.alias("x"), vt.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.doc_id") == F.col("y.doc_id")) & (F.col("x.tok") < F.col("y.tok")))
+        .groupBy(F.col("x.tok").alias("tok_a"), F.col("y.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .where(F.col("n_ab") >= 10)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("n").alias("na"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a", "tok_b",
+            F.col("n_ab").cast("long").alias("n_together"),
+            eps_round(
+                F.log(F.col("n_ab") * F.col("nd") / (F.col("na") * F.col("nb"))), 4
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(25)
+    )
+
+
+def _pca_iter_sql(i: int) -> str:
+    """One unrolled power iteration for the embed_pca_power oracle:
+    s = x . v{i-1} per row (sequential list_dot_product — bit-identical to
+    Spark's sequential aggregate fold over identical inputs), per-dim
+    w = sum(s * x) eps-rounded 6dp, norm eps-rounded 8dp, next v = w/norm
+    eps-rounded 6dp — every iteration's inputs are engine-identical."""
+    p = i - 1
+    return f"""
+    s{i} AS (
+      SELECT list_dot_product(c.v, (SELECT vec FROM vv{p})) AS s, c.v FROM corpus c
+    ),
+    w{i} AS (
+      SELECT pos, ROUND(SUM(s * x) + 1e-9, 6) AS w FROM (
+        SELECT s, unnest(v) AS x, unnest(range(len(v))) AS pos FROM s{i}
+      ) GROUP BY pos
+    ),
+    n{i} AS (SELECT ROUND(sqrt(SUM(w * w)) + 1e-9, 8) AS nrm FROM w{i}),
+    vv{i} AS (
+      SELECT list(ROUND(w / nrm + 1e-9, 6) ORDER BY pos) AS vec FROM w{i}, n{i}
+    )"""
+
+
+@query(
+    "embed_pca_power",
+    """
+    WITH corpus AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    vv0 AS (SELECT list_transform(range(64), i -> 0.125) AS vec),
+    """
+    + ",".join(_pca_iter_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT CAST(pos AS INT) AS pos,
+           ROUND(w / nrm + 1e-9, 6) AS loading,
+           (SELECT nrm FROM n3) AS sigma_sq
+    FROM w3, n3
+    ORDER BY pos
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embed_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    (3 unrolled steps of v <- normalize(A'Av) from the exact-double
+    uniform start 1/8 per dim): the dominant-variance axis that drives
+    whitening, anisotropy diagnostics ("all-but-the-top"), and
+    matryoshka-style dim ordering. Uncentered (top singular direction —
+    document-level centering is a one-pass pre-step when needed).
+    sigma_sq is ||A'Av|| at the last step — the Rayleigh estimate of the
+    top eigenvalue of the (uncentered) second-moment matrix. Per-step
+    6dp/8dp eps-rounding of w, the norm, and v makes every iteration's
+    inputs bit-identical across engines, so the DuckDB oracle replays the
+    loop exactly (same discipline as embed_kmeans_converged).
+
+    Scale shape: each step is one narrow map (a 64-float dot against a
+    broadcast literal) + a (dim)-cell partial-combining sum — 64 cells
+    regardless of corpus size; the norm is a 1-row rollup of those cells
+    (allowlisted scalar broadcast); driver traffic is 64 rounded doubles
+    per step."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = [0.125] * 64
+    w = nrm = None
+    for _ in range(3):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+        dims = e.select(s.alias("s"), F.posexplode(dbl).alias("pos", "x"))
+        w = dims.groupBy("pos").agg(
+            F.round(F.sum(F.col("s") * F.col("x")) + 1e-9, 6).alias("w")
+        )
+        nrm = w.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + 1e-9, 8).alias("nrm"))
+        rows = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
+            .collect()
+        )
+        v = [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+    return (
+        w.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("loading"),
+            F.col("nrm").alias("sigma_sq"),
+        )
+        .orderBy("pos")
+    )

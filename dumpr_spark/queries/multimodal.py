@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dumpr_spark.functions import multimodal as mm
-from dumpr_spark.queries.base import query, t
+from dumpr_spark.queries.base import eps_round, query, t
 
 
 def _assets(spark, sf_dir):
@@ -285,4 +285,66 @@ def multimodal_format_sniff(spark, sf_dir):
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .orderBy("sniffed")
+    )
+
+
+@query(
+    "multimodal_resolution_buckets",
+    """
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             16 * (1 + doc_id % 5) AS width,
+             9 * (1 + doc_id % 7) AS height,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT media_type, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           ROUND(width / CAST(height AS DOUBLE) + 1e-9, 3) AS aspect,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+    FROM assets WHERE media_type <> 'audio'
+    GROUP BY media_type, width, height
+    ORDER BY media_type, width, height
+    """,
+    tags=("multimodal", "profile"),
+)
+def multimodal_resolution_buckets(spark, sf_dir):
+    """Resolution inventory over the visual corpus: assets grouped into
+    (width, height) cells with aspect ratio, count, and payload-byte
+    totals — the profiling pass that sizes a resize/transcode plan (which
+    target resolutions cover the corpus, how many bytes each bucket
+    moves). Resolutions derive deterministically from doc_id (the testdata
+    carries no real dimensions) so both engines bucket identically; audio
+    is excluded (no spatial dims).
+
+    Scale shape: the binary payload contributes only octet_length —
+    column-pruned to a length read, the BLOB itself never shuffles; the
+    scan collapses to |distinct resolutions| x |media| cells map-side."""
+    d = t(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    assets = d.select(
+        media.alias("media_type"),
+        (F.lit(16) * (F.lit(1) + F.col("doc_id") % 5)).cast("int").alias("width"),
+        (F.lit(9) * (F.lit(1) + F.col("doc_id") % 7)).cast("int").alias("height"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    ).where(F.col("media_type") != "audio")
+    return (
+        assets.groupBy("media_type", "width", "height")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+        .select(
+            "media_type", "width", "height",
+            eps_round(F.col("width") / F.col("height").cast("double"), 3).alias("aspect"),
+            "n_assets", "total_bytes", "max_bytes",
+        )
+        .orderBy("media_type", "width", "height")
     )

@@ -3101,3 +3101,159 @@ def orders_seasonality_index(spark, sf_dir):
         )
         .orderBy("moy")
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    """
+    WITH cells AS (
+      SELECT p_type, p_brand, COUNT(*)::DOUBLE AS n
+      FROM part GROUP BY p_type, p_brand
+    ),
+    tot AS (SELECT p_type, SUM(n) AS tn, COUNT(*) AS k FROM cells GROUP BY p_type)
+    SELECT c.p_type,
+           CAST(t.k AS BIGINT) AS n_brands,
+           ROUND(SUM((100.0 * c.n / t.tn) * (100.0 * c.n / t.tn)) + 1e-9, 4) AS hhi,
+           ROUND((SUM((100.0 * c.n / t.tn) * (100.0 * c.n / t.tn)) - 10000.0 / t.k)
+                 / (10000.0 - 10000.0 / t.k) + 1e-9, 6) AS hhi_normalized
+    FROM cells c JOIN tot t USING (p_type)
+    GROUP BY c.p_type, t.k
+    ORDER BY c.p_type
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per part type: the sum
+    of squared percentage brand shares (10000 = monopoly, 10000/k = evenly
+    split across k brands), plus the normalized form in [0, 1] — the
+    antitrust/market-structure statistic, here measuring how concentrated
+    each type's catalog is across brands.
+
+    Scale shape: the fact scan collapses to |type| x |brand| cells with
+    map-side combine before any share math; per-type totals come from the
+    cell table itself (no second fact scan), and the squared-share rollup
+    runs over the tiny cell table."""
+    cells = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = cells.groupBy("p_type").agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).alias("k")
+    )
+    share2 = (F.lit(100.0) * F.col("n") / F.col("tn")) ** 2
+    return (
+        cells.join(tot, "p_type")
+        .groupBy("p_type", "k")
+        .agg(F.sum(share2).alias("_hhi"))
+        .select(
+            "p_type",
+            F.col("k").cast("long").alias("n_brands"),
+            eps_round(F.col("_hhi"), 4).alias("hhi"),
+            eps_round(
+                (F.col("_hhi") - F.lit(10000.0) / F.col("k"))
+                / (F.lit(10000.0) - F.lit(10000.0) / F.col("k")),
+                6,
+            ).alias("hhi_normalized"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "agg_gmean_hmean",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l_extendedprice) + 1e-9, 4) AS amean,
+           ROUND(EXP(AVG(LN(l_extendedprice))) + 1e-9, 4) AS gmean,
+           ROUND(COUNT(*) / SUM(1.0 / l_extendedprice) + 1e-9, 4) AS hmean
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_gmean_hmean(spark, sf_dir):
+    """Pythagorean mean family per return flag: arithmetic, geometric
+    (exp-mean-log — the overflow-safe product form), and harmonic
+    (n / sum of reciprocals — the rate-averaging mean). AM >= GM >= HM is
+    asserted by construction on positive prices; the strictly-positive
+    filter guards the log/reciprocal domain on both engines.
+
+    Scale shape: one scan, three partial-combining aggregates over the
+    same grouping — a single shuffle of |flags| x 4 cells."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            eps_round(F.avg("l_extendedprice"), 4).alias("amean"),
+            eps_round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("gmean"),
+            eps_round(
+                F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("l_extendedprice")), 4
+            ).alias("hmean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "orders_backlog_timeseries",
+    """
+    WITH closes AS (
+      SELECT l_orderkey AS okey, date_trunc('month', MAX(l_shipdate)) AS m
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT o_orderpriority AS prio, date_trunc('month', o_orderdate) AS m,
+             COUNT(*)::BIGINT AS d
+      FROM orders GROUP BY 1, 2
+      UNION ALL
+      SELECT o.o_orderpriority, c.m, -COUNT(*)::BIGINT
+      FROM closes c JOIN orders o ON c.okey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    net AS (SELECT prio, m, SUM(d) AS net FROM deltas GROUP BY prio, m)
+    SELECT prio, m AS month, CAST(net AS BIGINT) AS net_change,
+           CAST(SUM(net) OVER (PARTITION BY prio ORDER BY m) AS BIGINT) AS backlog
+    FROM net ORDER BY prio, month
+    """,
+    tags=("window", "analytics", "timeseries"),
+)
+def orders_backlog_timeseries(spark, sf_dir):
+    """Open-order backlog over time by priority — the event-differencing
+    rollup: each order contributes +1 at its placement month and -1 at its
+    close month (latest lineitem shipment), the monthly net folds both, and
+    a running sum turns net flow into standing backlog. The inventory/
+    WIP-over-time shape that a point-in-time join cannot express without
+    scanning per-month.
+
+    Scale shape: both event legs collapse to |priority| x |month| cells
+    with map-side combine before the union; the running sum runs over that
+    tiny rollup, partitioned by priority (never a raw-fact window, never a
+    global one)."""
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.date_trunc("month", F.max("l_shipdate")).alias("m")
+    )
+    opens = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    closed = (
+        closes.join(o, closes["okey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("prio"), "m")
+        .agg((-F.count(F.lit(1))).cast("long").alias("d"))
+    )
+    net = (
+        opens.unionByName(closed)
+        .groupBy("prio", "m")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = Window.partitionBy("prio").orderBy("m")
+    return net.select(
+        "prio",
+        F.col("m").alias("month"),
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    ).orderBy("prio", "month")

@@ -1253,3 +1253,110 @@ def events_interval_merge(spark, sf_dir):
         )
         .orderBy("user_id", "merged_start_ms")
     )
+
+
+@query(
+    "events_hourly_profile",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT event_type, SUM(n)::DOUBLE AS tn FROM cells GROUP BY event_type)
+    SELECT c.event_type, CAST(c.dow AS INT) AS dow, CAST(c.hod AS INT) AS hod,
+           c.n, ROUND(c.n / t.tn + 1e-9, 6) AS share,
+           ROUND(c.n / (t.tn / 168.0) + 1e-9, 4) AS load_factor
+    FROM cells c JOIN tot t USING (event_type)
+    ORDER BY c.event_type, dow, hod
+    """,
+    tags=("events", "analytics", "timeseries"),
+)
+def events_hourly_profile(spark, sf_dir):
+    """Weekly activity heatmap per event type: the (day-of-week, hour)
+    grid with each cell's share of the type's traffic and its load factor
+    vs a uniform 168-cell week (1.0 = flat; capacity planning reads peaks
+    off this). Spark's dayofweek is 1=Sunday, matching DuckDB's dayofweek
+    + 1 shift handled below.
+
+    Scale shape: the raw scan collapses to <= |type| x 168 cells with
+    map-side combine; totals derive from the cell table (no second scan);
+    everything downstream is grid-sized."""
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("n").cast("double").alias("tn"))
+    return (
+        cells.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hod"),
+            "n",
+            eps_round(F.col("n") / F.col("tn"), 6).alias("share"),
+            eps_round(F.col("n") / (F.col("tn") / F.lit(168.0)), 4).alias("load_factor"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )
+
+
+@query(
+    "events_gap_percentiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             EXTRACT(EPOCH FROM ts - LAG(ts) OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id
+             )) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5) + 1e-9, 3) AS p50_s,
+           ROUND(quantile_cont(gap_s, 0.9) + 1e-9, 3) AS p90_s,
+           ROUND(quantile_cont(gap_s, 0.99) + 1e-9, 3) AS p99_s,
+           ROUND(MAX(gap_s) + 1e-9, 3) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "window", "stats"),
+)
+def events_gap_percentiles(spark, sf_dir):
+    """Inter-arrival gap distribution per event type: successive-event
+    deltas within each (type, user) stream, rolled into exact interpolated
+    p50/p90/p99 — the latency/cadence profile that sizes session timeouts
+    and anomaly thresholds (events_sessionize's gap parameter comes from
+    exactly this curve). (ts, event_id) ordering makes ties deterministic.
+
+    Scale shape: the lag window is partitioned by (type, user) — high
+    cardinality, shuffles once on the natural stream key, no global
+    window; the percentile aggregate then reduces gaps to |type| cells
+    (exact percentiles need the group's gaps on one reducer — at 100 TB
+    swap in approx_percentile or the mergeable t-digest rollup, same
+    contract as agg_quantile_mergeable)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))).alias("_us"),
+    ).where(F.col("_us").isNotNull())
+    gap_s = F.col("_us") / F.lit(1000000.0)
+    return (
+        gaps.select("event_type", gap_s.alias("gap_s"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            eps_round(F.percentile("gap_s", F.lit(0.5)), 3).alias("p50_s"),
+            eps_round(F.percentile("gap_s", F.lit(0.9)), 3).alias("p90_s"),
+            eps_round(F.percentile("gap_s", F.lit(0.99)), 3).alias("p99_s"),
+            eps_round(F.max("gap_s"), 3).alias("max_s"),
+        )
+        .orderBy("event_type")
+    )

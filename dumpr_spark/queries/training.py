@@ -1307,3 +1307,46 @@ def sample_time_split(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sample_weighted_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(LN((('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT + 1)
+                      / (72057594037927936.0 + 1)) / n_chars + 1e-12, 9) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+    tags=("training", "sampling"),
+)
+def sample_weighted_topk(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis): each
+    row draws u from a DETERMINISTIC md5-uniform of its id and keys on
+    ln(u)/w (the log form of u^(1/w)); the global top-k by key IS a
+    weighted sample — longer documents win proportionally more often, yet
+    re-runs and incremental batches select the SAME rows (df.sample()
+    cannot do either). The exp-key trick turns "sample k of N by weight"
+    into an embarrassingly-parallel top-k.
+
+    Scale shape: the key is a narrow projection off the scan (no shuffle);
+    global top-20 is TakeOrdered (per-partition heaps + driver merge of
+    k-row summaries), never a global sort or window. Ranking uses the
+    eps-ROUNDED key with id tie-break so the cut is a pure function of
+    published values on both engines."""
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(72057594037927936.0 + 1)  # (0, 1]: 2^56 buckets
+    key = F.round(F.log(u) / F.col("n_chars") + F.lit(1e-12), 9)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(20)
+    )

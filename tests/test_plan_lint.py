@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "sim_topk_ivf",             # broadcast centroid set
     "embed_kmeans_step",        # broadcast centroid set (ivf_assign)
     "embed_kmeans_converged",   # broadcast centroid set per Lloyd iteration
+    "text_pmi_cooccurrence",    # 1-row corpus-count broadcast (scalar)
+    "embed_pca_power",          # 1-row norm broadcast per power step (scalar)
     "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast
     "text_unigram_logprob",     # scalar corpus-total broadcast
 }

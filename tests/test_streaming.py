@@ -2372,3 +2372,55 @@ def test_streaming_asof_enrich_tolerance_restart_and_guards(spark, tmp_path):
     ok_left = spark.readStream.schema("sym string, t_t long, qty long").json(tsrc)
     with _pytest.raises(ValueError, match="collide"):
         streaming_asof_enrich(ok_left, clash_right, "sym", "t_t", "q_t")
+
+
+def test_streaming_asof_enrich_stale_right_update_does_not_regress(spark, tmp_path):
+    """An out-of-order RIGHT arrival older than the carried state must not
+    regress it: batch 0 carries quote (30, 3.0); batch 1 delivers a LATE
+    quote (10, 1.0) plus trades at 20 and 40. The late quote may serve
+    in-batch time-travel (trade at 20 predates the carried quote, so with
+    only-latest state it would otherwise be NULL), but the state must
+    still answer the trade at 40 with the NEWER (30, 3.0) — a max-time
+    regression would wrongly hand it 1.0."""
+    import json as _json
+    import time
+
+    from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+    qsrc, tsrc = str(tmp_path / "qs_src"), str(tmp_path / "ts_src")
+    os.makedirs(qsrc), os.makedirs(tsrc)
+    now = time.time()
+
+    def write(src, name, rows, names, mtime):
+        fp = os.path.join(src, name)
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(dict(zip(names, r))) + "\n")
+        os.utime(fp, (mtime, mtime))
+
+    write(qsrc, "b0.json", [("A", 30, 3.0)], ("sym", "q_t", "px"), now)
+    write(tsrc, "b0.json", [], ("sym", "t_t", "qty"), now)
+    write(qsrc, "b1.json", [("A", 10, 1.0)], ("sym", "q_t", "px"), now + 1)
+    write(tsrc, "b1.json", [("A", 20, 100), ("A", 40, 110)],
+          ("sym", "t_t", "qty"), now + 1)
+
+    q_stream = (
+        spark.readStream.schema("sym string, q_t long, px double")
+        .option("maxFilesPerTrigger", 1).json(qsrc)
+    )
+    t_stream = (
+        spark.readStream.schema("sym string, t_t long, qty long")
+        .option("maxFilesPerTrigger", 1).json(tsrc)
+    )
+    q = (
+        streaming_asof_enrich(t_stream, q_stream, "sym", "t_t", "q_t")
+        .writeStream.format("memory").queryName("stale_right_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["t_t"]: r["px"]
+        for r in spark.sql("SELECT * FROM stale_right_stream").collect()
+    }
+    assert got[40] == 3.0, f"state regressed to the stale quote: {got}"
+    assert got[20] in (1.0, None)  # in-batch time-travel may or may not land

@@ -55,11 +55,10 @@ def main():
     # measured attribution (SCALE.md round-6): of q1's 6.1 s fresh-JVM
     # first-run overhead, ~5.4 s is generic (JIT + first-touch scan
     # machinery + page cache) and only ~0.6 s is this plan's codegen.
-    from dumpr_spark.sources.files import load_table
+    from dumpr_spark.sources.files import TPCH_TABLES, load_table
 
     REGISTRY["agg_global"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
-                "lineitem", "events", "documents", "embeddings"):
+    for tbl in TPCH_TABLES:
         load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
 
     # three passes, report min: pass 1 pays JIT/codegen compilation, later

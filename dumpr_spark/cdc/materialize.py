@@ -23,6 +23,24 @@ from pyspark.sql import DataFrame, functions as F
 from dumpr_spark.cdc.envelope import OP_DELETE, OP_ERROR
 
 
+def _unpack_winner(winner: DataFrame, keep_tombstones: bool) -> DataFrame:
+    """Shared tail of both folds: tombstone policy + envelope-shaped
+    unpack of the max_by winner struct — one place to evolve the envelope
+    so the plain and salted folds can never drift apart."""
+    if not keep_tombstones:
+        winner = winner.where(F.col("w.op") != OP_DELETE)
+    return winner.select(
+        F.col("w.op").alias("op"),
+        F.col("tbl"),
+        F.col("id"),
+        F.col("w.content").alias("content"),
+        F.col("w.ts").alias("ts"),
+        F.col("w.next_file").alias("next_file"),
+        F.col("w.next_position").alias("next_position"),
+        F.col("w.seq").alias("seq"),
+    )
+
+
 def materialize(changes: DataFrame, keep_tombstones: bool = False) -> DataFrame:
     """Fold envelope rows into current state: one row per live (tbl, id).
 
@@ -45,18 +63,7 @@ def materialize(changes: DataFrame, keep_tombstones: bool = False) -> DataFrame:
             ).alias("w")
         )
     )
-    if not keep_tombstones:
-        winner = winner.where(F.col("w.op") != OP_DELETE)
-    return winner.select(
-        F.col("w.op").alias("op"),
-        F.col("tbl"),
-        F.col("id"),
-        F.col("w.content").alias("content"),
-        F.col("w.ts").alias("ts"),
-        F.col("w.next_file").alias("next_file"),
-        F.col("w.next_position").alias("next_position"),
-        F.col("w.seq").alias("seq"),
-    )
+    return _unpack_winner(winner, keep_tombstones)
 
 
 def materialize_asof(changes: DataFrame, seq_cutoff: int) -> DataFrame:
@@ -159,15 +166,4 @@ def materialize_salted(
         .groupBy("tbl", "id")
         .agg(F.max_by(F.col("w"), F.col("w.seq")).alias("w"))
     )
-    if not keep_tombstones:
-        winner = winner.where(F.col("w.op") != OP_DELETE)
-    return winner.select(
-        F.col("w.op").alias("op"),
-        F.col("tbl"),
-        F.col("id"),
-        F.col("w.content").alias("content"),
-        F.col("w.ts").alias("ts"),
-        F.col("w.next_file").alias("next_file"),
-        F.col("w.next_position").alias("next_position"),
-        F.col("w.seq").alias("seq"),
-    )
+    return _unpack_winner(winner, keep_tombstones)

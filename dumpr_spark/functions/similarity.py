@@ -281,10 +281,15 @@ def train_centroids_lloyd(
     """
     spark = vectors.sparkSession
     seeds = (
-        vectors.where(F.col(id_col) < k)
-        .select(F.col(id_col).cast("int").alias("cent_id"), _dbl(F.col(vec_col)).alias("cent_vec"))
+        vectors.select(
+            F.col(id_col).cast("int").alias("cent_id"), _dbl(F.col(vec_col)).alias("cent_vec")
+        )
+        .orderBy("cent_id")
+        .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("train_centroids_lloyd: empty corpus, nothing to seed")
     cents = {r["cent_id"]: list(r["cent_vec"]) for r in seeds}
     dim = len(next(iter(cents.values())))
     n_iters, converged, counts = 0, False, []
@@ -293,16 +298,22 @@ def train_centroids_lloyd(
             sorted(cents.items()), "cent_id INT, cent_vec ARRAY<DOUBLE>"
         )
         assigned = ivf_assign(vectors, cdf, id_col=id_col, vec_col=vec_col, n_cells=1)
+        # per-(cell, pos) rounded mean + member count (c is identical across
+        # a cell's pos rows — each member contributes one row per dim)
         dims = (
             assigned.select("cell", F.posexplode(_dbl(F.col(vec_col))).alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x") + 1e-9, 6).alias("m"))
+            .agg(
+                F.round(F.avg("x") + 1e-9, 6).alias("m"),
+                F.count(F.lit(1)).alias("c"),
+            )
         )
         old = spark.createDataFrame(
             [(cid, p, v) for cid, vec in cents.items() for p, v in enumerate(vec)],
             "cell INT, pos INT, old_m DOUBLE",
         )
-        # one tiny job returns counts, new means, and per-cluster movement
+        # ONE job per iteration returns counts, new means, and movement —
+        # a separate count pass would rescan the corpus (review pin)
         stats = (
             dims.join(old, ["cell", "pos"])
             .groupBy("cell")
@@ -311,13 +322,11 @@ def train_centroids_lloyd(
                     F.sqrt(F.sum((F.col("m") - F.col("old_m")) * (F.col("m") - F.col("old_m")))) + 1e-9, 6
                 ).alias("move"),
                 F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("mvec"),
+                F.max("c").alias("n"),
             )
             .collect()
         )
-        counts = sorted(
-            (r["cell"], r["count"])
-            for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("count")).collect()
-        )
+        counts = sorted((r["cell"], r["n"]) for r in stats)
         new_cents = dict(cents)  # emptied clusters keep their centroid
         movement = 0.0
         for r in stats:

@@ -59,8 +59,7 @@ _R1_VERIFIED = {
 # 34 never-checked entries plus scalar_conditional (fixed in 007a035 but never
 # driver-re-checked).
 _R2_VERIFIED = {
-    "cdc_materialize", "cdc_dedup_latest_window", "cdc_filter_tables",
-    "cdc_next_position", "cdc_envelope_shape", "dedup_exact", "dedup_exact_hash",
+    "dedup_exact", "dedup_exact_hash",
     "dedup_fingerprint", "text_winnow_fingerprints", "dedup_winnow_pairs",
     "dedup_lsh_scaled", "dedup_clusters", "text_fingerprint_rolling",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -91,7 +90,9 @@ _R2_VERIFIED = {
 # broadcast as-of form) and cdc_tx_filter (rewritten r4 to the two-phase
 # distributed prefix scan) — both need fresh driver rows.
 # Removed from _R3_VERIFIED (stale evidence): multimodal_metadata (same r5
-# escape-safe encode() oracle rewrite as multimodal_features).
+# escape-safe encode() oracle rewrite as multimodal_features);
+# cdc_time_travel (r6 _unpack_winner refactor of materialize(), see the
+# _R5_VERIFIED note).
 _R3_VERIFIED = {
     "multimodal_audio_windows", "stream_tumbling_window",
     "stream_sliding_window", "stream_session_window", "stream_dedup_first",
@@ -104,7 +105,7 @@ _R3_VERIFIED = {
     "agg_stats_moments", "scalar_try_errors", "join_lateral_topk",
     "reshape_unpivot", "agg_mode_deterministic", "agg_histogram",
     "cdc_scd2_history",
-    "cdc_time_travel", "cdc_churn_stats", "sim_centroid_by_label",
+    "cdc_churn_stats", "sim_centroid_by_label",
     "embed_quantize_int8", "text_tfidf_topk", "text_bpe_pairs",
     "index_inverted", "dedup_suffix_containment", "text_concordance",
     "graph_pagerank_3iter", "dedup_url_canonical", "text_bigram_logprob",
@@ -129,8 +130,6 @@ _R4_VERIFIED = {
     "source_xml_scan", "stream_heavy_hitters", "text_bm25_topk",
     "text_char_entropy", "win_cume_dist", "win_ntile",
 }
-_DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
-
 # Names the driver hash-verified in round 5 (CORRECTNESS_r05.json: 50 of 50
 # checked, all hash_match — the whole 16-name r4-late backlog, all 29 _R5_NEW
 # registrations, and 5 CDC re-checks whose latest green row is now r5, so
@@ -138,16 +137,19 @@ _DRIVER_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
 # cdc_dedup_latest_window, cdc_envelope_shape, cdc_filter_tables,
 # cdc_next_position).
 # Removed from _R5_VERIFIED (stale evidence, r6 edits): customer_rfm_scores
-# (builder now unpersists the RFM rollup after the ntile passes) and
+# (builder now unpersists the RFM rollup after the ntile passes);
 # events_interval_merge (operators/intervals.merge_intervals now drops
-# null-bounded intervals to match the streaming twin) — both re-queue in the
-# never-green backlog for a fresh driver row.
+# null-bounded intervals to match the streaming twin, and the oracle
+# mirrors the filter); cdc_materialize + cdc_consistency_check (the
+# materialize() tail was factored into _unpack_winner — semantics
+# identical and locally re-gated green, but the builder source changed).
+# All re-queue in the never-green backlog for a fresh driver row.
 _R5_VERIFIED = {
     "agg_assoc_lift", "agg_corr_covar", "agg_countmin_sketch",
     "agg_entropy_gini", "agg_pareto_abc", "agg_regr_linear", "agg_string_agg",
-    "agg_weighted_median", "cdc_consistency_check", "cdc_dedup_latest_window",
+    "agg_weighted_median", "cdc_dedup_latest_window",
     "cdc_envelope_shape", "cdc_filter_tables", "cdc_key_hotspots",
-    "cdc_materialize", "cdc_next_position", "cdc_op_rollup",
+    "cdc_next_position", "cdc_op_rollup",
     "dedup_paragraphs", "dedup_simhash_banded",
     "embed_kmeans_step", "embed_norm_outliers", "events_ab_srm",
     "events_autocorr", "events_calendar_grid", "events_dwell_time",
@@ -161,11 +163,14 @@ _R5_VERIFIED = {
     "text_sentence_stats", "text_stopword_docfreq", "udf_arrow_scalar",
     "udf_map_in_arrow", "win_time_range_frame",
 }
-_R2_VERIFIED -= {
-    "cdc_materialize", "cdc_dedup_latest_window", "cdc_envelope_shape",
-    "cdc_filter_tables", "cdc_next_position",
-}
-_DRIVER_VERIFIED = _DRIVER_VERIFIED | _R5_VERIFIED
+# NOTE: the 5 CDC re-checks live ONLY in _R5_VERIFIED (their freshest green
+# row); they are intentionally absent from the _R2_VERIFIED literal above.
+# The union is computed ONCE, after every tier literal is final — a snapshot
+# taken before a later edit would leave a name in _DRIVER_VERIFIED but no
+# tier, tripping the fail-safe rank-0 path (caught by review in r6).
+_DRIVER_VERIFIED = (
+    _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
+)
 
 # Queries first registered in round 6. They queue BEHIND the never-green
 # backlog (r6 stale-evidence evictions) and AHEAD of the verified tiers.

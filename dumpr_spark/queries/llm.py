@@ -2450,7 +2450,7 @@ def _kmeans_iter_sql(i: int) -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus WHERE vec_id < 8),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus ORDER BY vec_id LIMIT 8),
     """
     + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3, 4))
     + """,
@@ -2485,7 +2485,7 @@ def embed_kmeans_converged(spark, sf_dir):
     """Lloyd's k-means iterated to a FIXED POINT (max centroid movement
     < 0.06, hard cap 4 iterations) — the full IVF index-training loop
     that embed_kmeans_step takes one step of. Deterministic seeds
-    (vec_id < 8, exact float->double casts) and per-iteration 6dp
+    (the 8 lowest-id vectors, exact float->double casts) and per-iteration 6dp
     eps-rounding of the means make every iteration's inputs bit-identical
     across engines, so the DuckDB oracle replays the complete loop
     exactly (unrolled, with the same first-crossing stop rule). Output
@@ -2766,7 +2766,7 @@ def embed_pca_power(spark, sf_dir):
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = [0.125] * 64
     w = nrm = None
-    for _ in range(3):
+    for it in range(3):
         vlit = F.array(*[F.lit(float(x)) for x in v])
         s = F.aggregate(
             F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
@@ -2776,6 +2776,9 @@ def embed_pca_power(spark, sf_dir):
             F.round(F.sum(F.col("s") * F.col("x")) + 1e-9, 6).alias("w")
         )
         nrm = w.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + 1e-9, 8).alias("nrm"))
+        if it == 2:
+            break  # the last step's v is never used — the returned plan
+            # reads w/nrm lazily; collecting here would waste a corpus scan
         rows = (
             w.crossJoin(F.broadcast(nrm))
             .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))

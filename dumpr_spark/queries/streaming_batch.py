@@ -1192,9 +1192,10 @@ def events_ab_srm(spark, sf_dir):
     "events_interval_merge",
     """
     WITH iv AS (
+      -- null-bounded intervals drop, mirroring merge_intervals' contract
       SELECT user_id, epoch_ms(ts) AS s,
              epoch_ms(ts) + (event_id % 7 + 1) * 90000 AS e
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, s, e,

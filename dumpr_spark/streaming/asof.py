@@ -95,6 +95,12 @@ def streaming_asof_enrich(
             f"streaming_asof_enrich: right_cols collide with left columns: "
             f"{sorted(clash)} — alias them on the right stream first"
         )
+    reserved = {"_t", "_is_left"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"streaming_asof_enrich: column names {sorted(reserved)} are "
+            f"reserved internal tags — rename them on the input streams"
+        )
     left_cols = [c for c in left.columns if c not in (on, left_time)]
 
     out_schema = StructType(
@@ -137,8 +143,14 @@ def streaming_asof_enrich(
             [pd.DataFrame(carried, columns=["_t", *right_cols]), rights]
         ) if carried else rights
         # sort by (_t, payload): merge_asof takes the LAST matching row, so
-        # the greatest payload wins a timestamp tie — the batch tie-break
-        batch_rights = batch_rights.sort_values(["_t", *right_cols])
+        # the greatest payload wins a timestamp tie — the batch tie-break.
+        # na_position="first" matches Spark's nulls-first asc struct order:
+        # a null payload must LOSE a tie to any non-null one (review pin:
+        # pandas defaults NaN last, which would let nulls win and then be
+        # carried forward in state)
+        batch_rights = batch_rights.sort_values(
+            ["_t", *right_cols], na_position="first"
+        )
 
         lefts = rows[rows["_is_left"] == 1][["_t", *left_cols]]
         if len(lefts):

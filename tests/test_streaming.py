@@ -2424,3 +2424,61 @@ def test_streaming_asof_enrich_stale_right_update_does_not_regress(spark, tmp_pa
     }
     assert got[40] == 3.0, f"state regressed to the stale quote: {got}"
     assert got[20] in (1.0, None)  # in-batch time-travel may or may not land
+
+
+def test_streaming_asof_enrich_null_payload_loses_tie(spark, tmp_path):
+    """Review pin: a NULL right payload must LOSE a timestamp tie to a
+    non-null one (batch tie-break = greatest struct, nulls first in asc),
+    and the non-null payload must be what state carries forward — pandas'
+    default NaN-last sort had nulls winning both."""
+    import json as _json
+    import time
+
+    from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+    qsrc, tsrc = str(tmp_path / "qn_src"), str(tmp_path / "tn_src")
+    os.makedirs(qsrc), os.makedirs(tsrc)
+    now = time.time()
+
+    def write(src, name, rows, names, mtime):
+        fp = os.path.join(src, name)
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(dict(zip(names, r))) + "\n")
+        os.utime(fp, (mtime, mtime))
+
+    # two quotes tied at t=10: px NULL and px=5.0 -> 5.0 must win
+    write(qsrc, "b0.json", [("A", 10, None), ("A", 10, 5.0)],
+          ("sym", "q_t", "px"), now)
+    write(tsrc, "b0.json", [("A", 15, 100)], ("sym", "t_t", "qty"), now)
+    # next batch: no new quotes; the carried state must still be 5.0
+    write(qsrc, "b1.json", [], ("sym", "q_t", "px"), now + 1)
+    write(tsrc, "b1.json", [("A", 25, 110)], ("sym", "t_t", "qty"), now + 1)
+
+    q_stream = (
+        spark.readStream.schema("sym string, q_t long, px double")
+        .option("maxFilesPerTrigger", 1).json(qsrc)
+    )
+    t_stream = (
+        spark.readStream.schema("sym string, t_t long, qty long")
+        .option("maxFilesPerTrigger", 1).json(tsrc)
+    )
+    q = (
+        streaming_asof_enrich(t_stream, q_stream, "sym", "t_t", "q_t")
+        .writeStream.format("memory").queryName("nulltie_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["t_t"]: r["px"]
+        for r in spark.sql("SELECT * FROM nulltie_stream").collect()
+    }
+    assert got == {15: 5.0, 25: 5.0}, got
+
+    # reserved-tag guard fires at build time
+    import pytest as _pytest
+
+    bad_left = spark.readStream.schema("sym string, t_t long, _t long").json(tsrc)
+    ok_right = spark.readStream.schema("sym string, q_t long, px double").json(qsrc)
+    with _pytest.raises(ValueError, match="reserved"):
+        streaming_asof_enrich(bad_left, ok_right, "sym", "t_t", "q_t")

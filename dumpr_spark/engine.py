@@ -61,6 +61,14 @@ class Engine:
     def materialize(self, changes: DataFrame) -> DataFrame:
         return materialize(validate_envelope(changes))
 
+    def materialize_salted(self, changes: DataFrame, salt: int = 16) -> DataFrame:
+        """The hot-key form of materialize: two-phase salted fold, exact
+        same result (pair it with the key_hotspots diagnostic to pick
+        `salt` — SCALE.md round-6)."""
+        from dumpr_spark.cdc.materialize import materialize_salted
+
+        return materialize_salted(validate_envelope(changes), salt=salt)
+
     def materialize_asof(self, changes: DataFrame, seq_cutoff: int) -> DataFrame:
         """State as of a stream position (time travel over the log)."""
         return materialize_asof(validate_envelope(changes), seq_cutoff)
@@ -189,6 +197,32 @@ class Engine:
         if isinstance(key_cols, str):
             key_cols = [key_cols]
         return merge_intervals(df, list(key_cols), start_col, end_col)
+
+    def train_ivf(self, vectors: DataFrame, k: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding", max_iter: int = 4,
+                  eps: float = 0.06) -> DataFrame:
+        """Train IVF centroids with the deterministic Lloyd loop
+        (engine-replayable; see functions/similarity.train_centroids_lloyd)
+        — returns (cent_id, cent_vec) ready for similar_topk's IVF path."""
+        from dumpr_spark.functions.similarity import train_centroids_lloyd
+
+        cents, _counts, _n, _conv = train_centroids_lloyd(
+            vectors, k=k, id_col=id_col, vec_col=vec_col,
+            max_iter=max_iter, eps=eps,
+        )
+        return cents
+
+    def asof_enrich_stream(self, left: DataFrame, right: DataFrame, on: str,
+                           left_time: str, right_time: str,
+                           right_cols=None, tolerance_ms=None) -> DataFrame:
+        """Streaming as-of enrichment: latest right payload per key carried
+        in 2 scalars of state (streaming/asof.streaming_asof_enrich)."""
+        from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+        return streaming_asof_enrich(
+            left, right, on, left_time, right_time,
+            right_cols=right_cols, tolerance_ms=tolerance_ms,
+        )
 
 
 def testdata_dir(default_sf: str = "sf0.001") -> str:

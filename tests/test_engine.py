@@ -213,3 +213,28 @@ def test_engine_asof_ntile_and_interval_merge(engine, spark):
         for r in engine.merge_intervals(iv, "k", "s", "e").collect()
     }
     assert merged == {("a", 0): (15, 2), ("a", 20): (35, 2), ("b", 5): (6, 1)}
+
+
+def test_engine_facade_round6_surface(spark, sf_dir):
+    """The round-6 additions ride the public facade: materialize_salted
+    matches materialize through Engine, and train_ivf returns centroids
+    shaped for similar_topk's IVF path."""
+    from dumpr_spark.engine import Engine
+
+    eng = Engine(spark).load_dir(sf_dir)
+    changes = eng.snapshot_changes({"orders": "o_orderkey"})
+    plain = {(r["tbl"], r["id"]): r["seq"] for r in eng.materialize(changes).collect()}
+    salted = {
+        (r["tbl"], r["id"]): r["seq"]
+        for r in eng.materialize_salted(changes, salt=4).collect()
+    }
+    assert plain == salted and plain
+
+    emb = eng.table("embeddings")
+    cents = eng.train_ivf(emb, k=4, max_iter=2)
+    assert cents.columns == ["cent_id", "cent_vec"]
+    assert cents.count() == 4
+    topk = eng.similar_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=2, method="ivf", centroids=cents
+    )
+    assert topk.count() > 0

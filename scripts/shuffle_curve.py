@@ -44,6 +44,14 @@ QUERIES = [
     # wedge joins and the 4x16-bit band self-join
     "graph_triangle_count",
     "dedup_simhash_banded",
+    # r6: the new shuffle-bearing ops — the salted two-phase fold (one
+    # extra cell-winner shuffle vs cdc_materialize), the candidate-bounded
+    # sketch-calibration joins, the banded-vocab pair join, and the
+    # event-differencing union + running sum
+    "cdc_materialize_salted",
+    "dedup_minhash_accuracy",
+    "text_pmi_cooccurrence",
+    "orders_backlog_timeseries",
 ]
 
 

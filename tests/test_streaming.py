@@ -2482,3 +2482,76 @@ def test_streaming_asof_enrich_null_payload_loses_tie(spark, tmp_path):
     ok_right = spark.readStream.schema("sym string, q_t long, px double").json(qsrc)
     with _pytest.raises(ValueError, match="reserved"):
         streaming_asof_enrich(bad_left, ok_right, "sym", "t_t", "q_t")
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_streaming_asof_enrich_randomized_batch_equivalence(spark, tmp_path, seed):
+    """Property pin for the documented contract: with time-ordered feeds
+    (every row in batch i predates every row in batch i+1 — the CDC/binlog
+    shape), streaming as-of enrichment equals the batch asof_join row for
+    row, across random data and random batch cut points, including
+    same-timestamp left/right ties."""
+    import json as _json
+    import random
+    import time
+
+    from dumpr_spark.operators.asof import asof_join
+    from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+    rng = random.Random(seed)
+    quotes = sorted(
+        ((rng.choice(["A", "B", "C"]), rng.randint(0, 99), float(rng.randint(1, 9)))
+         for _ in range(40)),
+        key=lambda r: r[1],
+    )
+    trades = sorted(
+        ((rng.choice(["A", "B", "C"]), rng.randint(0, 99), i)
+         for i in range(40)),
+        key=lambda r: r[1],
+    )
+    cuts = sorted(rng.sample(range(1, 99), 2))  # three time bands
+
+    def band(t):
+        return sum(t >= c for c in cuts)
+
+    qsrc, tsrc = str(tmp_path / f"qr{seed}"), str(tmp_path / f"tr{seed}")
+    os.makedirs(qsrc), os.makedirs(tsrc)
+    now = time.time()
+    for i in range(3):
+        for src, rows, names in (
+            (qsrc, [r for r in quotes if band(r[1]) == i], ("sym", "q_t", "px")),
+            (tsrc, [r for r in trades if band(r[1]) == i], ("sym", "t_t", "qty")),
+        ):
+            fp = os.path.join(src, f"b{i}.json")
+            with open(fp, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(dict(zip(names, r))) + "\n")
+            os.utime(fp, (now + i, now + i))
+
+    q_stream = (
+        spark.readStream.schema("sym string, q_t long, px double")
+        .option("maxFilesPerTrigger", 1).json(qsrc)
+    )
+    t_stream = (
+        spark.readStream.schema("sym string, t_t long, qty long")
+        .option("maxFilesPerTrigger", 1).json(tsrc)
+    )
+    q = (
+        streaming_asof_enrich(t_stream, q_stream, "sym", "t_t", "q_t")
+        .writeStream.format("memory").queryName(f"rand_asof_{seed}")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["qty"]: (r["sym"], r["t_t"], r["px"])
+        for r in spark.sql(f"SELECT * FROM rand_asof_{seed}").collect()
+    }
+    tdf = spark.createDataFrame(trades, "sym string, t_t long, qty long")
+    qdf = spark.createDataFrame(quotes, "sym string, q_t long, px double")
+    want = {
+        r["qty"]: (r["sym"], r["t_t"], r["px"])
+        for r in asof_join(tdf, qdf, "sym", "t_t", "q_t").collect()
+    }
+    assert got == want, {
+        k: (got.get(k), want.get(k)) for k in want if got.get(k) != want.get(k)
+    }

@@ -2555,3 +2555,75 @@ def test_streaming_asof_enrich_randomized_batch_equivalence(spark, tmp_path, see
     assert got == want, {
         k: (got.get(k), want.get(k)) for k in want if got.get(k) != want.get(k)
     }
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_streaming_interval_merge_adversarial_order_invariants(spark, tmp_path, seed):
+    """Under FULLY SHUFFLED arrival order (no in-order contract at all),
+    the published output must still satisfy the append-mode safety
+    invariants: per key, published islands are pairwise disjoint and
+    non-touching (append can never retract, so overlap = corruption —
+    exactly what the r6 disjoint-below bug produced), and every published
+    span lies inside some batch-twin island (streaming may split or drop
+    late data, but must never invent a span batch doesn't contain)."""
+    import json as _json
+    import random
+    import time
+
+    from dumpr_spark.operators.intervals import merge_intervals
+    from dumpr_spark.streaming.state import streaming_interval_merge
+
+    rng = random.Random(seed)
+    ivs = []
+    for k in (1, 2):
+        for _ in range(30):
+            s_ = rng.randint(0, 500)
+            ivs.append((k, s_, s_ + rng.randint(1, 40)))
+    rng.shuffle(ivs)
+    batches = [ivs[i::5] for i in range(5)]
+
+    src = str(tmp_path / f"adv{seed}")
+    os.makedirs(src)
+    now = time.time()
+    for i, chunk in enumerate(batches):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as f:
+            for u, s_, e_ in chunk:
+                f.write(_json.dumps({"user_id": u, "s": s_, "e": e_}) + "\n")
+        os.utime(fp, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, s long, e long")
+        .option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_interval_merge(stream)
+        .writeStream.format("memory").queryName(f"adv_stream_{seed}")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    published = [
+        (r["key"], r["merged_start"], r["merged_end"])
+        for r in spark.sql(f"SELECT * FROM adv_stream_{seed}").collect()
+    ]
+
+    # (a) per key: disjoint, non-touching (closed-interval convention)
+    by_key: dict = {}
+    for k, s_, e_ in published:
+        by_key.setdefault(k, []).append((s_, e_))
+    for k, spans in by_key.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1, f"key {k}: published spans overlap/touch: {(s1,e1)} {(s2,e2)}"
+
+    # (b) containment in the batch twin's islands
+    df = spark.createDataFrame(ivs, "user_id long, s long, e long")
+    islands: dict = {}
+    for r in merge_intervals(df, ["user_id"], "s", "e").collect():
+        islands.setdefault(r["user_id"], []).append(
+            (r["merged_start"], r["merged_end"])
+        )
+    for k, s_, e_ in published:
+        assert any(a <= s_ and e_ <= b for a, b in islands[k]), (
+            f"key {k}: published ({s_},{e_}) outside every batch island {islands[k]}"
+        )

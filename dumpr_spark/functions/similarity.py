@@ -280,17 +280,44 @@ def train_centroids_lloyd(
     k x dim rounded doubles per iteration — metadata-sized by design.
     """
     spark = vectors.sparkSession
+    # Contract guard (one tiny pre-scan): ids non-null and int-castable,
+    # vectors a uniform non-zero dimension. Ragged/empty arrays would
+    # silently undercount members in the posexplode rollup below, and a
+    # null id would seed a None centroid key — fail loudly instead.
+    shape = (
+        vectors.where(F.col(id_col).isNotNull())
+        .agg(
+            F.min(F.size(F.col(vec_col))).alias("dmin"),
+            F.max(F.size(F.col(vec_col))).alias("dmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    if not shape["n"]:
+        raise ValueError("train_centroids_lloyd: empty corpus, nothing to seed")
+    if shape["dmin"] != shape["dmax"] or not shape["dmin"]:
+        raise ValueError(
+            f"train_centroids_lloyd: {vec_col} must be a fixed non-zero "
+            f"dimension, got sizes {shape['dmin']}..{shape['dmax']}"
+        )
+    # seeds: the k lowest-id vectors, ordered by the RAW id (matching any
+    # SQL oracle ordering by the stored value — ordering by the int cast
+    # would diverge on ids past int range)
     seeds = (
-        vectors.select(
+        vectors.where(F.col(id_col).isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .select(
             F.col(id_col).cast("int").alias("cent_id"), _dbl(F.col(vec_col)).alias("cent_vec")
         )
-        .orderBy("cent_id")
-        .limit(k)
         .collect()
     )
-    if not seeds:
-        raise ValueError("train_centroids_lloyd: empty corpus, nothing to seed")
     cents = {r["cent_id"]: list(r["cent_vec"]) for r in seeds}
+    if None in cents or len(cents) != len(seeds):
+        raise ValueError(
+            f"train_centroids_lloyd: {id_col} must cast to distinct ints "
+            f"for the {len(seeds)} seed rows"
+        )
     dim = len(next(iter(cents.values())))
     n_iters, converged, counts = 0, False, []
     for _ in range(max_iter):

@@ -163,8 +163,11 @@ _R5_VERIFIED = {
     "text_sentence_stats", "text_stopword_docfreq", "udf_arrow_scalar",
     "udf_map_in_arrow", "win_time_range_frame",
 }
-# NOTE: the 5 CDC re-checks live ONLY in _R5_VERIFIED (their freshest green
-# row); they are intentionally absent from the _R2_VERIFIED literal above.
+# NOTE: the r5 CDC re-checks live in _R5_VERIFIED when verified (their
+# freshest green row) and are intentionally absent from the _R2_VERIFIED
+# literal above; cdc_materialize was subsequently evicted to never-green
+# by the r6 _unpack_winner refactor (see the _R5_VERIFIED note), so it
+# currently lives in NO tier by design.
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
 # tier, tripping the fail-safe rank-0 path (caught by review in r6).

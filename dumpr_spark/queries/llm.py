@@ -2450,7 +2450,8 @@ def _kmeans_iter_sql(i: int) -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus ORDER BY vec_id LIMIT 8),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus
+          WHERE vec_id IS NOT NULL ORDER BY vec_id LIMIT 8),
     """
     + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3, 4))
     + """,

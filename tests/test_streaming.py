@@ -23,6 +23,17 @@ def write_events(path, events, file_name="part-000.json"):
             f.write(json.dumps(e) + "\n")
 
 
+def write_json_batch(src, name, rows, names, mtime):
+    """One micro-batch feed file: tuples zipped to `names` as JSONL, with
+    an explicit mtime so maxFilesPerTrigger replays batches in order."""
+    fp = os.path.join(src, name)
+    with open(fp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(dict(zip(names, r))) + "\n")
+    os.utime(fp, (mtime, mtime))
+    return fp
+
+
 def test_stream_ingest_to_merge_sink_and_resume(spark, tmp_path):
     """End-to-end live path: JSON event feed -> envelope -> foreachBatch merge
     -> state table; then new events arrive and the SAME checkpoint resumes
@@ -2318,12 +2329,7 @@ def test_streaming_asof_enrich_tolerance_restart_and_guards(spark, tmp_path):
     ckpt = str(tmp_path / "asof_ckpt")
     os.makedirs(qsrc), os.makedirs(tsrc)
 
-    def write(src, name, rows, names, mtime):
-        fp = os.path.join(src, name)
-        with open(fp, "w") as f:
-            for r in rows:
-                f.write(_json.dumps(dict(zip(names, r))) + "\n")
-        os.utime(fp, (mtime, mtime))
+    write = write_json_batch
 
     def run():
         emitted = []
@@ -2391,12 +2397,7 @@ def test_streaming_asof_enrich_stale_right_update_does_not_regress(spark, tmp_pa
     os.makedirs(qsrc), os.makedirs(tsrc)
     now = time.time()
 
-    def write(src, name, rows, names, mtime):
-        fp = os.path.join(src, name)
-        with open(fp, "w") as f:
-            for r in rows:
-                f.write(_json.dumps(dict(zip(names, r))) + "\n")
-        os.utime(fp, (mtime, mtime))
+    write = write_json_batch
 
     write(qsrc, "b0.json", [("A", 30, 3.0)], ("sym", "q_t", "px"), now)
     write(tsrc, "b0.json", [], ("sym", "t_t", "qty"), now)
@@ -2440,12 +2441,7 @@ def test_streaming_asof_enrich_null_payload_loses_tie(spark, tmp_path):
     os.makedirs(qsrc), os.makedirs(tsrc)
     now = time.time()
 
-    def write(src, name, rows, names, mtime):
-        fp = os.path.join(src, name)
-        with open(fp, "w") as f:
-            for r in rows:
-                f.write(_json.dumps(dict(zip(names, r))) + "\n")
-        os.utime(fp, (mtime, mtime))
+    write = write_json_batch
 
     # two quotes tied at t=10: px NULL and px=5.0 -> 5.0 must win
     write(qsrc, "b0.json", [("A", 10, None), ("A", 10, 5.0)],

@@ -5,10 +5,15 @@ verified-set maintenance (queries/__init__.py invariant).
 Prints (a) the hash-green names as a ready-to-paste Python set literal for
 _R{N}_VERIFIED, (b) the checked-but-not-green names that must STAY in the
 never-green backlog, and (c) registry names never driver-checked in any
-round so far. Run at the START of round N+1, then: add the green set,
-remove stale-evidence names (anything whose builder/oracle changed since
-its green row — that part needs human judgment over the round's diff), and
-rename _R{N}_NEW/_R{N}_LATE into the next round's tiers.
+round so far. Run at the START of round N+1, then: add the green set as
+_R{N}_VERIFIED and append it to _VERIFIED_STALEST_FIRST, MOVE any
+re-checked name OUT of its older _R*_VERIFIED set (a name's tier is its
+FRESHEST green round — that is what makes the stalest-first rotation
+truthful), remove stale-evidence names (anything whose builder/oracle
+changed since its green row — that part needs human judgment over the
+round's diff), and start an empty _R{N+1}_NEW. _DRIVER_VERIFIED is
+computed ONCE after all tier literals are final — never snapshot it
+mid-edit (see the r6 note in queries/__init__.py).
 
 Usage: python scripts/fold_verified.py CORRECTNESS_r04.json [more...]
 """

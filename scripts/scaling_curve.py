@@ -17,10 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import HEADLINE  # noqa: E402
 
 
-def main():
+def main(queries=None):
     from dumpr_spark.queries import REGISTRY
     from dumpr_spark.session import get_spark
 
+    names = list(queries) if queries else HEADLINE
     spark = get_spark("scaling_curve")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -30,7 +31,7 @@ def main():
         sf_dir = f"/root/testdata/sf{sf}"
         REGISTRY["agg_global"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per = {}
-        for name in HEADLINE:
+        for name in names:
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -50,4 +51,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # optional: pass registry names to curve a custom query set
+    main(sys.argv[1:] or None)

@@ -670,3 +670,51 @@ def test_hotspot_diagnostic_drives_salted_materialize(spark):
     last_hot = max((r for r in rows if r[1] == "hot"), key=lambda r: r[7])
     if last_hot[2] != "delete":
         assert plain[("t1", "hot")] == (last_hot[2], last_hot[3], last_hot[7])
+
+
+def test_bloom_semi_join_no_false_negatives_and_fpp(spark):
+    """Bloom pre-filter contract over random keys: every true match
+    survives (false negatives = data loss, never acceptable), the false
+    positive rate stays within ~3x the theoretical (1-e^{-kn/m})^k, and
+    the artifact is deterministic (bit-identical across rebuilds)."""
+    import math
+    import random
+
+    from dumpr_spark.operators.bloom import bloom_semi_join, build_bloom
+
+    rng = random.Random(3)
+    right_keys = rng.sample(range(1_000_000), 2000)
+    right = spark.createDataFrame([(k,) for k in right_keys], "k long")
+    left = spark.range(0, 50_000).select(F.col("id").alias("k"))
+
+    m, kh = 1 << 16, 5
+    bloom = build_bloom(right, "k", m_bits=m, k=kh)
+    assert bloom == build_bloom(right, "k", m_bits=m, k=kh)  # deterministic
+
+    got = {r["k"] for r in bloom_semi_join(left, bloom, "k", k=kh).collect()}
+    exact = {r["k"] for r in left.join(right, "k", "left_semi").collect()}
+    assert exact <= got, f"false negatives: {sorted(exact - got)[:5]}"
+
+    n_neg = 50_000 - len(exact)
+    fp_rate = len(got - exact) / n_neg
+    theo = (1 - math.exp(-kh * len(right_keys) / m)) ** kh
+    assert fp_rate <= 3 * theo + 1e-3, f"fpp {fp_rate} vs theoretical {theo}"
+
+
+def test_bloom_semi_join_probe_has_no_shuffle(spark):
+    """The probe side must stay a narrow map: the physical plan of the
+    filtered left contains NO Exchange (that is the whole point vs a
+    shuffle semi-join) and the key filter reaches the scan."""
+    from dumpr_spark.operators.bloom import bloom_semi_join, build_bloom
+    from dumpr_spark.operators.scale import explain_str
+
+    right = spark.range(0, 100).select((F.col("id") * 3).alias("k"))
+    left = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    bloom = build_bloom(right, "k", m_bits=1 << 12)
+    plan = explain_str(bloom_semi_join(left, bloom, "k"))
+    assert "Exchange" not in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(right, "k", m_bits=100)

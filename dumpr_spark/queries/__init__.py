@@ -195,6 +195,8 @@ _R6_NEW: set = {
     "multimodal_resolution_buckets", "sample_weighted_topk",
     # top principal direction by unrolled power iteration (exact-replay)
     "embed_pca_power",
+    # bloom pre-filter as a query: deterministic membership, exact oracle
+    "join_bloom_prefilter",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -3257,3 +3257,69 @@ def orders_backlog_timeseries(spark, sf_dir):
         F.col("net").cast("long").alias("net_change"),
         F.sum("net").over(w).cast("long").alias("backlog"),
     ).orderBy("prio", "month")
+
+
+@query(
+    "join_bloom_prefilter",
+    """
+    WITH rk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 480000
+    ),
+    rpos AS (
+      SELECT DISTINCT ((h % 268435456) + i * ((h // 268435456) * 2 + 1)) % 65536 AS p
+      FROM (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 14))::BIGINT AS h
+            FROM rk),
+           (SELECT unnest(range(5)) AS i)
+    ),
+    lkeys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    lkpos AS (
+      SELECT k, ((h % 268435456) + i * ((h // 268435456) * 2 + 1)) % 65536 AS p
+      FROM (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 14))::BIGINT AS h
+            FROM lkeys),
+           (SELECT unnest(range(5)) AS i)
+    ),
+    pass AS (
+      SELECT k FROM lkpos JOIN rpos USING (p) GROUP BY k HAVING COUNT(*) = 5
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(l_quantity) + 1e-9, 2) AS sum_qty
+    FROM lineitem JOIN pass ON l_orderkey = pass.k
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("join", "scale", "sketch"),
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom pre-filter as a first-class query: lineitem rows surviving a
+    bloom built from high-value orders' keys (operators/bloom.py — the
+    zero-shuffle semi-join), rolled up per return flag. The bloom is
+    DETERMINISTIC (md5 double-hash positions), so the oracle replays the
+    exact same bit membership — false positives and all — as a
+    position-set join: a left key passes iff all 5 of its positions are
+    set by some right key. Candidate counts therefore hash-match exactly
+    even though the filter is approximate by design (no false negatives;
+    extras at the filter's fpp, eliminated by the exact join a real
+    pipeline runs next).
+
+    Scale shape: the build folds 5 positions per right key into m/64=1024
+    longs with bit_or map-side combine (driver traffic is the 8 KB
+    artifact); the probe is a narrow map over the lineitem scan with NO
+    Exchange (plan test-pinned in test_scale_ops) — contrast the shuffle
+    a semi-join would pay on the full fact table."""
+    from dumpr_spark.operators.bloom import bloom_semi_join, build_bloom
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    hot = o.where(F.col("o_totalprice") > 480000).select("o_orderkey")
+    bloom = build_bloom(hot, "o_orderkey", m_bits=1 << 16, k=5)
+    survivors = bloom_semi_join(li, bloom, "l_orderkey", k=5)
+    return (
+        survivors.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            eps_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -44,3 +44,17 @@ def test_rank_tiers_cover_every_query_exactly_once():
     for i, a in enumerate(tiers):
         for b in tiers[i + 1:]:
             assert not (a & b), f"rank tiers overlap: {a & b}"
+
+
+def test_round6_registration_count_claim_matches():
+    import re
+
+    from dumpr_spark.queries import _R6_NEW
+
+    cov = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = re.search(r"Round 6 \(`_R6_NEW`, (\d+) registrations", cov)
+    assert m, "COVERAGE.md round-6 registration claim missing"
+    assert int(m.group(1)) == len(_R6_NEW), (
+        f"COVERAGE.md claims {m.group(1)} round-6 registrations, "
+        f"registry has {len(_R6_NEW)}"
+    )

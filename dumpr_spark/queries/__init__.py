@@ -197,6 +197,8 @@ _R6_NEW: set = {
     "embed_pca_power",
     # bloom pre-filter as a query: deterministic membership, exact oracle
     "join_bloom_prefilter",
+    # all-but-the-top anisotropy diagnostic off the power-iteration dir
+    "embed_debias_topdir",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -2795,3 +2795,86 @@ def embed_pca_power(spark, sf_dir):
         )
         .orderBy("pos")
     )
+
+
+@query(
+    "embed_debias_topdir",
+    """
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    vv0 AS (SELECT list_transform(range(64), i -> 0.125) AS vec),
+    """
+    + ",".join(_pca_iter_sql(i) for i in (1, 2))
+    + """,
+    per AS (
+      SELECT c.label,
+             list_dot_product(c.v, d.vec) /
+             (sqrt(list_dot_product(c.v, c.v)) *
+              sqrt(list_dot_product(d.vec, d.vec))) AS cosv
+      FROM corpus c, (SELECT vec FROM vv2) d
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(ABS(cosv)) + 1e-9, 4) AS mean_abs_cos,
+           ROUND(AVG(sqrt(greatest(0.0, 1.0 - cosv * cosv))) + 1e-9, 4)
+             AS mean_resid_ratio
+    FROM per GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embed_debias_topdir(spark, sf_dir):
+    """All-but-the-top diagnostic (Mu & Viswanath 2018): embeddings share
+    a dominant common direction that inflates every cosine similarity;
+    removing the projection onto it measurably improves retrieval. This
+    query quantifies the debias per label: mean |cos(x, v_top)| (the
+    anisotropy the top direction explains — what a debias would remove)
+    and the mean residual norm ratio sqrt(1 - cos^2) (what survives).
+    v_top comes from TWO power-iteration steps with the same per-step
+    eps-rounding as embed_pca_power, so the oracle replays the direction
+    bit-identically and the group means match to 4dp.
+
+    Scale shape: the direction is 64 rounded doubles trained once (two
+    cell-bounded passes, see embed_pca_power); the diagnostic itself is a
+    narrow map over the corpus scan (a literal-array dot per row — no
+    join, no shuffle beyond the |label|-cell aggregate)."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = [0.125] * 64
+    for _ in range(2):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+        dims = e.select(s.alias("s"), F.posexplode(dbl).alias("pos", "x"))
+        w = dims.groupBy("pos").agg(
+            F.round(F.sum(F.col("s") * F.col("x")) + 1e-9, 6).alias("w")
+        )
+        nrm = w.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + 1e-9, 8).alias("nrm"))
+        rows = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
+            .collect()
+        )
+        v = [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    proj = F.aggregate(
+        F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    xnorm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, z: acc + z * z))
+    vnorm = F.sqrt(F.aggregate(vlit, F.lit(0.0), lambda acc, z: acc + z * z))
+    cosv = proj / (xnorm * vnorm)
+    return (
+        e.select("label", cosv.alias("cosv"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            eps_round(F.avg(F.abs(F.col("cosv"))), 4).alias("mean_abs_cos"),
+            eps_round(
+                F.avg(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("cosv") * F.col("cosv")))),
+                4,
+            ).alias("mean_resid_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "embed_kmeans_converged",   # broadcast centroid set per Lloyd iteration
     "text_pmi_cooccurrence",    # 1-row corpus-count broadcast (scalar)
     "embed_pca_power",          # 1-row norm broadcast per power step (scalar)
+    "embed_debias_topdir",      # same scalar norm broadcast (2 power steps)
     "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast
     "text_unigram_logprob",     # scalar corpus-total broadcast
 }

@@ -213,20 +213,21 @@ class Engine:
         return cents
 
     def bloom_filter(self, keys: DataFrame, key_col: str,
-                     m_bits: int = 1 << 20, k: int = 5) -> list:
-        """Build a deterministic bloom artifact (m_bits/64 longs) from a
-        key set — pair with bloom_semi_join to pre-filter a huge scan."""
+                     m_bits: int = 1 << 16, k: int = 5):
+        """Build a deterministic BloomFilter artifact (m_bits/64 longs +
+        k) from a key set — pair with bloom_semi_join to pre-filter a
+        huge scan."""
         from dumpr_spark.operators.bloom import build_bloom
 
         return build_bloom(keys, key_col, m_bits=m_bits, k=k)
 
-    def bloom_semi_join(self, left: DataFrame, bloom: list, key_col: str,
-                        k: int = 5) -> DataFrame:
+    def bloom_semi_join(self, left: DataFrame, bloom, key_col: str) -> DataFrame:
         """Zero-shuffle semi-join: keep left rows whose key might be in
-        the bloom's set (no false negatives; fpp-bounded extras)."""
+        the bloom's set (no false negatives; fpp-bounded extras). The
+        artifact carries its own k, so build/probe can never mismatch."""
         from dumpr_spark.operators.bloom import bloom_semi_join
 
-        return bloom_semi_join(left, bloom, key_col, k=k)
+        return bloom_semi_join(left, bloom, key_col)
 
     def asof_enrich_stream(self, left: DataFrame, right: DataFrame, on: str,
                            left_time: str, right_time: str,

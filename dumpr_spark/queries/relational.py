@@ -3313,7 +3313,7 @@ def join_bloom_prefilter(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     hot = o.where(F.col("o_totalprice") > 480000).select("o_orderkey")
     bloom = build_bloom(hot, "o_orderkey", m_bits=1 << 16, k=5)
-    survivors = bloom_semi_join(li, bloom, "l_orderkey", k=5)
+    survivors = bloom_semi_join(li, bloom, "l_orderkey")
     return (
         survivors.groupBy("l_returnflag")
         .agg(

@@ -691,7 +691,7 @@ def test_bloom_semi_join_no_false_negatives_and_fpp(spark):
     bloom = build_bloom(right, "k", m_bits=m, k=kh)
     assert bloom == build_bloom(right, "k", m_bits=m, k=kh)  # deterministic
 
-    got = {r["k"] for r in bloom_semi_join(left, bloom, "k", k=kh).collect()}
+    got = {r["k"] for r in bloom_semi_join(left, bloom, "k").collect()}
     exact = {r["k"] for r in left.join(right, "k", "left_semi").collect()}
     assert exact <= got, f"false negatives: {sorted(exact - got)[:5]}"
 
@@ -718,3 +718,12 @@ def test_bloom_semi_join_probe_has_no_shuffle(spark):
 
     with _pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(right, "k", m_bits=100)
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(right, "k", m_bits=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        build_bloom(right, "k", k=0)
+    # artifact carries k: a probe never needs (and cannot mismatch) it
+    assert bloom.k == 5 and bloom.m_bits == 1 << 12
+    # probe scaffolding collision is a loud error, not silent column loss
+    with _pytest.raises(ValueError, match="reserved"):
+        bloom_semi_join(left.withColumn("_bloom", F.lit(1)), bloom, "k")

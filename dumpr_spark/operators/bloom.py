@@ -25,11 +25,21 @@ m/64 longs on the driver — metadata-sized by design (m <= 2^22 enforced)
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
 from dumpr_spark.functions.dedup import minhash_base_hash
+
+# The literal-array probe inlines m/64 longs into every task's plan; past
+# ~16k longs the expression tree bloats codegen, so bigger filters must use
+# the broadcast + Arrow probe (bloom_semi_join_arrow) instead.
+_LITERAL_PROBE_CAP = 1 << 20
+# Build-side ceiling: 2^27 bits = 16 MiB of words — a comfortable broadcast
+# variable, far past any useful local filter, and a guard against typo-sized
+# m_bits allocating gigabytes on the driver.
+_BUILD_CAP = 1 << 27
 
 
 @dataclass(frozen=True)
@@ -69,13 +79,13 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,
 
     Scale shape: explode each key to its k (word, mask) pairs, bit_or per
     word with map-side combine — the shuffle carries <= m/64 rows per map
-    partition; the driver receives m/64 longs total. The probe inlines
-    the words as a literal array, so m is capped at 2^20 (16k longs) to
-    keep the expression tree codegen-friendly — a bigger filter wants a
-    real broadcast variable + Arrow UDF probe, a different operator.
+    partition; the driver receives m/64 longs total. Filters up to 2^20
+    bits probe via the codegen-friendly literal array (bloom_semi_join);
+    bigger ones (up to 2^27 = 16 MiB of words) must probe via the
+    broadcast + Arrow path (bloom_semi_join_arrow).
     """
-    if m_bits <= 0 or m_bits % 64 or m_bits > 1 << 20:
-        raise ValueError("m_bits must be a positive multiple of 64, at most 2^20")
+    if m_bits <= 0 or m_bits % 64 or m_bits > _BUILD_CAP:
+        raise ValueError("m_bits must be a positive multiple of 64, at most 2^27")
     if k < 1 or k > 16:
         raise ValueError("k must be in 1..16")
     pos = _positions(F.col(key_col), k, m_bits)
@@ -110,6 +120,12 @@ def bloom_semi_join(left: DataFrame, bloom: BloomFilter, key_col: str) -> DataFr
     whole expression stays inside whole-stage codegen.
     """
     k, m_bits = bloom.k, bloom.m_bits
+    if m_bits > _LITERAL_PROBE_CAP:
+        raise ValueError(
+            f"bloom_semi_join inlines the filter as a plan literal and is "
+            f"capped at m_bits=2^20; this filter has {m_bits} bits — "
+            f"probe it with bloom_semi_join_arrow instead"
+        )
     scaffold = ["_bloom", *[f"_p{i}" for i in range(k)]]
     clash = set(scaffold) & set(left.columns)
     if clash:
@@ -130,3 +146,65 @@ def bloom_semi_join(left: DataFrame, bloom: BloomFilter, key_col: str) -> DataFr
         )
         cond = cond & (bit != 0)
     return probed.where(cond).drop(*scaffold)
+
+
+def bloom_semi_join_arrow(left: DataFrame, bloom: BloomFilter,
+                          key_col: str) -> DataFrame:
+    """Scale-path probe: same membership semantics as bloom_semi_join, for
+    filters too large to inline as a plan literal (m_bits up to 2^27 =
+    16 MiB of words).
+
+    The words ship ONCE per executor as a real Spark broadcast variable
+    instead of m/64 literals in every task's serialized plan; membership
+    is tested in an Arrow-batched mapInPandas. Per row the Python side
+    computes the one md5 digest the JVM probe would compute (identical
+    hex-prefix idiom, so both probes keep/drop exactly the same rows);
+    every step after the digest — split, stride, k positions, word index,
+    bit test — is vectorized numpy over the whole Arrow batch.
+
+    Still zero shuffle: mapInPandas is a narrow map over the left scan.
+    Trade-off vs the literal probe: the plan stays small and the filter is
+    shared across all tasks on an executor, but rows cross the JVM->Arrow
+    boundary — prefer the literal probe under its cap, this one above it.
+    """
+    import numpy as np
+
+    k, m_bits = bloom.k, bloom.m_bits
+    helper = "_bloom_key_str"
+    if helper in left.columns:
+        raise ValueError(
+            f"bloom_semi_join_arrow: column name {helper!r} is reserved "
+            f"probe scaffolding — rename it on the input first"
+        )
+    out_cols = list(left.columns)
+    # cast to string JVM-side so Python sees the exact bytes Spark's
+    # md5(cast(key as string)) would digest, whatever the key type
+    prepared = (
+        left.where(F.col(key_col).isNotNull())
+        .withColumn(helper, F.col(key_col).cast("string"))
+    )
+    words_np = np.array(bloom.words, dtype=np.int64).view(np.uint64)
+    bc = left.sparkSession.sparkContext.broadcast(words_np)
+
+    def probe(batches):
+        words = bc.value
+        u64 = np.uint64
+        for pdf in batches:
+            keys = pdf[helper]
+            h = np.fromiter(
+                (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
+                 for s in keys),
+                dtype=np.uint64, count=len(keys),
+            )
+            # Kirsch-Mitzenmacher double hash, mirroring _positions: h is
+            # 56 bits, h1 < 2^28, h2 < 2^29, i*h2 < 2^33 — no overflow
+            h1 = h % u64(1 << 28)
+            h2 = ((h - h1) >> u64(28)) * u64(2) + u64(1)
+            keep = np.ones(len(keys), dtype=bool)
+            for i in range(k):
+                pos = (h1 + u64(i) * h2) % u64(m_bits)
+                w = words[(pos >> u64(6)).astype(np.int64)]
+                keep &= ((w >> (pos & u64(63))) & u64(1)).astype(bool)
+            yield pdf.loc[keep, out_cols]
+
+    return prepared.mapInPandas(probe, schema=left.schema)

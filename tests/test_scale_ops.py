@@ -727,3 +727,96 @@ def test_bloom_semi_join_probe_has_no_shuffle(spark):
     # probe scaffolding collision is a loud error, not silent column loss
     with _pytest.raises(ValueError, match="reserved"):
         bloom_semi_join(left.withColumn("_bloom", F.lit(1)), bloom, "k")
+
+
+def test_bloom_arrow_probe_matches_literal_probe(spark):
+    """The broadcast+Arrow probe and the literal-array probe implement ONE
+    membership function: same filter, same left side, identical surviving
+    rows (both false-positive sets included — the digests must agree bit
+    for bit, not just the true matches)."""
+    from dumpr_spark.operators.bloom import (
+        bloom_semi_join,
+        bloom_semi_join_arrow,
+        build_bloom,
+    )
+
+    right = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    left = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    bloom = build_bloom(right, "k", m_bits=1 << 12, k=4)
+    lit_rows = sorted(
+        (r["k"], r["v"]) for r in bloom_semi_join(left, bloom, "k").collect()
+    )
+    arrow_rows = sorted(
+        (r["k"], r["v"]) for r in bloom_semi_join_arrow(left, bloom, "k").collect()
+    )
+    assert lit_rows == arrow_rows
+    # schema passes through unchanged (helper column dropped)
+    assert bloom_semi_join_arrow(left, bloom, "k").schema == left.schema
+
+
+def test_bloom_arrow_probe_large_filter(spark):
+    """Above the literal cap the literal probe refuses loudly and the Arrow
+    probe carries on: a 2^22-bit filter (64k words — far too many plan
+    literals) still admits every true match and stays fpp-tight."""
+    import math
+
+    from dumpr_spark.operators.bloom import (
+        bloom_semi_join,
+        bloom_semi_join_arrow,
+        build_bloom,
+    )
+
+    right = spark.range(0, 3000).select((F.col("id") * 11 + 5).alias("k"))
+    left = spark.range(0, 40_000).select(F.col("id").alias("k"))
+    m, kh = 1 << 22, 5
+    bloom = build_bloom(right, "k", m_bits=m, k=kh)
+
+    with pytest.raises(ValueError, match="bloom_semi_join_arrow"):
+        bloom_semi_join(left, bloom, "k")
+
+    got = {r["k"] for r in bloom_semi_join_arrow(left, bloom, "k").collect()}
+    exact = {r["k"] for r in left.join(right, "k", "left_semi").collect()}
+    assert exact <= got, f"false negatives: {sorted(exact - got)[:5]}"
+    n_neg = 40_000 - len(exact)
+    theo = (1 - math.exp(-kh * 3000 / m)) ** kh
+    assert len(got - exact) / n_neg <= 3 * theo + 1e-3
+
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_semi_join_arrow(left.withColumn("_bloom_key_str", F.lit("x")),
+                              bloom, "k")
+
+
+def test_bloom_probe_on_stream(spark, tmp_path):
+    """The literal probe is a stateless narrow map, so it composes with
+    Structured Streaming unchanged: a file stream filtered by a bloom
+    built from a static key set drops non-members (minus fpp slack) and
+    keeps every member — the stream-side pre-filter for a later
+    stream-static join."""
+    from dumpr_spark.operators.bloom import bloom_semi_join, build_bloom
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.range(0, 2000).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    right = spark.range(0, 2000, 4).select(F.col("id").alias("k"))
+    bloom = build_bloom(right, "k", m_bits=1 << 14, k=5)
+
+    stream = spark.readStream.schema("k long").parquet(str(src))
+    out = bloom_semi_join(stream, bloom, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_stream_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["k"] for r in spark.sql("select * from bloom_stream_probe").collect()}
+    exact = set(range(0, 2000, 4))
+    assert exact <= got
+    # fpp slack only: the stream was not passed through unfiltered
+    assert len(got - exact) <= 0.1 * 1500 + 10

@@ -57,19 +57,34 @@ class BloomFilter:
 
 
 def _positions(col, k: int, m_bits: int):
-    """k deterministic bit positions for a key: split the repo's 56-bit
-    md5 base hash (functions/dedup.minhash_base_hash — ONE idiom, shared
-    with the SQL oracles) into two 28-bit halves and use the
-    Kirsch-Mitzenmacher double-hash g_i = h1 + i*h2 (mod m) — one digest
-    per key, k positions, the standard fpp-preserving construction."""
+    """Array of the k deterministic bit positions for a key: split the
+    repo's 56-bit md5 base hash (functions/dedup.minhash_base_hash — ONE
+    idiom, shared with the SQL oracles) into two 28-bit halves and use
+    the Kirsch-Mitzenmacher double-hash g_i = h1 + i*h2 (mod m) — one
+    digest per key, k positions, the standard fpp-preserving
+    construction.
+
+    The digest is bound ONCE via a 1-element transform (Catalyst has no
+    let-expression, and neither projection collapse nor filter pushdown
+    protects an expensive helper column from being re-inlined into every
+    consumer — the k independent position trees each re-derived the md5
+    ~3x, measured 15 digests/row and a 24 s probe at sf0.1 where one
+    digest/row takes 0.6 s). Everything inside the lambda is cheap
+    integer arithmetic on the bound value."""
+
+    def from_h(hv):
+        # integer bit ops only: h has 56 bits and a double division would
+        # round above 2^53; h - h1 is a multiple of 2^28 with <= 28
+        # significant bits, so the double division below is exact
+        h1 = hv % F.lit(1 << 28)
+        h2 = ((hv.cast("long") - h1) / F.lit(1 << 28)).cast("long") * 2 + 1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: ((h1 + i * h2) % F.lit(m_bits)).cast("long"),
+        )
+
     h = minhash_base_hash(col.cast("string"))
-    # integer bit ops only: h has 56 bits and a double division would
-    # round above 2^53; h - h1 is a multiple of 2^28 with <= 28
-    # significant bits, so the double division below is exact
-    h1 = h % F.lit(1 << 28)
-    h2 = (h.cast("long") - h1) / F.lit(1 << 28)
-    h2 = h2.cast("long") * 2 + 1  # odd -> full-period stride
-    return [((h1 + F.lit(i) * h2) % F.lit(m_bits)).cast("long") for i in range(k)]
+    return F.element_at(F.transform(F.array(h), from_h), 1)
 
 
 def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,
@@ -88,9 +103,8 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,
         raise ValueError("m_bits must be a positive multiple of 64, at most 2^27")
     if k < 1 or k > 16:
         raise ValueError("k must be in 1..16")
-    pos = _positions(F.col(key_col), k, m_bits)
     pairs = keys.where(F.col(key_col).isNotNull()).select(
-        F.explode(F.array(*pos)).alias("p")
+        F.explode(_positions(F.col(key_col), k, m_bits)).alias("p")
     )
     # the Python API's shiftleft only takes literal shift amounts; the SQL
     # form accepts a column, so the mask is built with expr()
@@ -115,9 +129,13 @@ def bloom_semi_join(left: DataFrame, bloom: BloomFilter, key_col: str) -> DataFr
     narrow map over the left scan — zero shuffle, predicate-pushdown
     friendly (the filter composes with partition pruning upstream).
 
-    The bit test indexes a literal array column (`element_at`), so the
-    filter ships with the plan — no broadcast variable plumbing, and the
-    whole expression stays inside whole-stage codegen.
+    The whole probe is ONE filter expression: the words ship as a single
+    ArrayType Literal (built once and shared — `F.array(*lits)` would
+    re-construct the m/64-element array per row, measured 40x slower),
+    the digest is computed once per row (`_positions`' let-binding), and
+    each position's bit is tested with `element_at` + `bit_get` inside
+    `forall`. No helper columns, nothing for filter pushdown to
+    duplicate, and the expression stays inside whole-stage codegen.
     """
     k, m_bits = bloom.k, bloom.m_bits
     if m_bits > _LITERAL_PROBE_CAP:
@@ -126,26 +144,22 @@ def bloom_semi_join(left: DataFrame, bloom: BloomFilter, key_col: str) -> DataFr
             f"capped at m_bits=2^20; this filter has {m_bits} bits — "
             f"probe it with bloom_semi_join_arrow instead"
         )
-    scaffold = ["_bloom", *[f"_p{i}" for i in range(k)]]
-    clash = set(scaffold) & set(left.columns)
-    if clash:
-        raise ValueError(
-            f"bloom_semi_join: column names {sorted(clash)} are reserved "
-            f"probe scaffolding — rename them on the input first"
+    # words travel driver->JVM as ONE string literal: F.lit(list) costs
+    # ~0.4 ms/element in py4j element-wise conversion (6+ s at m=2^20,
+    # measured), and F.array(*lits) additionally re-CONSTRUCTS the array
+    # per row. split+cast of a single literal is constant-folded by
+    # Catalyst into one shared ArrayType constant at plan compile.
+    packed = ",".join(str(int(w)) for w in bloom.words)
+    lit_words = F.split(F.lit(packed), ",").cast("array<long>")
+    cond = F.forall(
+        _positions(F.col(key_col), k, m_bits),
+        lambda p: F.bit_get(
+            F.element_at(lit_words, F.shiftright(p, 6).cast("int") + 1),
+            (p % 64).cast("int"),
         )
-    lit_words = F.array(*[F.lit(w).cast("long") for w in bloom.words])
-    # column shift amounts need the SQL form; route each position through
-    # a named helper column, test its bit, then drop the scaffolding
-    probed = left.where(F.col(key_col).isNotNull()).withColumn("_bloom", lit_words)
-    cond = F.lit(True)
-    for i, p in enumerate(_positions(F.col(key_col), k, m_bits)):
-        probed = probed.withColumn(f"_p{i}", p)
-        bit = F.expr(
-            f"shiftrightunsigned(element_at(_bloom, CAST(_p{i} DIV 64 AS INT) + 1),"
-            f" CAST(_p{i} % 64 AS INT)) % 2"
-        )
-        cond = cond & (bit != 0)
-    return probed.where(cond).drop(*scaffold)
+        == 1,
+    )
+    return left.where(F.col(key_col).isNotNull() & cond)
 
 
 def bloom_semi_join_arrow(left: DataFrame, bloom: BloomFilter,

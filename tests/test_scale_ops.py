@@ -724,9 +724,13 @@ def test_bloom_semi_join_probe_has_no_shuffle(spark):
         build_bloom(right, "k", k=0)
     # artifact carries k: a probe never needs (and cannot mismatch) it
     assert bloom.k == 5 and bloom.m_bits == 1 << 12
-    # probe scaffolding collision is a loud error, not silent column loss
-    with _pytest.raises(ValueError, match="reserved"):
-        bloom_semi_join(left.withColumn("_bloom", F.lit(1)), bloom, "k")
+    # the probe is a single filter expression — no scaffolding columns, so
+    # an input named like old scaffolding passes through untouched
+    probed = bloom_semi_join(left.withColumn("_bloom", F.lit(1)), bloom, "k")
+    assert probed.columns == ["k", "_bloom"]
+    # ONE digest per row: the md5 appears exactly once in the physical plan
+    # (the let-binding idiom — k naive position trees would carry ~3k copies)
+    assert explain_str(probed).lower().count("md5") <= 1
 
 
 def test_bloom_arrow_probe_matches_literal_probe(spark):

@@ -229,6 +229,38 @@ class Engine:
 
         return bloom_semi_join(left, bloom, key_col)
 
+    def top_direction(self, vectors: DataFrame, vec_col: str = "embedding",
+                      iters: int = 2) -> list:
+        """Rounded unit top principal direction by eps-rounded power
+        iteration (engine-replayable; two 64-cell passes per step) —
+        feed into remove_direction or an anisotropy diagnostic."""
+        from dumpr_spark.functions.similarity import power_iteration_topdir
+
+        return power_iteration_topdir(vectors, vec_col, iters)
+
+    def remove_direction(self, vectors: DataFrame, direction: list,
+                         vec_col: str = "embedding",
+                         out_col: str = "debiased",
+                         renormalize: bool = True) -> DataFrame:
+        """All-but-the-top debias APPLY: subtract each vector's projection
+        onto `direction` (x' = x - (x.u/u.u)u), optionally renormalize.
+        One narrow map — the direction inlines as a literal."""
+        from dumpr_spark.functions.similarity import remove_direction
+
+        return remove_direction(vectors, direction, vec_col, out_col,
+                                renormalize)
+
+    def bloom_semi_join_arrow(self, left: DataFrame, bloom,
+                              key_col: str) -> DataFrame:
+        """Scale-path bloom probe for filters past the literal-array cap
+        (m_bits up to 2^27): words ship as ONE broadcast variable per
+        executor, membership tested in an Arrow-batched numpy map —
+        identical keep/drop decisions to bloom_semi_join, still zero
+        shuffle."""
+        from dumpr_spark.operators.bloom import bloom_semi_join_arrow
+
+        return bloom_semi_join_arrow(left, bloom, key_col)
+
     def asof_enrich_stream(self, left: DataFrame, right: DataFrame, on: str,
                            left_time: str, right_time: str,
                            right_cols=None, tolerance_ms=None) -> DataFrame:

@@ -369,3 +369,146 @@ def train_centroids_lloyd(
     )
     assert all(len(v) == dim for v in cents.values())
     return cdf, counts, n_iters, converged
+
+
+def power_iteration_steps(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    start: float = 0.125,
+):
+    """Eps-rounded power iteration v <- normalize(A'Av) from the exact-double
+    uniform start `start` per dim: the engine-replayable trainer behind
+    embed_pca_power / embed_debias_topdir / remove_direction. Per step,
+    per-dim w is rounded to 6dp and the norm to 8dp IN-ENGINE, so every
+    step's inputs are bit-identical across engines and an unrolled SQL
+    oracle replays the loop exactly (the `_pca_iter_sql` CTE is the DuckDB
+    twin of one step).
+
+    Returns (v_in, w, nrm): the rounded direction FED INTO the last step
+    (a Python list) plus the last step's UNCOLLECTED per-dim sum and norm
+    DataFrames — lazy consumers (embed_pca_power) read w/nrm directly
+    without spending a corpus scan on a direction they never use;
+    collected consumers call power_iteration_topdir.
+
+    Scale shape: each step is one narrow map (a dim-float dot against a
+    broadcast literal) + a dim-cell partial-combining sum; the norm is a
+    1-row rollup of those cells; driver traffic is dim rounded doubles
+    per step.
+    """
+    if iters < 1:
+        raise ValueError("power_iteration_steps: iters must be >= 1")
+    dbl = _dbl(F.col(vec_col))
+    # contract guard (one tiny pre-scan, same discipline as the Lloyd
+    # trainer): an empty corpus has no direction, and a ragged dimension
+    # would silently null out zip_with elements in the fold below
+    shape = vectors.agg(
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not shape["n"]:
+        raise ValueError("power_iteration_steps: empty corpus, no direction")
+    if shape["dmin"] != shape["dmax"] or not shape["dmin"]:
+        raise ValueError(
+            f"power_iteration_steps: {vec_col} must be a fixed non-zero "
+            f"dimension, got sizes {shape['dmin']}..{shape['dmax']}"
+        )
+    v = [start] * shape["dmin"]
+    w = nrm = None
+    for it in range(iters):
+        # one ArrayType Literal (shared per row), not CreateArray (per-row
+        # construction) — see operators/bloom.py for the measured gap
+        vlit = F.lit([float(x) for x in v]).cast("array<double>")
+        s = F.aggregate(
+            F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+        dims = vectors.select(s.alias("s"), F.posexplode(dbl).alias("pos", "x"))
+        w = dims.groupBy("pos").agg(
+            F.round(F.sum(F.col("s") * F.col("x")) + 1e-9, 6).alias("w")
+        )
+        nrm = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + 1e-9, 8).alias("nrm")
+        )
+        if it == iters - 1:
+            break  # the last step's direction is the caller's choice
+        rows = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
+            .collect()
+        )
+        v = [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+    return v, w, nrm
+
+
+def power_iteration_topdir(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 2,
+    start: float = 0.125,
+) -> list:
+    """The collected rounded top direction after `iters` eps-rounded power
+    steps — dim floats of driver traffic, ready to inline as a literal in
+    a narrow-map consumer (remove_direction, a cosine diagnostic)."""
+    _, w, nrm = power_iteration_steps(vectors, vec_col, iters, start)
+    rows = (
+        w.crossJoin(F.broadcast(nrm))
+        .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
+        .collect()
+    )
+    return [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+
+
+def remove_direction(
+    vectors: DataFrame,
+    direction: list,
+    vec_col: str = "embedding",
+    out_col: str = "debiased",
+    renormalize: bool = True,
+) -> DataFrame:
+    """All-but-the-top APPLY step (Mu & Viswanath 2018): subtract each
+    vector's projection onto `direction` — x' = x - (x.u / u.u) u — and
+    optionally rescale x' to unit length. Removing the dominant common
+    direction measurably improves cosine retrieval; pair with
+    power_iteration_topdir (the trainer) and the embed_debias_topdir
+    diagnostic (how much anisotropy the removal deletes).
+
+    Adds `out_col` (array<double>) next to the input columns. Zero-vector
+    inputs and vectors exactly parallel to u renormalize to NULL (0/0)
+    rather than fabricating a direction.
+
+    Scale shape: `direction` inlines as a dim-double literal, so the whole
+    op is a narrow map over the scan — no join, no shuffle, codegen-
+    friendly; at 100 TB this composes with predicate pushdown upstream
+    and costs one projection.
+    """
+    if out_col in vectors.columns:
+        raise ValueError(f"remove_direction: column {out_col!r} already exists")
+    helpers = ("_rd_proj", "_rd_resid", "_rd_rnorm")
+    clash = set(helpers) & set(vectors.columns)
+    if clash:
+        raise ValueError(
+            f"remove_direction: column names {sorted(clash)} are reserved "
+            f"scaffolding — rename them on the input first"
+        )
+    ulit = F.lit([float(x) for x in direction]).cast("array<double>")
+    uu = sum(float(x) * float(x) for x in direction)
+    if uu == 0.0:
+        raise ValueError("remove_direction: direction must be non-zero")
+    # materialize proj (then the residual, then its norm) as helper
+    # columns: embedding the dot's fold inside the zip_with lambda would
+    # duplicate the whole aggregate tree per element
+    out = vectors.withColumn("_rd_proj", dot(F.col(vec_col), ulit) / F.lit(uu))
+    resid = F.zip_with(
+        _dbl(F.col(vec_col)), ulit, lambda x, u: x - F.col("_rd_proj") * u
+    )
+    if not renormalize:
+        return out.withColumn(out_col, resid).drop("_rd_proj")
+    out = out.withColumn("_rd_resid", resid).withColumn(
+        "_rd_rnorm", l2_norm(F.col("_rd_resid"))
+    )
+    unit = F.when(
+        F.col("_rd_rnorm") > 0,
+        F.transform(F.col("_rd_resid"), lambda x: x / F.col("_rd_rnorm")),
+    )
+    return out.withColumn(out_col, unit).drop(*helpers)

@@ -199,6 +199,9 @@ _R6_NEW: set = {
     "join_bloom_prefilter",
     # all-but-the-top anisotropy diagnostic off the power-iteration dir
     "embed_debias_topdir",
+    # the APPLY twin: remove_direction under the gate, per-row orthogonality
+    # + energy-kept proof (same two eps-rounded power steps as the diagnostic)
+    "embed_debias_apply",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -2763,29 +2763,13 @@ def embed_pca_power(spark, sf_dir):
     regardless of corpus size; the norm is a 1-row rollup of those cells
     (allowlisted scalar broadcast); driver traffic is 64 rounded doubles
     per step."""
+    from dumpr_spark.functions.similarity import power_iteration_steps
+
     e = t(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = [0.125] * 64
-    w = nrm = None
-    for it in range(3):
-        vlit = F.array(*[F.lit(float(x)) for x in v])
-        s = F.aggregate(
-            F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-        )
-        dims = e.select(s.alias("s"), F.posexplode(dbl).alias("pos", "x"))
-        w = dims.groupBy("pos").agg(
-            F.round(F.sum(F.col("s") * F.col("x")) + 1e-9, 6).alias("w")
-        )
-        nrm = w.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + 1e-9, 8).alias("nrm"))
-        if it == 2:
-            break  # the last step's v is never used — the returned plan
-            # reads w/nrm lazily; collecting here would waste a corpus scan
-        rows = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
-            .collect()
-        )
-        v = [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+    # the shared trainer (functions/similarity) returns the LAST step's
+    # w/nrm uncollected — the plan below reads them lazily; collecting the
+    # final direction would waste a corpus scan on a vector never used
+    _, w, nrm = power_iteration_steps(e, "embedding", iters=3)
     return (
         w.crossJoin(F.broadcast(nrm))
         .select(
@@ -2839,26 +2823,12 @@ def embed_debias_topdir(spark, sf_dir):
     cell-bounded passes, see embed_pca_power); the diagnostic itself is a
     narrow map over the corpus scan (a literal-array dot per row — no
     join, no shuffle beyond the |label|-cell aggregate)."""
+    from dumpr_spark.functions.similarity import power_iteration_topdir
+
     e = t(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = [0.125] * 64
-    for _ in range(2):
-        vlit = F.array(*[F.lit(float(x)) for x in v])
-        s = F.aggregate(
-            F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-        )
-        dims = e.select(s.alias("s"), F.posexplode(dbl).alias("pos", "x"))
-        w = dims.groupBy("pos").agg(
-            F.round(F.sum(F.col("s") * F.col("x")) + 1e-9, 6).alias("w")
-        )
-        nrm = w.agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + 1e-9, 8).alias("nrm"))
-        rows = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
-            .collect()
-        )
-        v = [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
-    vlit = F.array(*[F.lit(float(x)) for x in v])
+    v = power_iteration_topdir(e, "embedding", iters=2)
+    vlit = F.lit([float(x) for x in v]).cast("array<double>")
     proj = F.aggregate(
         F.zip_with(dbl, vlit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
     )
@@ -2878,3 +2848,78 @@ def embed_debias_topdir(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embed_debias_apply",
+    """
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    vv0 AS (SELECT list_transform(range(64), i -> 0.125) AS vec),
+    """
+    + ",".join(_pca_iter_sql(i) for i in (1, 2))
+    + """,
+    per AS (
+      SELECT c.vec_id, c.label, c.v, u.vec AS uv,
+             list_dot_product(c.v, u.vec) / list_dot_product(u.vec, u.vec) AS proj
+      FROM corpus c, (SELECT vec FROM vv2) u
+    ),
+    res AS (
+      SELECT vec_id, label, v, uv,
+             list_transform(range(len(v)), i -> v[i+1] - proj * uv[i+1]) AS r
+      FROM per
+    )
+    SELECT vec_id, label,
+           ROUND(list_dot_product(r, uv) /
+                 (sqrt(list_dot_product(r, r)) * sqrt(list_dot_product(uv, uv)))
+                 + 1e-9, 4) AS resid_cos,
+           ROUND(sqrt(list_dot_product(r, r)) / sqrt(list_dot_product(v, v))
+                 + 1e-9, 4) AS norm_ratio
+    FROM res ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "transform"),
+)
+def embed_debias_apply(spark, sf_dir):
+    """All-but-the-top APPLY (Mu & Viswanath 2018) under the correctness
+    gate: subtract each embedding's projection onto the power-iteration
+    top direction (functions/similarity.remove_direction — the operator
+    embed_debias_topdir only diagnoses) and emit per-vector proof that the
+    removal did what it claims: resid_cos = cos(x', v_top) — 0.0000 for
+    every row, orthogonality is exact to 4dp — and norm_ratio = |x'|/|x|,
+    the energy the vector keeps (the diagnostic's mean_resid_ratio is the
+    per-label mean of exactly this column). The direction is trained by
+    the SAME two eps-rounded power steps as embed_debias_topdir, so the
+    DuckDB oracle replays training bit-identically and every per-row
+    double matches.
+
+    Scale shape: training is two cell-bounded passes (64 cells, see
+    embed_pca_power); the apply is ONE narrow map over the corpus scan —
+    the direction inlines as a 64-double literal, projection and residual
+    are per-row folds, no join, no shuffle. At 100 TB the debias costs a
+    single projection pass and composes with column pruning (only the
+    vector column is read)."""
+    from dumpr_spark.functions.similarity import (
+        power_iteration_topdir,
+        remove_direction,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    u = power_iteration_topdir(e, "embedding", iters=2)
+    ulit = F.lit([float(x) for x in u]).cast("array<double>")
+    deb = remove_direction(e, u, vec_col="embedding", out_col="r",
+                           renormalize=False)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    r = F.col("r")
+    r_dot_u = F.aggregate(
+        F.zip_with(r, ulit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    r_norm = F.sqrt(F.aggregate(r, F.lit(0.0), lambda acc, z: acc + z * z))
+    u_norm = F.sqrt(F.aggregate(ulit, F.lit(0.0), lambda acc, z: acc + z * z))
+    x_norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, z: acc + z * z))
+    return deb.select(
+        "vec_id", "label",
+        eps_round(r_dot_u / (r_norm * u_norm), 4).alias("resid_cos"),
+        eps_round(r_norm / x_norm, 4).alias("norm_ratio"),
+    ).orderBy("vec_id")

@@ -511,3 +511,122 @@ def test_lloyd_trained_centroids_feed_ivf(spark, sf_dir):
     m1 = {r["cent_id"]: list(r["cent_vec"]) for r in trained.collect()}
     m2 = {r["cent_id"]: list(r["cent_vec"]) for r in trained2.collect()}
     assert m1 == m2 and counts == counts2 and n_iters == n_iters2
+
+
+def test_remove_direction_orthogonal_and_renormalized(spark, sf_dir):
+    """The all-but-the-top APPLY contract: after remove_direction the
+    residual is orthogonal to the trained direction (|cos| < 1e-9 per
+    row), the renormalized output is unit length, and the residual's
+    norm never exceeds the input's (a projection removal only shrinks)."""
+    from dumpr_spark.functions.similarity import (
+        dot,
+        l2_norm,
+        power_iteration_topdir,
+        remove_direction,
+    )
+    from dumpr_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = power_iteration_topdir(e, "embedding", iters=2)
+    assert len(u) == 64 and abs(sum(x * x for x in u) - 1.0) < 1e-4
+
+    ulit = F.array(*[F.lit(float(x)) for x in u])
+    raw = remove_direction(e, u, out_col="r", renormalize=False)
+    stats = raw.agg(
+        F.max(F.abs(dot(F.col("r"), ulit))).alias("max_dot"),
+        F.max(l2_norm(F.col("r")) / l2_norm(F.col("embedding"))).alias("max_ratio"),
+    ).collect()[0]
+    assert stats["max_dot"] < 1e-9, stats
+    assert stats["max_ratio"] <= 1.0 + 1e-12, stats
+
+    unit = remove_direction(e, u, out_col="r", renormalize=True)
+    norms = unit.where(F.col("r").isNotNull()).agg(
+        F.min(l2_norm(F.col("r"))).alias("lo"),
+        F.max(l2_norm(F.col("r"))).alias("hi"),
+    ).collect()[0]
+    assert abs(norms["lo"] - 1.0) < 1e-9 and abs(norms["hi"] - 1.0) < 1e-9
+
+
+def test_remove_direction_is_narrow_map_and_guards(spark):
+    """The apply is a pure projection: no Exchange in the plan (the
+    direction ships as a literal), reserved/duplicate column names fail
+    loudly, a zero direction is rejected, and a vector parallel to the
+    direction renormalizes to NULL instead of a fabricated unit vector."""
+    from dumpr_spark.functions.similarity import remove_direction
+    from dumpr_spark.operators.scale import explain_str
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = remove_direction(df, [1.0, 0.0], out_col="r")
+    assert "Exchange" not in explain_str(out)
+
+    rows = {r["vec_id"]: r["r"] for r in out.collect()}
+    # rows 1,2 are parallel to the direction: residual is 0 -> NULL unit
+    assert rows[1] is None and rows[2] is None
+    assert [round(x, 9) for x in rows[3]] == [0.0, 1.0]
+
+    with pytest.raises(ValueError, match="already exists"):
+        remove_direction(df, [1.0, 0.0], out_col="embedding")
+    with pytest.raises(ValueError, match="reserved"):
+        remove_direction(df.withColumn("_rd_proj", F.lit(1)), [1.0, 0.0])
+    with pytest.raises(ValueError, match="non-zero"):
+        remove_direction(df, [0.0, 0.0])
+
+
+def test_power_iteration_guards(spark):
+    """The trainer fails loudly on an empty corpus or ragged dimension —
+    the failure modes that would otherwise surface as a None seed or
+    silently nulled zip_with folds (same contract as the Lloyd trainer)."""
+    from dumpr_spark.functions.similarity import power_iteration_steps
+
+    empty = spark.createDataFrame([], "vec_id INT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        power_iteration_steps(empty, "embedding")
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="fixed non-zero"):
+        power_iteration_steps(ragged, "embedding")
+    with pytest.raises(ValueError, match="iters"):
+        power_iteration_steps(ragged, "embedding", iters=0)
+
+
+def test_remove_direction_matches_numpy_reference(spark):
+    """Randomized equivalence: remove_direction over random vectors (mixed
+    signs and magnitudes, a non-unit direction) matches the numpy formula
+    x - (x.u/u.u)u elementwise to 1e-9, renormalized where defined."""
+    import numpy as np
+
+    from dumpr_spark.functions.similarity import remove_direction
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 200
+    X = rng.normal(scale=3.0, size=(n, dim))
+    X[0] = 0.0  # zero vector: residual 0, renormalized -> NULL
+    u = rng.normal(size=dim) * 2.5  # deliberately NOT unit length
+    X[1] = 4.0 * u  # parallel vector: residual ~0
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["r"]
+        for r in remove_direction(df, [float(x) for x in u],
+                                  out_col="r", renormalize=False).collect()
+    }
+    R = X - np.outer(X @ u / (u @ u), u)
+    for i in range(n):
+        assert np.allclose(got[i], R[i], atol=1e-9), i
+
+    unit = {
+        r["vec_id"]: r["r"]
+        for r in remove_direction(df, [float(x) for x in u],
+                                  out_col="r", renormalize=True).collect()
+    }
+    assert unit[0] is None  # zero vector
+    for i in range(2, n):
+        nrm = np.linalg.norm(R[i])
+        assert np.allclose(unit[i], R[i] / nrm, atol=1e-9), i

@@ -9,6 +9,8 @@ streaming checkpoint; these helpers reproduce the *queryable* semantics.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -21,32 +23,77 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
     like the reference's stateful transducer.
 
     Scale shape (r4: replaced the single-partition ``last_value OVER (ORDER BY
-    seq)`` window): rotate events are SPARSE — one per binlog file — so the
-    carry-forward is an as-of assignment against a tiny boundary table. The
-    sorted (seq, file) rotate list is one broadcast array; each event picks
-    the last boundary at-or-before its seq with a JVM higher-order filter.
-    No shuffle, no global sort, no single-task window — the event side stays
-    on its scan partitioning. Cost per row is linear in |binlog files|
-    (thousands at most; a 1 GiB-capped binlog needs ~100k files per 100 TB
-    of churn, still a few-MB broadcast)."""
-    rot = events.where(F.col("rotate_file").isNotNull()).select(
-        F.col(seq_col).alias("_rs"), F.col("rotate_file").alias("_rf")
+    seq)`` window; r6: replaced the broadcast-join linear scan): rotate
+    events are SPARSE — one per binlog file — so the boundary list is
+    METADATA-sized (a 1 GiB-capped binlog is ~100k files per 100 TB of
+    churn). It is collected once, chunked into ~sqrt(n) buckets, and
+    inlined as constant-folded plan literals (one string literal each,
+    split+cast — see operators/bloom.py for why NOT F.lit(list) or a
+    broadcast join); each event then runs two integer-count folds — which
+    chunk, then which entry — ~2*sqrt(n) comparisons per row against the
+    SHARED constants. No join, no shuffle, no global sort: the event side
+    stays a pure narrow map on its scan partitioning.
+
+    Two rejected shapes, both measured at sf0.1 (150k events x 11.5k
+    rotates): per-row ``F.filter``+take-last over one broadcast array
+    (O(n) comparisons AND an O(n) materialization per event, 254.6 s) and
+    the same chunked lookup through a 1-row crossJoin (each joined row
+    physically copies the full nested array before the projection reads
+    it — ~350 KB/row, 45 s). The literal form takes ~6 s warm."""
+    from dumpr_spark.functions.expr import let
+
+    rot_rows = sorted(
+        (r["_rs"], r["_rf"])
+        for r in events.where(F.col("rotate_file").isNotNull())
+        .select(F.col(seq_col).alias("_rs"), F.col("rotate_file").alias("_rf"))
+        .collect()
     )
-    rot_arr = rot.agg(
-        F.array_sort(F.collect_list(F.struct("_rs", "_rf"))).alias("_rots")
-    )
-    applicable = F.filter(F.col("_rots"), lambda r: r["_rs"] <= F.col(seq_col))
-    return (
-        events.where(F.col("rotate_file").isNull())
-        .crossJoin(F.broadcast(rot_arr))
-        .withColumn(
-            "next_file",
-            # try_element_at: events BEFORE the first rotate see an empty
-            # applicable list and fall back to the initial file
-            F.coalesce(F.try_element_at(applicable, F.lit(-1))["_rf"], F.lit(init_file)),
+    data = events.where(F.col("rotate_file").isNull()).drop("rotate_file")
+    if not rot_rows:
+        return data.withColumn("next_file", F.lit(init_file))
+    files = [rf for _, rf in rot_rows]
+    if any(f is None or "\x1f" in f for f in files):
+        raise ValueError(
+            "stamp_binlog_filename: rotate filenames must be non-null and "
+            "free of the 0x1f literal separator"
         )
-        .drop("_rots", "rotate_file")
+    n = len(rot_rows)
+    csz = max(1, math.isqrt(n - 1) + 1)  # ceil(sqrt(n))
+    seqs = [rs for rs, _ in rot_rows]
+    firsts = seqs[0::csz]
+    firsts_lit = F.split(
+        F.lit(",".join(str(x) for x in firsts)), ","
+    ).cast("array<long>")
+    flat_rs = F.split(F.lit(",".join(str(x) for x in seqs)), ",").cast("array<long>")
+    flat_rf = F.split(F.lit("\x1f".join(files)), "\x1f")
+    seq = F.col(seq_col)
+
+    def count_le(arr):
+        # sorted input, so "how many entries <= seq" IS the 1-based index
+        # of the last applicable entry (0 = none)
+        return F.aggregate(
+            arr, F.lit(0), lambda a, v: F.when(v <= seq, a + 1).otherwise(a)
+        )
+
+    # outer fold picks the chunk, inner fold the entry within the chunk's
+    # slice; the chunk index is let-bound (functions/expr.let) so its fold
+    # runs once per row
+    gidx = let(
+        count_le(firsts_lit),
+        lambda ci: F.when(
+            ci > 0,
+            (ci - 1) * F.lit(csz)
+            + count_le(F.slice(flat_rs, (ci - 1) * F.lit(csz) + 1, csz)),
+        ),
     )
+    # events BEFORE the first rotate count 0 chunks -> NULL index -> fall
+    # back to the initial file. The null test is EXPLICIT: element_at with
+    # a NULL ordinal resolves as -1 (the LAST element) rather than NULL —
+    # observed on Spark 4.1, regression-pinned in test_cdc_core.
+    hit = let(
+        gidx, lambda gi: F.when(gi.isNotNull(), F.element_at(flat_rf, gi))
+    )
+    return data.withColumn("next_file", F.coalesce(hit, F.lit(init_file)))
 
 
 def next_position(changes: DataFrame) -> dict | None:

@@ -398,23 +398,39 @@ def power_iteration_steps(
     """
     if iters < 1:
         raise ValueError("power_iteration_steps: iters must be >= 1")
-    dbl = _dbl(F.col(vec_col))
-    # contract guard (one tiny pre-scan, same discipline as the Lloyd
-    # trainer): an empty corpus has no direction, and a ragged dimension
-    # would silently null out zip_with elements in the fold below
-    shape = vectors.agg(
-        F.min(F.size(F.col(vec_col))).alias("dmin"),
-        F.max(F.size(F.col(vec_col))).alias("dmax"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if not shape["n"]:
+    # dim probe: ONE row, not a corpus scan (review pin — the trainer's
+    # callers exist to avoid wasted passes). Raggedness is guarded per
+    # row below instead: a mismatched vector would silently null out
+    # zip_with elements in the fold, so it raises in-engine at first touch.
+    head = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if not head:
         raise ValueError("power_iteration_steps: empty corpus, no direction")
-    if shape["dmin"] != shape["dmax"] or not shape["dmin"]:
+    dim = head[0]["d"]
+    if not dim:
         raise ValueError(
             f"power_iteration_steps: {vec_col} must be a fixed non-zero "
-            f"dimension, got sizes {shape['dmin']}..{shape['dmax']}"
+            f"dimension, first row has size {dim}"
         )
-    v = [start] * shape["dmin"]
+    dbl = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast("array<double>")
+    ).when(
+        F.size(F.col(vec_col)) == dim, _dbl(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"power_iteration_steps: {vec_col} must be a fixed "
+                      f"non-zero dimension, got size "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != {dim}"),
+            )
+        ).cast("array<double>")
+    )
+    v = [start] * dim
     w = nrm = None
     for it in range(iters):
         # one ArrayType Literal (shared per row), not CreateArray (per-row
@@ -432,13 +448,21 @@ def power_iteration_steps(
         )
         if it == iters - 1:
             break  # the last step's direction is the caller's choice
-        rows = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
-            .collect()
-        )
-        v = [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+        v = _collect_direction(w, nrm)
     return v, w, nrm
+
+
+def _collect_direction(w: DataFrame, nrm: DataFrame) -> list:
+    """Normalize-and-collect one power step's direction: the 6dp
+    eps-rounding here IS the cross-engine replay contract — it exists
+    exactly once so the intermediate and final directions can never
+    diverge."""
+    rows = (
+        w.crossJoin(F.broadcast(nrm))
+        .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
+        .collect()
+    )
+    return [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
 
 
 def power_iteration_topdir(
@@ -451,12 +475,7 @@ def power_iteration_topdir(
     steps — dim floats of driver traffic, ready to inline as a literal in
     a narrow-map consumer (remove_direction, a cosine diagnostic)."""
     _, w, nrm = power_iteration_steps(vectors, vec_col, iters, start)
-    rows = (
-        w.crossJoin(F.broadcast(nrm))
-        .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
-        .collect()
-    )
-    return [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
+    return _collect_direction(w, nrm)
 
 
 def remove_direction(
@@ -473,42 +492,53 @@ def remove_direction(
     power_iteration_topdir (the trainer) and the embed_debias_topdir
     diagnostic (how much anisotropy the removal deletes).
 
-    Adds `out_col` (array<double>) next to the input columns. Zero-vector
-    inputs and vectors exactly parallel to u renormalize to NULL (0/0)
-    rather than fabricating a direction.
+    Adds `out_col` (array<double>) next to the input columns. NULL
+    vectors stay NULL; zero vectors and vectors exactly parallel to u
+    renormalize to NULL (0/0) rather than fabricating a direction; a
+    vector whose dimension differs from `direction`'s raises in-engine
+    (silent zip_with null-padding would corrupt every element).
 
     Scale shape: `direction` inlines as a dim-double literal, so the whole
-    op is a narrow map over the scan — no join, no shuffle, codegen-
-    friendly; at 100 TB this composes with predicate pushdown upstream
-    and costs one projection.
+    op is a narrow map over the scan — no join, no shuffle; at 100 TB
+    this composes with predicate pushdown upstream and costs one
+    projection. The projection and residual norm are let-bound
+    (functions/expr.let): a helper column would be re-inlined into the
+    per-element lambdas by projection collapse and the dot fold
+    re-evaluated dim times per row.
     """
+    from dumpr_spark.functions.expr import let
+
     if out_col in vectors.columns:
         raise ValueError(f"remove_direction: column {out_col!r} already exists")
-    helpers = ("_rd_proj", "_rd_resid", "_rd_rnorm")
-    clash = set(helpers) & set(vectors.columns)
-    if clash:
-        raise ValueError(
-            f"remove_direction: column names {sorted(clash)} are reserved "
-            f"scaffolding — rename them on the input first"
-        )
+    n_dim = len(direction)
     ulit = F.lit([float(x) for x in direction]).cast("array<double>")
     uu = sum(float(x) * float(x) for x in direction)
     if uu == 0.0:
         raise ValueError("remove_direction: direction must be non-zero")
-    # materialize proj (then the residual, then its norm) as helper
-    # columns: embedding the dot's fold inside the zip_with lambda would
-    # duplicate the whole aggregate tree per element
-    out = vectors.withColumn("_rd_proj", dot(F.col(vec_col), ulit) / F.lit(uu))
-    resid = F.zip_with(
-        _dbl(F.col(vec_col)), ulit, lambda x, u: x - F.col("_rd_proj") * u
-    )
+    vec = F.col(vec_col)
+
+    def resid_of(pv):
+        return F.zip_with(_dbl(vec), ulit, lambda x, u: x - pv * u)
+
+    proj = dot(vec, ulit) / F.lit(uu)
     if not renormalize:
-        return out.withColumn(out_col, resid).drop("_rd_proj")
-    out = out.withColumn("_rd_resid", resid).withColumn(
-        "_rd_rnorm", l2_norm(F.col("_rd_resid"))
+        out = let(proj, resid_of)
+    else:
+        out = let(proj, lambda pv: let(resid_of(pv), lambda rv: let(
+            l2_norm(rv),
+            lambda nv: F.when(nv > 0, F.transform(rv, lambda x: x / nv)),
+        )))
+    guarded = (
+        F.when(vec.isNull(), F.lit(None).cast("array<double>"))
+        .when(F.size(vec) == n_dim, out)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"remove_direction: {vec_col} has dimension "),
+                    F.size(vec).cast("string"),
+                    F.lit(f" != direction dimension {n_dim}"),
+                )
+            ).cast("array<double>")
+        )
     )
-    unit = F.when(
-        F.col("_rd_rnorm") > 0,
-        F.transform(F.col("_rd_resid"), lambda x: x / F.col("_rd_rnorm")),
-    )
-    return out.withColumn(out_col, unit).drop(*helpers)
+    return vectors.withColumn(out_col, guarded)

@@ -19,8 +19,12 @@ same bits, so an oracle can replay membership exactly.
 Build cost: one pass over the right keys, k positions each, folded to
 m/64 longs with bit_or partial aggregation (map-side combining; the
 shuffle carries at most words_per_partition rows). The finished filter is
-m/64 longs on the driver — metadata-sized by design (m <= 2^22 enforced)
-— then broadcast back as a literal array.
+m/64 longs on the driver — metadata-sized by design (m <= 2^27 = 16 MiB
+enforced at build). Two probe tiers share the artifact: up to 2^20 bits
+the words ride in the plan as one constant (bloom_semi_join, pure
+codegen); above that they ship as a broadcast variable probed by an
+Arrow-batched numpy map (bloom_semi_join_arrow). Measured A/B and the
+three per-row-evaluation landmines: SCALE.md round-6.
 """
 
 from __future__ import annotations
@@ -64,13 +68,14 @@ def _positions(col, k: int, m_bits: int):
     digest per key, k positions, the standard fpp-preserving
     construction.
 
-    The digest is bound ONCE via a 1-element transform (Catalyst has no
+    The digest is let-bound ONCE (functions/expr.let — Catalyst has no
     let-expression, and neither projection collapse nor filter pushdown
     protects an expensive helper column from being re-inlined into every
-    consumer — the k independent position trees each re-derived the md5
+    consumer: the k independent position trees each re-derived the md5
     ~3x, measured 15 digests/row and a 24 s probe at sf0.1 where one
     digest/row takes 0.6 s). Everything inside the lambda is cheap
     integer arithmetic on the bound value."""
+    from dumpr_spark.functions.expr import let
 
     def from_h(hv):
         # integer bit ops only: h has 56 bits and a double division would
@@ -83,8 +88,7 @@ def _positions(col, k: int, m_bits: int):
             lambda i: ((h1 + i * h2) % F.lit(m_bits)).cast("long"),
         )
 
-    h = minhash_base_hash(col.cast("string"))
-    return F.element_at(F.transform(F.array(h), from_h), 1)
+    return let(minhash_base_hash(col.cast("string")), from_h)
 
 
 def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,

@@ -112,9 +112,13 @@ _R3_VERIFIED = {
 }
 # Names the driver hash-verified in round 4 (CORRECTNESS_r04.json: 50 of 50
 # checked, all hash_match — the whole r3 backlog + all of _R4_NEW).
+# Removed from _R4_VERIFIED (stale evidence): cdc_stamp_filename (the r6
+# sf0.1 timing census caught its broadcast-join linear scan at 254.6 s;
+# stamp_binlog_filename was rewritten to the chunked literal lookup and
+# locally re-gated green at 3 scales — needs a fresh driver row).
 _R4_VERIFIED = {
     "agg_approx_distinct", "agg_filter_clause", "agg_hll_mergeable",
-    "agg_quantile_mergeable", "agg_welch_ttest", "cdc_stamp_filename",
+    "agg_quantile_mergeable", "agg_welch_ttest",
     "cdc_tx_filter", "dedup_simhash", "embed_matryoshka", "embed_pq_codes",
     "events_anomaly_mad", "events_changepoint_cusum", "events_cohort_retention",
     "events_funnel_strict", "events_markov_transitions", "events_retention",

@@ -2872,11 +2872,13 @@ def embed_debias_topdir(spark, sf_dir):
       FROM per
     )
     SELECT vec_id, label,
-           ROUND(list_dot_product(r, uv) /
-                 (sqrt(list_dot_product(r, r)) * sqrt(list_dot_product(uv, uv)))
-                 + 1e-9, 4) AS resid_cos,
-           ROUND(sqrt(list_dot_product(r, r)) / sqrt(list_dot_product(v, v))
-                 + 1e-9, 4) AS norm_ratio
+           CASE WHEN sqrt(list_dot_product(r, r)) > 0 THEN
+             ROUND(list_dot_product(r, uv) /
+                   (sqrt(list_dot_product(r, r)) * sqrt(list_dot_product(uv, uv)))
+                   + 1e-9, 4) END AS resid_cos,
+           CASE WHEN sqrt(list_dot_product(v, v)) > 0 THEN
+             ROUND(sqrt(list_dot_product(r, r)) / sqrt(list_dot_product(v, v))
+                   + 1e-9, 4) END AS norm_ratio
     FROM res ORDER BY vec_id
     """,
     tags=("llm", "embedding", "transform"),
@@ -2892,7 +2894,9 @@ def embed_debias_apply(spark, sf_dir):
     per-label mean of exactly this column). The direction is trained by
     the SAME two eps-rounded power steps as embed_debias_topdir, so the
     DuckDB oracle replays training bit-identically and every per-row
-    double matches.
+    double matches. Degenerate rows (a zero embedding, or one exactly
+    parallel to v_top) yield NULL instead of a 0/0 — both engines guard
+    the denominators identically.
 
     Scale shape: training is two cell-bounded passes (64 cells, see
     embed_pca_power); the apply is ONE narrow map over the corpus scan —
@@ -2901,6 +2905,8 @@ def embed_debias_apply(spark, sf_dir):
     single projection pass and composes with column pruning (only the
     vector column is read)."""
     from dumpr_spark.functions.similarity import (
+        dot,
+        l2_norm,
         power_iteration_topdir,
         remove_direction,
     )
@@ -2910,16 +2916,15 @@ def embed_debias_apply(spark, sf_dir):
     ulit = F.lit([float(x) for x in u]).cast("array<double>")
     deb = remove_direction(e, u, vec_col="embedding", out_col="r",
                            renormalize=False)
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    r = F.col("r")
-    r_dot_u = F.aggregate(
-        F.zip_with(r, ulit, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-    )
-    r_norm = F.sqrt(F.aggregate(r, F.lit(0.0), lambda acc, z: acc + z * z))
-    u_norm = F.sqrt(F.aggregate(ulit, F.lit(0.0), lambda acc, z: acc + z * z))
-    x_norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, z: acc + z * z))
+    # the canonical folds (similarity.dot/l2_norm) — four hand-rolled
+    # copies of the determinism-critical fold order is how replay breaks
+    r_norm = l2_norm(F.col("r"))
+    x_norm = l2_norm(F.col("embedding"))
     return deb.select(
         "vec_id", "label",
-        eps_round(r_dot_u / (r_norm * u_norm), 4).alias("resid_cos"),
-        eps_round(r_norm / x_norm, 4).alias("norm_ratio"),
+        F.when(
+            r_norm > 0,
+            eps_round(dot(F.col("r"), ulit) / (r_norm * l2_norm(ulit)), 4),
+        ).alias("resid_cos"),
+        F.when(x_norm > 0, eps_round(r_norm / x_norm, 4)).alias("norm_ratio"),
     ).orderBy("vec_id")

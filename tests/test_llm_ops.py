@@ -549,14 +549,16 @@ def test_remove_direction_orthogonal_and_renormalized(spark, sf_dir):
 
 def test_remove_direction_is_narrow_map_and_guards(spark):
     """The apply is a pure projection: no Exchange in the plan (the
-    direction ships as a literal), reserved/duplicate column names fail
-    loudly, a zero direction is rejected, and a vector parallel to the
-    direction renormalizes to NULL instead of a fabricated unit vector."""
+    direction ships as a literal), duplicate output names and a zero
+    direction are rejected, a NULL vector stays NULL, a vector parallel
+    to the direction renormalizes to NULL instead of a fabricated unit
+    vector, and a dimension mismatch raises IN-ENGINE instead of
+    silently null-padding the zip_with (review pin)."""
     from dumpr_spark.functions.similarity import remove_direction
     from dumpr_spark.operators.scale import explain_str
 
     df = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [1.0, 1.0])],
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [1.0, 1.0]), (4, None)],
         "vec_id INT, embedding ARRAY<DOUBLE>",
     )
     out = remove_direction(df, [1.0, 0.0], out_col="r")
@@ -566,19 +568,22 @@ def test_remove_direction_is_narrow_map_and_guards(spark):
     # rows 1,2 are parallel to the direction: residual is 0 -> NULL unit
     assert rows[1] is None and rows[2] is None
     assert [round(x, 9) for x in rows[3]] == [0.0, 1.0]
+    assert rows[4] is None  # NULL in, NULL out — no error
 
     with pytest.raises(ValueError, match="already exists"):
         remove_direction(df, [1.0, 0.0], out_col="embedding")
-    with pytest.raises(ValueError, match="reserved"):
-        remove_direction(df.withColumn("_rd_proj", F.lit(1)), [1.0, 0.0])
     with pytest.raises(ValueError, match="non-zero"):
         remove_direction(df, [0.0, 0.0])
+    with pytest.raises(Exception, match="dimension"):
+        remove_direction(df, [1.0, 0.0, 5.0], out_col="r").collect()
 
 
 def test_power_iteration_guards(spark):
     """The trainer fails loudly on an empty corpus or ragged dimension —
     the failure modes that would otherwise surface as a None seed or
-    silently nulled zip_with folds (same contract as the Lloyd trainer)."""
+    silently nulled zip_with folds (same contract as the Lloyd trainer).
+    The dim probe reads ONE row (no guard corpus scan — review pin);
+    raggedness raises in-engine on first touch."""
     from dumpr_spark.functions.similarity import power_iteration_steps
 
     empty = spark.createDataFrame([], "vec_id INT, embedding ARRAY<DOUBLE>")
@@ -587,8 +592,8 @@ def test_power_iteration_guards(spark):
     ragged = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [1.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
     )
-    with pytest.raises(ValueError, match="fixed non-zero"):
-        power_iteration_steps(ragged, "embedding")
+    with pytest.raises(Exception, match="fixed non-zero"):
+        power_iteration_steps(ragged, "embedding", iters=2)
     with pytest.raises(ValueError, match="iters"):
         power_iteration_steps(ragged, "embedding", iters=0)
 

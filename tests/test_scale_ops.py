@@ -729,8 +729,9 @@ def test_bloom_semi_join_probe_has_no_shuffle(spark):
     probed = bloom_semi_join(left.withColumn("_bloom", F.lit(1)), bloom, "k")
     assert probed.columns == ["k", "_bloom"]
     # ONE digest per row: the md5 appears exactly once in the physical plan
-    # (the let-binding idiom — k naive position trees would carry ~3k copies)
-    assert explain_str(probed).lower().count("md5") <= 1
+    # (the let-binding idiom — k naive position trees would carry ~3k
+    # copies; zero would mean the probe stopped hashing at all)
+    assert explain_str(probed).lower().count("md5") == 1
 
 
 def test_bloom_arrow_probe_matches_literal_probe(spark):

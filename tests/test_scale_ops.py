@@ -836,3 +836,52 @@ def test_bloom_probe_on_stream(spark, tmp_path):
     assert len(got - exact) <= 0.1 * 1500 + 10
     # the Arrow probe (mapInPandas) composes with streams identically
     assert results["arrow"] == got
+
+
+def test_expr_let_semantics(spark):
+    """functions/expr.let: the bound value reaches the body exactly, NULL
+    binds as NULL and propagates, and nesting works (the idiom the bloom
+    probe, the filename carry, and remove_direction all build on)."""
+    from dumpr_spark.functions.expr import let
+
+    df = spark.createDataFrame([(2,), (None,)], "x INT")
+    out = df.select(
+        let(F.col("x") + 1, lambda v: v * v).alias("sq"),
+        let(F.col("x"), lambda a: let(a + 10, lambda b: a + b)).alias("nested"),
+    ).collect()
+    got = {r["sq"]: r["nested"] for r in out}
+    assert got == {9: 14, None: None}
+
+
+def test_bloom_probes_agree_on_adversarial_keys(spark):
+    """Randomized probe equivalence on hostile key types: negative longs,
+    unicode strings, empty strings — the JVM literal probe and the
+    Python/numpy Arrow probe must keep/drop identical rows (the md5 is
+    computed from the same UTF-8 bytes on both sides)."""
+    import random
+
+    from dumpr_spark.operators.bloom import (
+        bloom_semi_join,
+        bloom_semi_join_arrow,
+        build_bloom,
+    )
+
+    rng = random.Random(11)
+    longs = [rng.randint(-(2**62), 2**62) for _ in range(300)]
+    right_l = spark.createDataFrame([(x,) for x in longs[:150]], "k long")
+    left_l = spark.createDataFrame([(x,) for x in longs], "k long")
+    bl = build_bloom(right_l, "k", m_bits=1 << 12, k=4)
+    a = sorted(r["k"] for r in bloom_semi_join(left_l, bl, "k").collect())
+    b = sorted(r["k"] for r in bloom_semi_join_arrow(left_l, bl, "k").collect())
+    assert a == b and set(longs[:150]) <= set(a)
+
+    words = ["", "héllo", "κόσμε", "naïve café", "line\nbreak", "tab\tsep",
+             "日本語テキスト", "emoji 🎉🚀", "a,b|c\x01d"] + [
+        f"w{i}·{i**2}" for i in range(200)
+    ]
+    right_s = spark.createDataFrame([(x,) for x in words[:100]], "k string")
+    left_s = spark.createDataFrame([(x,) for x in words], "k string")
+    bs = build_bloom(right_s, "k", m_bits=1 << 12, k=4)
+    a = sorted(r["k"] for r in bloom_semi_join(left_s, bs, "k").collect())
+    b = sorted(r["k"] for r in bloom_semi_join_arrow(left_s, bs, "k").collect())
+    assert a == b and set(words[:100]) <= set(a)

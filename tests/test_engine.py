@@ -238,3 +238,33 @@ def test_engine_facade_round6_surface(spark, sf_dir):
         emb, emb.where(F.col("vec_id") < 3), k=2, method="ivf", centroids=cents
     )
     assert topk.count() > 0
+
+
+def test_engine_facade_debias_and_bloom_tiers(spark, sf_dir):
+    """The session-2 round-6 additions ride the public facade: the
+    trained top direction feeds remove_direction (orthogonal residuals),
+    and both bloom probe tiers keep identical rows through Engine."""
+    from dumpr_spark.engine import Engine
+    from dumpr_spark.functions.similarity import dot, l2_norm
+
+    eng = Engine(spark).load_dir(sf_dir)
+    emb = eng.table("embeddings").select("vec_id", "embedding")
+
+    u = eng.top_direction(emb, iters=2)
+    assert len(u) == 64
+    deb = eng.remove_direction(emb, u, out_col="r", renormalize=False)
+    ulit = F.array(*[F.lit(float(x)) for x in u])
+    worst = deb.agg(F.max(F.abs(dot(F.col("r"), ulit)))).first()[0]
+    assert worst < 1e-9
+
+    keys = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    bloom = eng.bloom_filter(keys, "vec_id", m_bits=1 << 12, k=4)
+    lit_ids = sorted(
+        r["vec_id"] for r in eng.bloom_semi_join(emb, bloom, "vec_id").collect()
+    )
+    arw_ids = sorted(
+        r["vec_id"]
+        for r in eng.bloom_semi_join_arrow(emb, bloom, "vec_id").collect()
+    )
+    assert lit_ids == arw_ids
+    assert {r["vec_id"] for r in keys.collect()} <= set(lit_ids)

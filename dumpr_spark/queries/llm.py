@@ -504,6 +504,35 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+def _blocked_cosine_pairs(e):
+    """Shared twin-injection + label-blocked pair scoring for the two
+    embedding near-dup queries (dedup_embedding_cosine threshold 0.3,
+    dedup_semantic_clusters threshold 0.35 -> CC). ONE edit point on
+    purpose: each query's oracle hash pins this block bit-for-bit, so a
+    tweak applied to one copy but not the other would silently diverge
+    their semantics while both still pass their own gates (review pin).
+
+    Norms precompute per ROW before the blocking join — the join boundary
+    materializes them where projection collapse cannot re-inline the
+    fold, leaving one dot fold per candidate pair (SCALE.md round-6).
+    Returns (pairs_df with a/b/ea/eb/na/nb, cosine Column)."""
+    twins = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
+    a = corpus.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label",
+        sim.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label",
+        sim.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(b, "label").where(F.col("a") < F.col("b"))
+    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return pairs, cos
+
+
 @query(
     "dedup_embedding_cosine",
     """
@@ -531,28 +560,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     equi-join — the 100 TB shape (blocking = coarse clustering; here the
     `label` column, in production an IVF cell or LSH bucket, see
     similarity.ivf_assign). Exact twins (vec_id % 25 == 0, id + 100000)
-    are injected so true duplicates (sim = 1.0) exist. Norms are
-    precomputed per ROW before the join (one dot fold per candidate pair
-    instead of three folds + four array casts — same doubles, same
-    oracle; see dedup_semantic_clusters)."""
-    e = t(spark, sf_dir, "embeddings")
-    twins = e.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
-    )
-    corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
-    a = corpus.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label",
-        sim.l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label",
-        sim.l2_norm(F.col("embedding")).alias("nb"),
-    )
-    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    are injected so true duplicates (sim = 1.0) exist. Pair construction
+    and scoring shared with dedup_semantic_clusters via
+    _blocked_cosine_pairs (per-row norm precompute — same doubles, same
+    oracle)."""
+    pairs, cos = _blocked_cosine_pairs(t(spark, sf_dir, "embeddings"))
     return (
-        a.join(b, "label")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", eps_round(cos, 6).alias("sim"))
+        pairs.select("a", "b", eps_round(cos, 6).alias("sim"))
         .where(F.col("sim") >= 0.3)
         .orderBy("a", "b")
     )
@@ -896,31 +910,12 @@ def dedup_semantic_clusters(spark, sf_dir):
     components make both CC and any transitive oracle quadratic — a real
     semantic-dedup tuning concern, not just a test artifact.
 
-    Per-pair cost: norms are precomputed per ROW before the join (the
-    join boundary materializes them, so collapse cannot re-inline the
-    fold per pair) — one dot fold per candidate pair instead of three
-    folds + four array casts; same doubles, same oracle. Measured
-    40.7 s -> ~14 s at sf0.1."""
-    e = t(spark, sf_dir, "embeddings")
-    twins = e.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
-    )
-    corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
-    a = corpus.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label",
-        sim.l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "label",
-        sim.l2_norm(F.col("embedding")).alias("nb"),
-    )
-    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("a") < F.col("b"))
-        .where(eps_round(cos, 6) >= 0.35)
-        .select("a", "b")
-    )
+    Pair construction and scoring shared with dedup_embedding_cosine via
+    _blocked_cosine_pairs (per-row norm precompute — one dot fold per
+    candidate pair instead of three folds + four array casts; measured
+    40.7 s -> ~14 s at sf0.1, same doubles, same oracle)."""
+    scored, cos = _blocked_cosine_pairs(t(spark, sf_dir, "embeddings"))
+    pairs = scored.where(eps_round(cos, 6) >= 0.35).select("a", "b")
     comps = dd.connected_components(pairs)
     return comps.select(
         F.col("n").alias("vec_id"), F.col("comp").alias("cluster_id")

@@ -9,8 +9,6 @@ streaming checkpoint; these helpers reproduce the *queryable* semantics.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -26,20 +24,26 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
     seq)`` window; r6: replaced the broadcast-join linear scan): rotate
     events are SPARSE — one per binlog file — so the boundary list is
     METADATA-sized (a 1 GiB-capped binlog is ~100k files per 100 TB of
-    churn). It is collected once, chunked into ~sqrt(n) buckets, and
-    inlined as constant-folded plan literals (one string literal each,
-    split+cast — see operators/bloom.py for why NOT F.lit(list) or a
-    broadcast join); each event then runs two integer-count folds — which
-    chunk, then which entry — ~2*sqrt(n) comparisons per row against the
-    SHARED constants. No join, no shuffle, no global sort: the event side
+    churn). It is collected once and inlined as two constant-folded plan
+    literals (one string literal each, split+cast — see
+    operators/bloom.py for why NOT F.lit(list) or a broadcast join);
+    each event then resolves its boundary with an UNROLLED branchless
+    binary search — ceil(log2 n) let-bound probes of the shared sorted
+    constant (~14 at 11.5k rotates, 17 at 100k), zero per-row
+    allocation. No join, no shuffle, no global sort: the event side
     stays a pure narrow map on its scan partitioning.
 
-    Two rejected shapes, both measured at sf0.1 (150k events x 11.5k
+    Three rejected shapes, all measured at sf0.1 (150k events x 11.5k
     rotates): per-row ``F.filter``+take-last over one broadcast array
-    (O(n) comparisons AND an O(n) materialization per event, 254.6 s) and
-    the same chunked lookup through a 1-row crossJoin (each joined row
-    physically copies the full nested array before the projection reads
-    it — ~350 KB/row, 45 s). The literal form takes ~6 s warm."""
+    (O(n) comparisons AND an O(n) materialization per event, 254.6 s);
+    the same lookup through a 1-row crossJoin (each joined row
+    physically copies the full array before the projection reads it —
+    ~350 KB/row, 45 s); two-level sqrt(n) chunked counting folds
+    (~2*sqrt(n) interpreted fold steps + a chunk slice per row, ~6 s).
+    The binary-search form takes ~4 s warm (each let costs an
+    interpreted transform wrapper, so the per-probe constant is higher
+    than a raw comparison — still the winning shape, and the gap to the
+    fold form widens with n)."""
     from dumpr_spark.functions.expr import let
 
     rot_rows = sorted(
@@ -58,40 +62,40 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
             "free of the 0x1f literal separator"
         )
     n = len(rot_rows)
-    csz = max(1, math.isqrt(n - 1) + 1)  # ceil(sqrt(n))
     seqs = [rs for rs, _ in rot_rows]
-    firsts = seqs[0::csz]
-    firsts_lit = F.split(
-        F.lit(",".join(str(x) for x in firsts)), ","
-    ).cast("array<long>")
     flat_rs = F.split(F.lit(",".join(str(x) for x in seqs)), ",").cast("array<long>")
     flat_rf = F.split(F.lit("\x1f".join(files)), "\x1f")
     seq = F.col(seq_col)
 
-    def count_le(arr):
-        # sorted input, so "how many entries <= seq" IS the 1-based index
-        # of the last applicable entry (0 = none)
-        return F.aggregate(
-            arr, F.lit(0), lambda a, v: F.when(v <= seq, a + 1).otherwise(a)
+    # branchless binary search for "how many rotate seqs <= seq" — which,
+    # on the sorted constant, IS the 1-based index of the last applicable
+    # boundary (0 = none). Each step tests one probe position; k is
+    # let-bound so the chain evaluates each partial count exactly once.
+    # try_element_at past the end yields NULL -> NULL <= seq -> when
+    # falls through to otherwise(k), so no bounds branch is needed.
+    def search_step(prev, p):
+        # NOTE: the body must be a ONE-parameter callable — pyspark treats
+        # a two-parameter lambda passed to transform as (element, index),
+        # silently rebinding the second name to the array index
+        return let(
+            prev,
+            lambda k: F.when(
+                F.try_element_at(flat_rs, (k + F.lit(p)).cast("int")) <= seq,
+                k + F.lit(p),
+            ).otherwise(k),
         )
 
-    # outer fold picks the chunk, inner fold the entry within the chunk's
-    # slice; the chunk index is let-bound (functions/expr.let) so its fold
-    # runs once per row
-    gidx = let(
-        count_le(firsts_lit),
-        lambda ci: F.when(
-            ci > 0,
-            (ci - 1) * F.lit(csz)
-            + count_le(F.slice(flat_rs, (ci - 1) * F.lit(csz) + 1, csz)),
-        ),
-    )
-    # events BEFORE the first rotate count 0 chunks -> NULL index -> fall
-    # back to the initial file. The null test is EXPLICIT: element_at with
-    # a NULL ordinal resolves as -1 (the LAST element) rather than NULL —
-    # observed on Spark 4.1, regression-pinned in test_cdc_core.
+    k_expr = F.lit(0)
+    for p in (1 << i for i in range(n.bit_length() - 1, -1, -1)):
+        k_expr = search_step(k_expr, p)
+    # events BEFORE the first rotate count 0 -> fall back to the initial
+    # file. The positivity test is EXPLICIT (not a coalesce on a NULL
+    # index): element_at with a NULL ordinal resolves as -1 (the LAST
+    # element) rather than NULL — observed on Spark 4.1,
+    # regression-pinned in test_cdc_core.
     hit = let(
-        gidx, lambda gi: F.when(gi.isNotNull(), F.element_at(flat_rf, gi))
+        k_expr,
+        lambda k: F.when(k > 0, F.element_at(flat_rf, k.cast("int"))),
     )
     return data.withColumn("next_file", F.coalesce(hit, F.lit(init_file)))
 

@@ -885,3 +885,24 @@ def test_bloom_probes_agree_on_adversarial_keys(spark):
     a = sorted(r["k"] for r in bloom_semi_join(left_s, bs, "k").collect())
     b = sorted(r["k"] for r in bloom_semi_join_arrow(left_s, bs, "k").collect())
     assert a == b and set(words[:100]) <= set(a)
+
+
+def test_bloom_build_is_partitioning_invariant(spark):
+    """The BloomFilter artifact is DETERMINISTIC data, not an execution
+    accident: building from the same key set under different input
+    partitionings, duplicated keys, or a shuffled row order yields a
+    bit-identical words array (bit_or is commutative/idempotent and the
+    positions are pure functions of the key) — the property that makes
+    a cached artifact reusable across queries and engines."""
+    from dumpr_spark.operators.bloom import build_bloom
+
+    keys = spark.range(0, 4000, 3).select(F.col("id").alias("k"))
+    base = build_bloom(keys, "k", m_bits=1 << 14, k=5)
+    variants = [
+        keys.repartition(17),
+        keys.coalesce(1),
+        keys.union(keys),                       # duplicates are no-ops
+        keys.orderBy(F.desc("k")),
+    ]
+    for i, v in enumerate(variants):
+        assert build_bloom(v, "k", m_bits=1 << 14, k=5) == base, i

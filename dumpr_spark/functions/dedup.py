@@ -207,6 +207,85 @@ def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: st
     return edges.unionByName(lsh)
 
 
+def minhash_accuracy_audit(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 8,
+                           band_size: int = 2, k: int = 3,
+                           sample_frac: float | None = None,
+                           max_pairs: int | None = None) -> DataFrame:
+    """Sketch-calibration table: for each LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (fraction of the num_hashes
+    components that agree) beside the EXACT k-gram-set Jaccard. Returns
+    (a, b, est_j, exact_j) as raw doubles — callers round/alias.
+
+    The exact leg joins the two docs' distinct shingle-hash sets, which
+    grows with candidate volume (~3x at 10x rows measured at sf0.1 —
+    SCALE.md round-6 curve, the engine's only super-linear entry). The
+    estimate-vs-exact error curve needs thousands of pairs, not billions,
+    so at volume subset the CANDIDATES before either audit leg:
+
+    - ``sample_frac``: keep a pair iff its md5 hash-bucket falls under the
+      fraction (`functions/sampling.hash_bucket` discipline) — stable
+      across runs/engines, unbiased in the pair population.
+    - ``max_pairs``: deterministic top-N by the same md5 key, compiled to
+      TakeOrderedAndProject (per-partition heap, never a full sort) — a
+      hard output bound when candidate volume is unknown.
+
+    Both default to None: the FULL population, the driver-gate-checked
+    path (query ``dedup_minhash_accuracy``). Filters land on the pair list
+    itself, so the expensive exact leg only ever sees the subset."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k)
+    cands = lsh_candidate_pairs(
+        lsh_bands(sig, id_col, num_hashes, band_size), id_col
+    )
+    pair_key = F.md5(F.concat_ws("|", "a", "b"))
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        from dumpr_spark.functions.sampling import hash_bucket
+        cands = cands.where(
+            hash_bucket(F.concat_ws("|", "a", "b"), 1_000_000)
+            < int(round(sample_frac * 1_000_000))
+        )
+    if max_pairs is not None:
+        cands = cands.orderBy(pair_key, "a", "b").limit(max_pairs)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = (
+        cands.join(sa, F.col("a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("b") == F.col(f"sb.{id_col}"))
+        .select("a", "b", (agree / F.lit(float(num_hashes))).alias("est_j"))
+    )
+    shset = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), minhash_base_hash)
+        )).alias("h"),
+    ).distinct()
+    sizes = shset.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    xa, xb = shset.alias("xa"), shset.alias("xb")
+    inter = (
+        cands.join(xa, F.col("a") == F.col(f"xa.{id_col}"))
+        .join(xb, (F.col("b") == F.col(f"xb.{id_col}")) & (F.col("xa.h") == F.col("xb.h")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ni"))
+    )
+    za = sizes.select(F.col(id_col).alias("_za"), F.col("n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("_zb"), F.col("n").alias("nb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0.0))
+    exact = ni / (F.col("na") + F.col("nb") - ni)
+    return (
+        est.join(inter, ["a", "b"], "left")
+        .join(za, F.col("a") == F.col("_za"))
+        .join(zb, F.col("b") == F.col("_zb"))
+        .select("a", "b", "est_j", exact.alias("exact_j"))
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over an undirected pair graph (a, b) by iterative
     min-label propagation: every node's label becomes the min label among

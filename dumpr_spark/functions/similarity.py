@@ -280,16 +280,20 @@ def train_centroids_lloyd(
     k x dim rounded doubles per iteration — metadata-sized by design.
     """
     spark = vectors.sparkSession
-    # Contract guard (one tiny pre-scan): ids non-null and int-castable,
-    # vectors a uniform non-zero dimension. Ragged/empty arrays would
-    # silently undercount members in the posexplode rollup below, and a
-    # null id would seed a None centroid key — fail loudly instead.
+    # Contract guard (one tiny pre-scan): ids non-null, DISTINCT, and
+    # int-castable; vectors a uniform non-zero dimension. Ragged/empty
+    # arrays would silently undercount members in the posexplode rollup
+    # below, a null id would seed a None centroid key, and a duplicate id
+    # would be silently collapsed to one assignment row by ivf_assign's
+    # row_number-over-id dedup (undercounting cluster members/means with
+    # no error the oracle could catch) — fail loudly on all three.
     shape = (
         vectors.where(F.col(id_col).isNotNull())
         .agg(
             F.min(F.size(F.col(vec_col))).alias("dmin"),
             F.max(F.size(F.col(vec_col))).alias("dmax"),
             F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("n_ids"),
         )
         .collect()[0]
     )
@@ -299,6 +303,11 @@ def train_centroids_lloyd(
         raise ValueError(
             f"train_centroids_lloyd: {vec_col} must be a fixed non-zero "
             f"dimension, got sizes {shape['dmin']}..{shape['dmax']}"
+        )
+    if shape["n_ids"] != shape["n"]:
+        raise ValueError(
+            f"train_centroids_lloyd: {id_col} must be unique per vector — "
+            f"{shape['n']} rows but only {shape['n_ids']} distinct ids"
         )
     # seeds: the k lowest-id vectors, ordered by the RAW id (matching any
     # SQL oracle ordering by the stored value — ordering by the int cast
@@ -459,9 +468,24 @@ def _collect_direction(w: DataFrame, nrm: DataFrame) -> list:
     diverge."""
     rows = (
         w.crossJoin(F.broadcast(nrm))
-        .select("pos", F.round(F.col("w") / F.col("nrm") + 1e-9, 6).alias("vc"))
+        .select(
+            "pos",
+            F.col("nrm"),
+            # try_divide: under ANSI mode a plain / raises DIVIDE_BY_ZERO
+            # mid-collect for the all-zero corpus, masking the real-cause
+            # guard below with a generic arithmetic error
+            F.round(F.try_divide(F.col("w"), F.col("nrm")) + 1e-9, 6).alias("vc"),
+        )
         .collect()
     )
+    # An all-zero corpus rounds nrm to exactly 0.0 (round(1e-9, 8) == 0),
+    # making every component w/nrm a NULL — fail here with the real cause
+    # instead of letting a consumer hit float(None) later.
+    if not rows or not rows[0]["nrm"]:
+        raise ValueError(
+            "power iteration: direction norm is 0 — the corpus projects to "
+            "zero (all-zero vectors?); no principal direction exists"
+        )
     return [r["vc"] for r in sorted(rows, key=lambda r: r["pos"])]
 
 

@@ -37,20 +37,15 @@ from dumpr_spark.queries import relational  # noqa: E402,F401
 # construction (computed below), so a forgotten registration can only make a
 # query be checked EARLIER, never hide it.
 _R1_VERIFIED = {
-    "agg_bool", "agg_collect_sorted", "agg_count_distinct",
-    "agg_cube", "agg_global", "agg_grouping_sets", "agg_having", "agg_max_by",
-    "agg_percentiles", "agg_pivot", "agg_rollup", "filter_in_set",
-    "filter_predicates", "join_anti", "join_asof", "join_asof_union",
-    "join_broadcast_hint", "join_cross", "join_full_outer", "join_inner_star",
-    "join_left_outer", "join_multikey", "join_right_outer", "join_semi",
-    "join_skew_salted", "join_theta_range", "project_distinct",
-    "q1_pricing_summary", "scalar_array", "scalar_array_fold", "scalar_datetime",
-    "scalar_math", "scalar_string", "set_except", "set_intersect",
-    "set_union_all", "set_union_distinct", "sort_multi_nulls", "sort_topk",
-    "win_first_last", "win_lag_lead", "win_nth_value",
-    "win_pct_rank", "win_range_frame", "win_rank_dense", "win_running_sum",
-    "win_topk_per_group",
+    "agg_bool", "agg_pivot", "join_anti", "join_broadcast_hint", "join_cross",
+    "join_full_outer", "join_inner_star", "join_left_outer", "join_multikey",
+    "join_right_outer", "join_semi", "join_skew_salted", "join_theta_range",
+    "project_distinct", "set_except", "set_intersect", "set_union_all",
+    "set_union_distinct", "sort_multi_nulls", "sort_topk",
 }
+# Moved OUT of _R1_VERIFIED to _R6_VERIFIED (re-certified by the r6 driver
+# walk): the 27 agg/filter/join_asof/q1/scalar/win names whose freshest green
+# row is now CORRECTNESS_r06.json.
 # Removed from _R1_VERIFIED (stale evidence): win_ntile (rewritten to the
 # two-phase scale-safe form after its r1 green), agg_approx_distinct (was
 # rows-only, never hash-green; has a value-level oracle as of r4).
@@ -172,67 +167,76 @@ _R5_VERIFIED = {
 }
 # NOTE: the r5 CDC re-checks live in _R5_VERIFIED when verified (their
 # freshest green row) and are intentionally absent from the _R2_VERIFIED
-# literal above; cdc_materialize was subsequently evicted to never-green
-# by the r6 _unpack_winner refactor (see the _R5_VERIFIED note), so it
-# currently lives in NO tier by design.
+# literal above; cdc_materialize was evicted to never-green by the r6
+# _unpack_winner refactor, then re-greened by the r6 driver walk — its
+# freshest row now lives in _R6_VERIFIED.
+# Names the driver hash-verified in round 6 (CORRECTNESS_r06.json: 50 of 50
+# checked, all hash_match): all 15 _R6_NEW registrations, the 8-name
+# never-green backlog (cdc_materialize/_salted twins share one oracle;
+# cdc_stamp_filename post-rewrite; the two embedding near-dup rewrites;
+# cdc_time_travel / cdc_consistency_check / customer_rfm_scores /
+# events_interval_merge re-greens), and 27 r1-vintage re-certifications.
+_R6_VERIFIED = {
+    "agg_collect_sorted", "agg_count_distinct", "agg_cube", "agg_global",
+    "agg_gmean_hmean", "agg_grouping_sets", "agg_having",
+    "agg_hhi_concentration", "agg_max_by", "agg_percentiles", "agg_rollup",
+    "cdc_consistency_check", "cdc_materialize", "cdc_materialize_salted",
+    "cdc_stamp_filename", "cdc_time_travel", "customer_rfm_scores",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters", "embed_debias_apply", "embed_debias_topdir",
+    "embed_kmeans_converged", "embed_pca_power", "events_gap_percentiles",
+    "events_hourly_profile", "events_interval_merge", "filter_in_set",
+    "filter_predicates", "join_asof", "join_asof_union",
+    "join_bloom_prefilter", "multimodal_resolution_buckets",
+    "orders_backlog_timeseries", "q1_pricing_summary", "sample_weighted_topk",
+    "scalar_array", "scalar_array_fold", "scalar_datetime", "scalar_math",
+    "scalar_string", "text_pmi_cooccurrence", "win_first_last",
+    "win_lag_lead", "win_nth_value", "win_pct_rank", "win_range_frame",
+    "win_rank_dense", "win_running_sum", "win_topk_per_group",
+}
+# Removed from _R6_VERIFIED (stale evidence, r7 edits):
+# dedup_minhash_accuracy (builder refactored onto
+# functions/dedup.minhash_accuracy_audit to grow the sample_frac/max_pairs
+# audit-sampling knobs — values identical, full population still the
+# registered default, but the builder source changed, so it re-queues in
+# the never-green backlog for a fresh driver row).
+
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
 # tier, tripping the fail-safe rank-0 path (caught by review in r6).
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
+    | _R6_VERIFIED
 )
 
-# Queries first registered in round 6. They queue BEHIND the never-green
-# backlog (r6 stale-evidence evictions) and AHEAD of the verified tiers.
-# Budget check: backlog + len(_R6_NEW) must stay well under 50 so the
-# remaining slots re-certify the stalest verified evidence (see _rank).
-_R6_NEW: set = {
-    # full Lloyd loop to fixed point — the IVF training primitive
-    # (embed_kmeans_step takes one step of this)
-    "embed_kmeans_converged",
-    # market structure / mean families / event-differencing backlog
-    "agg_hhi_concentration", "agg_gmean_hmean", "orders_backlog_timeseries",
-    # event cadence analytics
-    "events_hourly_profile", "events_gap_percentiles",
-    # the skew remedy under the driver gate (same oracle as cdc_materialize)
-    "cdc_materialize_salted",
-    # sketch calibration + collocation mining
-    "dedup_minhash_accuracy", "text_pmi_cooccurrence",
-    # multimodal profiling + weighted deterministic sampling
-    "multimodal_resolution_buckets", "sample_weighted_topk",
-    # top principal direction by unrolled power iteration (exact-replay)
-    "embed_pca_power",
-    # bloom pre-filter as a query: deterministic membership, exact oracle
-    "join_bloom_prefilter",
-    # all-but-the-top anisotropy diagnostic off the power-iteration dir
-    "embed_debias_topdir",
-    # the APPLY twin: remove_direction under the gate, per-row orthogonality
-    # + energy-kept proof (same two eps-rounded power steps as the diagnostic)
-    "embed_debias_apply",
-}
+# Queries first registered in round 7. They queue BEHIND the never-green
+# backlog and AHEAD of the verified tiers. Budget check: backlog +
+# len(_R7_NEW) must stay well under 50 (cap 15 per the r6 verdict) so the
+# remaining >=35 slots re-certify the stalest verified evidence — the goal
+# for r7 is to empty the 20-name _R1_VERIFIED tier and bite into _R2.
+_R7_NEW: set = set()
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-6 addition. A name
-# accidentally left out of _R6_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-7 addition. A name
+# accidentally left out of _R7_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R6_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R7_NEW
 
-# Verified tiers ordered STALEST ROUND FIRST: with the never-green backlog
-# at zero (round 5 closed the evidence book), driver evidence staleness is
-# the only remaining correctness risk — ~130 green rows date from rounds
-# 1-3 while the code keeps evolving. The budget-capped walk therefore
-# spends its slack re-certifying the OLDEST green rows each round; a name
-# re-verified in round N moves to that round's set, so the rotation
-# naturally cycles through the registry.
+# Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
+# the only remaining correctness risk — r1/r2-vintage green rows on evolving
+# code. The budget-capped walk therefore spends its slack re-certifying the
+# OLDEST green rows each round; a name re-verified in round N moves to that
+# round's set, so the rotation naturally cycles through the registry.
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
+    _R6_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R6_NEW:
+    if n in _R7_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

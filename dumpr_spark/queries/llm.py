@@ -2592,48 +2592,19 @@ def dedup_minhash_accuracy(spark, sf_dir):
 
     Scale shape: the estimate is a signature-row join over CANDIDATE pairs
     only (never all pairs); the exact leg joins the two docs' distinct
-    shingle-hash sets — at 100 TB this audit runs on a sampled slice of
-    candidates (the estimate-vs-exact curve needs thousands of pairs, not
-    billions) while the production path trusts the signatures."""
+    shingle-hash sets — at 100 TB this audit runs on a SAMPLED slice of
+    candidates via `functions/dedup.minhash_accuracy_audit`'s
+    sample_frac/max_pairs knobs (the estimate-vs-exact curve needs
+    thousands of pairs, not billions) while the production path trusts the
+    signatures. The gate-checked default here is the FULL population."""
     corpus = _dup_corpus(spark, sf_dir, near=True)
-    sig = dd.minhash_signature(corpus)
-    cands = dd.lsh_candidate_pairs(dd.lsh_bands(sig))
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    agree = sum(
-        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int") for i in range(8)
-    )
-    est = (
-        cands.join(sa, F.col("a") == F.col("sa.doc_id"))
-        .join(sb, F.col("b") == F.col("sb.doc_id"))
-        .select("a", "b", (agree / F.lit(8.0)).alias("est_j"))
-    )
-    shset = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            F.transform(dd.shingles(F.col("text"), 3), dd.minhash_base_hash)
-        )).alias("h"),
-    ).distinct()
-    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    xa, xb = shset.alias("xa"), shset.alias("xb")
-    inter = (
-        cands.join(xa, F.col("a") == F.col("xa.doc_id"))
-        .join(xb, (F.col("b") == F.col("xb.doc_id")) & (F.col("xa.h") == F.col("xb.h")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("double").alias("ni"))
-    )
-    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
-    ni = F.coalesce(F.col("ni"), F.lit(0.0))
-    exact = ni / (F.col("na") + F.col("nb") - ni)
+    audit = dd.minhash_accuracy_audit(corpus)
     return (
-        est.join(inter, ["a", "b"], "left")
-        .join(za, F.col("a") == F.col("_za"))
-        .join(zb, F.col("b") == F.col("_zb"))
-        .select(
+        audit.select(
             "a", "b",
             eps_round(F.col("est_j"), 4).alias("est_jaccard"),
-            eps_round(exact, 4).alias("exact_jaccard"),
-            eps_round(F.abs(F.col("est_j") - exact), 4).alias("abs_err"),
+            eps_round(F.col("exact_j"), 4).alias("exact_jaccard"),
+            eps_round(F.abs(F.col("est_j") - F.col("exact_j")), 4).alias("abs_err"),
         )
         .orderBy("a", "b")
     )

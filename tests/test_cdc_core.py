@@ -554,12 +554,12 @@ def test_debezium_row_ordinal_carry_is_lossless(spark):
 
 
 def test_binlog_filename_stamping_random_layouts(spark):
-    """Property: the chunked literal as-of lookup equals a pure-Python
-    bisect over random rotate/event layouts — duplicate event seqs,
-    events at a rotate's seq +/- 1, all events before the first rotate,
-    a single rotate (csz edge), and perfect-square counts (chunk-boundary
-    edges). Pins the sqrt(n) chunk arithmetic the single-fixture test
-    cannot reach."""
+    """Property: the unrolled binary-search literal as-of lookup equals a
+    pure-Python bisect over random rotate/event layouts — duplicate event
+    seqs, events at a rotate's seq +/- 1, all events before the first
+    rotate, a single rotate (probe-count edge), and perfect-square counts
+    (boundary edges). Pins the ceil(log2 n) probe arithmetic the
+    single-fixture test cannot reach."""
     import bisect
     import random
 

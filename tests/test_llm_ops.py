@@ -339,6 +339,47 @@ def test_lsh_candidate_pairs_no_self_pairs_on_duplicate_band_rows(spark):
     assert got == {(7, 9)}
 
 
+def test_minhash_accuracy_audit_sampling_knobs(spark, sf_dir):
+    """The calibration audit's exact-Jaccard leg is the engine's only
+    super-linear scaler (~3x at 10x rows), so at volume it runs on a
+    candidate SAMPLE. Pins the knob contract: (1) full population is the
+    default and matches the registered query's pair set; (2) sample_frac
+    selects a deterministic hash-stable subset (same rows on re-run, same
+    values as the full table for those pairs); (3) max_pairs is a hard
+    deterministic bound; (4) filters cut the pair list BEFORE the exact
+    leg (subset, not recomputation); (5) bad fracs are rejected."""
+    from dumpr_spark.functions.dedup import minhash_accuracy_audit
+    from dumpr_spark.queries.llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    full = {
+        (r["a"], r["b"]): (round(r["est_j"], 6), round(r["exact_j"], 6))
+        for r in minhash_accuracy_audit(corpus).collect()
+    }
+    assert len(full) > 20
+
+    frac = {
+        (r["a"], r["b"]): (round(r["est_j"], 6), round(r["exact_j"], 6))
+        for r in minhash_accuracy_audit(corpus, sample_frac=0.5).collect()
+    }
+    assert 0 < len(frac) < len(full)
+    assert all(full[p] == v for p, v in frac.items())  # subset, same values
+    rerun = {
+        (r["a"], r["b"])
+        for r in minhash_accuracy_audit(corpus, sample_frac=0.5).collect()
+    }
+    assert rerun == set(frac)  # hash-stable, not rng-stable
+
+    capped = minhash_accuracy_audit(corpus, max_pairs=7).collect()
+    assert len(capped) == 7
+    assert {(r["a"], r["b"]) for r in capped} <= set(full)
+    rerun2 = {(r["a"], r["b"]) for r in minhash_accuracy_audit(corpus, max_pairs=7).collect()}
+    assert rerun2 == {(r["a"], r["b"]) for r in capped}
+
+    with pytest.raises(ValueError, match="sample_frac"):
+        minhash_accuracy_audit(corpus, sample_frac=1.5)
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     """Hyperplane-LSH ANN: recall at 4 planes must beat chance by an order
     of magnitude (chance = k/corpus = 1%), and 0 planes (one bucket) must
@@ -596,6 +637,32 @@ def test_power_iteration_guards(spark):
         power_iteration_steps(ragged, "embedding", iters=2)
     with pytest.raises(ValueError, match="iters"):
         power_iteration_steps(ragged, "embedding", iters=0)
+    # all-zero corpus: every power step projects to zero, so the rounded
+    # norm is exactly 0.0 — the collector raises the real cause instead of
+    # handing consumers a direction of Nones (advice pin, r6)
+    from dumpr_spark.functions.similarity import power_iteration_topdir
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="norm is 0"):
+        power_iteration_topdir(zeros, "embedding", iters=2)
+
+
+def test_lloyd_trainer_rejects_duplicate_ids(spark):
+    """Duplicate vector ids would be silently collapsed to one assignment
+    row by ivf_assign's row_number-over-id dedup — undercounting cluster
+    members and skewing means with no visible error (the oracle partitions
+    identically, so it could never catch it). The guard pre-scan now
+    compares count vs count_distinct and fails loudly (advice pin, r6)."""
+    from dumpr_spark.functions.similarity import train_centroids_lloyd
+
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 0.9])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="unique per vector"):
+        train_centroids_lloyd(dup, k=2, id_col="vec_id")
 
 
 def test_remove_direction_matches_numpy_reference(spark):

@@ -18,7 +18,6 @@ from dumpr_spark.queries import REGISTRY
 # is O(n * tiny). Additions to this list require the same justification.
 BNLJ_ALLOWED = {
     "agg_quantile_mergeable",   # 2-literal quantile frame broadcast
-    "cdc_stamp_filename",       # 1-row rotate-boundary array broadcast
     "cdc_consistency_check",    # two 1-row checksum aggregates cross-joined
     "cdc_time_travel",          # scalar as-of cutoff broadcast
     "events_inactive_users",    # 1-row stream-horizon (max ts) broadcast
@@ -79,6 +78,23 @@ def test_no_unpartitioned_windows(spark, sf_dir):
                 offenders.append(name)
                 break
     assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
+def test_stamp_filename_plan_is_join_free(spark, sf_dir):
+    """The r6 rewrite of stamp_binlog_filename (cdc/positions.py) folds the
+    rotate boundaries into plan literals and resolves each event with an
+    unrolled binary search — no join, no shuffle. Its old BNLJ allowlist
+    entry masked exactly the regression this pins: reintroducing ANY join
+    (the 254.6 s 1-row crossJoin pathology) now fails at analysis time."""
+    plan = REGISTRY["cdc_stamp_filename"].fn(
+        spark, sf_dir
+    )._jdf.queryExecution().optimizedPlan()
+    joins = [
+        node.getClass().getSimpleName()
+        for node in _walk_plans(plan)
+        if "Join" in node.getClass().getSimpleName()
+    ]
+    assert not joins, f"cdc_stamp_filename plan grew a join: {joins}"
 
 
 def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):

@@ -181,12 +181,20 @@ def hyperplane_signature(vec_col, n_planes: int, dim: int, offset: int = 0):
     the sign of <v, w_p>; cosine-similar vectors agree on most bits, so the
     integer signature is a locality-sensitive bucket key. The dot is rounded
     to 6dp before the sign test so the bit (and thus the bucket) is
-    engine-reproducible even when the fold's last double ulp differs."""
+    engine-reproducible even when the fold's last double ulp differs.
+
+    Each plane ships as ONE split+cast string literal that Catalyst
+    constant-folds into a shared ArrayType constant — `F.array(*lits)`
+    (the original form) re-CONSTRUCTS the dim-element array PER ROW per
+    plane (landmine #1, SCALE.md round-6; the weights are integral floats,
+    so repr round-trips exactly)."""
     ws = hyperplane_weights(n_planes, dim, offset)
     sig = F.lit(0)
     for p, w in enumerate(ws):
+        packed = ",".join(repr(float(x)) for x in w)
+        plane = F.split(F.lit(packed), ",").cast("array<double>")
         d = F.aggregate(
-            F.zip_with(_dbl(vec_col), F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+            F.zip_with(_dbl(vec_col), plane, lambda a, b: a * b),
             F.lit(0.0),
             lambda s, v: s + v,
         )

@@ -226,3 +226,40 @@ def bloom_semi_join_arrow(left: DataFrame, bloom: BloomFilter,
             yield pdf.loc[keep, out_cols]
 
     return prepared.mapInPandas(probe, schema=left.schema)
+
+
+class RefreshingBloom:
+    """Rebuild-and-swap lifecycle for the reusable artifact: the bloom is
+    built once per DIM VERSION, not per query and not per micro-batch.
+
+    "Build once, filter many" (module docstring) needs an invalidation
+    story when the dim it summarizes refreshes mid-stream — same
+    discipline as the schema catalog's DDL invalidation (R9; the
+    reference invalidates its table-map caches on schema events,
+    `stream.clj:204-212`). Callers give a cheap driver-side `version_fn`
+    (a catalog snapshot id, a `_dim_version` marker, max(updated_at)) and
+    a `build_fn` (build_bloom over the current dim); `current()` rebuilds
+    only when the version changes.
+
+    In a stream, call `current()` at the top of each foreachBatch body:
+    a dim refresh lands at the next micro-batch boundary — stale by at
+    most one batch, never a torn read, because the swap is a driver-side
+    rebind of an IMMUTABLE artifact (BloomFilter is frozen; in-flight
+    plans keep probing the words they captured). Probe cost is unchanged:
+    the rebuild is one pass over the dim, amortized across every batch of
+    the version's lifetime."""
+
+    def __init__(self, build_fn, version_fn):
+        self._build, self._version = build_fn, version_fn
+        self._seen: object = None
+        self._fresh = False  # distinguishes "never built" from version None
+        self.builds = 0  # diagnostic: rebuild count for tests/monitoring
+        self.bloom: BloomFilter | None = None
+
+    def current(self) -> BloomFilter:
+        v = self._version()
+        if not self._fresh or v != self._seen:
+            self.bloom = self._build()
+            self._seen, self._fresh = v, True
+            self.builds += 1
+        return self.bloom

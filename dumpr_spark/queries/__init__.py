@@ -128,10 +128,15 @@ _R4_VERIFIED = {
     "q22_sales_opportunity", "q2_min_cost_supplier", "q4_order_priority",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit", "rollup_ohlc",
     "sample_temperature_mix", "scalar_higher_order", "scalar_interval_arith",
-    "search_hybrid_rrf", "sim_ann_hyperplane", "sim_topk_ivf",
+    "search_hybrid_rrf", "sim_topk_ivf",
     "source_xml_scan", "stream_heavy_hitters", "text_bm25_topk",
     "text_char_entropy", "win_cume_dist", "win_ntile",
 }
+# Removed from _R4_VERIFIED (stale evidence, r7 edit): sim_ann_hyperplane —
+# functions/similarity.hyperplane_signature now ships each plane as one
+# constant-folded split+cast literal instead of a per-row CreateArray
+# (values identical, locally re-gated green at 3 scales, but the builder's
+# plan changed) — re-queues in the never-green backlog for a fresh row.
 # Names the driver hash-verified in round 5 (CORRECTNESS_r05.json: 50 of 50
 # checked, all hash_match — the whole 16-name r4-late backlog, all 29 _R5_NEW
 # registrations, and 5 CDC re-checks whose latest green row is now r5, so
@@ -214,7 +219,12 @@ _DRIVER_VERIFIED = (
 # len(_R7_NEW) must stay well under 50 (cap 15 per the r6 verdict) so the
 # remaining >=35 slots re-certify the stalest verified evidence — the goal
 # for r7 is to empty the 20-name _R1_VERIFIED tier and bite into _R2.
-_R7_NEW: set = set()
+_R7_NEW: set = {
+    # ANN recall/cost calibration: recall@5 vs brute force per
+    # (method in {ivf, lsh}, dial) — the dial table the MinHash band got
+    # in r6, with Lloyd-trained centroids and LCG planes replayed exactly
+    "sim_ann_recall_curve",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-7 addition. A name

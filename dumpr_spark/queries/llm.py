@@ -1696,13 +1696,16 @@ def _bm25_scored(spark, sf_dir):
     )
 
 
-def _hyperplane_sig_sql(n_planes: int = 4, dim: int = 64) -> str:
+def _hyperplane_sig_sql(n_planes: int = 4, dim: int = 64, offset: int = 0,
+                        vcol: str = "v") -> str:
     """Render the deterministic hyperplane family as SQL CASE terms (same
     integer LCG as similarity.hyperplane_weights — the oracle regenerates
-    identical planes)."""
-    ws = sim.hyperplane_weights(n_planes, dim)
+    identical planes). `offset` selects the independent family of LSH
+    table f (planes [f*n_planes, (f+1)*n_planes)), mirroring lsh_topk's
+    multi-table loop."""
+    ws = sim.hyperplane_weights(n_planes, dim, offset)
     terms = [
-        f"(CASE WHEN ROUND(list_dot_product(v, "
+        f"(CASE WHEN ROUND(list_dot_product({vcol}, "
         f"[{', '.join(repr(x) for x in w)}]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(ws)
     ]
@@ -2917,3 +2920,284 @@ def embed_debias_apply(spark, sf_dir):
         ).alias("resid_cos"),
         F.when(x_norm > 0, eps_round(r_norm / x_norm, 4)).alias("norm_ratio"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# ANN recall/cost calibration (the dial table for IVF nprobe and LSH tables)
+# --------------------------------------------------------------------------
+
+def _ivf_recall_sql(d: int) -> str:
+    """Recall row for IVF at nprobe=d: probe the query's d nearest cells
+    (qassign rn <= d), rank candidates by eps-rounded cosine with id
+    tie-break (the ivf_topk contract), top-5, count hits against exact."""
+    return f"""
+    ivf{d} AS (
+      SELECT 'ivf' AS method, {d} AS dial, COUNT(*) AS hits FROM (
+        SELECT q_id, n_id FROM (
+          SELECT qa.q_id, va.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY qa.q_id ORDER BY
+                   ROUND(list_dot_product(qa.qv, va.v) /
+                     (sqrt(list_dot_product(qa.qv, qa.qv)) *
+                      sqrt(list_dot_product(va.v, va.v))) + 1e-9, 6) DESC,
+                   va.vec_id) AS rank
+          FROM (SELECT * FROM qassign WHERE rn <= {d}) qa
+          JOIN vassign va USING (cell)
+          WHERE qa.q_id <> va.vec_id
+        ) WHERE rank <= 5
+      ) t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
+    )"""
+
+
+def _lsh_recall_sql(n_tables: int) -> str:
+    """Recall row for multi-table hyperplane LSH at T=n_tables: union the
+    per-table signature-bucket candidates, dedup pairs (a pair found by
+    several tables scores once — sim is pair-determined so DISTINCT on the
+    scored row is the dedup), rank, top-5, count hits against exact."""
+    unions = " UNION ALL ".join(
+        f"SELECT q.q_id, q.qv, n.vec_id AS n_id, n.v AS nv "
+        f"FROM qsig{f} q JOIN vsig{f} n USING (sig) WHERE q.q_id <> n.vec_id"
+        for f in range(n_tables)
+    )
+    return f"""
+    lsh{n_tables} AS (
+      SELECT 'lsh' AS method, {n_tables} AS dial, COUNT(*) AS hits FROM (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, n_id) AS rank
+          FROM (
+            SELECT DISTINCT q_id, n_id,
+                   ROUND(list_dot_product(qv, nv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(nv, nv))) + 1e-9, 6) AS sim
+            FROM ({unions})
+          )
+        ) WHERE rank <= 5
+      ) t JOIN exact e ON t.q_id = e.q_id AND t.n_id = e.n_id
+    )"""
+
+
+def _lsh_sig_tables_sql(tables: tuple = (0, 1, 2, 3)) -> str:
+    """Per-table signature CTEs: table f hashes with the independent plane
+    family at offset f*4 (lsh_topk's convention). Queries are a corpus
+    subset, so qsig derives from vsig."""
+    parts = []
+    for f in tables:
+        sig = _hyperplane_sig_sql(4, 64, offset=f * 4)
+        parts.append(f"""
+    vsig{f} AS (SELECT vec_id, v, {sig} AS sig FROM corpus),
+    qsig{f} AS (SELECT vec_id AS q_id, v AS qv, sig FROM vsig{f}
+                WHERE vec_id < 32)""")
+    return ",".join(parts)
+
+
+@query(
+    "sim_ann_recall_curve",
+    """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus
+          WHERE vec_id IS NOT NULL ORDER BY vec_id LIMIT 8),
+    """
+    + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3, 4))
+    + """,
+    sel AS (
+      SELECT CASE WHEN mv1.mv < 0.06 THEN 1 WHEN mv2.mv < 0.06 THEN 2
+                  WHEN mv3.mv < 0.06 THEN 3 ELSE 4 END AS n_iters
+      FROM mv1, mv2, mv3, mv4
+    ),
+    cents AS (
+      SELECT u.cid, u.cvec FROM (
+        SELECT 1 AS it, cid, cvec FROM c1
+        UNION ALL SELECT 2, cid, cvec FROM c2
+        UNION ALL SELECT 3, cid, cvec FROM c3
+        UNION ALL SELECT 4, cid, cvec FROM c4
+      ) u, sel s WHERE u.it = s.n_iters
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 32),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                 ROUND(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(c.v, c.v))) + 1e-9, 6) DESC,
+                 c.vec_id) AS rank
+        FROM q CROSS JOIN corpus c WHERE q.q_id <> c.vec_id
+      ) WHERE rank <= 5
+    ),
+    n_exact AS (SELECT COUNT(*)::DOUBLE AS tot FROM exact),
+    vassign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, ct.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, ct.cvec) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                 ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT q_id, qv, cell, rn FROM (
+        SELECT q.q_id, q.qv, ct.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, ct.cvec) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                 ct.cid) AS rn
+        FROM q CROSS JOIN cents ct
+      )
+    ),
+    """
+    + ",".join(_ivf_recall_sql(d) for d in (1, 2, 4, 8))
+    + ","
+    + _lsh_sig_tables_sql()
+    + ","
+    + ",".join(_lsh_recall_sql(T) for T in (1, 2, 4))
+    + """
+    SELECT r.method, CAST(r.dial AS INT) AS dial, CAST(r.hits AS BIGINT) AS hits,
+           CAST(n.tot AS BIGINT) AS n_exact,
+           ROUND(r.hits / n.tot + 1e-9, 4) AS recall
+    FROM (SELECT * FROM ivf1 UNION ALL SELECT * FROM ivf2
+          UNION ALL SELECT * FROM ivf4 UNION ALL SELECT * FROM ivf8
+          UNION ALL SELECT * FROM lsh1 UNION ALL SELECT * FROM lsh2
+          UNION ALL SELECT * FROM lsh4) r, n_exact n
+    ORDER BY method, dial
+    """,
+    tags=("llm", "similarity", "approx", "calibration"),
+)
+def sim_ann_recall_curve(spark, sf_dir):
+    """ANN recall-vs-cost calibration table — the companion to the MinHash
+    accuracy table (dedup_minhash_accuracy): for each (method, dial) the
+    measured recall@5 against exact brute force over a fixed 32-query
+    batch. Methods x dials: IVF over Lloyd-trained centroids (k=8,
+    max_iter=4, eps=0.06 — the exact embed_kmeans_converged recipe) at
+    nprobe in {1, 2, 4, 8}, and multi-table random-hyperplane LSH
+    (4 planes, fixed LCG families) at n_tables in {1, 2, 4}. nprobe=8
+    probes every cell, so its recall is exactly 1.0 — the built-in sanity
+    anchor. Everything is exact-replay deterministic (trained centroids
+    via the eps-rounded Lloyd loop, integer-LCG planes, rounded sims, id
+    tie-breaks), so the oracle replays training AND both search paths and
+    the driver hash-match is exact, like embed_kmeans_converged before it.
+
+    Scale shape: this is a CALIBRATION query — it runs the dial sweep on a
+    fixture-sized query batch (32 queries), not the corpus x corpus
+    product — and a SWEEP amortizes its shared stages instead of calling
+    the per-dial operator 7 times (the naive form re-assigned the corpus
+    per IVF dial and re-hashed it per LSH dial: 57 s at sf0.1, ~3x this
+    plan). Computed ONCE and lazily checkpointed: the exact brute-force
+    leg, the corpus cell assignment, the query top-8 cell ranking, and
+    each LSH table's scored candidate set. Each IVF dial is then a
+    filter (probe rank <= d) + cell equi-join; each LSH dial a union of
+    the first T scored tables + dedup + rank — identical semantics to
+    ivf_topk/lsh_topk (same rounding, same tie-breaks), proven by the
+    unchanged oracle. At 100 TB the identical query runs on a sampled
+    corpus slice: the recall estimate needs thousands of vectors, and
+    the dial chosen here then configures the full-corpus ANN path."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32)
+    exact = (
+        sim.brute_force_topk(e, q, k=5, round_eps=1e-9)
+        .select("q_id", "n_id")
+        .localCheckpoint(eager=False)
+    )
+    tot = exact.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
+    cdf, _counts, _n_iters, _conv = sim.train_centroids_lloyd(
+        e, k=8, max_iter=4, eps=0.06
+    )
+
+    rank_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    simv = F.round(sim.cosine(F.col("q_vec"), F.col("n_vec")) + 1e-9, 6)
+
+    # IVF shared stages: corpus cells once (n_cells=1), query cells once at
+    # the MAX nprobe with their probe rank reified (the re-rank below uses
+    # ivf_assign's own (cell_sim desc, cell) order, so rank <= d slices the
+    # same cells ivf_topk(nprobe=d) would probe)
+    v_cells = (
+        sim.ivf_assign(e, cdf)
+        .select(F.col("vec_id").alias("n_id"),
+                F.col("embedding").alias("n_vec"), "cell")
+        .localCheckpoint(eager=False)
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    q_cells = (
+        sim.ivf_assign(q, cdf, n_cells=8)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"), "cell", "cell_sim")
+        .withColumn("_probe_rn", F.row_number().over(probe_w))
+        .localCheckpoint(eager=False)
+    )
+
+    def ivf_ann(d):
+        qc = q_cells.where(F.col("_probe_rn") <= d).select(
+            "q_id", "q_vec", "cell"
+        )
+        return (
+            v_cells.join(F.broadcast(qc), "cell")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", simv.alias("sim"))
+            .withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= 5)
+        )
+
+    # LSH shared stages: one scored candidate set per table (the T=4 dial's
+    # tables are supersets of the smaller dials' — score each table once)
+    def lsh_scored(f):
+        def sig(c):
+            return sim.hyperplane_signature(c, 4, 64, offset=f * 4)
+
+        v = e.select(F.col("vec_id").alias("n_id"),
+                     F.col("embedding").alias("n_vec"),
+                     sig(F.col("embedding")).alias("sig"))
+        qq = q.select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_vec"),
+                      sig(F.col("embedding")).alias("sig"))
+        return (
+            v.join(F.broadcast(qq), "sig")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", simv.alias("sim"))
+            .localCheckpoint(eager=False)
+        )
+
+    tables = [lsh_scored(f) for f in range(4)]
+
+    def lsh_ann(n_tables):
+        cand = tables[0]
+        for tbl in tables[1:n_tables]:
+            cand = cand.unionByName(tbl)
+        if n_tables > 1:
+            # a pair found by several tables scores once; sim is
+            # pair-determined, so any surviving row is the right one
+            cand = cand.dropDuplicates(["q_id", "n_id"])
+        return (
+            cand.withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= 5)
+        )
+
+    def recall_row(method, dial, ann):
+        hits = (
+            ann.select("q_id", "n_id")
+            .join(exact, ["q_id", "n_id"])
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        return hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(method).alias("method"),
+            F.lit(dial).cast("int").alias("dial"),
+            F.col("_hits").cast("bigint").alias("hits"),
+            F.col("_tot").cast("bigint").alias("n_exact"),
+            eps_round(F.col("_hits") / F.col("_tot"), 4).alias("recall"),
+        )
+
+    parts = [recall_row("ivf", d, ivf_ann(d)) for d in (1, 2, 4, 8)]
+    parts += [recall_row("lsh", T, lsh_ann(T)) for T in (1, 2, 4)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "dial")

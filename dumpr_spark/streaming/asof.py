@@ -22,7 +22,10 @@ state r_time) would need an older right version the state no longer holds
 (r_time <= left_time is enforced against state too). With per-key
 in-order feeds (the CDC/binlog shape) streaming output == batch output;
 the batch twin at rest is the replay/repair path for disordered feeds —
-the same fence philosophy as `streaming_interval_merge`.
+the same fence philosophy as `streaming_interval_merge`. The repair is
+demonstrated, not just named: re-enrich the NULL-enriched rows through
+`operators/asof.asof_join` at rest and the union equals the all-batch
+answer (`test_streaming_asof_enrich_out_of_order_repair_path`).
 
 Scale shape: one shuffle of both streams on the join key; state is O(keys)
 with a single payload per key (contrast a watermarked stream-stream join,

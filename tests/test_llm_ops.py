@@ -380,6 +380,27 @@ def test_minhash_accuracy_audit_sampling_knobs(spark, sf_dir):
         minhash_accuracy_audit(corpus, sample_frac=1.5)
 
 
+def test_ann_recall_curve_invariants(spark, sf_dir):
+    """The registered calibration table must behave like a recall curve:
+    7 rows (ivf x {1,2,4,8}, lsh x {1,2,4}); recall MONOTONE in the dial
+    for both methods (bigger candidate sets are supersets); and the
+    nprobe=8 row — probing every one of the 8 cells — must be EXACTLY 1.0
+    (all-cell IVF degenerates to brute force under identical rounding and
+    tie-breaks), the built-in sanity anchor of the whole table."""
+    from dumpr_spark.queries.llm import sim_ann_recall_curve
+
+    rows = sim_ann_recall_curve(spark, sf_dir).collect()
+    assert len(rows) == 7
+    curve = {(r["method"], r["dial"]): r["recall"] for r in rows}
+    ivf = [curve[("ivf", d)] for d in (1, 2, 4, 8)]
+    lsh = [curve[("lsh", t)] for t in (1, 2, 4)]
+    assert ivf == sorted(ivf), f"ivf recall not monotone in nprobe: {ivf}"
+    assert lsh == sorted(lsh), f"lsh recall not monotone in tables: {lsh}"
+    assert curve[("ivf", 8)] == 1.0, f"all-cell probe != brute force: {ivf[-1]}"
+    n_exact = {r["n_exact"] for r in rows}
+    assert len(n_exact) == 1 and rows[0]["hits"] <= rows[0]["n_exact"]
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     """Hyperplane-LSH ANN: recall at 4 planes must beat chance by an order
     of magnitude (chance = k/corpus = 1%), and 0 planes (one bucket) must

@@ -34,6 +34,9 @@ BNLJ_ALLOWED = {
     "search_hybrid_rrf",        # 1-row query-vector broadcast
     "sim_topk_bruteforce",      # broadcast query batch vs corpus scan
     "sim_topk_ivf",             # broadcast centroid set
+    "sim_ann_recall_curve",     # broadcast query batch + centroid set +
+                                # 1-row hits x total scalar joins
+
     "embed_kmeans_step",        # broadcast centroid set (ivf_assign)
     "embed_kmeans_converged",   # broadcast centroid set per Lloyd iteration
     "text_pmi_cooccurrence",    # 1-row corpus-count broadcast (scalar)

@@ -838,6 +838,80 @@ def test_bloom_probe_on_stream(spark, tmp_path):
     assert results["arrow"] == got
 
 
+def test_bloom_rebuild_and_swap_on_dim_refresh(spark, tmp_path):
+    """The reusable-artifact claim under its intended lifecycle: ONE
+    streaming query, maxFilesPerTrigger=1, where the dim refreshes
+    BETWEEN micro-batches. RefreshingBloom must probe batch 0 with the
+    v1 bloom, detect the version bump, rebuild exactly once, and probe
+    batch 1 with the v2 bloom — the foreachBatch analog of the schema
+    catalog's DDL invalidation (R9)."""
+    import os
+
+    from dumpr_spark.operators.bloom import (
+        RefreshingBloom, bloom_semi_join, build_bloom,
+    )
+
+    dim_dir, ver = tmp_path / "dim", tmp_path / "ver.txt"
+    v1, v2 = set(range(0, 1000, 4)), set(range(1000, 2000, 5))
+
+    def write_dim(keys, version):
+        spark.createDataFrame([(k,) for k in sorted(keys)], "k long") \
+            .coalesce(1).write.mode("overwrite").parquet(str(dim_dir))
+        ver.write_text(str(version))
+
+    write_dim(v1, 1)
+    holder = RefreshingBloom(
+        build_fn=lambda: build_bloom(
+            spark.read.parquet(str(dim_dir)), "k", m_bits=1 << 14, k=5
+        ),
+        version_fn=lambda: ver.read_text(),
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # file A: keys 0..999 (v1 members live here); file B: keys 1000..1999
+    # (v2 members live here). Distinct mtimes pin the batch order.
+    spark.createDataFrame([(k,) for k in range(1000)], "k long") \
+        .coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame([(k,) for k in range(1000, 2000)], "k long") \
+        .coalesce(1).write.parquet(str(src / "b"))
+    now = 1_700_000_000
+    for i, sub in enumerate(("a", "b")):
+        for f in (src / sub).iterdir():
+            os.utime(f, (now + i * 100, now + i * 100))
+
+    seen: list[tuple[int, set]] = []
+
+    def sink(batch_df, batch_id):
+        bloom = holder.current()
+        kept = {r["k"] for r in bloom_semi_join(batch_df, bloom, "k").collect()}
+        seen.append((batch_id, kept))
+        if batch_id == 0:
+            write_dim(v2, 2)  # dim refresh lands between micro-batches
+
+    q = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert [b for b, _ in seen] == [0, 1]
+    batch0, batch1 = seen[0][1], seen[1][1]
+    # batch 0 (file A) was probed with the v1 bloom: every v1 member kept,
+    # fpp slack only beyond that, and no sign of the v2 key set
+    assert v1 <= batch0
+    assert len(batch0 - v1) <= 0.1 * 1000 + 10
+    # batch 1 (file B) was probed with the REBUILT v2 bloom
+    assert v2 <= batch1
+    assert len(batch1 - v2) <= 0.1 * 1000 + 10
+    assert holder.builds == 2  # one initial build + exactly one rebuild
+
+
 def test_expr_let_semantics(spark):
     """functions/expr.let: the bound value reaches the body exactly, NULL
     binds as NULL and propagates, and nesting works (the idiom the bloom

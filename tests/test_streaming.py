@@ -2313,6 +2313,92 @@ def test_streaming_asof_enrich_matches_batch_twin(spark, tmp_path):
     assert want == got
 
 
+def test_streaming_asof_enrich_out_of_order_repair_path(spark, tmp_path):
+    """The documented divergence, REPAIRED: a left row arriving after a
+    newer right update has advanced the single-payload state enriches as
+    NULL (never wrongly with the newer payload). The docstring names the
+    batch twin at rest as the repair path — this demonstrates it: run a
+    disordered feed, take the streamed output, re-enrich exactly the
+    NULL-enriched rows through operators/asof.asof_join against the full
+    right table at rest, and assert the union equals the all-batch
+    answer (same split-stream-equivalence philosophy as the reference's
+    stream/snapshot split tests). A row that is NULL in the all-batch
+    answer too (trade before any quote) rides along to prove the repair
+    does not fabricate an enrichment."""
+    import json as _json
+    import time
+
+    from dumpr_spark.operators.asof import asof_join
+    from dumpr_spark.streaming.asof import streaming_asof_enrich
+
+    quotes = [  # (sym, q_t, px) — per-key IN-order
+        ("A", 10, 1.0), ("B", 5, 9.0),
+        ("A", 30, 3.0),
+    ]
+    trades = [  # (sym, t_t, qty)
+        ("A", 12, 100),  # batch 0: in-order -> 1.0
+        ("B", 3, 90),    # batch 0: before any B quote -> NULL everywhere
+        ("B", 7, 110),   # batch 1: -> 9.0
+        ("A", 15, 120),  # batch 2, LATE: state already at q_t=30 -> NULL
+        ("A", 35, 130),  # batch 2: in-order -> 3.0
+    ]
+    qb = [quotes[:2], quotes[2:3], []]
+    tb = [trades[:2], trades[2:3], trades[3:]]
+    qsrc, tsrc = str(tmp_path / "qr_src"), str(tmp_path / "tr_src")
+    os.makedirs(qsrc), os.makedirs(tsrc)
+    now = time.time()
+    for i in range(3):
+        for src, rows, names in ((qsrc, qb[i], ("sym", "q_t", "px")),
+                                 (tsrc, tb[i], ("sym", "t_t", "qty"))):
+            fp = os.path.join(src, f"b{i}.json")
+            with open(fp, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(dict(zip(names, r))) + "\n")
+            os.utime(fp, (now + i, now + i))
+
+    q_stream = (
+        spark.readStream.schema("sym string, q_t long, px double")
+        .option("maxFilesPerTrigger", 1).json(qsrc)
+    )
+    t_stream = (
+        spark.readStream.schema("sym string, t_t long, qty long")
+        .option("maxFilesPerTrigger", 1).json(tsrc)
+    )
+    q = (
+        streaming_asof_enrich(t_stream, q_stream, "sym", "t_t", "q_t")
+        .writeStream.format("memory").queryName("asof_repair_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM asof_repair_stream").collect()
+    got = {(r["sym"], r["t_t"]): (r["qty"], r["px"]) for r in streamed}
+    # the late row enriched NULL, not wrongly with the newer 3.0 payload
+    assert got[("A", 15)] == (120, None)
+    assert got[("B", 3)] == (90, None)
+
+    # repair at rest: re-enrich ONLY the NULL-enriched rows via the batch
+    # twin against the full right table, union with the streamed non-NULLs
+    qdf = spark.createDataFrame(quotes, "sym string, q_t long, px double")
+    null_left = spark.createDataFrame(
+        [(s, t, qty) for (s, t), (qty, px) in got.items() if px is None],
+        "sym string, t_t long, qty long",
+    )
+    repaired = {
+        (r["sym"], r["t_t"]): (r["qty"], r["px"])
+        for r in asof_join(null_left, qdf, "sym", "t_t", "q_t").collect()
+    }
+    union = {k: v for k, v in got.items() if v[1] is not None} | repaired
+
+    tdf = spark.createDataFrame(trades, "sym string, t_t long, qty long")
+    want = {
+        (r["sym"], r["t_t"]): (r["qty"], r["px"])
+        for r in asof_join(tdf, qdf, "sym", "t_t", "q_t").collect()
+    }
+    assert union == want
+    assert union[("A", 15)] == (120, 1.0)  # the discarded version, recovered
+    assert union[("B", 3)] == (90, None)   # genuinely quote-less stays NULL
+
+
 def test_streaming_asof_enrich_tolerance_restart_and_guards(spark, tmp_path):
     """(a) tolerance_ms nulls out a stale carried quote; (b) the carried
     state survives a query restart on the same checkpoint; (c) build-time

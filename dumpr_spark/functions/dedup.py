@@ -258,6 +258,26 @@ def minhash_accuracy_audit(df: DataFrame, id_col: str = "doc_id",
         .join(sb, F.col("b") == F.col(f"sb.{id_col}"))
         .select("a", "b", (agree / F.lit(float(num_hashes))).alias("est_j"))
     )
+    ov = shingle_overlap_pairs(df, cands, id_col, text_col, k)
+    exact = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return est.join(ov, ["a", "b"]).select(
+        "a", "b", "est_j", exact.alias("exact_j")
+    )
+
+
+def shingle_overlap_pairs(df: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = 3) -> DataFrame:
+    """Exact k-gram-set overlap for CANDIDATE pairs (a, b): returns
+    (a, b, ni, na, nb) — intersection size and the two set sizes, the
+    common core of every exact set-similarity coefficient (Jaccard
+    ni/(na+nb-ni), containment ni/min(na,nb), Dice 2ni/(na+nb)).
+
+    One distinct (doc, shingle-hash) projection, one size rollup, and a
+    pair-restricted hash equi-join — never all-pairs: cost scales with
+    candidate volume x document length, so at 100 TB it runs behind an
+    LSH/banding candidate generator (and, for audit use, behind a
+    deterministic pair sample — see minhash_accuracy_audit's knobs)."""
     shset = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(
@@ -269,20 +289,22 @@ def minhash_accuracy_audit(df: DataFrame, id_col: str = "doc_id",
     )
     xa, xb = shset.alias("xa"), shset.alias("xb")
     inter = (
-        cands.join(xa, F.col("a") == F.col(f"xa.{id_col}"))
+        pairs.join(xa, F.col("a") == F.col(f"xa.{id_col}"))
         .join(xb, (F.col("b") == F.col(f"xb.{id_col}")) & (F.col("xa.h") == F.col("xb.h")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("double").alias("ni"))
     )
     za = sizes.select(F.col(id_col).alias("_za"), F.col("n").alias("na"))
     zb = sizes.select(F.col(id_col).alias("_zb"), F.col("n").alias("nb"))
-    ni = F.coalesce(F.col("ni"), F.lit(0.0))
-    exact = ni / (F.col("na") + F.col("nb") - ni)
     return (
-        est.join(inter, ["a", "b"], "left")
+        pairs.join(inter, ["a", "b"], "left")
         .join(za, F.col("a") == F.col("_za"))
         .join(zb, F.col("b") == F.col("_zb"))
-        .select("a", "b", "est_j", exact.alias("exact_j"))
+        .select(
+            "a", "b",
+            F.coalesce(F.col("ni"), F.lit(0.0)).alias("ni"),
+            "na", "nb",
+        )
     )
 
 

@@ -224,6 +224,21 @@ _R7_NEW: set = {
     # (method in {ivf, lsh}, dial) — the dial table the MinHash band got
     # in r6, with Lloyd-trained centroids and LCG planes replayed exactly
     "sim_ann_recall_curve",
+    # asymmetric set similarity: containment next to Jaccard per LSH
+    # candidate pair, verdict classifying doc-in-doc vs near-dup
+    "dedup_jaccard_containment",
+    # corpus-quality diagnostic: per-lang log-log OLS of the rank-frequency
+    # curve (Zipf slope/intercept/R^2 from explicit power sums)
+    "text_zipf_fit",
+    # deterministic Poisson bootstrap: hash-uniform Poisson(1) weights,
+    # 40 replicate means, CI as the 2nd/39th order statistic
+    "agg_bootstrap_ci",
+    # burstiness: Fano factor of hourly arrival counts per event type
+    "events_overdispersion",
+    # exact binary-payload dedup by map-side md5 (BLOB never shuffles)
+    "multimodal_payload_dedup",
+    # per-binlog-file sequence-continuity audit (R14's monitoring twin)
+    "cdc_seq_gap_audit",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -770,3 +770,96 @@ def cdc_materialize_salted(spark, sf_dir):
         )
         .orderBy("order_id")
     )
+
+
+@query(
+    "cdc_seq_gap_audit",
+    _CHANGES_CTE
+    + """,
+    seqs AS (SELECT DISTINCT seq, seq // 4096 AS file_id FROM changes),
+    deltas AS (
+      SELECT file_id, seq,
+             seq - LAG(seq) OVER (PARTITION BY file_id ORDER BY seq) AS delta
+      FROM seqs
+    ),
+    per_file AS (
+      SELECT file_id, COUNT(*) AS n_seq, MIN(seq) AS seq_min,
+             MAX(seq) AS seq_max,
+             SUM(CASE WHEN delta > 1 THEN 1 ELSE 0 END) AS n_gaps,
+             SUM(CASE WHEN delta > 1 THEN delta - 1 ELSE 0 END) AS n_missing,
+             MAX(delta) AS max_gap
+      FROM deltas GROUP BY file_id
+    )
+    SELECT f.file_id, CAST(f.n_seq AS BIGINT) AS n_seq,
+           CAST(f.seq_min AS BIGINT) AS seq_min,
+           CAST(f.seq_max AS BIGINT) AS seq_max,
+           CAST(f.n_gaps AS BIGINT) AS n_gaps,
+           CAST(f.n_missing AS BIGINT) AS n_missing,
+           CAST(f.max_gap AS BIGINT) AS max_gap,
+           ROUND(f.n_seq / (f.seq_max - f.seq_min + 1.0) + 1e-9, 6) AS density,
+           CAST(f.seq_min - p.seq_max AS BIGINT) AS gap_to_prev
+    FROM per_file f LEFT JOIN per_file p ON p.file_id = f.file_id - 1
+    ORDER BY f.file_id
+    """,
+    tags=("cdc", "audit"),
+)
+def cdc_seq_gap_audit(spark, sf_dir):
+    """Sequence-continuity audit of the change stream — the monitoring
+    twin of position validation (R14): a replication pipeline that drops
+    binlog events shows up as HOLES in the seq domain long before any
+    row-level diff can catch it. Per binlog file (synthetic id =
+    seq DIV 4096 here; a real feed keys on the R5 filename), reports
+    distinct-seq count, seq range, intra-file gap count / missing
+    positions / largest gap (delta > 1 between consecutive seqs), density,
+    and the boundary delta to the PREVIOUS file (NULL for the first file —
+    file-to-file continuity otherwise rides the R13/R14 position chain).
+    The synthetic stream has gaps by construction (only %5 keys emit
+    updates, %7 deletes), so the audit's positive path runs at every
+    scale; on a lossless feed the contract inverts (density 1.0, gaps 0).
+
+    Scale shape: the distinct-seq projection partial-combines before any
+    window; the lag window partitions BY FILE — each partition is one
+    file's bounded seq range, never a global order (the r4 rule; the
+    two-phase prefix machinery is not needed because binlog files bound
+    the partition by construction). Cross-file boundaries are an
+    equi-join on file_id - 1 (dense ids join without ordering). Output is
+    file-count-sized."""
+    from pyspark.sql import Window
+
+    ch = _synthetic_changes(spark, sf_dir)
+    seqs = (
+        ch.select("seq").distinct()
+        .select("seq", F.expr("seq DIV 4096").alias("file_id"))
+    )
+    w = Window.partitionBy("file_id").orderBy("seq")
+    deltas = seqs.select(
+        "file_id", "seq", (F.col("seq") - F.lag("seq").over(w)).alias("delta")
+    )
+    per_file = deltas.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seq"),
+        F.min("seq").cast("bigint").alias("seq_min"),
+        F.max("seq").cast("bigint").alias("seq_max"),
+        F.sum(F.when(F.col("delta") > 1, 1).otherwise(0)).cast("bigint")
+            .alias("n_gaps"),
+        F.sum(F.when(F.col("delta") > 1, F.col("delta") - 1).otherwise(0))
+            .cast("bigint").alias("n_missing"),
+        F.max("delta").cast("bigint").alias("max_gap"),
+    )
+    prev = per_file.select(
+        (F.col("file_id") + 1).alias("file_id"),
+        F.col("seq_max").alias("_prev_end"),
+    )
+    density = F.col("n_seq") / (
+        F.col("seq_max") - F.col("seq_min") + F.lit(1)
+    ).cast("double")
+    return (
+        per_file.join(prev, "file_id", "left")
+        .select(
+            "file_id", "n_seq", "seq_min", "seq_max", "n_gaps", "n_missing",
+            "max_gap",
+            eps_round(density, 6).alias("density"),
+            (F.col("seq_min") - F.col("_prev_end")).cast("bigint")
+                .alias("gap_to_prev"),
+        )
+        .orderBy("file_id")
+    )

@@ -3201,3 +3201,167 @@ def sim_ann_recall_curve(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("method", "dial")
+
+
+@query(
+    "dedup_jaccard_containment",
+    _NEAR_CORPUS_CTE
+    + _minhash_bands_cte()
+    + """,
+    cands AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    ),
+    shset AS (SELECT DISTINCT doc_id, h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM shset GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*)::DOUBLE AS ni
+      FROM cands c JOIN shset xa ON xa.doc_id = c.a
+                   JOIN shset xb ON xb.doc_id = c.b AND xa.h = xb.h
+      GROUP BY c.a, c.b
+    ),
+    scored AS (
+      SELECT c.a, c.b,
+             COALESCE(i.ni, 0) AS ni, za.n AS na, zb.n AS nb
+      FROM cands c
+      LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+      JOIN sizes za ON c.a = za.doc_id
+      JOIN sizes zb ON c.b = zb.doc_id
+    )
+    SELECT a, b,
+           ROUND(ni / (na + nb - ni) + 1e-9, 4) AS jaccard,
+           ROUND(ni / LEAST(na, nb) + 1e-9, 4) AS containment,
+           CASE WHEN ni / (na + nb - ni) >= 0.7 THEN 'near_dup'
+                WHEN ni / LEAST(na, nb) >= 0.9 THEN 'contains'
+                ELSE 'related' END AS verdict
+    FROM scored ORDER BY a, b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_jaccard_containment(spark, sf_dir):
+    """Symmetric vs ASYMMETRIC set similarity for every LSH candidate
+    pair: exact 3-gram Jaccard next to the containment coefficient
+    ni/min(na, nb), with a verdict — `near_dup` (Jaccard >= 0.7: the two
+    docs are mostly the same text), `contains` (containment >= 0.9 but
+    Jaccard below the bar: one doc essentially INSIDE a longer one — the
+    truncated-page / quoted-article case Jaccard alone under-scores,
+    because the length difference dilutes the union), else `related`.
+    Curation drops near_dups and keeps the LONGER side of a `contains`.
+
+    Scale shape: candidates come from the banded LSH join (never
+    all-pairs); the exact leg is `functions/dedup.shingle_overlap_pairs`
+    — one distinct (doc, shingle-hash) projection, a size rollup, and a
+    pair-restricted hash equi-join, shared verbatim with
+    dedup_minhash_accuracy's audit. Cost scales with candidate volume x
+    doc length; at 100 TB it runs behind the capped candidate generator
+    (minhash_lsh_pairs_scaled) like every other exact-rescoring pass."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    cands = dd.minhash_lsh_pairs(corpus)
+    ov = dd.shingle_overlap_pairs(corpus, cands)
+    ni, na, nb = F.col("ni"), F.col("na"), F.col("nb")
+    jac = ni / (na + nb - ni)
+    cont = ni / F.least(na, nb)
+    return ov.select(
+        "a", "b",
+        eps_round(jac, 4).alias("jaccard"),
+        eps_round(cont, 4).alias("containment"),
+        F.when(jac >= 0.7, F.lit("near_dup"))
+        .when(cont >= 0.9, F.lit("contains"))
+        .otherwise(F.lit("related"))
+        .alias("verdict"),
+    ).orderBy("a", "b")
+
+
+@query(
+    "text_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, COUNT(*)::DOUBLE AS n_tok FROM toks
+      WHERE tok <> '' GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tok DESC, tok) AS r
+      FROM freq
+    ),
+    pts AS (SELECT lang, LN(r) AS x, LN(n_tok) AS y FROM ranked WHERE r <= 100),
+    s AS (
+      SELECT lang, COUNT(*)::DOUBLE AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts GROUP BY lang HAVING COUNT(*) >= 3
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_top,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx) + 1e-9, 4) AS zipf_slope,
+           ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n + 1e-9, 4)
+             AS log_c,
+           CASE WHEN (n*syy - sy*sy) > 0
+                THEN ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                           / ((n*sxx - sx*sx) * (n*syy - sy*sy)) + 1e-9, 4)
+                END AS r2
+    FROM s ORDER BY lang
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per language: OLS slope of log(freq) vs log(rank)
+    over the top-100 vocabulary — natural text sits near slope -1, and a
+    corpus slice that deviates hard (too flat: templated/boilerplate
+    spam; too steep: degenerate repetition) fails the quality screen.
+    Reports the slope, the log-intercept, and R^2 from the same five
+    power sums as agg_regr_linear (explicit closed form, no reliance on
+    either engine's regr_* edge conventions; R^2 NULL when the top-100
+    frequencies are all equal).
+
+    Scale shape: one token explode -> (lang, tok) count (partial-combining
+    hash agg — the shuffle carries distinct tokens, not token instances),
+    a lang-PARTITIONED rank window over the distinct vocabulary, and a
+    five-sum rollup over <= 100 points per lang. Nothing global: the
+    top-100 cut happens inside each lang partition."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_tok"), F.asc("tok"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 100)
+        .select("lang", F.log(F.col("r")).alias("x"), F.log("n_tok").alias("y"))
+    )
+    s = (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    vary = n * syy - sy * sy
+    return s.select(
+        "lang",
+        n.cast("bigint").alias("n_top"),
+        eps_round(slope, 4).alias("zipf_slope"),
+        eps_round((sy - slope * sx) / n, 4).alias("log_c"),
+        F.when(
+            vary > 0,
+            eps_round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * vary), 4),
+        ).alias("r2"),
+    ).orderBy("lang")

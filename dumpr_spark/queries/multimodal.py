@@ -348,3 +348,74 @@ def multimodal_resolution_buckets(spark, sf_dir):
         )
         .orderBy("media_type", "width", "height")
     )
+
+
+@query(
+    "multimodal_payload_dedup",
+    """
+    WITH assets AS (
+      SELECT doc_id AS asset_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT md5(text) AS payload_md5, MIN(asset_id) AS keep_id,
+             COUNT(*) AS n_copies,
+             COUNT(DISTINCT media_type) AS n_media,
+             MIN(octet_length(encode(text))) AS payload_bytes
+      FROM assets GROUP BY md5(text) HAVING COUNT(*) >= 2
+    )
+    SELECT keep_id, payload_md5, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(n_media AS INT) AS n_media,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes,
+           CAST((n_copies - 1) * payload_bytes AS BIGINT) AS wasted_bytes
+    FROM g ORDER BY keep_id
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_payload_dedup(spark, sf_dir):
+    """Exact BINARY-payload dedup across the asset corpus (re-uploaded
+    images, mirrored videos, re-encoded copies of the same bytes): group
+    by md5 of the payload, keep the min-id asset, report copies, distinct
+    media labels claiming those bytes (a mislabel signal when > 1), and
+    the bytes a dedup pass would reclaim. Exact duplicates are injected
+    (every 10th asset re-keyed +100000 — the dedup-corpus convention) so
+    the operator's positive path is exercised at every scale.
+
+    Scale shape: dedup_exact_hash's, applied to BLOBs — the 16-byte md5
+    is computed map-side next to the scan, so the shuffle carries hashes
+    and counters, NEVER payload bytes (the column prunes out after the
+    hash); HAVING prunes singleton groups map-side. At 100 TB this is
+    the first pass of the multimodal pipeline: it runs at wire speed on
+    the hash alone, no decode."""
+    assets = _assets(spark, sf_dir).select("asset_id", "media_type", "payload")
+    copies = (
+        assets.where(F.col("asset_id") % 10 == 0)
+        .withColumn("asset_id", F.col("asset_id") + 100000)
+    )
+    corpus = assets.unionByName(copies)
+    return (
+        corpus.groupBy(F.md5(F.col("payload")).alias("payload_md5"))
+        .agg(
+            F.min("asset_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("media_type").cast("int").alias("n_media"),
+            F.min(F.octet_length(F.col("payload"))).cast("long")
+                .alias("payload_bytes"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "keep_id", "payload_md5", "n_copies", "n_media", "payload_bytes",
+            ((F.col("n_copies") - 1) * F.col("payload_bytes"))
+                .alias("wasted_bytes"),
+        )
+        .orderBy("keep_id")
+    )

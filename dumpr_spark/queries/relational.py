@@ -3323,3 +3323,133 @@ def join_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_bootstrap_ci",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS x,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 14))::BIGINT AS h
+      FROM orders
+    ),
+    coef AS (
+      SELECT unnest(range(40)) AS b,
+             unnest([1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27, 29, 31, 33, 35, 37, 39, 41, 43, 45, 47, 49, 51, 53, 55, 57, 59, 61, 63, 65, 67, 69, 71, 73, 75, 77, 79]) AS a,
+             unnest([1024421277861575701, 895921051116304426, 767420824371033151, 638920597625761876, 510420370880490601, 381920144135219326, 253419917389948051, 124919690644676776, 1149340968506252477, 1020840741760981202, 892340515015709927, 763840288270438652, 635340061525167377, 506839834779896102, 378339608034624827, 249839381289353552, 121339154544082277, 1145760432405657978, 1017260205660386703, 888759978915115428, 760259752169844153, 631759525424572878, 503259298679301603, 374759071934030328, 246258845188759053, 117758618443487778, 1142179896305063479, 1013679669559792204, 885179442814520929, 756679216069249654, 628178989323978379, 499678762578707104, 371178535833435829, 242678309088164554, 114178082342893279, 1138599360204468980, 1010099133459197705, 881598906713926430, 753098679968655155, 624598453223383880]) AS c
+    ),
+    reps AS (
+      SELECT pri, x, b,
+             ((a * h + c) % 2305843009213693951)::DOUBLE / 2305843009213693951.0 AS u
+      FROM base CROSS JOIN coef
+    ),
+    wgt AS (
+      SELECT pri, b, x,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  ELSE 7 END AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT pri, b, ROUND(SUM(w * x) / SUM(w) + 1e-9, 6) AS mean_b
+      FROM wgt GROUP BY pri, b HAVING SUM(w) > 0
+    ),
+    ci AS (SELECT pri, list_sort(list(mean_b)) AS arr FROM means GROUP BY pri),
+    stats AS (
+      SELECT o_orderpriority AS pri, COUNT(*) AS n_orders,
+             ROUND(AVG(o_totalprice) + 1e-9, 4) AS mean_price
+      FROM orders GROUP BY pri
+    )
+    SELECT s.pri AS o_orderpriority, CAST(s.n_orders AS BIGINT) AS n_orders,
+           s.mean_price,
+           ROUND(arr[2] + 1e-9, 4) AS ci_lo,
+           ROUND(arr[39] + 1e-9, 4) AS ci_hi,
+           ROUND(arr[39] - arr[2] + 1e-9, 4) AS ci_width
+    FROM stats s JOIN ci USING (pri) ORDER BY pri
+    """,
+    tags=("agg", "stats", "resampling"),
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Bootstrap 95% confidence interval of the mean order value per
+    priority — DETERMINISTIC Poisson bootstrap: replicate b reweights row
+    r by Poisson(1)-inverse-CDF(u(r, b)), where u(r, b) is a
+    Carter-Wegman affine map (the MinHash family trick) of the row's ONE
+    md5 base hash: u = ((a_b*h + c_b) mod P) / P with the 40 (a_b, c_b)
+    pairs precomputed as plan literals. No RNG state — every engine (and
+    every re-run) draws the IDENTICAL 40 resamples; the md5-per-(row x
+    replicate) form measured 5x slower (6M digests where 150k suffice;
+    the affine fan-out is integer ops on the shared hash). The CI is the
+    2nd/39th order statistic of the 40 replicate means (2.5%/97.5%
+    without interpolation — order stats are engine-exact where quantile
+    interpolation conventions are not).
+
+    Scale shape: one digest per ROW rides the scan; the replicate
+    fan-out posexplodes a constant-folded 40-long literal (narrow); the
+    replicate means partial-combine to |priority| x 40 cells before the
+    shuffle — the Poisson trick is WHY bootstrap distributes: true
+    with-replacement resampling needs global row indexing, Poisson
+    weights need only the row itself. The order-stat fold then runs over
+    40 doubles per group. At 100 TB: same plan, B stays 40, the fan-out
+    rides the scan."""
+    from dumpr_spark.functions.dedup import minhash_base_hash
+
+    o = t(spark, sf_dir, "orders")
+    a_lit = F.split(F.lit("1,3,5,7,9,11,13,15,17,19,21,23,25,27,29,31,33,35,37,39,41,43,45,47,49,51,53,55,57,59,61,63,65,67,69,71,73,75,77,79"), ",").cast("array<long>")
+    c_lit = F.split(F.lit("1024421277861575701,895921051116304426,767420824371033151,638920597625761876,510420370880490601,381920144135219326,253419917389948051,124919690644676776,1149340968506252477,1020840741760981202,892340515015709927,763840288270438652,635340061525167377,506839834779896102,378339608034624827,249839381289353552,121339154544082277,1145760432405657978,1017260205660386703,888759978915115428,760259752169844153,631759525424572878,503259298679301603,374759071934030328,246258845188759053,117758618443487778,1142179896305063479,1013679669559792204,885179442814520929,756679216069249654,628178989323978379,499678762578707104,371178535833435829,242678309088164554,114178082342893279,1138599360204468980,1010099133459197705,881598906713926430,753098679968655155,624598453223383880"), ",").cast("array<long>")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("x"),
+        minhash_base_hash(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    reps = base.select(
+        "pri", "x", "h", F.posexplode(a_lit).alias("b", "a")
+    )
+    u = (
+        (F.col("a") * F.col("h") + F.element_at(c_lit, F.col("b") + 1))
+        % F.lit(2305843009213693951)
+    ).cast("double") / F.lit(2305843009213693951.0)
+    thresholds = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+        0.999916758850712,
+    ]
+    w = F.lit(7)
+    for j in reversed(range(7)):
+        w = F.when(u < F.lit(thresholds[j]), F.lit(j)).otherwise(w)
+    wgt = reps.select("pri", "b", "x", w.alias("w"))
+    means = (
+        wgt.groupBy("pri", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("_swx"),
+            F.sum("w").alias("_sw"),
+        )
+        .where(F.col("_sw") > 0)
+        .select(
+            "pri",
+            eps_round(F.col("_swx") / F.col("_sw"), 6).alias("mean_b"),
+        )
+    )
+    ci = means.groupBy("pri").agg(
+        F.array_sort(F.collect_list("mean_b")).alias("arr")
+    )
+    stats = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        eps_round(F.avg("o_totalprice"), 4).alias("mean_price"),
+    )
+    return (
+        stats.join(ci, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_orders", "mean_price",
+            eps_round(F.element_at("arr", 2), 4).alias("ci_lo"),
+            eps_round(F.element_at("arr", 39), 4).alias("ci_hi"),
+            eps_round(F.element_at("arr", 39) - F.element_at("arr", 2), 4)
+                .alias("ci_width"),
+        )
+        .orderBy("o_orderpriority")
+    )

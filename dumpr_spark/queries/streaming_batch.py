@@ -1361,3 +1361,72 @@ def events_gap_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_overdispersion",
+    """
+    WITH cells AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::DOUBLE AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*)::DOUBLE AS n,
+             SUM(c) AS s1, SUM(c * c) AS s2
+      FROM cells GROUP BY event_type HAVING COUNT(*) > 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           ROUND(s1 / n + 1e-9, 4) AS mean_per_hour,
+           ROUND((s2 - s1 * s1 / n) / (n - 1) + 1e-9, 4) AS var_per_hour,
+           ROUND(((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) + 1e-9, 4) AS fano,
+           ((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) > 1.5 AS overdispersed
+    FROM s ORDER BY event_type
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def events_overdispersion(spark, sf_dir):
+    """Burstiness detector per event type: the Fano factor
+    (variance-to-mean ratio) of the hourly arrival counts. A Poisson
+    (memoryless) arrival process has Fano = 1; substantially above
+    (> 1.5 here) means bursty/clumped traffic — sessionization gaps,
+    rate limits, and capacity buffers sized from the MEAN alone will be
+    wrong for such a stream. Complements events_gap_percentiles (which
+    looks at inter-arrival TIMES; this looks at windowed COUNT
+    dispersion). Hours with zero events are not materialized — the
+    statistic is over OBSERVED hours (the gapfilled variant is a
+    composition with events_gapfill's grid). Variance from explicit
+    power sums (agg_regr_linear's discipline — no engine var_samp
+    convention in the contract); types with a single observed hour drop.
+
+    Scale shape: the raw scan collapses to |type| x |hour| cells with
+    map-side combine, then three power sums per type over the cell
+    table — both aggregations partial-combining, nothing global, and the
+    cell table is calendar-bounded (8760 cells/type/year) regardless of
+    event volume."""
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    s = (
+        cells.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .where(F.col("n") > 1)
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_hours"),
+        s1.cast("bigint").alias("n_events"),
+        eps_round(mean, 4).alias("mean_per_hour"),
+        eps_round(var, 4).alias("var_per_hour"),
+        eps_round(var / mean, 4).alias("fano"),
+        (var / mean > 1.5).alias("overdispersed"),
+    ).orderBy("event_type")

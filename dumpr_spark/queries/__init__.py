@@ -239,6 +239,9 @@ _R7_NEW: set = {
     "multimodal_payload_dedup",
     # per-binlog-file sequence-continuity audit (R14's monitoring twin)
     "cdc_seq_gap_audit",
+    # class-balanced sampling: per-class cap by deterministic hash rank,
+    # planned as WindowGroupLimit (map-side top-k per class)
+    "sample_balanced_classes",
 }
 
 # Never-green backlog, by construction: every registered name without

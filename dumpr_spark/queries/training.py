@@ -1350,3 +1350,50 @@ def sample_weighted_topk(spark, sf_dir):
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "sample_balanced_classes",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 300 ORDER BY lang, rk
+    """,
+    tags=("training", "sampling"),
+)
+def sample_balanced_classes(spark, sf_dir):
+    """Class-balanced training-set construction: cap every language at
+    300 documents by DETERMINISTIC hash rank — rows are ordered within
+    each class by md5(id) (a stable shuffle, not an RNG), so re-runs,
+    retries, and any engine select the IDENTICAL balanced subset; corpus
+    growth churns only MARGINALLY (a new row displaces at most one
+    marginal rank-300 row — expected churn ~ cap x growth fraction,
+    where a seeded random shuffle would reshuffle everything). The
+    class-imbalance remedy next to
+    sample_stratified_hash's rate-based thinning: caps equalize head
+    classes without starving tail classes below their natural size.
+
+    Scale shape: one class-PARTITIONED rank window (no global order) over
+    a narrow (id, class) projection; Spark 4 plans rank-then-filter as
+    WindowGroupLimit — a per-partition top-k heap, so each task retains
+    300 rows per class, never the full class. At 100 TB the md5 rides the
+    scan and the shuffle carries (id, class, hash) triples only."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 300)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "rk")
+    )

@@ -515,3 +515,83 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 120
     assert back.where("lang = 'en' AND shard_id = 0").count() > 0
+
+
+def test_shingle_overlap_matches_python_sets(spark):
+    """functions/dedup.shingle_overlap_pairs vs plain Python set algebra
+    over an adversarial mini-corpus (exact copy, strict containment,
+    partial overlap, disjoint, shorter-than-k doc): ni/na/nb must equal
+    the true 3-gram-set intersection and sizes for EVERY requested pair —
+    including a zero-overlap pair (ni = 0.0 via the left join, not a
+    dropped row)."""
+    from dumpr_spark.functions.dedup import shingle_overlap_pairs
+
+    docs = {
+        1: "a b c d e f",
+        2: "a b c d e f",          # exact copy of 1
+        3: "a b c d",              # contained in 1's shingles
+        4: "c d e f g h",          # partial overlap with 1
+        5: "x y z w",              # disjoint
+        6: "q r",                  # shorter than k=3 -> whole-text shingle
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id INT, text STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (3, 4)], "a INT, b INT"
+    )
+
+    def grams(s):
+        tk = s.split()
+        if len(tk) < 3:
+            return {s}
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    got = {
+        (r["a"], r["b"]): (r["ni"], r["na"], r["nb"])
+        for r in shingle_overlap_pairs(df, pairs).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (3, 4)}
+    for (a, b), (ni, na, nb) in got.items():
+        ga, gb = grams(docs[a]), grams(docs[b])
+        assert (ni, na, nb) == (float(len(ga & gb)), float(len(ga)), float(len(gb))), (a, b)
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    """The registered bootstrap table must behave like a CI: for every
+    priority the interval is ordered (lo <= hi), has positive width, and
+    brackets the full-sample mean (a 95% CI of the mean over thousands of
+    rows essentially always contains the point estimate — deterministic
+    resamples make this a stable assertion, not a flaky one)."""
+    from dumpr_spark.queries.relational import agg_bootstrap_ci
+
+    rows = agg_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"], r
+        assert r["ci_width"] > 0
+        # the interval is meaningfully narrower than the mean itself
+        assert r["ci_width"] < r["mean_price"]
+
+
+def test_balanced_sample_cap_and_determinism(spark, sf_dir):
+    """sample_balanced_classes: every class capped at 300, classes
+    smaller than the cap kept whole, ranks contiguous from 1, and the
+    selected id set is bit-stable across re-runs (hash rank, not RNG)."""
+    from dumpr_spark.queries.training import sample_balanced_classes
+    from dumpr_spark.sources.files import load_table
+
+    out = sample_balanced_classes(spark, sf_dir).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["rk"], r["doc_id"]))
+    class_sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, rows in by_lang.items():
+        rks = sorted(rk for rk, _ in rows)
+        assert rks == list(range(1, len(rks) + 1))
+        assert len(rows) == min(300, class_sizes[lang])
+    rerun = {(r["lang"], r["doc_id"]) for r in
+             sample_balanced_classes(spark, sf_dir).collect()}
+    assert rerun == {(r["lang"], r["doc_id"]) for r in out}

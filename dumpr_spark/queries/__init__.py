@@ -56,7 +56,7 @@ _R1_VERIFIED = {
 _R2_VERIFIED = {
     "dedup_exact", "dedup_exact_hash",
     "dedup_fingerprint", "text_winnow_fingerprints", "dedup_winnow_pairs",
-    "dedup_lsh_scaled", "dedup_clusters", "text_fingerprint_rolling",
+    "dedup_lsh_scaled", "text_fingerprint_rolling",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "sim_embedding_stats", "text_lang_stats", "text_quality", "text_lang_id",
@@ -90,11 +90,15 @@ _R2_VERIFIED = {
 # Removed from _R3_VERIFIED (stale evidence): multimodal_metadata (same r5
 # escape-safe encode() oracle rewrite as multimodal_features);
 # cdc_time_travel (r6 _unpack_winner refactor of materialize(), see the
-# _R5_VERIFIED note).
+# _R5_VERIFIED note); events_ewma (r7: the in-group fold swapped from a
+# per-row Python loop to pandas ewm(alpha, adjust=False) — same recurrence
+# in C, hash-identical through the 6dp rounding, locally re-gated green,
+# but the builder changed; the scale case is million-row groups where the
+# Python loop dominates — at sf0.1 group sizes the A/B was neutral).
 _R3_VERIFIED = {
     "multimodal_audio_windows", "stream_tumbling_window",
     "stream_sliding_window", "stream_session_window", "stream_dedup_first",
-    "events_funnel", "events_ewma", "udf_python_scalar", "udf_pandas_scalar",
+    "events_funnel", "udf_python_scalar", "udf_pandas_scalar",
     "udf_grouped_agg", "udf_grouped_map_zscore", "udf_table_function",
     "udf_python_udtf", "scalar_conditional", "scalar_json", "scalar_json_struct",
     "scalar_struct_map", "scalar_encode_decode", "source_csv_scan",
@@ -188,7 +192,7 @@ _R6_VERIFIED = {
     "cdc_consistency_check", "cdc_materialize", "cdc_materialize_salted",
     "cdc_stamp_filename", "cdc_time_travel", "customer_rfm_scores",
     "dedup_embedding_cosine",
-    "dedup_semantic_clusters", "embed_debias_apply", "embed_debias_topdir",
+    "embed_debias_apply", "embed_debias_topdir",
     "embed_kmeans_converged", "embed_pca_power", "events_gap_percentiles",
     "events_hourly_profile", "events_interval_merge", "filter_in_set",
     "filter_predicates", "join_asof", "join_asof_union",
@@ -204,7 +208,12 @@ _R6_VERIFIED = {
 # functions/dedup.minhash_accuracy_audit to grow the sample_frac/max_pairs
 # audit-sampling knobs — values identical, full population still the
 # registered default, but the builder source changed, so it re-queues in
-# the never-green backlog for a fresh driver row).
+# the never-green backlog for a fresh driver row);
+# dedup_semantic_clusters (the r7 census caught connected_components
+# re-evaluating its whole candidate-generation lineage per iteration —
+# sym is now checkpointed once, 19.3 -> 9.3 s warm at sf0.1; labels
+# identical, locally re-gated green, but the shared helper changed —
+# same eviction applies to dedup_clusters in the r2 tier).
 
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no

@@ -266,18 +266,20 @@ def events_ewma(spark, sf_dir):
     stratified-sequential shape as `pack_sequences` — while the oracle walks
     identical order with a recursive CTE. The closed-form window formulation
     is rejected on purpose: (1-a)^(-rn) overflows/obliterates precision past
-    a few thousand rows per key."""
+    a few thousand rows per key. The in-group fold is pandas
+    `ewm(alpha, adjust=False)` — the identical y_t = a*x_t + (1-a)*y_{t-1}
+    recurrence run in C instead of a per-row Python loop (r7 census swap;
+    equality pinned by the unchanged recursive-CTE oracle)."""
     import pandas as pd
 
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        ewma, out = None, []
-        for v in pdf["value"]:
-            ewma = float(v) if ewma is None else 0.3 * float(v) + 0.7 * ewma
-            out.append(ewma)
-        pdf = pdf.assign(ewma=out)
+        pdf = pdf.assign(
+            ewma=pdf["value"].astype("float64")
+            .ewm(alpha=0.3, adjust=False).mean()
+        )
         return pdf[["user_id", "event_id", "ewma"]]
 
     folded = e.groupBy("user_id").applyInPandas(

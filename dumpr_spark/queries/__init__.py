@@ -251,6 +251,12 @@ _R7_NEW: set = {
     # class-balanced sampling: per-class cap by deterministic hash rank,
     # planned as WindowGroupLimit (map-side top-k per class)
     "sample_balanced_classes",
+    # distribution-shift monitor: per-lang Jensen-Shannon divergence vs
+    # the corpus unigram blend, absent-term tail via anti-join
+    "text_js_divergence",
+    # embedding-norm winsorization audit: per-label p99 clip threshold,
+    # clip counts, mean norm before/after
+    "embed_norm_clip",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -3365,3 +3365,188 @@ def text_zipf_fit(spark, sf_dir):
                       / ((n * sxx - sx * sx) * vary), 4),
         ).alias("r2"),
     ).orderBy("lang")
+
+
+@query(
+    "text_js_divergence",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    lt AS (
+      SELECT lang, tok, COUNT(*)::DOUBLE AS n FROM toks
+      WHERE tok <> '' GROUP BY lang, tok
+    ),
+    lang_tot AS (SELECT lang, SUM(n) AS tn FROM lt GROUP BY lang),
+    corp AS (SELECT tok, SUM(n) AS cn FROM lt GROUP BY tok),
+    corp_tot AS (SELECT SUM(cn) AS ct FROM corp),
+    cells AS (
+      SELECT l.lang, l.tok,
+             l.n / t.tn AS p,
+             c.cn / ct.ct AS q
+      FROM lt l
+      JOIN lang_tot t USING (lang)
+      JOIN corp c USING (tok), corp_tot ct
+    ),
+    kl AS (
+      SELECT lang,
+             SUM(0.5 * p * LN(p / ((p + q) / 2))
+                 + 0.5 * q * LN(q / ((p + q) / 2))) AS jsd_part,
+             COUNT(*) AS n_terms
+      FROM cells GROUP BY lang
+    ),
+    qmiss AS (
+      -- corpus terms ABSENT from the lang (p = 0): they still contribute
+      -- 0.5 * q * ln(q / (q/2)) = 0.5 * q * ln(2) to the divergence
+      SELECT t.lang,
+             SUM(0.5 * (c.cn / ct.ct) * LN(2)) AS miss_part
+      FROM lang_tot t CROSS JOIN corp c, corp_tot ct
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lt WHERE lt.lang = t.lang AND lt.tok = c.tok
+      )
+      GROUP BY t.lang
+    )
+    SELECT k.lang, CAST(k.n_terms AS BIGINT) AS n_terms,
+           ROUND((k.jsd_part + COALESCE(m.miss_part, 0)) / LN(2) + 1e-9, 6)
+             AS jsd_bits
+    FROM kl k LEFT JOIN qmiss m USING (lang)
+    ORDER BY k.lang
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_js_divergence(spark, sf_dir):
+    """Distribution-shift diagnostic: Jensen-Shannon divergence (in bits)
+    between each language slice's unigram distribution P and the corpus
+    distribution Q — the standard domain-mix monitor for a training-data
+    pipeline (a slice drifting from the blend shows up here before
+    downstream evals move). JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) with
+    M = (P+Q)/2, summed per present term; corpus terms ABSENT from the
+    slice contribute the closed-form 0.5*q*ln2 tail (p = 0), computed via
+    an anti-join so the identity sum(P)=sum(Q)=1 holds exactly. Bounded
+    [0, 1] bits — cross-engine-safe without clamping, unlike raw KL's
+    infinities.
+
+    Scale shape: one token explode -> (lang, tok) counts (shuffle carries
+    the distinct vocabulary per lang, partial-combined), two rollups
+    derived FROM the cell table (lang totals, corpus totals — no second
+    corpus scan), a vocab-sized probability join, and an anti-join on the
+    same vocab-sized tables for the absent-term tail. Nothing scales with
+    token instances after the first aggregation."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    lt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    lang_tot = lt.groupBy("lang").agg(F.sum("n").alias("tn"))
+    corp = lt.groupBy("tok").agg(F.sum("n").alias("cn"))
+    corp_tot = corp.agg(F.sum("cn").alias("ct"))
+    cells = (
+        lt.join(lang_tot, "lang")
+        .join(corp, "tok")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "lang", "tok",
+            (F.col("n") / F.col("tn")).alias("p"),
+            (F.col("cn") / F.col("ct")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    kl = cells.groupBy("lang").agg(
+        F.sum(
+            0.5 * F.col("p") * F.log(F.col("p") / m)
+            + 0.5 * F.col("q") * F.log(F.col("q") / m)
+        ).alias("jsd_part"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    import math
+
+    present = lt.select("lang", "tok")
+    miss = (
+        lang_tot.select("lang")
+        .crossJoin(corp)
+        .join(present, ["lang", "tok"], "left_anti")
+        .crossJoin(F.broadcast(corp_tot))
+        .groupBy("lang")
+        .agg(
+            F.sum(0.5 * (F.col("cn") / F.col("ct")) * F.lit(math.log(2)))
+            .alias("miss_part")
+        )
+    )
+    return (
+        kl.join(miss, "lang", "left")
+        .select(
+            "lang", "n_terms",
+            eps_round(
+                (F.col("jsd_part") + F.coalesce(F.col("miss_part"), F.lit(0.0)))
+                / F.lit(math.log(2)),
+                6,
+            ).alias("jsd_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "embed_norm_clip",
+    """
+    WITH v AS (
+      SELECT label,
+             ROUND(sqrt(list_dot_product(dv, dv)) + 1e-9, 6) AS nr
+      FROM (SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+            FROM embeddings)
+    ),
+    p AS (SELECT label, quantile_cont(nr, 0.99) AS p99 FROM v GROUP BY label)
+    SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(p.p99 + 1e-9, 4) AS p99_norm,
+           CAST(SUM(CASE WHEN v.nr > p.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           ROUND(AVG(v.nr) + 1e-9, 4) AS avg_norm,
+           ROUND(AVG(LEAST(v.nr, p.p99)) + 1e-9, 4) AS avg_norm_clipped
+    FROM v JOIN p USING (label)
+    GROUP BY v.label, p.p99 ORDER BY v.label
+    """,
+    tags=("llm", "embedding", "preprocessing"),
+)
+def embed_norm_clip(spark, sf_dir):
+    """Embedding-norm winsorization audit per label: the p99 norm clip
+    threshold (exact interpolated percentile over 6dp-rounded norms —
+    rounding BEFORE the quantile makes the clip set engine-identical at
+    boundaries), how many vectors it clips, and the mean norm before vs
+    after clipping. Norm outliers dominate dot products and distort
+    ANN/centroid geometry (embed_norm_outliers flags them; this prices
+    the standard remedy — rescale to the p99 cap before indexing).
+
+    Scale shape: one narrow norm projection, a per-label exact percentile
+    (the audit wants the true threshold; the 100 TB pipeline swaps in
+    approx_percentile's fixed-error sketch, same plan shape), and one
+    equi-join of the 8-row threshold table back onto the norm cells —
+    broadcast, no second corpus shuffle. The apply step (rescale vectors
+    above cap) is a narrow map riding any later pass."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", eps_round(sim.l2_norm(F.col("embedding")), 6).alias("nr")
+    )
+    p = v.groupBy("label").agg(
+        F.percentile("nr", F.lit(0.99)).alias("p99")
+    )
+    return (
+        v.join(F.broadcast(p), "label")
+        .groupBy("label", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("nr") > F.col("p99"), 1).otherwise(0))
+                .cast("bigint").alias("n_clipped"),
+            eps_round(F.avg("nr"), 4).alias("avg_norm"),
+            eps_round(F.avg(F.least(F.col("nr"), F.col("p99"))), 4)
+                .alias("avg_norm_clipped"),
+        )
+        .select(
+            "label", "n_vecs",
+            eps_round(F.col("p99"), 4).alias("p99_norm"),
+            "n_clipped", "avg_norm", "avg_norm_clipped",
+        )
+        .orderBy("label")
+    )

@@ -122,7 +122,7 @@ _R4_VERIFIED = {
     "agg_approx_distinct", "agg_filter_clause", "agg_hll_mergeable",
     "agg_quantile_mergeable", "agg_welch_ttest",
     "cdc_tx_filter", "dedup_simhash", "embed_matryoshka", "embed_pq_codes",
-    "events_anomaly_mad", "events_changepoint_cusum", "events_cohort_retention",
+    "events_anomaly_mad", "events_cohort_retention",
     "events_funnel_strict", "events_markov_transitions", "events_retention",
     "events_sessionize", "join_nullsafe", "multimodal_frame_dedup",
     "q10_returned_items", "q11_important_parts", "q12_priority_lines",
@@ -136,6 +136,10 @@ _R4_VERIFIED = {
     "source_xml_scan", "stream_heavy_hitters", "text_bm25_topk",
     "text_char_entropy", "win_cume_dist", "win_ntile",
 }
+# Removed from _R4_VERIFIED (r7): events_changepoint_cusum — proactively
+# hardened against the agg_pareto_abc flake class (the parallel avg now
+# eps-rounds before the cusum walk accumulates it); value-identical at the
+# output rounding, re-gated green at 3 scales, fresh driver row queued.
 # Removed from _R4_VERIFIED (stale evidence, r7 edit): sim_ann_hyperplane —
 # functions/similarity.hyperplane_signature now ships each plane as one
 # constant-folded split+cast literal instead of a per-row CreateArray
@@ -147,6 +151,13 @@ _R4_VERIFIED = {
 # they moved here OUT of _R2_VERIFIED: cdc_materialize,
 # cdc_dedup_latest_window, cdc_envelope_shape, cdc_filter_tables,
 # cdc_next_position).
+# Removed from _R5_VERIFIED (r7): agg_pareto_abc — ONE flaky sweep mismatch
+# traced to the unrounded part-revenue rollup feeding the running-sum
+# window: the double sum's last ulp varies with Spark's shuffle arrival
+# order run-to-run, and a part sitting exactly on the 0.7/0.9 class edge
+# flipped class. The rollup is now eps-rounded BEFORE the window on both
+# engines (re-gated green 3x at sf0.01 + both other scales); fresh driver
+# row required.
 # Removed from _R5_VERIFIED (stale evidence, r6 edits): customer_rfm_scores
 # (builder now unpersists the RFM rollup after the ntile passes);
 # events_interval_merge (operators/intervals.merge_intervals now drops
@@ -157,7 +168,7 @@ _R4_VERIFIED = {
 # All re-queue in the never-green backlog for a fresh driver row.
 _R5_VERIFIED = {
     "agg_assoc_lift", "agg_corr_covar", "agg_countmin_sketch",
-    "agg_entropy_gini", "agg_pareto_abc", "agg_regr_linear", "agg_string_agg",
+    "agg_entropy_gini", "agg_regr_linear", "agg_string_agg",
     "agg_weighted_median", "cdc_dedup_latest_window",
     "cdc_envelope_shape", "cdc_filter_tables", "cdc_key_hotspots",
     "cdc_next_position", "cdc_op_rollup",

@@ -2546,24 +2546,19 @@ def embed_kmeans_converged(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_minhash_accuracy",
-    _NEAR_CORPUS_CTE
-    + _minhash_bands_cte()
-    + """,
+def _overlap_ctes() -> str:
+    """DuckDB replica of functions/dedup.shingle_overlap_pairs over the
+    bands/sh CTEs from _minhash_bands_cte: LSH candidate pairs + distinct
+    shingle-hash sets + per-doc sizes + pair intersections. Shared by the
+    MinHash accuracy audit and the containment query — mirroring the
+    Python-side sharing, so a change to the shingle/hash convention edits
+    ONE string."""
+    return """,
     cands AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM bands x JOIN bands y
         ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        AND x.doc_id < y.doc_id
-    ),
-    est AS (
-      SELECT c.a, c.b,
-             ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT +
-              (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT +
-              (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
-              (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 AS est_j
-      FROM cands c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
     ),
     shset AS (SELECT DISTINCT doc_id, h FROM sh),
     sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM shset GROUP BY doc_id),
@@ -2572,6 +2567,22 @@ def embed_kmeans_converged(spark, sf_dir):
       FROM cands c JOIN shset xa ON xa.doc_id = c.a
                    JOIN shset xb ON xb.doc_id = c.b AND xa.h = xb.h
       GROUP BY c.a, c.b
+    )"""
+
+
+@query(
+    "dedup_minhash_accuracy",
+    _NEAR_CORPUS_CTE
+    + _minhash_bands_cte()
+    + _overlap_ctes()
+    + """,
+    est AS (
+      SELECT c.a, c.b,
+             ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT +
+              (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT +
+              (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
+              (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 AS est_j
+      FROM cands c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
     )
     SELECT e.a, e.b,
            ROUND(e.est_j + 1e-9, 4) AS est_jaccard,
@@ -3207,21 +3218,8 @@ def sim_ann_recall_curve(spark, sf_dir):
     "dedup_jaccard_containment",
     _NEAR_CORPUS_CTE
     + _minhash_bands_cte()
+    + _overlap_ctes()
     + """,
-    cands AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       AND x.doc_id < y.doc_id
-    ),
-    shset AS (SELECT DISTINCT doc_id, h FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM shset GROUP BY doc_id),
-    inter AS (
-      SELECT c.a, c.b, COUNT(*)::DOUBLE AS ni
-      FROM cands c JOIN shset xa ON xa.doc_id = c.a
-                   JOIN shset xb ON xb.doc_id = c.b AND xa.h = xb.h
-      GROUP BY c.a, c.b
-    ),
     scored AS (
       SELECT c.a, c.b,
              COALESCE(i.ni, 0) AS ni, za.n AS na, zb.n AS nb
@@ -3392,25 +3390,14 @@ def text_zipf_fit(spark, sf_dir):
       SELECT lang,
              SUM(0.5 * p * LN(p / ((p + q) / 2))
                  + 0.5 * q * LN(q / ((p + q) / 2))) AS jsd_part,
+             SUM(q) AS sum_q,
              COUNT(*) AS n_terms
       FROM cells GROUP BY lang
-    ),
-    qmiss AS (
-      -- corpus terms ABSENT from the lang (p = 0): they still contribute
-      -- 0.5 * q * ln(q / (q/2)) = 0.5 * q * ln(2) to the divergence
-      SELECT t.lang,
-             SUM(0.5 * (c.cn / ct.ct) * LN(2)) AS miss_part
-      FROM lang_tot t CROSS JOIN corp c, corp_tot ct
-      WHERE NOT EXISTS (
-        SELECT 1 FROM lt WHERE lt.lang = t.lang AND lt.tok = c.tok
-      )
-      GROUP BY t.lang
     )
-    SELECT k.lang, CAST(k.n_terms AS BIGINT) AS n_terms,
-           ROUND((k.jsd_part + COALESCE(m.miss_part, 0)) / LN(2) + 1e-9, 6)
-             AS jsd_bits
-    FROM kl k LEFT JOIN qmiss m USING (lang)
-    ORDER BY k.lang
+    SELECT lang, CAST(n_terms AS BIGINT) AS n_terms,
+           ROUND(jsd_part / 0.6931471805599453
+                 + 0.5 * (1 - sum_q) + 1e-9, 6) AS jsd_bits
+    FROM kl ORDER BY lang
     """,
     tags=("llm", "text", "stats"),
 )
@@ -3421,17 +3408,21 @@ def text_js_divergence(spark, sf_dir):
     pipeline (a slice drifting from the blend shows up here before
     downstream evals move). JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) with
     M = (P+Q)/2, summed per present term; corpus terms ABSENT from the
-    slice contribute the closed-form 0.5*q*ln2 tail (p = 0), computed via
-    an anti-join so the identity sum(P)=sum(Q)=1 holds exactly. Bounded
+    slice (p = 0) each contribute exactly 0.5*q*ln2, and since
+    sum(q) = 1 over the whole vocabulary the absent tail is the CLOSED
+    FORM 0.5*ln2*(1 - sum(q over present cells)) — computed from the
+    present-cell aggregate itself, no vocab cross join, no anti-join
+    (the first draft's lang x vocab crossJoin was exactly the
+    nested-loop shape the plan lint rejects — it caught it). Bounded
     [0, 1] bits — cross-engine-safe without clamping, unlike raw KL's
-    infinities.
+    infinities; ln2 inlined as one shared literal on both engines.
 
     Scale shape: one token explode -> (lang, tok) counts (shuffle carries
     the distinct vocabulary per lang, partial-combined), two rollups
     derived FROM the cell table (lang totals, corpus totals — no second
-    corpus scan), a vocab-sized probability join, and an anti-join on the
-    same vocab-sized tables for the absent-term tail. Nothing scales with
-    token instances after the first aggregation."""
+    corpus scan), a vocab-sized probability join, one 1-row corpus-total
+    broadcast (allowlisted scalar), and a per-lang fold. Nothing scales
+    with token instances after the first aggregation."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -3458,30 +3449,15 @@ def text_js_divergence(spark, sf_dir):
             0.5 * F.col("p") * F.log(F.col("p") / m)
             + 0.5 * F.col("q") * F.log(F.col("q") / m)
         ).alias("jsd_part"),
+        F.sum("q").alias("sum_q"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
-    import math
-
-    present = lt.select("lang", "tok")
-    miss = (
-        lang_tot.select("lang")
-        .crossJoin(corp)
-        .join(present, ["lang", "tok"], "left_anti")
-        .crossJoin(F.broadcast(corp_tot))
-        .groupBy("lang")
-        .agg(
-            F.sum(0.5 * (F.col("cn") / F.col("ct")) * F.lit(math.log(2)))
-            .alias("miss_part")
-        )
-    )
+    ln2 = F.lit(0.6931471805599453)
     return (
-        kl.join(miss, "lang", "left")
-        .select(
+        kl.select(
             "lang", "n_terms",
             eps_round(
-                (F.col("jsd_part") + F.coalesce(F.col("miss_part"), F.lit(0.0)))
-                / F.lit(math.log(2)),
-                6,
+                F.col("jsd_part") / ln2 + 0.5 * (1 - F.col("sum_q")), 6
             ).alias("jsd_bits"),
         )
         .orderBy("lang")
@@ -3498,7 +3474,8 @@ def text_js_divergence(spark, sf_dir):
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
             FROM embeddings)
     ),
-    p AS (SELECT label, quantile_cont(nr, 0.99) AS p99 FROM v GROUP BY label)
+    p AS (SELECT label, ROUND(quantile_cont(nr, 0.99) + 1e-9, 6) AS p99
+          FROM v GROUP BY label)
     SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            ROUND(p.p99 + 1e-9, 4) AS p99_norm,
            CAST(SUM(CASE WHEN v.nr > p.p99 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3513,8 +3490,9 @@ def text_js_divergence(spark, sf_dir):
 def embed_norm_clip(spark, sf_dir):
     """Embedding-norm winsorization audit per label: the p99 norm clip
     threshold (exact interpolated percentile over 6dp-rounded norms —
-    rounding BEFORE the quantile makes the clip set engine-identical at
-    boundaries), how many vectors it clips, and the mean norm before vs
+    rounding BEFORE the quantile, and the interpolated threshold itself
+    eps-rounded 6dp before any comparison, make the clip set
+    engine-identical at boundaries), how many vectors it clips, and the mean norm before vs
     after clipping. Norm outliers dominate dot products and distort
     ANN/centroid geometry (embed_norm_outliers flags them; this prices
     the standard remedy — rescale to the p99 cap before indexing).
@@ -3529,8 +3507,12 @@ def embed_norm_clip(spark, sf_dir):
     v = e.select(
         "label", eps_round(sim.l2_norm(F.col("embedding")), 6).alias("nr")
     )
+    # the threshold is eps-rounded 6dp BEFORE any comparison: the
+    # interpolated percentile's last ulp may differ between engines'
+    # lerp formulas, and an unrounded `nr > p99` at a run of equal
+    # rounded norms would flip the clip set cross-engine (review pin)
     p = v.groupBy("label").agg(
-        F.percentile("nr", F.lit(0.99)).alias("p99")
+        eps_round(F.percentile("nr", F.lit(0.99)), 6).alias("p99")
     )
     return (
         v.join(F.broadcast(p), "label")

@@ -2733,7 +2733,8 @@ def agg_entropy_gini(spark, sf_dir):
     """
     WITH rev AS (
       SELECT n_name, l_partkey,
-             SUM(l_extendedprice * (1 - l_discount)) AS revenue
+             ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+               AS revenue
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON n_nationkey = s_nationkey
@@ -2765,8 +2766,12 @@ def agg_pareto_abc(spark, sf_dir):
     revenue share reaches 70% are class A, to 90% class B, the tail C —
     the inventory-analytics split ("which 20% of parts carry 80% of
     revenue"). Cumulative share via a window over the part-level revenue
-    rollup, classified on the eps-rounded share so the hard class boundary
-    cannot flip on a 1-ulp cross-engine sum difference.
+    rollup, with the part-level revenue eps-rounded BEFORE the window and
+    the share eps-rounded before classification, so the hard class
+    boundary cannot flip on a 1-ulp sum-order difference — across engines
+    or across Spark runs (the r7 flake: an unrounded rollup fed the
+    running sum, and one boundary part's class depended on shuffle
+    arrival order).
 
     Scale shape: the raw fact scan reduces to |nation| x |part| BEFORE any
     window; the running sum partitions by nation over that rollup. At the
@@ -2780,7 +2785,17 @@ def agg_pareto_abc(spark, sf_dir):
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("n_name", "l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # eps-round the part-level revenue BEFORE the running-sum window:
+        # the raw double sum's last ulp varies with aggregation order —
+        # across engines AND across Spark runs (shuffle arrival order) —
+        # and the cumulative share inherits it, so a part sitting exactly
+        # on the 0.7/0.9 class edge could flip class between runs (one
+        # flaky driver-gate mismatch observed r7). Rounded addends summed
+        # in the window's DETERMINISTIC (revenue DESC, partkey) order make
+        # cum_rev bit-identical everywhere.
+        .agg(eps_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"))
     )
     w_cum = (
         Window.partitionBy("n_name")

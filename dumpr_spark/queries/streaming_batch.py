@@ -608,7 +608,8 @@ def events_anomaly_mad(spark, sf_dir):
     "events_changepoint_cusum",
     """
     WITH stats AS (
-      SELECT event_type, AVG(value) AS mu FROM events GROUP BY event_type
+      SELECT event_type, ROUND(AVG(value) + 1e-9, 6) AS mu
+      FROM events GROUP BY event_type
     ),
     walked AS (
       SELECT e.event_type, e.ts, e.event_id,
@@ -638,13 +639,22 @@ def events_changepoint_cusum(spark, sf_dir):
     windows are PARTITIONED by event_type (no global order anywhere); the
     cusum is rounded to 4dp before the argmax ranking so the picked row is
     engine-stable even though windowed summation trees differ in the low
-    bits (rounding granularity 1e-4 vs float noise ~1e-10). At 100 TB the
+    bits (rounding granularity 1e-4 vs float noise ~1e-10), and the mean
+    itself is eps-rounded before the walk so the accumulated ulp noise of
+    a parallel avg cannot drift the cusum across a rounding edge
+    (agg_pareto_abc's r7 flake class). At 100 TB the
     mean is a broadcast 5-row join and the cumulative window shuffles each
     type's rows once."""
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events")
-    mu = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    # mu is eps-rounded BEFORE the walk: the parallel avg's last ulp
+    # varies with shuffle arrival order (run-to-run, not just
+    # cross-engine), and the cusum accumulates that ulp n times — the
+    # same boundary-flip class as the agg_pareto_abc r7 flake, hardened
+    # proactively (a rounded mean changes the statistic immeasurably;
+    # an unrounded one changes WHICH ROW is the argmax, rarely)
+    mu = e.groupBy("event_type").agg(eps_round(F.avg("value"), 6).alias("mu"))
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "embed_kmeans_step",        # broadcast centroid set (ivf_assign)
     "embed_kmeans_converged",   # broadcast centroid set per Lloyd iteration
     "text_pmi_cooccurrence",    # 1-row corpus-count broadcast (scalar)
+    "text_js_divergence",       # 1-row corpus-total broadcast (scalar)
     "embed_pca_power",          # 1-row norm broadcast per power step (scalar)
     "embed_debias_topdir",      # same scalar norm broadcast (2 power steps)
     "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast

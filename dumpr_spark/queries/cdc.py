@@ -835,6 +835,8 @@ def cdc_seq_gap_audit(spark, sf_dir):
     deltas = seqs.select(
         "file_id", "seq", (F.col("seq") - F.lag("seq").over(w)).alias("delta")
     )
+    # per_file is read twice (own row + the predecessor equi-join);
+    # pin it so the synthetic-stream explode chain runs once
     per_file = deltas.groupBy("file_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_seq"),
         F.min("seq").cast("bigint").alias("seq_min"),
@@ -844,7 +846,7 @@ def cdc_seq_gap_audit(spark, sf_dir):
         F.sum(F.when(F.col("delta") > 1, F.col("delta") - 1).otherwise(0))
             .cast("bigint").alias("n_missing"),
         F.max("delta").cast("bigint").alias("max_gap"),
-    )
+    ).localCheckpoint(eager=False)
     prev = per_file.select(
         (F.col("file_id") + 1).alias("file_id"),
         F.col("seq_max").alias("_prev_end"),

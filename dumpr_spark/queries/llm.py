@@ -3427,9 +3427,14 @@ def text_js_divergence(spark, sf_dir):
     toks = d.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.col("tok") != "")
+    # lt feeds three consumers (lang totals, corpus totals, the cells
+    # join); without pinning, Catalyst re-expands the subtree per consumer
+    # — the physical plan scanned+exploded the corpus 4x (measured, 0
+    # ReusedExchange). The lazy checkpoint makes "derived from the cell
+    # table" true PHYSICALLY: one scan, one explode, one agg.
     lt = toks.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     lang_tot = lt.groupBy("lang").agg(F.sum("n").alias("tn"))
     corp = lt.groupBy("tok").agg(F.sum("n").alias("cn"))
     corp_tot = corp.agg(F.sum("cn").alias("ct"))

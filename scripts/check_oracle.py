@@ -49,6 +49,54 @@ def normalize(pdf):
     return [tuple(canon(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
+def register_views(con, sf_dir: str) -> None:
+    """Register the testdata parquet tables as DuckDB views, mirroring the
+    driver harness (shared with scripts/flake_hunt.py)."""
+    from dumpr_spark.sources.files import TPCH_TABLES
+
+    for name in TPCH_TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+
+def check_one(spark, con, sf_dir: str, name: str):
+    """Run ONE registry query on Spark and its oracle on DuckDB; return
+    (status, detail) where status is 'ok' | 'rows' | 'fail'. Extracted so
+    flake_hunt can reuse the exact gate semantics."""
+    from dumpr_spark.queries import REGISTRY
+
+    q = REGISTRY[name]
+    try:
+        spdf = q.fn(spark, sf_dir).toPandas()
+    except Exception as e:
+        return "fail", f"SPARK ERROR: {str(e)[:300]}"
+    if q.oracle is None:
+        return "rows", f"{len(spdf)} rows (no oracle)"
+    try:
+        # .df() (not fetchall) so DuckDB->pandas dtype coercion happens,
+        # matching the driver harness (HUGEINT widens to float64 here).
+        dpdf = con.sql(q.oracle).df()
+    except Exception as e:
+        return "fail", f"DUCKDB ERROR: {str(e)[:300]}"
+    problems = []
+    if len(spdf) != len(dpdf):
+        problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        problems.append(
+            f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+        )
+    if not problems:
+        try:
+            sn, dn = normalize(spdf), normalize(dpdf)
+        except Exception as e:
+            return "fail", f"CANON ERROR (driver would ERR): {str(e)[:300]}"
+        if sn != dn:
+            diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            problems.append(f"values differ; first diffs: {diffs}")
+    if problems:
+        return "fail", "; ".join(p[:400] for p in problems)
+    return "ok", f"{len(spdf)} rows"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -57,60 +105,27 @@ def main():
 
     from dumpr_spark.queries import REGISTRY
     from dumpr_spark.session import get_spark
-    from dumpr_spark.sources.files import TPCH_TABLES
 
     spark = get_spark("check_oracle", cpus=8)
     con = duckdb.connect()
-    for name in TPCH_TABLES:
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    register_views(con, sf_dir)
 
     passed, failed, skipped = [], [], []
-    for name, q in sorted(REGISTRY.items()):
+    for name in sorted(REGISTRY):
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = q.fn(spark, sf_dir)
-            spdf = sdf.toPandas()
-        except Exception as e:
-            failed.append((name, f"SPARK ERROR: {e}"))
-            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
-            continue
-        if q.oracle is None:
-            skipped.append((name, len(spdf)))
-            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            continue
-        try:
-            # .df() (not fetchall) so DuckDB->pandas dtype coercion happens,
-            # matching the driver harness (HUGEINT widens to float64 here).
-            dpdf = con.sql(q.oracle).df()
-        except Exception as e:
-            failed.append((name, f"DUCKDB ERROR: {e}"))
-            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
-            continue
-        problems = []
-        if len(spdf) != len(dpdf):
-            problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
-        if sorted(spdf.columns) != sorted(dpdf.columns):
-            problems.append(
-                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
-            )
-        if not problems:
-            try:
-                sn, dn = normalize(spdf), normalize(dpdf)
-            except Exception as e:
-                failed.append((name, f"CANON ERROR: {e}"))
-                print(f"FAIL  {name}: canonicalize error (driver would ERR): {str(e)[:300]}")
-                continue
-            if sn != dn:
-                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diffs}")
-        if problems:
-            failed.append((name, "; ".join(problems)))
-            print(f"FAIL  {name}: {'; '.join(p[:400] for p in problems)}")
-        else:
+        status, detail = check_one(spark, con, sf_dir, name)
+        dt = f"[{time.time()-t0:.1f}s]"
+        if status == "ok":
             passed.append(name)
-            print(f"ok    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {detail} {dt}")
+        elif status == "rows":
+            skipped.append(name)
+            print(f"rows  {name}: {detail} {dt}")
+        else:
+            failed.append((name, detail))
+            print(f"FAIL  {name}: {detail}")
 
     print(f"\n{len(passed)} ok, {len(failed)} FAILED, {len(skipped)} rows-only")
     if failed:

@@ -980,3 +980,31 @@ def test_bloom_build_is_partitioning_invariant(spark):
     ]
     for i, v in enumerate(variants):
         assert build_bloom(v, "k", m_bits=1 << 14, k=5) == base, i
+
+
+def test_multi_consumer_rollups_scan_once(spark, sf_dir):
+    """Plan pins for the r7 scan-reuse fixes: Catalyst re-expands a
+    logical subtree per consumer (ReuseExchange does not fire across
+    separately-planned aggregations), so a rollup feeding several
+    downstream aggregates must be pinned or the corpus is re-scanned per
+    consumer. text_js_divergence's (lang, tok) rollup feeds THREE
+    consumers and previously scanned+exploded documents 4x — the pinned
+    plan must show zero direct parquet scans of documents (the one real
+    scan happens inside the checkpointed subtree). Same pin, weaker form,
+    for agg_bootstrap_ci: the whole query computes exactly ONE md5 per
+    row (the Carter-Wegman fan-out exists so the digest count does not
+    scale with the replicate count)."""
+    from dumpr_spark.operators.scale import explain_str
+    from dumpr_spark.queries import REGISTRY
+
+    jsd = REGISTRY["text_js_divergence"].fn(spark, sf_dir)
+    plan = jsd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 0, (
+        "text_js_divergence re-grew a per-consumer corpus scan"
+    )
+
+    boot = explain_str(REGISTRY["agg_bootstrap_ci"].fn(spark, sf_dir))
+    assert boot.count("md5") == 1, (
+        f"agg_bootstrap_ci should digest once per row, plan shows "
+        f"{boot.count('md5')} md5 calls"
+    )

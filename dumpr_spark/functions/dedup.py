@@ -207,6 +207,39 @@ def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: st
     return edges.unionByName(lsh)
 
 
+def subset_candidate_pairs(cands: DataFrame,
+                           sample_frac: float | None = None,
+                           max_pairs: int | None = None) -> DataFrame:
+    """Deterministic subsetting of an (a, b) candidate-pair list — the
+    shared volume dial for every exact-rescoring leg (the only
+    super-linear growers in the engine: shingle_overlap_pairs behind
+    minhash_accuracy_audit and dedup_jaccard_containment).
+
+    - ``sample_frac``: keep a pair iff its md5 hash-bucket falls under
+      the fraction (`functions/sampling.hash_bucket` discipline) —
+      stable across runs/engines, unbiased in the pair population.
+    - ``max_pairs``: deterministic top-N by the pair's md5 key, compiled
+      to TakeOrderedAndProject (per-partition heap, never a full sort) —
+      a hard output bound when candidate volume is unknown.
+
+    Both default to None: the FULL population (the driver-gate-checked
+    path). Filters land on the pair list itself, BEFORE the expensive
+    exact leg joins shingle sets, so the subset is what gets rescored."""
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        from dumpr_spark.functions.sampling import hash_bucket
+        cands = cands.where(
+            hash_bucket(F.concat_ws("|", "a", "b"), 1_000_000)
+            < int(round(sample_frac * 1_000_000))
+        )
+    if max_pairs is not None:
+        cands = cands.orderBy(
+            F.md5(F.concat_ws("|", "a", "b")), "a", "b"
+        ).limit(max_pairs)
+    return cands
+
+
 def minhash_accuracy_audit(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 8,
                            band_size: int = 2, k: int = 3,
@@ -221,33 +254,18 @@ def minhash_accuracy_audit(df: DataFrame, id_col: str = "doc_id",
     grows with candidate volume (~3x at 10x rows measured at sf0.1 —
     SCALE.md round-6 curve, the engine's only super-linear entry). The
     estimate-vs-exact error curve needs thousands of pairs, not billions,
-    so at volume subset the CANDIDATES before either audit leg:
-
-    - ``sample_frac``: keep a pair iff its md5 hash-bucket falls under the
-      fraction (`functions/sampling.hash_bucket` discipline) — stable
-      across runs/engines, unbiased in the pair population.
-    - ``max_pairs``: deterministic top-N by the same md5 key, compiled to
-      TakeOrderedAndProject (per-partition heap, never a full sort) — a
-      hard output bound when candidate volume is unknown.
-
-    Both default to None: the FULL population, the driver-gate-checked
-    path (query ``dedup_minhash_accuracy``). Filters land on the pair list
-    itself, so the expensive exact leg only ever sees the subset."""
+    so at volume subset the CANDIDATES before either audit leg via
+    ``sample_frac``/``max_pairs`` (see `subset_candidate_pairs` — the
+    shared dial, also threaded through dedup_jaccard_containment). Both
+    default to None: the FULL population, the driver-gate-checked path
+    (query ``dedup_minhash_accuracy``)."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, k)
-    cands = lsh_candidate_pairs(
-        lsh_bands(sig, id_col, num_hashes, band_size), id_col
+    cands = subset_candidate_pairs(
+        lsh_candidate_pairs(
+            lsh_bands(sig, id_col, num_hashes, band_size), id_col
+        ),
+        sample_frac, max_pairs,
     )
-    pair_key = F.md5(F.concat_ws("|", "a", "b"))
-    if sample_frac is not None:
-        if not 0.0 < sample_frac <= 1.0:
-            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
-        from dumpr_spark.functions.sampling import hash_bucket
-        cands = cands.where(
-            hash_bucket(F.concat_ws("|", "a", "b"), 1_000_000)
-            < int(round(sample_frac * 1_000_000))
-        )
-    if max_pairs is not None:
-        cands = cands.orderBy(pair_key, "a", "b").limit(max_pairs)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     agree = sum(
         (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")

@@ -107,24 +107,32 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 16,
         raise ValueError("m_bits must be a positive multiple of 64, at most 2^27")
     if k < 1 or k > 16:
         raise ValueError("k must be in 1..16")
+    import numpy as np
+
     pairs = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(_positions(F.col(key_col), k, m_bits)).alias("p")
     )
     # the Python API's shiftleft only takes literal shift amounts; the SQL
     # form accepts a column, so the mask is built with expr()
-    words = (
+    #
+    # Collected via Arrow (toPandas), not Row objects: at the 2^27 cap the
+    # set-word frame is up to 2^21 rows, which is 16 MiB of longs over
+    # Arrow but ~100x that in driver-side Row overhead through the py4j
+    # collect path (r7 review item). The scatter into the dense word
+    # array is one vectorized numpy assignment — `w` is the groupBy key,
+    # so indices are distinct by construction.
+    wpdf = (
         pairs.select(
             F.expr("p DIV 64 AS w"),
             F.expr("shiftleft(CAST(1 AS LONG), CAST(p % 64 AS INT)) AS mask"),
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        .toPandas()
     )
-    arr = [0] * (m_bits // 64)
-    for r in words:
-        arr[r["w"]] = r["bits"]
-    return BloomFilter(words=arr, k=k)
+    arr = np.zeros(m_bits // 64, dtype=np.int64)
+    arr[wpdf["w"].to_numpy(dtype=np.int64)] = wpdf["bits"].to_numpy(dtype=np.int64)
+    return BloomFilter(words=arr.tolist(), k=k)
 
 
 def bloom_semi_join(left: DataFrame, bloom: BloomFilter, key_col: str) -> DataFrame:
@@ -247,7 +255,24 @@ class RefreshingBloom:
     rebind of an IMMUTABLE artifact (BloomFilter is frozen; in-flight
     plans keep probing the words they captured). Probe cost is unchanged:
     the rebuild is one pass over the dim, amortized across every batch of
-    the version's lifetime."""
+    the version's lifetime.
+
+    Torn-read guard (r7 review): a refresh landing BETWEEN the version
+    read and the build would stamp a bloom built from newer — or
+    mid-overwrite — dim data with the older token, and a non-atomic
+    refresher could then serve one batch through a filter built from a
+    partially-written dim. `current()` therefore re-reads `version_fn`
+    AFTER the build and rebuilds while the token moved (bounded retries;
+    on exhaustion it stamps a sentinel so the NEXT call rebuilds rather
+    than trusting a possibly-torn artifact). The guard makes version
+    churn safe; actual dim-DATA atomicity is still the publisher's
+    contract — publish the data, THEN bump the version (the usual
+    snapshot/manifest discipline), never the reverse."""
+
+    # version flips observed mid-build before current() gives up for this
+    # call and marks the artifact for rebuild on the next one — churn this
+    # sustained means the caller's refresh cadence outpaces the build
+    _MAX_REBUILDS_PER_CALL = 3
 
     def __init__(self, build_fn, version_fn):
         self._build, self._version = build_fn, version_fn
@@ -258,8 +283,21 @@ class RefreshingBloom:
 
     def current(self) -> BloomFilter:
         v = self._version()
-        if not self._fresh or v != self._seen:
+        for _ in range(self._MAX_REBUILDS_PER_CALL):
+            if self._fresh and v == self._seen:
+                return self.bloom
             self.bloom = self._build()
-            self._seen, self._fresh = v, True
             self.builds += 1
+            # re-read AFTER the build: if a refresh landed mid-build the
+            # artifact may mix old and new dim data — loop and rebuild
+            # against the settled version
+            v2 = self._version()
+            if v2 == v:
+                self._seen, self._fresh = v, True
+                return self.bloom
+            v = v2
+        # version still moving after the retry budget: serve the freshest
+        # build (no false negatives vs ITS snapshot) but leave the artifact
+        # marked stale so the next call rebuilds once the churn settles
+        self._fresh = False
         return self.bloom

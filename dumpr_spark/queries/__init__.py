@@ -36,13 +36,10 @@ from dumpr_spark.queries import relational  # noqa: E402,F401
 # Anything not covered by a set lands in the never-green backlog by
 # construction (computed below), so a forgotten registration can only make a
 # query be checked EARLIER, never hide it.
-_R1_VERIFIED = {
-    "agg_bool", "agg_pivot", "join_anti", "join_broadcast_hint", "join_cross",
-    "join_full_outer", "join_inner_star", "join_left_outer", "join_multikey",
-    "join_right_outer", "join_semi", "join_skew_salted", "join_theta_range",
-    "project_distinct", "set_except", "set_intersect", "set_union_all",
-    "set_union_distinct", "sort_multi_nulls", "sort_topk",
-}
+# _R1_VERIFIED is EMPTY as of round 8: the r7 driver walk re-certified all
+# 20 remaining r1-vintage rows (their freshest green rows now live in
+# _R7_VERIFIED), completing the rotation goal the r6 verdict set.
+_R1_VERIFIED: set = set()
 # Moved OUT of _R1_VERIFIED to _R6_VERIFIED (re-certified by the r6 driver
 # walk): the 27 agg/filter/join_asof/q1/scalar/win names whose freshest green
 # row is now CORRECTNESS_r06.json.
@@ -54,12 +51,7 @@ _R1_VERIFIED = {
 # 34 never-checked entries plus scalar_conditional (fixed in 007a035 but never
 # driver-re-checked).
 _R2_VERIFIED = {
-    "dedup_exact", "dedup_exact_hash",
-    "dedup_fingerprint", "text_winnow_fingerprints", "dedup_winnow_pairs",
-    "dedup_lsh_scaled", "text_fingerprint_rolling",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "sim_topk_bruteforce",
-    "sim_embedding_stats", "text_lang_stats", "text_quality", "text_lang_id",
+    "text_lang_id",
     "text_pii_scrub", "text_repetition",
     "text_lang_confusion", "chunk_documents", "pack_sequences",
     "contamination_ngrams", "dedup_cross_corpus", "sample_stratified_hash",
@@ -70,6 +62,10 @@ _R2_VERIFIED = {
     "dedup_lines_global", "join_fuzzy_edit1",
     "join_overlap_intervals", "multimodal_frame_plan",
 }
+# Moved OUT of _R2_VERIFIED to _R7_VERIFIED (re-certified by the r7 driver
+# walk): the 13 dedup/fingerprint/similarity/text names whose freshest green
+# row is now CORRECTNESS_r07.json. The 25 literals above are the whole
+# remaining r2 tier — the r8 rotation target is to empty it.
 # Removed from _R2_VERIFIED (stale evidence): dedup_semantic_clusters +
 # dedup_embedding_cosine (r6 sf0.1 timing census: per-pair norm folds moved
 # to per-row precompute before the blocking join — value-identical, locally
@@ -226,71 +222,92 @@ _R6_VERIFIED = {
 # identical, locally re-gated green, but the shared helper changed —
 # same eviction applies to dedup_clusters in the r2 tier).
 
+# Names the driver hash-verified in round 7 (CORRECTNESS_r07.json: 50 of 50
+# checked, all hash_match): all 10 _R7_NEW registrations, the whole 7-name
+# never-green backlog (the agg_pareto_abc flake fix + its proactive
+# events_changepoint_cusum twin, the events_ewma pandas-ewm swap, the
+# sim_ann_hyperplane folded-literal planes, the dedup_minhash_accuracy knob
+# refactor, and the two connected-components sym-checkpoint re-greens), all
+# 20 remaining r1-vintage rows (r1 tier now EMPTY), and 13 r2-vintage
+# re-certifications.
+_R7_VERIFIED = {
+    "agg_bool", "agg_bootstrap_ci", "agg_pareto_abc", "agg_pivot",
+    "cdc_seq_gap_audit", "dedup_clusters", "dedup_exact", "dedup_exact_hash",
+    "dedup_fingerprint", "dedup_jaccard_containment", "dedup_lsh_scaled",
+    "dedup_minhash_accuracy", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_semantic_clusters", "dedup_winnow_pairs", "embed_norm_clip",
+    "events_changepoint_cusum", "events_ewma", "events_overdispersion",
+    "join_anti", "join_broadcast_hint", "join_cross", "join_full_outer",
+    "join_inner_star", "join_left_outer", "join_multikey",
+    "join_right_outer", "join_semi", "join_skew_salted", "join_theta_range",
+    "multimodal_payload_dedup", "project_distinct",
+    "sample_balanced_classes", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "sim_ann_hyperplane",
+    "sim_ann_recall_curve", "sim_embedding_stats", "sim_topk_bruteforce",
+    "sort_multi_nulls", "sort_topk", "text_fingerprint_rolling",
+    "text_js_divergence", "text_lang_stats", "text_quality",
+    "text_winnow_fingerprints", "text_zipf_fit",
+}
+# Removed from _R7_VERIFIED (stale evidence, r8 edits):
+# dedup_jaccard_containment (grew the same sample_frac/max_pairs knobs its
+# minhash_accuracy_audit sibling got in r7 — full population stays the
+# registered default, values identical, but the builder source changed);
+# events_overdispersion (the `overdispersed` boolean now derives from the
+# eps-rounded fano on both engines per the r7 review advice — a hard
+# decision no longer reads an unrounded parallel-aggregate ratio);
+# events_ewma (the non-null-value precondition the r7 review named is now
+# ASSERTED inside the fold — pandas ewm would skip a NaN the old Python
+# loop propagated; no behavior change on the NOT NULL testdata);
+# dedup_minhash_accuracy (its candidate-subset knobs were extracted into
+# the shared functions/dedup.subset_candidate_pairs — same plan, but the
+# builder's call path changed).
+_R7_VERIFIED -= {
+    "dedup_jaccard_containment", "events_overdispersion", "events_ewma",
+    "dedup_minhash_accuracy",
+}
+# Removed from _R6_VERIFIED (stale evidence, r8 edit): join_bloom_prefilter
+# — build_bloom's word collect moved from py4j Row objects to the Arrow
+# path (toPandas + one vectorized scatter), closing the r7 review's
+# 2^27-cap driver-overhead item; bits identical, but the build source
+# changed.
+_R6_VERIFIED -= {"join_bloom_prefilter"}
+
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
 # tier, tripping the fail-safe rank-0 path (caught by review in r6).
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
-    | _R6_VERIFIED
+    | _R6_VERIFIED | _R7_VERIFIED
 )
 
-# Queries first registered in round 7. They queue BEHIND the never-green
+# Queries first registered in round 8. They queue BEHIND the never-green
 # backlog and AHEAD of the verified tiers. Budget check: backlog +
-# len(_R7_NEW) must stay well under 50 (cap 15 per the r6 verdict) so the
-# remaining >=35 slots re-certify the stalest verified evidence — the goal
-# for r7 is to empty the 20-name _R1_VERIFIED tier and bite into _R2.
-_R7_NEW: set = {
-    # ANN recall/cost calibration: recall@5 vs brute force per
-    # (method in {ivf, lsh}, dial) — the dial table the MinHash band got
-    # in r6, with Lloyd-trained centroids and LCG planes replayed exactly
-    "sim_ann_recall_curve",
-    # asymmetric set similarity: containment next to Jaccard per LSH
-    # candidate pair, verdict classifying doc-in-doc vs near-dup
-    "dedup_jaccard_containment",
-    # corpus-quality diagnostic: per-lang log-log OLS of the rank-frequency
-    # curve (Zipf slope/intercept/R^2 from explicit power sums)
-    "text_zipf_fit",
-    # deterministic Poisson bootstrap: hash-uniform Poisson(1) weights,
-    # 40 replicate means, CI as the 2nd/39th order statistic
-    "agg_bootstrap_ci",
-    # burstiness: Fano factor of hourly arrival counts per event type
-    "events_overdispersion",
-    # exact binary-payload dedup by map-side md5 (BLOB never shuffles)
-    "multimodal_payload_dedup",
-    # per-binlog-file sequence-continuity audit (R14's monitoring twin)
-    "cdc_seq_gap_audit",
-    # class-balanced sampling: per-class cap by deterministic hash rank,
-    # planned as WindowGroupLimit (map-side top-k per class)
-    "sample_balanced_classes",
-    # distribution-shift monitor: per-lang Jensen-Shannon divergence vs
-    # the corpus unigram blend, absent-term tail via anti-join
-    "text_js_divergence",
-    # embedding-norm winsorization audit: per-label p99 clip threshold,
-    # clip counts, mean norm before/after
-    "embed_norm_clip",
-}
+# len(_R8_NEW) must stay well under 50 (cap 15 per the r7 verdict) so the
+# remaining >=35 slots re-certify the stalest verified evidence — the r8
+# goal is to empty the 25-name _R2_VERIFIED tier and re-certify >=10 of r3.
+_R8_NEW: set = set()
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-7 addition. A name
-# accidentally left out of _R7_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-8 addition. A name
+# accidentally left out of _R8_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R7_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R8_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
-# the only remaining correctness risk — r1/r2-vintage green rows on evolving
+# the only remaining correctness risk — r2/r3-vintage green rows on evolving
 # code. The budget-capped walk therefore spends its slack re-certifying the
 # OLDEST green rows each round; a name re-verified in round N moves to that
 # round's set, so the rotation naturally cycles through the registry.
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R7_NEW:
+    if n in _R8_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

@@ -3238,7 +3238,8 @@ def sim_ann_recall_curve(spark, sf_dir):
     """,
     tags=("llm", "dedup"),
 )
-def dedup_jaccard_containment(spark, sf_dir):
+def dedup_jaccard_containment(spark, sf_dir, sample_frac=None,
+                              max_pairs=None):
     """Symmetric vs ASYMMETRIC set similarity for every LSH candidate
     pair: exact 3-gram Jaccard next to the containment coefficient
     ni/min(na, nb), with a verdict — `near_dup` (Jaccard >= 0.7: the two
@@ -3254,9 +3255,17 @@ def dedup_jaccard_containment(spark, sf_dir):
     pair-restricted hash equi-join, shared verbatim with
     dedup_minhash_accuracy's audit. Cost scales with candidate volume x
     doc length; at 100 TB it runs behind the capped candidate generator
-    (minhash_lsh_pairs_scaled) like every other exact-rescoring pass."""
+    (minhash_lsh_pairs_scaled) like every other exact-rescoring pass —
+    and, for audit/monitoring use, behind the same deterministic
+    ``sample_frac``/``max_pairs`` dial its minhash_accuracy_audit
+    sibling got in r7 (`functions/dedup.subset_candidate_pairs`; the
+    subset lands on the pair list BEFORE the exact leg joins shingle
+    sets). Both default to None — the full population is the registered
+    driver-gate path."""
     corpus = _dup_corpus(spark, sf_dir, near=True)
-    cands = dd.minhash_lsh_pairs(corpus)
+    cands = dd.subset_candidate_pairs(
+        dd.minhash_lsh_pairs(corpus), sample_frac, max_pairs
+    )
     ov = dd.shingle_overlap_pairs(corpus, cands)
     ni, na, nb = F.col("ni"), F.col("na"), F.col("nb")
     jac = ni / (na + nb - ni)

@@ -269,12 +269,25 @@ def events_ewma(spark, sf_dir):
     a few thousand rows per key. The in-group fold is pandas
     `ewm(alpha, adjust=False)` — the identical y_t = a*x_t + (1-a)*y_{t-1}
     recurrence run in C instead of a per-row Python loop (r7 census swap;
-    equality pinned by the unchanged recursive-CTE oracle)."""
+    equality pinned by the unchanged recursive-CTE oracle).
+
+    Precondition: non-null `value`. pandas `ewm` SKIPS NaN and continues
+    the recurrence (the removed Python loop would have propagated NaN into
+    every later y_t), so a null would silently change semantics rather
+    than error. The events schema guarantees value NOT NULL (TESTDATA.md;
+    asserted here so a future nullable feed fails loudly instead of
+    drifting)."""
     import pandas as pd
 
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["value"].isna().any():
+            raise ValueError(
+                "events_ewma requires non-null value: pandas ewm would "
+                "skip the NaN and keep folding, silently diverging from "
+                "the NaN-propagating recurrence"
+            )
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         pdf = pdf.assign(
             ewma=pdf["value"].astype("float64")
@@ -1392,7 +1405,8 @@ def events_gap_percentiles(spark, sf_dir):
            ROUND(s1 / n + 1e-9, 4) AS mean_per_hour,
            ROUND((s2 - s1 * s1 / n) / (n - 1) + 1e-9, 4) AS var_per_hour,
            ROUND(((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) + 1e-9, 4) AS fano,
-           ((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) > 1.5 AS overdispersed
+           ROUND(((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) + 1e-9, 4) > 1.5
+             AS overdispersed
     FROM s ORDER BY event_type
     """,
     tags=("events", "analytics", "stats"),
@@ -1440,5 +1454,10 @@ def events_overdispersion(spark, sf_dir):
         eps_round(mean, 4).alias("mean_per_hour"),
         eps_round(var, 4).alias("var_per_hour"),
         eps_round(var / mean, 4).alias("fano"),
-        (var / mean > 1.5).alias("overdispersed"),
+        # the boolean is a HARD decision, so it reads the eps-ROUNDED fano
+        # (both engines) per the float-determinism rule — s1/s2 are exact
+        # integer-valued sums today (counts < 2^53), but deriving from the
+        # rounded value keeps the verdict stable even if the cell metric
+        # ever becomes a true float
+        (eps_round(var / mean, 4) > 1.5).alias("overdispersed"),
     ).orderBy("event_type")

@@ -380,6 +380,37 @@ def test_minhash_accuracy_audit_sampling_knobs(spark, sf_dir):
         minhash_accuracy_audit(corpus, sample_frac=1.5)
 
 
+def test_jaccard_containment_sampling_knobs(spark, sf_dir):
+    """r8: the containment query's exact shingle-overlap leg is the same
+    super-linear grower as the audit's, so it gets the same
+    subset_candidate_pairs dial. Pins: full population is the registered
+    default; sample_frac picks a deterministic subset with UNCHANGED
+    per-pair scores/verdicts; max_pairs is a hard deterministic bound."""
+    from dumpr_spark.queries.llm import dedup_jaccard_containment
+
+    full = {
+        (r["a"], r["b"]): (r["jaccard"], r["containment"], r["verdict"])
+        for r in dedup_jaccard_containment(spark, sf_dir).collect()
+    }
+    assert len(full) > 20
+
+    frac = {
+        (r["a"], r["b"]): (r["jaccard"], r["containment"], r["verdict"])
+        for r in dedup_jaccard_containment(spark, sf_dir, sample_frac=0.5).collect()
+    }
+    assert 0 < len(frac) < len(full)
+    assert all(full[p] == v for p, v in frac.items())  # subset, same values
+    rerun = {
+        (r["a"], r["b"])
+        for r in dedup_jaccard_containment(spark, sf_dir, sample_frac=0.5).collect()
+    }
+    assert rerun == set(frac)  # hash-stable, not rng-stable
+
+    capped = dedup_jaccard_containment(spark, sf_dir, max_pairs=9).collect()
+    assert len(capped) == 9
+    assert {(r["a"], r["b"]) for r in capped} <= set(full)
+
+
 def test_ann_recall_curve_invariants(spark, sf_dir):
     """The registered calibration table must behave like a recall curve:
     7 rows (ivf x {1,2,4,8}, lsh x {1,2,4}); recall MONOTONE in the dial

@@ -1008,3 +1008,99 @@ def test_multi_consumer_rollups_scan_once(spark, sf_dir):
         f"agg_bootstrap_ci should digest once per row, plan shows "
         f"{boot.count('md5')} md5 calls"
     )
+
+
+def test_refreshing_bloom_torn_read_guard():
+    """r7 review: a dim refresh landing BETWEEN the version read and the
+    build must not stamp the mixed-snapshot artifact as current.
+    current() re-reads the version AFTER building; if it moved, it
+    rebuilds against the settled version (exactly one extra build), and
+    under sustained churn it serves the freshest build but leaves the
+    artifact marked stale so the next call rebuilds. Pure driver-side
+    lifecycle — no Spark needed (build_fn is a stub artifact factory)."""
+    from dumpr_spark.operators.bloom import BloomFilter, RefreshingBloom
+
+    state = {"version": 1, "data": 1, "flip_on_build": False}
+    builds: list[int] = []
+
+    def build():
+        builds.append(state["data"])
+        if state["flip_on_build"]:
+            # refresh lands mid-build: data already new, version bumps now
+            state["flip_on_build"] = False
+            state["version"] += 1
+            state["data"] += 1
+            return BloomFilter(words=[builds[-1]], k=1)
+        return BloomFilter(words=[state["data"]], k=1)
+
+    holder = RefreshingBloom(build_fn=build, version_fn=lambda: state["version"])
+    assert holder.current().words == [1] and holder.builds == 1
+    assert holder.current().words == [1] and holder.builds == 1  # cached
+
+    # torn case: the version bump lands DURING the rebuild-triggering call
+    state["version"] += 1
+    state["data"] += 1          # v2 published (data first, then version...)
+    state["flip_on_build"] = True  # ...but v3 lands while v2's build runs
+    got = holder.current()
+    # the guard saw the post-build version move and rebuilt once more —
+    # the served artifact is v3's, not the torn v2-stamped build
+    assert got.words == [3] and holder.builds == 3
+    assert holder.current().words == [3] and holder.builds == 3  # settled
+
+    # sustained churn: version moves on EVERY read -> bounded retries,
+    # freshest build served, artifact left stale so next call rebuilds
+    class Churn:
+        n = 100
+
+        def __call__(self):
+            Churn.n += 1
+            return Churn.n
+
+    churn = RefreshingBloom(
+        build_fn=lambda: BloomFilter(words=[Churn.n], k=1),
+        version_fn=Churn(),
+    )
+    first = churn.current()
+    assert churn.builds == churn._MAX_REBUILDS_PER_CALL
+    assert first.words == [Churn.n - 1]  # freshest completed build
+    churn.current()
+    assert churn.builds > churn._MAX_REBUILDS_PER_CALL  # still marked stale
+
+
+def test_build_bloom_arrow_collect_matches_row_collect_and_cap_build(spark):
+    """r8 swap of build_bloom's driver collect from py4j Row objects to
+    Arrow (toPandas + one vectorized scatter): (1) the produced words are
+    BIT-IDENTICAL to an in-test replica of the old Row-collect fold, and
+    (2) a cap-sized build (m_bits=2^27 -> 2^21 words, the case whose Row
+    overhead motivated the swap) completes and probes correctly through
+    the Arrow probe (the literal probe is capped at 2^20 by design)."""
+    from dumpr_spark.operators.bloom import (
+        _positions, bloom_semi_join_arrow, build_bloom,
+    )
+
+    keys = spark.range(0, 3000, 7).select(F.col("id").alias("k"))
+    bloom = build_bloom(keys, "k", m_bits=1 << 14, k=5)
+
+    rows = (
+        keys.select(F.explode(_positions(F.col("k"), 5, 1 << 14)).alias("p"))
+        .select(
+            F.expr("p DIV 64 AS w"),
+            F.expr("shiftleft(CAST(1 AS LONG), CAST(p % 64 AS INT)) AS mask"),
+        )
+        .groupBy("w").agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    expected = [0] * (1 << 8)
+    for r in rows:
+        expected[r["w"]] = r["bits"]
+    assert bloom.words == expected
+
+    big = build_bloom(keys, "k", m_bits=1 << 27, k=5)
+    assert len(big.words) == (1 << 21)
+    assert all(isinstance(w, int) for w in big.words[:4])
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    kept = {r["k"] for r in bloom_semi_join_arrow(probe, big, "k").collect()}
+    members = set(range(0, 3000, 7))
+    assert members <= kept
+    # 429 keys in a 2^27-bit filter: fpp is ~0 — allow a whisker of slack
+    assert len(kept - members) <= 3

@@ -112,3 +112,84 @@ def global_ntile(
         with_pid.join(F.broadcast(off_df), "_pid")
         .select(*df.columns, tile)
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    val_col: str,
+    sum_cols: list,
+    rel_err: float = 0.001,
+    check_distinct: bool = True,
+) -> DataFrame:
+    """Running totals of `sum_cols` over the GLOBAL `val_col` order without
+    an unpartitioned window — the prefix-SCAN sibling of global_ntile,
+    same three-pass recipe (quantile range-bucket with literal boundaries,
+    parallel in-bucket cumulative window, metadata-sized bucket totals
+    cumulated on the driver and broadcast back as offsets). Adds one
+    `<c>_cum` column per input column. The shape every distributed CDF /
+    empirical-distribution statistic needs (KS tests, quantile diffs,
+    Lorenz/Gini curves) — a naive `SUM() OVER (ORDER BY v)` moves the
+    whole input to ONE task.
+
+    Contract: `val_col` values must be DISTINCT (pre-aggregate to distinct
+    keys first — the natural shape for CDF work; with ties the in-bucket
+    running sum would order arbitrarily within the tie and intermediate
+    cums would be nondeterministic). Verified with one cheap agg when
+    `check_distinct` (disable at volume once the upstream groupBy
+    guarantees it structurally). `sum_cols` should be integral or
+    pre-rounded: bucket offsets are driver-cumulated in bucket order
+    (deterministic), but float addition would still reorder vs a serial
+    scan. NULL `val_col` rows sort LAST (one extra bucket), matching
+    asc_nulls_last."""
+    spark = df.sparkSession
+    if check_distinct:
+        shape = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(val_col)).alias("nd"),
+            F.count(F.when(F.col(val_col).isNull(), 1)).alias("nn"),
+        ).collect()[0]
+        if shape["nd"] + min(shape["nn"], 1) != shape["n"]:
+            raise ValueError(
+                f"global_prefix_sums: {val_col} must be distinct "
+                f"({shape['n']} rows, {shape['nd']} distinct)"
+            )
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    bounds = df.stat.approxQuantile(
+        val_col, [i / n_part for i in range(1, n_part)], rel_err
+    )
+    val = F.col(val_col)
+    if not bounds:
+        bucket = F.lit(0)
+    else:
+        # boundaries affect ONLY which bucket a row cumulates in; the
+        # global running totals are exact regardless of where the
+        # approximate quantiles land (same argument as global_ntile)
+        bucket = F.aggregate(
+            F.lit(bounds), F.lit(0),
+            lambda acc, b: acc + F.when(val > b, 1).otherwise(0),
+        )
+    with_pid = df.withColumn(
+        "_pid", F.when(val.isNull(), F.lit(len(bounds))).otherwise(bucket)
+    )
+    totals = (
+        with_pid.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    run = {c: 0 for c in sum_cols}
+    off_rows = []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        off_rows.append((r["_pid"], *[run[c] for c in sum_cols]))
+        for c in sum_cols:
+            run[c] += r[c] or 0
+    off_schema = "_pid INT, " + ", ".join(f"_off_{c} LONG" for c in sum_cols)
+    off_df = spark.createDataFrame(off_rows, off_schema)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc_nulls_last(val_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = with_pid.join(F.broadcast(off_df), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(f"{c}_cum", F.sum(c).over(w) + F.col(f"_off_{c}"))
+    return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])

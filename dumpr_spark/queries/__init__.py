@@ -285,7 +285,35 @@ _DRIVER_VERIFIED = (
 # len(_R8_NEW) must stay well under 50 (cap 15 per the r7 verdict) so the
 # remaining >=35 slots re-certify the stalest verified evidence — the r8
 # goal is to empty the 25-name _R2_VERIFIED tier and re-certify >=10 of r3.
-_R8_NEW: set = set()
+_R8_NEW: set = {
+    # IVF-PQ serving composition: Lloyd-trained cell pruning + residual
+    # product quantization + asymmetric-distance shortlist + exact
+    # re-rank — the at-scale ANN read path (train -> calibrate -> serve)
+    "sim_ivfpq_topk",
+    # its measured recall@5 row, schema-compatible with the dial table
+    "sim_ivfpq_recall",
+    # R9 as a registry row: mid-stream ALTER widens the envelope schema,
+    # two-epoch decode through the real SchemaCatalog invalidation
+    "cdc_schema_evolution",
+    # two-sample Kolmogorov-Smirnov drift test over the distributed CDF
+    # prefix scan (operators/ntile.global_prefix_sums, three-pass)
+    "agg_ks_test",
+    # perceptual image fingerprints: average hash over the (stubbed) 8x8
+    # luma grid, real Pillow path when importable — image-side dedup key
+    "multimodal_image_ahash",
+    # boilerplate detector: per-doc share of shingles in the corpus
+    # top-200 docfreq bank (fixed-size bank, broadcast at any corpus size)
+    "text_boilerplate_share",
+    # embedding-space isotropy diagnostic: pairwise-cosine histogram over
+    # a deterministic hash sample (quadratic term bounded by the sample)
+    "embed_cosine_histogram",
+    # direction='nearest' as-of join: one union shuffle, backward+forward
+    # carries in one exchange, row-local argmin (operators/asof.py)
+    "join_asof_nearest",
+    # chi-squared independence + Cramér's V over a lang x length-band
+    # contingency table (cell-bounded, marginals from the tiny cell table)
+    "agg_chi2_independence",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-8 addition. A name

@@ -865,3 +865,145 @@ def cdc_seq_gap_audit(spark, sf_dir):
         )
         .orderBy("file_id")
     )
+
+
+@query(
+    "cdc_schema_evolution",
+    """
+    WITH state AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS seg,
+             CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS epoch
+      FROM customer WHERE c_custkey % 11 <> 0
+    )
+    SELECT c_custkey AS cust_id, c_name AS name,
+           ROUND(c_acctbal, 2) AS acctbal, seg AS segment,
+           CAST(epoch AS INT) AS epoch,
+           CAST(CASE WHEN epoch = 2 THEN 4 ELSE 3 END AS INT) AS decoded_cols
+    FROM state ORDER BY cust_id
+    """,
+    tags=("cdc", "schema", "ddl"),
+)
+def cdc_schema_evolution(spark, sf_dir):
+    """Mid-stream schema widening, end to end — R9 as a first-class
+    registry row, not just a unit test: the reference treats DDL as a
+    live hazard (cache clear on DDL, stream.clj:204-212; 'schema changes
+    mid-stream invalidate position' README.md:213), and this query runs
+    the full two-epoch lifecycle through the real SchemaCatalog.
+
+    Epoch 1: every customer arrives as an upsert whose JSON row image has
+    3 columns; the catalog serves the cached pre-DDL StructType. Then the
+    source applies ``ALTER TABLE customer ADD COLUMN`` — the catalog
+    keeps serving the STALE v1 schema (asserted) until the DDL event
+    itself flows through ``invalidate_for_ddl``, which triggers exactly
+    one re-fetch (asserted: 2 fetches total). Epoch 2: every
+    custkey%3==0 row re-arrives with the 4-column image and decodes
+    against v2; custkey%11==0 keys are deleted. The last-write-wins fold
+    (the materialize() entity-map contract on the TYPED rows) yields a
+    state where never-updated keys carry NULL for the new column — JSON
+    late binding makes old rows forward-compatible by construction —
+    and `decoded_cols` (derived from len(schema.fields) actually used
+    per batch) pins the two-epoch decode into the value hash.
+
+    Scale shape: catalog work is O(tables) driver metadata per batch —
+    never per-row; both decode legs are narrow maps over the scan; the
+    fold is the standard keyed max_by. The oracle replays the two-epoch
+    outcome directly from the customer table."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from dumpr_spark.cdc.schema_catalog import SchemaCatalog
+
+    v1 = StructType([
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_acctbal", DoubleType()),
+    ])
+    v2 = StructType(v1.fields + [StructField("c_mktsegment", StringType())])
+    upstream = {"customer": v1}
+    fetches = {"n": 0}
+
+    def fetch(table):
+        fetches["n"] += 1
+        return upstream[table]
+
+    catalog = SchemaCatalog(fetch)
+    s_pre = catalog.schema_for("customer")
+    assert len(s_pre.fields) == 3 and fetches["n"] == 1
+
+    # the DDL lands at the SOURCE first: information_schema now serves v2,
+    # but the catalog must keep the v1 snapshot until the DDL event reaches
+    # this point of the stream (decoding epoch-1 rows with a future schema
+    # would be wrong the moment a column is renamed rather than added)
+    upstream["customer"] = v2
+    assert len(catalog.schema_for("customer").fields) == 3  # cached v1
+    assert fetches["n"] == 1
+
+    ddl = spark.createDataFrame(
+        [("query", "ALTER TABLE customer ADD COLUMN c_mktsegment VARCHAR(10)")],
+        "event_type string, query string",
+    )
+    touched = catalog.invalidate_for_ddl(ddl)
+    assert touched == ["customer"]
+    s_post = catalog.schema_for("customer")
+    assert len(s_post.fields) == 4 and fetches["n"] == 2
+
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = c.select(
+        k.cast("string").alias("id"),
+        (k * 2).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.to_json(F.struct(k, F.col("c_name"), F.col("c_acctbal")))
+            .alias("content"),
+        F.lit(1).alias("epoch"),
+    )
+    e2_up = c.where(k % 3 == 0).select(
+        k.cast("string").alias("id"),
+        (k * 2 + 1).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.to_json(F.struct(
+            k, F.col("c_name"), F.col("c_acctbal"), F.col("c_mktsegment")
+        )).alias("content"),
+        F.lit(2).alias("epoch"),
+    )
+    e2_del = c.where(k % 11 == 0).select(
+        k.cast("string").alias("id"),
+        (k * 2 + 2).cast("long").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(2).alias("epoch"),
+    )
+
+    def decode(batch, schema):
+        # decoded_cols comes from the schema the batch ACTUALLY used, so a
+        # catalog bug (stale v2, premature refetch) changes hashed values
+        return batch.select(
+            "id", "seq", "op", "epoch",
+            F.lit(len(schema.fields)).alias("decoded_cols"),
+            F.from_json("content", schema).alias("row"),
+        )
+
+    typed = (
+        decode(e1, s_pre)
+        .withColumn("row", F.col("row").withField(
+            "c_mktsegment", F.lit(None).cast("string")))
+        .unionByName(decode(e2_up, s_post))
+        .unionByName(decode(e2_del, s_post))
+    )
+    latest = (
+        typed.groupBy("id")
+        .agg(F.max_by(
+            F.struct("op", "row", "decoded_cols", "epoch"), F.col("seq")
+        ).alias("w"))
+        .where(F.col("w.op") != "delete")
+    )
+    return latest.select(
+        F.col("w.row.c_custkey").alias("cust_id"),
+        F.col("w.row.c_name").alias("name"),
+        F.round(F.col("w.row.c_acctbal"), 2).alias("acctbal"),
+        F.col("w.row.c_mktsegment").alias("segment"),
+        F.col("w.epoch").cast("int").alias("epoch"),
+        F.col("w.decoded_cols").cast("int").alias("decoded_cols"),
+    ).orderBy("cust_id")

@@ -3214,6 +3214,373 @@ def sim_ann_recall_curve(spark, sf_dir):
     return out.orderBy("method", "dial")
 
 
+# --------------------------------------------------------------------------
+# Round 8: IVF-PQ serving — train -> calibrate -> SERVE, closing §2.2-J
+# --------------------------------------------------------------------------
+
+# The serving configuration. nprobe=2 is the curve's knee (sim_ann_recall_
+# curve: recall .59 at 2/8 of the corpus probed vs .66 at 4/8); M=8
+# subspaces of 8 dims with a 16-codeword codebook compress a 512-byte
+# vector to 8 bytes; shortlist=32 is what the exact re-rank pass reads.
+_IVFPQ_NPROBE = 2
+_IVFPQ_M = 8          # PQ subspaces
+_IVFPQ_SUB = 8        # dims per subspace (M * SUB = embedding dim 64)
+_IVFPQ_KC = 16        # codewords per subspace (vec_id < KC residual seeds)
+_IVFPQ_SHORTLIST = 32 # ADC shortlist handed to the exact re-rank
+
+
+def _ivfpq_ctes() -> str:
+    """Oracle CTEs replaying the full IVF-PQ serving path: Lloyd training
+    (shared `_kmeans_iter_sql` unroll), coarse assignment, RESIDUAL
+    encoding (classic IVF-PQ quantizes v - centroid(cell(v)), which has
+    ~half the variance of raw v), the per-query per-probed-cell ADC
+    lookup table, the fixed-order ADC sum, the shortlist, and the exact
+    cosine re-rank. Every ranked value is eps-rounded with an id
+    tie-break; the ADC sum is written as M positionally-fixed terms so
+    neither engine's aggregation order can wiggle an ulp."""
+    adc_sum = "\n                 + ".join(
+        f"MAX(CASE WHEN l.m = {i} THEN l.d2 END)" for i in range(_IVFPQ_M)
+    )
+    s = _IVFPQ_SUB
+    return (
+        """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus
+          WHERE vec_id IS NOT NULL ORDER BY vec_id LIMIT 8),
+    """
+        + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3, 4))
+        + f""",
+    sel AS (
+      SELECT CASE WHEN mv1.mv < 0.06 THEN 1 WHEN mv2.mv < 0.06 THEN 2
+                  WHEN mv3.mv < 0.06 THEN 3 ELSE 4 END AS n_iters
+      FROM mv1, mv2, mv3, mv4
+    ),
+    cents AS (
+      SELECT u.cid, u.cvec FROM (
+        SELECT 1 AS it, cid, cvec FROM c1
+        UNION ALL SELECT 2, cid, cvec FROM c2
+        UNION ALL SELECT 3, cid, cvec FROM c3
+        UNION ALL SELECT 4, cid, cvec FROM c4
+      ) u, sel s WHERE u.it = s.n_iters
+    ),
+    ms AS (SELECT unnest(range({_IVFPQ_M})) AS m),
+    vassign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, ct.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, ct.cvec) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                 ct.cid) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    vres AS (
+      SELECT va.vec_id, va.cell,
+             [CAST(p[1] - p[2] AS DOUBLE) for p in list_zip(va.v, ct.cvec)] AS r
+      FROM vassign va JOIN cents ct ON va.cell = ct.cid
+    ),
+    cb AS (
+      SELECT CAST(vr.vec_id AS INT) AS ccid, ms.m,
+             list_transform(list_slice(vr.r, ms.m * {s} + 1, ms.m * {s} + {s}),
+                            x -> ROUND(CAST(x AS DOUBLE) + 1e-9, 6)) AS cv
+      FROM vres vr CROSS JOIN ms WHERE vr.vec_id < {_IVFPQ_KC}
+    ),
+    vcode AS (
+      SELECT n_id, cell, m, ccid FROM (
+        SELECT s.vec_id AS n_id, s.cell, s.m, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 ROUND(list_dot_product(s.sv, s.sv)
+                       - 2 * list_dot_product(s.sv, c.cv)
+                       + list_dot_product(c.cv, c.cv) + 1e-9, 6), c.ccid) AS rn
+        FROM (
+          SELECT vr.vec_id, vr.cell, ms.m,
+                 list_slice(vr.r, ms.m * {s} + 1, ms.m * {s} + {s}) AS sv
+          FROM vres vr CROSS JOIN ms
+        ) s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 32),
+    qprobe AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT q.q_id, q.qv, ct.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, ct.cvec) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                 ct.cid) AS rn
+        FROM q CROSS JOIN cents ct
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    qlut AS (
+      SELECT s.q_id, s.cell, s.m, c.ccid,
+             ROUND(list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, c.cv)
+                   + list_dot_product(c.cv, c.cv) + 1e-9, 6) AS d2
+      FROM (
+        SELECT qp.q_id, qp.cell, ms.m,
+               list_slice([CAST(p[1] - p[2] AS DOUBLE)
+                           for p in list_zip(qp.qv, ct.cvec)],
+                          ms.m * {s} + 1, ms.m * {s} + {s}) AS sv
+        FROM qprobe qp JOIN cents ct ON qp.cell = ct.cid CROSS JOIN ms
+      ) s JOIN cb c ON s.m = c.m
+    ),
+    adc AS (
+      SELECT l.q_id, vc.n_id,
+             ROUND({adc_sum} + 1e-9, 6) AS adc_d2
+      FROM vcode vc
+      JOIN qlut l ON vc.cell = l.cell AND vc.m = l.m AND vc.ccid = l.ccid
+      WHERE l.q_id <> vc.n_id
+      GROUP BY l.q_id, vc.n_id
+    ),
+    shortlist AS (
+      SELECT q_id, n_id, adc_d2 FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS srn
+        FROM adc) WHERE srn <= {_IVFPQ_SHORTLIST}
+    ),
+    rerank AS (
+      SELECT sl.q_id, sl.n_id, sl.adc_d2,
+             ROUND(list_dot_product(qq.qv, c.v) /
+               (sqrt(list_dot_product(qq.qv, qq.qv)) *
+                sqrt(list_dot_product(c.v, c.v))) + 1e-9, 6) AS sim
+      FROM shortlist sl
+      JOIN q qq ON sl.q_id = qq.q_id
+      JOIN corpus c ON sl.n_id = c.vec_id
+    ),
+    final AS (
+      SELECT q_id, n_id, adc_d2, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM rerank
+    )
+    """
+    )
+
+
+def _ivfpq_reranked(spark, sf_dir):
+    """Spark side of the IVF-PQ serving path; returns the re-ranked frame
+    (q_id, n_id, adc_d2, sim, rank) the two registered queries cut.
+
+    Scale shape, stage by stage:
+    - training: `train_centroids_lloyd` (broadcast k x dim centroids,
+      k x dim-cell shuffles, metadata-sized driver traffic);
+    - encoding: coarse assignment and residual PQ codes are narrow maps
+      over the corpus scan (centroids and the KC x M codebook broadcast);
+      per vector the stored index state is one cell id + M code bytes —
+      the 64x compression that lets a 100 TB corpus's index fit hot;
+    - query: the ADC lookup table is nq x nprobe x M x KC tiny rows,
+      broadcast into an equi-join against the probed cells' codes — the
+      scan touches only code columns, never the vectors;
+    - re-rank: only the SHORTLIST (nq x 32 rows, broadcast) joins back to
+      the full vectors for exact cosine — the single stage that reads an
+      embedding leaves the candidate count bounded by construction.
+    Determinism: Lloyd centroids eps-rounded per iteration (exact replay),
+    codebook entries eps-rounded 6dp, every ranked value eps-rounded with
+    id tie-breaks, and the ADC sum assembled as M positionally-fixed
+    terms (max-per-m pivot) so shuffle arrival order cannot move an ulp
+    into the shortlist cut (the r7 flake-class rule)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32)
+    cdf, _counts, _iters, _conv = sim.train_centroids_lloyd(
+        e, k=8, max_iter=4, eps=0.06
+    )
+    cents = cdf.select(
+        F.col("cent_id").alias("cell"), F.col("cent_vec").alias("cvec")
+    )
+
+    def residual(vec_col):
+        return F.zip_with(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            F.col("cvec"),
+            lambda x, y: x - y,
+        )
+
+    ms = F.explode(F.array(*[F.lit(i) for i in range(_IVFPQ_M)])).alias("m")
+
+    def sub_slice(rcol):
+        return F.slice(rcol, F.col("m") * _IVFPQ_SUB + 1, F.lit(_IVFPQ_SUB))
+
+    # pinned: feeds both the codebook and every vector's encoding
+    vres = (
+        sim.ivf_assign(e, cdf)
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell", residual(F.col("embedding")).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    sv, cv = F.col("sv"), F.col("cv")
+    # ||c||^2 is a per-codeword constant and ||s||^2 a per-(row, m)
+    # constant: both are computed ONCE below the candidate join (their
+    # Project sits under the join node, so projection collapse cannot
+    # re-inline the fold into the per-pair expression) — only the cross
+    # term pays per (row x codeword). Same arithmetic, same values, so
+    # the oracle's inline three-dot form still matches bit-for-bit.
+    cb = (
+        vres.where(F.col("vec_id") < _IVFPQ_KC)
+        .select(F.col("vec_id").cast("int").alias("ccid"), ms, "r")
+        .select(
+            "ccid", "m",
+            F.transform(sub_slice(F.col("r")),
+                        lambda x: eps_round(x, 6)).alias("cv"),
+        )
+        .withColumn("_cvv", sim.dot(cv, cv))
+    )
+    d2 = eps_round(
+        F.col("_svv") - 2 * sim.dot(sv, cv) + F.col("_cvv"), 6
+    )
+    code_w = Window.partitionBy("n_id", "m").orderBy("d2", "ccid")
+    vcode = (
+        vres.select(F.col("vec_id").alias("n_id"), "cell", ms, "r")
+        .select("n_id", "cell", "m", sub_slice(F.col("r")).alias("sv"))
+        .withColumn("_svv", sim.dot(sv, sv))
+        .join(F.broadcast(cb), "m")
+        .select("n_id", "cell", "m", "ccid", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(code_w))
+        .where(F.col("_rn") == 1)
+        .select("n_id", "cell", "m", "ccid")
+    )
+    qlut = (
+        sim.ivf_assign(q, cdf, n_cells=_IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding"), "cell")
+        .join(F.broadcast(cents), "cell")
+        .select("q_id", "cell", residual(F.col("embedding")).alias("r"))
+        .select("q_id", "cell", ms, "r")
+        .select("q_id", "cell", "m", sub_slice(F.col("r")).alias("sv"))
+        .withColumn("_svv", sim.dot(sv, sv))
+        .join(F.broadcast(cb), "m")
+        .select("q_id", "cell", "m", "ccid", d2.alias("d2"))
+    )
+    # fixed-order ADC sum: pivot the M per-subspace cells to columns, add
+    # them in one expression — a groupBy SUM would re-order the float adds
+    # with shuffle arrival and wiggle the shortlist edge (r7 flake class)
+    pivots = [
+        F.max(F.when(F.col("m") == i, F.col("d2"))).alias(f"_d{i}")
+        for i in range(_IVFPQ_M)
+    ]
+    adc_sum = F.col("_d0")
+    for i in range(1, _IVFPQ_M):
+        adc_sum = adc_sum + F.col(f"_d{i}")
+    short_w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    shortlist = (
+        vcode.join(F.broadcast(qlut), ["cell", "m", "ccid"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(*pivots)
+        .select("q_id", "n_id", eps_round(adc_sum, 6).alias("adc_d2"))
+        .withColumn("_srn", F.row_number().over(short_w))
+        .where(F.col("_srn") <= _IVFPQ_SHORTLIST)
+        .select("q_id", "n_id", "adc_d2")
+    )
+    qv = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    nv = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    simv = eps_round(sim.cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    rank_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        nv.join(F.broadcast(shortlist.join(F.broadcast(qv), "q_id")), "n_id")
+        .select("q_id", "n_id", "adc_d2", simv.alias("sim"))
+        .withColumn("rank", F.row_number().over(rank_w))
+    )
+
+
+@query(
+    "sim_ivfpq_topk",
+    _ivfpq_ctes()
+    + """
+    SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim, adc_d2
+    FROM final WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    tags=("llm", "similarity", "approx", "serving"),
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ serving top-k — the industry-standard at-scale ANN read
+    path, composed end-to-end: Lloyd-trained IVF cells prune the corpus
+    (nprobe=2 of 8, the dial sim_ann_recall_curve's knee picks), product
+    quantization compresses each pruned candidate to M=8 one-byte codes
+    over RESIDUALS (v - cell centroid — classic IVF-PQ, ~half the
+    variance of quantizing raw vectors), asymmetric-distance scoring
+    ranks candidates from a per-query lookup table without touching any
+    stored vector, and only the 32-row shortlist pays for exact cosine.
+    Closes §2.2-J's similarity story: train (embed_kmeans_converged) ->
+    calibrate (sim_ann_recall_curve) -> serve (this).
+
+    Output: top-5 per query with both the ADC estimate and the exact
+    re-ranked similarity, so the quantization error is visible per row.
+    Exact-replay deterministic (eps-rounded centroids/codebooks/scores,
+    id tie-breaks, positionally-fixed ADC sum), so the DuckDB oracle
+    replays training, encoding, and both search stages bit-for-bit."""
+    return (
+        _ivfpq_reranked(spark, sf_dir)
+        .where(F.col("rank") <= 5)
+        .select("q_id", F.col("rank").cast("int").alias("rank"),
+                "n_id", "sim", "adc_d2")
+        .orderBy("q_id", "rank")
+    )
+
+
+@query(
+    "sim_ivfpq_recall",
+    _ivfpq_ctes()
+    + """,
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT qq.q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY qq.q_id ORDER BY
+                 ROUND(list_dot_product(qq.qv, c.v) /
+                   (sqrt(list_dot_product(qq.qv, qq.qv)) *
+                    sqrt(list_dot_product(c.v, c.v))) + 1e-9, 6) DESC,
+                 c.vec_id) AS rank
+        FROM q qq CROSS JOIN corpus c WHERE qq.q_id <> c.vec_id
+      ) WHERE rank <= 5
+    ),
+    n_exact AS (SELECT COUNT(*)::DOUBLE AS tot FROM exact),
+    h AS (
+      SELECT COUNT(*)::DOUBLE AS hits FROM final f JOIN exact e
+      ON f.q_id = e.q_id AND f.n_id = e.n_id AND f.rank <= 5
+    )
+    SELECT 'ivfpq' AS method, CAST(2 AS INT) AS dial,
+           CAST(h.hits AS BIGINT) AS hits, CAST(n.tot AS BIGINT) AS n_exact,
+           ROUND(h.hits / n.tot + 1e-9, 4) AS recall
+    FROM h, n_exact n
+    """,
+    tags=("llm", "similarity", "approx", "calibration"),
+)
+def sim_ivfpq_recall(spark, sf_dir):
+    """The IVF-PQ serving path's recall row, schema-compatible with
+    sim_ann_recall_curve so it UNIONs straight into the dial table: at
+    nprobe=2 the exact-scoring IVF ceiling is ~.59 recall@5 (the curve's
+    ivf/2 row); the PQ+shortlist stage retains ~4/5 of that at 1/64 the
+    candidate-scoring bytes. The measured row is what justifies — or
+    vetoes — swapping brute-force re-scoring for ADC at volume, exactly
+    like the MinHash accuracy table does for signature Jaccard."""
+    exact = (
+        sim.brute_force_topk(t(spark, sf_dir, "embeddings"),
+                             t(spark, sf_dir, "embeddings")
+                             .where(F.col("vec_id") < 32),
+                             k=5, round_eps=1e-9)
+        .select("q_id", "n_id")
+        .localCheckpoint(eager=False)
+    )
+    tot = exact.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
+    hits = (
+        _ivfpq_reranked(spark, sf_dir)
+        .where(F.col("rank") <= 5)
+        .select("q_id", "n_id")
+        .join(exact, ["q_id", "n_id"])
+        .agg(F.count(F.lit(1)).cast("double").alias("_hits"))
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        F.lit("ivfpq").alias("method"),
+        F.lit(_IVFPQ_NPROBE).cast("int").alias("dial"),
+        F.col("_hits").cast("bigint").alias("hits"),
+        F.col("_tot").cast("bigint").alias("n_exact"),
+        eps_round(F.col("_hits") / F.col("_tot"), 4).alias("recall"),
+    )
+
+
 @query(
     "dedup_jaccard_containment",
     _NEAR_CORPUS_CTE
@@ -3545,4 +3912,159 @@ def embed_norm_clip(spark, sf_dir):
             "n_clipped", "avg_norm", "avg_norm_clipped",
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "text_boilerplate_share",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             COALESCE(tk[i]||' '||tk[i+1]||' '||tk[i+2],
+                      array_to_string(tk, ' ')) AS s
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-2, 1)))
+                    AS i) g
+    ),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    bank AS (SELECT s FROM df ORDER BY df DESC, s LIMIT 200),
+    per AS (
+      SELECT sh.doc_id, COUNT(*) AS ns,
+             SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS nb
+      FROM sh LEFT JOIN bank b ON sh.s = b.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(ns AS BIGINT) AS n_shingles,
+           CAST(nb AS BIGINT) AS n_boiler,
+           ROUND(nb / CAST(ns AS DOUBLE) + 1e-9, 4) AS boiler_share,
+           ROUND(nb / CAST(ns AS DOUBLE) + 1e-9, 4) >= 0.2 AS is_boilerplate
+    FROM per ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_boilerplate_share(spark, sf_dir):
+    """Boilerplate detector — per-doc share of 3-gram shingles that land
+    in the corpus's TOP-200 most frequent shingles (the 'boilerplate
+    bank'): navbars, legal footers, and cookie banners dominate the bank
+    in a real crawl, so a high share marks a templated page whose unique
+    content is thin. A fixed-size bank (top-K by docfreq, id tie-break)
+    instead of a docfreq THRESHOLD on purpose: thresholds are corpus-
+    density-relative (this testdata's 31-word vocab saturates absolute
+    dfs at sf0.1 and starves relative ones), while top-K is well-defined
+    and bounded at every corpus size — at 100 TB the bank is still 200
+    strings, broadcast.
+
+    Scale shape: one shingle explode -> distinct (doc, shingle)
+    projection (the shuffle carries distinct pairs, not token
+    instances), a docfreq rollup, TakeOrderedAndProject for the bank
+    (per-partition top-k heap — NOT a global-order window), and a
+    broadcast left-semi-style join back. The hard is_boilerplate verdict
+    compares the eps-ROUNDED share on both engines (r7 rule); the share
+    itself is a ratio of exact integers."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    bank = df.orderBy(F.desc("df"), F.asc("s")).limit(200).select(
+        "s", F.lit(1).alias("_in_bank")
+    )
+    per = (
+        sh.join(F.broadcast(bank), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_in_bank"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    share = eps_round(
+        F.col("n_boiler") / F.col("n_shingles").cast("double"), 4
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        share.alias("boiler_share"),
+        (share >= 0.2).alias("is_boilerplate"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "embed_cosine_histogram",
+    """
+    WITH sample AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT % 1000 < 100
+    ),
+    pairs AS (
+      SELECT ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) + 1e-9, 6) AS sim
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    ),
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(floor((sim + 1.0) * 10) AS INT), 0), 19)
+               AS bin
+      FROM pairs
+    ),
+    tot AS (SELECT COUNT(*)::DOUBLE AS n FROM binned)
+    SELECT bin, ROUND(bin / 10.0 - 1.0 + 1e-9, 1) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(COUNT(*) / t.n + 1e-9, 4) AS pct
+    FROM binned, tot t GROUP BY bin, t.n ORDER BY bin
+    """,
+    tags=("llm", "similarity", "diagnostics"),
+)
+def embed_cosine_histogram(spark, sf_dir):
+    """Pairwise-cosine histogram over a deterministic 10% corpus sample —
+    the embedding-space ISOTROPY diagnostic: a healthy embedding space
+    piles pair similarity in a narrow band near 0; a distribution shifted
+    far right means anisotropy / a collapsed space (the condition
+    embed_debias_topdir treats), and a heavy >=0.9 tail predicts how much
+    near-dup work dedup_embedding_cosine will find. 20 bins of width 0.1
+    over [-1, 1); the binning floor reads the eps-ROUNDED cosine so no
+    pair can straddle a bin edge differently across engines.
+
+    Scale shape: the all-pairs product runs ONLY inside the hash-stable
+    sample (md5-bucket of vec_id — the repo's sampling idiom, same rows
+    on any engine or run); a fixed sampling fraction bounds the quadratic
+    term at fixture scale, and at 100 TB the knob drops to a fixed-SIZE
+    sample (metadata argument) so the pair count is constant while the
+    estimate's precision is set by sample size, not corpus size. The
+    histogram itself is a 20-cell groupBy — nothing global."""
+    from dumpr_spark.functions.sampling import hash_bucket
+
+    e = t(spark, sf_dir, "embeddings")
+    sample = (
+        e.where(hash_bucket(F.col("vec_id"), 1000) < 100)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = sample.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = sample.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    simv = eps_round(sim.cosine(F.col("a_vec"), F.col("b_vec")), 6)
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(simv.alias("sim"))
+    )
+    binned = pairs.select(
+        F.least(
+            F.greatest(F.floor((F.col("sim") + 1.0) * 10).cast("int"), F.lit(0)),
+            F.lit(19),
+        ).alias("bin")
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            eps_round(F.col("bin") / 10.0 - 1.0, 1).alias("bin_lo"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            eps_round(F.col("n_pairs") / F.col("n"), 4).alias("pct"),
+        )
+        .orderBy("bin")
     )

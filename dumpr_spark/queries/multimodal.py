@@ -419,3 +419,71 @@ def multimodal_payload_dedup(spark, sf_dir):
         )
         .orderBy("keep_id")
     )
+
+
+@query(
+    "multimodal_image_ahash",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS asset_id, sha256(text || 'luma') AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT asset_id, i,
+             instr('0123456789abcdef', substr(h, i, 1)) - 1 AS d
+      FROM imgs, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    tot AS (SELECT asset_id, SUM(d) AS s FROM px GROUP BY asset_id),
+    bits AS (
+      SELECT p.asset_id, p.i,
+             CASE WHEN 64 * p.d >= t.s THEN 1 ELSE 0 END AS b
+      FROM px p JOIN tot t ON p.asset_id = t.asset_id
+    ),
+    nib AS (
+      SELECT asset_id, (i - 1) // 4 AS j,
+             SUM(b * CASE (i - 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END) AS nibble
+      FROM bits GROUP BY asset_id, j
+    ),
+    packed AS (
+      SELECT asset_id,
+             string_agg(substr('0123456789abcdef', CAST(nibble AS INT) + 1, 1),
+                        '' ORDER BY j) AS ahash
+      FROM nib GROUP BY asset_id
+    ),
+    stats AS (
+      SELECT b.asset_id, CAST(SUM(b.b) AS INT) AS bits_set
+      FROM bits b GROUP BY b.asset_id
+    )
+    SELECT p.asset_id, p.ahash, st.bits_set,
+           ROUND(t.s / 960.0 + 1e-9, 4) AS mean_luma
+    FROM packed p
+    JOIN stats st ON p.asset_id = st.asset_id
+    JOIN tot t ON p.asset_id = t.asset_id
+    ORDER BY p.asset_id
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual image fingerprints — average hash (aHash) per image
+    asset: 64-bit hash packed as 16 hex chars, set-bit count, and mean
+    luma. The image-side analog of text fingerprinting: hamming-close
+    hashes are visually-close images, so near-dup image search bands
+    these 64 bits exactly like dedup_simhash (pigeonhole recall), and
+    the two scalar columns are free quality screens (all-dark /
+    all-flat grids).
+
+    The decode is the documented container stub (sha256-derived 8x8
+    luma grid — Pillow absent here; `functions/multimodal.ahash_images`
+    switches to the real grayscale-resize path per row when Pillow can
+    decode the bytes, same schema and packing). The average-hash math
+    itself is real and engine-exact: the bit threshold is the integer
+    compare 64*pixel >= sum — the float mean is never formed, so no
+    rounding boundary exists for engines to disagree on.
+
+    Scale shape: one narrow Arrow-batched map over the image scan;
+    payload bytes never shuffle (16 hex chars + 2 scalars per image out);
+    the lateral 64-pixel expansion in the ORACLE is the replay of work
+    the Spark side does inside the Python batch."""
+    assets = _assets(spark, sf_dir)
+    return mm.ahash_images(assets).orderBy("asset_id")

@@ -3468,3 +3468,192 @@ def agg_bootstrap_ci(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_ks_test",
+    """
+    WITH pts AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS nb
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM pts
+    ),
+    tot AS (SELECT SUM(na)::DOUBLE AS n1, SUM(nb)::DOUBLE AS n2 FROM pts),
+    d AS (
+      SELECT MAX(ABS(c.ca / t.n1 - c.cb / t.n2)) AS raw_d
+      FROM cum c, tot t
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           ROUND(d.raw_d + 1e-9, 6) AS ks_d,
+           ROUND(1.358 * sqrt((t.n1 + t.n2) / (t.n1 * t.n2)) + 1e-9, 6)
+             AS crit_05,
+           ROUND(d.raw_d + 1e-9, 6)
+             > ROUND(1.358 * sqrt((t.n1 + t.n2) / (t.n1 * t.n2)) + 1e-9, 6)
+             AS reject_05
+    FROM d, tot t
+    """,
+    tags=("agg", "stats", "distribution"),
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test — distribution-shift detection
+    as a first-class aggregate: D = max |F1(x) - F2(x)| between the
+    empirical CDFs of urgent vs low-priority order totals, with the
+    alpha=0.05 critical value c(a) * sqrt((n1+n2)/(n1*n2)) and the
+    reject verdict. The drift-monitoring complement to
+    text_js_divergence (which compares discrete distributions); KS works
+    on CONTINUOUS values with no binning choice to defend.
+
+    Scale shape: the raw scan collapses to one row per DISTINCT value
+    (map-side combining), and the CDF prefix sums run through
+    operators/ntile.global_prefix_sums — the three-pass quantile-bucket
+    prefix SCAN, not a single-task `SUM() OVER (ORDER BY v)` (the plan
+    lint rejects that shape at analysis time). Counts are exact
+    integers, so every engine computes identical CDF steps; the max
+    gap and critical value are eps-rounded before the hard reject
+    decision on both sides (the r7 float-determinism rule)."""
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    pts = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .alias("na"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+            .alias("nb"),
+    )
+    cum = global_prefix_sums(pts, "v", ["na", "nb"], check_distinct=False)
+    tot = pts.agg(
+        F.sum("na").cast("double").alias("n1"),
+        F.sum("nb").cast("double").alias("n2"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(F.col("na_cum") / F.col("n1") - F.col("nb_cum") / F.col("n2"))
+            .alias("gap"),
+        "n1", "n2",
+    )
+    d = gaps.groupBy("n1", "n2").agg(F.max("gap").alias("raw_d"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    crit = eps_round(F.lit(1.358) * F.sqrt((n1 + n2) / (n1 * n2)), 6)
+    return d.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        eps_round(F.col("raw_d"), 6).alias("ks_d"),
+        crit.alias("crit_05"),
+        (eps_round(F.col("raw_d"), 6) > crit).alias("reject_05"),
+    )
+
+
+@query(
+    "agg_chi2_independence",
+    """
+    WITH banded AS (
+      SELECT lang,
+             CASE WHEN n_chars < 180 THEN 'short'
+                  WHEN n_chars < 300 THEN 'mid'
+                  WHEN n_chars < 420 THEN 'long'
+                  ELSE 'xlong' END AS band
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, band, COUNT(*)::DOUBLE AS o FROM banded GROUP BY lang, band
+    ),
+    rows_t AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY lang),
+    cols_t AS (SELECT band, SUM(o) AS ct FROM cells GROUP BY band),
+    n_t AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT c.lang, c.band, c.o, r.rt * col.ct / t.n AS e
+      FROM cells c
+      JOIN rows_t r ON c.lang = r.lang
+      JOIN cols_t col ON c.band = col.band
+      CROSS JOIN n_t t
+    ),
+    agg AS (
+      SELECT SUM((o - e) * (o - e) / e) AS chi2,
+             (SELECT COUNT(*) FROM rows_t) AS nr,
+             (SELECT COUNT(*) FROM cols_t) AS nc,
+             (SELECT n FROM n_t) AS n
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nr AS INT) AS n_langs, CAST(nc AS INT) AS n_bands,
+           CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+           ROUND(chi2 + 1e-9, 4) AS chi2,
+           ROUND(sqrt(chi2 / (n * LEAST(nr - 1, nc - 1))) + 1e-9, 4)
+             AS cramers_v
+    FROM agg
+    """,
+    tags=("agg", "stats", "independence"),
+)
+def agg_chi2_independence(spark, sf_dir):
+    """Chi-squared test of independence for two categoricals — is
+    document LENGTH BAND independent of LANGUAGE? The contingency-table
+    complement to agg_corr_covar (numeric-numeric) and agg_welch_ttest
+    (numeric-vs-two-groups): corpus curation uses it to catch a sampling
+    bug where one language's documents run systematically long/short.
+    Reports chi2 from the classic sum of (O-E)^2/E and Cramér's V
+    (the [0,1] effect size, chi2 normalized by n*min(r-1, c-1)) — V is
+    comparable across corpus sizes where raw chi2 is not. Length bands
+    are FIXED literals (not quantiles) so the cell grid is stable across
+    engines and scales.
+
+    Scale shape: the scan collapses to |langs| x |bands| cells with
+    map-side combine; marginals and expected counts are joins over that
+    tiny cell table; every observed/expected value derives from exact
+    integer counts, so each cell term is bit-identical cross-engine and
+    only the final ~20-term sum is eps-rounded at output (no hard
+    decision reads it — the r7 rule's scalar-output case)."""
+    d = t(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 180, "short")
+        .when(F.col("n_chars") < 300, "mid")
+        .when(F.col("n_chars") < 420, "long")
+        .otherwise("xlong")
+    )
+    cells = (
+        d.select("lang", band.alias("band"))
+        .groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .localCheckpoint(eager=False)  # feeds marginals + terms
+    )
+    rows_t = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy("band").agg(F.sum("o").alias("ct"))
+    n_t = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("lang").alias("nr"),
+        F.count_distinct("band").alias("nc"),
+    )
+    terms = (
+        cells.join(rows_t, "lang")
+        .join(cols_t, "band")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            ((F.col("o") - F.col("rt") * F.col("ct") / F.col("n")) ** 2
+             / (F.col("rt") * F.col("ct") / F.col("n"))).alias("term"),
+            "n", "nr", "nc",
+        )
+    )
+    chi2 = F.sum("term")
+    return terms.groupBy("n", "nr", "nc").agg(
+        chi2.alias("_chi2")
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nr").cast("int").alias("n_langs"),
+        F.col("nc").cast("int").alias("n_bands"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+        eps_round(F.col("_chi2"), 4).alias("chi2"),
+        eps_round(
+            F.sqrt(F.col("_chi2")
+                   / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))),
+            4,
+        ).alias("cramers_v"),
+    )

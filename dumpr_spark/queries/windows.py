@@ -446,3 +446,67 @@ def join_asof_tolerance(spark, sf_dir):
     return joined.select(
         "user_id", "event_id", F.col("click_ms").alias("click_ms_within_1h")
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, event_id AS view_id, ts AS vts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+      SELECT p.event_id, p.user_id, v.view_id, v.view_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(epoch_ms(v.vts) - epoch_ms(p.ts)),
+                        CASE WHEN v.vts <= p.ts THEN 0 ELSE 1 END,
+                        v.view_id DESC
+             ) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+    )
+    SELECT event_id, user_id, view_id, view_value
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+    tags=("join", "asof", "scale"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """direction='nearest' as-of join (operators/asof.asof_join_nearest):
+    each purchase gets the user's CLOSEST view by |time delta| — before
+    or after — completing the as-of family (backward: join_asof /
+    join_asof_union; backward-with-staleness: join_asof_tolerance). The
+    attribution shape backward-only gets wrong: a view logged seconds
+    AFTER the purchase event (clock skew, batched client flush) is the
+    right match, and backward silently picks a stale one or NULL.
+
+    |dt| ties prefer the backward candidate (pandas merge_asof
+    'nearest' semantics); equal-timestamp view ties break by max
+    view_id — both rules deterministic, so the oracle (a per-purchase
+    argmin over the key-joined pairs) reproduces the pick exactly.
+
+    Scale shape: the operator is the union/two-carry form — ONE shuffle
+    on user_id, backward and forward carries as two window passes inside
+    the same exchange, then a row-local argmin; never the (purchases x
+    views-per-user) intermediate the oracle builds (fixture-sized there
+    by construction)."""
+    from dumpr_spark.operators.asof import asof_join_nearest
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+        F.col("ts").alias("vts"),
+    )
+    out = asof_join_nearest(
+        purchases, views, on="user_id", left_time="ts", right_time="vts",
+        right_cols=["view_id", "view_value"],
+    )
+    return out.select("event_id", "user_id", "view_id", "view_value") \
+        .orderBy("event_id")

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Materialize a LOCAL ~sf1 dataset (10x sf0.1) for the scaling exercise the
+round-7 verdict asked for: the driver ships no sf1 testdata, but SCALE.md
+commits a falsifiable sf1 expectation for the headline bench, so this script
+manufactures the 10x input that lets us MEASURE the continuation instead of
+asserting it.
+
+Construction: each table is 10 key-shifted copies of its sf0.1 parquet,
+written under <repo>/.sf1_local (gitignored). The shift constant 231_000_000
+is a multiple of lcm(2,3,5,7,10,11) = 2310 (and of 10), so every modulus the
+synthetic CDC/dup-corpus derivations take (%5 updates, %7 deletes, %10 twins,
+%3/%11 epochs) sees the same residue classes in every copy — the derived
+workloads scale by exactly 10x in rows with unchanged selectivities. Join
+keys shift consistently on both sides (orders.o_custkey with customer
+.c_custkey), so join fan-outs keep their sf0.1 shape. Types are normalized
+by reading through the engine loader (events' TIMESTAMP(NANOS) becomes the
+usual TIMESTAMP_NTZ before the copy is written).
+
+Usage: python scripts/make_sf1_local.py [out_dir]
+Then:  python scripts/scaling_curve_sf1.py   (measure predicted vs actual)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHIFT = 231_000_000
+COPIES = 10
+# the five shuffle-bearing headline queries' inputs + the warmup table
+TABLES = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+
+
+def main(out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.queries.base import t
+    from dumpr_spark.session import get_spark
+
+    spark = get_spark("make_sf1_local")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.1"
+    os.makedirs(out_dir, exist_ok=True)
+    for name, keys in TABLES.items():
+        base = t(spark, sf_dir, name)
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        out.write.mode("overwrite").parquet(dest)
+        print(f"{name}: {base.count()} -> {spark.read.parquet(dest).count()} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".sf1_local"))

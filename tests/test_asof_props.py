@@ -114,3 +114,81 @@ def test_asof_join_exact_boundary_inclusive(spark):
         row = asof_join(ldf, rdf, "k", "t", "rt", right_cols=["px"],
                         tolerance="1 SECOND").collect()[0]
         assert row["px"] == expect, (rt, row["px"], expect)
+
+
+def _nearest_reference(lefts, rights, tol=None):
+    """Pure-Python replay of asof_join_nearest's documented contract:
+    min |dt|, backward preferred on |dt| ties, max (payload..., time)
+    struct among rows tied on the winning side+timestamp; tolerance
+    bounds |dt| inclusively on both sides."""
+    out = {}
+    for k, lt, qty in lefts:
+        best = None
+        for rk, rt, px in rights:
+            if rk != k or rt is None:
+                continue
+            dt = (lt - rt).total_seconds()
+            adt = abs(dt)
+            if tol is not None and adt > tol.total_seconds():
+                continue
+            # rank: (|dt|, forward?, -payload-struct) minimized
+            cand = (adt, 0 if dt >= 0 else 1, tuple(-x for x in ((px,) + (rt.timestamp(),))))
+            if best is None or cand < best[0]:
+                best = (cand, px)
+        out[(k, lt, qty)] = None if best is None else best[1]
+    return out
+
+
+@pytest.mark.parametrize("seed,tol", [(11, None), (12, None), (13, 2)])
+def test_asof_join_nearest_matches_python_reference(spark, seed, tol):
+    """Randomized contract replay for direction='nearest': equal-timestamp
+    ties on both sides, payload ties, NULL right-times, forward-only and
+    backward-only keys, and inclusive tolerance on BOTH sides."""
+    from dumpr_spark.operators.asof import asof_join_nearest
+
+    rng = random.Random(seed)
+    lefts, rights = _gen(rng, 60, 80, null_every=7)
+    tol_td = timedelta(seconds=tol) if tol else None
+    expect = _nearest_reference(lefts, rights, tol_td)
+
+    ldf = spark.createDataFrame(lefts, "k int, t timestamp, qty double")
+    rdf = spark.createDataFrame(rights, "k int, rt timestamp, px double")
+    got = asof_join_nearest(
+        ldf, rdf, "k", "t", "rt", right_cols=["px"],
+        tolerance=f"{tol} SECONDS" if tol else None,
+    ).collect()
+    assert len(got) == len(lefts)
+    for r in got:
+        key = (r["k"], r["t"], r["qty"])
+        assert r["px"] == expect[key], (key, r["px"], expect[key])
+
+
+def test_asof_join_nearest_matches_pandas_merge_asof(spark):
+    """External validation on tie-free data: pandas merge_asof
+    direction='nearest' must agree wherever no |dt| tie exists (the tie
+    rule is the only place the contracts could diverge)."""
+    import pandas as pd
+
+    from dumpr_spark.operators.asof import asof_join_nearest
+
+    rng = random.Random(99)
+    # odd-second lefts, even-second rights -> |dt| ties impossible within
+    # a key only if right times are distinct; force distinct right times
+    lefts = [(k, EPOCH + timedelta(seconds=2 * i + 1), float(i))
+             for i, k in enumerate(rng.choices([0, 1], k=30))]
+    rights = [(k, EPOCH + timedelta(seconds=2 * i), float(100 + i))
+              for i, k in enumerate(rng.choices([0, 1], k=40))]
+    ldf = spark.createDataFrame(lefts, "k int, t timestamp, qty double")
+    rdf = spark.createDataFrame(rights, "k int, rt timestamp, px double")
+    got = {
+        (r["k"], r["t"]): r["px"]
+        for r in asof_join_nearest(ldf, rdf, "k", "t", "rt",
+                                   right_cols=["px"]).collect()
+    }
+    lp = pd.DataFrame(lefts, columns=["k", "t", "qty"]).sort_values("t")
+    rp = pd.DataFrame(rights, columns=["k", "rt", "px"]).sort_values("rt")
+    ref = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                        direction="nearest")
+    for _, row in ref.iterrows():
+        want = None if pd.isna(row["px"]) else row["px"]
+        assert got[(row["k"], row["t"].to_pydatetime())] == want

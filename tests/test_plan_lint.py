@@ -36,6 +36,13 @@ BNLJ_ALLOWED = {
     "sim_topk_ivf",             # broadcast centroid set
     "sim_ann_recall_curve",     # broadcast query batch + centroid set +
                                 # 1-row hits x total scalar joins
+    "agg_ks_test",              # 1-row (n1, n2) sample-size scalar broadcast
+    "agg_chi2_independence",    # 1-row (n, nr, nc) totals scalar broadcast
+    "embed_cosine_histogram",   # declared theta pair join INSIDE the
+                                # hash-bounded sample + 1-row total scalar
+    "sim_ivfpq_topk",           # broadcast centroid set (Lloyd/ivf_assign)
+    "sim_ivfpq_recall",         # same + brute-force exact leg's broadcast
+                                # query batch + 1-row hits x total scalars
 
     "embed_kmeans_step",        # broadcast centroid set (ivf_assign)
     "embed_kmeans_converged",   # broadcast centroid set per Lloyd iteration

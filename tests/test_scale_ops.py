@@ -1104,3 +1104,87 @@ def test_build_bloom_arrow_collect_matches_row_collect_and_cap_build(spark):
     assert members <= kept
     # 429 keys in a 2^27-bit filter: fpp is ~0 — allow a whisker of slack
     assert len(kept - members) <= 3
+
+
+def test_global_prefix_sums_matches_serial_scan(spark):
+    """The three-pass prefix SCAN must equal a serial cumulative sum over
+    the same order — on arbitrary (hash-shuffled) input placement, for
+    several sum columns at once, with the offsets crossing every bucket
+    boundary. Also pins the distinctness contract (ties raise)."""
+    import random
+
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    rnd = random.Random(8)
+    rows = [(float(v), rnd.randint(0, 5), rnd.randint(0, 3))
+            for v in rnd.sample(range(10_000), 700)]
+    df = spark.createDataFrame(rows, "v double, a long, b long").repartition(13)
+    got = {
+        r["v"]: (r["a_cum"], r["b_cum"])
+        for r in global_prefix_sums(df, "v", ["a", "b"]).collect()
+    }
+    ca = cb = 0
+    for v, a, b in sorted(rows):
+        ca, cb = ca + a, cb + b
+        assert got[v] == (ca, cb), v
+
+    import pytest
+
+    dup = spark.createDataFrame([(1.0, 1), (1.0, 2)], "v double, a long")
+    with pytest.raises(ValueError, match="distinct"):
+        global_prefix_sums(dup, "v", ["a"])
+
+
+def test_ivfpq_serving_invariants(spark, sf_dir):
+    """The IVF-PQ read path must behave like a serving index: 5 results
+    per query (32 queries), exact re-ranked sims non-increasing within a
+    query, every served neighbor drawn from the ADC shortlist (adc_d2
+    present), and the registered recall row consistent with an
+    independent join of the served top-5 against brute force."""
+    from dumpr_spark.functions import similarity as sim
+    from dumpr_spark.queries.base import t
+    from dumpr_spark.queries.llm import sim_ivfpq_recall, sim_ivfpq_topk
+
+    top = sim_ivfpq_topk(spark, sf_dir).collect()
+    assert len(top) == 160
+    per = {}
+    for r in top:
+        per.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in per.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True), q_id
+        assert all(r["adc_d2"] is not None for r in rows)
+
+    e = t(spark, sf_dir, "embeddings")
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in sim.brute_force_topk(
+            e, e.where("vec_id < 32"), k=5, round_eps=1e-9
+        ).collect()
+    }
+    hits = sum((r["q_id"], r["n_id"]) in exact for r in top)
+    row = sim_ivfpq_recall(spark, sf_dir).collect()[0]
+    assert row["method"] == "ivfpq" and row["dial"] == 2
+    assert row["hits"] == hits and row["n_exact"] == len(exact)
+    assert 0.0 < row["recall"] < 1.0  # lossy by design, never empty
+
+
+def test_image_ahash_stub_and_packing():
+    """Average-hash packing is the real algorithm on the stubbed grid:
+    bit_i = 64*p_i >= sum (no float mean), big-endian nibbles, 16 hex
+    chars. Pure-python checks against an independent reimplementation."""
+    from dumpr_spark.functions.multimodal import _ahash_of, _ahash_stub
+
+    # uniform grid: every 64*p == sum -> all bits set
+    h, bits, mean = _ahash_of([7] * 64, 15.0)
+    assert h == "f" * 16 and bits == 64 and mean == round(7 / 15 + 1e-9, 4)
+    # one bright pixel: only it clears the threshold
+    h, bits, _ = _ahash_of([15] + [0] * 63, 15.0)
+    assert h == "8" + "0" * 15 and bits == 1
+
+    a1 = _ahash_stub(b"payload-bytes")
+    assert a1 == _ahash_stub(b"payload-bytes")      # deterministic
+    assert a1 != _ahash_stub(b"payload-bytes2")     # sensitive
+    assert len(a1[0]) == 16 and 0 <= a1[1] <= 64

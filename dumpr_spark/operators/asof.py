@@ -173,11 +173,15 @@ def asof_join_nearest(
             "_rf",
             F.when(F.col(f"_rf.{right_time}") <= F.col("_t") + bound, F.col("_rf")),
         )
-    nearest = (
+    # a NULL left time has no |dt| to minimize -> NULL right columns
+    # (matches asof_join; without the guard the forward carry's DESC
+    # ordering would hand the min-timestamp right row to a NULL-t left)
+    nearest = F.when(
+        F.col("_t").isNotNull(),
         F.when(F.col("_rb").isNull(), F.col("_rf"))
         .when(F.col("_rf").isNull(), F.col("_rb"))
         .when(dtb <= dtf, F.col("_rb"))  # |dt| tie -> backward
-        .otherwise(F.col("_rf"))
+        .otherwise(F.col("_rf")),
     )
     carried = carried.withColumn("_rn", nearest)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [

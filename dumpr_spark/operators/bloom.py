@@ -286,6 +286,11 @@ class RefreshingBloom:
         for _ in range(self._MAX_REBUILDS_PER_CALL):
             if self._fresh and v == self._seen:
                 return self.bloom
+            # invalidate BEFORE building: an A->B->A version flip around a
+            # mid-churn build must not let the NEXT loop iteration certify
+            # the torn artifact against the stale (_fresh, _seen=A) pair
+            # from a previous call (review-caught ABA hole)
+            self._fresh = False
             self.bloom = self._build()
             self.builds += 1
             # re-read AFTER the build: if a refresh landed mid-build the

@@ -139,7 +139,9 @@ def global_prefix_sums(
     guarantees it structurally). `sum_cols` should be integral or
     pre-rounded: bucket offsets are driver-cumulated in bucket order
     (deterministic), but float addition would still reorder vs a serial
-    scan. NULL `val_col` rows sort LAST (one extra bucket), matching
+    scan. NULL `val_col` rows sort LAST in their OWN bucket
+    (len(bounds)+1 — strictly after the top value bucket, so the null
+    bucket's offset can be special-cased by callers), matching
     asc_nulls_last."""
     spark = df.sparkSession
     if check_distinct:
@@ -168,8 +170,11 @@ def global_prefix_sums(
             F.lit(bounds), F.lit(0),
             lambda acc, b: acc + F.when(val > b, 1).otherwise(0),
         )
+    # len(bounds)+1: the counting fold assigns len(bounds) to values above
+    # every boundary, so +1 genuinely isolates NULLs in their own bucket
+    # (the docstring contract) instead of sharing the top value bucket
     with_pid = df.withColumn(
-        "_pid", F.when(val.isNull(), F.lit(len(bounds))).otherwise(bucket)
+        "_pid", F.when(val.isNull(), F.lit(len(bounds) + 1)).otherwise(bucket)
     )
     totals = (
         with_pid.groupBy("_pid")

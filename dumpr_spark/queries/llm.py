@@ -3965,7 +3965,9 @@ def text_boilerplate_share(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("s")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # feeds the docfreq/bank
+    # subtree AND the join probe side — unpinned, the explode+distinct
+    # shuffle runs twice in one action
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     bank = df.orderBy(F.desc("df"), F.asc("s")).limit(200).select(
         "s", F.lit(1).alias("_in_bank")

@@ -3530,7 +3530,9 @@ def agg_ks_test(spark, sf_dir):
             .alias("na"),
         F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
             .alias("nb"),
-    )
+    ).localCheckpoint(eager=False)  # 4 consumers: quantiles, bucket
+    # totals, the prefix-scan window, and the n1/n2 rollup — unpinned,
+    # the orders scan+groupBy would re-execute per consumer
     cum = global_prefix_sums(pts, "v", ["na", "nb"], check_distinct=False)
     tot = pts.agg(
         F.sum("na").cast("double").alias("n1"),

@@ -462,7 +462,7 @@ def join_asof_tolerance(spark, sf_dir):
       SELECT p.event_id, p.user_id, v.view_id, v.view_value,
              ROW_NUMBER() OVER (
                PARTITION BY p.event_id
-               ORDER BY ABS(epoch_ms(v.vts) - epoch_ms(p.ts)),
+               ORDER BY ABS(epoch_us(v.vts) - epoch_us(p.ts)),
                         CASE WHEN v.vts <= p.ts THEN 0 ELSE 1 END,
                         v.view_id DESC
              ) AS rn

@@ -18,8 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FIVE = [
-    "dedup_lsh_scaled",
+# the five shuffle-bearing headliners SCALE.md's sf1 table predicts, plus
+# dedup_lsh_scaled as the CONTROL for the dedup_minhash_lsh miss (the
+# duplicate-heavy-safe form measured on the same 10x data)
+HEADLINERS = [
+    "dedup_lsh_scaled",  # control, not one of the five
     "cdc_materialize",
     "dedup_minhash_lsh",
     "stream_session_window",
@@ -60,12 +63,12 @@ def main() -> None:
             os.path.exists(os.path.join(sf_dir, "lineitem.parquet"))
             else "/root/testdata/sf0.1"
         ).write.format("noop").mode("overwrite").save()
-        out[label] = {n: run(sf_dir, n) for n in FIVE}
+        out[label] = {n: run(sf_dir, n) for n in HEADLINERS}
         print(json.dumps({"scale": label, **out[label]}), flush=True)
 
     print("\n| query | sf0.01 | sf0.1 | g | expected sf1 | measured | miss |")
     print("|---|---|---|---|---|---|---|")
-    for n in FIVE:
+    for n in HEADLINERS:
         t001, t01, t1 = out["sf0.01"][n], out["sf0.1"][n], out["sf1_local"][n]
         g = t01 / t001 if t001 else float("nan")
         exp = t01 * max(g, 1.0)

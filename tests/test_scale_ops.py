@@ -1188,3 +1188,62 @@ def test_image_ahash_stub_and_packing():
     assert a1 == _ahash_stub(b"payload-bytes")      # deterministic
     assert a1 != _ahash_stub(b"payload-bytes2")     # sensitive
     assert len(a1[0]) == 16 and 0 <= a1[1] <= 64
+
+
+def test_refreshing_bloom_aba_version_flip_rebuilds():
+    """Review-caught ABA hole: version A -> (build from mid-churn data,
+    version flips to B then back to A) must NOT let the stale
+    (_fresh, _seen=A) pair from a previous call certify the torn
+    artifact — the guard invalidates before every build, so the loop's
+    next iteration rebuilds against the settled A."""
+    from dumpr_spark.operators.bloom import BloomFilter, RefreshingBloom
+
+    state = {"version": "A", "data": "clean-A", "aba": False}
+
+    def build():
+        if state["aba"]:
+            # the rollback storyline: data was mid-overwrite during this
+            # build, and the version lands back on A right after
+            state["aba"] = False
+            art = BloomFilter(words=[999], k=1)  # torn build
+            state["version"] = "A"
+            state["data"] = "clean-A"
+            return art
+        return BloomFilter(words=[len(state["data"])], k=1)
+
+    holder = RefreshingBloom(build_fn=build, version_fn=lambda: state["version"])
+    first = holder.current()
+    assert holder.builds == 1
+
+    # refresh starts: version B published, then rolls back mid-build
+    state["version"] = "B"
+    state["aba"] = True
+    got = holder.current()
+    # the torn build (words=[999]) was rebuilt once the version settled
+    assert got.words != [999] and got.words == first.words
+    assert holder.builds == 3  # torn build + settled rebuild
+    assert holder.current() is got and holder.builds == 3  # now cached
+
+
+def test_asof_join_nearest_null_left_time_yields_null(spark):
+    """A NULL left timestamp has no |dt| to minimize: right columns come
+    back NULL (review-caught: the forward carry's DESC ordering would
+    otherwise hand the MIN-timestamp right row to the NULL-t left)."""
+    from datetime import datetime
+
+    from dumpr_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame(
+        [(1, None, 1.0), (1, datetime(2026, 1, 1, 0, 0, 4), 2.0)],
+        "k int, t timestamp, qty double",
+    )
+    rdf = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 0, 1), 10.0),
+         (1, datetime(2026, 1, 1, 0, 0, 5), 50.0)],
+        "k int, rt timestamp, px double",
+    )
+    got = {r["qty"]: r["px"]
+           for r in asof_join_nearest(ldf, rdf, "k", "t", "rt",
+                                      right_cols=["px"]).collect()}
+    assert got[1.0] is None   # NULL t -> no match
+    assert got[2.0] == 50.0   # |4-5|=1 < |4-1|=3

@@ -262,3 +262,39 @@ def ahash_images(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
     return assets.where(F.col("media_type") == "image").mapInPandas(
         run, AHASH_SCHEMA
     )
+
+
+def ahash_sig64(ahash_col):
+    """16-hex-char aHash -> the signed 64-bit long the SimHash banding
+    machinery consumes. Combined from two 32-bit halves because
+    F.conv returns a DECIMAL STRING — a single 16-char parse overflows
+    the long cast for hashes with the top bit set (silent NULL); the
+    hi<<32 wrap into the sign bit is intended (full 64-bit value, same
+    convention as functions/dedup.simhash64)."""
+    hi = F.conv(F.substring(ahash_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(ahash_col, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def ahash_near_dup_pairs(fingerprints: DataFrame, id_col: str = "asset_id",
+                         ahash_col: str = "ahash",
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs from aHash fingerprints — the search
+    side of multimodal_image_ahash's promise: visually-close images have
+    hamming-close average hashes, and hamming <= 3 pairs share one of 4
+    16-bit bands exactly (pigeonhole), so the candidate join is the same
+    equi-join-with-perfect-recall as text SimHash. Delegates to
+    `functions/dedup.simhash_band_candidates` on the hex hash re-read as
+    a 64-bit signature — one banding machinery for text AND images.
+    Returns (a, b, hamming) with a < b, filtered to max_hamming.
+
+    Scale shape inherited: fingerprints shuffle once on (band, value);
+    payload bytes were already left behind at fingerprint time."""
+    from dumpr_spark.functions.dedup import simhash_band_candidates
+
+    sigs = fingerprints.select(
+        F.col(id_col), ahash_sig64(F.col(ahash_col)).alias("sh64")
+    )
+    return simhash_band_candidates(
+        sigs, id_col=id_col, sig_col="sh64", max_hamming=max_hamming
+    )

@@ -1247,3 +1247,48 @@ def test_asof_join_nearest_null_left_time_yields_null(spark):
                                       right_cols=["px"]).collect()}
     assert got[1.0] is None   # NULL t -> no match
     assert got[2.0] == 50.0   # |4-5|=1 < |4-1|=3
+
+
+def test_ahash_near_dup_pairs_banded_recall(spark):
+    """Image near-dup search composes the aHash fingerprints with the
+    SimHash banding: (1) the hex->long signature conversion is exact
+    two's-complement for ALL 64-bit patterns (a single conv() parse
+    would NULL out on the top bit — pinned here); (2) pairs within
+    hamming<=3 are found (pigeonhole recall), farther pairs are not;
+    (3) exact-duplicate payloads pair at hamming 0 end-to-end through
+    ahash_images."""
+    from dumpr_spark.functions.multimodal import (
+        ahash_near_dup_pairs, ahash_sig64, ahash_images,
+    )
+
+    # (1) conversion exactness, incl. sign-bit patterns
+    hexes = ["ffffffffffffffff", "8000000000000000", "0000000000000001",
+             "f0a1b2c3d4e5f607"]
+    df = spark.createDataFrame([(h,) for h in hexes], "h string")
+    got = {r["h"]: r["s"] for r in df.select("h", ahash_sig64(F.col("h")).alias("s")).collect()}
+    for h in hexes:
+        v = int(h, 16)
+        assert got[h] == (v - (1 << 64) if v >= (1 << 63) else v), h
+
+    # (2) banded recall: base hash, 2-bit-away twin (found), scrambled (not)
+    base = int("00ff00ff00ff00ff", 16)
+    near = base ^ 0b101          # 2 bits flipped, same high bands
+    far = int("f00f0ff0aa55cc33", 16)
+    fps = spark.createDataFrame(
+        [(1, f"{base:016x}"), (2, f"{near:016x}"), (3, f"{far:016x}")],
+        "asset_id long, ahash string",
+    )
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in ahash_near_dup_pairs(fps, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 2}
+
+    # (3) end-to-end: duplicate payloads -> identical ahash -> hamming-0 pair
+    assets = spark.createDataFrame(
+        [(0, "image", bytearray(b"same-bytes")),
+         (3, "image", bytearray(b"same-bytes")),
+         (6, "image", bytearray(b"other-bytes"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    fp = ahash_images(assets)
+    dup_pairs = ahash_near_dup_pairs(fp, max_hamming=0).collect()
+    assert {(r["a"], r["b"]) for r in dup_pairs} == {(0, 3)}

@@ -1292,3 +1292,26 @@ def test_ahash_near_dup_pairs_banded_recall(spark):
     fp = ahash_images(assets)
     dup_pairs = ahash_near_dup_pairs(fp, max_hamming=0).collect()
     assert {(r["a"], r["b"]) for r in dup_pairs} == {(0, 3)}
+
+
+def test_global_prefix_sums_null_vals_isolated_last(spark):
+    """NULL val_col rows sort LAST in their own bucket: their cumulative
+    values include every non-null row's contribution, and non-null rows'
+    prefix sums are unaffected by the NULLs' presence (contract from the
+    docstring; the +1 bucket id keeps them out of the top value bucket)."""
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    rows = [(1.0, 10), (2.0, 20), (None, 1), (3.0, 30)]
+    df = spark.createDataFrame(rows, "v double, a long").repartition(3)
+    got = global_prefix_sums(df, "v", ["a"], check_distinct=True).collect()
+    by_v = {r["v"]: r["a_cum"] for r in got if r["v"] is not None}
+    assert by_v == {1.0: 10, 2.0: 30, 3.0: 60}
+    nulls = [r["a_cum"] for r in got if r["v"] is None]
+    assert nulls == [61]  # after ALL non-null rows
+
+    # two NULLs still pass the distinctness guard (one null key allowed)...
+    dfn = spark.createDataFrame([(1.0, 1), (None, 2), (None, 3)],
+                                "v double, a long")
+    import pytest
+    with pytest.raises(ValueError, match="distinct"):
+        global_prefix_sums(dfn, "v", ["a"])

@@ -2709,3 +2709,79 @@ def test_streaming_interval_merge_adversarial_order_invariants(spark, tmp_path, 
         assert any(a <= s_ and e_ <= b for a, b in islands[k]), (
             f"key {k}: published ({s_},{e_}) outside every batch island {islands[k]}"
         )
+
+
+def test_streaming_image_dedup_cross_batch(spark, tmp_path):
+    """Cross-batch image near-dup detection — the streaming composition of
+    the r8 multimodal pieces: each micro-batch fingerprints its images
+    (ahash_images, payload bytes never leave the batch), bands the NEW
+    fingerprints against the ACCUMULATED store (ahash_near_dup_pairs over
+    store+batch, restricted to pairs touching the batch), then appends the
+    batch's fingerprints to the store. A duplicate image arriving batches
+    LATER must still be flagged — the image analog of dedup_cross_corpus'
+    incremental contract. 16-hex fingerprints are the only cross-batch
+    state (payloads stay in their batch), so the store is metadata-sized
+    at any corpus scale."""
+    import os as _os
+
+    from dumpr_spark.functions.multimodal import (
+        ahash_images, ahash_near_dup_pairs,
+    )
+
+    src = tmp_path / "assets"
+    src.mkdir()
+    store_dir = str(tmp_path / "fp_store")
+
+    def write_batch(sub, rows, mtime):
+        spark.createDataFrame(
+            rows, "asset_id long, media_type string, payload binary"
+        ).coalesce(1).write.parquet(str(src / sub))
+        for f in (src / sub).iterdir():
+            _os.utime(f, (mtime, mtime))
+
+    # batch A: two distinct images + an intra-batch exact duplicate pair
+    write_batch("a", [
+        (1, "image", bytearray(b"cat-bytes")),
+        (2, "image", bytearray(b"dog-bytes")),
+        (3, "image", bytearray(b"cat-bytes")),   # intra-batch dup of 1
+    ], 1_700_000_000)
+    # batch B: a cross-batch duplicate of 2, plus a fresh image
+    write_batch("b", [
+        (10, "image", bytearray(b"dog-bytes")),  # dup of 2 (batch A)
+        (11, "image", bytearray(b"bird-bytes")),
+    ], 1_700_000_100)
+
+    flagged: list[tuple[int, int, int]] = []
+
+    def sink(batch_df, batch_id):
+        fps = ahash_images(batch_df).localCheckpoint(eager=True)
+        if _os.path.isdir(store_dir):
+            store = spark.read.parquet(store_dir)
+            universe = store.unionByName(fps)
+        else:
+            store, universe = None, fps
+        batch_ids = {r["asset_id"] for r in fps.select("asset_id").collect()}
+        pairs = ahash_near_dup_pairs(universe, max_hamming=0).collect()
+        flagged.extend(
+            (r["a"], r["b"], batch_id) for r in pairs
+            if r["a"] in batch_ids or r["b"] in batch_ids
+        )
+        fps.write.mode("append").parquet(store_dir)
+
+    q = (
+        spark.readStream.schema("asset_id long, media_type string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(a, b) for a, b, _ in flagged}
+    assert got == {(1, 3), (2, 10)}
+    # the cross-batch pair was found in batch B (store lookup), the
+    # intra-batch pair in batch A
+    by_pair = {(a, b): bid for a, b, bid in flagged}
+    assert by_pair[(1, 3)] == 0 and by_pair[(2, 10)] == 1

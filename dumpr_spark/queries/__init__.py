@@ -313,6 +313,10 @@ _R8_NEW: set = {
     # chi-squared independence + Cramér's V over a lang x length-band
     # contingency table (cell-bounded, marginals from the tiny cell table)
     "agg_chi2_independence",
+    # Lorenz-curve Gini coefficient of customer spend — the prefix-scan
+    # operator generalized from counts (KS) to weighted sums; exact in
+    # integer cents
+    "agg_gini_lorenz",
 }
 
 # Never-green backlog, by construction: every registered name without

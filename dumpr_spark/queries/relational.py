@@ -3659,3 +3659,87 @@ def agg_chi2_independence(spark, sf_dir):
             4,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "agg_gini_lorenz",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY o_custkey
+    ),
+    pts AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(v * COUNT(*) AS BIGINT) AS amt
+      FROM spend GROUP BY v
+    ),
+    cum AS (
+      SELECT v, cnt, amt,
+             SUM(amt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS amt_cum
+      FROM pts
+    ),
+    tot AS (SELECT SUM(cnt)::DOUBLE AS n, SUM(amt)::DOUBLE AS t FROM pts)
+    SELECT CAST(tot.n AS BIGINT) AS n_customers,
+           ROUND(tot.t / tot.n / 100.0 + 1e-9, 2) AS mean_spend,
+           ROUND(1 - SUM((cnt / tot.n)
+                         * ((2 * amt_cum - amt) / tot.t)) + 1e-9, 6) AS gini
+    FROM cum, tot GROUP BY tot.n, tot.t
+    """,
+    tags=("agg", "stats", "distribution"),
+)
+def agg_gini_lorenz(spark, sf_dir):
+    """Gini COEFFICIENT of customer spend — Lorenz-curve inequality of a
+    continuous quantity, the companion to agg_hhi_concentration (share-
+    of-squares) and distinct from agg_entropy_gini's categorical
+    IMPURITY. Curation reads this as concentration: gini 0 = every
+    customer (domain, source) contributes equally, ->1 = a few dominate;
+    the trapezoid form over grouped distinct values handles ties exactly
+    (G = 1 - sum f_i * (F_i + F_{i-1}) with F the cumulative amount
+    share — written as (2*amt_cum - amt)/T).
+
+    Scale shape: per-customer rollup, collapse to DISTINCT spend values
+    (cnt, amt cells), and the cumulative amounts come from
+    operators/ntile.global_prefix_sums — the same three-pass distributed
+    CDF scan agg_ks_test rides, generalizing here from counts to
+    weighted sums. Determinism: spend is summed in CENTS (round(x*100)
+    is unambiguous — the 2dp lattice puts x*100 within ~1e-9 of an
+    integer, never near .5 — and Spark's truncating long cast never
+    sees a fraction), so every cumulative value is an exact integer on
+    both engines; only the final ~|distinct| -term float sum is
+    eps-rounded at output (no hard decision reads it)."""
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("v")
+        )
+    )
+    pts = (
+        spend.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("v", "cnt", (F.col("v") * F.col("cnt")).alias("amt"))
+        .localCheckpoint(eager=False)  # consumers: quantile pass, bucket
+        # totals, prefix window, and the n/t rollup (agg_ks_test pattern)
+    )
+    cum = global_prefix_sums(pts, "v", ["amt"], check_distinct=False)
+    tot = pts.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum("amt").cast("double").alias("t"),
+    )
+    term = (F.col("cnt") / F.col("n")) * (
+        (2 * F.col("amt_cum") - F.col("amt")) / F.col("t")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n", "t")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            eps_round(F.col("t") / F.col("n") / 100.0, 2).alias("mean_spend"),
+            eps_round(1 - F.col("_s"), 6).alias("gini"),
+        )
+    )

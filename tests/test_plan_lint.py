@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
                                 # 1-row hits x total scalar joins
     "agg_ks_test",              # 1-row (n1, n2) sample-size scalar broadcast
     "agg_chi2_independence",    # 1-row (n, nr, nc) totals scalar broadcast
+    "agg_gini_lorenz",          # 1-row (n, t) totals scalar broadcast
     "embed_cosine_histogram",   # declared theta pair join INSIDE the
                                 # hash-bounded sample + 1-row total scalar
     "sim_ivfpq_topk",           # broadcast centroid set (Lloyd/ivf_assign)

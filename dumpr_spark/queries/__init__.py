@@ -50,18 +50,10 @@ _R1_VERIFIED: set = set()
 # 2 declared rows-only). Appended so round 3's budget-capped walk lands on the
 # 34 never-checked entries plus scalar_conditional (fixed in 007a035 but never
 # driver-re-checked).
-_R2_VERIFIED = {
-    "text_lang_id",
-    "text_pii_scrub", "text_repetition",
-    "text_lang_confusion", "chunk_documents", "pack_sequences",
-    "contamination_ngrams", "dedup_cross_corpus", "sample_stratified_hash",
-    "rollup_timeseries", "join_range_bucketed", "text_quality_model",
-    "pipeline_curation", "dedup_keep_best", "text_unigram_logprob",
-    "text_token_stats", "text_markup_strip", "scalar_url_parse",
-    "text_vocab_topk", "split_train_val_test", "shuffle_deterministic",
-    "dedup_lines_global", "join_fuzzy_edit1",
-    "join_overlap_intervals", "multimodal_frame_plan",
-}
+# _R2_VERIFIED is EMPTY as of round 9: the r8 driver walk re-certified all
+# 25 remaining r2-vintage rows (their freshest green rows now live in
+# _R8_VERIFIED), completing the rotation goal the r7 verdict set.
+_R2_VERIFIED: set = set()
 # Moved OUT of _R2_VERIFIED to _R7_VERIFIED (re-certified by the r7 driver
 # walk): the 13 dedup/fingerprint/similarity/text names whose freshest green
 # row is now CORRECTNESS_r07.json. The 25 literals above are the whole
@@ -102,12 +94,14 @@ _R3_VERIFIED = {
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
     "agg_stats_moments", "scalar_try_errors", "join_lateral_topk",
     "reshape_unpivot", "agg_mode_deterministic", "agg_histogram",
-    "cdc_scd2_history",
-    "cdc_churn_stats", "sim_centroid_by_label",
-    "embed_quantize_int8", "text_tfidf_topk", "text_bpe_pairs",
-    "index_inverted", "dedup_suffix_containment", "text_concordance",
-    "graph_pagerank_3iter", "dedup_url_canonical", "text_bigram_logprob",
+    "dedup_url_canonical", "text_bigram_logprob",
 }
+# Moved OUT of _R3_VERIFIED to _R8_VERIFIED (re-certified by the r8 driver
+# walk): cdc_scd2_history, cdc_churn_stats, sim_centroid_by_label,
+# embed_quantize_int8, text_tfidf_topk, text_bpe_pairs, index_inverted,
+# dedup_suffix_containment, text_concordance, graph_pagerank_3iter — the 32
+# literals above are the whole remaining r3 tier; the r9 rotation target
+# (per the r8 verdict) is to empty it and re-certify >=3 of r4.
 # Names the driver hash-verified in round 4 (CORRECTNESS_r04.json: 50 of 50
 # checked, all hash_match — the whole r3 backlog + all of _R4_NEW).
 # Removed from _R4_VERIFIED (stale evidence): cdc_stamp_filename (the r6
@@ -272,74 +266,89 @@ _R7_VERIFIED -= {
 # changed.
 _R6_VERIFIED -= {"join_bloom_prefilter"}
 
+# Names the driver hash-verified in round 8 (CORRECTNESS_r08.json: 50 of 50
+# checked, all hash_match): all 10 _R8_NEW registrations, the whole 5-name
+# never-green backlog (the containment/minhash audit-knob threads, the
+# eps-rounded overdispersion verdict, the events_ewma NaN assert, the bloom
+# Arrow-collect rebuild), the 25 remaining r2-vintage rows (r2 tier now
+# EMPTY), and 10 r3-vintage re-certifications.
+_R8_VERIFIED = {
+    "agg_chi2_independence", "agg_gini_lorenz", "agg_ks_test",
+    "cdc_churn_stats", "cdc_schema_evolution", "cdc_scd2_history",
+    "chunk_documents", "contamination_ngrams", "dedup_cross_corpus",
+    "dedup_jaccard_containment", "dedup_keep_best", "dedup_lines_global",
+    "dedup_minhash_accuracy", "dedup_suffix_containment",
+    "embed_cosine_histogram", "embed_quantize_int8", "events_ewma",
+    "events_overdispersion", "graph_pagerank_3iter", "index_inverted",
+    "join_asof_nearest", "join_bloom_prefilter", "join_fuzzy_edit1",
+    "join_overlap_intervals", "join_range_bucketed",
+    "multimodal_frame_plan", "multimodal_image_ahash", "pack_sequences",
+    "pipeline_curation", "rollup_timeseries", "sample_stratified_hash",
+    "scalar_url_parse", "shuffle_deterministic", "sim_centroid_by_label",
+    "sim_ivfpq_recall", "sim_ivfpq_topk", "split_train_val_test",
+    "text_boilerplate_share", "text_bpe_pairs", "text_concordance",
+    "text_lang_confusion", "text_lang_id", "text_markup_strip",
+    "text_pii_scrub", "text_quality_model", "text_repetition",
+    "text_tfidf_topk", "text_token_stats", "text_unigram_logprob",
+    "text_vocab_topk",
+}
+# Removed from _R8_VERIFIED (stale evidence, r9 edits):
+# sim_ivfpq_topk + sim_ivfpq_recall (the PQ codebooks are now per-subspace
+# Lloyd-TRAINED instead of first-16-residual sampled — the r8 verdict's
+# item 3; the serving plan is unchanged but codewords, and therefore codes
+# and shortlists, differ);
+# agg_ks_test + agg_gini_lorenz (their shared operator
+# operators/ntile.global_prefix_sums lost a full pass: the input is
+# localCheckpointed once so the quantile/totals/join passes stop
+# re-evaluating upstream lineage, and the distinctness guard folded into
+# the totals collect — values identical, but the shared helper changed,
+# same precedent as the r6 connected-components eviction).
+_R8_VERIFIED -= {
+    "sim_ivfpq_topk", "sim_ivfpq_recall", "agg_ks_test", "agg_gini_lorenz",
+}
+# Removed from _R7_VERIFIED (stale evidence, r9 edit): dedup_minhash_lsh —
+# the builder docstring now states the at-volume guidance the r8 sf1 run
+# measured (plain form is duplicate-quadratic; dedup_lsh_scaled is the
+# facade default and the form to run at volume). Values identical — the
+# query body is untouched — but the builder source changed.
+_R7_VERIFIED -= {"dedup_minhash_lsh"}
+
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
 # tier, tripping the fail-safe rank-0 path (caught by review in r6).
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
-    | _R6_VERIFIED | _R7_VERIFIED
+    | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
 )
 
-# Queries first registered in round 8. They queue BEHIND the never-green
+# Queries first registered in round 9. They queue BEHIND the never-green
 # backlog and AHEAD of the verified tiers. Budget check: backlog +
-# len(_R8_NEW) must stay well under 50 (cap 15 per the r7 verdict) so the
-# remaining >=35 slots re-certify the stalest verified evidence — the r8
-# goal is to empty the 25-name _R2_VERIFIED tier and re-certify >=10 of r3.
-_R8_NEW: set = {
-    # IVF-PQ serving composition: Lloyd-trained cell pruning + residual
-    # product quantization + asymmetric-distance shortlist + exact
-    # re-rank — the at-scale ANN read path (train -> calibrate -> serve)
-    "sim_ivfpq_topk",
-    # its measured recall@5 row, schema-compatible with the dial table
-    "sim_ivfpq_recall",
-    # R9 as a registry row: mid-stream ALTER widens the envelope schema,
-    # two-epoch decode through the real SchemaCatalog invalidation
-    "cdc_schema_evolution",
-    # two-sample Kolmogorov-Smirnov drift test over the distributed CDF
-    # prefix scan (operators/ntile.global_prefix_sums, three-pass)
-    "agg_ks_test",
-    # perceptual image fingerprints: average hash over the (stubbed) 8x8
-    # luma grid, real Pillow path when importable — image-side dedup key
-    "multimodal_image_ahash",
-    # boilerplate detector: per-doc share of shingles in the corpus
-    # top-200 docfreq bank (fixed-size bank, broadcast at any corpus size)
-    "text_boilerplate_share",
-    # embedding-space isotropy diagnostic: pairwise-cosine histogram over
-    # a deterministic hash sample (quadratic term bounded by the sample)
-    "embed_cosine_histogram",
-    # direction='nearest' as-of join: one union shuffle, backward+forward
-    # carries in one exchange, row-local argmin (operators/asof.py)
-    "join_asof_nearest",
-    # chi-squared independence + Cramér's V over a lang x length-band
-    # contingency table (cell-bounded, marginals from the tiny cell table)
-    "agg_chi2_independence",
-    # Lorenz-curve Gini coefficient of customer spend — the prefix-scan
-    # operator generalized from counts (KS) to weighted sums; exact in
-    # integer cents
-    "agg_gini_lorenz",
-}
+# len(_R9_NEW) must stay well under 50 (cap 15 per the r8 verdict) so the
+# remaining >=35 slots re-certify the stalest verified evidence — the r9
+# goal is to empty the 32-name _R3_VERIFIED tier and re-certify >=3 of r4.
+_R9_NEW: set = set()
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-8 addition. A name
-# accidentally left out of _R8_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-9 addition. A name
+# accidentally left out of _R9_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R8_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R9_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
-# the only remaining correctness risk — r2/r3-vintage green rows on evolving
+# the only remaining correctness risk — r3/r4-vintage green rows on evolving
 # code. The budget-capped walk therefore spends its slack re-certifying the
 # OLDEST green rows each round; a name re-verified in round N moves to that
 # round's set, so the rotation naturally cycles through the registry.
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED, _R7_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R8_NEW:
+    if n in _R9_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _NEVER_GREEN, _R8_NEW, _VERIFIED_STALEST_FIRST,
+        REGISTRY, _NEVER_GREEN, _R9_NEW, _VERIFIED_STALEST_FIRST,
     )
 
     names = set(REGISTRY)
-    tiers = [_R8_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
+    tiers = [_R9_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):
@@ -46,15 +46,15 @@ def test_rank_tiers_cover_every_query_exactly_once():
             assert not (a & b), f"rank tiers overlap: {a & b}"
 
 
-def test_round8_registration_count_claim_matches():
+def test_round9_registration_count_claim_matches():
     import re
 
-    from dumpr_spark.queries import _R8_NEW
+    from dumpr_spark.queries import _R9_NEW
 
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"Round 8 \(`_R8_NEW`, (\d+) registrations", cov)
-    assert m, "COVERAGE.md round-8 registration claim missing"
-    assert int(m.group(1)) == len(_R8_NEW), (
-        f"COVERAGE.md claims {m.group(1)} round-8 registrations, "
-        f"registry has {len(_R8_NEW)}"
+    m = re.search(r"Round 9 \(`_R9_NEW`, (\d+) registrations", cov)
+    assert m, "COVERAGE.md round-9 registration claim missing"
+    assert int(m.group(1)) == len(_R9_NEW), (
+        f"COVERAGE.md claims {m.group(1)} round-9 registrations, "
+        f"registry has {len(_R9_NEW)}"
     )

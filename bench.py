@@ -30,6 +30,14 @@ HEADLINE = [
     "stream_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # the at-volume near-dup form (exact-copy prepass + capped buckets):
+    # the r8 sf1-local run measured the plain LSH row above going
+    # duplicate-quadratic (4.4-5.4x over its power-law prediction on a
+    # duplicate-heavy 10x corpus) while this one tracked prediction at
+    # 1.17x — the headline measures BOTH so the number that matters at
+    # 100 TB is in the record; the plain row stays for cross-round
+    # comparability (see SCALE.md round-8 and functions/dedup.py).
+    "dedup_lsh_scaled",
     "sim_topk_bruteforce",
     "text_quality",
 ]

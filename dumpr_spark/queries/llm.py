@@ -428,7 +428,18 @@ def text_fingerprint_rolling(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(8)+LSH(4 bands of 2) candidate pairs over 3-word shingles.
     Near-twins (Jaccard ≈ (n-3)/n) collide in ≥1 band w.h.p.; unrelated docs
-    don't. md5-based hash family => bit-identical DuckDB oracle."""
+    don't. md5-based hash family => bit-identical DuckDB oracle.
+
+    AT-VOLUME GUIDANCE (measured, SCALE.md round-8): this PLAIN form is the
+    textbook shape and stays registered for it, but its bucket self-join
+    emits c^2 pairs per c-copy document — on the duplicate-heavy sf1-local
+    corpus it missed its power-law prediction by 4.4-5.4x, because real
+    crawl corpora are exactly that duplicate-heavy. The form to run at
+    100 TB is `dedup_lsh_scaled` (exact-copy prepass collapses identical
+    texts to one representative, then capped LSH buckets) — it tracked
+    prediction at 1.17x on the same data, is the `Engine.dedup_near_pairs`
+    facade default (engine.py), and is benchmarked alongside this row in
+    bench.py."""
     corpus = _dup_corpus(spark, sf_dir, near=True)
     return dd.minhash_lsh_pairs(corpus, num_hashes=8, band_size=2, k=3).orderBy("a", "b")
 

@@ -30,11 +30,14 @@ three per-row-evaluation landmines: SCALE.md round-6.
 from __future__ import annotations
 
 import hashlib
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
 from dumpr_spark.functions.dedup import minhash_base_hash
+
+_LOG = logging.getLogger(__name__)
 
 # The literal-array probe inlines m/64 longs into every task's plan; past
 # ~16k longs the expression tree bloats codegen, so bigger filters must use
@@ -303,6 +306,26 @@ class RefreshingBloom:
             v = v2
         # version still moving after the retry budget: serve the freshest
         # build (no false negatives vs ITS snapshot) but leave the artifact
-        # marked stale so the next call rebuilds once the churn settles
+        # marked stale so the next call rebuilds once the churn settles —
+        # and SAY so (r8 advice): callers that need snapshot consistency
+        # for this batch can check .stale and skip the prefilter (probe
+        # nothing, keep every row — the bloom is only ever an optimization)
         self._fresh = False
+        _LOG.warning(
+            "RefreshingBloom: version still moving after %d rebuilds; "
+            "serving a bloom that may be torn relative to the settled dim "
+            "(check .stale; next call rebuilds)",
+            self._MAX_REBUILDS_PER_CALL,
+        )
         return self.bloom
+
+    @property
+    def stale(self) -> bool:
+        """True when the bloom served by the LAST `current()` call could
+        not be certified against a settled dim version (the retry budget
+        exhausted under sustained churn) — or when nothing was ever
+        certified. A caller needing snapshot consistency for the current
+        batch should treat a stale bloom as 'no prefilter' (a bloom is
+        an optimization: skipping it keeps every row, never drops one);
+        the next `current()` call rebuilds once the churn settles."""
+        return not self._fresh

@@ -120,6 +120,7 @@ def global_prefix_sums(
     sum_cols: list,
     rel_err: float = 0.001,
     check_distinct: bool = True,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Running totals of `sum_cols` over the GLOBAL `val_col` order without
     an unpartitioned window — the prefix-SCAN sibling of global_ntile,
@@ -134,27 +135,27 @@ def global_prefix_sums(
     Contract: `val_col` values must be DISTINCT (pre-aggregate to distinct
     keys first — the natural shape for CDF work; with ties the in-bucket
     running sum would order arbitrarily within the tie and intermediate
-    cums would be nondeterministic). Verified with one cheap agg when
-    `check_distinct` (disable at volume once the upstream groupBy
-    guarantees it structurally). `sum_cols` should be integral or
-    pre-rounded: bucket offsets are driver-cumulated in bucket order
-    (deterministic), but float addition would still reorder vs a serial
-    scan. NULL `val_col` rows sort LAST in their OWN bucket
-    (len(bounds)+1 — strictly after the top value bucket, so the null
-    bucket's offset can be special-cased by callers), matching
-    asc_nulls_last."""
+    cums would be nondeterministic). The `check_distinct` guard is FOLDED
+    into the bucket-totals pass (r9, per the r8 verdict's fixed-cost item):
+    the bucket is a pure function of the value, so a distinct value never
+    spans two buckets and per-bucket distinct counts sum to the global
+    one — the guard costs extra agg columns on an existing job, not a
+    job (still disable it when the upstream groupBy guarantees the
+    contract structurally: count_distinct widens the partial aggregate).
+    `sum_cols` should be integral or pre-rounded: bucket offsets are
+    driver-cumulated in bucket order (deterministic), but float addition
+    would still reorder vs a serial scan. NULL `val_col` rows sort LAST in
+    their OWN bucket (len(bounds)+1 — strictly after the top value bucket,
+    so the null bucket's offset can be special-cased by callers), matching
+    asc_nulls_last.
+
+    `with_totals=True` additionally attaches one `<c>_tot` column per sum
+    column holding the exact GLOBAL total — the operator already collected
+    the per-bucket sums, so the grand total is driver-known and ships as a
+    constant-folded long literal (zero extra jobs, no crossJoin). Callers
+    that need n/T alongside the running sums (every CDF statistic does)
+    should read these instead of re-aggregating the input."""
     spark = df.sparkSession
-    if check_distinct:
-        shape = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(val_col)).alias("nd"),
-            F.count(F.when(F.col(val_col).isNull(), 1)).alias("nn"),
-        ).collect()[0]
-        if shape["nd"] + min(shape["nn"], 1) != shape["n"]:
-            raise ValueError(
-                f"global_prefix_sums: {val_col} must be distinct "
-                f"({shape['n']} rows, {shape['nd']} distinct)"
-            )
     n_part = max(2, spark.sparkContext.defaultParallelism)
     bounds = df.stat.approxQuantile(
         val_col, [i / n_part for i in range(1, n_part)], rel_err
@@ -176,11 +177,23 @@ def global_prefix_sums(
     with_pid = df.withColumn(
         "_pid", F.when(val.isNull(), F.lit(len(bounds) + 1)).otherwise(bucket)
     )
-    totals = (
-        with_pid.groupBy("_pid")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        .collect()
-    )
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if check_distinct:
+        aggs += [
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(val_col)).alias("_nd"),
+            F.count(F.when(val.isNull(), 1)).alias("_nn"),
+        ]
+    totals = with_pid.groupBy("_pid").agg(*aggs).collect()
+    if check_distinct:
+        n_rows = sum(r["_n"] for r in totals)
+        n_distinct = sum(r["_nd"] for r in totals)
+        n_null = sum(r["_nn"] for r in totals)
+        if n_distinct + min(n_null, 1) != n_rows:
+            raise ValueError(
+                f"global_prefix_sums: {val_col} must be distinct "
+                f"({n_rows} rows, {n_distinct} distinct)"
+            )
     run = {c: 0 for c in sum_cols}
     off_rows = []
     for r in sorted(totals, key=lambda r: r["_pid"]):
@@ -197,4 +210,9 @@ def global_prefix_sums(
     out = with_pid.join(F.broadcast(off_df), "_pid")
     for c in sum_cols:
         out = out.withColumn(f"{c}_cum", F.sum(c).over(w) + F.col(f"_off_{c}"))
+    if with_totals:
+        # run[c] holds the grand total after the offset walk — exact under
+        # the integral contract, so the literal is run-deterministic
+        for c in sum_cols:
+            out = out.withColumn(f"{c}_tot", F.lit(run[c]).cast("long"))
     return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])

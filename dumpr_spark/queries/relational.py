@@ -3530,25 +3530,26 @@ def agg_ks_test(spark, sf_dir):
             .alias("na"),
         F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
             .alias("nb"),
-    ).localCheckpoint(eager=False)  # 4 consumers: quantiles, bucket
-    # totals, the prefix-scan window, and the n1/n2 rollup — unpinned,
-    # the orders scan+groupBy would re-execute per consumer
-    cum = global_prefix_sums(pts, "v", ["na", "nb"], check_distinct=False)
-    tot = pts.agg(
-        F.sum("na").cast("double").alias("n1"),
-        F.sum("nb").cast("double").alias("n2"),
+    ).localCheckpoint(eager=False)  # 3 consumers: quantiles, bucket
+    # totals, the prefix-scan window — unpinned, the orders scan+groupBy
+    # would re-execute per consumer. (The former 4th consumer — a
+    # separate n1/n2 rollup — is gone: the operator's with_totals ships
+    # the exact grand totals as folded literals off the bucket-totals
+    # collect it already pays, r9 fixed-cost shave.)
+    cum = global_prefix_sums(
+        pts, "v", ["na", "nb"], check_distinct=False, with_totals=True
     )
-    gaps = cum.crossJoin(F.broadcast(tot)).select(
-        F.abs(F.col("na_cum") / F.col("n1") - F.col("nb_cum") / F.col("n2"))
-            .alias("gap"),
-        "n1", "n2",
+    n1d = F.col("na_tot").cast("double")
+    n2d = F.col("nb_tot").cast("double")
+    gaps = cum.select(
+        F.abs(F.col("na_cum") / n1d - F.col("nb_cum") / n2d).alias("gap"),
+        "na_tot", "nb_tot",
     )
-    d = gaps.groupBy("n1", "n2").agg(F.max("gap").alias("raw_d"))
-    n1, n2 = F.col("n1"), F.col("n2")
-    crit = eps_round(F.lit(1.358) * F.sqrt((n1 + n2) / (n1 * n2)), 6)
+    d = gaps.groupBy("na_tot", "nb_tot").agg(F.max("gap").alias("raw_d"))
+    crit = eps_round(F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d)), 6)
     return d.select(
-        n1.cast("bigint").alias("n1"),
-        n2.cast("bigint").alias("n2"),
+        F.col("na_tot").cast("bigint").alias("n1"),
+        F.col("nb_tot").cast("bigint").alias("n2"),
         eps_round(F.col("raw_d"), 6).alias("ks_d"),
         crit.alias("crit_05"),
         (eps_round(F.col("raw_d"), 6) > crit).alias("reject_05"),
@@ -3723,23 +3724,324 @@ def agg_gini_lorenz(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("v", "cnt", (F.col("v") * F.col("cnt")).alias("amt"))
         .localCheckpoint(eager=False)  # consumers: quantile pass, bucket
-        # totals, prefix window, and the n/t rollup (agg_ks_test pattern)
+        # totals, prefix window (agg_ks_test pattern; the n/t rollup now
+        # rides the operator's with_totals literals, r9 fixed-cost shave)
     )
-    cum = global_prefix_sums(pts, "v", ["amt"], check_distinct=False)
-    tot = pts.agg(
-        F.sum("cnt").cast("double").alias("n"),
-        F.sum("amt").cast("double").alias("t"),
+    cum = global_prefix_sums(
+        pts, "v", ["amt", "cnt"], check_distinct=False, with_totals=True
     )
-    term = (F.col("cnt") / F.col("n")) * (
-        (2 * F.col("amt_cum") - F.col("amt")) / F.col("t")
-    )
+    n = F.col("cnt_tot").cast("double")
+    tt = F.col("amt_tot").cast("double")
+    term = (F.col("cnt") / n) * ((2 * F.col("amt_cum") - F.col("amt")) / tt)
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("n", "t")
+        cum.groupBy("cnt_tot", "amt_tot")
         .agg(F.sum(term).alias("_s"))
         .select(
-            F.col("n").cast("bigint").alias("n_customers"),
-            eps_round(F.col("t") / F.col("n") / 100.0, 2).alias("mean_spend"),
+            F.col("cnt_tot").cast("bigint").alias("n_customers"),
+            eps_round(
+                F.col("amt_tot").cast("double")
+                / F.col("cnt_tot").cast("double") / 100.0,
+                2,
+            ).alias("mean_spend"),
             eps_round(1 - F.col("_s"), 6).alias("gini"),
         )
+    )
+
+
+@query(
+    "agg_mann_whitney",
+    """
+    WITH pts AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS nb
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT v, na, nb, na + nb AS cnt,
+             SUM(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cnt_cum
+      FROM pts
+    ),
+    tot AS (
+      SELECT SUM(na)::DOUBLE AS n1, SUM(nb)::DOUBLE AS n2,
+             SUM(na + nb)::DOUBLE AS n,
+             SUM((na + nb) * (na + nb) * (na + nb) - (na + nb))::DOUBLE AS ties
+      FROM pts
+    ),
+    r AS (
+      SELECT SUM(na * (cnt_cum - (cnt - 1) / 2.0)) AS ra FROM cum
+    ),
+    stat AS (
+      SELECT t.n1, t.n2, t.n,
+             r.ra - t.n1 * (t.n1 + 1) / 2.0 AS u,
+             t.n1 * t.n2 / 2.0 AS mu,
+             sqrt((t.n1 * t.n2 / 12.0)
+                  * ((t.n + 1) - t.ties / (t.n * (t.n - 1)))) AS sd
+      FROM r, tot t
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(u + 1e-9, 4) AS u_stat,
+           ROUND((u - mu) / sd + 1e-9, 6) AS z,
+           ABS(ROUND((u - mu) / sd + 1e-9, 6)) > 1.96 AS reject_95
+    FROM stat
+    """,
+    tags=("agg", "stats", "distribution"),
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test — the NONPARAMETRIC complement to
+    agg_welch_ttest on the same question agg_ks_test asks (do urgent and
+    low-priority order totals come from one distribution?): U from
+    midranks with the tie-corrected normal approximation z and the 95%
+    reject verdict. Curation reads it as a robust distribution-shift
+    alarm that no outlier can saturate (ranks are bounded).
+
+    Scale shape: the scan collapses to one row per DISTINCT value, and
+    the global midranks come from the SAME operators/ntile
+    .global_prefix_sums pass as agg_ks_test — midrank of a value with
+    count c at inclusive cumulative count C is C - (c-1)/2, so the rank
+    sum needs only the distinct-value CDF, never a per-row global rank.
+    with_totals ships n1/n2/n/tie-term as folded literals off the bucket
+    collect (no extra rollup job, no crossJoin). This caller ENABLES the
+    folded check_distinct guard — it is free as of r9 and the upstream
+    groupBy contract is worth asserting once per run here.
+
+    Determinism: counts and the tie term are exact integers; midranks
+    are exact half-integers; the rank sum is a float sum of exactly-
+    representable halves below 2^52 (order-independent); z is computed
+    from identical doubles on both engines and eps-rounded 6dp BEFORE
+    the hard |z| > 1.96 verdict (the r7 float-determinism rule)."""
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    pts = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                  .otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1)
+                  .otherwise(0)).alias("nb"),
+        )
+        .select(
+            "v", "na", "nb",
+            (F.col("na") + F.col("nb")).alias("cnt"),
+            ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
+             * (F.col("na") + F.col("nb"))
+             - (F.col("na") + F.col("nb"))).alias("tie3"),
+        )
+        .localCheckpoint(eager=False)  # consumers: quantile pass + bucket
+        # totals + prefix window (the agg_ks_test pattern)
+    )
+    cum = global_prefix_sums(
+        pts, "v", ["cnt", "na", "nb", "tie3"],
+        check_distinct=True, with_totals=True,
+    )
+    midrank = F.col("cnt_cum") - (F.col("cnt") - 1) / 2.0
+    n1 = F.col("na_tot").cast("double")
+    n2 = F.col("nb_tot").cast("double")
+    n = F.col("cnt_tot").cast("double")
+    ties = F.col("tie3_tot").cast("double")
+    ra = (
+        cum.groupBy("na_tot", "nb_tot", "cnt_tot", "tie3_tot")
+        .agg(F.sum(F.col("na") * midrank).alias("ra"))
+    )
+    u = F.col("ra") - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    sd = F.sqrt((n1 * n2 / 12.0) * ((n + 1) - ties / (n * (n - 1))))
+    z = eps_round((u - mu) / sd, 6)
+    return ra.select(
+        F.col("na_tot").cast("bigint").alias("n1"),
+        F.col("nb_tot").cast("bigint").alias("n2"),
+        eps_round(u, 4).alias("u_stat"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("reject_95"),
+    )
+
+
+@query(
+    "agg_spearman_corr",
+    """
+    WITH li AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    rx AS (
+      SELECT v, 2 * cnt_cum - (cnt - 1) AS mr2 FROM (
+        SELECT v, cnt,
+               SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cnt_cum
+        FROM (SELECT x AS v, COUNT(*) AS cnt FROM li GROUP BY x)
+      )
+    ),
+    ry AS (
+      SELECT v, 2 * cnt_cum - (cnt - 1) AS mr2 FROM (
+        SELECT v, cnt,
+               SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cnt_cum
+        FROM (SELECT y AS v, COUNT(*) AS cnt FROM li GROUP BY y)
+      )
+    ),
+    joined AS (
+      SELECT r1.mr2 AS rx2, r2.mr2 AS ry2
+      FROM li JOIN rx r1 ON li.x = r1.v JOIN ry r2 ON li.y = r2.v
+    ),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             CAST(SUM(rx2) AS DOUBLE) AS sx, CAST(SUM(ry2) AS DOUBLE) AS sy,
+             CAST(SUM(rx2 * rx2) AS DOUBLE) AS sxx,
+             CAST(SUM(ry2 * ry2) AS DOUBLE) AS syy,
+             CAST(SUM(rx2 * ry2) AS DOUBLE) AS sxy
+      FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6)
+             AS spearman_rho
+    FROM s
+    """,
+    tags=("agg", "stats", "correlation"),
+)
+def agg_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price — the
+    monotonic-association complement to agg_corr_covar's Pearson (which
+    only sees LINEAR association): Pearson over tie-averaged midranks.
+    Curation uses it to sanity-check derived columns (a near-1 rho says
+    one column is a monotone function of the other — drop one).
+
+    Scale shape: each column's midranks come from its own distinct-value
+    CDF through operators/ntile.global_prefix_sums (never a per-row
+    global rank window); the fact table then equi-joins the two small
+    rank maps back by value — quantity's map is tiny (50 distinct) and
+    price's is bounded by distinct prices, both shuffle-joins on value
+    with the fact rows, the same two-phase shape the TPC-H queries use.
+
+    Determinism: DOUBLED midranks (2C - (c-1)) are exact INTEGERS, all
+    five moment sums are exact int64 (max ~n * (2n)^2 ~ 8.6e17 < 2^63 at
+    sf0.1), and rho is computed from identical doubles on both engines,
+    eps-rounded 6dp at output (no hard decision reads it)."""
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def rank_map(col: str, out: str):
+        pts = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cum = global_prefix_sums(pts, "v", ["cnt"], check_distinct=False)
+        return cum.select(
+            F.col("v").alias(col),
+            (2 * F.col("cnt_cum") - (F.col("cnt") - 1)).alias(out),
+        )
+
+    joined = (
+        li.join(rank_map("x", "rx2"), "x")
+        .join(rank_map("y", "ry2"), "y")
+        .select("rx2", "ry2")
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx2").cast("double").alias("sx"),
+        F.sum("ry2").cast("double").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("double").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        n.cast("bigint").alias("n"),
+        eps_round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+def _zorder_sql_terms() -> str:
+    """The 32-term bit-interleave as SQL (oracle twin of the Spark
+    expression in layout_zorder)."""
+    return " + ".join(
+        f"(((pk >> {i}) & 1) << {2 * i + 1}) + (((sk >> {i}) & 1) << {2 * i})"
+        for i in range(16)
+    )
+
+
+@query(
+    "layout_zorder",
+    f"""
+    WITH base AS (
+      SELECT l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+             l_orderkey * 10 + l_linenumber AS rid
+      FROM lineitem
+    ),
+    zv AS (
+      SELECT pk, sk, rid, {_zorder_sql_terms()} AS z FROM base
+    ),
+    tiles AS (
+      SELECT pk, sk,
+             CAST(NTILE(64) OVER (ORDER BY z, rid) AS INT) AS file_id
+      FROM zv
+    )
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(pk) AS BIGINT) AS pk_min, CAST(MAX(pk) AS BIGINT) AS pk_max,
+           CAST(MIN(sk) AS BIGINT) AS sk_min, CAST(MAX(sk) AS BIGINT) AS sk_max
+    FROM tiles GROUP BY file_id ORDER BY file_id
+    """,
+    tags=("layout", "optimization", "scan"),
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton-curve) data layout — the multi-column file-
+    skipping story Delta/Iceberg OPTIMIZE ZORDER implements: interleave
+    the bits of two scan keys (part, supplier as 16-bit grid cells),
+    bucket rows into 64 'files' by Z-value order, and report each file's
+    per-key min/max — the zone-map row a format's footer stats would
+    carry. Unlike a single-key sort (perfect pruning on one key, none on
+    the other), the Z-curve keeps BOTH keys' per-file spans narrow, so
+    point/range predicates on either column prune most files.
+
+    Scale shape: the interleave is a 32-term constant bit expression
+    inside whole-stage codegen (one narrow projection); the global
+    Z-ordering uses operators/ntile.global_ntile — the three-pass
+    distributed NTILE, never a single-task global sort (exactly how the
+    real table-layout job would range-partition before writing files);
+    the zone-map rollup map-side-combines to 64 rows. Everything is
+    integer arithmetic — engine-exact by construction; the (z, rid)
+    order is total, so tile assignment is deterministic."""
+    from dumpr_spark.operators.ntile import global_ntile
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").bitwiseAND(F.lit(65535)).alias("pk"),
+        F.col("l_suppkey").cast("long").bitwiseAND(F.lit(65535)).alias("sk"),
+        (F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber"))
+            .alias("rid"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("pk"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("sk"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        )
+    zed = li.select("pk", "sk", "rid", z.alias("z"))
+    tiled = global_ntile(
+        zed, k=64, val_col="z", id_col="rid", out_col="file_id",
+        descending=False,
+    )
+    return (
+        tiled.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk").alias("pk_min"), F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"), F.max("sk").alias("sk_max"),
+        )
+        .orderBy("file_id")
     )

@@ -1034,7 +1034,9 @@ def test_refreshing_bloom_torn_read_guard():
         return BloomFilter(words=[state["data"]], k=1)
 
     holder = RefreshingBloom(build_fn=build, version_fn=lambda: state["version"])
+    assert holder.stale  # nothing certified yet
     assert holder.current().words == [1] and holder.builds == 1
+    assert not holder.stale  # certified against a settled version (r9)
     assert holder.current().words == [1] and holder.builds == 1  # cached
 
     # torn case: the version bump lands DURING the rebuild-triggering call
@@ -1063,8 +1065,13 @@ def test_refreshing_bloom_torn_read_guard():
     first = churn.current()
     assert churn.builds == churn._MAX_REBUILDS_PER_CALL
     assert first.words == [Churn.n - 1]  # freshest completed build
+    # r9 (r8 advice): the exhausted-retry path is now VISIBLE to the
+    # caller — .stale says this batch's bloom may be torn vs the settled
+    # dim, so a snapshot-consistent caller can skip the prefilter
+    assert churn.stale
     churn.current()
     assert churn.builds > churn._MAX_REBUILDS_PER_CALL  # still marked stale
+    assert churn.stale
 
 
 def test_build_bloom_arrow_collect_matches_row_collect_and_cap_build(spark):
@@ -1133,6 +1140,36 @@ def test_global_prefix_sums_matches_serial_scan(spark):
     dup = spark.createDataFrame([(1.0, 1), (1.0, 2)], "v double, a long")
     with pytest.raises(ValueError, match="distinct"):
         global_prefix_sums(dup, "v", ["a"])
+
+
+def test_global_prefix_sums_with_totals_are_exact_literals(spark):
+    """with_totals must attach the exact GLOBAL sum of every sum column as
+    a constant (the same value on every row, equal to an independent
+    aggregate, including rows parked in the NULL bucket), and the folded
+    check_distinct guard must still raise on ties when totals are on."""
+    import pytest
+
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    rows = [(float(v), v % 7, 2 * v) for v in range(0, 400, 3)]
+    rows.append((None, 5, 9))  # null-bucket row still counts toward totals
+    df = spark.createDataFrame(rows, "v double, a long, b long").repartition(9)
+    got = global_prefix_sums(
+        df, "v", ["a", "b"], check_distinct=True, with_totals=True
+    ).collect()
+    exp_a = sum(r[1] for r in rows)
+    exp_b = sum(r[2] for r in rows)
+    assert {r["a_tot"] for r in got} == {exp_a}
+    assert {r["b_tot"] for r in got} == {exp_b}
+    # the final cum of the last non-null value + null bucket = the total
+    last = max((r for r in got if r["v"] is not None), key=lambda r: r["v"])
+    null_row = [r for r in got if r["v"] is None][0]
+    assert last["a_cum"] + null_row["a"] == exp_a
+    assert null_row["a_cum"] == exp_a
+
+    dup = spark.createDataFrame([(1.0, 1), (1.0, 2)], "v double, a long")
+    with pytest.raises(ValueError, match="distinct"):
+        global_prefix_sums(dup, "v", ["a"], with_totals=True)
 
 
 def test_ivfpq_serving_invariants(spark, sf_dir):
@@ -1315,3 +1352,46 @@ def test_global_prefix_sums_null_vals_isolated_last(spark):
     import pytest
     with pytest.raises(ValueError, match="distinct"):
         global_prefix_sums(dfn, "v", ["a"])
+
+
+def test_ahash_real_decode_when_pillow_present(spark):
+    """r9 (r8 verdict item 7): the REAL-decode aHash path
+    (functions/multimodal._ahash_image_real) has never executed in this
+    container (Pillow absent -> skip); in any environment where Pillow
+    imports, this proves the path instead of trusting it: a real PNG
+    flows through the SAME Spark mapInPandas plumbing (ahash_images),
+    produces the stub-identical schema, matches an in-test replica of
+    the packing over Pillow's own 8x8 luma grid (version-tolerant — no
+    hardcoded hash), and is demonstrably NOT the sha256 stub."""
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    import io
+
+    from dumpr_spark.functions.multimodal import (
+        AHASH_SCHEMA, _ahash_of, _ahash_stub, ahash_images,
+    )
+
+    buf = io.BytesIO()
+    img = PIL_Image.new("L", (16, 16))
+    img.putdata([(x * 16 + y * 3) % 256 for x in range(16) for y in range(16)])
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "asset_id long, media_type string, payload binary",
+    )
+    got = ahash_images(assets).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert [f.name for f in AHASH_SCHEMA.fields] == list(row.asDict().keys())
+    # replica: Pillow's own grayscale 8x8 grid through the shared packing
+    with PIL_Image.open(io.BytesIO(png)) as im:
+        px = list(im.convert("L").resize((8, 8)).getdata())
+    exp_hash, exp_bits, exp_luma = _ahash_of(px, 255.0)
+    assert (row["ahash"], row["bits_set"], row["mean_luma"]) == (
+        exp_hash, exp_bits, exp_luma
+    )
+    # and it is the REAL decode, not the hash stub
+    assert row["ahash"] != _ahash_stub(png)[0]

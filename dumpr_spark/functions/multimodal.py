@@ -288,11 +288,18 @@ def ahash_near_dup_pairs(fingerprints: DataFrame, id_col: str = "asset_id",
     a 64-bit signature — one banding machinery for text AND images.
     Returns (a, b, hamming) with a < b, filtered to max_hamming.
 
+    NULL fingerprints (ahash_images emits ahash=NULL for NULL payloads)
+    are OUT OF SCOPE for the search and dropped EXPLICITLY here — without
+    the filter they would vanish silently anyway (a NULL signature never
+    matches a band equi-join), but a caller deduplicating a corpus with
+    missing payloads should know those assets are absent from the pair
+    list, not merely unpaired.
+
     Scale shape inherited: fingerprints shuffle once on (band, value);
     payload bytes were already left behind at fingerprint time."""
     from dumpr_spark.functions.dedup import simhash_band_candidates
 
-    sigs = fingerprints.select(
+    sigs = fingerprints.where(F.col(ahash_col).isNotNull()).select(
         F.col(id_col), ahash_sig64(F.col(ahash_col)).alias("sh64")
     )
     return simhash_band_candidates(

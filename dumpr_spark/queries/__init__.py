@@ -326,7 +326,27 @@ _DRIVER_VERIFIED = (
 # len(_R9_NEW) must stay well under 50 (cap 15 per the r8 verdict) so the
 # remaining >=35 slots re-certify the stalest verified evidence — the r9
 # goal is to empty the 32-name _R3_VERIFIED tier and re-certify >=3 of r4.
-_R9_NEW: set = set()
+_R9_NEW: set = {
+    # the registered batch form of the r8 image near-dup search side:
+    # aHash fingerprints -> 64-bit signature -> the shared SimHash
+    # banding, pigeonhole-exact at hamming <= 3 (+ the NULL-payload
+    # out-of-scope filter the r8 advice asked to make explicit)
+    "multimodal_ahash_neardup",
+    # Mann-Whitney U over distributed midranks (the prefix-scan CDF
+    # generalized to rank sums; tie-corrected z + reject verdict)
+    "agg_mann_whitney",
+    # Spearman rho: Pearson over tie-averaged midranks, both rank maps
+    # from the distinct-value prefix scan, exact-integer moment sums
+    "agg_spearman_corr",
+    # per-language unigram perplexity + bits-per-token (corpus LM dial)
+    "text_perplexity",
+    # uniform-target mixture weights with the 4-epoch upsampling cap
+    "train_mixture_weights",
+    # hashing-trick featurization + per-bucket collision histogram
+    "text_hashed_features",
+    # Morton-curve layout + per-file zone maps over the distributed NTILE
+    "layout_zorder",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-9 addition. A name

@@ -487,3 +487,83 @@ def multimodal_image_ahash(spark, sf_dir):
     the Spark side does inside the Python batch."""
     assets = _assets(spark, sf_dir)
     return mm.ahash_images(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_ahash_neardup",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS asset_id, sha256(text || 'luma') AS h
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 100000, sha256(text || 'luma')
+      FROM documents WHERE doc_id % 30 = 0
+    ),
+    px AS (
+      SELECT asset_id, i,
+             instr('0123456789abcdef', substr(h, i, 1)) - 1 AS d
+      FROM imgs, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    tot AS (SELECT asset_id, SUM(d) AS s FROM px GROUP BY asset_id),
+    bits AS (
+      SELECT p.asset_id, p.i,
+             CASE WHEN 64 * p.d >= t.s THEN 1 ELSE 0 END AS b
+      FROM px p JOIN tot t ON p.asset_id = t.asset_id
+    ),
+    sigv AS (
+      SELECT asset_id,
+             SUM(CAST(b AS HUGEINT) * CAST(power(2, 64 - i) AS HUGEINT)) AS v
+      FROM bits GROUP BY asset_id
+    ),
+    sig AS (
+      SELECT asset_id,
+             CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN v - CAST('18446744073709551616' AS HUGEINT)
+                  ELSE v END AS BIGINT) AS sh64
+      FROM sigv
+    ),
+    bands AS (
+      SELECT asset_id, sh64, j AS band,
+             (sh64 >> (48 - 16 * j)) & 65535 AS val
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS a, b.asset_id AS b, a.sh64 AS ha, b.sh64 AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.val = b.val AND a.asset_id < b.asset_id
+    )
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY a, b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_ahash_neardup(spark, sf_dir):
+    """Near-duplicate IMAGE pair search over aHash fingerprints — the
+    registered form of `functions/multimodal.ahash_near_dup_pairs` (r8
+    built the fingerprints and the streaming twin; r9 registers the
+    batch search itself): every image asset plus exact re-uploads
+    (asset_id % 10 == 0 re-keyed +100000, the multimodal_payload_dedup
+    corpus recipe) is hashed, the 16-hex aHash is re-read as a signed
+    64-bit signature (two conv halves — the single-parse sign-bit NULL
+    is test-pinned), and the SAME 4 x 16-bit banding as text SimHash
+    yields every pair within hamming <= 3 with pigeonhole-exact recall.
+
+    With the container's sha256-grid stub only EXACT payload copies land
+    hamming-close (a hash scrambles visual similarity), so the expected
+    pairs here are the re-uploads at hamming 0 plus any documents
+    sharing identical text; with real Pillow decode the same machinery
+    surfaces visually-close pairs at <= 3 unchanged. NULL-payload assets
+    are explicitly out of scope (filtered with a docstring'd where — the
+    r8 advice item).
+
+    Scale shape: fingerprints (16 hex chars per image) shuffle once on
+    (band, value); payloads never leave the fingerprint map; the
+    verify is bit_count(xor) per candidate."""
+    assets = _assets(spark, sf_dir)
+    copies = (
+        assets.where(F.col("asset_id") % 10 == 0)
+        .withColumn("asset_id", F.col("asset_id") + 100000)
+    )
+    fps = mm.ahash_images(assets.unionByName(copies))
+    return mm.ahash_near_dup_pairs(fps, max_hamming=3).orderBy("a", "b")

@@ -1397,3 +1397,224 @@ def sample_balanced_classes(spark, sf_dir):
         .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "text_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    n_total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+    freq AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok),
+    scored AS (
+      SELECT t.lang, ln(f.c / (SELECT n FROM n_total)) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok
+    ),
+    per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(lp) + 1e-9, 6) AS avg_lp
+      FROM scored GROUP BY lang
+    )
+    SELECT lang, n_tokens,
+           ROUND(exp(-avg_lp) + 1e-9, 4) AS perplexity,
+           ROUND(-avg_lp / ln(2) + 1e-9, 4) AS bits_per_token
+    FROM per_lang ORDER BY lang
+    """,
+    tags=("training", "quality", "lm"),
+)
+def text_perplexity(spark, sf_dir):
+    """Per-language unigram perplexity and bits-per-token — the corpus-
+    level LM-quality dial on top of text_unigram_logprob's per-doc
+    scores: exp(-mean log p) over each language's tokens. Mixture design
+    reads it directly (a language whose perplexity under the shared
+    vocabulary is far above the rest is under-represented or noisy), and
+    bits-per-token is the compression-cost number token-budget planning
+    uses.
+
+    Scale shape: identical two-phase LM as text_unigram_logprob — the
+    Zipf-small frequency table broadcasts against the token explode, the
+    per-lang average map-side-combines to |langs| rows. Determinism: the
+    parallel AVG of logs is eps-rounded 6dp BEFORE the exp/log2
+    transforms (identical inputs -> at most 1 ulp of libm divergence,
+    absorbed by the 4dp output rounding); no hard decision reads any of
+    it."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("lang", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    per_lang = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        eps_round(F.avg("lp"), 6).alias("avg_lp"),
+    )
+    return per_lang.select(
+        "lang", "n_tokens",
+        eps_round(F.exp(-F.col("avg_lp")), 4).alias("perplexity"),
+        eps_round(-F.col("avg_lp") / F.log(F.lit(2.0)), 4)
+            .alias("bits_per_token"),
+    ).orderBy("lang")
+
+
+@query(
+    "train_mixture_weights",
+    """
+    WITH per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(len(string_split(text, ' ')))::BIGINT AS tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(tokens)::DOUBLE AS t, COUNT(*)::DOUBLE AS n_langs
+      FROM per_lang
+    ),
+    w AS (
+      SELECT p.lang, p.n_docs, p.tokens,
+             ROUND(LEAST((t.t / t.n_langs) / p.tokens, 4.0) + 1e-9, 6) AS weight
+      FROM per_lang p, tot t
+    ),
+    e AS (
+      SELECT lang, n_docs, tokens, weight,
+             ROUND(tokens * weight + 1e-9, 4) AS expected_tokens
+      FROM w
+    ),
+    s AS (SELECT SUM(expected_tokens) AS se FROM e)
+    SELECT e.lang, e.n_docs, e.tokens, e.weight, e.expected_tokens,
+           ROUND(e.expected_tokens / s.se + 1e-9, 6) AS final_share
+    FROM e, s ORDER BY e.lang
+    """,
+    tags=("training", "mixture", "sampling"),
+)
+def train_mixture_weights(spark, sf_dir):
+    """Training-mixture weight solver — the step between token accounting
+    and the samplers: per-domain (language here) sampling weights that
+    move the mixture toward a UNIFORM token target, with the standard
+    max-epochs cap (4.0 — never upsample a small domain more than 4x, the
+    repetition ceiling mixture recipes use), plus the resulting expected
+    tokens and final realized share after the cap binds. Downstream,
+    sample_weighted_topk / sample_temperature_mix consume exactly this
+    weight column.
+
+    Scale shape: the scan collapses to |domains| rows immediately
+    (map-side combine of two integer sums); everything after is
+    arithmetic on a metadata-sized frame with two 1-row scalar
+    broadcasts. Determinism: token counts are exact integers, the cap
+    compare LEAST(raw, 4.0) reads a ratio of exact-integer-derived
+    doubles (identical both engines), weight and expected_tokens are
+    eps-rounded before the tiny re-aggregation, and final_share is
+    eps-rounded at output."""
+    d = t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+            .alias("tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("tokens").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "tokens",
+        eps_round(
+            F.least((F.col("t") / F.col("n_langs")) / F.col("tokens"),
+                    F.lit(4.0)),
+            6,
+        ).alias("weight"),
+    )
+    e = w.select(
+        "lang", "n_docs", "tokens", "weight",
+        eps_round(F.col("tokens") * F.col("weight"), 4)
+            .alias("expected_tokens"),
+    )
+    s = e.agg(F.sum("expected_tokens").alias("se"))
+    return (
+        e.crossJoin(F.broadcast(s))
+        .select(
+            "lang", "n_docs", "tokens", "weight", "expected_tokens",
+            eps_round(F.col("expected_tokens") / F.col("se"), 6)
+                .alias("final_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_hashed_features",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bucketed AS (
+      SELECT tok,
+             ('0x' || substr(md5(tok), 1, 14))::BIGINT % 64 AS bucket
+      FROM toks
+    ),
+    per_tok AS (
+      SELECT bucket, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY bucket, tok
+    ),
+    ranked AS (
+      SELECT bucket, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY cnt DESC, tok) AS rn
+      FROM per_tok
+    ),
+    stats AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_instances,
+             CAST(COUNT(*) AS INT) AS n_distinct_tokens
+      FROM per_tok GROUP BY bucket
+    )
+    SELECT s.bucket, s.n_instances, s.n_distinct_tokens,
+           r.tok AS top_token
+    FROM stats s JOIN ranked r ON s.bucket = r.bucket AND r.rn = 1
+    ORDER BY s.bucket
+    """,
+    tags=("training", "features", "hashing"),
+)
+def text_hashed_features(spark, sf_dir):
+    """Feature hashing (the hashing trick) over whitespace tokens: every
+    token maps to md5-hash mod 64 — the fixed-width, vocabulary-free
+    featurization linear quality models train on at corpus scale (no
+    vocabulary build, no OOV, bounded feature width). Reports the bucket
+    histogram a practitioner actually inspects before trusting hashed
+    features: instances and DISTINCT tokens per bucket (collision load)
+    plus each bucket's dominant token (cnt desc, token asc tie-break —
+    deterministic).
+
+    Scale shape: the explode collapses to (bucket, token) cells by
+    map-side combine — distinct-token-bounded, not corpus-bounded — and
+    then to 64 bucket rows; the dominant token is a WindowGroupLimit
+    over the cell table, never a global sort. The md5-derived bucket is
+    the same hash family every sampler/splitter here uses, so the
+    assignment is engine-exact and stable across runs/engines."""
+    d = t(spark, sf_dir, "documents")
+    from dumpr_spark.functions.dedup import minhash_base_hash
+
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    per_tok = (
+        toks.select("tok", (minhash_base_hash(F.col("tok")) % 64).alias("bucket"))
+        .groupBy("bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    rn_w = Window.partitionBy("bucket").orderBy(
+        F.desc("cnt"), F.asc("tok")
+    )
+    top = (
+        per_tok.withColumn("_rn", F.row_number().over(rn_w))
+        .where(F.col("_rn") == 1)
+        .select("bucket", F.col("tok").alias("top_token"))
+    )
+    stats = per_tok.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_instances"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_tokens"),
+    )
+    return stats.join(top, "bucket").orderBy("bucket")

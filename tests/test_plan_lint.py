@@ -37,6 +37,12 @@ BNLJ_ALLOWED = {
     "sim_ann_recall_curve",     # broadcast query batch + centroid set +
                                 # 1-row hits x total scalar joins
     "agg_ks_test",              # 1-row (n1, n2) sample-size scalar broadcast
+    "text_perplexity",          # 1-row corpus token-total broadcast (the
+                                # unigram-LM normalizer, text_unigram_logprob
+                                # pattern)
+    "train_mixture_weights",    # two 1-row scalar broadcasts over the
+                                # |domains|-row frame (token total + capped
+                                # expected-token total)
     "agg_chi2_independence",    # 1-row (n, nr, nc) totals scalar broadcast
     "agg_gini_lorenz",          # 1-row (n, t) totals scalar broadcast
     "embed_cosine_histogram",   # declared theta pair join INSIDE the

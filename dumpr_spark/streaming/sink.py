@@ -207,11 +207,17 @@ def start_merge_stream(
     checkpoint_path: str,
     trigger_available_now: bool = True,
     errors_path: str | None = None,
+    output_mode: str = "update",
 ):
-    """Start the materializing stream (R18/R19: sink + lifecycle)."""
+    """Start the materializing stream (R18/R19: sink + lifecycle).
+
+    output_mode: foreachBatch itself is mode-agnostic (the sink merges
+    whatever the batch carries), but upstream stateful operators constrain
+    the legal mode — applyInPandasWithState declared in append mode (the
+    streaming tx filter) requires output_mode="append"."""
     sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path)
     writer = (
-        changes.writeStream.outputMode("update")
+        changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(sink)
     )

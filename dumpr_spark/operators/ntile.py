@@ -121,6 +121,7 @@ def global_prefix_sums(
     rel_err: float = 0.001,
     check_distinct: bool = True,
     with_totals: bool = False,
+    extra_total_cols: tuple = (),
 ) -> DataFrame:
     """Running totals of `sum_cols` over the GLOBAL `val_col` order without
     an unpartitioned window — the prefix-SCAN sibling of global_ntile,
@@ -154,7 +155,11 @@ def global_prefix_sums(
     the per-bucket sums, so the grand total is driver-known and ships as a
     constant-folded long literal (zero extra jobs, no crossJoin). Callers
     that need n/T alongside the running sums (every CDF statistic does)
-    should read these instead of re-aggregating the input."""
+    should read these instead of re-aggregating the input.
+    `extra_total_cols` names columns that want ONLY the `_tot` literal,
+    not the running sum — they ride the same bucket-totals collect but
+    skip the per-bucket window aggregate and the offset columns (a rank
+    statistic's tie term needs its grand total, never its prefix)."""
     spark = df.sparkSession
     n_part = max(2, spark.sparkContext.defaultParallelism)
     bounds = df.stat.approxQuantile(
@@ -177,7 +182,7 @@ def global_prefix_sums(
     with_pid = df.withColumn(
         "_pid", F.when(val.isNull(), F.lit(len(bounds) + 1)).otherwise(bucket)
     )
-    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    aggs = [F.sum(c).alias(c) for c in (*sum_cols, *extra_total_cols)]
     if check_distinct:
         aggs += [
             F.count(F.lit(1)).alias("_n"),
@@ -194,11 +199,11 @@ def global_prefix_sums(
                 f"global_prefix_sums: {val_col} must be distinct "
                 f"({n_rows} rows, {n_distinct} distinct)"
             )
-    run = {c: 0 for c in sum_cols}
+    run = {c: 0 for c in (*sum_cols, *extra_total_cols)}
     off_rows = []
     for r in sorted(totals, key=lambda r: r["_pid"]):
         off_rows.append((r["_pid"], *[run[c] for c in sum_cols]))
-        for c in sum_cols:
+        for c in run:
             run[c] += r[c] or 0
     off_schema = "_pid INT, " + ", ".join(f"_off_{c} LONG" for c in sum_cols)
     off_df = spark.createDataFrame(off_rows, off_schema)
@@ -213,6 +218,6 @@ def global_prefix_sums(
     if with_totals:
         # run[c] holds the grand total after the offset walk — exact under
         # the integral contract, so the literal is run-deterministic
-        for c in sum_cols:
+        for c in (*sum_cols, *extra_total_cols):
             out = out.withColumn(f"{c}_tot", F.lit(run[c]).cast("long"))
     return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])

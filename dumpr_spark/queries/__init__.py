@@ -298,11 +298,13 @@ _R8_VERIFIED = {
 # item 3; the serving plan is unchanged but codewords, and therefore codes
 # and shortlists, differ);
 # agg_ks_test + agg_gini_lorenz (their shared operator
-# operators/ntile.global_prefix_sums lost a full pass: the input is
-# localCheckpointed once so the quantile/totals/join passes stop
-# re-evaluating upstream lineage, and the distinctness guard folded into
-# the totals collect — values identical, but the shared helper changed,
-# same precedent as the r6 connected-components eviction).
+# operators/ntile.global_prefix_sums changed: the distinctness guard
+# FOLDED into the bucket-totals collect — previously a full extra
+# aggregate job over the operator input — and a new with_totals option
+# ships exact grand totals as folded literals, letting both consumers
+# drop their separate n/T rollup job and its crossJoin; values
+# identical, but the shared helper and both builders changed, same
+# precedent as the r6 connected-components eviction).
 _R8_VERIFIED -= {
     "sim_ivfpq_topk", "sim_ivfpq_recall", "agg_ks_test", "agg_gini_lorenz",
 }

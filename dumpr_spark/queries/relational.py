@@ -3835,9 +3835,13 @@ def agg_mann_whitney(spark, sf_dir):
         .localCheckpoint(eager=False)  # consumers: quantile pass + bucket
         # totals + prefix window (the agg_ks_test pattern)
     )
+    # only cnt needs a RUNNING sum (the midrank CDF); na/nb/tie3 need just
+    # their grand totals — extra_total_cols rides the same bucket collect
+    # without paying three unused window aggregates (r9 review finding)
     cum = global_prefix_sums(
-        pts, "v", ["cnt", "na", "nb", "tie3"],
+        pts, "v", ["cnt"],
         check_distinct=True, with_totals=True,
+        extra_total_cols=("na", "nb", "tie3"),
     )
     midrank = F.col("cnt_cum") - (F.col("cnt") - 1) / 2.0
     n1 = F.col("na_tot").cast("double")
@@ -3882,7 +3886,7 @@ def agg_mann_whitney(spark, sf_dir):
       )
     ),
     joined AS (
-      SELECT r1.mr2 AS rx2, r2.mr2 AS ry2
+      SELECT CAST(r1.mr2 AS HUGEINT) AS rx2, CAST(r2.mr2 AS HUGEINT) AS ry2
       FROM li JOIN rx r1 ON li.x = r1.v JOIN ry r2 ON li.y = r2.v
     ),
     s AS (
@@ -3915,10 +3919,13 @@ def agg_spearman_corr(spark, sf_dir):
     price's is bounded by distinct prices, both shuffle-joins on value
     with the fact rows, the same two-phase shape the TPC-H queries use.
 
-    Determinism: DOUBLED midranks (2C - (c-1)) are exact INTEGERS, all
-    five moment sums are exact int64 (max ~n * (2n)^2 ~ 8.6e17 < 2^63 at
-    sf0.1), and rho is computed from identical doubles on both engines,
-    eps-rounded 6dp at output (no hard decision reads it)."""
+    Determinism: DOUBLED midranks (2C - (c-1)) are exact INTEGERS, and
+    the five moment sums accumulate in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — exact 128-bit integer arithmetic on BOTH engines at any
+    row count (an int64 sum of (2n)^2 products would silently wrap just
+    above sf0.1 on the Spark side while DuckDB auto-promotes — the r9
+    review's divergence trap); rho is then computed from identical
+    doubles, eps-rounded 6dp at output (no hard decision reads it)."""
     from dumpr_spark.operators.ntile import global_prefix_sums
 
     li = t(spark, sf_dir, "lineitem").select(
@@ -3928,11 +3935,14 @@ def agg_spearman_corr(spark, sf_dir):
     def rank_map(col: str, out: str):
         pts = li.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("cnt")
-        )
+        ).localCheckpoint(eager=False)  # 3 consumers inside the prefix
+        # scan — unpinned, the lineitem scan+groupBy re-executes per pass
+        # (the agg_ks_test pattern; r9 review finding)
         cum = global_prefix_sums(pts, "v", ["cnt"], check_distinct=False)
         return cum.select(
             F.col("v").alias(col),
-            (2 * F.col("cnt_cum") - (F.col("cnt") - 1)).alias(out),
+            (2 * F.col("cnt_cum") - (F.col("cnt") - 1))
+                .cast("decimal(19,0)").alias(out),
         )
 
     joined = (
@@ -3973,7 +3983,11 @@ def _zorder_sql_terms() -> str:
     "layout_zorder",
     f"""
     WITH base AS (
-      SELECT l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+      -- BIGINT casts (r9 review): the interleave shifts a masked bit up
+      -- to position 31; in INT32 typing `(bit << 31)` overflows as soon
+      -- as a key reaches 32768 (>= ~sf0.2), while the Spark side is long
+      SELECT CAST(l_partkey & 65535 AS BIGINT) AS pk,
+             CAST(l_suppkey & 65535 AS BIGINT) AS sk,
              l_orderkey * 10 + l_linenumber AS rid
       FROM lineitem
     ),

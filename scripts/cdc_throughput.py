@@ -151,8 +151,14 @@ def main(n_rows: int, files_per_trigger: int) -> None:
         )
     progress = [p for p in progress if p[0] > 0]
     steady = progress[1:] if len(progress) > 1 else progress
-    st_rows = sum(r for r, _ in steady)
+    st_events = sum(r for r, _ in steady)
     st_ms = sum(ms for _, ms in steady)
+    # numInputRows counts feed EVENTS (incl. the 2-per-tx markers the
+    # filter strips, ~2% at TX_ROWS=100) — report both the event rate and
+    # the row-op rate (events scaled by the known row share), so neither
+    # label overstates (r9 review finding)
+    row_share = n_ops / n_events
+    st_eps = st_events / (st_ms / 1000.0) if st_ms else None
     n_state = MergeSink(spark, state).read_state().count()
     print(json.dumps({
         "metric": "cdc_streaming_throughput",
@@ -163,10 +169,12 @@ def main(n_rows: int, files_per_trigger: int) -> None:
         "files_per_trigger": files_per_trigger,
         "batches": len(progress),
         "wall_sec_total": round(wall, 2),
-        "ops_per_sec_total": round(n_events / wall, 1),
-        "sustained_ops_per_sec": round(st_rows / (st_ms / 1000.0), 1)
-            if st_ms else None,
-        "per_batch": [{"rows": r, "ms": ms} for r, ms in progress],
+        "row_ops_per_sec_total": round(n_ops / wall, 1),
+        "events_per_sec_total": round(n_events / wall, 1),
+        "sustained_events_per_sec": round(st_eps, 1) if st_eps else None,
+        "sustained_row_ops_per_sec": round(st_eps * row_share, 1)
+            if st_eps else None,
+        "per_batch": [{"events": r, "ms": ms} for r, ms in progress],
         "state_rows": n_state,
     }))
 

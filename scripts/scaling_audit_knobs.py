@@ -38,25 +38,21 @@ SCALES = [
 
 
 def main(max_pairs: int) -> None:
-    from pyspark.sql import functions as F
-
     from dumpr_spark.functions import dedup as dd
-    from dumpr_spark.queries.base import t
     from dumpr_spark.session import get_spark
 
     spark = get_spark("scaling_audit_knobs")
     spark.sparkContext.setLogLevel("ERROR")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    # the exact near-twin dup corpus the registered dedup queries use —
+    # imported, not reimplemented, so a future corpus-convention change
+    # cannot desynchronize this measurement from the queries it
+    # characterizes (r9 review finding)
+    from dumpr_spark.queries.llm import _dup_corpus
+
     def corpus(sf_dir: str):
-        # the near-twin dup corpus every dedup query uses (queries/llm.py)
-        d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-        twins = d.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
-            "lang",
-        )
-        return d.unionByName(twins)
+        return _dup_corpus(spark, sf_dir, near=True)
 
     for label, sf_dir in SCALES:
         if sf_dir is None:
@@ -75,7 +71,26 @@ def main(max_pairs: int) -> None:
             n_pairs = out.count()
             dt = round(time.time() - t0, 2)
             print(json.dumps({
-                "scale": label, "n_docs": n_docs, "variant": variant,
+                "scale": label, "leg": "minhash_accuracy",
+                "n_docs": n_docs, "variant": variant,
+                "pairs_scored": n_pairs, "sec": dt,
+            }), flush=True)
+        # the OTHER knob-threaded exact leg (dedup_jaccard_containment's
+        # shingle_overlap_pairs call — r9 review: the docstring framed
+        # both legs but only one was measured)
+        sig = dd.minhash_signature(c)
+        cands_all = dd.lsh_candidate_pairs(dd.lsh_bands(sig), "doc_id")
+        for variant, capped in (
+            ("full", cands_all),
+            (f"max_pairs={max_pairs}",
+             dd.subset_candidate_pairs(cands_all, max_pairs=max_pairs)),
+        ):
+            t0 = time.time()
+            n_pairs = dd.shingle_overlap_pairs(c, capped).count()
+            dt = round(time.time() - t0, 2)
+            print(json.dumps({
+                "scale": label, "leg": "containment_overlap",
+                "n_docs": n_docs, "variant": variant,
                 "pairs_scored": n_pairs, "sec": dt,
             }), flush=True)
 

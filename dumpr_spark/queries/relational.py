@@ -4045,7 +4045,12 @@ def layout_zorder(spark, sf_dir):
                 2 * i,
             )
         )
-    zed = li.select("pk", "sk", "rid", z.alias("z"))
+    zed = li.select("pk", "sk", "rid", z.alias("z")).localCheckpoint(
+        eager=False
+    )  # 3 consumers inside global_ntile (quantile pass, bucket counts,
+    # ranked join) — unpinned, the scan + the 32-term interleave would
+    # re-execute per pass; unlike the CDF siblings this input is the FULL
+    # fact table, not a distinct-value rollup, so the pin matters
     tiled = global_ntile(
         zed, k=64, val_col="z", id_col="rid", out_col="file_id",
         descending=False,

@@ -348,6 +348,12 @@ _R9_NEW: set = {
     "text_hashed_features",
     # Morton-curve layout + per-file zone maps over the distributed NTILE
     "layout_zorder",
+    # co-bucketed zero-shuffle join (plan-asserted bucketed SMJ, layout
+    # written at query time via operators/scale.write_bucketed)
+    "join_bucketed_colocated",
+    # decomposable Theil-T inequality: within-nation + between-nation
+    # terms over exact-cents customer spend
+    "agg_theil_decomposed",
 }
 
 # Never-green backlog, by construction: every registered name without

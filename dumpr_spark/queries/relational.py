@@ -4064,3 +4064,172 @@ def layout_zorder(spark, sf_dir):
         )
         .orderBy("file_id")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY status ORDER BY status
+    """,
+    tags=("join", "layout", "bucketing"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Co-bucketed zero-shuffle join — the table-LAYOUT join strategy the
+    other C-family entries don't cover: both sides are written as
+    bucketed tables hash-partitioned on the join key at WRITE time
+    (operators/scale.write_bucketed), so the SortMergeJoin reads
+    co-located buckets with ZERO Exchange — at 100 TB this converts the
+    fact-to-fact join's full network shuffle (the single largest cost in
+    a star-join pipeline) into a per-bucket local merge, paid once at
+    layout time and amortized over every subsequent keyed join/agg.
+
+    The builder ASSERTS the property before returning (forced
+    sort-merge planning under a temporarily disabled broadcast
+    threshold: plan must contain the bucketed scan and no
+    hashpartitioning Exchange — the same invariant
+    test_bucketed_join_has_no_exchange pins); the returned aggregate is
+    value-checked against the plain-join oracle, proving layout changes
+    results not at all. Revenue is summed in exact integer cents."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from dumpr_spark.operators.scale import explain_str, write_bucketed
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("jbc_li", "jbc_o"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    write_bucketed(li, "jbc_li", "l_orderkey", num_buckets=8)
+    write_bucketed(o, "jbc_o", "l_orderkey", num_buckets=8)
+    joined = spark.table("jbc_li").join(spark.table("jbc_o"), "l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "agg_theil_decomposed",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    by_cust AS (
+      SELECT c.c_nationkey AS nation, s.x
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g
+      FROM by_cust GROUP BY nation
+    ),
+    tot AS (
+      SELECT SUM(n_g)::DOUBLE AS n, SUM(s_g)::DOUBLE AS s FROM g
+    ),
+    terms AS (
+      SELECT b.nation,
+             (b.x / (g.s_g::DOUBLE / g.n_g))
+               * ln(b.x / (g.s_g::DOUBLE / g.n_g)) AS w_term
+      FROM by_cust b JOIN g ON b.nation = g.nation
+    ),
+    within AS (
+      SELECT nation, SUM(w_term) AS sw FROM terms GROUP BY nation
+    )
+    SELECT g.nation AS c_nationkey,
+           g.n_g AS n_cust,
+           ROUND(g.s_g::DOUBLE / g.n_g / 100.0 + 1e-9, 2) AS mean_spend,
+           ROUND(w.sw / g.n_g + 1e-9, 6) AS theil_within,
+           ROUND((g.n_g / t.n) * ((g.s_g::DOUBLE / g.n_g) / (t.s / t.n))
+                 * ln((g.s_g::DOUBLE / g.n_g) / (t.s / t.n)) + 1e-9, 6)
+             AS between_term
+    FROM g JOIN within w ON g.nation = w.nation CROSS JOIN tot t
+    ORDER BY c_nationkey
+    """,
+    tags=("agg", "stats", "distribution"),
+)
+def agg_theil_decomposed(spark, sf_dir):
+    """Theil-T inequality DECOMPOSED by group — the property Gini lacks
+    and the reason mixture analysis wants Theil: total inequality of
+    customer spend splits EXACTLY into a within-nation term per group
+    plus a between-nation term (T = sum_g share_g*T_g + T_between), so
+    curation can read where corpus concentration lives — inside domains
+    or across them. Completes the inequality family: agg_gini_lorenz
+    (rank-based), agg_hhi_concentration (share-of-squares),
+    agg_entropy_gini (categorical), and now the decomposable one.
+
+    Scale shape: per-customer cents rollup, broadcast-join the customer
+    dim for the group key, collapse to |nations| cells; the per-row
+    within terms re-aggregate map-side to the same cells; the global
+    scalars ride a 1-row broadcast. Determinism: spend is exact integer
+    cents; every mean is an exact-int ratio (identical IEEE division on
+    both engines), ln diverges at most 1 ulp on identical inputs (the
+    text_perplexity precedent), and the within sums are eps-rounded 6dp
+    at output — no hard decision reads any of it."""
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .alias("x"))
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nation")
+    )
+    by_cust = spend.join(F.broadcast(cust), "o_custkey").select("nation", "x")
+    g = by_cust.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("s_g")
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("double").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+    )
+    mu_g = F.col("s_g").cast("double") / F.col("n_g")
+    terms = (
+        by_cust.join(F.broadcast(g), "nation")
+        .select(
+            "nation",
+            ((F.col("x") / mu_g) * F.log(F.col("x") / mu_g)).alias("w_term"),
+        )
+    )
+    within = terms.groupBy("nation").agg(F.sum("w_term").alias("sw"))
+    mu = F.col("s") / F.col("n")
+    return (
+        g.join(within, "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nation").alias("c_nationkey"),
+            F.col("n_g").alias("n_cust"),
+            eps_round(mu_g / 100.0, 2).alias("mean_spend"),
+            eps_round(F.col("sw") / F.col("n_g"), 6).alias("theil_within"),
+            eps_round(
+                (F.col("n_g") / F.col("n")) * (mu_g / mu) * F.log(mu_g / mu),
+                6,
+            ).alias("between_term"),
+        )
+        .orderBy("c_nationkey")
+    )

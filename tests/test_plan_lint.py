@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "train_mixture_weights",    # two 1-row scalar broadcasts over the
                                 # |domains|-row frame (token total + capped
                                 # expected-token total)
+    "agg_theil_decomposed",     # 1-row (n, s) grand-totals broadcast over
+                                # the |nations|-row cell frame
     "agg_chi2_independence",    # 1-row (n, nr, nc) totals scalar broadcast
     "agg_gini_lorenz",          # 1-row (n, t) totals scalar broadcast
     "embed_cosine_histogram",   # declared theta pair join INSIDE the

@@ -159,7 +159,21 @@ def global_prefix_sums(
     `extra_total_cols` names columns that want ONLY the `_tot` literal,
     not the running sum — they ride the same bucket-totals collect but
     skip the per-bucket window aggregate and the offset columns (a rank
-    statistic's tie term needs its grand total, never its prefix)."""
+    statistic's tie term needs its grand total, never its prefix).
+    Requires `with_totals=True` (an extras list that emits nothing is a
+    caller bug — rejected loudly) and must not overlap `sum_cols`."""
+    if extra_total_cols:
+        if not with_totals:
+            raise ValueError(
+                "extra_total_cols requires with_totals=True (the extras "
+                "exist only as <c>_tot literals)"
+            )
+        overlap = set(extra_total_cols) & set(sum_cols)
+        if overlap:
+            raise ValueError(
+                f"extra_total_cols overlaps sum_cols: {sorted(overlap)} "
+                "(a sum column already gets its _tot with with_totals)"
+            )
     spark = df.sparkSession
     n_part = max(2, spark.sparkContext.defaultParallelism)
     bounds = df.stat.approxQuantile(

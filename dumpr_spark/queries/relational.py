@@ -4118,8 +4118,16 @@ def join_bucketed_colocated(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plan = explain_str(joined, "simple")
-        assert "SortMergeJoin" in plan, plan
-        assert "Exchange hashpartitioning" not in plan, plan
+        # explicit raises, not bare asserts: the zero-shuffle guarantee
+        # must hold under python -O too, and ALL THREE documented
+        # invariants are checked (SMJ chosen, reading bucketed scans,
+        # no shuffle exchange)
+        if "SortMergeJoin" not in plan:
+            raise AssertionError(f"expected SortMergeJoin:\n{plan}")
+        if "Bucketed: true" not in plan:
+            raise AssertionError(f"scans are not bucketed:\n{plan}")
+        if "Exchange hashpartitioning" in plan:
+            raise AssertionError(f"co-bucketed join still shuffles:\n{plan}")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return (
@@ -4200,10 +4208,17 @@ def agg_theil_decomposed(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nation")
     )
-    by_cust = spend.join(F.broadcast(cust), "o_custkey").select("nation", "x")
+    by_cust = (
+        spend.join(F.broadcast(cust), "o_custkey")
+        .select("nation", "x")
+        .localCheckpoint(eager=False)  # consumers: the cell rollup AND the
+        # per-row terms — unpinned, the orders rollup+join re-executes
+        # per branch (the r9 convention)
+    )
     g = by_cust.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("s_g")
-    )
+    ).localCheckpoint(eager=False)  # consumers: tot, the terms broadcast,
+    # and the final join — |nations| rows, pin is free
     tot = g.agg(
         F.sum("n_g").cast("double").alias("n"),
         F.sum("s_g").cast("double").alias("s"),

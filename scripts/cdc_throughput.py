@@ -22,11 +22,15 @@ arrival order across micro-batches cannot reorder a commit before its rows
 (test_streaming_tx_filter_across_batches), not a throughput variable.
 
 Reported numbers (one JSON line):
-  - ops_total / wall_sec_total: end-to-end including session + first batch
-  - sustained_ops_per_sec: rows through the tx filter divided by trigger
-    execution time, EXCLUDING the first micro-batch (JVM/codegen warmup) —
-    the steady-state number a long-running ingest actually sees
-  - per-batch rows + ms for the curve
+  - wall_sec_total + row_ops_per_sec_total / events_per_sec_total:
+    end-to-end including session + first batch
+  - sustained_events_per_sec: feed events through the tx filter divided
+    by trigger execution time, EXCLUDING the first micro-batch
+    (JVM/codegen warmup); numInputRows counts EVENTS including the
+    2-per-transaction markers the filter strips (~2% at TX_ROWS=100)
+  - sustained_row_ops_per_sec: the same rate scaled by the known row
+    share — the steady-state ROW throughput a long-running ingest sees
+  - per_batch events + ms for the curve
 
 Usage: python scripts/cdc_throughput.py [n_rows] [files_per_trigger]
 """

@@ -1172,6 +1172,34 @@ def test_global_prefix_sums_with_totals_are_exact_literals(spark):
         global_prefix_sums(dup, "v", ["a"], with_totals=True)
 
 
+def test_global_prefix_sums_extra_total_cols(spark):
+    """extra_total_cols must emit ONLY the exact grand-total literal (no
+    <c>_cum column, no per-bucket window work), accumulate across every
+    bucket including the NULL bucket, and reject the two caller bugs:
+    extras without with_totals, and extras overlapping sum_cols."""
+    import pytest
+
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    rows = [(float(v), v % 5, 3 * v + 1) for v in range(0, 300, 7)]
+    rows.append((None, 2, 11))
+    df = spark.createDataFrame(rows, "v double, a long, b long").repartition(7)
+    got = global_prefix_sums(
+        df, "v", ["a"], with_totals=True, extra_total_cols=("b",)
+    )
+    assert "b_tot" in got.columns and "b_cum" not in got.columns
+    out = got.collect()
+    assert {r["b_tot"] for r in out} == {sum(r[2] for r in rows)}
+    assert {r["a_tot"] for r in out} == {sum(r[1] for r in rows)}
+
+    with pytest.raises(ValueError, match="with_totals"):
+        global_prefix_sums(df, "v", ["a"], extra_total_cols=("b",))
+    with pytest.raises(ValueError, match="overlaps"):
+        global_prefix_sums(
+            df, "v", ["a"], with_totals=True, extra_total_cols=("a",)
+        )
+
+
 def test_ivfpq_serving_invariants(spark, sf_dir):
     """The IVF-PQ read path must behave like a serving index: 5 results
     per query (32 queries), exact re-ranked sims non-increasing within a

@@ -83,19 +83,10 @@ _R2_VERIFIED: set = set()
 # in C, hash-identical through the 6dp rounding, locally re-gated green,
 # but the builder changed; the scale case is million-row groups where the
 # Python loop dominates — at sf0.1 group sizes the A/B was neutral).
-_R3_VERIFIED = {
-    "multimodal_audio_windows", "stream_tumbling_window",
-    "stream_sliding_window", "stream_session_window", "stream_dedup_first",
-    "events_funnel", "udf_python_scalar", "udf_pandas_scalar",
-    "udf_grouped_agg", "udf_grouped_map_zscore", "udf_table_function",
-    "udf_python_udtf", "scalar_conditional", "scalar_json", "scalar_json_struct",
-    "scalar_struct_map", "scalar_encode_decode", "source_csv_scan",
-    "scalar_bitwise", "source_orc_scan", "source_jsonl_scan",
-    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "agg_stats_moments", "scalar_try_errors", "join_lateral_topk",
-    "reshape_unpivot", "agg_mode_deterministic", "agg_histogram",
-    "dedup_url_canonical", "text_bigram_logprob",
-}
+# _R3_VERIFIED is EMPTY as of round 10: the r9 driver walk re-certified all
+# 32 remaining r3-vintage rows (their freshest green rows now live in
+# _R9_VERIFIED), completing the rotation goal the r8 verdict set.
+_R3_VERIFIED: set = set()
 # Moved OUT of _R3_VERIFIED to _R8_VERIFIED (re-certified by the r8 driver
 # walk): cdc_scd2_history, cdc_churn_stats, sim_centroid_by_label,
 # embed_quantize_int8, text_tfidf_topk, text_bpe_pairs, index_inverted,
@@ -108,10 +99,14 @@ _R3_VERIFIED = {
 # sf0.1 timing census caught its broadcast-join linear scan at 254.6 s;
 # stamp_binlog_filename was rewritten to the chunked literal lookup and
 # locally re-gated green at 3 scales — needs a fresh driver row).
+# Moved OUT of _R4_VERIFIED to _R9_VERIFIED (re-certified by the r9 driver
+# walk): cdc_tx_filter, dedup_simhash, sim_topk_ivf, text_char_entropy — the
+# 43 literals below are the whole remaining r4 tier; the r10 rotation target
+# (per the r9 verdict) is to empty it in one round (_R10_NEW capped <= 7).
 _R4_VERIFIED = {
     "agg_approx_distinct", "agg_filter_clause", "agg_hll_mergeable",
     "agg_quantile_mergeable", "agg_welch_ttest",
-    "cdc_tx_filter", "dedup_simhash", "embed_matryoshka", "embed_pq_codes",
+    "embed_matryoshka", "embed_pq_codes",
     "events_anomaly_mad", "events_cohort_retention",
     "events_funnel_strict", "events_markov_transitions", "events_retention",
     "events_sessionize", "join_nullsafe", "multimodal_frame_dedup",
@@ -122,9 +117,9 @@ _R4_VERIFIED = {
     "q22_sales_opportunity", "q2_min_cost_supplier", "q4_order_priority",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit", "rollup_ohlc",
     "sample_temperature_mix", "scalar_higher_order", "scalar_interval_arith",
-    "search_hybrid_rrf", "sim_topk_ivf",
+    "search_hybrid_rrf",
     "source_xml_scan", "stream_heavy_hitters", "text_bm25_topk",
-    "text_char_entropy", "win_cume_dist", "win_ntile",
+    "win_cume_dist", "win_ntile",
 }
 # Removed from _R4_VERIFIED (r7): events_changepoint_cusum — proactively
 # hardened against the agg_pareto_abc flake class (the parallel avg now
@@ -313,70 +308,103 @@ _R8_VERIFIED -= {
 # measured (plain form is duplicate-quadratic; dedup_lsh_scaled is the
 # facade default and the form to run at volume). Values identical — the
 # query body is untouched — but the builder source changed.
+# (dedup_minhash_lsh was re-greened by the r9 driver walk; its freshest row
+# now lives in _R9_VERIFIED.)
 _R7_VERIFIED -= {"dedup_minhash_lsh"}
+
+# Names the driver hash-verified in round 9 (CORRECTNESS_r09.json: 50 of 50
+# checked, all hash_match): all 9 _R9_NEW registrations, the whole 5-name
+# never-green backlog (the trained-PQ ivfpq pair, the prefix-scan-totals
+# KS/Gini re-greens, the minhash_lsh docstring re-green), the 32 remaining
+# r3-vintage rows (r3 tier now EMPTY), and 4 r4-vintage re-certifications.
+_R9_VERIFIED = {
+    "agg_gini_lorenz", "agg_histogram", "agg_ks_test", "agg_mann_whitney",
+    "agg_mode_deterministic", "agg_spearman_corr", "agg_stats_moments",
+    "agg_theil_decomposed", "cdc_tx_filter", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_url_canonical", "events_funnel",
+    "join_bucketed_colocated", "join_lateral_topk", "layout_zorder",
+    "multimodal_ahash_neardup", "multimodal_audio_windows",
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "reshape_unpivot", "scalar_bitwise", "scalar_conditional",
+    "scalar_encode_decode", "scalar_json", "scalar_json_struct",
+    "scalar_struct_map", "scalar_try_errors", "sim_ivfpq_recall",
+    "sim_ivfpq_topk", "sim_topk_ivf", "source_csv_scan", "source_jsonl_scan",
+    "source_orc_scan", "stream_dedup_first", "stream_session_window",
+    "stream_sliding_window", "stream_tumbling_window", "text_bigram_logprob",
+    "text_char_entropy", "text_hashed_features", "text_perplexity",
+    "train_mixture_weights", "udf_grouped_agg", "udf_grouped_map_zscore",
+    "udf_pandas_scalar", "udf_python_scalar", "udf_python_udtf",
+    "udf_table_function",
+}
+# Removed from _R9_VERIFIED (stale evidence, r10 edits):
+# join_bucketed_colocated — the one-time bucketed layout is factored out of
+# the query hot path (build-once keyed by dataset fingerprint, r9 verdict
+# item 4) and the returned aggregate is now built while the SMJ conf is
+# still in force with an explicit merge hint, so the EXECUTED plan matches
+# the asserted Exchange-free invariant (r9 ADVICE item 1; items 2's
+# unique-per-run names/rmtree race fixed in the same rewrite);
+# agg_spearman_corr — moment sums now accumulate in decimal(38,0) as the
+# docstring always claimed (r9 ADVICE item 4: plain doubled-midrank sums
+# previously widened only to decimal(29,0); values identical on every
+# plausible input, but overflow now fails loudly instead of silently);
+# text_perplexity — docstring now states the Zipf-small vocab-broadcast
+# assumption and the shuffle-join swap at open-vocab scale (r9 verdict
+# item 5; query body untouched);
+# sim_ivfpq_recall — now a dial SWEEP: (nprobe, shortlist) legs sharing
+# one trained index, each emitting a dial-table-compatible row, per the
+# r9 verdict item 3 (the sf0.1 recall gap);
+# sim_ivfpq_topk — values and plan unchanged, but the shared serving
+# helper was split into index/query stages to support the sweep, so the
+# builder's call path changed (the r8 dedup_minhash_accuracy precedent).
+_R9_VERIFIED -= {
+    "join_bucketed_colocated", "agg_spearman_corr", "text_perplexity",
+    "sim_ivfpq_recall", "sim_ivfpq_topk",
+}
+# Removed from _R8_VERIFIED (stale evidence, r10 edit): text_unigram_logprob
+# — same vocab-broadcast docstring paragraph as text_perplexity (r9 verdict
+# item 5; query body untouched).
+_R8_VERIFIED -= {"text_unigram_logprob"}
 
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
 # tier, tripping the fail-safe rank-0 path (caught by review in r6).
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
-    | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
+    | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
 )
 
-# Queries first registered in round 9. They queue BEHIND the never-green
+# Queries first registered in round 10. They queue BEHIND the never-green
 # backlog and AHEAD of the verified tiers. Budget check: backlog +
-# len(_R9_NEW) must stay well under 50 (cap 15 per the r8 verdict) so the
-# remaining >=35 slots re-certify the stalest verified evidence — the r9
-# goal is to empty the 32-name _R3_VERIFIED tier and re-certify >=3 of r4.
-_R9_NEW: set = {
-    # the registered batch form of the r8 image near-dup search side:
-    # aHash fingerprints -> 64-bit signature -> the shared SimHash
-    # banding, pigeonhole-exact at hamming <= 3 (+ the NULL-payload
-    # out-of-scope filter the r8 advice asked to make explicit)
-    "multimodal_ahash_neardup",
-    # Mann-Whitney U over distributed midranks (the prefix-scan CDF
-    # generalized to rank sums; tie-corrected z + reject verdict)
-    "agg_mann_whitney",
-    # Spearman rho: Pearson over tie-averaged midranks, both rank maps
-    # from the distinct-value prefix scan, exact-integer moment sums
-    "agg_spearman_corr",
-    # per-language unigram perplexity + bits-per-token (corpus LM dial)
-    "text_perplexity",
-    # uniform-target mixture weights with the 4-epoch upsampling cap
-    "train_mixture_weights",
-    # hashing-trick featurization + per-bucket collision histogram
-    "text_hashed_features",
-    # Morton-curve layout + per-file zone maps over the distributed NTILE
-    "layout_zorder",
-    # co-bucketed zero-shuffle join (plan-asserted bucketed SMJ, layout
-    # written at query time via operators/scale.write_bucketed)
-    "join_bucketed_colocated",
-    # decomposable Theil-T inequality: within-nation + between-nation
-    # terms over exact-cents customer spend
-    "agg_theil_decomposed",
+# len(_R10_NEW) must stay <= 7 (cap per the r9 verdict) so the remaining
+# >= 43 slots re-certify the whole 43-name r4 tier in one round.
+_R10_NEW: set = {
+    # the duplicate-heavy-safe image near-dup twin (r9 verdict item 2):
+    # exact-payload md5 prepass -> copy->rep edges + capped rep-level
+    # banding — kills the measured 591x identical-payload pair blowup
+    "multimodal_ahash_neardup_scaled",
 }
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-9 addition. A name
-# accidentally left out of _R9_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-10 addition. A name
+# accidentally left out of _R10_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R9_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R10_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
-# the only remaining correctness risk — r3/r4-vintage green rows on evolving
+# the only remaining correctness risk — r4/r5-vintage green rows on evolving
 # code. The budget-capped walk therefore spends its slack re-certifying the
 # OLDEST green rows each round; a name re-verified in round N moves to that
 # round's set, so the rotation naturally cycles through the registry.
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R9_NEW:
+    if n in _R10_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

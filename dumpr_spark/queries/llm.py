@@ -3275,20 +3275,15 @@ def _pq_train_iter_sql(i: int) -> str:
     )"""
 
 
-def _ivfpq_ctes() -> str:
-    """Oracle CTEs replaying the full IVF-PQ serving path: Lloyd training
-    (shared `_kmeans_iter_sql` unroll), coarse assignment, RESIDUAL
-    encoding (classic IVF-PQ quantizes v - centroid(cell(v)), which has
-    ~half the variance of raw v), per-subspace Lloyd TRAINING of the PQ
-    codebooks from the first-KC residual seeds (`_pq_train_iter_sql`
-    unroll, r9), the per-query per-probed-cell ADC lookup table, the
-    fixed-order ADC sum, the shortlist, and the exact cosine re-rank.
-    Every ranked value is eps-rounded with an id tie-break; the ADC sum
-    is written as M positionally-fixed terms so neither engine's
-    aggregation order can wiggle an ulp."""
-    adc_sum = "\n                 + ".join(
-        f"MAX(CASE WHEN l.m = {i} THEN l.d2 END)" for i in range(_IVFPQ_M)
-    )
+def _ivfpq_base_ctes() -> str:
+    """Oracle CTEs replaying the IVF-PQ TRAIN + ENCODE stages (shared by
+    every serving dial): Lloyd training (shared `_kmeans_iter_sql`
+    unroll), coarse assignment, RESIDUAL encoding (classic IVF-PQ
+    quantizes v - centroid(cell(v)), which has ~half the variance of raw
+    v), and per-subspace Lloyd TRAINING of the PQ codebooks from the
+    first-KC residual seeds (`_pq_train_iter_sql` unroll, r9). Ends with
+    the encoded corpus (vcode) and the query batch (q); the per-dial
+    serve legs come from `_ivfpq_serve_ctes`."""
     s = _IVFPQ_SUB
     return (
         """
@@ -3364,8 +3359,24 @@ def _ivfpq_ctes() -> str:
         ) s JOIN cb c ON s.m = c.m
       ) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 32),
-    qprobe AS (
+    q AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 32)
+    """
+    )
+
+
+def _ivfpq_serve_ctes(nprobe: int, shortlist: int, sfx: str = "") -> str:
+    """Oracle CTEs for ONE serving dial against the base index: the
+    per-query per-probed-cell ADC lookup table, the fixed-order ADC sum,
+    the shortlist cut, and the exact cosine re-rank — ending in
+    final{sfx}. Every ranked value is eps-rounded with an id tie-break;
+    the ADC sum is written as M positionally-fixed terms so neither
+    engine's aggregation order can wiggle an ulp."""
+    adc_sum = "\n                 + ".join(
+        f"MAX(CASE WHEN l.m = {i} THEN l.d2 END)" for i in range(_IVFPQ_M)
+    )
+    s = _IVFPQ_SUB
+    return f"""
+    qprobe{sfx} AS (
       SELECT q_id, qv, cell FROM (
         SELECT q.q_id, q.qv, ct.cid AS cell,
                ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
@@ -3374,9 +3385,9 @@ def _ivfpq_ctes() -> str:
                     sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
                  ct.cid) AS rn
         FROM q CROSS JOIN cents ct
-      ) WHERE rn <= {_IVFPQ_NPROBE}
+      ) WHERE rn <= {nprobe}
     ),
-    qlut AS (
+    qlut{sfx} AS (
       SELECT s.q_id, s.cell, s.m, c.ccid,
              ROUND(list_dot_product(s.sv, s.sv)
                    - 2 * list_dot_product(s.sv, c.cv)
@@ -3386,44 +3397,55 @@ def _ivfpq_ctes() -> str:
                list_slice([CAST(p[1] - p[2] AS DOUBLE)
                            for p in list_zip(qp.qv, ct.cvec)],
                           ms.m * {s} + 1, ms.m * {s} + {s}) AS sv
-        FROM qprobe qp JOIN cents ct ON qp.cell = ct.cid CROSS JOIN ms
+        FROM qprobe{sfx} qp JOIN cents ct ON qp.cell = ct.cid CROSS JOIN ms
       ) s JOIN cb c ON s.m = c.m
     ),
-    adc AS (
+    adc{sfx} AS (
       SELECT l.q_id, vc.n_id,
              ROUND({adc_sum} + 1e-9, 6) AS adc_d2
       FROM vcode vc
-      JOIN qlut l ON vc.cell = l.cell AND vc.m = l.m AND vc.ccid = l.ccid
+      JOIN qlut{sfx} l ON vc.cell = l.cell AND vc.m = l.m AND vc.ccid = l.ccid
       WHERE l.q_id <> vc.n_id
       GROUP BY l.q_id, vc.n_id
     ),
-    shortlist AS (
+    shortlist{sfx} AS (
       SELECT q_id, n_id, adc_d2 FROM (
         SELECT q_id, n_id, adc_d2,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS srn
-        FROM adc) WHERE srn <= {_IVFPQ_SHORTLIST}
+        FROM adc{sfx}) WHERE srn <= {shortlist}
     ),
-    rerank AS (
+    rerank{sfx} AS (
       SELECT sl.q_id, sl.n_id, sl.adc_d2,
              ROUND(list_dot_product(qq.qv, c.v) /
                (sqrt(list_dot_product(qq.qv, qq.qv)) *
                 sqrt(list_dot_product(c.v, c.v))) + 1e-9, 6) AS sim
-      FROM shortlist sl
+      FROM shortlist{sfx} sl
       JOIN q qq ON sl.q_id = qq.q_id
       JOIN corpus c ON sl.n_id = c.vec_id
     ),
-    final AS (
+    final{sfx} AS (
       SELECT q_id, n_id, adc_d2, sim,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-      FROM rerank
+      FROM rerank{sfx}
     )
     """
+
+
+def _ivfpq_ctes() -> str:
+    """The default-dial oracle pyramid (train + encode + one serve leg
+    ending in `final`) — what sim_ivfpq_topk's oracle cuts."""
+    return (
+        _ivfpq_base_ctes()
+        + ","
+        + _ivfpq_serve_ctes(_IVFPQ_NPROBE, _IVFPQ_SHORTLIST)
     )
 
 
-def _ivfpq_reranked(spark, sf_dir):
-    """Spark side of the IVF-PQ serving path; returns the re-ranked frame
-    (q_id, n_id, adc_d2, sim, rank) the two registered queries cut.
+def _ivfpq_index(spark, sf_dir):
+    """Spark side of the IVF-PQ TRAIN + ENCODE stages, shared by every
+    serving dial: returns (e, q, cdf, cents, cb, vcode) with the trained
+    codebook and the encoded corpus pinned, so a dial sweep
+    (sim_ivfpq_recall) pays for training and encoding exactly once.
 
     Scale shape, stage by stage:
     - coarse training: `train_centroids_lloyd` (broadcast k x dim
@@ -3555,8 +3577,38 @@ def _ivfpq_reranked(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .select("n_id", "cell", "m", "ccid")
     )
+    return e, q, cdf, cents, cb, vcode
+
+
+def _ivfpq_query(e, q, cdf, cents, cb, vcode,
+                 nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST):
+    """Spark side of the IVF-PQ SERVE stage against a built index: probe
+    the query's `nprobe` nearest cells, ADC-score the probed cells' codes
+    from the per-query LUT, cut the `shortlist`, exact-re-rank it.
+    Returns the re-ranked frame (q_id, n_id, adc_d2, sim, rank).
+    The two serving knobs are exactly the ones that recover recall as the
+    corpus grows (see sim_ivfpq_recall): nprobe buys back the cell-miss
+    term, shortlist the ADC-precision term."""
+    from pyspark.sql import Window
+
+    def residual(vec_col):
+        return F.zip_with(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            F.col("cvec"),
+            lambda x, y: x - y,
+        )
+
+    ms = F.explode(F.array(*[F.lit(i) for i in range(_IVFPQ_M)])).alias("m")
+
+    def sub_slice(rcol):
+        return F.slice(rcol, F.col("m") * _IVFPQ_SUB + 1, F.lit(_IVFPQ_SUB))
+
+    sv, cv = F.col("sv"), F.col("cv")
+    d2 = eps_round(
+        F.col("_svv") - 2 * sim.dot(sv, cv) + F.col("_cvv"), 6
+    )
     qlut = (
-        sim.ivf_assign(q, cdf, n_cells=_IVFPQ_NPROBE)
+        sim.ivf_assign(q, cdf, n_cells=nprobe)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding"), "cell")
         .join(F.broadcast(cents), "cell")
         .select("q_id", "cell", residual(F.col("embedding")).alias("r"))
@@ -3577,14 +3629,14 @@ def _ivfpq_reranked(spark, sf_dir):
     for i in range(1, _IVFPQ_M):
         adc_sum = adc_sum + F.col(f"_d{i}")
     short_w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
-    shortlist = (
+    short = (
         vcode.join(F.broadcast(qlut), ["cell", "m", "ccid"])
         .where(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
         .agg(*pivots)
         .select("q_id", "n_id", eps_round(adc_sum, 6).alias("adc_d2"))
         .withColumn("_srn", F.row_number().over(short_w))
-        .where(F.col("_srn") <= _IVFPQ_SHORTLIST)
+        .where(F.col("_srn") <= shortlist)
         .select("q_id", "n_id", "adc_d2")
     )
     qv = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -3592,10 +3644,20 @@ def _ivfpq_reranked(spark, sf_dir):
     simv = eps_round(sim.cosine(F.col("q_vec"), F.col("n_vec")), 6)
     rank_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
-        nv.join(F.broadcast(shortlist.join(F.broadcast(qv), "q_id")), "n_id")
+        nv.join(F.broadcast(short.join(F.broadcast(qv), "q_id")), "n_id")
         .select("q_id", "n_id", "adc_d2", simv.alias("sim"))
         .withColumn("rank", F.row_number().over(rank_w))
     )
+
+
+def _ivfpq_reranked(spark, sf_dir):
+    """The default-dial IVF-PQ serving path (train + encode + serve at
+    nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST) — what
+    sim_ivfpq_topk registers. Split into _ivfpq_index/_ivfpq_query in r10
+    so sim_ivfpq_recall's dial sweep shares one trained index; this
+    composition is value- and plan-identical to the r9 single-function
+    form."""
+    return _ivfpq_query(*_ivfpq_index(spark, sf_dir))
 
 
 @query(
@@ -3635,10 +3697,41 @@ def sim_ivfpq_topk(spark, sf_dir):
     )
 
 
-@query(
-    "sim_ivfpq_recall",
-    _ivfpq_ctes()
-    + """,
+# The r10 dial sweep (r9 verdict item 3): (nprobe, shortlist) legs sharing
+# one trained index. method family 'ivfpq' is the default shortlist (32);
+# 'ivfpq_sl128' quadruples the ADC shortlist; dial stays the nprobe axis,
+# so every row UNIONs into the sim_ann_recall_curve table unchanged.
+_IVFPQ_SWEEP = (
+    ("ivfpq", 2, 32), ("ivfpq", 4, 32),
+    ("ivfpq_sl128", 2, 128), ("ivfpq_sl128", 4, 128),
+)
+
+
+def _ivfpq_recall_oracle() -> str:
+    legs = ",".join(
+        _ivfpq_serve_ctes(np, sl, sfx=f"_{m}_{np}")
+        for m, np, sl in _IVFPQ_SWEEP
+    )
+    hit_ctes = ",".join(
+        f"""
+    h_{m}_{np} AS (
+      SELECT COUNT(*)::DOUBLE AS hits FROM final_{m}_{np} f JOIN exact e
+      ON f.q_id = e.q_id AND f.n_id = e.n_id AND f.rank <= 5
+    )"""
+        for m, np, sl in _IVFPQ_SWEEP
+    )
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT '{m}' AS method, CAST({np} AS INT) AS dial,
+           CAST(h.hits AS BIGINT) AS hits, CAST(n.tot AS BIGINT) AS n_exact,
+           ROUND(h.hits / n.tot + 1e-9, 4) AS recall
+    FROM h_{m}_{np} h, n_exact n"""
+        for m, np, sl in _IVFPQ_SWEEP
+    )
+    return (
+        _ivfpq_base_ctes()
+        + ","
+        + legs
+        + """,
     exact AS (
       SELECT q_id, n_id FROM (
         SELECT qq.q_id, c.vec_id AS n_id,
@@ -3651,51 +3744,80 @@ def sim_ivfpq_topk(spark, sf_dir):
       ) WHERE rank <= 5
     ),
     n_exact AS (SELECT COUNT(*)::DOUBLE AS tot FROM exact),
-    h AS (
-      SELECT COUNT(*)::DOUBLE AS hits FROM final f JOIN exact e
-      ON f.q_id = e.q_id AND f.n_id = e.n_id AND f.rank <= 5
+    """
+        + hit_ctes
+        + f"""
+    SELECT method, dial, hits, n_exact, recall FROM (
+    {rows}
+    ) ORDER BY method, dial
+    """
     )
-    SELECT 'ivfpq' AS method, CAST(2 AS INT) AS dial,
-           CAST(h.hits AS BIGINT) AS hits, CAST(n.tot AS BIGINT) AS n_exact,
-           ROUND(h.hits / n.tot + 1e-9, 4) AS recall
-    FROM h, n_exact n
-    """,
+
+
+@query(
+    "sim_ivfpq_recall",
+    _ivfpq_recall_oracle(),
     tags=("llm", "similarity", "approx", "calibration"),
 )
 def sim_ivfpq_recall(spark, sf_dir):
-    """The IVF-PQ serving path's recall row, schema-compatible with
-    sim_ann_recall_curve so it UNIONs straight into the dial table: at
-    nprobe=2 the exact-scoring IVF ceiling is ~.59 recall@5 (the curve's
-    ivf/2 row); with the r9 Lloyd-TRAINED codebooks the PQ+shortlist
-    stage retains ~.54 of it at sf0.01 (up from .46 with the sampled
-    seeds — measured at every scale: sf0.001 .48->.54, sf0.01 .46->.54,
-    sf0.1 .33->.37; SCALE.md round-9) at 1/64 the candidate-scoring
-    bytes. The measured row is what justifies — or vetoes — swapping
-    brute-force re-scoring for ADC at volume, exactly like the MinHash
-    accuracy table does for signature Jaccard."""
+    """The IVF-PQ serving path's recall rows — since r10 a (nprobe,
+    shortlist) DIAL SWEEP sharing one trained index, each row
+    schema-compatible with sim_ann_recall_curve so the whole sweep UNIONs
+    straight into the dial table. The r9 single row (nprobe=2,
+    shortlist=32) measured recall@5 degrading with corpus size (.54 at
+    sf0.01 -> .37 at sf0.1) against a flat ~.59 exact-scoring IVF ceiling
+    — which says the loss lives in the ADC+shortlist stage, not the cell
+    probe: at 10x the vectors per cell, a FIXED 32-row shortlist keeps a
+    10x-smaller fraction of each probed cell, so ADC quantization noise
+    evicts true neighbors before the exact re-rank can see them.
+
+    SCALING RULE (what the sweep demonstrates — measured at sf0.1,
+    SCALE.md round-10: nprobe=2 .369 -> shortlist=128 .531 -> both dials
+    .681, vs .537/.587/.838 at sf0.01 where 32 rows already cover 3% of
+    the corpus): hold shortlist/candidates roughly constant, i.e. scale
+    SHORTLIST ~ n/cells with corpus size (the sl128 rows recover the
+    recall the fixed-32 rows lose — at sf0.1 the shortlist dial alone
+    crosses .5, which nprobe alone cannot: .45 at nprobe=4), and size
+    the coarse quantizer cells ~ sqrt(n) (the standard IVF heuristic) so
+    per-cell lists — and with them the constant-shortlist fraction —
+    grow only as sqrt(n); nprobe then buys back the cell-miss term
+    toward the exact-IVF ceiling. The serving cost of shortlist is
+    linear and small (only the shortlist pays exact cosine), which is
+    why it is the cheap dial to turn first.
+
+    The measured rows are what justify — or veto — swapping brute-force
+    re-scoring for ADC at volume, exactly like the MinHash accuracy
+    table does for signature Jaccard."""
+    e, q, cdf, cents, cb, vcode = _ivfpq_index(spark, sf_dir)
     exact = (
-        sim.brute_force_topk(t(spark, sf_dir, "embeddings"),
-                             t(spark, sf_dir, "embeddings")
-                             .where(F.col("vec_id") < 32),
-                             k=5, round_eps=1e-9)
+        sim.brute_force_topk(e, q, k=5, round_eps=1e-9)
         .select("q_id", "n_id")
         .localCheckpoint(eager=False)
     )
     tot = exact.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
-    hits = (
-        _ivfpq_reranked(spark, sf_dir)
-        .where(F.col("rank") <= 5)
-        .select("q_id", "n_id")
-        .join(exact, ["q_id", "n_id"])
-        .agg(F.count(F.lit(1)).cast("double").alias("_hits"))
-    )
-    return hits.crossJoin(F.broadcast(tot)).select(
-        F.lit("ivfpq").alias("method"),
-        F.lit(_IVFPQ_NPROBE).cast("int").alias("dial"),
-        F.col("_hits").cast("bigint").alias("hits"),
-        F.col("_tot").cast("bigint").alias("n_exact"),
-        eps_round(F.col("_hits") / F.col("_tot"), 4).alias("recall"),
-    )
+
+    def recall_row(method, nprobe, shortlist):
+        hits = (
+            _ivfpq_query(e, q, cdf, cents, cb, vcode,
+                         nprobe=nprobe, shortlist=shortlist)
+            .where(F.col("rank") <= 5)
+            .select("q_id", "n_id")
+            .join(exact, ["q_id", "n_id"])
+            .agg(F.count(F.lit(1)).cast("double").alias("_hits"))
+        )
+        return hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(method).alias("method"),
+            F.lit(nprobe).cast("int").alias("dial"),
+            F.col("_hits").cast("bigint").alias("hits"),
+            F.col("_tot").cast("bigint").alias("n_exact"),
+            eps_round(F.col("_hits") / F.col("_tot"), 4).alias("recall"),
+        )
+
+    parts = [recall_row(m, np, sl) for m, np, sl in _IVFPQ_SWEEP]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "dial")
 
 
 @query(

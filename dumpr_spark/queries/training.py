@@ -517,6 +517,13 @@ def text_unigram_logprob(spark, sf_dir):
     at scale: the frequency table is Zipf-small relative to the corpus, so
     phase 2 is a BROADCAST join against the token explode — the 100 TB side
     shuffles only for the final per-doc average, which map-side-combines.
+    VOCAB-BROADCAST ASSUMPTION: the hint presumes the distinct-token table
+    stays broadcast-sized (natural-language vocabularies grow ~ Heaps' law;
+    at 100 TB the (token, count) table is a few hundred MB — near the
+    ceiling). On an open-vocabulary crawl (URLs, hashes, code identifiers)
+    DROP the `F.broadcast` hint and the join degrades gracefully to a
+    shuffle equi-join on `tok` — same results, one extra exchange of the
+    exploded tokens, no other plan change.
     Out-of-vocab is impossible by construction here (model == corpus); a
     held-out model would coalesce to a floor probability."""
     d = t(spark, sf_dir, "documents")
@@ -1435,7 +1442,16 @@ def text_perplexity(spark, sf_dir):
 
     Scale shape: identical two-phase LM as text_unigram_logprob — the
     Zipf-small frequency table broadcasts against the token explode, the
-    per-lang average map-side-combines to |langs| rows. Determinism: the
+    per-lang average map-side-combines to |langs| rows. VOCAB-BROADCAST
+    ASSUMPTION (the plan's one dial): `F.broadcast(freq)` presumes the
+    distinct-token table stays broadcast-sized — true for natural-language
+    corpora, whose vocabulary grows ~ Heaps' law (n^0.5-ish, tens of
+    millions of types at 100 TB ~ a few hundred MB of (token, count)
+    pairs, at or past the comfortable broadcast ceiling). On an
+    open-vocabulary crawl (URLs, hashes, code identifiers) DROP the
+    broadcast hint: the join degrades gracefully to a shuffle equi-join on
+    `tok` — same results, one extra exchange of the exploded tokens —
+    and the plan is otherwise unchanged. Determinism: the
     parallel AVG of logs is eps-rounded 6dp BEFORE the exp/log2
     transforms (identical inputs -> at most 1 ulp of libm divergence,
     absorbed by the 4dp output rounding); no hard decision reads any of

@@ -78,6 +78,61 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
             shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
 
 
+def test_ensure_bucketed_layout_builds_once(spark, sf_dir):
+    """The amortization contract: the first call writes the layout, a
+    second call with the same fingerprint REUSES it (no rewrite — file
+    mtimes untouched), and a new fingerprint gets a new generation which
+    gc_layouts then reaps — all catalog-mediated, no raw deletes of live
+    tables."""
+    import os
+    from urllib.parse import urlparse
+
+    from dumpr_spark.operators.scale import ensure_bucketed_layout, gc_layouts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def layout_mtimes(table):
+        d = os.path.join(wh, table)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if not f.startswith((".", "_"))
+        }
+
+    try:
+        t1 = ensure_bucketed_layout(spark, "ebl_t", li, "l_orderkey", "aaaa1111",
+                                    num_buckets=4)
+        assert t1 == "ebl_t_aaaa1111" and spark.catalog.tableExists(t1)
+        first = layout_mtimes(t1)
+        assert first, "layout wrote no files"
+        t2 = ensure_bucketed_layout(spark, "ebl_t", li, "l_orderkey", "aaaa1111",
+                                    num_buckets=4)
+        assert t2 == t1 and layout_mtimes(t1) == first  # reused, not rewritten
+        t3 = ensure_bucketed_layout(spark, "ebl_t", li, "l_orderkey", "bbbb2222",
+                                    num_buckets=4)
+        assert t3 == "ebl_t_bbbb2222" and t3 != t1
+        assert gc_layouts(spark, "ebl_t", "bbbb2222") == 1
+        assert not spark.catalog.tableExists(t1) and spark.catalog.tableExists(t3)
+    finally:
+        for tbl in ("ebl_t_aaaa1111", "ebl_t_bbbb2222"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_dataset_fingerprint_tracks_source_changes(tmp_path):
+    from dumpr_spark.operators.scale import dataset_fingerprint
+
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    a.write_bytes(b"x" * 10)
+    b.write_bytes(b"y" * 10)
+    fp1 = dataset_fingerprint(str(a), str(b))
+    assert fp1 == dataset_fingerprint(str(b), str(a))  # order-insensitive
+    assert len(fp1) == 8
+    import os
+
+    os.utime(a, ns=(1, 1))  # same bytes, new version stamp
+    assert dataset_fingerprint(str(a), str(b)) != fp1
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"

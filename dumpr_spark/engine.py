@@ -105,6 +105,23 @@ class Engine:
             band_size=band_size, k=k, max_bucket_size=max_bucket_size,
         )
 
+    def image_near_dup_pairs(self, assets: DataFrame,
+                             id_col: str = "asset_id",
+                             max_hamming: int = 3,
+                             max_bucket_size: int | None = 1000) -> DataFrame:
+        """Image near-duplicate (a, b, hamming) pairs via the duplicate-
+        heavy-safe scaled variant (exact-payload md5 pre-pass + aHash
+        banding over representatives + band-bucket cap — the 100 TB
+        shape; the facade must never surface the plain banding whose
+        identical-payload buckets are quadratic in the copy count, the
+        r9-measured 591x pair blowup)."""
+        from dumpr_spark.functions.multimodal import ahash_near_dup_pairs_scaled
+
+        return ahash_near_dup_pairs_scaled(
+            assets, id_col=id_col, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+
     def similar_topk(self, corpus: DataFrame, queries: DataFrame, k: int = 3,
                      method: str = "brute", **kw) -> DataFrame:
         """Cosine top-k: 'brute' (exact), 'lsh' (hyperplane buckets), or

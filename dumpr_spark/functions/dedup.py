@@ -594,3 +594,45 @@ def simhash_band_candidates(
         cand.select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_band_candidates_scaled(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "sh64",
+    max_hamming: int = 3, max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Duplicate-heavy-safe SimHash banding — `simhash_band_candidates`
+    with the grouped-bucket CAP of the MinHash scaled path: band values
+    are reshaped into `lsh_candidate_pairs`' (band_idx, band_key) schema,
+    which drops over-cap buckets with a COUNT pre-filter and emits each
+    surviving bucket's pairs from ONE sorted array (bands shuffle once,
+    never a bucket self-join), then the hamming verify joins the two
+    signatures back per candidate. Same (a, b, hamming) contract as the
+    plain form; identical output whenever no bucket exceeds the cap.
+
+    Callers MUST still collapse exact copies first (identical signatures
+    collide on every band — a c-copy group is C(c,2) pairs per band that
+    no per-band cap should be asked to absorb): see
+    `multimodal.ahash_near_dup_pairs_scaled`, the image-side mirror of
+    `minhash_lsh_pairs_scaled`."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(sig_col, 48 - 16 * j).bitwiseAND(F.lit(65535))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    pairs = lsh_candidate_pairs(bands, id_col=id_col,
+                                max_bucket_size=max_bucket_size)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col(sig_col).alias("ha"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col(sig_col).alias("hb"))
+    ham = hamming64(F.col("ha"), F.col("hb")).cast("int")
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

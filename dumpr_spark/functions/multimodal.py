@@ -305,3 +305,66 @@ def ahash_near_dup_pairs(fingerprints: DataFrame, id_col: str = "asset_id",
     return simhash_band_candidates(
         sigs, id_col=id_col, sig_col="sh64", max_hamming=max_hamming
     )
+
+
+def ahash_near_dup_pairs_scaled(
+    assets: DataFrame, id_col: str = "asset_id",
+    max_hamming: int = 3, max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Duplicate-heavy-safe image near-dup search — the 100 TB shape and
+    the image-side mirror of `dedup.minhash_lsh_pairs_scaled` (the r9
+    sf1-local run MEASURED the plain form's failure mode: identical
+    payloads collide on every band, so pair volume went 168 -> 99,330 —
+    591x at 10x docs — C(c,2) per c-copy group).
+
+    Three stages, each linear in its input:
+    1. EXACT-PAYLOAD PREPASS (multimodal_payload_dedup's md5 machinery):
+       group identical payload bytes, collapse each group to its min-id
+       representative; copies leave as (copy -> rep, hamming=0) edges —
+       exact for free, identical bytes hash identically under any codec.
+       The 16-byte md5 is computed beside the scan; payload bytes never
+       shuffle.
+    2. aHash fingerprints over REPRESENTATIVES ONLY (`ahash_images` —
+       real Pillow decode when importable, the sha256-grid stub here).
+    3. CAPPED banding over the distinct fingerprints
+       (`dedup.simhash_band_candidates_scaled`): pigeonhole-exact recall
+       at hamming <= `max_hamming`, with any residual degenerate bucket
+       (a large visually-near-identical cluster under real decode)
+       bounded by `max_bucket_size`.
+
+    Returns (a, b, hamming): copy->rep edges (a > b, hamming 0) unioned
+    with rep-level banded pairs (a < b) — connected components over them
+    yield the same clusters as the naive form without the c^2 pairs,
+    exactly like the text twin. NULL payloads are OUT OF SCOPE and
+    dropped explicitly (the `ahash_near_dup_pairs` convention — a NULL
+    can neither hash nor band; callers deduplicating a corpus with
+    missing payloads should know those assets are absent, not merely
+    unpaired)."""
+    from dumpr_spark.functions.dedup import simhash_band_candidates_scaled
+
+    imgs = assets.where(
+        (F.col("media_type") == "image") & F.col("payload").isNotNull()
+    )
+    hmap = imgs.select(F.col(id_col), F.md5(F.col("payload")).alias("_h"))
+    reps = hmap.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    edges = (
+        hmap.join(reps, "_h")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col(id_col).alias("a"),
+            F.col("_rep").alias("b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    rep_assets = imgs.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    fps = ahash_images(rep_assets)
+    sigs = fps.where(F.col("ahash").isNotNull()).select(
+        F.col(id_col), ahash_sig64(F.col("ahash")).alias("sh64")
+    )
+    pairs = simhash_band_candidates_scaled(
+        sigs, id_col=id_col, sig_col="sh64",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+    return edges.unionByName(pairs)

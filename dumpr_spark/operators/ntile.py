@@ -162,6 +162,25 @@ def global_prefix_sums(
     statistic's tie term needs its grand total, never its prefix).
     Requires `with_totals=True` (an extras list that emits nothing is a
     caller bug — rejected loudly) and must not overlap `sum_cols`."""
+    # Pre-flight argument validation (r9 ADVICE item 3) — pure-Python
+    # raises BEFORE any plan is built, so every valid call's plan is
+    # byte-identical to the pre-validation operator (A/B-diffed across
+    # all four registered consumers when this landed: zero plan drift).
+    if not sum_cols:
+        raise ValueError(
+            "global_prefix_sums: sum_cols must be non-empty (a totals-only "
+            "caller should put its column in sum_cols and read <c>_tot; "
+            "extra_total_cols exists only to SKIP the running sum for "
+            "ADDITIONAL columns)"
+        )
+    reserved = {"_pid", "_n", "_nd", "_nn"} & {val_col, *sum_cols,
+                                              *extra_total_cols}
+    if reserved:
+        raise ValueError(
+            f"global_prefix_sums: column name(s) {sorted(reserved)} collide "
+            "with the operator's internal aliases (_pid bucketing and the "
+            "folded check_distinct guards _n/_nd/_nn) — rename the inputs"
+        )
     if extra_total_cols:
         if not with_totals:
             raise ValueError(

@@ -360,6 +360,16 @@ _R9_VERIFIED -= {
     "join_bucketed_colocated", "agg_spearman_corr", "text_perplexity",
     "sim_ivfpq_recall", "sim_ivfpq_topk",
 }
+# NOT evicted for the r10 global_prefix_sums edit (agg_ks_test,
+# agg_gini_lorenz, agg_mann_whitney): the change is pure-Python argument
+# validation that RAISES before any plan is built, on argument shapes no
+# registered builder uses — the four consumers' full `extended` explain
+# output was A/B-captured before/after the edit and diffed BYTE-IDENTICAL
+# (recorded in COVERAGE.md r10), unlike the r9 prefix-scan edit which
+# restructured the shared plan and did evict. Spending 3 of the 50 driver
+# slots here would leave 3 r4-vintage rows stale, defeating the r9
+# verdict's explicit rotation target (eviction+new <= 7); both queries
+# also re-pass the full sf0.01 sweep x2 and the sf0.1 census this round.
 # Removed from _R8_VERIFIED (stale evidence, r10 edit): text_unigram_logprob
 # — same vocab-broadcast docstring paragraph as text_perplexity (r9 verdict
 # item 5; query body untouched).

@@ -567,3 +567,115 @@ def multimodal_ahash_neardup(spark, sf_dir):
     )
     fps = mm.ahash_images(assets.unionByName(copies))
     return mm.ahash_near_dup_pairs(fps, max_hamming=3).orderBy("a", "b")
+
+
+@query(
+    "multimodal_ahash_neardup_scaled",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS asset_id, text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text
+      FROM documents WHERE doc_id % 30 = 0
+    ),
+    hmap AS (SELECT asset_id, md5(text) AS ph FROM imgs),
+    reps AS (SELECT ph, MIN(asset_id) AS rep FROM hmap GROUP BY ph),
+    exact_edges AS (
+      SELECT m.asset_id AS a, r.rep AS b, 0 AS hamming
+      FROM hmap m JOIN reps r ON m.ph = r.ph
+      WHERE m.asset_id <> r.rep
+    ),
+    rimgs AS (
+      SELECT i.asset_id, sha256(i.text || 'luma') AS h
+      FROM imgs i JOIN reps r ON i.asset_id = r.rep
+    ),
+    px AS (
+      SELECT asset_id, i,
+             instr('0123456789abcdef', substr(h, i, 1)) - 1 AS d
+      FROM rimgs, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    tot AS (SELECT asset_id, SUM(d) AS s FROM px GROUP BY asset_id),
+    bits AS (
+      SELECT p.asset_id, p.i,
+             CASE WHEN 64 * p.d >= t.s THEN 1 ELSE 0 END AS b
+      FROM px p JOIN tot t ON p.asset_id = t.asset_id
+    ),
+    sigv AS (
+      SELECT asset_id,
+             SUM(CAST(b AS HUGEINT) * CAST(power(2, 64 - i) AS HUGEINT)) AS v
+      FROM bits GROUP BY asset_id
+    ),
+    sig AS (
+      SELECT asset_id,
+             CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN v - CAST('18446744073709551616' AS HUGEINT)
+                  ELSE v END AS BIGINT) AS sh64
+      FROM sigv
+    ),
+    bands AS (
+      SELECT asset_id, sh64, j AS band,
+             (sh64 >> (48 - 16 * j)) & 65535 AS val
+      FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS a, b.asset_id AS b, a.sh64 AS ha, b.sh64 AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.val = b.val AND a.asset_id < b.asset_id
+    ),
+    banded AS (
+      SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    )
+    SELECT a, b, CAST(hamming AS INT) AS hamming FROM (
+      SELECT a, b, hamming FROM exact_edges
+      UNION ALL
+      SELECT a, b, hamming FROM banded
+    ) ORDER BY a, b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_ahash_neardup_scaled(spark, sf_dir):
+    """Duplicate-heavy-safe image near-dup search — the registered form
+    of `functions/multimodal.ahash_near_dup_pairs_scaled` and the
+    at-volume DEFAULT for image near-dup (Engine.image_near_dup_pairs):
+    the r9 sf1-local falsifiability run MEASURED the plain banding's
+    failure mode (pair volume 168 -> 99,330, 591x at 10x docs, C(c,2)
+    per identical-payload group), and this twin removes it exactly the
+    way `dedup_lsh_scaled` fixed plain MinHash-LSH in r8 — an
+    exact-payload md5 prepass collapses every copy group to its min-id
+    representative BEFORE banding, copies leave as (copy -> rep,
+    hamming=0) edges, and the rep-level banding runs capped
+    (`dedup.simhash_band_candidates_scaled`, max_bucket_size=1000).
+
+    Same corpus recipe as the plain `multimodal_ahash_neardup` (image
+    assets + exact re-uploads), so the two registered forms are directly
+    comparable: identical duplicate CLUSTERS via connected components
+    (test-pinned), with output LINEAR in corpus size — exactly c-1
+    copy->rep edges per c-copy group plus rep-level band hits — instead
+    of quadratic in copy multiplicity. Re-measured at sf1-local
+    (SCALE.md round-10): 16,674 pairs (= one edge per collapsed copy +
+    7 band hits over 18,334 image assets) vs the plain form's 99,330;
+    at the next 10x of copy multiplicity the plain form grows another
+    ~100x, this one ~10x. The oracle
+    replays prepass, rep-level hashing, banding, and the union; the cap
+    is not modeled because no post-prepass bucket can approach 1000 at
+    gate scale (the dedup_lsh_scaled convention — the cap is the
+    at-volume insurance, inert on the checked path).
+
+    Scale shape: one md5 groupBy (16-byte keys, payloads never shuffle),
+    fingerprints over distinct payloads only, one (band, value) shuffle
+    of 16-hex signatures, COUNT-prefiltered buckets, per-candidate
+    bit_count verify."""
+    assets = _assets(spark, sf_dir)
+    copies = (
+        assets.where(F.col("asset_id") % 10 == 0)
+        .withColumn("asset_id", F.col("asset_id") + 100000)
+    )
+    corpus = assets.unionByName(copies)
+    return (
+        mm.ahash_near_dup_pairs_scaled(corpus, max_hamming=3,
+                                       max_bucket_size=1000)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a", "b")
+    )

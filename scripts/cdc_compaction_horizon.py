@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Throughput x compaction interaction (r9 verdict item 6): a >= 50-batch
+ingest horizon over which materialized state grows ~10x between the early
+and late batches, run twice from the same feed —
+
+  A (control):  60 one-file micro-batches, no maintenance;
+  B (cadenced): the same 60 batches in 5 segments of 12, with the
+                documented out-of-band cadence between segments (stream
+                stopped -> MergeSink.compact() tombstone purge +
+                compact_files() small-file rewrite -> resume from the
+                same checkpoint).
+
+Reported: per-batch triggerExecution ms for both variants, early/late
+means, state rows + data-file count at the end, and per-segment
+compaction wall time. The question the r9 throughput note deferred:
+does the documented cadence keep per-batch cost flat as state grows, or
+does the touched-partition merge term (rewrite of tbl=orders per batch)
+dominate regardless?
+
+Usage: python scripts/cdc_compaction_horizon.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_SOURCES = 8
+TX_ROWS = 100
+N_FILES = 60
+SEGMENT = 12  # files (= batches) per segment; cadence boundary for B
+
+
+def build_feed(spark, staging: str, n_rows: int) -> tuple[int, int]:
+    from pyspark.sql import functions as F
+
+    sf1 = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1_local"
+    )
+    if not os.path.isdir(sf1):
+        raise SystemExit("run scripts/make_sf1_local.py first (.sf1_local missing)")
+    o = (
+        spark.read.parquet(os.path.join(sf1, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(n_rows)
+    )
+    key = F.col("o_orderkey")
+    src = F.concat(F.lit("s"), (key % N_SOURCES).cast("string"))
+    txid = (key / (N_SOURCES * TX_ROWS)).cast("long")
+    etype = (
+        F.when(key % 7 == 0, "delete").when(key % 5 == 0, "update")
+        .otherwise("write")
+    )
+    rows = o.select(
+        src.alias("source"), etype.alias("event_type"),
+        F.lit("orders").alias("tbl"),
+        F.to_json(F.struct("o_orderkey", "o_custkey", "o_totalprice"))
+            .alias("payload"),
+        (key * 4 + 1).alias("seq"), txid.alias("txid"),
+    )
+    spans = rows.groupBy("source", "txid").agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    )
+    markers = spans.select(
+        "source",
+        F.explode(F.array(
+            F.struct(F.lit("tx-begin").alias("event_type"),
+                     (F.col("lo") - 1).alias("seq")),
+            F.struct(F.lit("tx-commit").alias("event_type"),
+                     (F.col("hi") + 1).alias("seq")),
+        )).alias("m"),
+        "txid",
+    ).select(
+        "source", F.col("m.event_type").alias("event_type"),
+        F.lit(None).cast("string").alias("tbl"),
+        F.lit(None).cast("string").alias("payload"),
+        F.col("m.seq").alias("seq"), "txid",
+    )
+    feed_df = rows.unionByName(markers)
+    n_ops, n_events = rows.count(), feed_df.count()
+    (
+        feed_df.repartition(N_FILES, F.col("txid"))
+        .drop("txid")
+        .write.mode("overwrite").json(staging)
+    )
+    return n_ops, n_events
+
+
+def stream_segment(spark, feed, state, ckpt) -> list[tuple[int, int]]:
+    """availableNow run over whatever is in `feed`; returns (events, ms)
+    per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.streaming.sink import start_merge_stream
+    from dumpr_spark.streaming.state import streaming_tx_filter
+
+    events = (
+        spark.readStream
+        .schema("source string, event_type string, tbl string, "
+                "payload string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .json(feed)
+    )
+    filtered = streaming_tx_filter(events)
+    changes = filtered.select(
+        F.when(F.col("event_type") == "delete", "delete")
+            .otherwise("upsert").alias("op"),
+        F.col("tbl"),
+        F.get_json_object("payload", "$.o_orderkey").alias("id"),
+        F.col("payload").alias("content"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("next_file"),
+        F.col("seq").alias("next_position"),
+        F.col("seq"),
+    )
+    q = start_merge_stream(changes, state, ckpt, output_mode="append")
+    q.awaitTermination()
+    out = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        if int(d["numInputRows"]) > 0:
+            out.append((int(d["numInputRows"]),
+                        int(d["durationMs"]["triggerExecution"])))
+    return out
+
+
+def count_data_files(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith((".", "_")))
+    return n
+
+
+def run_variant(spark, staging, work, compact_between: bool):
+    from dumpr_spark.streaming.sink import MergeSink
+
+    feed = os.path.join(work, "feed")
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(feed, exist_ok=True)
+    batches, compact_secs = [], []
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".json"))
+    assert len(files) >= N_FILES, files
+    for seg_start in range(0, N_FILES, SEGMENT):
+        for f in files[seg_start:seg_start + SEGMENT]:
+            shutil.copy(os.path.join(staging, f), os.path.join(feed, f))
+        batches += stream_segment(spark, feed, state, ckpt)
+        if compact_between and seg_start + SEGMENT < N_FILES:
+            t0 = time.time()
+            sink = MergeSink(spark, state)
+            sink.compact()
+            sink.compact_files(target_file_mb=128)
+            compact_secs.append(round(time.time() - t0, 2))
+    sink = MergeSink(spark, state)
+    return {
+        "batches": len(batches),
+        "per_batch_ms": [ms for _, ms in batches],
+        "early_mean_ms": round(
+            sum(ms for _, ms in batches[2:10]) / 8.0, 1),
+        "late_mean_ms": round(
+            sum(ms for _, ms in batches[-8:]) / 8.0, 1),
+        "state_rows": sink.read_state().count(),
+        "state_files": count_data_files(os.path.join(work, "state")),
+        "compact_secs": compact_secs,
+    }
+
+
+def main(n_rows: int) -> None:
+    from dumpr_spark.session import get_spark
+
+    spark = get_spark("cdc_compaction_horizon")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = "/tmp/cdc_compaction_horizon"
+    shutil.rmtree(work, ignore_errors=True)
+    staging = os.path.join(work, "staging")
+    n_ops, n_events = build_feed(spark, staging, n_rows)
+
+    a = run_variant(spark, staging, os.path.join(work, "A"), False)
+    b = run_variant(spark, staging, os.path.join(work, "B"), True)
+    print(json.dumps({
+        "metric": "cdc_compaction_horizon",
+        "row_ops": n_ops, "feed_events": n_events,
+        "files": N_FILES, "segment": SEGMENT,
+        "no_compaction": a, "cadenced_compaction": b,
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600_000)

@@ -562,6 +562,88 @@ def test_simhash_band_recall_is_exact_at_threshold(spark):
     assert got == want  # perfect recall AND correct distances
 
 
+def test_simhash_band_scaled_matches_plain_under_cap(spark):
+    """simhash_band_candidates_scaled == the plain form whenever no bucket
+    exceeds the cap (the oracle-parity contract its docstring states), and
+    an over-cap bucket is DROPPED, not truncated mid-bucket."""
+    import random
+
+    from dumpr_spark.functions.dedup import (
+        simhash_band_candidates, simhash_band_candidates_scaled,
+    )
+
+    rng = random.Random(7)
+
+    def to_i64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    sigs = [rng.getrandbits(64) for _ in range(50)]
+    for i in range(20):  # plant near-dups
+        sigs.append(sigs[i] ^ (1 << rng.randrange(64)))
+    df = spark.createDataFrame(
+        [(i, to_i64(s)) for i, s in enumerate(sigs)], "doc_id long, sh64 long"
+    )
+    plain = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_band_candidates(df, max_hamming=3).collect()}
+    scaled = {(r["a"], r["b"]): r["hamming"]
+              for r in simhash_band_candidates_scaled(
+                  df, max_hamming=3, max_bucket_size=1000).collect()}
+    assert scaled == plain and plain  # identical, and non-trivially so
+
+    # a 30-copy identical signature floods every band; cap 10 drops those
+    # buckets entirely while unrelated pairs survive
+    flood = [(100 + i, to_i64(sigs[0])) for i in range(30)]
+    df2 = spark.createDataFrame(
+        [(i, to_i64(s)) for i, s in enumerate(sigs)] + flood,
+        "doc_id long, sh64 long",
+    )
+    capped = {(r["a"], r["b"])
+              for r in simhash_band_candidates_scaled(
+                  df2, max_hamming=3, max_bucket_size=10).collect()}
+    assert not any(a >= 100 and b >= 100 for a, b in capped)
+    assert capped  # the small buckets still produced their pairs
+
+
+def test_ahash_scaled_same_clusters_linear_pairs(spark):
+    """The scaled image near-dup twin yields the SAME duplicate clusters
+    as the plain banding (connected components over edges), with pair
+    count linear in copies (c-1 edges per c-copy group) where the plain
+    form is quadratic (C(c,2)) — the r9-measured 591x failure mode."""
+    from dumpr_spark.functions.dedup import connected_components
+    from dumpr_spark.functions.multimodal import (
+        ahash_images, ahash_near_dup_pairs, ahash_near_dup_pairs_scaled,
+    )
+
+    # 6 distinct payloads; payload 0 has 8 exact copies, payload 1 has 3
+    rows = []
+    aid = 0
+    for p, copies in [(0, 8), (1, 3), (2, 1), (3, 1), (4, 1), (5, 1)]:
+        for _ in range(copies):
+            rows.append((aid, "image", bytes(f"payload-{p}", "utf8")))
+            aid += 1
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    plain = ahash_near_dup_pairs(ahash_images(assets), max_hamming=3)
+    scaled = ahash_near_dup_pairs_scaled(assets, max_hamming=3)
+    n_plain = plain.count()
+    n_scaled = scaled.count()
+    assert n_plain == 28 + 3  # C(8,2) + C(3,2): quadratic in copies
+    assert n_scaled >= 7 + 2  # c-1 edges per group (+ any stub band hits)
+    assert n_scaled < n_plain
+
+    def clusters(pairs):
+        comps = connected_components(pairs.select("a", "b"))
+        return {
+            tuple(sorted(g))
+            for g in comps.groupBy("comp")
+            .agg(F.collect_list("n").alias("g"))
+            .toPandas()["g"]
+        }
+
+    assert clusters(scaled) == clusters(plain)
+
+
 def test_lloyd_trained_centroids_feed_ivf(spark, sf_dir):
     """The deterministic Lloyd loop (train_centroids_lloyd) is the IVF
     training primitive: its trained centroids plug straight into ivf_topk

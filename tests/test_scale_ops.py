@@ -1255,6 +1255,32 @@ def test_global_prefix_sums_extra_total_cols(spark):
         )
 
 
+def test_global_prefix_sums_rejects_malformed_args(spark):
+    """r9 ADVICE item 3: sum_cols=[] used to build the malformed schema
+    '_pid INT, ' and die inside createDataFrame; an input column named
+    like an internal alias used to collide with the folded
+    check_distinct guards. Both now fail loudly at argument time —
+    BEFORE any plan is built, so valid calls' plans are untouched
+    (A/B-diffed byte-identical across all four registered consumers)."""
+    import pytest
+
+    from dumpr_spark.operators.ntile import global_prefix_sums
+
+    df = spark.createDataFrame(
+        [(1.0, 2, 3)], "v double, a long, b long"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        global_prefix_sums(df, "v", [], with_totals=True,
+                           extra_total_cols=("b",))
+    bad = df.withColumnRenamed("a", "_nd")
+    with pytest.raises(ValueError, match="collide"):
+        global_prefix_sums(bad, "v", ["_nd"])
+    bad2 = df.withColumnRenamed("b", "_pid")
+    with pytest.raises(ValueError, match="collide"):
+        global_prefix_sums(bad2, "v", ["a"], extra_total_cols=("_pid",),
+                           with_totals=True)
+
+
 def test_ivfpq_serving_invariants(spark, sf_dir):
     """The IVF-PQ read path must behave like a serving index: 5 results
     per query (32 queries), exact re-ranked sims non-increasing within a

@@ -340,25 +340,21 @@ def ahash_near_dup_pairs_scaled(
     can neither hash nor band; callers deduplicating a corpus with
     missing payloads should know those assets are absent, not merely
     unpaired)."""
-    from dumpr_spark.functions.dedup import simhash_band_candidates_scaled
+    from dumpr_spark.functions.dedup import (
+        exact_prepass_edges, simhash_band_candidates_scaled,
+    )
 
     imgs = assets.where(
         (F.col("media_type") == "image") & F.col("payload").isNotNull()
     )
-    hmap = imgs.select(F.col(id_col), F.md5(F.col("payload")).alias("_h"))
-    reps = hmap.groupBy("_h").agg(F.min(id_col).alias("_rep"))
-    edges = (
-        hmap.join(reps, "_h")
-        .where(F.col(id_col) != F.col("_rep"))
-        .select(
-            F.col(id_col).alias("a"),
-            F.col("_rep").alias("b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    rep_assets = imgs.join(
-        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
-    )
+    # the SAME prepass as the text twin (content_hash groupBy -> min-id
+    # rep election -> member->rep edges): md5 hashes binary payloads the
+    # same way it hashes text, so the two scaled paths share one
+    # implementation and cannot drift
+    raw_edges, rep_ids = exact_prepass_edges(imgs, id_col=id_col,
+                                             text_col="payload")
+    edges = raw_edges.withColumn("hamming", F.lit(0).cast("int"))
+    rep_assets = imgs.join(rep_ids, id_col, "left_semi")
     fps = ahash_images(rep_assets)
     sigs = fps.where(F.col("ahash").isNotNull()).select(
         F.col(id_col), ahash_sig64(F.col("ahash")).alias("sh64")

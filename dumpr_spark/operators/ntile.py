@@ -173,13 +173,17 @@ def global_prefix_sums(
             "extra_total_cols exists only to SKIP the running sum for "
             "ADDITIONAL columns)"
         )
-    reserved = {"_pid", "_n", "_nd", "_nn"} & {val_col, *sum_cols,
-                                              *extra_total_cols}
+    # checked against the FULL input column set, not just the named
+    # arguments: a passthrough column called _pid would be silently
+    # replaced by the bucket id and then dropped (the asof.py reserved-
+    # name precedent)
+    reserved = {"_pid", "_n", "_nd", "_nn"} & set(df.columns)
     if reserved:
         raise ValueError(
-            f"global_prefix_sums: column name(s) {sorted(reserved)} collide "
-            "with the operator's internal aliases (_pid bucketing and the "
-            "folded check_distinct guards _n/_nd/_nn) — rename the inputs"
+            f"global_prefix_sums: input column name(s) {sorted(reserved)} "
+            "collide with the operator's internal aliases (_pid bucketing "
+            "and the folded check_distinct guards _n/_nd/_nn) — rename "
+            "the inputs"
         )
     if extra_total_cols:
         if not with_totals:

@@ -127,54 +127,102 @@ def ensure_bucketed_layout(
     NOT pay the write on every query (the r9-review finding against
     join_bucketed_colocated's original drop-and-rewrite form).
 
-    Versioning and concurrency: the fingerprint (see
-    `dataset_fingerprint`) keys the layout to the exact source-data
-    version — new data means a new table name, never an in-place
-    mutation, so a reader of the old layout is undisturbed (the
-    RefreshingBloom discipline). If the table exists it is reused as-is;
-    if two builders race on a cold cache both write the SAME deterministic
-    content under `mode=overwrite` and either outcome is correct. No
-    out-of-band directory deletes of LIVE tables (the old shutil.rmtree
-    raced concurrent builds and assumed a local-FS warehouse): stale
-    generations are dropped through the catalog with DROP TABLE by
-    `gc_layouts`.
+    Versioning: the fingerprint (see `dataset_fingerprint`) keys the
+    layout to the exact source-data version — new data means a new table
+    name, never an in-place mutation, so a reader of the old layout is
+    undisturbed (the RefreshingBloom discipline). A reused table is
+    VALIDATED against the request (column names/types, bucket column,
+    bucket count): the fingerprint tracks the SOURCE data, not the
+    caller's projection, so a code change with unchanged inputs must
+    fail loudly rather than silently serve the stale layout.
 
-    Cold-catalog orphans: bucket METADATA lives in the catalog, so with a
-    session-scoped (in-memory/embedded) metastore a previous process's
-    layout directory can outlive its catalog entry. Such a location is
-    provably unreferenced in this catalog, and re-registering it as an
-    external table would silently LOSE the bucketed-scan property — so on
-    a local filesystem the orphan is removed and rebuilt (idempotent:
-    the fingerprint pins the content). A non-local warehouse implies a
-    persistent metastore where the orphan case cannot arise from normal
-    operation; it raises rather than guessing at remote deletes."""
+    Concurrency: with a persistent shared metastore (any real
+    deployment), `tableExists` serializes builders through the catalog —
+    a lost `saveAsTable` race surfaces as the writer's own error after
+    which the winner's identical table is validated and reused. With a
+    session-scoped embedded catalog (local/test), bucket METADATA dies
+    with the process while the warehouse directory survives; such a
+    cold-catalog orphan is unreferenced in THIS catalog and
+    re-registering it as an external table would silently LOSE the
+    bucketed-scan property, so on a local filesystem it is removed and
+    rebuilt (content is pinned by the fingerprint). That rebuild assumes
+    ONE writer per shared local warehouse — embedded catalogs cannot see
+    each other's registrations, so nothing stronger is possible without
+    a real metastore. On a non-local warehouse no orphan handling is
+    attempted (a persistent metastore is assumed; if an orphan somehow
+    exists, the writer's LOCATION_ALREADY_EXISTS surfaces as-is rather
+    than this helper guessing at remote deletes).
+
+    Stale generations are dropped through the catalog with DROP TABLE by
+    `gc_layouts` — never a raw directory delete of a live table."""
     table = f"{name}_{fingerprint}"
-    if spark.catalog.tableExists(table):
-        return table
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    if not spark.catalog.tableExists(table):
+        import os
+        import shutil
+        from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    loc = os.path.join(wh.path, table)
-    if wh.scheme in ("", "file") and os.path.exists(loc):
-        shutil.rmtree(loc)
-    elif wh.scheme not in ("", "file"):
-        # persistent-metastore deployments never reach here with a live
-        # location; refuse to delete remotely rather than race a writer
-        pass
-    write_bucketed(df, table, bucket_col,
-                   num_buckets=num_buckets, sort_col=sort_col)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        loc = os.path.join(wh.path, table)
+        if wh.scheme in ("", "file") and os.path.exists(loc):
+            shutil.rmtree(loc)  # cold-catalog orphan (see docstring)
+        try:
+            write_bucketed(df, table, bucket_col,
+                           num_buckets=num_buckets, sort_col=sort_col)
+        except Exception:
+            # a concurrent builder may have won the metastore race; if
+            # the table is now live it is validated below and reused,
+            # otherwise the writer's error stands
+            if not spark.catalog.tableExists(table):
+                raise
+    _validate_layout(spark, table, df, bucket_col, num_buckets)
     return table
 
 
+def _validate_layout(spark, table, df, bucket_col, num_buckets) -> None:
+    """Raise if an existing layout generation does not match the request
+    (schema, bucket column, bucket count) — a same-fingerprint mismatch
+    means the CALLER changed (projection or bucketing), and serving the
+    stale table would silently change results or reintroduce the
+    Exchange the layout exists to remove."""
+    got = spark.table(table)
+    want_schema = [(f.name, f.dataType.simpleString()) for f in df.schema]
+    got_schema = [(f.name, f.dataType.simpleString()) for f in got.schema]
+    desc = {
+        r["col_name"]: (r["data_type"] or "").strip()
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    got_buckets = desc.get("Num Buckets", "")
+    got_bucket_cols = desc.get("Bucket Columns", "")
+    problems = []
+    if got_schema != want_schema:
+        problems.append(f"schema {got_schema} != requested {want_schema}")
+    if got_buckets != str(num_buckets):
+        problems.append(f"Num Buckets {got_buckets!r} != {num_buckets}")
+    if f"`{bucket_col}`" not in got_bucket_cols:
+        problems.append(
+            f"Bucket Columns {got_bucket_cols!r} missing `{bucket_col}`")
+    if problems:
+        raise ValueError(
+            f"bucketed layout {table} exists but does not match the "
+            f"request ({'; '.join(problems)}). The caller's projection or "
+            "bucketing changed without the source data changing — use a "
+            "new layout name, or DROP TABLE the stale generation."
+        )
+
+
 def gc_layouts(spark: SparkSession, name: str, keep_fingerprint: str) -> int:
-    """Drop every `{name}_*` layout generation except the current one —
-    catalog-mediated cleanup (DROP TABLE removes a managed table's files),
-    never a raw directory delete. Returns the number dropped."""
+    """Drop every `{name}_<fingerprint>` layout GENERATION except the
+    current one — catalog-mediated cleanup (DROP TABLE removes a managed
+    table's files), never a raw directory delete. Only names matching
+    the exact generation shape (`{name}_` + 8 hex chars) are touched, so
+    a user table that merely shares the prefix (`{name}_backup`) is
+    never dropped. Returns the number dropped."""
+    import re
+
+    pat = re.compile(re.escape(name) + r"_[0-9a-f]{8}$")
     dropped = 0
     for tbl in spark.catalog.listTables():
-        if tbl.name.startswith(f"{name}_") and tbl.name != f"{name}_{keep_fingerprint}":
+        if pat.fullmatch(tbl.name) and tbl.name != f"{name}_{keep_fingerprint}":
             spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
             dropped += 1
     return dropped

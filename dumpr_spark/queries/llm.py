@@ -3576,6 +3576,11 @@ def _ivfpq_index(spark, sf_dir):
         .withColumn("_rn", F.row_number().over(code_w))
         .where(F.col("_rn") == 1)
         .select("n_id", "cell", "m", "ccid")
+        # pinned like cb: the encoded corpus is read once per serve leg
+        # (4 legs in the recall sweep + the topk cut) — unpinned, each
+        # leg would replay the corpus-wide encode join and its
+        # (n_id, m) window (the review's 4-5x redundant-encode finding)
+        .localCheckpoint(eager=False)
     )
     return e, q, cdf, cents, cb, vcode
 

@@ -4115,7 +4115,7 @@ def join_bucketed_colocated(spark, sf_dir):
     import os
 
     from dumpr_spark.operators.scale import (
-        dataset_fingerprint, ensure_bucketed_layout, explain_str,
+        dataset_fingerprint, ensure_bucketed_layout, explain_str, gc_layouts,
     )
 
     li = t(spark, sf_dir, "lineitem").select(
@@ -4125,16 +4125,27 @@ def join_bucketed_colocated(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
+    import hashlib
+
+    # two-level layout key: the NAME carries the source LINEAGE (path
+    # hash — distinct datasets keep distinct live layouts side by side),
+    # the fingerprint carries the content VERSION (size+mtime — a
+    # rewritten source gets a fresh generation and gc_layouts rotates
+    # the old one out of the lineage it belongs to, never out of
+    # another dataset's)
+    dsid = hashlib.md5(sf_dir.encode()).hexdigest()[:4]
     fp = dataset_fingerprint(
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"),
     )
     li_tbl = ensure_bucketed_layout(
-        spark, "jbc_li", li, "l_orderkey", fp, num_buckets=8
+        spark, f"jbc_li_{dsid}", li, "l_orderkey", fp, num_buckets=8
     )
     o_tbl = ensure_bucketed_layout(
-        spark, "jbc_o", o, "l_orderkey", fp, num_buckets=8
+        spark, f"jbc_o_{dsid}", o, "l_orderkey", fp, num_buckets=8
     )
+    gc_layouts(spark, f"jbc_li_{dsid}", fp)
+    gc_layouts(spark, f"jbc_o_{dsid}", fp)
     # the merge hint pins SortMergeJoin in the EXECUTED plan (broadcast
     # would be value-identical but unbucketed — the r9 advice's gap
     # between the certified plan and the run)

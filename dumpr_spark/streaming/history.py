@@ -52,6 +52,18 @@ class HistorySink(MergeSink):
 
     _schema = HISTORY_SCHEMA
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.key_bucket is not None:
+            raise ValueError(
+                "HistorySink does not support key_bucket yet: its "
+                "per-batch interval recompute and prune paths filter "
+                "touched state at tbl granularity (semantically a key's "
+                "history would stay within one bucket — extending the "
+                "(tbl, _kb) pair logic through __call__/prune_closed is "
+                "the work); refusing loudly beats writing a mixed layout"
+            )
+
     def read_history(self) -> DataFrame:
         """All versions with intervals: one row per upsert version carrying
         [valid_from, valid_to) and is_current; delete terminators excluded

@@ -30,6 +30,21 @@ from dumpr_spark.cdc.envelope import OP_DELETE, ENVELOPE_SCHEMA
 from dumpr_spark.cdc.materialize import materialize
 
 
+def _pair_filter(pairs):
+    """Partition-prunable predicate for a (tbl, _kb) pair list: one
+    `tbl = t AND _kb IN (...)` disjunct per table — simple comparisons on
+    partition columns, so the scan reads ONLY the touched bucket dirs
+    (a concat/isin over both would defeat pruning)."""
+    by_tbl: dict = {}
+    for tbl, kb in pairs:
+        by_tbl.setdefault(tbl, []).append(kb)
+    cond = None
+    for tbl, kbs in by_tbl.items():
+        c = (F.col("tbl") == tbl) & F.col("_kb").isin(kbs)
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hardlink-copy a partition dir: O(files) metadata ops, zero data copied,
     file content/mtime preserved. Safe because state parquet files are
@@ -49,15 +64,50 @@ class MergeSink:
     (validate_envelope) and op='error' rows are appended to a dead-letter
     parquet table instead of silently vanishing — the reference's in-band
     error channel (R20, row_format.clj:15, stream.clj:179-191) made durable.
+
+    With `key_bucket` (a callable mapping the id Column to an INT bucket
+    Column, e.g. ``lambda c: (c.cast("long") / 100000).cast("int")``),
+    state is SUBPARTITIONED ``tbl=X/_kb=N`` and each batch folds +
+    rewrites only the (tbl, bucket) slices it touches; untouched buckets
+    carry forward by hardlink exactly like untouched tables. This is the
+    at-volume remedy the r10 compaction-horizon measurement names: the
+    per-batch merge term is O(touched slices), so a table whose live
+    state dwarfs the batch no longer pays an O(table) rewrite per batch
+    — PROVIDED batches exhibit key locality under the chosen bucketing
+    (the normal CDC shape: autoincrement PKs cluster recent writes into
+    the top range bucket; a HASH bucketing spreads every batch over all
+    buckets and buys nothing — pick the policy to match the workload;
+    the mechanism is policy-agnostic). The bucket function must be
+    DETERMINISTIC in the id (it is recomputed per batch and after every
+    fold) and stable across the stream's lifetime — changing it over an
+    existing state directory splits keys across buckets; migrate through
+    a full rewrite instead. Default None: the r9 tbl-partitioned layout,
+    byte-identical behavior. HistorySink keeps the tbl-level layout (its
+    validity-interval recompute needs the key's whole history together).
     """
 
     # persisted-row schema; subclasses (HistorySink) extend the envelope
     _schema = ENVELOPE_SCHEMA
 
-    def __init__(self, spark: SparkSession, state_path: str, errors_path: str | None = None):
+    def __init__(self, spark: SparkSession, state_path: str,
+                 errors_path: str | None = None, key_bucket=None):
         self.spark = spark
         self.state_path = state_path
         self.errors_path = errors_path
+        self.key_bucket = key_bucket
+
+    def _kb(self, id_col=None):
+        return self.key_bucket(
+            F.col("id") if id_col is None else id_col
+        ).cast("int").alias("_kb")
+
+    def _ext_schema(self):
+        """Persisted schema + the _kb partition column (bucketed mode)."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        return StructType(
+            list(self._schema.fields) + [StructField("_kb", IntegerType())]
+        )
 
     def _recover(self) -> None:
         """Crash between the two swap renames leaves state absent + a backup
@@ -95,25 +145,44 @@ class MergeSink:
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
     def _read_raw(self) -> DataFrame:
-        """Full persisted state INCLUDING delete tombstones."""
+        """Full persisted state INCLUDING delete tombstones (+ the `_kb`
+        partition column in bucketed mode — internal, dropped by
+        read_state)."""
         self._recover()
+        schema = self._ext_schema() if self.key_bucket else self._schema
         if not os.path.exists(self.state_path):
-            return self.spark.createDataFrame([], self._schema)
+            return self.spark.createDataFrame([], schema)
         # explicit schema: an all-deleted state dir has no data files to infer
         # from, and partition-column inference must not re-type a numeric-
         # looking `tbl` value (schema pins it to STRING)
-        return self.spark.read.schema(self._schema).parquet(self.state_path)
+        return self.spark.read.schema(schema).parquet(self.state_path)
 
     def read_state(self) -> DataFrame:
         """The live materialized view: tombstones are an implementation detail
-        of the incremental fold, not part of the entity-map contract."""
-        return self._read_raw().where(F.col("op") != OP_DELETE)
+        of the incremental fold, not part of the entity-map contract (and
+        so is the bucketed layout's `_kb`)."""
+        out = self._read_raw().where(F.col("op") != OP_DELETE)
+        return out.drop("_kb") if self.key_bucket else out
 
     def compact(self) -> None:
-        """Drop delete tombstones (full rewrite of touched partitions). Safe
-        once the feed guarantees no event with a lower seq than a persisted
-        tombstone can still arrive (e.g. after a checkpoint epoch rolls)."""
+        """Drop delete tombstones (full rewrite of touched partitions —
+        (tbl, bucket) slices in bucketed mode). Safe once the feed
+        guarantees no event with a lower seq than a persisted tombstone
+        can still arrive (e.g. after a checkpoint epoch rolls)."""
         raw = self._read_raw()
+        if self.key_bucket:
+            pairs = [
+                (r["tbl"], r["_kb"])
+                for r in raw.where(F.col("op") == OP_DELETE)
+                .select("tbl", "_kb").distinct().collect()
+            ]
+            if pairs:
+                keep = (
+                    raw.where(_pair_filter(pairs))
+                    .where(F.col("op") != OP_DELETE)
+                )
+                self._commit(keep, pairs, "compact")
+            return
         tombstoned = [
             r["tbl"]
             for r in raw.where(F.col("op") == OP_DELETE).select("tbl").distinct().collect()
@@ -138,30 +207,65 @@ class MergeSink:
         from dumpr_spark.operators.scale import compact_small_files
 
         self._recover()
+        schema = self._ext_schema() if self.key_bucket else self._schema
         return compact_small_files(
             self.spark, self.state_path, target_file_mb=target_file_mb,
-            schema=self._schema, order_by=order_by,
+            schema=schema, order_by=order_by,
         )
 
-    def _commit(self, next_touched: DataFrame, touched: list[str], batch_id) -> None:
+    def _commit(self, next_touched: DataFrame, touched: list, batch_id) -> None:
         """Write the folded touched partitions, assemble the next state version
-        (hardlinking untouched partitions), and atomically swap it in."""
+        (hardlinking untouched partitions), and atomically swap it in.
+
+        `touched` is a list of tbl strings (default layout) or of
+        (tbl, _kb) pairs (bucketed layout — `next_touched` then carries
+        the _kb column); carry-forward granularity matches: whole
+        untouched tables link as one tree, and inside a touched table
+        only its UNTOUCHED buckets link."""
         tmp = f"{self.state_path}.tmp-{batch_id}"
         nxt = f"{self.state_path}.next-{batch_id}"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(nxt, ignore_errors=True)
-        next_touched.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
+        bucketed = self.key_bucket is not None
+        part_cols = ["tbl", "_kb"] if bucketed else ["tbl"]
+        next_touched.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
 
-        touched_set = set(touched)
+        if bucketed:
+            touched_by_tbl: dict = {}
+            for tbl, kb in touched:
+                touched_by_tbl.setdefault(tbl, set()).add(str(kb))
+        touched_set = touched_by_tbl if bucketed else set(touched)
         os.makedirs(nxt)
         if os.path.exists(self.state_path):
             for d in os.listdir(self.state_path):
+                if not d.startswith("tbl="):
+                    continue
+                tblval = unquote(d[len("tbl="):])
                 # carry forward untouched partitions without reading a byte
-                if d.startswith("tbl=") and unquote(d[len("tbl="):]) not in touched_set:
+                if tblval not in touched_set:
                     _link_tree(os.path.join(self.state_path, d), os.path.join(nxt, d))
+                elif bucketed:
+                    # touched table: link only its untouched buckets
+                    src_t = os.path.join(self.state_path, d)
+                    dst_t = os.path.join(nxt, d)
+                    os.makedirs(dst_t, exist_ok=True)
+                    for kd in os.listdir(src_t):
+                        if (kd.startswith("_kb=")
+                                and unquote(kd[len("_kb="):])
+                                not in touched_set[tblval]):
+                            _link_tree(os.path.join(src_t, kd),
+                                       os.path.join(dst_t, kd))
         for d in os.listdir(tmp):
             # a touched partition that folded to zero rows simply has no dir
-            if d.startswith("tbl="):
+            if not d.startswith("tbl="):
+                continue
+            if bucketed and os.path.isdir(os.path.join(nxt, d)):
+                # table dir pre-created by the bucket carry-forward:
+                # move the freshly written bucket dirs in beside them
+                for kd in os.listdir(os.path.join(tmp, d)):
+                    os.rename(os.path.join(tmp, d, kd),
+                              os.path.join(nxt, d, kd))
+            else:
                 os.rename(os.path.join(tmp, d), os.path.join(nxt, d))
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -186,6 +290,28 @@ class MergeSink:
                 errors.write.mode("overwrite").parquet(
                     f"{self.errors_path}/batch_id={batch_id}"
                 )
+        if self.key_bucket is not None:
+            # bucketed layout: the touched unit is the (tbl, bucket) pair
+            # — still metadata-sized (bounded by tables x buckets a batch
+            # can span, not rows)
+            batch = batch.withColumn("_kb", self._kb())
+            touched = [
+                (r["tbl"], r["_kb"])
+                for r in batch.select("tbl", "_kb").distinct().collect()
+            ]
+            if not touched:
+                return
+            current = self._read_raw()  # runs _recover() first
+            # the pair filter prunes to the touched bucket DIRS at scan
+            # time; the fold drops _kb (materialize returns envelope
+            # columns) and it is recomputed — deterministic in id
+            folded = materialize(
+                current.where(_pair_filter(touched)).drop("_kb")
+                .unionByName(batch.drop("_kb")),
+                keep_tombstones=True,
+            )
+            self._commit(folded.withColumn("_kb", self._kb()), touched, batch_id)
+            return
         # the touched-table list is tiny (bounded by table count, not rows) —
         # the one acceptable collect in this path
         touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
@@ -208,14 +334,17 @@ def start_merge_stream(
     trigger_available_now: bool = True,
     errors_path: str | None = None,
     output_mode: str = "update",
+    key_bucket=None,
 ):
     """Start the materializing stream (R18/R19: sink + lifecycle).
 
     output_mode: foreachBatch itself is mode-agnostic (the sink merges
     whatever the batch carries), but upstream stateful operators constrain
     the legal mode — applyInPandasWithState declared in append mode (the
-    streaming tx filter) requires output_mode="append"."""
-    sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path)
+    streaming tx filter) requires output_mode="append".
+    key_bucket: optional (tbl, bucket)-sliced state layout — see MergeSink."""
+    sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path,
+                     key_bucket=key_bucket)
     writer = (
         changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)

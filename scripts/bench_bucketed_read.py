@@ -62,14 +62,17 @@ def main() -> None:
         o = t(spark, d, "orders").select(
             F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
         )
+        import hashlib
+
+        dsid = hashlib.md5(d.encode()).hexdigest()[:4]
         fp = dataset_fingerprint(os.path.join(d, "lineitem.parquet"),
                                  os.path.join(d, "orders.parquet"))
 
         t0 = time.time()
-        li_tbl = ensure_bucketed_layout(spark, "jbc_li", li, "l_orderkey", fp,
-                                        num_buckets=8)
-        o_tbl = ensure_bucketed_layout(spark, "jbc_o", o, "l_orderkey", fp,
-                                       num_buckets=8)
+        li_tbl = ensure_bucketed_layout(spark, f"jbc_li_{dsid}", li,
+                                        "l_orderkey", fp, num_buckets=8)
+        o_tbl = ensure_bucketed_layout(spark, f"jbc_o_{dsid}", o,
+                                       "l_orderkey", fp, num_buckets=8)
         layout_s = time.time() - t0
 
         bucketed = (

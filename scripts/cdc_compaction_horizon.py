@@ -36,7 +36,8 @@ N_FILES = 60
 SEGMENT = 12  # files (= batches) per segment; cadence boundary for B
 
 
-def build_feed(spark, staging: str, n_rows: int) -> tuple[int, int]:
+def build_feed(spark, staging: str, n_rows: int,
+               layout: str = "hash") -> tuple[int, int]:
     from pyspark.sql import functions as F
 
     sf1 = os.path.join(
@@ -83,15 +84,19 @@ def build_feed(spark, staging: str, n_rows: int) -> tuple[int, int]:
     )
     feed_df = rows.unionByName(markers)
     n_ops, n_events = rows.count(), feed_df.count()
-    (
-        feed_df.repartition(N_FILES, F.col("txid"))
-        .drop("txid")
-        .write.mode("overwrite").json(staging)
-    )
+    if layout == "range":
+        # key-ordered arrival (the real binlog shape for autoincrement
+        # PKs: each batch carries a contiguous key range) — txs still
+        # wholly contained per file (equal txids stay together)
+        shaped = feed_df.repartitionByRange(N_FILES, F.col("txid"))
+    else:
+        shaped = feed_df.repartition(N_FILES, F.col("txid"))
+    shaped.drop("txid").write.mode("overwrite").json(staging)
     return n_ops, n_events
 
 
-def stream_segment(spark, feed, state, ckpt) -> list[tuple[int, int]]:
+def stream_segment(spark, feed, state, ckpt,
+                   key_bucket=None) -> list[tuple[int, int]]:
     """availableNow run over whatever is in `feed`; returns (events, ms)
     per micro-batch."""
     from pyspark.sql import functions as F
@@ -118,7 +123,8 @@ def stream_segment(spark, feed, state, ckpt) -> list[tuple[int, int]]:
         F.col("seq").alias("next_position"),
         F.col("seq"),
     )
-    q = start_merge_stream(changes, state, ckpt, output_mode="append")
+    q = start_merge_stream(changes, state, ckpt, output_mode="append",
+                           key_bucket=key_bucket)
     q.awaitTermination()
     out = []
     for p in q.recentProgress:
@@ -136,7 +142,8 @@ def count_data_files(path: str) -> int:
     return n
 
 
-def run_variant(spark, staging, work, compact_between: bool):
+def run_variant(spark, staging, work, compact_between: bool,
+                key_bucket=None):
     from dumpr_spark.streaming.sink import MergeSink
 
     feed = os.path.join(work, "feed")
@@ -149,14 +156,15 @@ def run_variant(spark, staging, work, compact_between: bool):
     for seg_start in range(0, N_FILES, SEGMENT):
         for f in files[seg_start:seg_start + SEGMENT]:
             shutil.copy(os.path.join(staging, f), os.path.join(feed, f))
-        batches += stream_segment(spark, feed, state, ckpt)
+        batches += stream_segment(spark, feed, state, ckpt,
+                                  key_bucket=key_bucket)
         if compact_between and seg_start + SEGMENT < N_FILES:
             t0 = time.time()
-            sink = MergeSink(spark, state)
+            sink = MergeSink(spark, state, key_bucket=key_bucket)
             sink.compact()
             sink.compact_files(target_file_mb=128)
             compact_secs.append(round(time.time() - t0, 2))
-    sink = MergeSink(spark, state)
+    sink = MergeSink(spark, state, key_bucket=key_bucket)
     return {
         "batches": len(batches),
         "per_batch_ms": [ms for _, ms in batches],
@@ -170,7 +178,9 @@ def run_variant(spark, staging, work, compact_between: bool):
     }
 
 
-def main(n_rows: int) -> None:
+def main(n_rows: int, mode: str) -> None:
+    from pyspark.sql import functions as F
+
     from dumpr_spark.session import get_spark
 
     spark = get_spark("cdc_compaction_horizon")
@@ -178,17 +188,35 @@ def main(n_rows: int) -> None:
     work = "/tmp/cdc_compaction_horizon"
     shutil.rmtree(work, ignore_errors=True)
     staging = os.path.join(work, "staging")
-    n_ops, n_events = build_feed(spark, staging, n_rows)
 
-    a = run_variant(spark, staging, os.path.join(work, "A"), False)
-    b = run_variant(spark, staging, os.path.join(work, "B"), True)
+    if mode == "compaction":
+        n_ops, n_events = build_feed(spark, staging, n_rows)
+        a = run_variant(spark, staging, os.path.join(work, "A"), False)
+        b = run_variant(spark, staging, os.path.join(work, "B"), True)
+        print(json.dumps({
+            "metric": "cdc_compaction_horizon",
+            "row_ops": n_ops, "feed_events": n_events,
+            "files": N_FILES, "segment": SEGMENT,
+            "no_compaction": a, "cadenced_compaction": b,
+        }))
+        return
+
+    # mode == "buckets": key-ordered arrival (the autoincrement-PK binlog
+    # shape), plain tbl-partitioned sink vs the key_bucket-sliced layout —
+    # the r10 remedy for the O(table-state) per-batch merge term
+    n_ops, n_events = build_feed(spark, staging, n_rows, layout="range")
+    kb = lambda c: (c.cast("long") / F.lit(2_000_000)).cast("int")  # noqa: E731
+    p = run_variant(spark, staging, os.path.join(work, "P"), False)
+    k = run_variant(spark, staging, os.path.join(work, "K"), False,
+                    key_bucket=kb)
     print(json.dumps({
-        "metric": "cdc_compaction_horizon",
+        "metric": "cdc_key_bucket_horizon",
         "row_ops": n_ops, "feed_events": n_events,
-        "files": N_FILES, "segment": SEGMENT,
-        "no_compaction": a, "cadenced_compaction": b,
+        "files": N_FILES,
+        "plain_sink": p, "key_bucketed_sink": k,
     }))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600_000)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600_000,
+         sys.argv[2] if len(sys.argv) > 2 else "compaction")

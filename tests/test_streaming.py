@@ -761,6 +761,103 @@ def test_merge_sink_rewrites_only_touched_partitions(spark, tmp_path):
     assert got == {("aaa", "1"), ("bbb", "2"), ("bbb", "3")}
 
 
+def test_merge_sink_key_bucketed_equals_plain(spark, tmp_path):
+    """key_bucket mode: identical read_state as the plain layout through a
+    multi-batch fold with updates, deletes, out-of-order replay, and
+    tombstone compaction — the layout is an implementation detail."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+    from pyspark.sql import functions as F
+
+    plain = MergeSink(spark, str(tmp_path / "p_state"))
+    bucketed = MergeSink(
+        spark, str(tmp_path / "b_state"),
+        key_bucket=lambda c: (c.cast("long") / F.lit(3)).cast("int"),
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i, "s": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, i, seq: ("delete", tbl, str(i), None, None, "f1", seq, seq)  # noqa: E731
+    batches = [
+        [up("aaa", i, i) for i in range(1, 10)] + [up("bbb", 1, 3)],
+        [up("aaa", 2, 20), dele("aaa", 5, 21)],
+        [up("aaa", 5, 15)],          # stale replay after the delete
+        [dele("bbb", 1, 30), up("aaa", 11, 31)],
+    ]
+    for i, rows in enumerate(batches):
+        plain(batch(rows), i)
+        bucketed(batch(rows), i)
+
+    def snap(sink):
+        return {
+            (r["tbl"], r["id"], r["seq"], r["content"])
+            for r in sink.read_state().collect()
+        }
+
+    assert snap(bucketed) == snap(plain) and snap(plain)
+    assert "_kb" not in bucketed.read_state().columns
+    # layout really is subpartitioned
+    kb_dirs = os.listdir(os.path.join(str(tmp_path / "b_state"), "tbl=aaa"))
+    assert any(d.startswith("_kb=") for d in kb_dirs)
+    # tombstone purge respects the bucketed layout too
+    plain.compact()
+    bucketed.compact()
+    assert snap(bucketed) == snap(plain)
+    assert bucketed._read_raw().where("op = 'delete'").count() == 0
+
+
+def test_merge_sink_key_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    """The point of the bucketed layout: a batch with key locality leaves
+    every untouched (tbl, bucket) slice carried by hardlink — same inode,
+    same mtime — so per-batch merge work is O(touched slices), not
+    O(table). (With range bucketing on an autoincrement key this is the
+    normal CDC shape: recent writes land in the top bucket.)"""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "kb_state")
+    sink = MergeSink(
+        spark, state,
+        key_bucket=lambda c: (c.cast("long") / F.lit(100)).cast("int"),
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    # backfill spread over buckets 0-3
+    sink(batch([up(i, i) for i in range(0, 400, 7)]), 0)
+
+    def bucket_files(kb):
+        d = os.path.join(state, "tbl=orders", f"_kb={kb}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_mtime_ns,
+                os.stat(os.path.join(d, f)).st_ino)
+            for f in sorted(os.listdir(d))
+        }
+
+    before = {kb: bucket_files(kb) for kb in (0, 1, 2)}
+    # "recent" batch: keys 300-399 only -> bucket 3 touched
+    sink(batch([up(i, 1000 + i) for i in range(300, 400, 5)]), 1)
+    for kb in (0, 1, 2):
+        assert bucket_files(kb) == before[kb], f"bucket {kb} was rewritten"
+    got = {r["id"] for r in sink.read_state().collect()}
+    assert {str(i) for i in range(300, 400, 5)} <= got
+
+
+def test_history_sink_rejects_key_bucket(spark, tmp_path):
+    import pytest
+
+    from dumpr_spark.streaming.history import HistorySink
+
+    with pytest.raises(ValueError, match="key_bucket"):
+        HistorySink(spark, str(tmp_path / "h_state"),
+                    key_bucket=lambda c: c.cast("int"))
+
+
 def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):
     """A delete must defeat a lower-seq upsert arriving in a LATER batch
     (replay / out-of-order delivery): the tombstone persists across batches.

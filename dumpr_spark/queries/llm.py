@@ -3459,13 +3459,9 @@ def _ivfpq_index(spark, sf_dir):
     - encoding: coarse assignment and residual PQ codes are narrow maps
       over the corpus scan (centroids and the KC x M codebook broadcast);
       per vector the stored index state is one cell id + M code bytes —
-      the 64x compression that lets a 100 TB corpus's index fit hot;
-    - query: the ADC lookup table is nq x nprobe x M x KC tiny rows,
-      broadcast into an equi-join against the probed cells' codes — the
-      scan touches only code columns, never the vectors;
-    - re-rank: only the SHORTLIST (nq x 32 rows, broadcast) joins back to
-      the full vectors for exact cosine — the single stage that reads an
-      embedding leaves the candidate count bounded by construction.
+      the 64x compression that lets a 100 TB corpus's index fit hot.
+    The SERVE stages (per-query ADC lookup table, shortlist, exact
+    re-rank) live in `_ivfpq_query`, parameterized by the two dials.
     Determinism: Lloyd centroids eps-rounded per iteration (exact replay),
     codebook entries eps-rounded 6dp, every ranked value eps-rounded with
     id tie-breaks, and the ADC sum assembled as M positionally-fixed
@@ -3593,7 +3589,14 @@ def _ivfpq_query(e, q, cdf, cents, cb, vcode,
     Returns the re-ranked frame (q_id, n_id, adc_d2, sim, rank).
     The two serving knobs are exactly the ones that recover recall as the
     corpus grows (see sim_ivfpq_recall): nprobe buys back the cell-miss
-    term, shortlist the ADC-precision term."""
+    term, shortlist the ADC-precision term.
+
+    Scale shape: the ADC lookup table is nq x nprobe x M x KC tiny rows,
+    broadcast into an equi-join against the probed cells' codes — the
+    scan touches only code columns, never the vectors; only the
+    SHORTLIST (nq x `shortlist` rows, broadcast) joins back to the full
+    vectors for exact cosine, so the one stage that reads an embedding
+    has its candidate count bounded by construction."""
     from pyspark.sql import Window
 
     def residual(vec_col):

@@ -52,37 +52,27 @@ class HistorySink(MergeSink):
 
     _schema = HISTORY_SCHEMA
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        if self.key_bucket is not None:
-            raise ValueError(
-                "HistorySink does not support key_bucket yet: its "
-                "per-batch interval recompute and prune paths filter "
-                "touched state at tbl granularity (semantically a key's "
-                "history would stay within one bucket — extending the "
-                "(tbl, _kb) pair logic through __call__/prune_closed is "
-                "the work); refusing loudly beats writing a mixed layout"
-            )
-
     def read_history(self) -> DataFrame:
         """All versions with intervals: one row per upsert version carrying
         [valid_from, valid_to) and is_current; delete terminators excluded
         (their seq is visible as the closing valid_to of the prior row)."""
-        return (
+        out = (
             self._read_raw()
             .where(F.col("op") == OP_UPSERT)
             .withColumn("valid_from", F.col("seq"))
             .withColumn("is_current", F.col("valid_to").isNull())
         )
+        return out.drop("_kb") if self.key_bucket else out
 
     def read_state(self) -> DataFrame:
         """The live current-state view — open upsert intervals only. Matches
         MergeSink.read_state()/materialize() on the same change stream."""
-        return (
+        out = (
             self._read_raw()
             .where((F.col("op") == OP_UPSERT) & F.col("valid_to").isNull())
             .drop("valid_to")
         )
+        return out.drop("_kb") if self.key_bucket else out
 
     def compact(self) -> None:  # pragma: no cover - guard, exercised in tests
         raise NotImplementedError(
@@ -102,11 +92,22 @@ class HistorySink(MergeSink):
         trade. Only partitions that actually contain prunable rows are
         rewritten; the rest carry forward by hardlink (same touched-set
         discipline as MergeSink.compact)."""
+        from dumpr_spark.streaming.sink import _pair_filter
+
         raw = self._read_raw()
         prunable = (
             (F.col("valid_to").isNotNull() & (F.col("valid_to") < F.lit(horizon_seq)))
             | ((F.col("op") != OP_UPSERT) & (F.col("seq") < F.lit(horizon_seq)))
         )
+        if self.key_bucket is not None:
+            pairs = [
+                (r["tbl"], r["_kb"])
+                for r in raw.where(prunable).select("tbl", "_kb").distinct().collect()
+            ]
+            if pairs:
+                keep = raw.where(_pair_filter(pairs)).where(~prunable)
+                self._commit(keep, pairs, f"prune-{horizon_seq}")
+            return
         touched = [
             r["tbl"] for r in raw.where(prunable).select("tbl").distinct().collect()
         ]
@@ -129,6 +130,33 @@ class HistorySink(MergeSink):
         # (MergeSink gets this for free because materialize() filters
         # OP_ERROR; the lead() fold has no such built-in filter)
         batch = batch.where(F.col("op") != OP_ERROR)
+        env_cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+        w = Window.partitionBy("tbl", "id").orderBy("seq")
+        if self.key_bucket is not None:
+            # bucketed layout: a key's WHOLE history shares one bucket
+            # (the bucket is a deterministic function of id), so the
+            # per-(tbl, id) interval window never spans buckets and the
+            # touched unit is the (tbl, bucket) pair — same discipline
+            # as MergeSink's bucketed fold
+            from dumpr_spark.streaming.sink import _pair_filter
+
+            kb_batch = batch.withColumn("_kb", self._kb())
+            touched = [
+                (r["tbl"], r["_kb"])
+                for r in kb_batch.select("tbl", "_kb").distinct().collect()
+            ]
+            if not touched:
+                return
+            current = self._read_raw()
+            prior = current.where(_pair_filter(touched)).drop("valid_to", "_kb")
+            merged = prior.unionByName(batch.select(*env_cols))
+            merged = merged.dropDuplicates(["tbl", "id", "seq"])
+            next_touched = (
+                merged.withColumn("valid_to", F.lead("seq").over(w))
+                .withColumn("_kb", self._kb())
+            )
+            self._commit(next_touched, touched, batch_id)
+            return
         touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
         if not touched:
             return
@@ -136,10 +164,9 @@ class HistorySink(MergeSink):
         # versions already persisted for the touched tables, stripped back to
         # raw change rows (valid_to is derived state, recomputed below)
         prior = current.where(F.col("tbl").isin(touched)).drop("valid_to")
-        merged = prior.unionByName(batch.select(*[f.name for f in ENVELOPE_SCHEMA.fields]))
+        merged = prior.unionByName(batch.select(*env_cols))
         # (tbl,id,seq) is the change identity — replayed batches collapse here
         merged = merged.dropDuplicates(["tbl", "id", "seq"])
-        w = Window.partitionBy("tbl", "id").orderBy("seq")
         next_touched = merged.withColumn("valid_to", F.lead("seq").over(w))
         self._commit(next_touched, touched, batch_id)
 

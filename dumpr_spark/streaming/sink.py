@@ -82,8 +82,9 @@ class MergeSink:
     fold) and stable across the stream's lifetime — changing it over an
     existing state directory splits keys across buckets; migrate through
     a full rewrite instead. Default None: the r9 tbl-partitioned layout,
-    byte-identical behavior. HistorySink keeps the tbl-level layout (its
-    validity-interval recompute needs the key's whole history together).
+    byte-identical behavior. HistorySink supports the same option (a
+    key's whole history shares one bucket, so the validity-interval
+    window never spans buckets).
     """
 
     # persisted-row schema; subclasses (HistorySink) extend the envelope

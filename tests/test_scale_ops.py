@@ -118,6 +118,44 @@ def test_ensure_bucketed_layout_builds_once(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_ensure_bucketed_layout_validates_reuse(spark, sf_dir):
+    """The fingerprint tracks SOURCE data, not the caller's projection —
+    reusing a generation under a changed projection or bucket spec must
+    fail loudly (silently serving the stale table would change values or
+    reintroduce the Exchange)."""
+    import pytest
+
+    from dumpr_spark.operators.scale import ensure_bucketed_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        t1 = ensure_bucketed_layout(spark, "eblv_t", li, "l_orderkey",
+                                    "cafe0001", num_buckets=4)
+        # same request: reuse passes validation
+        assert ensure_bucketed_layout(spark, "eblv_t", li, "l_orderkey",
+                                      "cafe0001", num_buckets=4) == t1
+        # changed projection, same fingerprint
+        li2 = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        with pytest.raises(ValueError, match="does not match"):
+            ensure_bucketed_layout(spark, "eblv_t", li2, "l_orderkey",
+                                   "cafe0001", num_buckets=4)
+        # changed bucket count, same fingerprint
+        with pytest.raises(ValueError, match="Num Buckets"):
+            ensure_bucketed_layout(spark, "eblv_t", li, "l_orderkey",
+                                   "cafe0001", num_buckets=8)
+        # changed bucket column, same fingerprint
+        li3 = li.withColumnRenamed("l_quantity", "qty2").withColumnRenamed(
+            "l_orderkey", "l_orderkey"
+        )
+        with pytest.raises(ValueError, match="does not match"):
+            ensure_bucketed_layout(spark, "eblv_t", li3, "l_orderkey",
+                                   "cafe0001", num_buckets=4)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eblv_t_cafe0001")
+
+
 def test_dataset_fingerprint_tracks_source_changes(tmp_path):
     from dumpr_spark.operators.scale import dataset_fingerprint
 

@@ -848,14 +848,54 @@ def test_merge_sink_key_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     assert {str(i) for i in range(300, 400, 5)} <= got
 
 
-def test_history_sink_rejects_key_bucket(spark, tmp_path):
-    import pytest
-
+def test_history_sink_key_bucketed_equals_plain(spark, tmp_path):
+    """HistorySink with key_bucket: identical history (intervals), state,
+    and retention behavior as the plain layout — a key's whole history
+    shares one bucket, so the lead() interval window never spans
+    buckets."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
     from dumpr_spark.streaming.history import HistorySink
+    from pyspark.sql import functions as F
 
-    with pytest.raises(ValueError, match="key_bucket"):
-        HistorySink(spark, str(tmp_path / "h_state"),
-                    key_bucket=lambda c: c.cast("int"))
+    plain = HistorySink(spark, str(tmp_path / "hp_state"))
+    bucketed = HistorySink(
+        spark, str(tmp_path / "hb_state"),
+        key_bucket=lambda c: (c.cast("long") / F.lit(3)).cast("int"),
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "w", str(i), json.dumps({"id": i, "v": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda i, seq: ("delete", "w", str(i), None, None, "f1", seq, seq)  # noqa: E731
+    batches = [
+        [up(i, i) for i in range(1, 9)],
+        [up(2, 20), dele(5, 21)],
+        [up(2, 25), up(9, 26)],
+    ]
+    for i, rows in enumerate(batches):
+        plain(batch(rows), i)
+        bucketed(batch(rows), i)
+
+    def hist(sink):
+        return {
+            (r["tbl"], r["id"], r["seq"], r["valid_to"], r["is_current"])
+            for r in sink.read_history().collect()
+        }
+
+    def state(sink):
+        return {(r["tbl"], r["id"], r["seq"]) for r in sink.read_state().collect()}
+
+    assert hist(bucketed) == hist(plain) and hist(plain)
+    assert state(bucketed) == state(plain)
+    assert "_kb" not in bucketed.read_history().columns
+    kb_dirs = os.listdir(os.path.join(str(tmp_path / "hb_state"), "tbl=w"))
+    assert any(d.startswith("_kb=") for d in kb_dirs)
+    # retention prunes the same rows under both layouts
+    plain.prune_closed_before(21)
+    bucketed.prune_closed_before(21)
+    assert hist(bucketed) == hist(plain)
+    assert state(bucketed) == state(plain)
 
 
 def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):

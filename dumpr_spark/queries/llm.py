@@ -3441,11 +3441,28 @@ def _ivfpq_ctes() -> str:
     )
 
 
-def _ivfpq_index(spark, sf_dir):
+def _ivfpq_index(spark, sf_dir, train_sample_mod=None):
     """Spark side of the IVF-PQ TRAIN + ENCODE stages, shared by every
     serving dial: returns (e, q, cdf, cents, cb, vcode) with the trained
     codebook and the encoded corpus pinned, so a dial sweep
     (sim_ivfpq_recall) pays for training and encoding exactly once.
+
+    train_sample_mod: the at-volume trainer dial — when set, the PQ
+    Lloyd rounds read only the deterministic hash sample
+    `xxhash64(vec_id) % mod == 0` of the corpus residuals (the
+    embed_cosine_histogram sampling discipline: stable across runs,
+    unbiased in the population), cutting trainer input ~mod-fold; the
+    ENCODE stage still codes every vector against the resulting
+    codebooks. A PQ codebook estimates 16 cell means per 8-dim subspace
+    — thousands of residuals saturate it, so a 100 TB corpus never
+    needs (or wants) the full scan in the trainer. Default None = full
+    corpus (the registered, oracle-replayed path — at testdata scale
+    the corpus IS the sample). Measured at sf0.1 (SCALE.md round-10):
+    recall@5 is noise-flat at mod=2 (~5k training vectors) and dips ~5%
+    at mod=4 (~2.5k — approaching the saturation floor for M x KC =
+    128 codewords), so the at-volume rule is an ABSOLUTE sample budget
+    (>= thousands of vectors per codebook), not a fraction: at 100 TB
+    that budget is a vanishing sampling rate.
 
     Scale shape, stage by stage:
     - coarse training: `train_centroids_lloyd` (broadcast k x dim
@@ -3521,8 +3538,17 @@ def _ivfpq_index(spark, sf_dir):
     # volume the trainer input would be a deterministic hash sample of
     # the corpus (the embed_cosine_histogram pattern); at testdata scale
     # the full corpus IS the sample.
+    train_src = vres
+    if train_sample_mod is not None:
+        # deterministic hash sample for the trainer ONLY (see docstring);
+        # seeds (vec_id < KC) are forced in so every codeword keeps its
+        # seed even when the hash drops that row from the sample
+        train_src = vres.where(
+            (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(train_sample_mod)) == 0)
+            | (F.col("vec_id") < _IVFPQ_KC)
+        )
     sub_all = (
-        vres.select("vec_id", ms, "r")
+        train_src.select("vec_id", ms, "r")
         .select("vec_id", "m", sub_slice(F.col("r")).alias("sv"))
         .withColumn("_svv", sim.dot(sv, sv))
     )

@@ -35,7 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA, OP_ERROR, OP_UPSERT
+from dumpr_spark.cdc.envelope import (
+    ENVELOPE_COLS, ENVELOPE_SCHEMA, OP_ERROR, OP_UPSERT,
+)
 from dumpr_spark.streaming.sink import MergeSink
 
 HISTORY_SCHEMA = StructType(
@@ -130,7 +132,7 @@ class HistorySink(MergeSink):
         # (MergeSink gets this for free because materialize() filters
         # OP_ERROR; the lead() fold has no such built-in filter)
         batch = batch.where(F.col("op") != OP_ERROR)
-        env_cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+        env_cols = ENVELOPE_COLS
         w = Window.partitionBy("tbl", "id").orderBy("seq")
         if self.key_bucket is not None:
             # bucketed layout: a key's WHOLE history shares one bucket
@@ -177,9 +179,12 @@ def start_history_stream(
     checkpoint_path: str,
     trigger_available_now: bool = True,
     errors_path: str | None = None,
+    key_bucket=None,
 ):
-    """Start the SCD2-materializing stream (R18/R19 lifecycle, temporal)."""
-    sink = HistorySink(changes.sparkSession, history_path, errors_path=errors_path)
+    """Start the SCD2-materializing stream (R18/R19 lifecycle, temporal).
+    key_bucket: optional (tbl, bucket)-sliced layout — see MergeSink."""
+    sink = HistorySink(changes.sparkSession, history_path,
+                       errors_path=errors_path, key_bucket=key_bucket)
     writer = (
         changes.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_path)

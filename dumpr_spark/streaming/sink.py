@@ -34,8 +34,24 @@ def _pair_filter(pairs):
     """Partition-prunable predicate for a (tbl, _kb) pair list: one
     `tbl = t AND _kb IN (...)` disjunct per table — simple comparisons on
     partition columns, so the scan reads ONLY the touched bucket dirs
-    (a concat/isin over both would defeat pruning)."""
+    (a concat/isin over both would defeat pruning).
+
+    Rejects NULL buckets loudly: every caller collects its pair list
+    BEFORE writing, so this raise fires before any state mutates. A
+    key_bucket function that can yield NULL (e.g. try_cast on a
+    non-numeric id) would otherwise poison the layout — the NULL bucket
+    writes as __HIVE_DEFAULT_PARTITION__, `isin([None])` never matches
+    it on the read side (open intervals never close / deleted keys
+    resurrect), and the carry-forward vs fresh-write collision wedges
+    the stream on every checkpoint replay."""
     by_tbl: dict = {}
+    null_tbls = sorted({tbl for tbl, kb in pairs if kb is None})
+    if null_tbls:
+        raise ValueError(
+            f"key_bucket produced a NULL bucket for table(s) {null_tbls}: "
+            "the bucket function must be TOTAL over ids — wrap it, e.g. "
+            "coalesce(try_cast(id as long) / W, lit(-1))"
+        )
     for tbl, kb in pairs:
         by_tbl.setdefault(tbl, []).append(kb)
     cond = None

@@ -145,12 +145,11 @@ def test_ensure_bucketed_layout_validates_reuse(spark, sf_dir):
         with pytest.raises(ValueError, match="Num Buckets"):
             ensure_bucketed_layout(spark, "eblv_t", li, "l_orderkey",
                                    "cafe0001", num_buckets=8)
-        # changed bucket column, same fingerprint
-        li3 = li.withColumnRenamed("l_quantity", "qty2").withColumnRenamed(
-            "l_orderkey", "l_orderkey"
-        )
-        with pytest.raises(ValueError, match="does not match"):
-            ensure_bucketed_layout(spark, "eblv_t", li3, "l_orderkey",
+        # changed bucket COLUMN under an identical schema, same
+        # fingerprint — must trip the Bucket Columns branch specifically,
+        # not the schema compare
+        with pytest.raises(ValueError, match="Bucket Columns"):
+            ensure_bucketed_layout(spark, "eblv_t", li, "l_quantity",
                                    "cafe0001", num_buckets=4)
     finally:
         spark.sql("DROP TABLE IF EXISTS eblv_t_cafe0001")

@@ -898,6 +898,47 @@ def test_history_sink_key_bucketed_equals_plain(spark, tmp_path):
     assert state(bucketed) == state(plain)
 
 
+def test_key_bucket_null_bucket_rejected_before_any_write(spark, tmp_path):
+    """A bucket function that yields NULL for some id (try_cast on a
+    non-numeric key — exactly what ANSI-mode error messages steer users
+    toward) must fail LOUDLY before any state mutates: a NULL bucket
+    would persist as __HIVE_DEFAULT_PARTITION__, the read-side
+    isin([None]) would never match it (open intervals never close,
+    deleted keys resurrect), and the carry-forward/fresh-write collision
+    wedges checkpoint replay. Both sinks; state dir must stay absent."""
+    import pytest
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HistorySink
+    from dumpr_spark.streaming.sink import MergeSink
+    from pyspark.sql import functions as F
+
+    kb = lambda c: (c.try_cast("long") / F.lit(3)).cast("int")  # noqa: E731
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    rows = [
+        ("upsert", "w", "user_42", json.dumps({"k": 1}), None, "f1", 1, 1),
+        ("upsert", "w", "7", json.dumps({"k": 2}), None, "f1", 2, 2),
+    ]
+    for cls, sub in ((MergeSink, "m"), (HistorySink, "h")):
+        state = str(tmp_path / f"{sub}_nullkb")
+        sink = cls(spark, state, key_bucket=kb)
+        with pytest.raises(ValueError, match="NULL bucket"):
+            sink(batch(rows), 0)
+        assert not os.path.exists(state)  # nothing written, nothing poisoned
+        # a TOTAL bucket function over the same ids works
+        total = cls(
+            spark, str(tmp_path / f"{sub}_totkb"),
+            key_bucket=lambda c: F.coalesce(
+                (c.try_cast("long") / F.lit(3)).cast("int"), F.lit(-1)
+            ),
+        )
+        total(batch(rows), 0)
+        assert {r["id"] for r in total.read_state().collect()} == {"user_42", "7"}
+
+
 def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):
     """A delete must defeat a lower-seq upsert arriving in a LATER batch
     (replay / out-of-order delivery): the tombstone persists across batches.

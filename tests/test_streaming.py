@@ -898,6 +898,67 @@ def test_history_sink_key_bucketed_equals_plain(spark, tmp_path):
     assert state(bucketed) == state(plain)
 
 
+def test_merge_sink_key_bucketed_randomized_sequence(spark, tmp_path):
+    """Seeded randomized fold: 6 batches x 40 ops (upserts, deletes,
+    exact replays, out-of-order seqs, multi-table, skewed keys) must
+    leave the bucketed and plain layouts with IDENTICAL live state AND
+    identical raw tombstone sets — the property test behind the
+    hand-picked equivalence cases."""
+    import random
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1031)
+    plain = MergeSink(spark, str(tmp_path / "rp_state"))
+    bucketed = MergeSink(
+        spark, str(tmp_path / "rb_state"),
+        key_bucket=lambda c: (c.try_cast("long") / F.lit(4)).cast("int"),
+    )
+    seqs = list(range(1, 400))
+    rng.shuffle(seqs)  # out-of-order delivery baked in
+    emitted = []
+
+    def op(seq):
+        tbl = rng.choice(["aaa", "bbb"])
+        key = str(rng.choice([1, 1, 1, 2, 3, 5, 8, 13, 21, 34]))  # skew on 1
+        if rng.random() < 0.25:
+            return ("delete", tbl, key, None, None, "f1", seq, seq)
+        return ("upsert", tbl, key, json.dumps({"k": key, "s": seq}),
+                None, "f1", seq, seq)
+
+    for b in range(6):
+        rows = [op(seqs.pop()) for _ in range(40)]
+        if emitted and rng.random() < 0.5:  # exact replay of an old event
+            rows.append(rng.choice(emitted))
+        emitted += rows
+        batch = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+        plain(batch, b)
+        bucketed(batch, b)
+
+    def live(sink):
+        return {(r["tbl"], r["id"], r["op"], r["seq"], r["content"])
+                for r in sink.read_state().collect()}
+
+    def tombs(sink):
+        raw = sink._read_raw().where(F.col("op") == "delete")
+        return {(r["tbl"], r["id"], r["seq"]) for r in raw.collect()}
+
+    assert live(bucketed) == live(plain) and live(plain)
+    assert tombs(bucketed) == tombs(plain)
+    # and the fold itself is the ground truth: replaying every emitted
+    # event through batch materialize() gives the same live state
+    from dumpr_spark.cdc.materialize import materialize
+
+    all_df = spark.createDataFrame(emitted, ENVELOPE_SCHEMA)
+    truth = {
+        (r["tbl"], r["id"], r["op"], r["seq"], r["content"])
+        for r in materialize(all_df).collect()
+    }
+    assert live(plain) == truth
+
+
 def test_key_bucket_null_bucket_rejected_before_any_write(spark, tmp_path):
     """A bucket function that yields NULL for some id (try_cast on a
     non-numeric key — exactly what ANSI-mode error messages steer users

@@ -332,7 +332,16 @@ def compact_small_files(
 
 def _hive_partition_cols(path: str) -> list[str]:
     """Partition column names from a directory's ``col=value`` structure
-    (outermost first), [] for an unpartitioned layout."""
+    (outermost first), [] for an unpartitioned layout.
+
+    Underscore-PREFIXED partition dirs are real partitions, not metadata:
+    Spark's own partition discovery accepts them (MergeSink's bucketed
+    layout is ``tbl=X/_kb=N``), and the staging/metadata names this skip
+    exists for (``_temporary``, ``_SUCCESS``, ``.spark-staging``) never
+    contain ``=`` — requiring the ``=`` is the correct filter. (Skipping
+    them flattened a bucketed state's _kb level on compaction, which
+    would then drop untouched buckets at the next fold's carry-forward —
+    caught by test_merge_sink_key_bucketed_survives_file_compaction.)"""
     import os
 
     cols: list[str] = []
@@ -341,7 +350,7 @@ def _hive_partition_cols(path: str) -> list[str]:
         nxt = None
         for d in sorted(os.listdir(cur)):
             full = os.path.join(cur, d)
-            if os.path.isdir(full) and "=" in d and not d.startswith((".", "_")):
+            if os.path.isdir(full) and "=" in d and not d.startswith("."):
                 nxt = (d.split("=", 1)[0], full)
                 break
         if nxt is None:

@@ -959,6 +959,43 @@ def test_merge_sink_key_bucketed_randomized_sequence(spark, tmp_path):
     assert live(plain) == truth
 
 
+def test_merge_sink_key_bucketed_survives_file_compaction(spark, tmp_path):
+    """compact_files on a BUCKETED layout: the hive-partition detection
+    must preserve the two-level tbl/_kb directory structure (and with it
+    the pair-predicate pruning and hardlink carry-forward), state must
+    read back identically, and a post-compaction batch must still fold."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "kbc_state")
+    sink = MergeSink(
+        spark, state,
+        key_bucket=lambda c: (c.cast("long") / F.lit(50)).cast("int"),
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    for b in range(3):  # several batches -> several files per bucket
+        sink(batch([up(i, 100 * b + i) for i in range(0, 150, 7)]), b)
+    before = {(r["tbl"], r["id"], r["seq"]) for r in sink.read_state().collect()}
+
+    n_files = sink.compact_files(target_file_mb=128)
+    assert n_files > 0
+    kb_dirs = os.listdir(os.path.join(state, "tbl=orders"))
+    assert all(d.startswith(("_kb=", ".", "_")) for d in kb_dirs), kb_dirs
+    assert {(r["tbl"], r["id"], r["seq"]) for r in sink.read_state().collect()} == before
+
+    sink(batch([up(1, 999)]), 99)  # fold still works on the compacted layout
+    got = {r["id"]: r["seq"] for r in sink.read_state().collect()}
+    assert got["1"] == 999
+    # and the UNTOUCHED buckets' keys all survived the fold's
+    # carry-forward (the data-loss mode a flattened layout causes)
+    assert set(got) == {r[1] for r in before} | {"1"}
+
+
 def test_key_bucket_null_bucket_rejected_before_any_write(spark, tmp_path):
     """A bucket function that yields NULL for some id (try_cast on a
     non-numeric key — exactly what ANSI-mode error messages steer users

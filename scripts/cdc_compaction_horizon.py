@@ -209,11 +209,17 @@ def main(n_rows: int, mode: str) -> None:
     p = run_variant(spark, staging, os.path.join(work, "P"), False)
     k = run_variant(spark, staging, os.path.join(work, "K"), False,
                     key_bucket=kb)
+    # bucketed + the documented maintenance cadence: exercises
+    # compact()'s per-slice tombstone purge AND compact_files' two-level
+    # layout preservation at horizon scale
+    kc = run_variant(spark, staging, os.path.join(work, "KC"), True,
+                     key_bucket=kb)
     print(json.dumps({
         "metric": "cdc_key_bucket_horizon",
         "row_ops": n_ops, "feed_events": n_events,
         "files": N_FILES,
         "plain_sink": p, "key_bucketed_sink": k,
+        "key_bucketed_cadenced": kc,
     }))
 
 

@@ -100,27 +100,11 @@ _R3_VERIFIED: set = set()
 # stamp_binlog_filename was rewritten to the chunked literal lookup and
 # locally re-gated green at 3 scales — needs a fresh driver row).
 # Moved OUT of _R4_VERIFIED to _R9_VERIFIED (re-certified by the r9 driver
-# walk): cdc_tx_filter, dedup_simhash, sim_topk_ivf, text_char_entropy — the
-# 43 literals below are the whole remaining r4 tier; the r10 rotation target
-# (per the r9 verdict) is to empty it in one round (_R10_NEW capped <= 7).
-_R4_VERIFIED = {
-    "agg_approx_distinct", "agg_filter_clause", "agg_hll_mergeable",
-    "agg_quantile_mergeable", "agg_welch_ttest",
-    "embed_matryoshka", "embed_pq_codes",
-    "events_anomaly_mad", "events_cohort_retention",
-    "events_funnel_strict", "events_markov_transitions", "events_retention",
-    "events_sessionize", "join_nullsafe", "multimodal_frame_dedup",
-    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-    "q13_order_counts", "q14_promo_revenue", "q15_top_supplier",
-    "q16_parts_suppliers", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_discount_revenue", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_sales_opportunity", "q2_min_cost_supplier", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit", "rollup_ohlc",
-    "sample_temperature_mix", "scalar_higher_order", "scalar_interval_arith",
-    "search_hybrid_rrf",
-    "source_xml_scan", "stream_heavy_hitters", "text_bm25_topk",
-    "win_cume_dist", "win_ntile",
-}
+# walk): cdc_tx_filter, dedup_simhash, sim_topk_ivf, text_char_entropy.
+# _R4_VERIFIED is EMPTY as of round 11: the r10 driver walk re-certified all
+# 43 remaining r4-vintage rows (their freshest green rows now live in
+# _R10_VERIFIED), completing the rotation goal the r9 verdict set.
+_R4_VERIFIED: set = set()
 # Removed from _R4_VERIFIED (r7): events_changepoint_cusum — proactively
 # hardened against the agg_pareto_abc flake class (the parallel avg now
 # eps-rounds before the cusum walk accumulates it); value-identical at the
@@ -375,46 +359,69 @@ _R9_VERIFIED -= {
 # item 5; query body untouched).
 _R8_VERIFIED -= {"text_unigram_logprob"}
 
+# Names the driver hash-verified in round 10 (CORRECTNESS_r10.json: 50 of 50
+# checked, all hash_match): the 1 _R10_NEW registration, the 6-name
+# never-green backlog (the r10-evicted ivfpq dial-sweep pair, the build-once
+# bucketed join, the decimal(38) spearman widening, the two vocab-broadcast
+# docstring re-greens), and all 43 remaining r4-vintage rows (r4 tier now
+# EMPTY).
+_R10_VERIFIED = {
+    "agg_approx_distinct", "agg_filter_clause", "agg_hll_mergeable",
+    "agg_quantile_mergeable", "agg_spearman_corr", "agg_welch_ttest",
+    "embed_matryoshka", "embed_pq_codes", "events_anomaly_mad",
+    "events_cohort_retention", "events_funnel_strict",
+    "events_markov_transitions", "events_retention", "events_sessionize",
+    "join_bucketed_colocated", "join_nullsafe",
+    "multimodal_ahash_neardup_scaled", "multimodal_frame_dedup",
+    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
+    "q13_order_counts", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_suppliers", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_discount_revenue", "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_sales_opportunity", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "rollup_ohlc", "sample_temperature_mix", "scalar_higher_order",
+    "scalar_interval_arith", "search_hybrid_rrf", "sim_ivfpq_recall",
+    "sim_ivfpq_topk", "source_xml_scan", "stream_heavy_hitters",
+    "text_bm25_topk", "text_perplexity", "text_unigram_logprob",
+    "win_cume_dist", "win_ntile",
+}
+
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
 # tier, tripping the fail-safe rank-0 path (caught by review in r6).
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
     | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
+    | _R10_VERIFIED
 )
 
-# Queries first registered in round 10. They queue BEHIND the never-green
+# Queries first registered in round 11. They queue BEHIND the never-green
 # backlog and AHEAD of the verified tiers. Budget check: backlog +
-# len(_R10_NEW) must stay <= 7 (cap per the r9 verdict) so the remaining
-# >= 43 slots re-certify the whole 43-name r4 tier in one round.
-_R10_NEW: set = {
-    # the duplicate-heavy-safe image near-dup twin (r9 verdict item 2):
-    # exact-payload md5 prepass -> copy->rep edges + capped rep-level
-    # banding — kills the measured 591x identical-payload pair blowup
-    "multimodal_ahash_neardup_scaled",
-}
+# len(_R11_NEW) must stay <= 5 (cap per the r10 verdict) so the remaining
+# >= 45 slots re-certify the whole 45-name r5 tier in one round.
+_R11_NEW: set = set()
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-10 addition. A name
-# accidentally left out of _R10_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-11 addition. A name
+# accidentally left out of _R11_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R10_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R11_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
-# the only remaining correctness risk — r4/r5-vintage green rows on evolving
+# the only remaining correctness risk — r5-vintage green rows on evolving
 # code. The budget-capped walk therefore spends its slack re-certifying the
 # OLDEST green rows each round; a name re-verified in round N moves to that
 # round's set, so the rotation naturally cycles through the registry.
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R10_NEW:
+    if n in _R11_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _NEVER_GREEN, _R10_NEW, _VERIFIED_STALEST_FIRST,
+        REGISTRY, _NEVER_GREEN, _R11_NEW, _VERIFIED_STALEST_FIRST,
     )
 
     names = set(REGISTRY)
-    tiers = [_R10_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
+    tiers = [_R11_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):
@@ -46,28 +46,28 @@ def test_rank_tiers_cover_every_query_exactly_once():
             assert not (a & b), f"rank tiers overlap: {a & b}"
 
 
-def test_round10_registration_count_claim_matches():
+def test_round11_registration_count_claim_matches():
     import re
 
-    from dumpr_spark.queries import _R10_NEW
+    from dumpr_spark.queries import _R11_NEW
 
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"Round 10 \(`_R10_NEW`, (\d+) registrations", cov)
-    assert m, "COVERAGE.md round-10 registration claim missing"
-    assert int(m.group(1)) == len(_R10_NEW), (
-        f"COVERAGE.md claims {m.group(1)} round-10 registrations, "
-        f"registry has {len(_R10_NEW)}"
+    m = re.search(r"Round 11 \(`_R11_NEW`, (\d+) registrations", cov)
+    assert m, "COVERAGE.md round-11 registration claim missing"
+    assert int(m.group(1)) == len(_R11_NEW), (
+        f"COVERAGE.md claims {m.group(1)} round-11 registrations, "
+        f"registry has {len(_R11_NEW)}"
     )
 
 
-def test_round10_eviction_budget_respected():
-    """The r9 verdict caps never-green backlog + _R10_NEW at <= 7 so the
-    50-slot driver walk re-certifies the whole 43-name r4 tier in one
+def test_round11_eviction_budget_respected():
+    """The r10 verdict caps never-green backlog + _R11_NEW at <= 5 so the
+    50-slot driver walk re-certifies the whole 45-name r5 tier in one
     round. An unplanned eviction (helper edit cascading into consumers)
     silently eats a re-cert slot — fail loudly instead."""
-    from dumpr_spark.queries import _NEVER_GREEN, _R10_NEW
+    from dumpr_spark.queries import _NEVER_GREEN, _R11_NEW
 
-    assert len(_NEVER_GREEN) + len(_R10_NEW) <= 7, (
+    assert len(_NEVER_GREEN) + len(_R11_NEW) <= 5, (
         f"driver budget blown: {len(_NEVER_GREEN)} never-green + "
-        f"{len(_R10_NEW)} new > 7 leaves the r4 tier partially stale"
+        f"{len(_R11_NEW)} new > 5 leaves the r5 tier partially stale"
     )

@@ -5,6 +5,11 @@ group, running-sum the weights, take the first value whose cumulative
 weight reaches half the group total. Registry demo: `agg_weighted_median`;
 the mergeable sketch twin at volume is the histogram family
 (functions/sketches.py) with weight-summed bins.
+
+`kendall_tau_b` is the contingency-grid form of Kendall's rank
+correlation: the scan collapses to |X| x |Y| cell counts, and concordant/
+discordant pair totals come from 2D prefix sums over the dense grid —
+never a pairwise join. Registry demo: `agg_kendall_tau`.
 """
 
 from __future__ import annotations
@@ -51,4 +56,98 @@ def weighted_median(
             ),
             F.max("_total").alias("total_weight"),
         )
+    )
+
+
+def kendall_tau_b(df: DataFrame, x: str, y: str,
+                  round_digits: int = 6) -> DataFrame:
+    """Kendall's tau-b rank correlation of two ORDINAL columns, computed
+    from the contingency grid — the tie-robust third leg of the rank-
+    statistics family (Pearson: agg_corr_covar, Spearman:
+    agg_spearman_corr). tau-b = (C - D) / sqrt((n0 - Tx)(n0 - Ty)) with
+    C/D the concordant/discordant pair counts, n0 = n(n-1)/2, and Tx/Ty
+    the same-value pair counts per margin (the tie correction that keeps
+    |tau| reaching 1 under ties).
+
+    Scale shape: the full scan collapses to |X| x |Y| cell counts (one
+    map-side-combined groupBy — the only pass over the data); the dense
+    grid (distinct-x BROADCAST-crossed with distinct-y, missing cells
+    zero-filled) then carries two cascaded cumulative windows — over y
+    within each x, then over x within each y — giving every cell its
+    strictly-less / strictly-greater quadrant totals, so C = sum(c * P)
+    and D = sum(c * Q) without ever forming a pair. Every window is
+    PARTITIONED (never a global sort) and runs over grid rows, not data
+    rows. The contingency contract: both columns must be low-cardinality
+    ordinals (the grid shuffles |X| * |Y| cells); continuous inputs get
+    bucketed first — the standard practice, and the bucketing IS the tie
+    structure tau-b exists to correct for.
+
+    Determinism: cell counts and all pair totals are exact integers
+    accumulated in decimal(38,0) (the agg_spearman_corr headroom
+    discipline: C and D are bounded by n(n-1)/2, inside 38 digits past
+    10^18 rows); tau is the one double, eps-rounded at output.
+
+    Returns one row: n, concordant, discordant, ties_x, ties_y (pair
+    counts, exact) + tau_b."""
+    dec = "decimal(38,0)"
+    pts = df.select(F.col(x).alias("_x"), F.col(y).alias("_y"))
+    cells = pts.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast(dec).alias("_c")
+    )
+    gx = pts.select("_x").distinct()
+    gy = pts.select("_y").distinct()
+    grid = (
+        gx.crossJoin(F.broadcast(gy))
+        .join(cells, ["_x", "_y"], "left")
+        .select("_x", "_y",
+                F.coalesce(F.col("_c"), F.lit(0).cast(dec)).alias("_c"))
+    )
+    zero = F.lit(0).cast(dec)
+    w_lt_y = (Window.partitionBy("_x").orderBy(F.asc("_y"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_gt_y = (Window.partitionBy("_x").orderBy(F.desc("_y"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    cum = grid.select(
+        "_x", "_y", "_c",
+        F.coalesce(F.sum("_c").over(w_lt_y), zero).alias("_lt"),
+        F.coalesce(F.sum("_c").over(w_gt_y), zero).alias("_gt"),
+    )
+    w_lt_x = (Window.partitionBy("_y").orderBy(F.asc("_x"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pq = cum.select(
+        "_c",
+        F.coalesce(F.sum("_lt").over(w_lt_x), zero).alias("_p"),
+        F.coalesce(F.sum("_gt").over(w_lt_x), zero).alias("_q"),
+    )
+    tots = pq.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_p")).alias("_conc"),
+        F.sum(F.col("_c") * F.col("_q")).alias("_disc"),
+    )
+    # margin tie-pair counts: nx(nx-1)/2 per distinct value (always even
+    # products, so `div 2` is exact integral arithmetic, no float hop)
+    def _ties(col):
+        marg = pts.groupBy(col).agg(F.count(F.lit(1)).cast(dec).alias("_m"))
+        return marg.agg(
+            F.sum(F.expr("_m * (_m - 1) div 2")).cast(dec).alias("_t")
+        )
+    tx, ty = _ties("_x"), _ties("_y")
+    joined = (
+        tots.crossJoin(F.broadcast(tx.select(F.col("_t").alias("_tx"))))
+        .crossJoin(F.broadcast(ty.select(F.col("_t").alias("_ty"))))
+    )
+    n0 = F.expr("_n * (_n - 1) div 2").cast(dec)
+    tau = (
+        (F.col("_conc") - F.col("_disc")).cast("double")
+        / F.sqrt((n0 - F.col("_tx")).cast("double")
+                 * (n0 - F.col("_ty")).cast("double"))
+    )
+    return joined.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_conc").cast("bigint").alias("concordant"),
+        F.col("_disc").cast("bigint").alias("discordant"),
+        F.col("_tx").cast("bigint").alias("ties_x"),
+        F.col("_ty").cast("bigint").alias("ties_y"),
+        # eps-rounded like every ranked double (the r7 flake-class rule)
+        F.round(tau + F.lit(1e-9), round_digits).alias("tau_b"),
     )

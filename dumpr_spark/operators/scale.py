@@ -97,16 +97,43 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
 
 def dataset_fingerprint(*paths: str) -> str:
     """Deterministic 8-hex version stamp for a set of source files: md5
-    over each path plus its (size, mtime_ns). Any rewrite of the inputs
-    moves the fingerprint, so layouts keyed by it rebuild exactly when
-    the data they were cut from changes."""
+    over each path plus its (size, mtime_ns). A DIRECTORY path (the
+    normal shape of a parquet dataset) is fingerprinted by recursing
+    over its contained files (sorted relative name + size + mtime_ns
+    each): the directory inode's own size/mtime does NOT reliably move
+    when a same-named part file is rewritten in place, so hashing the
+    directory stat alone could silently serve a stale layout over
+    changed data. Any rewrite of the inputs moves the fingerprint, so
+    layouts keyed by it rebuild exactly when the data they were cut
+    from changes.
+
+    Object-store caveat (the local-FS assumption, named like every
+    at-volume caveat in this repo): size+mtime_ns identity is a LOCAL
+    filesystem contract. On an object store, mtime is the upload time
+    of whatever copy landed last (a same-bytes re-upload moves it, a
+    multipart race may not), so the identity source there is the
+    store's own version metadata — swap the stat tuple for etag /
+    version-id per object (S3 HeadObject, GCS generation) and keep the
+    same sorted-md5 fold. The call sites don't change: only this
+    identity probe is store-specific."""
     import hashlib
     import os
 
     h = hashlib.md5()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+        if os.path.isdir(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    rel = os.path.relpath(fp, p)
+                    fst = os.stat(fp)
+                    h.update(
+                        f"{p}|{rel}|{fst.st_size}|{fst.st_mtime_ns};".encode()
+                    )
+        else:
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
     return h.hexdigest()[:8]
 
 
@@ -161,9 +188,16 @@ def ensure_bucketed_layout(
         import shutil
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        loc = os.path.join(wh.path, table)
-        if wh.scheme in ("", "file") and os.path.exists(loc):
+        # resolve the location saveAsTable would use THROUGH the catalog
+        # (the current database's locationUri + table name) — joining
+        # warehouse.dir with the bare table name is wrong whenever the
+        # session's current database is not `default` (<wh>/<db>.db/<t>)
+        # or the database was created with a custom LOCATION
+        db = urlparse(
+            spark.catalog.getDatabase(spark.catalog.currentDatabase()).locationUri
+        )
+        loc = os.path.join(db.path, table)
+        if db.scheme in ("", "file") and os.path.exists(loc):
             shutil.rmtree(loc)  # cold-catalog orphan (see docstring)
         try:
             write_bucketed(df, table, bucket_col,
@@ -216,7 +250,16 @@ def gc_layouts(spark: SparkSession, name: str, keep_fingerprint: str) -> int:
     table's files), never a raw directory delete. Only names matching
     the exact generation shape (`{name}_` + 8 hex chars) are touched, so
     a user table that merely shares the prefix (`{name}_backup`) is
-    never dropped. Returns the number dropped."""
+    never dropped. Returns the number dropped.
+
+    This is an OUT-OF-BAND maintenance step, not a query step (r10
+    advice): DROP TABLE deletes a managed table's files immediately, so
+    under a shared metastore a concurrent session still mid-scan on an
+    old generation would fail — which is exactly the disturbance the
+    fingerprint-per-generation discipline exists to avoid. Run it on the
+    maintenance cadence (with compact_files and the sink compaction),
+    after in-flight readers of the previous generation have drained;
+    `ensure_bucketed_layout` never calls it."""
     import re
 
     pat = re.compile(re.escape(name) + r"_[0-9a-f]{8}$")

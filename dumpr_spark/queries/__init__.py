@@ -385,6 +385,21 @@ _R10_VERIFIED = {
     "text_bm25_topk", "text_perplexity", "text_unigram_logprob",
     "win_cume_dist", "win_ntile",
 }
+# Removed from _R10_VERIFIED (stale evidence, r11 edit):
+# join_bucketed_colocated — generation GC moved OUT of the query hot path
+# (r10 advice: a query-time DROP TABLE would fail a concurrent reader
+# mid-scan on the old generation; gc_layouts is now an out-of-band
+# maintenance step). Values identical — the join/aggregate body is
+# untouched — but the builder source changed.
+_R10_VERIFIED -= {"join_bucketed_colocated"}
+# Removed from _R10_VERIFIED (stale evidence, r11 edit): sim_ivfpq_topk —
+# the registered serve path now runs at the CALIBRATED dial the r10 sweep
+# recommends (r10 verdict item 2): nprobe=4 and shortlist derived from
+# corpus size (max(32, ceil(n / cells)), the sim_ivfpq_recall scaling
+# rule) instead of the fixed r9 (2, 32) whose measured recall@5 had
+# decayed to .369 at sf0.1. Output rows change (better neighbors), the
+# oracle derives the same dial in SQL — needs a fresh driver row.
+_R10_VERIFIED -= {"sim_ivfpq_topk"}
 
 # The union is computed ONCE, after every tier literal is final — a snapshot
 # taken before a later edit would leave a name in _DRIVER_VERIFIED but no
@@ -399,7 +414,11 @@ _DRIVER_VERIFIED = (
 # backlog and AHEAD of the verified tiers. Budget check: backlog +
 # len(_R11_NEW) must stay <= 5 (cap per the r10 verdict) so the remaining
 # >= 45 slots re-certify the whole 45-name r5 tier in one round.
-_R11_NEW: set = set()
+_R11_NEW: set = {
+    # rank-statistics family completion: Kendall tau-b via the
+    # contingency grid + 2D prefix sums (functions/stats.kendall_tau_b)
+    "agg_kendall_tau",
+}
 
 # Never-green backlog, by construction: every registered name without
 # current-code green driver evidence that is not a round-11 addition. A name

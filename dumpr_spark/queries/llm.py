@@ -9,6 +9,8 @@ recomputes them identically.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from dumpr_spark.functions import dedup as dd
@@ -3229,16 +3231,24 @@ def sim_ann_recall_curve(spark, sf_dir):
 # Round 8: IVF-PQ serving — train -> calibrate -> SERVE, closing §2.2-J
 # --------------------------------------------------------------------------
 
-# The serving configuration. nprobe=2 is the curve's knee (sim_ann_recall_
-# curve: recall .59 at 2/8 of the corpus probed vs .66 at 4/8); M=8
-# subspaces of 8 dims with a 16-codeword codebook compress a 512-byte
-# vector to 8 bytes; shortlist=32 is what the exact re-rank pass reads.
-_IVFPQ_NPROBE = 2
+# The index configuration. M=8 subspaces of 8 dims with a 16-codeword
+# codebook compress a 512-byte vector to 8 bytes; 8 coarse cells at
+# testdata scale (cells ~ sqrt(n) is the at-volume rule, see
+# sim_ivfpq_recall). nprobe=2/shortlist=32 are the r9 dial the RECALL
+# SWEEP keeps as its baseline legs; since r11 the registered SERVE path
+# runs at the dial the r10 sweep measured and recommends: nprobe=4 and
+# shortlist DERIVED from corpus size (~ n/cells, floor 32) so the
+# shortlist keeps a constant fraction of each probed cell as the corpus
+# grows — the fixed-32 shortlist was the measured recall cliff
+# (.369 at sf0.1 vs .681 at the swept dial).
+_IVFPQ_NPROBE = 2     # baseline sweep leg (serving default is _SERVE_NPROBE)
 _IVFPQ_M = 8          # PQ subspaces
 _IVFPQ_SUB = 8        # dims per subspace (M * SUB = embedding dim 64)
 _IVFPQ_KC = 16        # codewords per subspace (vec_id < KC residual SEEDS)
-_IVFPQ_SHORTLIST = 32 # ADC shortlist handed to the exact re-rank
+_IVFPQ_SHORTLIST = 32 # baseline sweep-leg shortlist (and the serve floor)
 _IVFPQ_TRAIN_ITERS = 2  # per-subspace Lloyd rounds refining the seeds (r9)
+_IVFPQ_CELLS = 8      # coarse IVF cells (k of train_centroids_lloyd below)
+_IVFPQ_SERVE_NPROBE = 4  # serving nprobe: the r10 sweep's measured pick
 
 
 def _pq_train_iter_sql(i: int) -> str:
@@ -3364,13 +3374,15 @@ def _ivfpq_base_ctes() -> str:
     )
 
 
-def _ivfpq_serve_ctes(nprobe: int, shortlist: int, sfx: str = "") -> str:
+def _ivfpq_serve_ctes(nprobe: int, shortlist, sfx: str = "") -> str:
     """Oracle CTEs for ONE serving dial against the base index: the
     per-query per-probed-cell ADC lookup table, the fixed-order ADC sum,
     the shortlist cut, and the exact cosine re-rank — ending in
     final{sfx}. Every ranked value is eps-rounded with an id tie-break;
     the ADC sum is written as M positionally-fixed terms so neither
-    engine's aggregation order can wiggle an ulp."""
+    engine's aggregation order can wiggle an ulp. `shortlist` is an int
+    literal (the sweep legs) or a scalar-subquery string (the serving
+    default's corpus-derived dial)."""
     adc_sum = "\n                 + ".join(
         f"MAX(CASE WHEN l.m = {i} THEN l.d2 END)" for i in range(_IVFPQ_M)
     )
@@ -3433,11 +3445,23 @@ def _ivfpq_serve_ctes(nprobe: int, shortlist: int, sfx: str = "") -> str:
 
 def _ivfpq_ctes() -> str:
     """The default-dial oracle pyramid (train + encode + one serve leg
-    ending in `final`) — what sim_ivfpq_topk's oracle cuts."""
+    ending in `final`) — what sim_ivfpq_topk's oracle cuts. Since r11
+    the serve leg runs at the CALIBRATED dial: nprobe=_IVFPQ_SERVE_NPROBE
+    and shortlist derived from corpus size exactly as the Spark side
+    derives it (GREATEST(floor, ceil(n / cells)) — the sim_ivfpq_recall
+    scaling rule), so the replay stays bit-for-bit at every scale."""
+    dial = f"""
+    serve_dial AS (
+      SELECT GREATEST({_IVFPQ_SHORTLIST},
+                      CAST(CEIL(COUNT(*) / {_IVFPQ_CELLS}.0) AS BIGINT)) AS sl
+      FROM corpus
+    )"""
     return (
         _ivfpq_base_ctes()
         + ","
-        + _ivfpq_serve_ctes(_IVFPQ_NPROBE, _IVFPQ_SHORTLIST)
+        + dial
+        + ","
+        + _ivfpq_serve_ctes(_IVFPQ_SERVE_NPROBE, "(SELECT sl FROM serve_dial)")
     )
 
 
@@ -3489,7 +3513,7 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None):
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
     cdf, _counts, _iters, _conv = sim.train_centroids_lloyd(
-        e, k=8, max_iter=4, eps=0.06
+        e, k=_IVFPQ_CELLS, max_iter=4, eps=0.06
     )
     cents = cdf.select(
         F.col("cent_id").alias("cell"), F.col("cent_vec").alias("cvec")
@@ -3685,13 +3709,24 @@ def _ivfpq_query(e, q, cdf, cents, cb, vcode,
 
 
 def _ivfpq_reranked(spark, sf_dir):
-    """The default-dial IVF-PQ serving path (train + encode + serve at
-    nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST) — what
-    sim_ivfpq_topk registers. Split into _ivfpq_index/_ivfpq_query in r10
-    so sim_ivfpq_recall's dial sweep shares one trained index; this
-    composition is value- and plan-identical to the r9 single-function
-    form."""
-    return _ivfpq_query(*_ivfpq_index(spark, sf_dir))
+    """The CALIBRATED-dial IVF-PQ serving path (train + encode + serve) —
+    what sim_ivfpq_topk registers. Split into _ivfpq_index/_ivfpq_query
+    in r10 so sim_ivfpq_recall's dial sweep shares one trained index;
+    since r11 the serve dial follows the sweep's scaling rule instead of
+    the fixed r9 (2, 32): nprobe=4 and shortlist = max(32, ceil(n /
+    cells)), where n is the corpus count — one metadata-sized count()
+    action (the only driver traffic), so the shortlist keeps a constant
+    fraction of each probed cell as the corpus grows. Measured at sf0.1
+    the fixed dial had decayed to recall@5 .369 while (4, 128) measures
+    .681 (SCALE.md round-10); this derived dial is (4, 250) there and
+    MEASURES .750 (scripts/ivfpq_dial_probe.py, SCALE.md round-11) —
+    recall is monotone in shortlist at fixed nprobe (a longer ADC
+    shortlist only ADDS exact-re-rank candidates)."""
+    index = _ivfpq_index(spark, sf_dir)
+    n = index[0].count()
+    shortlist = max(_IVFPQ_SHORTLIST, math.ceil(n / _IVFPQ_CELLS))
+    return _ivfpq_query(*index, nprobe=_IVFPQ_SERVE_NPROBE,
+                        shortlist=shortlist)
 
 
 @query(
@@ -3706,16 +3741,21 @@ def _ivfpq_reranked(spark, sf_dir):
 def sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ serving top-k — the industry-standard at-scale ANN read
     path, composed end-to-end: Lloyd-trained IVF cells prune the corpus
-    (nprobe=2 of 8, the dial sim_ann_recall_curve's knee picks), product
-    quantization compresses each pruned candidate to M=8 one-byte codes
-    over RESIDUALS (v - cell centroid — classic IVF-PQ, ~half the
-    variance of quantizing raw vectors) with codebooks TRAINED by
-    per-subspace Lloyd from deterministic seeds (r9 — the standard PQ
-    trainer, not sampled codewords), asymmetric-distance scoring
-    ranks candidates from a per-query lookup table without touching any
-    stored vector, and only the 32-row shortlist pays for exact cosine.
-    Closes §2.2-J's similarity story: train (embed_kmeans_converged) ->
-    calibrate (sim_ann_recall_curve) -> serve (this).
+    (nprobe=4 of 8 since r11 — the dial the r10 recall sweep measured
+    and recommends), product quantization compresses each pruned
+    candidate to M=8 one-byte codes over RESIDUALS (v - cell centroid —
+    classic IVF-PQ, ~half the variance of quantizing raw vectors) with
+    codebooks TRAINED by per-subspace Lloyd from deterministic seeds
+    (r9 — the standard PQ trainer, not sampled codewords),
+    asymmetric-distance scoring ranks candidates from a per-query lookup
+    table without touching any stored vector, and only the shortlist
+    pays for exact cosine. The shortlist FOLLOWS the corpus since r11:
+    max(32, ceil(n / cells)) per the sweep's scaling rule (a fixed 32
+    was the measured recall cliff — .369 at sf0.1; the calibrated dial
+    measures .681 at (4, 128) and the derived shortlist only adds
+    re-rank candidates beyond that). Closes §2.2-J's similarity story:
+    train (embed_kmeans_converged) -> calibrate (sim_ann_recall_curve +
+    sim_ivfpq_recall) -> serve at the calibrated dial (this).
 
     Output: top-5 per query with both the ADC estimate and the exact
     re-ranked similarity, so the quantization error is visible per row.

@@ -3975,6 +3975,96 @@ def agg_spearman_corr(spark, sf_dir):
     )
 
 
+@query(
+    "agg_kendall_tau",
+    """
+    WITH li AS (
+      SELECT l_quantity AS x, CAST(ROUND(l_discount * 100, 0) AS INT) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM li GROUP BY x, y
+    ),
+    grid AS (
+      SELECT gx.x, gy.y, COALESCE(c.c, CAST(0 AS HUGEINT)) AS c
+      FROM (SELECT DISTINCT x FROM li) gx
+      CROSS JOIN (SELECT DISTINCT y FROM li) gy
+      LEFT JOIN cells c ON c.x = gx.x AND c.y = gy.y
+    ),
+    cum AS (
+      SELECT x, y, c,
+             COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS lt_y,
+             COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS gt_y
+      FROM grid
+    ),
+    pq AS (
+      SELECT c,
+             COALESCE(SUM(lt_y) OVER (PARTITION BY y ORDER BY x ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS p,
+             COALESCE(SUM(gt_y) OVER (PARTITION BY y ORDER BY x ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS q
+      FROM cum
+    ),
+    tots AS (
+      SELECT SUM(c) AS n, SUM(c * p) AS conc, SUM(c * q) AS disc FROM pq
+    ),
+    tx AS (
+      SELECT SUM(m * (m - 1) // 2) AS t FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM li GROUP BY x)
+    ),
+    ty AS (
+      SELECT SUM(m * (m - 1) // 2) AS t FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM li GROUP BY y)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(tx.t AS BIGINT) AS ties_x,
+           CAST(ty.t AS BIGINT) AS ties_y,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) // 2 - tx.t AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 - ty.t AS DOUBLE))
+                 + 1e-9, 6) AS tau_b
+    FROM tots, tx, ty
+    """,
+    tags=("agg", "stats", "correlation"),
+)
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall tau-b of quantity vs discount — completes the rank-
+    statistics family (Pearson agg_corr_covar / Spearman
+    agg_spearman_corr / Mann-Whitney agg_mann_whitney): the
+    concordant-vs-discordant pair fraction with the tie correction,
+    the robust effect-size a curation pipeline reads when both columns
+    are coarse ordinals (quality bands, star ratings, bucketed scores)
+    where Spearman's midranks compress badly.
+
+    Implementation is functions/stats.kendall_tau_b — the contingency-
+    grid form: ONE map-side-combined groupBy collapses the scan to
+    |X| x |Y| cells (50 quantities x 11 discount points = 550 here),
+    then two cascaded PARTITIONED cumulative windows over the dense
+    grid give every cell its strictly-less/strictly-greater quadrant
+    totals, so the pair counts come out without ever forming a pair —
+    O(n) scan + O(grid) windows, vs the textbook O(n^2) pairwise or
+    O(n log n) merge-sort form that would need a single-task global
+    order. All counts exact integers in decimal(38,0)/HUGEINT (the
+    spearman headroom discipline); tau is the one eps-rounded double.
+
+    Oracle: DuckDB replays the identical grid + quadrant prefix sums."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("y"),
+    )
+    from dumpr_spark.functions.stats import kendall_tau_b
+
+    return kendall_tau_b(li, "x", "y")
+
+
 def _zorder_sql_terms() -> str:
     """The 32-term bit-interleave as SQL (oracle twin of the Spark
     expression in layout_zorder)."""
@@ -4106,6 +4196,15 @@ def join_bucketed_colocated(spark, sf_dir):
     is catalog-mediated, so concurrent builders cannot race a
     drop/rewrite window.
 
+    r11 (r10 advice): generation GC is OUT of the query path — DROP
+    TABLE deletes a managed table's files immediately, so a query-time
+    `gc_layouts` could fail a concurrent session still mid-scan on the
+    previous generation, contradicting the reader-undisturbed discipline
+    the fingerprint-per-generation naming buys. Stale generations now
+    rotate out on the maintenance cadence (`gc_layouts`, run out-of-band
+    with compact_files — see its docstring), where a drained-readers
+    precondition is actually enforceable.
+
     The builder RAISES (not asserts — must hold under python -O) on all
     three documented invariants: SMJ chosen, bucketed scans read, no
     hashpartitioning Exchange — the same invariant
@@ -4115,7 +4214,7 @@ def join_bucketed_colocated(spark, sf_dir):
     import os
 
     from dumpr_spark.operators.scale import (
-        dataset_fingerprint, ensure_bucketed_layout, explain_str, gc_layouts,
+        dataset_fingerprint, ensure_bucketed_layout, explain_str,
     )
 
     li = t(spark, sf_dir, "lineitem").select(
@@ -4144,8 +4243,6 @@ def join_bucketed_colocated(spark, sf_dir):
     o_tbl = ensure_bucketed_layout(
         spark, f"jbc_o_{dsid}", o, "l_orderkey", fp, num_buckets=8
     )
-    gc_layouts(spark, f"jbc_li_{dsid}", fp)
-    gc_layouts(spark, f"jbc_o_{dsid}", fp)
     # the merge hint pins SortMergeJoin in the EXECUTED plan (broadcast
     # would be value-identical but unbucketed — the r9 advice's gap
     # between the certified plan and the run)

@@ -179,14 +179,18 @@ def start_history_stream(
     checkpoint_path: str,
     trigger_available_now: bool = True,
     errors_path: str | None = None,
+    output_mode: str = "update",
     key_bucket=None,
 ):
     """Start the SCD2-materializing stream (R18/R19 lifecycle, temporal).
+    output_mode: same contract as start_merge_stream — foreachBatch itself
+    is mode-agnostic, but an upstream applyInPandasWithState declared in
+    append mode (the streaming tx filter) requires output_mode="append".
     key_bucket: optional (tbl, bucket)-sliced layout — see MergeSink."""
     sink = HistorySink(changes.sparkSession, history_path,
                        errors_path=errors_path, key_bucket=key_bucket)
     writer = (
-        changes.writeStream.outputMode("update")
+        changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(sink)
     )

@@ -20,14 +20,82 @@ in flight.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
+from dataclasses import dataclass
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from dumpr_spark.cdc.envelope import OP_DELETE, ENVELOPE_SCHEMA
 from dumpr_spark.cdc.materialize import materialize
+
+
+@dataclass(frozen=True)
+class KeyBucket:
+    """A pinned range-bucket policy: ``bucket = floor((id - origin) / width)``.
+
+    TOTAL over ids (a non-integer id lands in bucket -1 instead of NULL —
+    the NULL bucket poisons the layout, see `_pair_filter`) and
+    DETERMINISTIC in (width, origin) alone, so persisting these two ints
+    (the repr is enough) reproduces the exact same layout across stream
+    restarts. Derive one from observed state with `suggest_key_bucket`;
+    NEVER re-derive over an existing state directory — the suggestion
+    changes as state grows, and a changed bucket function over existing
+    buckets splits keys across layouts (migrate via `migrate_key_bucket`
+    instead). Future autoincrement keys past the observed max simply open
+    new top buckets, which is the locality the layout exists to exploit."""
+
+    width: int
+    origin: int = 0
+
+    def __call__(self, c: Column) -> Column:
+        return F.coalesce(
+            F.floor((c.try_cast("long") - F.lit(self.origin)) / F.lit(self.width)),
+            F.lit(-1),
+        ).cast("int")
+
+
+def suggest_key_bucket(state_df: DataFrame,
+                       target_rows_per_bucket: int = 250_000) -> KeyBucket:
+    """Derive a range-bucket width from observed id min/max/density — the
+    policy helper for `MergeSink(key_bucket=...)` so the caller doesn't
+    guess the width. One metadata-sized aggregate (4 scalars collected, a
+    map-side-combined scan — no shuffle of rows), deterministic given the
+    input state.
+
+    Policy: ~`target_rows_per_bucket` live rows per (tbl, bucket) slice,
+    width = ceil(id_span / n_buckets) with the origin pinned at the
+    observed min (bucket numbers start at 0 and grow with autoincrement
+    keys). Range bucketing presumes an integer-castable id domain; if any
+    id is not, this raises — hash bucketing would spread every batch over
+    all buckets and buy nothing (the MergeSink docstring's policy note),
+    so a non-numeric key domain needs a caller-supplied domain bucketing
+    instead. Pin the returned (width, origin) for the stream's lifetime;
+    re-bucketing existing state goes through `migrate_key_bucket`."""
+    row = state_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("id").try_cast("long")).alias("lo"),
+        F.max(F.col("id").try_cast("long")).alias("hi"),
+        F.count(F.when(F.col("id").try_cast("long").isNull(), 1)).alias("bad"),
+    ).collect()[0]
+    if row["n"] == 0:
+        raise ValueError(
+            "suggest_key_bucket needs observed state to derive a width from; "
+            "for an empty stream pick the width from the source table's key "
+            "range instead"
+        )
+    if row["bad"]:
+        raise ValueError(
+            f"{row['bad']} id(s) are not integer-castable: range bucketing "
+            "needs a numeric key domain — supply a domain-specific "
+            "key_bucket callable instead (hash bucketing spreads every "
+            "batch over all buckets and buys nothing)"
+        )
+    n_buckets = max(1, math.ceil(row["n"] / target_rows_per_bucket))
+    width = max(1, math.ceil((row["hi"] - row["lo"] + 1) / n_buckets))
+    return KeyBucket(width=width, origin=int(row["lo"]))
 
 
 def _pair_filter(pairs):
@@ -93,11 +161,14 @@ class MergeSink:
     (the normal CDC shape: autoincrement PKs cluster recent writes into
     the top range bucket; a HASH bucketing spreads every batch over all
     buckets and buys nothing — pick the policy to match the workload;
-    the mechanism is policy-agnostic). The bucket function must be
-    DETERMINISTIC in the id (it is recomputed per batch and after every
-    fold) and stable across the stream's lifetime — changing it over an
-    existing state directory splits keys across buckets; migrate through
-    a full rewrite instead. Default None: the r9 tbl-partitioned layout,
+    the mechanism is policy-agnostic — `suggest_key_bucket` derives a
+    range width from observed state so the caller doesn't guess). The
+    bucket function must be DETERMINISTIC in the id (it is recomputed per
+    batch and after every fold) and stable across the stream's lifetime —
+    changing it over an existing state directory splits keys across
+    buckets, and enabling/disabling it over existing state is refused up
+    front (`_validate_layout`); both migrate through the full-rewrite
+    `migrate_key_bucket` instead. Default None: the r9 tbl-partitioned layout,
     byte-identical behavior. HistorySink supports the same option (a
     key's whole history shares one bucket, so the validity-interval
     window never spans buckets).
@@ -142,7 +213,8 @@ class MergeSink:
         interrupted swap. Stale .next-*/.tmp-*/.compact-tmp staging dirs from
         a crashed assembly are garbage."""
         baks = [
-            b for b in (self.state_path + ".bak", self.state_path + ".compact-bak")
+            b for b in (self.state_path + ".bak", self.state_path + ".compact-bak",
+                        self.state_path + ".migrate-bak")
             if os.path.exists(b)
         ]
         if os.path.exists(self.state_path):
@@ -158,14 +230,58 @@ class MergeSink:
             return
         stale = (base + ".next-", base + ".tmp-")
         for d in os.listdir(parent or "."):
-            if d.startswith(stale) or d == base + ".compact-tmp":
+            if d.startswith(stale) or d in (base + ".compact-tmp", base + ".migrate-tmp"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    def _validate_layout(self) -> None:
+        """Refuse to operate on a state directory whose on-disk layout does
+        not match this sink's `key_bucket` mode — in EITHER direction, and
+        BEFORE any read or write.
+
+        Enabling key_bucket over an existing plain (tbl-only) state would
+        otherwise silently destroy it: legacy data files read back with
+        _kb=NULL so `_pair_filter` never matches them (deleted keys
+        resurrect, updates are lost), and `_commit`'s carry-forward links
+        only _kb= subdirs, dropping every legacy data file of any touched
+        table in one batch. The reverse (a plain sink over a bucketed
+        directory) leaves a mixed layout behind: touched tables rewrite
+        flat while untouched ones keep their _kb= subdirs. Both are
+        migration events, not merge events — `migrate_key_bucket` is the
+        full-rewrite path. Metadata-only (one listdir per table), same
+        cost class as `_commit`'s carry-forward walk."""
+        if not os.path.isdir(self.state_path):
+            return
+        offenders = []
+        for d in os.listdir(self.state_path):
+            if not d.startswith("tbl="):
+                continue
+            for e in os.listdir(os.path.join(self.state_path, d)):
+                if self.key_bucket is not None:
+                    # bucketed sink: only _kb= dirs (and hidden/marker
+                    # files) may live under a table dir
+                    if not e.startswith(("_kb=", ".", "_")):
+                        offenders.append(d)
+                        break
+                elif e.startswith("_kb="):
+                    offenders.append(d)
+                    break
+        if offenders:
+            want = "bucketed (tbl=/_kb=)" if self.key_bucket else "plain (tbl=)"
+            raise ValueError(
+                f"state at {self.state_path} does not match this sink's "
+                f"{want} layout (mismatched table dirs: {sorted(offenders)}). "
+                "Changing key_bucket over existing state is a full-rewrite "
+                "migration, not a merge — run migrate_key_bucket(spark, "
+                "state_path, key_bucket) with the stream stopped, then "
+                "restart the sink."
+            )
 
     def _read_raw(self) -> DataFrame:
         """Full persisted state INCLUDING delete tombstones (+ the `_kb`
         partition column in bucketed mode — internal, dropped by
         read_state)."""
         self._recover()
+        self._validate_layout()
         schema = self._ext_schema() if self.key_bucket else self._schema
         if not os.path.exists(self.state_path):
             return self.spark.createDataFrame([], schema)
@@ -224,6 +340,7 @@ class MergeSink:
         from dumpr_spark.operators.scale import compact_small_files
 
         self._recover()
+        self._validate_layout()
         schema = self._ext_schema() if self.key_bucket else self._schema
         return compact_small_files(
             self.spark, self.state_path, target_file_mb=target_file_mb,
@@ -342,6 +459,61 @@ class MergeSink:
             keep_tombstones=True,
         )
         self._commit(next_touched, touched, batch_id)
+
+
+def migrate_key_bucket(spark: SparkSession, state_path: str, key_bucket,
+                       schema=ENVELOPE_SCHEMA) -> None:
+    """Full-rewrite migration between sink state layouts: plain -> bucketed
+    (`key_bucket` callable), bucketed -> plain (`key_bucket=None`), or a
+    CHANGED bucket function over an existing bucketed layout. Run
+    OUT-OF-BAND with the stream stopped — like `compact_files`, the swap
+    discipline here (.migrate-tmp/.migrate-bak, crash-recovered by
+    `_recover`) must not interleave with `_commit`'s.
+
+    This is the one sanctioned way to change `key_bucket` over existing
+    state: an in-place flip is refused by `_validate_layout` because the
+    merge fold would silently drop or resurrect rows (see that docstring).
+    Cost is one full read + rewrite of the table — O(state), paid once,
+    which is the honest price of a layout change; pass the HistorySink's
+    HISTORY_SCHEMA as `schema` when migrating an SCD2 state directory."""
+    if not os.path.exists(state_path):
+        raise ValueError(f"no state directory at {state_path} to migrate")
+    # recovery only (no layout validation — a migration EXPECTS the
+    # mismatch); the throwaway sink shares the real recovery discipline
+    scratch = MergeSink(spark, state_path)
+    scratch._schema = schema
+    scratch._recover()
+    # read through the EXTENDED schema: bucketed dirs bind _kb from the
+    # partition value, plain files read _kb=NULL — dropped either way
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ext = StructType(list(schema.fields) + [StructField("_kb", IntegerType())])
+    df = spark.read.schema(ext).parquet(state_path).drop("_kb")
+    tmp = state_path + ".migrate-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if key_bucket is None:
+        df.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
+    else:
+        out = df.withColumn("_kb", key_bucket(F.col("id")).cast("int"))
+        # same loud NULL-bucket rejection as the merge path, BEFORE the swap
+        null_tbls = [
+            r["tbl"] for r in
+            out.where(F.col("_kb").isNull()).select("tbl").distinct().collect()
+        ]
+        if null_tbls:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"key_bucket produced a NULL bucket for table(s) "
+                f"{sorted(null_tbls)}: the bucket function must be TOTAL "
+                "over ids — wrap it, e.g. coalesce(try_cast(id as long) / W, "
+                "lit(-1)), or use the KeyBucket policy object"
+            )
+        out.write.mode("overwrite").partitionBy("tbl", "_kb").parquet(tmp)
+    bak = state_path + ".migrate-bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(state_path, bak)
+    os.rename(tmp, state_path)
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def start_merge_stream(

@@ -17,7 +17,13 @@ does the documented cadence keep per-batch cost flat as state grows, or
 does the touched-partition merge term (rewrite of tbl=orders per batch)
 dominate regardless?
 
-Usage: python scripts/cdc_compaction_horizon.py [n_rows]
+Usage: python scripts/cdc_compaction_horizon.py [n_rows] [mode]
+  mode = compaction (default) | buckets | crossover | history
+  crossover (r11): replicate the feed 4x (>= 5M row-ops) so the plain
+  sink's O(table) per-batch rewrite separates from the per-batch floor
+  in wall-clock; bucket policy derived via suggest_key_bucket.
+  history (r11): multi-version feed into the SCD2 HistorySink, cadenced
+  prune_closed_before retention between segments.
 """
 
 from __future__ import annotations
@@ -37,7 +43,15 @@ SEGMENT = 12  # files (= batches) per segment; cadence boundary for B
 
 
 def build_feed(spark, staging: str, n_rows: int,
-               layout: str = "hash") -> tuple[int, int]:
+               layout: str = "hash", replicate: int = 1,
+               id_mod: int | None = None) -> tuple[int, int]:
+    """replicate: union `replicate` key-offset copies of the base rows —
+    the r11 crossover probe's way to grow state past the ~2 s per-batch
+    floor (>= 5M row-ops) without new source data. id_mod: fold the key
+    space onto `id_mod` distinct ids so each id receives ~replicate *
+    n_rows/id_mod VERSIONS spread across the key-ordered arrival — the
+    multi-version feed the HistorySink retention horizon needs (a
+    single-version feed never closes an interval)."""
     from pyspark.sql import functions as F
 
     sf1 = os.path.join(
@@ -50,6 +64,18 @@ def build_feed(spark, staging: str, n_rows: int,
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(n_rows)
     )
+    if replicate > 1:
+        # max sf1 o_orderkey is 2,079,149,999 < 2^31: offset copies never
+        # collide, and seq = key*4+1 stays unique and arrival-ordered
+        base = o
+        parts = [base]
+        for i in range(1, replicate):
+            parts.append(base.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 2_147_483_648)
+            ))
+        o = parts[0]
+        for p in parts[1:]:
+            o = o.unionByName(p)
     key = F.col("o_orderkey")
     src = F.concat(F.lit("s"), (key % N_SOURCES).cast("string"))
     txid = (key / (N_SOURCES * TX_ROWS)).cast("long")
@@ -57,10 +83,12 @@ def build_feed(spark, staging: str, n_rows: int,
         F.when(key % 7 == 0, "delete").when(key % 5 == 0, "update")
         .otherwise("write")
     )
+    ent_id = (key % id_mod) if id_mod else key
     rows = o.select(
         src.alias("source"), etype.alias("event_type"),
         F.lit("orders").alias("tbl"),
-        F.to_json(F.struct("o_orderkey", "o_custkey", "o_totalprice"))
+        F.to_json(F.struct(ent_id.alias("o_orderkey"),
+                           "o_custkey", "o_totalprice"))
             .alias("payload"),
         (key * 4 + 1).alias("seq"), txid.alias("txid"),
     )
@@ -96,11 +124,13 @@ def build_feed(spark, staging: str, n_rows: int,
 
 
 def stream_segment(spark, feed, state, ckpt,
-                   key_bucket=None) -> list[tuple[int, int]]:
+                   key_bucket=None, history=False) -> list[tuple[int, int]]:
     """availableNow run over whatever is in `feed`; returns (events, ms)
-    per micro-batch."""
+    per micro-batch. history=True streams into the SCD2 HistorySink
+    instead of the current-state MergeSink."""
     from pyspark.sql import functions as F
 
+    from dumpr_spark.streaming.history import start_history_stream
     from dumpr_spark.streaming.sink import start_merge_stream
     from dumpr_spark.streaming.state import streaming_tx_filter
 
@@ -123,8 +153,12 @@ def stream_segment(spark, feed, state, ckpt,
         F.col("seq").alias("next_position"),
         F.col("seq"),
     )
-    q = start_merge_stream(changes, state, ckpt, output_mode="append",
-                           key_bucket=key_bucket)
+    if history:
+        q = start_history_stream(changes, state, ckpt, output_mode="append",
+                                 key_bucket=key_bucket)
+    else:
+        q = start_merge_stream(changes, state, ckpt, output_mode="append",
+                               key_bucket=key_bucket)
     q.awaitTermination()
     out = []
     for p in q.recentProgress:
@@ -178,6 +212,55 @@ def run_variant(spark, staging, work, compact_between: bool,
     }
 
 
+def run_history_variant(spark, staging, work, prune_between: bool,
+                        key_bucket=None, retention_segments: int = 2):
+    """N batches into a HistorySink; with prune_between, the documented
+    out-of-band retention cadence runs between segments: drop intervals
+    closed more than `retention_segments` segments of seq-space ago
+    (stream stopped -> prune_closed_before -> compact_files -> resume)."""
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.streaming.history import HistorySink
+
+    feed = os.path.join(work, "feed")
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(feed, exist_ok=True)
+    batches, prune_secs = [], []
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".json"))
+    assert len(files) >= N_FILES, files
+    seg_span = None
+    for seg_start in range(0, N_FILES, SEGMENT):
+        for f in files[seg_start:seg_start + SEGMENT]:
+            shutil.copy(os.path.join(staging, f), os.path.join(feed, f))
+        batches += stream_segment(spark, feed, state, ckpt,
+                                  key_bucket=key_bucket, history=True)
+        if prune_between and seg_start + SEGMENT < N_FILES:
+            t0 = time.time()
+            sink = HistorySink(spark, state, key_bucket=key_bucket)
+            hi = sink._read_raw().agg(F.max("seq")).collect()[0][0]
+            if seg_span is None:
+                seg_span = hi  # seq-space one segment covers (key-ordered feed)
+            horizon = hi - retention_segments * seg_span
+            if horizon > 0:
+                sink.prune_closed_before(horizon)
+            sink.compact_files(target_file_mb=128)
+            prune_secs.append(round(time.time() - t0, 2))
+    sink = HistorySink(spark, state, key_bucket=key_bucket)
+    return {
+        "batches": len(batches),
+        "per_batch_ms": [ms for _, ms in batches],
+        "early_mean_ms": round(
+            sum(ms for _, ms in batches[2:10]) / 8.0, 1),
+        "late_mean_ms": round(
+            sum(ms for _, ms in batches[-8:]) / 8.0, 1),
+        "state_rows": sink.read_state().count(),
+        "history_rows": sink.read_history().count(),
+        "state_files": count_data_files(os.path.join(work, "state")),
+        "prune_secs": prune_secs,
+    }
+
+
 def main(n_rows: int, mode: str) -> None:
     from pyspark.sql import functions as F
 
@@ -188,6 +271,54 @@ def main(n_rows: int, mode: str) -> None:
     work = "/tmp/cdc_compaction_horizon"
     shutil.rmtree(work, ignore_errors=True)
     staging = os.path.join(work, "staging")
+
+    if mode == "crossover":
+        # r10 verdict item 3: grow state to >= 5M rows so the plain
+        # sink's O(table) per-batch rewrite SEPARATES from the ~2 s
+        # per-batch floor in wall-clock; key_bucket derived with the
+        # shipped suggest_key_bucket policy helper (r10 verdict item 4)
+        from dumpr_spark.streaming.sink import suggest_key_bucket
+
+        n_ops, n_events = build_feed(spark, staging, n_rows,
+                                     layout="range", replicate=4)
+        ids = (
+            spark.read.json(staging).where("tbl IS NOT NULL")
+            .select(F.get_json_object("payload", "$.o_orderkey").alias("id"))
+        )
+        kb = suggest_key_bucket(ids, target_rows_per_bucket=250_000)
+        p = run_variant(spark, staging, os.path.join(work, "P"), False)
+        k = run_variant(spark, staging, os.path.join(work, "K"), False,
+                        key_bucket=kb)
+        print(json.dumps({
+            "metric": "cdc_key_bucket_crossover",
+            "row_ops": n_ops, "feed_events": n_events,
+            "files": N_FILES,
+            "key_bucket": {"width": kb.width, "origin": kb.origin},
+            "plain_sink": p, "key_bucketed_sink": k,
+        }))
+        return
+
+    if mode == "history":
+        # r10 verdict item 5: the SCD2 sink through the same horizon
+        # discipline — multi-version feed (each id sees ~4 versions, so
+        # intervals actually close), cadenced prune_closed_before
+        # retention, per-batch cost + files recorded
+        id_mod = max(1, n_rows // 4)
+        n_ops, n_events = build_feed(spark, staging, n_rows,
+                                     layout="range", id_mod=id_mod)
+        kb = lambda c: (c.cast("long") / F.lit(max(1, id_mod // 24))).cast("int")  # noqa: E731
+        h = run_history_variant(spark, staging, os.path.join(work, "H"), False)
+        hp = run_history_variant(spark, staging, os.path.join(work, "HP"), True)
+        hkp = run_history_variant(spark, staging, os.path.join(work, "HKP"),
+                                  True, key_bucket=kb)
+        print(json.dumps({
+            "metric": "cdc_history_retention_horizon",
+            "row_ops": n_ops, "feed_events": n_events,
+            "files": N_FILES, "id_mod": id_mod,
+            "no_retention": h, "cadenced_retention": hp,
+            "key_bucketed_cadenced_retention": hkp,
+        }))
+        return
 
     if mode == "compaction":
         n_ops, n_events = build_feed(spark, staging, n_rows)

@@ -195,3 +195,60 @@ def test_weighted_median_matches_numpy_replica(spark):
         vals = sorted(v for gg, _r, v, _w in rows if gg == g)
         lower_median = vals[(len(vals) - 1) // 2]
         assert got1[g] == lower_median, g
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """Property over random TIED ordinal samples: the contingency-grid
+    form (O(grid) windows, no pair ever formed) equals the O(n^2)
+    definition — every pair classified concordant / discordant / tied —
+    including the tau-b tie correction; plus the three textbook anchors
+    (perfect agreement +1, perfect reversal -1, ties capping |tau| < 1
+    without the correction but = 1 with it on a duplicated monotone
+    sequence)."""
+    import itertools
+    import math
+    import random
+
+    from dumpr_spark.functions.stats import kendall_tau_b
+
+    def brute(pairs):
+        n = len(pairs)
+        conc = disc = tx = ty = 0
+        for (x1, y1), (x2, y2) in itertools.combinations(pairs, 2):
+            if x1 == x2:
+                tx += 1
+            if y1 == y2:
+                ty += 1
+            if x1 == x2 or y1 == y2:
+                continue
+            if (x1 < x2) == (y1 < y2):
+                conc += 1
+            else:
+                disc += 1
+        n0 = n * (n - 1) // 2
+        tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+        return n, conc, disc, tx, ty, tau
+
+    rng = random.Random(11)
+    for trial in range(3):
+        pairs = [(rng.randint(0, 6), rng.randint(0, 4)) for _ in range(120)]
+        df = spark.createDataFrame(pairs, "x int, y int")
+        got = kendall_tau_b(df, "x", "y").collect()[0]
+        n, conc, disc, tx, ty, tau = brute(pairs)
+        assert (got["n"], got["concordant"], got["discordant"],
+                got["ties_x"], got["ties_y"]) == (n, conc, disc, tx, ty), trial
+        assert abs(got["tau_b"] - tau) < 1e-6, trial
+
+    mono = [(i, i * 10) for i in range(20)]
+    assert kendall_tau_b(
+        spark.createDataFrame(mono, "x int, y int"), "x", "y"
+    ).collect()[0]["tau_b"] == 1.0
+    rev = [(i, -i) for i in range(20)]
+    assert kendall_tau_b(
+        spark.createDataFrame(rev, "x int, y int"), "x", "y"
+    ).collect()[0]["tau_b"] == -1.0
+    # duplicated monotone sequence: ties on both margins, tau-b still 1
+    dup = [(i // 2, (i // 2) * 3) for i in range(20)]
+    assert kendall_tau_b(
+        spark.createDataFrame(dup, "x int, y int"), "x", "y"
+    ).collect()[0]["tau_b"] == 1.0

@@ -61,6 +61,10 @@ BNLJ_ALLOWED = {
     "embed_debias_topdir",      # same scalar norm broadcast (2 power steps)
     "text_bm25_topk",           # 1-row (N, avgdl) stats broadcast
     "text_unigram_logprob",     # scalar corpus-total broadcast
+    "agg_kendall_tau",          # distinct-x BROADCAST-crossed with
+                                # distinct-y to densify the contingency
+                                # grid (both margins tiny by the ordinal
+                                # contract) + two 1-row tie-total scalars
 }
 
 

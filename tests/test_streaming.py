@@ -1037,6 +1037,149 @@ def test_key_bucket_null_bucket_rejected_before_any_write(spark, tmp_path):
         assert {r["id"] for r in total.read_state().collect()} == {"user_42", "7"}
 
 
+def test_key_bucket_layout_flip_refused_both_directions(spark, tmp_path):
+    """Enabling key_bucket over an existing PLAIN state directory must be
+    refused before any read or write: legacy files would read back with
+    _kb=NULL (the pair filter never matches them — deletes resurrect,
+    updates vanish) and _commit's carry-forward links only _kb= subdirs,
+    dropping every legacy data file of a touched table in one batch. The
+    reverse flip (plain sink over a bucketed directory) would leave a
+    mixed layout. Both directions raise, point at migrate_key_bucket,
+    and leave the state byte-untouched."""
+    import pytest
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink
+    from pyspark.sql import functions as F
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    kb = lambda c: F.coalesce((c.try_cast("long") / F.lit(3)).cast("int"), F.lit(-1))  # noqa: E731
+
+    def tree(path):
+        return {
+            (root, f, os.stat(os.path.join(root, f)).st_ino)
+            for root, _d, files in os.walk(path) for f in files
+        }
+
+    # plain state + bucketed sink -> refused (read AND merge paths)
+    plain_state = str(tmp_path / "flip_p")
+    MergeSink(spark, plain_state)(batch([up("orders", i, i) for i in range(6)]), 0)
+    before = tree(plain_state)
+    flipped = MergeSink(spark, plain_state, key_bucket=kb)
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        flipped.read_state()
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        flipped(batch([up("orders", 99, 99)]), 1)
+    assert tree(plain_state) == before  # nothing rewritten, nothing dropped
+
+    # bucketed state + plain sink -> refused
+    b_state = str(tmp_path / "flip_b")
+    MergeSink(spark, b_state, key_bucket=kb)(batch([up("orders", i, i) for i in range(6)]), 0)
+    before_b = tree(b_state)
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        MergeSink(spark, b_state)(batch([up("orders", 99, 99)]), 1)
+    assert tree(b_state) == before_b
+
+
+def test_migrate_key_bucket_roundtrip_preserves_state(spark, tmp_path):
+    """The sanctioned layout-change path: plain -> bucketed -> plain via
+    full rewrite. The live view AND the tombstones survive both hops
+    (the fold stays incremental across the migration), the migrated
+    layout folds subsequent batches normally, and the untouched-bucket
+    hardlink carry-forward works on the migrated directory."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, MergeSink, migrate_key_bucket,
+    )
+
+    state = str(tmp_path / "mig_state")
+    plain = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i, "s": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, i, seq: ("delete", tbl, str(i), None, None, "f1", seq, seq)  # noqa: E731
+    plain(batch([up("orders", i, i) for i in range(20)] + [up("parts", 1, 5)]), 0)
+    plain(batch([dele("orders", 7, 50)]), 1)
+
+    def snap(sink):
+        return {
+            (r["tbl"], r["id"], r["seq"], r["content"])
+            for r in sink.read_state().collect()
+        }
+
+    want = snap(plain)
+    kb = KeyBucket(width=8, origin=0)
+    migrate_key_bucket(spark, state, kb)
+    bucketed = MergeSink(spark, state, key_bucket=kb)
+    assert snap(bucketed) == want
+    # tombstone survived the rewrite: the stale replay still loses
+    bucketed(batch([up("orders", 7, 30)]), 2)
+    assert ("orders", "7", 30) not in {
+        (r["tbl"], r["id"], r["seq"]) for r in bucketed.read_state().collect()
+    }
+    # bucketed layout on disk + untouched-bucket carry-forward by inode
+    kb0 = os.path.join(state, "tbl=orders", "_kb=0")
+    assert os.path.isdir(kb0)
+    inodes = {f: os.stat(os.path.join(kb0, f)).st_ino for f in os.listdir(kb0)}
+    bucketed(batch([up("orders", 18, 60)]), 3)  # touches bucket 2 only
+    assert {f: os.stat(os.path.join(kb0, f)).st_ino
+            for f in os.listdir(kb0)} == inodes
+    want2 = snap(bucketed)
+    # and back to plain: same view, _kb gone from the directory layout
+    migrate_key_bucket(spark, state, None)
+    back = MergeSink(spark, state)
+    assert snap(back) == want2
+    assert not any(
+        e.startswith("_kb=")
+        for e in os.listdir(os.path.join(state, "tbl=orders"))
+    )
+
+
+def test_suggest_key_bucket_policy(spark, tmp_path):
+    """suggest_key_bucket derives (width, origin) from observed density:
+    ~target rows per bucket over the observed id span, origin at the min
+    so buckets start at 0. Deterministic, persistable (two ints), TOTAL
+    over ids via the KeyBucket wrapper, and it refuses non-numeric key
+    domains (where range bucketing is meaningless) and empty state."""
+    import pytest
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink, suggest_key_bucket
+
+    state = str(tmp_path / "sug_state")
+    sink = MergeSink(spark, state)
+    rows = [
+        ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", i, i)
+        for i in range(100, 300)
+    ]
+    sink(spark.createDataFrame(rows, ENVELOPE_SCHEMA), 0)
+
+    kb = suggest_key_bucket(sink.read_state(), target_rows_per_bucket=50)
+    # 200 rows / 50 per bucket = 4 buckets over span [100, 299] -> width 50
+    assert (kb.width, kb.origin) == (50, 100)
+    # TOTAL: a non-numeric id lands in bucket -1, never NULL
+    probe = spark.createDataFrame(
+        [("100",), ("299",), ("user_x",)], "id string"
+    ).select(kb(F.col("id")).alias("b"))
+    assert [r["b"] for r in probe.collect()] == [0, 3, -1]
+    # the policy is usable directly as the sink's key_bucket
+    b2 = MergeSink(spark, str(tmp_path / "sug_b"), key_bucket=kb)
+    b2(spark.createDataFrame(rows, ENVELOPE_SCHEMA), 0)
+    assert b2.read_state().count() == 200
+
+    with pytest.raises(ValueError, match="not integer-castable"):
+        suggest_key_bucket(
+            spark.createDataFrame([("a_1",), ("2",)], "id string")
+        )
+    with pytest.raises(ValueError, match="empty"):
+        suggest_key_bucket(spark.createDataFrame([], "id string"))
+
+
 def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):
     """A delete must defeat a lower-seq upsert arriving in a LATER batch
     (replay / out-of-order delivery): the tombstone persists across batches.

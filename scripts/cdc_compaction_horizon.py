@@ -238,11 +238,14 @@ def run_history_variant(spark, staging, work, prune_between: bool,
         if prune_between and seg_start + SEGMENT < N_FILES:
             t0 = time.time()
             sink = HistorySink(spark, state, key_bucket=key_bucket)
-            hi = sink._read_raw().agg(F.max("seq")).collect()[0][0]
+            lo, hi = sink._read_raw().agg(
+                F.min("seq"), F.max("seq")).collect()[0]
             if seg_span is None:
-                seg_span = hi  # seq-space one segment covers (key-ordered feed)
+                # seq-space one segment covers (key-ordered feed; seqs
+                # need not start anywhere near 0 — sf1 orderkeys don't)
+                seg_span = hi - lo
             horizon = hi - retention_segments * seg_span
-            if horizon > 0:
+            if horizon > lo:
                 sink.prune_closed_before(horizon)
             sink.compact_files(target_file_mb=128)
             prune_secs.append(round(time.time() - t0, 2))

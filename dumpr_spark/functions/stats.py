@@ -84,18 +84,40 @@ def kendall_tau_b(df: DataFrame, x: str, y: str,
 
     Determinism: cell counts and all pair totals are exact integers
     accumulated in decimal(38,0) (the agg_spearman_corr headroom
-    discipline: C and D are bounded by n(n-1)/2, inside 38 digits past
-    10^18 rows); tau is the one double, eps-rounded at output.
+    discipline). The tie and n0 terms are carried DOUBLED (m(m-1),
+    n(n-1) — products of consecutive integers, no halving, so the
+    decimal path never leaves exact integer arithmetic: Spark's `div`
+    would silently collapse decimal to a wrapping BIGINT, and decimal
+    `/` caps scale and rounds near the precision edge); the single
+    halving happens on the bigint OUTPUT columns (exact — the doubled
+    counts are even; the bigint output type itself bounds them at
+    ~4e18, i.e. ~3e9 tied rows per margin, far past the testdata and
+    stated in the contract) and in the tau denominator as a double
+    (exact to 2^53). tau is the one double, eps-rounded at output.
+
+    NULL policy: rows with a NULL in either column are dropped up front
+    (pairwise deletion, the standard tau-b convention) — they carry no
+    order information, and counting them in the tie margins while the
+    grid's equi-join drops them would break n0 - T consistency. A
+    degenerate input (constant or empty column after deletion) has a
+    zero denominator: tau_b comes back NULL rather than a raise, the
+    counts still exact.
 
     Returns one row: n, concordant, discordant, ties_x, ties_y (pair
     counts, exact) + tau_b."""
     dec = "decimal(38,0)"
-    pts = df.select(F.col(x).alias("_x"), F.col(y).alias("_y"))
+    pts = (
+        df.select(F.col(x).alias("_x"), F.col(y).alias("_y"))
+        .where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    )
+    # the ONE pass over the data; every other frame below derives from
+    # these |X| x |Y| cells (margins = per-axis cell sums, distinct
+    # values = cell keys), so input size enters exactly once
     cells = pts.groupBy("_x", "_y").agg(
         F.count(F.lit(1)).cast(dec).alias("_c")
-    )
-    gx = pts.select("_x").distinct()
-    gy = pts.select("_y").distinct()
+    ).localCheckpoint(eager=False)
+    gx = cells.select("_x").distinct()
+    gy = cells.select("_y").distinct()
     grid = (
         gx.crossJoin(F.broadcast(gy))
         .join(cells, ["_x", "_y"], "left")
@@ -124,30 +146,39 @@ def kendall_tau_b(df: DataFrame, x: str, y: str,
         F.sum(F.col("_c") * F.col("_p")).alias("_conc"),
         F.sum(F.col("_c") * F.col("_q")).alias("_disc"),
     )
-    # margin tie-pair counts: nx(nx-1)/2 per distinct value (always even
-    # products, so `div 2` is exact integral arithmetic, no float hop)
-    def _ties(col):
-        marg = pts.groupBy(col).agg(F.count(F.lit(1)).cast(dec).alias("_m"))
+    # DOUBLED margin tie-pair counts: sum of m(m-1) per distinct value —
+    # margins derive from the tiny cells frame, never a second data scan
+    def _ties2(col):
+        marg = cells.groupBy(col).agg(F.sum("_c").alias("_m"))
         return marg.agg(
-            F.sum(F.expr("_m * (_m - 1) div 2")).cast(dec).alias("_t")
+            F.sum(F.col("_m") * (F.col("_m") - 1)).cast(dec).alias("_t2")
         )
-    tx, ty = _ties("_x"), _ties("_y")
+    tx, ty = _ties2("_x"), _ties2("_y")
     joined = (
-        tots.crossJoin(F.broadcast(tx.select(F.col("_t").alias("_tx"))))
-        .crossJoin(F.broadcast(ty.select(F.col("_t").alias("_ty"))))
+        tots.crossJoin(F.broadcast(tx.select(F.col("_t2").alias("_tx2"))))
+        .crossJoin(F.broadcast(ty.select(F.col("_t2").alias("_ty2"))))
     )
-    n0 = F.expr("_n * (_n - 1) div 2").cast(dec)
+    n0_2 = (F.col("_n") * (F.col("_n") - 1)).cast(dec)  # doubled n0
+    # doubled terms halve as doubles inside the sqrt (exact to 2^53)
     tau = (
         (F.col("_conc") - F.col("_disc")).cast("double")
-        / F.sqrt((n0 - F.col("_tx")).cast("double")
-                 * (n0 - F.col("_ty")).cast("double"))
+        / F.sqrt(((n0_2 - F.col("_tx2")).cast("double") / 2.0)
+                 * ((n0_2 - F.col("_ty2")).cast("double") / 2.0))
     )
+    # constant/empty margins make the denominator zero — NULL tau, no raise
+    tau = F.when(
+        (n0_2 > F.col("_tx2")) & (n0_2 > F.col("_ty2")), tau
+    )
+    # output halving on BIGINT (div is exact integral there; the doubled
+    # counts are even, and bigint is the output type's own bound)
+    def half(col, name):
+        return F.expr(f"CAST(CAST({col} AS BIGINT) div 2 AS BIGINT)").alias(name)
     return joined.select(
         F.col("_n").cast("bigint").alias("n"),
         F.col("_conc").cast("bigint").alias("concordant"),
         F.col("_disc").cast("bigint").alias("discordant"),
-        F.col("_tx").cast("bigint").alias("ties_x"),
-        F.col("_ty").cast("bigint").alias("ties_y"),
+        half("_tx2", "ties_x"),
+        half("_ty2", "ties_y"),
         # eps-rounded like every ranked double (the r7 flake-class rule)
         F.round(tau + F.lit(1e-9), round_digits).alias("tau_b"),
     )

@@ -121,8 +121,10 @@ def dataset_fingerprint(*paths: str) -> str:
 
     h = hashlib.md5()
     for p in sorted(paths):
-        st = os.stat(p)
         if os.path.isdir(p):
+            # the path itself always hashes: an EMPTY directory (a wiped
+            # dataset) must not alias its own absence or another empty dir
+            h.update(f"{p}|<dir>;".encode())
             for root, dirs, files in os.walk(p):
                 dirs.sort()
                 for f in sorted(files):
@@ -133,6 +135,7 @@ def dataset_fingerprint(*paths: str) -> str:
                         f"{p}|{rel}|{fst.st_size}|{fst.st_mtime_ns};".encode()
                     )
         else:
+            st = os.stat(p)
             h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
     return h.hexdigest()[:8]
 

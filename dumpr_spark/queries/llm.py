@@ -3723,10 +3723,17 @@ def _ivfpq_reranked(spark, sf_dir):
     recall is monotone in shortlist at fixed nprobe (a longer ADC
     shortlist only ADDS exact-re-rank candidates)."""
     index = _ivfpq_index(spark, sf_dir)
-    n = index[0].count()
-    shortlist = max(_IVFPQ_SHORTLIST, math.ceil(n / _IVFPQ_CELLS))
     return _ivfpq_query(*index, nprobe=_IVFPQ_SERVE_NPROBE,
-                        shortlist=shortlist)
+                        shortlist=_ivfpq_serve_shortlist(index[0].count()))
+
+
+def _ivfpq_serve_shortlist(n: int) -> int:
+    """THE serving-dial shortlist rule — shared by _ivfpq_reranked and
+    scripts/ivfpq_dial_probe.py so the probe always measures the dial
+    the registered path actually serves at (a hand-copy would silently
+    keep certifying a stale rule); the oracle's serve_dial CTE is its
+    SQL twin (GREATEST/CEIL over the same constants)."""
+    return max(_IVFPQ_SHORTLIST, math.ceil(n / _IVFPQ_CELLS))
 
 
 @query(

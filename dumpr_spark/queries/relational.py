@@ -3981,6 +3981,7 @@ def agg_spearman_corr(spark, sf_dir):
     WITH li AS (
       SELECT l_quantity AS x, CAST(ROUND(l_discount * 100, 0) AS INT) AS y
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
     ),
     cells AS (
       SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM li GROUP BY x, y

@@ -20,6 +20,7 @@ in flight.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -233,6 +234,17 @@ class MergeSink:
             if d.startswith(stale) or d in (base + ".compact-tmp", base + ".migrate-tmp"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
+    def _kb_policy(self) -> dict | None:
+        """The persistable identity of the bucket function, when it has
+        one (the KeyBucket policy object's (width, origin)). Arbitrary
+        callables return None — no drift detection is possible for them,
+        which is one more reason to prefer the policy object."""
+        w = getattr(self.key_bucket, "width", None)
+        o = getattr(self.key_bucket, "origin", None)
+        if isinstance(w, int) and isinstance(o, int):
+            return {"width": w, "origin": o}
+        return None
+
     def _validate_layout(self) -> None:
         """Refuse to operate on a state directory whose on-disk layout does
         not match this sink's `key_bucket` mode — in EITHER direction, and
@@ -275,6 +287,27 @@ class MergeSink:
                 "state_path, key_bucket) with the stream stopped, then "
                 "restart the sink."
             )
+        # a CHANGED bucket function over a same-shape bucketed layout is
+        # the mode-flip hazard's quieter sibling (_pair_filter would prune
+        # to the WRONG bucket dirs — deletes resurrect, updates fork):
+        # when the function carries a persistable identity (KeyBucket),
+        # _commit stamps it into the state and this compares it. Hidden
+        # (underscore) file, invisible to the parquet reader.
+        pol = self._kb_policy() if self.key_bucket is not None else None
+        if pol is not None:
+            marker = os.path.join(self.state_path, "_kb_policy.json")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    persisted = json.load(f)
+                if persisted != pol:
+                    raise ValueError(
+                        f"state at {self.state_path} was bucketed with "
+                        f"KeyBucket({persisted}) but this sink carries "
+                        f"KeyBucket({pol}): a changed bucket function over "
+                        "existing buckets splits keys across layouts — "
+                        "migrate via migrate_key_bucket(spark, state_path, "
+                        "new_key_bucket) with the stream stopped."
+                    )
 
     def _read_raw(self) -> DataFrame:
         """Full persisted state INCLUDING delete tombstones (+ the `_kb`
@@ -402,6 +435,14 @@ class MergeSink:
             else:
                 os.rename(os.path.join(tmp, d), os.path.join(nxt, d))
         shutil.rmtree(tmp, ignore_errors=True)
+        if bucketed:
+            # stamp the bucket-policy identity for _validate_layout's
+            # drift check (re-stamped every commit: compact_small_files'
+            # rewrite legitimately drops root-level extras)
+            pol = self._kb_policy()
+            if pol is not None:
+                with open(os.path.join(nxt, "_kb_policy.json"), "w") as f:
+                    json.dump(pol, f)
 
         # atomic-enough swap for local FS; object stores use rename-free commit.
         # After _recover(), a .bak that coexists with state is stale — drop it.
@@ -509,6 +550,10 @@ def migrate_key_bucket(spark: SparkSession, state_path: str, key_bucket,
                 "lit(-1)), or use the KeyBucket policy object"
             )
         out.write.mode("overwrite").partitionBy("tbl", "_kb").parquet(tmp)
+        pol = MergeSink(spark, state_path, key_bucket=key_bucket)._kb_policy()
+        if pol is not None:
+            with open(os.path.join(tmp, "_kb_policy.json"), "w") as f:
+                json.dump(pol, f)
     bak = state_path + ".migrate-bak"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(state_path, bak)

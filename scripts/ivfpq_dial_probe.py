@@ -21,23 +21,21 @@ def main():
         print(f"{r['method']:12s} nprobe={r['dial']} hits={r['hits']:4d} "
               f"n_exact={r['n_exact']} recall={r['recall']}")
 
-    # the REGISTERED serving dial since r11: nprobe=_IVFPQ_SERVE_NPROBE,
-    # shortlist derived from corpus size (max(32, ceil(n / cells))) — the
-    # row that certifies the engine's default ANN read path
-    import math
-
+    # the REGISTERED serving dial since r11 — shortlist from the SHARED
+    # rule (_ivfpq_serve_shortlist), so this row always certifies the
+    # dial the registered path actually serves at
     from pyspark.sql import functions as F
 
     from dumpr_spark.functions import similarity as sim
     from dumpr_spark.queries.llm import (
-        _IVFPQ_CELLS, _IVFPQ_SERVE_NPROBE, _IVFPQ_SHORTLIST,
-        _ivfpq_index, _ivfpq_query,
+        _IVFPQ_SERVE_NPROBE, _ivfpq_index, _ivfpq_query,
+        _ivfpq_serve_shortlist,
     )
 
     index = _ivfpq_index(spark, sf_dir)
     e, q = index[0], index[1]
     n = e.count()
-    sl = max(_IVFPQ_SHORTLIST, math.ceil(n / _IVFPQ_CELLS))
+    sl = _ivfpq_serve_shortlist(n)
     exact = sim.brute_force_topk(e, q, k=5, round_eps=1e-9).select("q_id", "n_id")
     tot = exact.count()
     hits = (

@@ -252,3 +252,18 @@ def test_kendall_tau_matches_bruteforce(spark):
     assert kendall_tau_b(
         spark.createDataFrame(dup, "x int, y int"), "x", "y"
     ).collect()[0]["tau_b"] == 1.0
+    # NULLs drop via pairwise deletion (counting them in the tie margins
+    # while the grid join skipped them would break n0 - T consistency and
+    # crash the division — the r11 review's confirmed repro)
+    withnulls = [(1, 1), (2, 2), (3, 3), (None, 1), (None, 2), (3, None)]
+    r = kendall_tau_b(
+        spark.createDataFrame(withnulls, "x int, y int"), "x", "y"
+    ).collect()[0]
+    assert (r["n"], r["tau_b"]) == (3, 1.0)
+    assert (r["ties_x"], r["ties_y"]) == (0, 0)
+    # constant column: zero denominator -> NULL tau, counts still exact
+    const = [(7, i) for i in range(5)]
+    r = kendall_tau_b(
+        spark.createDataFrame(const, "x int, y int"), "x", "y"
+    ).collect()[0]
+    assert r["tau_b"] is None and r["ties_x"] == 10 and r["concordant"] == 0

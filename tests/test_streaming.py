@@ -1140,6 +1140,47 @@ def test_migrate_key_bucket_roundtrip_preserves_state(spark, tmp_path):
     )
 
 
+def test_key_bucket_policy_drift_refused(spark, tmp_path):
+    """A CHANGED bucket function over a same-shape bucketed layout is the
+    mode-flip hazard's quieter sibling: _pair_filter would prune to the
+    wrong bucket dirs (deletes resurrect, updates fork). With the
+    KeyBucket policy object the identity (width, origin) is stamped into
+    the state at commit time and a drifted sink is refused before any
+    read or write; migrate_key_bucket re-stamps, after which the new
+    policy is accepted. (Opaque lambdas carry no identity — no drift
+    check is possible for them, which the docstring says.)"""
+    import pytest
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, MergeSink, migrate_key_bucket,
+    )
+
+    state = str(tmp_path / "drift_state")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    MergeSink(spark, state, key_bucket=KeyBucket(width=50))(
+        batch([up(i, i) for i in range(0, 200, 3)]), 0)
+    assert os.path.exists(os.path.join(state, "_kb_policy.json"))
+    # same policy: accepted (fresh instance, equal identity)
+    ok = MergeSink(spark, state, key_bucket=KeyBucket(width=50))
+    assert ok.read_state().count() == 67
+    # drifted width: refused before any read or write
+    drifted = MergeSink(spark, state, key_bucket=KeyBucket(width=80))
+    with pytest.raises(ValueError, match="changed bucket function"):
+        drifted.read_state()
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        drifted(batch([up(999, 999)]), 1)
+    # the sanctioned path: migrate, then the new policy is accepted
+    migrate_key_bucket(spark, state, KeyBucket(width=80))
+    after = MergeSink(spark, state, key_bucket=KeyBucket(width=80))
+    after(batch([up(999, 999)]), 1)
+    assert after.read_state().count() == 68
+
+
 def test_suggest_key_bucket_policy(spark, tmp_path):
     """suggest_key_bucket derives (width, origin) from observed density:
     ~target rows per bucket over the observed id span, origin at the min

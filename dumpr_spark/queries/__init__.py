@@ -418,6 +418,10 @@ _R11_NEW: set = {
     # rank-statistics family completion: Kendall tau-b via the
     # contingency grid + 2D prefix sums (functions/stats.kendall_tau_b)
     "agg_kendall_tau",
+    # the key-bucket sizing policy certified value-level: the
+    # suggest_key_bucket helper's declarative twin + a self-check raise
+    # (r10 verdict item 4 tied into the correctness gate)
+    "cdc_key_bucket_policy",
 }
 
 # Never-green backlog, by construction: every registered name without

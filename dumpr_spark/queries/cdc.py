@@ -1007,3 +1007,80 @@ def cdc_schema_evolution(spark, sf_dir):
         F.col("w.epoch").cast("int").alias("epoch"),
         F.col("w.decoded_cols").cast("int").alias("decoded_cols"),
     ).orderBy("cust_id")
+
+
+@query(
+    "cdc_key_bucket_policy",
+    """
+    WITH ids AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(TRY_CAST(id AS BIGINT)) AS BIGINT) AS lo,
+             CAST(MAX(TRY_CAST(id AS BIGINT)) AS BIGINT) AS hi
+      FROM ids
+    ),
+    nb AS (
+      SELECT n, lo, hi,
+             GREATEST(CAST(1 AS BIGINT), (n + 5000 - 1) // 5000) AS n_buckets
+      FROM m
+    )
+    SELECT n, lo AS origin, hi,
+           n_buckets,
+           GREATEST(CAST(1 AS BIGINT),
+                    (hi - lo + 1 + n_buckets - 1) // n_buckets) AS width
+    FROM nb
+    """,
+    tags=("cdc", "streaming", "policy"),
+)
+def cdc_key_bucket_policy(spark, sf_dir):
+    """The key-bucket sizing policy for the subpartitioned sink state
+    (streaming/sink.suggest_key_bucket, r10 verdict item 4), certified
+    value-level: derive the pinned (width, origin) range policy from the
+    CDC key domain (`orders` primary keys, the stream the cdc_* family
+    materializes) at ~5000 live rows per (tbl, bucket) slice. The policy
+    is what makes the MergeSink/HistorySink `key_bucket` layout O(touched
+    slices) per batch without the caller guessing a width; this query is
+    the helper's declarative twin — the SAME arithmetic as one Spark
+    aggregate + integer expressions (ceil via (a+b-1) div b, exact), and
+    the builder ALSO runs suggest_key_bucket itself and RAISES on any
+    disagreement, so the driver's gate certifies the helper's collected
+    path and the declarative path against DuckDB in one row.
+
+    Scale shape: one map-side-combined 3-scalar aggregate over the key
+    column — metadata-sized output, no shuffle of rows; exactly the cost
+    class of the prefix-scan bucket collects."""
+    from dumpr_spark.streaming.sink import suggest_key_bucket
+
+    target = 5_000
+    ids = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id")
+    )
+    m = ids.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.col("id").try_cast("long")).cast("long").alias("lo"),
+        F.max(F.col("id").try_cast("long")).cast("long").alias("hi"),
+    )
+    out = m.select(
+        "n", F.col("lo").alias("origin"), "hi",
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr(f"(n + {target} - 1) div {target}")).alias("n_buckets"),
+    ).select(
+        "n", "origin", "hi", "n_buckets",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(hi - origin + 1 + n_buckets - 1) div n_buckets"),
+        ).alias("width"),
+    )
+    # self-check: the shipped helper (its own 4-scalar collect) must agree
+    # with the declarative twin the oracle checks — a drifted helper fails
+    # the gate loudly instead of silently suggesting a different layout
+    kb = suggest_key_bucket(ids, target_rows_per_bucket=target)
+    row = out.collect()[0]
+    if (kb.width, kb.origin) != (row["width"], row["origin"]):
+        raise AssertionError(
+            f"suggest_key_bucket ({kb.width}, {kb.origin}) != declarative "
+            f"twin ({row['width']}, {row['origin']})"
+        )
+    return out

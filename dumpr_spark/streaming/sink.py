@@ -375,10 +375,18 @@ class MergeSink:
         self._recover()
         self._validate_layout()
         schema = self._ext_schema() if self.key_bucket else self._schema
-        return compact_small_files(
+        n = compact_small_files(
             self.spark, self.state_path, target_file_mb=target_file_mb,
             schema=schema, order_by=order_by,
         )
+        # the compactor's rewrite legitimately drops root-level extras —
+        # re-stamp the bucket-policy marker so a drifted sink started in
+        # the compact-to-next-batch window is still refused
+        pol = self._kb_policy() if self.key_bucket is not None else None
+        if pol is not None:
+            with open(os.path.join(self.state_path, "_kb_policy.json"), "w") as f:
+                json.dump(pol, f)
+        return n
 
     def _commit(self, next_touched: DataFrame, touched: list, batch_id) -> None:
         """Write the folded touched partitions, assemble the next state version

@@ -1179,6 +1179,12 @@ def test_key_bucket_policy_drift_refused(spark, tmp_path):
     after = MergeSink(spark, state, key_bucket=KeyBucket(width=80))
     after(batch([up(999, 999)]), 1)
     assert after.read_state().count() == 68
+    # out-of-band file compaction drops root-level extras; the marker is
+    # re-stamped so the drift guard has no unprotected window
+    after.compact_files()
+    assert os.path.exists(os.path.join(state, "_kb_policy.json"))
+    with pytest.raises(ValueError, match="changed bucket function"):
+        MergeSink(spark, state, key_bucket=KeyBucket(width=50)).read_state()
 
 
 def test_suggest_key_bucket_policy(spark, tmp_path):

@@ -19,6 +19,8 @@ rules. Each encodes one decision Catalyst cannot make for you:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -95,7 +97,9 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def dataset_fingerprint(*paths: str) -> str:
+def dataset_fingerprint(
+    *paths: str, identity: Callable[[str], str] | None = None
+) -> str:
     """Deterministic 8-hex version stamp for a set of source files: md5
     over each path plus its (size, mtime_ns). A DIRECTORY path (the
     normal shape of a parquet dataset) is fingerprinted by recursing
@@ -107,21 +111,31 @@ def dataset_fingerprint(*paths: str) -> str:
     layouts keyed by it rebuild exactly when the data they were cut
     from changes.
 
-    Object-store caveat (the local-FS assumption, named like every
-    at-volume caveat in this repo): size+mtime_ns identity is a LOCAL
-    filesystem contract. On an object store, mtime is the upload time
-    of whatever copy landed last (a same-bytes re-upload moves it, a
-    multipart race may not), so the identity source there is the
-    store's own version metadata — swap the stat tuple for etag /
-    version-id per object (S3 HeadObject, GCS generation) and keep the
-    same sorted-md5 fold. The call sites don't change: only this
-    identity probe is store-specific."""
+    Object stores (the local-FS assumption, made swappable): size+
+    mtime_ns identity is a LOCAL filesystem contract. On an object
+    store, mtime is the upload time of whatever copy landed last (a
+    same-bytes re-upload moves it, a multipart race may not), so the
+    identity source there is the store's own version metadata. Pass
+    `identity` — a callable `path -> str` returning the store's version
+    token for one object (S3 etag/version-id via HeadObject, GCS
+    generation) — and the same sorted-md5 fold runs over those tokens
+    instead of stat tuples; directory recursion stays local-FS-only (an
+    object-store "directory" is a listing the identity callable's
+    owner resolves — pass the object keys as `paths`). Call sites don't
+    change: only the identity probe is store-specific."""
     import hashlib
     import os
 
     h = hashlib.md5()
     for p in sorted(paths):
-        if os.path.isdir(p):
+        if identity is not None:
+            # length-prefixed + mode-tagged record: a token containing
+            # the `|`/`;` delimiters (composite etag|generation forms)
+            # must not alias a differently-split dataset, and an
+            # identity record must never collide with a stat record
+            tok = identity(p)
+            h.update(f"<id>{len(p)}|{p}{len(tok)}|{tok};".encode())
+        elif os.path.isdir(p):
             # the path itself always hashes: an EMPTY directory (a wiped
             # dataset) must not alias its own absence or another empty dir
             h.update(f"{p}|<dir>;".encode())

@@ -211,6 +211,26 @@ def test_dataset_fingerprint_recurses_into_directories(tmp_path):
     assert dataset_fingerprint(str(e1)) != dataset_fingerprint(str(e2))
 
 
+def test_dataset_fingerprint_identity_hook():
+    """Object-store identity hook: the version token replaces the stat
+    tuple, so a changed etag moves the fingerprint with no local stat at
+    all, a stable etag pins it, and the record encoding is injective —
+    tokens carrying the delimiter characters must not alias a
+    differently-split dataset (length-prefixed, mode-tagged records)."""
+    from dumpr_spark.operators.scale import dataset_fingerprint
+
+    etags = {"s3://b/a.parquet": "etag-1", "s3://b/b.parquet": "etag-2"}
+    fp_a = dataset_fingerprint(*etags, identity=etags.__getitem__)
+    assert fp_a == dataset_fingerprint(*reversed(list(etags)),
+                                       identity=etags.__getitem__)
+    etags["s3://b/b.parquet"] = "etag-3"
+    assert dataset_fingerprint(*etags, identity=etags.__getitem__) != fp_a
+    # injective under delimiter-bearing composite tokens
+    assert (dataset_fingerprint("p", identity=lambda _: "t;q|u")
+            != dataset_fingerprint("p", "q",
+                                   identity={"p": "t", "q": "u"}.__getitem__))
+
+
 def test_ensure_bucketed_layout_orphan_in_nondefault_database(spark, sf_dir):
     """The cold-catalog orphan path must resolve the managed-table
     location THROUGH the catalog (r10 advice): when the session's

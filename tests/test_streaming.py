@@ -1287,6 +1287,56 @@ def test_merge_sink_recovers_from_crash_between_renames(spark, tmp_path):
     shutil.rmtree(state, ignore_errors=True)
 
 
+def test_migrate_key_bucket_crash_recovery(spark, tmp_path):
+    """A migration crash at any of its three windows must not lose state:
+    (a) after .migrate-tmp is written but before the swap — the stale tmp
+    is garbage-collected and the original state is intact; (b) between
+    the two swap renames — .migrate-bak holds the only copy and the next
+    sink touch restores it; (c) a stale .migrate-bak COEXISTING with
+    state (the swap completed, only cleanup was lost) is deleted, never
+    restored over newer state."""
+    import shutil
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    state = str(tmp_path / "mcr_state")
+    sink = MergeSink(spark, state)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "w", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    sink(batch([up(1, 1), up(2, 2)]), 0)
+
+    def snap():
+        return sorted(r["id"] for r in MergeSink(spark, state).read_state().collect())
+
+    want = snap()
+    # (a) crash after the tmp write, before any rename
+    shutil.copytree(state, state + ".migrate-tmp")
+    assert snap() == want
+    assert not os.path.exists(state + ".migrate-tmp")  # GC'd by _recover
+    # (b) crash between the two renames: bak holds the only copy
+    os.rename(state, state + ".migrate-bak")
+    assert snap() == want  # restored
+    assert not os.path.exists(state + ".migrate-bak")
+    # (c) stale bak coexisting with state: swap completed — bak must die,
+    # state must win (fold a new row first so state is strictly newer)
+    shutil.copytree(state, state + ".migrate-bak")
+    MergeSink(spark, state)(batch([up(3, 3)]), 1)
+    assert snap() == ["1", "2", "3"]
+    assert not os.path.exists(state + ".migrate-bak")
+    # and a bucketed sink's recovery path honors the same discipline
+    bstate = str(tmp_path / "mcr_b")
+    bsink = MergeSink(spark, bstate, key_bucket=KeyBucket(width=2))
+    bsink(batch([up(1, 1), up(2, 2)]), 0)
+    os.rename(bstate, bstate + ".migrate-bak")
+    got = sorted(r["id"] for r in MergeSink(
+        spark, bstate, key_bucket=KeyBucket(width=2)).read_state().collect())
+    assert got == ["1", "2"]
+
+
 def test_streaming_incremental_rollup(spark, tmp_path):
     """Streaming minute rollup maintained incrementally across restarts:
     batch 2 revises a window batch 1 already wrote (late-but-in-watermark

@@ -105,7 +105,6 @@ def kendall_tau_b(df: DataFrame, x: str, y: str,
 
     Returns one row: n, concordant, discordant, ties_x, ties_y (pair
     counts, exact) + tau_b."""
-    dec = "decimal(38,0)"
     pts = (
         df.select(F.col(x).alias("_x"), F.col(y).alias("_y"))
         .where(F.col(x).isNotNull() & F.col(y).isNotNull())
@@ -114,7 +113,24 @@ def kendall_tau_b(df: DataFrame, x: str, y: str,
     # these |X| x |Y| cells (margins = per-axis cell sums, distinct
     # values = cell keys), so input size enters exactly once
     cells = pts.groupBy("_x", "_y").agg(
-        F.count(F.lit(1)).cast(dec).alias("_c")
+        F.count(F.lit(1)).alias("_c")
+    )
+    return kendall_tau_from_cells(cells, round_digits=round_digits)
+
+
+def kendall_tau_from_cells(cells: DataFrame,
+                           round_digits: int = 6) -> DataFrame:
+    """Kendall tau-b from a PRE-AGGREGATED contingency-cell frame
+    (columns `_x`, `_y`, `_c`) — the mergeable-sketch entry point: cell
+    counts are associative+commutative under summation, so per-shard
+    (per-day, per-partition, per-source) grids persist independently and
+    ANY subset merges by `SUM(_c) GROUP BY _x, _y` before this call —
+    tau over a sliding corpus without rescanning history, exactly the
+    histogram-quantile / HLL discipline extended to rank statistics.
+    `kendall_tau_b` is the one-shot form (raw rows -> cells -> here)."""
+    dec = "decimal(38,0)"
+    cells = cells.select(
+        "_x", "_y", F.col("_c").cast(dec).alias("_c")
     ).localCheckpoint(eager=False)
     gx = cells.select("_x").distinct()
     gy = cells.select("_y").distinct()

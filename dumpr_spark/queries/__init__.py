@@ -422,6 +422,10 @@ _R11_NEW: set = {
     # suggest_key_bucket helper's declarative twin + a self-check raise
     # (r10 verdict item 4 tied into the correctness gate)
     "cdc_key_bucket_policy",
+    # rank statistics join the mergeable-sketch family: per-day
+    # contingency grids summed cell-wise, tau from the merged grid —
+    # exact merge, hash-checked (functions/stats.kendall_tau_from_cells)
+    "agg_kendall_mergeable",
 }
 
 # Never-green backlog, by construction: every registered name without

@@ -4066,6 +4066,103 @@ def agg_kendall_tau(spark, sf_dir):
     return kendall_tau_b(li, "x", "y")
 
 
+@query(
+    "agg_kendall_mergeable",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             greatest(least(CAST(floor(value / 5) AS BIGINT), 99), 0) AS x,
+             CAST(hour(ts) AS BIGINT) AS y,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY day, x, y
+    ),
+    cells AS (
+      SELECT x, y, CAST(SUM(c) AS HUGEINT) AS c FROM daily GROUP BY x, y
+    ),
+    grid AS (
+      SELECT gx.x, gy.y, COALESCE(c.c, CAST(0 AS HUGEINT)) AS c
+      FROM (SELECT DISTINCT x FROM cells) gx
+      CROSS JOIN (SELECT DISTINCT y FROM cells) gy
+      LEFT JOIN cells c ON c.x = gx.x AND c.y = gy.y
+    ),
+    cum AS (
+      SELECT x, y, c,
+             COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS lt_y,
+             COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS gt_y
+      FROM grid
+    ),
+    pq AS (
+      SELECT c,
+             COALESCE(SUM(lt_y) OVER (PARTITION BY y ORDER BY x ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS p,
+             COALESCE(SUM(gt_y) OVER (PARTITION BY y ORDER BY x ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS HUGEINT)) AS q
+      FROM cum
+    ),
+    tots AS (
+      SELECT SUM(c) AS n, SUM(c * p) AS conc, SUM(c * q) AS disc FROM pq
+    ),
+    tx AS (
+      SELECT SUM(m * (m - 1) // 2) AS t FROM (
+        SELECT CAST(SUM(c) AS HUGEINT) AS m FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT SUM(m * (m - 1) // 2) AS t FROM (
+        SELECT CAST(SUM(c) AS HUGEINT) AS m FROM cells GROUP BY y)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(tx.t AS BIGINT) AS ties_x,
+           CAST(ty.t AS BIGINT) AS ties_y,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) // 2 - tx.t AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 - ty.t AS DOUBLE))
+                 + 1e-9, 6) AS tau_b
+    FROM tots, tx, ty
+    """,
+    tags=("agg", "sketch", "stats", "correlation"),
+)
+def agg_kendall_mergeable(spark, sf_dir):
+    """Kendall tau-b over MERGED per-day contingency grids — the rank
+    statistic joins the mergeable-sketch family (agg_hll_mergeable,
+    agg_quantile_mergeable, agg_countmin_sketch): cell counts are
+    associative + commutative under summation, so per-day jobs persist a
+    |X| x |Y| grid each (here 100 value-bins x 24 hours, the
+    time-of-day-vs-magnitude association) and ANY time range answers tau
+    by SUMMING the covered days' cells — incremental maintenance at
+    100 TB scale: each new day contributes one grid-sized sketch and no
+    historical rescan, and because the merge is EXACT (unlike KLL/GK),
+    the merged tau is hash-checked against the oracle, not bounded.
+
+    Spark computes through the merge path (daily grids -> summed cells
+    -> functions/stats.kendall_tau_from_cells); the oracle replays the
+    same two stages in SQL — so a broken merge (the r10 compact_files
+    lesson: aggregation identity bugs hide in the second stage) turns
+    the row red rather than shifting tau quietly."""
+    from dumpr_spark.functions.stats import kendall_tau_from_cells
+
+    e = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.greatest(F.least(F.floor(F.col("value") / 5).cast("long"),
+                           F.lit(99).cast("long")),
+                   F.lit(0).cast("long")).alias("_x"),
+        F.hour(F.col("ts")).cast("long").alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    merged = daily.groupBy("_x", "_y").agg(F.sum("_c").alias("_c"))
+    return kendall_tau_from_cells(merged)
+
+
 def _zorder_sql_terms() -> str:
     """The 32-term bit-interleave as SQL (oracle twin of the Spark
     expression in layout_zorder)."""

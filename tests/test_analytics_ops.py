@@ -267,3 +267,37 @@ def test_kendall_tau_matches_bruteforce(spark):
         spark.createDataFrame(const, "x int, y int"), "x", "y"
     ).collect()[0]
     assert r["tau_b"] is None and r["ties_x"] == 10 and r["concordant"] == 0
+
+
+def test_kendall_cells_merge_is_lossless(spark):
+    """The mergeability contract: per-shard contingency grids summed
+    cell-wise give EXACTLY the one-shot result — same pair counts, same
+    tau — for any sharding (here 3 uneven shards of a random tied
+    sample). This is what lets per-day grids answer tau over any time
+    range without rescanning history."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.functions.stats import (
+        kendall_tau_b, kendall_tau_from_cells,
+    )
+
+    rng = random.Random(23)
+    rows = [(rng.randint(0, 5), rng.randint(0, 3)) for _ in range(150)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    want = kendall_tau_b(df, "x", "y").collect()[0]
+
+    shards = [rows[:20], rows[20:90], rows[90:]]
+    cell_frames = [
+        spark.createDataFrame(s, "x int, y int")
+        .groupBy(F.col("x").alias("_x"), F.col("y").alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        for s in shards
+    ]
+    union = cell_frames[0]
+    for cf in cell_frames[1:]:
+        union = union.unionByName(cf)
+    merged = union.groupBy("_x", "_y").agg(F.sum("_c").alias("_c"))
+    got = kendall_tau_from_cells(merged).collect()[0]
+    assert got.asDict() == want.asDict()

@@ -65,6 +65,8 @@ BNLJ_ALLOWED = {
                                 # distinct-y to densify the contingency
                                 # grid (both margins tiny by the ordinal
                                 # contract) + two 1-row tie-total scalars
+    "agg_kendall_mergeable",    # same grid densification + tie scalars,
+                                # over the merged per-day cell sketches
 }
 
 

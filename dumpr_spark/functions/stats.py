@@ -90,18 +90,26 @@ def kendall_tau_b(df: DataFrame, x: str, y: str,
     would silently collapse decimal to a wrapping BIGINT, and decimal
     `/` caps scale and rounds near the precision edge); the single
     halving happens on the bigint OUTPUT columns (exact — the doubled
-    counts are even; the bigint output type itself bounds them at
-    ~4e18, i.e. ~3e9 tied rows per margin, far past the testdata and
-    stated in the contract) and in the tau denominator as a double
-    (exact to 2^53). tau is the one double, eps-rounded at output.
+    counts are even) and in the tau denominator as a double (exact to
+    2^53). tau is the one double, eps-rounded at output. The bigint
+    output type bounds every projected count at ~9.2e18 — i.e. ~3e9
+    tied rows per margin (their pair counts carry doubled) and ~4e9
+    total rows (C/D ~ n^2/2) — and that bound is ENFORCED: a count
+    past it RAISES (the loud-failure discipline) instead
+    of the silent NULL a non-ANSI decimal->bigint cast would return;
+    callers past the bound keep the decimal grid
+    (`kendall_tau_from_cells` input cells merge exactly) and derive tau
+    without the bigint projection.
 
     NULL policy: rows with a NULL in either column are dropped up front
     (pairwise deletion, the standard tau-b convention) — they carry no
     order information, and counting them in the tie margins while the
     grid's equi-join drops them would break n0 - T consistency. A
-    degenerate input (constant or empty column after deletion) has a
-    zero denominator: tau_b comes back NULL rather than a raise, the
-    counts still exact.
+    degenerate input (constant column after deletion) has a zero
+    denominator: tau_b comes back NULL rather than a raise, the counts
+    still exact; a fully EMPTY input likewise returns NULL tau with all
+    five counts 0 (not NULL — the empty aggregate's NULL sums are
+    coalesced so the counts keep their exact-integer contract).
 
     Returns one row: n, concordant, discordant, ties_x, ties_y (pair
     counts, exact) + tau_b."""
@@ -185,16 +193,35 @@ def kendall_tau_from_cells(cells: DataFrame,
     tau = F.when(
         (n0_2 > F.col("_tx2")) & (n0_2 > F.col("_ty2")), tau
     )
-    # output halving on BIGINT (div is exact integral there; the doubled
-    # counts are even, and bigint is the output type's own bound)
-    def half(col, name):
-        return F.expr(f"CAST(CAST({col} AS BIGINT) div 2 AS BIGINT)").alias(name)
+    # exact bigint projection of a decimal(38,0) count: empty-input NULL
+    # sums coalesce to 0, and a value past the bigint bound RAISES — the
+    # non-ANSI decimal->bigint cast would silently return NULL there
+    bigmax = F.lit("9223372036854775807").cast(dec)
+
+    def out_count(col, name, halve=False):
+        v = F.coalesce(F.col(col), zero)
+        guarded = F.when(
+            v > bigmax,
+            F.raise_error(
+                F.lit(
+                    f"kendall_tau: {name} exceeds the bigint output "
+                    "contract — keep the decimal cell grid "
+                    "(kendall_tau_from_cells input) instead of this "
+                    "projection"
+                )
+            ).cast(dec),
+        ).otherwise(v).cast("bigint")
+        if halve:
+            # div is exact integral on bigint; the doubled counts are even
+            guarded = F.call_function("div", guarded, F.lit(2).cast("bigint"))
+        return guarded.cast("bigint").alias(name)
+
     return joined.select(
-        F.col("_n").cast("bigint").alias("n"),
-        F.col("_conc").cast("bigint").alias("concordant"),
-        F.col("_disc").cast("bigint").alias("discordant"),
-        half("_tx2", "ties_x"),
-        half("_ty2", "ties_y"),
+        out_count("_n", "n"),
+        out_count("_conc", "concordant"),
+        out_count("_disc", "discordant"),
+        out_count("_tx2", "ties_x", halve=True),
+        out_count("_ty2", "ties_y", halve=True),
         # eps-rounded like every ranked double (the r7 flake-class rule)
         F.round(tau + F.lit(1e-9), round_digits).alias("tau_b"),
     )

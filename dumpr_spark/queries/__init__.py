@@ -135,25 +135,10 @@ _R4_VERIFIED: set = set()
 # materialize() tail was factored into _unpack_winner — semantics
 # identical and locally re-gated green, but the builder source changed).
 # All re-queue in the never-green backlog for a fresh driver row.
-_R5_VERIFIED = {
-    "agg_assoc_lift", "agg_corr_covar", "agg_countmin_sketch",
-    "agg_entropy_gini", "agg_regr_linear", "agg_string_agg",
-    "agg_weighted_median", "cdc_dedup_latest_window",
-    "cdc_envelope_shape", "cdc_filter_tables", "cdc_key_hotspots",
-    "cdc_next_position", "cdc_op_rollup",
-    "dedup_paragraphs", "dedup_simhash_banded",
-    "embed_kmeans_step", "embed_norm_outliers", "events_ab_srm",
-    "events_autocorr", "events_calendar_grid", "events_dwell_time",
-    "events_gapfill", "events_inactive_users",
-    "events_streak_longest", "events_top_paths", "export_shard_manifest",
-    "graph_triangle_count", "join_asof_tolerance", "multimodal_features",
-    "multimodal_format_sniff", "multimodal_metadata",
-    "orders_seasonality_index", "profile_columns", "rollup_mom_growth",
-    "sample_reservoir_hash", "sample_time_split", "scalar_variant",
-    "sql_pipe_syntax", "sql_recursive_cte", "text_gopher_rules",
-    "text_sentence_stats", "text_stopword_docfreq", "udf_arrow_scalar",
-    "udf_map_in_arrow", "win_time_range_frame",
-}
+# _R5_VERIFIED is EMPTY as of round 12: the r11 driver walk re-certified
+# all 45 remaining r5-vintage rows (their freshest green rows now live in
+# _R11_VERIFIED), completing the rotation goal the r10 verdict set.
+_R5_VERIFIED: set = set()
 # NOTE: the r5 CDC re-checks live in _R5_VERIFIED when verified (their
 # freshest green row) and are intentionally absent from the _R2_VERIFIED
 # literal above; cdc_materialize was evicted to never-green by the r6
@@ -401,38 +386,67 @@ _R10_VERIFIED -= {"join_bucketed_colocated"}
 # oracle derives the same dial in SQL — needs a fresh driver row.
 _R10_VERIFIED -= {"sim_ivfpq_topk"}
 
-# The union is computed ONCE, after every tier literal is final — a snapshot
-# taken before a later edit would leave a name in _DRIVER_VERIFIED but no
-# tier, tripping the fail-safe rank-0 path (caught by review in r6).
+# Names the driver hash-verified in round 11 (CORRECTNESS_r11.json: 50 of
+# 50 checked, all hash_match): all 3 _R11_NEW registrations, the 2-name
+# never-green backlog (sim_ivfpq_topk at the calibrated serving dial,
+# join_bucketed_colocated with GC out of the hot path), and the whole
+# 45-name r5 tier (r5 now EMPTY).
+_R11_VERIFIED = {
+    "agg_assoc_lift", "agg_corr_covar", "agg_countmin_sketch",
+    "agg_entropy_gini", "agg_kendall_mergeable", "agg_kendall_tau",
+    "agg_regr_linear", "agg_string_agg", "agg_weighted_median",
+    "cdc_dedup_latest_window", "cdc_envelope_shape", "cdc_filter_tables",
+    "cdc_key_bucket_policy", "cdc_key_hotspots", "cdc_next_position",
+    "cdc_op_rollup", "dedup_paragraphs", "dedup_simhash_banded",
+    "embed_kmeans_step", "embed_norm_outliers", "events_ab_srm",
+    "events_autocorr", "events_calendar_grid", "events_dwell_time",
+    "events_gapfill", "events_inactive_users", "events_streak_longest",
+    "events_top_paths", "export_shard_manifest", "graph_triangle_count",
+    "join_asof_tolerance", "join_bucketed_colocated", "multimodal_features",
+    "multimodal_format_sniff", "multimodal_metadata",
+    "orders_seasonality_index", "profile_columns", "rollup_mom_growth",
+    "sample_reservoir_hash", "sample_time_split", "scalar_variant",
+    "sim_ivfpq_topk", "sql_pipe_syntax", "sql_recursive_cte",
+    "text_gopher_rules", "text_sentence_stats", "text_stopword_docfreq",
+    "udf_arrow_scalar", "udf_map_in_arrow", "win_time_range_frame",
+}
+# Removed from _R11_VERIFIED (stale evidence, r12 edits — the r11 ADVICE
+# fixes changed these builders' certified paths; values identical at any
+# testable scale and locally re-gated green, but fresh driver rows are the
+# durable record):
+# - agg_kendall_tau + agg_kendall_mergeable: kendall_tau_from_cells'
+#   output projection now coalesces empty-input counts to exact 0 and
+#   RAISES past the bigint output bound instead of the silent NULL of a
+#   non-ANSI decimal->bigint cast (functions/stats.py).
+# - cdc_key_bucket_policy: suggest_key_bucket's ceilings moved from float
+#   math.ceil to exact integer (a+b-1)//b — now agreeing with the
+#   declarative twin past 2^53; the query self-checks the helper, so the
+#   helper IS part of the certified path.
+_R11_VERIFIED -= {
+    "agg_kendall_tau", "agg_kendall_mergeable", "cdc_key_bucket_policy",
+}
+
+# Queries first registered in round 12: NONE — the round spends its slots
+# on the rotation (the whole 47-name r6 tier) plus the 3 evictions above.
+# Budget check: evictions + len(_R12_NEW) = 3 <= 3 (cap per the r11
+# verdict) so the remaining >= 47 slots re-certify the entire r6 tier.
+_R12_NEW: set = set()
+
+# The union is computed ONCE, after every tier literal (and eviction edit)
+# is final — a snapshot taken before a later edit would leave a name in
+# _DRIVER_VERIFIED but no tier, tripping the fail-safe rank-0 path (caught
+# by review in r6).
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
     | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
-    | _R10_VERIFIED
+    | _R10_VERIFIED | _R11_VERIFIED
 )
 
-# Queries first registered in round 11. They queue BEHIND the never-green
-# backlog and AHEAD of the verified tiers. Budget check: backlog +
-# len(_R11_NEW) must stay <= 5 (cap per the r10 verdict) so the remaining
-# >= 45 slots re-certify the whole 45-name r5 tier in one round.
-_R11_NEW: set = {
-    # rank-statistics family completion: Kendall tau-b via the
-    # contingency grid + 2D prefix sums (functions/stats.kendall_tau_b)
-    "agg_kendall_tau",
-    # the key-bucket sizing policy certified value-level: the
-    # suggest_key_bucket helper's declarative twin + a self-check raise
-    # (r10 verdict item 4 tied into the correctness gate)
-    "cdc_key_bucket_policy",
-    # rank statistics join the mergeable-sketch family: per-day
-    # contingency grids summed cell-wise, tau from the merged grid —
-    # exact merge, hash-checked (functions/stats.kendall_tau_from_cells)
-    "agg_kendall_mergeable",
-}
-
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-11 addition. A name
-# accidentally left out of _R11_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-12 addition. A name
+# accidentally left out of _R12_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R11_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R12_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
 # the only remaining correctness risk — r5-vintage green rows on evolving
@@ -442,13 +456,14 @@ _NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R11_NEW
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
+    _R11_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R11_NEW:
+    if n in _R12_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

@@ -3465,7 +3465,7 @@ def _ivfpq_ctes() -> str:
     )
 
 
-def _ivfpq_index(spark, sf_dir, train_sample_mod=None):
+def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
     """Spark side of the IVF-PQ TRAIN + ENCODE stages, shared by every
     serving dial: returns (e, q, cdf, cents, cb, vcode) with the trained
     codebook and the encoded corpus pinned, so a dial sweep
@@ -3513,7 +3513,7 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None):
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
     cdf, _counts, _iters, _conv = sim.train_centroids_lloyd(
-        e, k=_IVFPQ_CELLS, max_iter=4, eps=0.06
+        e, k=cells, max_iter=4, eps=0.06
     )
     cents = cdf.select(
         F.col("cent_id").alias("cell"), F.col("cent_vec").alias("cvec")
@@ -3727,13 +3727,16 @@ def _ivfpq_reranked(spark, sf_dir):
                         shortlist=_ivfpq_serve_shortlist(index[0].count()))
 
 
-def _ivfpq_serve_shortlist(n: int) -> int:
+def _ivfpq_serve_shortlist(n: int, cells: int = _IVFPQ_CELLS) -> int:
     """THE serving-dial shortlist rule — shared by _ivfpq_reranked and
     scripts/ivfpq_dial_probe.py so the probe always measures the dial
     the registered path actually serves at (a hand-copy would silently
     keep certifying a stale rule); the oracle's serve_dial CTE is its
-    SQL twin (GREATEST/CEIL over the same constants)."""
-    return max(_IVFPQ_SHORTLIST, math.ceil(n / _IVFPQ_CELLS))
+    SQL twin (GREATEST/CEIL over the same constants). `cells` defaults
+    to the registered index's pinned cell count; the r12 cells ~ sqrt(n)
+    exercise (scripts/ivfpq_cells_probe.py) passes the scaled count so
+    the rule and the index agree at every k."""
+    return max(_IVFPQ_SHORTLIST, math.ceil(n / cells))
 
 
 @query(

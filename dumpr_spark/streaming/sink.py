@@ -21,7 +21,6 @@ in flight.
 from __future__ import annotations
 
 import json
-import math
 import os
 import shutil
 from dataclasses import dataclass
@@ -46,14 +45,70 @@ class KeyBucket:
     changes as state grows, and a changed bucket function over existing
     buckets splits keys across layouts (migrate via `migrate_key_bucket`
     instead). Future autoincrement keys past the observed max simply open
-    new top buckets, which is the locality the layout exists to exploit."""
+    new top buckets, which is the locality the layout exists to exploit.
+
+    The floor division is EXACT integral arithmetic (``(d - pmod(d, w))
+    div w`` over longs, negatives handled by pmod's non-negative
+    remainder) — a ``floor(d / w)`` through DOUBLE division is inexact
+    once the id is more than 2^53 from the origin (realistic for
+    snowflake/epoch-composed 64-bit keys), which would blur bucket
+    boundaries away from the documented contract and from
+    `suggest_key_bucket`'s integer arithmetic. Identical results below
+    2^53, so existing layouts are unaffected."""
 
     width: int
     origin: int = 0
 
+    def kb_identity(self) -> dict:
+        """Persistable policy identity for `_validate_layout`'s drift check
+        (same marker format the sink has always stamped)."""
+        return {"width": self.width, "origin": self.origin}
+
     def __call__(self, c: Column) -> Column:
+        d = c.try_cast("long") - F.lit(self.origin).cast("long")
+        w = F.lit(self.width).cast("long")
+        # (d - pmod(d, w)) is an exact multiple of w, so integral `div`
+        # reproduces floor((id - origin) / width) with no double rounding
         return F.coalesce(
-            F.floor((c.try_cast("long") - F.lit(self.origin)) / F.lit(self.width)),
+            F.call_function("div", d - F.pmod(d, w), w),
+            F.lit(-1),
+        ).cast("int")
+
+
+@dataclass(frozen=True)
+class HashKeyBucket:
+    """A pinned hash-bucket policy for NON-NUMERIC key domains:
+    ``bucket = pmod(first-8-hex-of-md5(id) as int, n_buckets)`` — the
+    deterministic numeric projection `suggest_key_bucket`'s refusal
+    message points at when the id domain is not integer-castable (UUIDs,
+    composite string keys).
+
+    LOCALITY CAVEAT (why this is not the default): a hash projection
+    trades away exactly the autoincrement locality that makes range
+    bucketing pay — every batch's keys spread uniformly over ALL
+    n_buckets, so per-batch touched-slice count ~= min(batch_keys,
+    n_buckets) instead of ~1-2 top buckets. It still wins when the table
+    is large but its KEY POPULATION is stable (updates/deletes revisit
+    existing keys; state >> batch): each touched slice is 1/n_buckets of
+    the table, so the per-batch rewrite is O(state / n_buckets * touched)
+    rather than O(state). For append-heavy autoincrement workloads use
+    `KeyBucket` (via `suggest_key_bucket`) instead.
+
+    TOTAL over ids (NULL id lands in bucket -1, never NULL — see
+    `_pair_filter`), DETERMINISTIC in n_buckets alone, and carries a
+    persistable identity so `_validate_layout` catches a drifted
+    n_buckets exactly like a drifted range policy."""
+
+    n_buckets: int
+
+    def kb_identity(self) -> dict:
+        return {"hash": "md5_8", "n_buckets": self.n_buckets}
+
+    def __call__(self, c: Column) -> Column:
+        # first 8 hex chars = 32 bits — exact in a long, no sign issues
+        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        return F.coalesce(
+            F.pmod(h.cast("long"), F.lit(self.n_buckets).cast("long")),
             F.lit(-1),
         ).cast("int")
 
@@ -73,8 +128,16 @@ def suggest_key_bucket(state_df: DataFrame,
     id is not, this raises — hash bucketing would spread every batch over
     all buckets and buy nothing (the MergeSink docstring's policy note),
     so a non-numeric key domain needs a caller-supplied domain bucketing
-    instead. Pin the returned (width, origin) for the stream's lifetime;
-    re-bucketing existing state goes through `migrate_key_bucket`."""
+    instead (`HashKeyBucket` is the shipped recipe, with that caveat
+    stated on it). Pin the returned (width, origin) for the stream's
+    lifetime; re-bucketing existing state goes through
+    `migrate_key_bucket`.
+
+    Both ceilings are EXACT integer arithmetic ((a + b - 1) // b) — the
+    same expressions as the declarative twin the correctness gate checks
+    (queries/cdc.cdc_key_bucket_policy); a float `math.ceil(a / b)` would
+    disagree with it past 2^53 (snowflake-scale id spans) and mis-size
+    the width."""
     row = state_df.select(
         F.count(F.lit(1)).alias("n"),
         F.min(F.col("id").try_cast("long")).alias("lo"),
@@ -90,12 +153,16 @@ def suggest_key_bucket(state_df: DataFrame,
     if row["bad"]:
         raise ValueError(
             f"{row['bad']} id(s) are not integer-castable: range bucketing "
-            "needs a numeric key domain — supply a domain-specific "
-            "key_bucket callable instead (hash bucketing spreads every "
-            "batch over all buckets and buys nothing)"
+            "needs a numeric key domain — supply a domain bucketing "
+            "instead, e.g. HashKeyBucket(n_buckets) (deterministic md5 "
+            "projection; note its locality caveat: hash bucketing spreads "
+            "every batch over all buckets, so it pays only for "
+            "stable-key-population tables)"
         )
-    n_buckets = max(1, math.ceil(row["n"] / target_rows_per_bucket))
-    width = max(1, math.ceil((row["hi"] - row["lo"] + 1) / n_buckets))
+    n = int(row["n"])
+    span = int(row["hi"]) - int(row["lo"]) + 1
+    n_buckets = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    width = max(1, (span + n_buckets - 1) // n_buckets)
     return KeyBucket(width=width, origin=int(row["lo"]))
 
 
@@ -236,9 +303,17 @@ class MergeSink:
 
     def _kb_policy(self) -> dict | None:
         """The persistable identity of the bucket function, when it has
-        one (the KeyBucket policy object's (width, origin)). Arbitrary
+        one: a `kb_identity()` method (KeyBucket, HashKeyBucket, or any
+        user policy object) or duck-typed (width, origin) ints. Arbitrary
         callables return None — no drift detection is possible for them,
-        which is one more reason to prefer the policy object."""
+        which is one more reason to prefer a policy object (and why
+        `_validate_layout` refuses an opaque callable over a state whose
+        marker proves it was cut by a policy object)."""
+        ident = getattr(self.key_bucket, "kb_identity", None)
+        if callable(ident):
+            p = ident()
+            if isinstance(p, dict):
+                return p
         w = getattr(self.key_bucket, "width", None)
         o = getattr(self.key_bucket, "origin", None)
         if isinstance(w, int) and isinstance(o, int):
@@ -293,17 +368,34 @@ class MergeSink:
         # when the function carries a persistable identity (KeyBucket),
         # _commit stamps it into the state and this compares it. Hidden
         # (underscore) file, invisible to the parquet reader.
-        pol = self._kb_policy() if self.key_bucket is not None else None
-        if pol is not None:
+        if self.key_bucket is not None:
             marker = os.path.join(self.state_path, "_kb_policy.json")
             if os.path.exists(marker):
                 with open(marker) as f:
                     persisted = json.load(f)
+                pol = self._kb_policy()
+                if pol is None:
+                    # the marker PROVES this layout was cut by a specific
+                    # policy object; an opaque callable offers no identity
+                    # to compare, so a DIFFERENT bucket function would pass
+                    # silently and merge with mismatched pruning (deletes
+                    # resurrect, updates fork). A properly migrated
+                    # opaque-callable state has no marker, so legitimate
+                    # opaque users never hit this.
+                    raise ValueError(
+                        f"state at {self.state_path} was bucketed with "
+                        f"policy {persisted} but this sink carries an "
+                        "opaque key_bucket callable whose identity cannot "
+                        "be checked against it — pass the original policy "
+                        "object, or migrate via migrate_key_bucket(spark, "
+                        "state_path, new_key_bucket) with the stream "
+                        "stopped."
+                    )
                 if persisted != pol:
                     raise ValueError(
                         f"state at {self.state_path} was bucketed with "
-                        f"KeyBucket({persisted}) but this sink carries "
-                        f"KeyBucket({pol}): a changed bucket function over "
+                        f"policy {persisted} but this sink carries "
+                        f"policy {pol}: a changed bucket function over "
                         "existing buckets splits keys across layouts — "
                         "migrate via migrate_key_bucket(spark, state_path, "
                         "new_key_bucket) with the stream stopped."

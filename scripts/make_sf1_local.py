@@ -64,6 +64,37 @@ def main(out_dir: str) -> None:
         out.write.mode("overwrite").parquet(dest)
         print(f"{name}: {base.count()} -> {spark.read.parquet(dest).count()} rows")
 
+    # embeddings (r12, the ANN cells ~ sqrt(n) exercise): a plain key-shift
+    # copy would duplicate every VECTOR 10x, which degenerates any recall
+    # measurement (ground-truth top-k becomes the copies of self). Instead
+    # each copy's vectors are circularly ROTATED by the copy index —
+    # deterministic, norm- and pairwise-geometry-preserving within a copy,
+    # and distinct across copies — so the 10x corpus keeps sf0.1-like
+    # cluster structure while every vector is unique. Copy 0 is the
+    # original, so the vec_id < 32 query set is unchanged.
+    base = t(spark, sf_dir, "embeddings")
+    dim = len(base.select("embedding").first()["embedding"])
+    parts = []
+    for i in range(COPIES):
+        rot = i % dim
+        df = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if rot:
+            df = df.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), rot + 1, dim - rot),
+                    F.slice(F.col("embedding"), 1, rot),
+                ),
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dest = os.path.join(out_dir, "embeddings.parquet")
+    out.write.mode("overwrite").parquet(dest)
+    print(f"embeddings: {base.count()} -> {spark.read.parquet(dest).count()} "
+          f"rows (dim={dim}, rotated copies)")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else

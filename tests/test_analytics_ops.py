@@ -301,3 +301,41 @@ def test_kendall_cells_merge_is_lossless(spark):
     merged = union.groupBy("_x", "_y").agg(F.sum("_c").alias("_c"))
     got = kendall_tau_from_cells(merged).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+def test_kendall_empty_input_and_bigint_overflow_guard(spark):
+    """The output-projection contract edges (r11 advice): a fully EMPTY
+    input returns all five counts as exact 0 (not the NULL an empty
+    aggregate's sums would leak) with NULL tau; and a count past the
+    bigint output bound RAISES loudly instead of the silent NULL a
+    non-ANSI decimal->bigint cast returns — fabricated via the
+    mergeable-cells entry point, since ~3e9 real tied rows are not a
+    test. The raise message points at keeping the decimal cell grid."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.functions.stats import (
+        kendall_tau_b, kendall_tau_from_cells,
+    )
+
+    r = kendall_tau_b(
+        spark.createDataFrame([], "x int, y int"), "x", "y"
+    ).collect()[0]
+    assert (r["n"], r["concordant"], r["discordant"],
+            r["ties_x"], r["ties_y"]) == (0, 0, 0, 0, 0)
+    assert r["tau_b"] is None
+    # all-NULL rows reduce to the empty case through pairwise deletion
+    r = kendall_tau_b(
+        spark.createDataFrame([(None, 1), (2, None)], "x int, y int"),
+        "x", "y",
+    ).collect()[0]
+    assert r["n"] == 0 and r["tau_b"] is None
+
+    # one cell of 2^62 tied rows: doubled tie-pair count m(m-1) ~ 2^124
+    # overflows bigint by ~37 decimal orders — the guard must fire
+    huge = spark.createDataFrame(
+        [(1, 1)], "_x int, _y int"
+    ).select("_x", "_y", F.lit(2 ** 62).cast("decimal(38,0)").alias("_c"))
+    with pytest.raises(Exception, match="exceeds the bigint output contract"):
+        kendall_tau_from_cells(huge).collect()

@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _NEVER_GREEN, _R11_NEW, _VERIFIED_STALEST_FIRST,
+        REGISTRY, _NEVER_GREEN, _R12_NEW, _VERIFIED_STALEST_FIRST,
     )
 
     names = set(REGISTRY)
-    tiers = [_R11_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
+    tiers = [_R12_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):
@@ -46,28 +46,71 @@ def test_rank_tiers_cover_every_query_exactly_once():
             assert not (a & b), f"rank tiers overlap: {a & b}"
 
 
-def test_round11_registration_count_claim_matches():
+def test_round12_registration_count_claim_matches():
     import re
 
-    from dumpr_spark.queries import _R11_NEW
+    from dumpr_spark.queries import _R12_NEW
 
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"Round 11 \(`_R11_NEW`, (\d+) registrations", cov)
-    assert m, "COVERAGE.md round-11 registration claim missing"
-    assert int(m.group(1)) == len(_R11_NEW), (
-        f"COVERAGE.md claims {m.group(1)} round-11 registrations, "
-        f"registry has {len(_R11_NEW)}"
+    m = re.search(r"Round 12 \(`_R12_NEW`, (\d+) registrations", cov)
+    assert m, "COVERAGE.md round-12 registration claim missing"
+    assert int(m.group(1)) == len(_R12_NEW), (
+        f"COVERAGE.md claims {m.group(1)} round-12 registrations, "
+        f"registry has {len(_R12_NEW)}"
     )
 
 
-def test_round11_eviction_budget_respected():
-    """The r10 verdict caps never-green backlog + _R11_NEW at <= 5 so the
-    50-slot driver walk re-certifies the whole 45-name r5 tier in one
+def test_round12_eviction_budget_respected():
+    """The r11 verdict caps never-green backlog + _R12_NEW at <= 3 so the
+    50-slot driver walk re-certifies the whole 47-name r6 tier in one
     round. An unplanned eviction (helper edit cascading into consumers)
     silently eats a re-cert slot — fail loudly instead."""
-    from dumpr_spark.queries import _NEVER_GREEN, _R11_NEW
+    from dumpr_spark.queries import _NEVER_GREEN, _R12_NEW
 
-    assert len(_NEVER_GREEN) + len(_R11_NEW) <= 5, (
+    assert len(_NEVER_GREEN) + len(_R12_NEW) <= 3, (
         f"driver budget blown: {len(_NEVER_GREEN)} never-green + "
-        f"{len(_R11_NEW)} new > 5 leaves the r5 tier partially stale"
+        f"{len(_R12_NEW)} new > 3 leaves the r6 tier partially stale"
+    )
+
+
+def _survey_section_2_2():
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
+    s = survey.index("### 2.2")
+    e = survey.index("### 2.3")
+    return survey[s:e]
+
+
+def test_every_registry_query_is_declared_in_survey_2_2():
+    """SURVEY §2.2 is the declared t2 contract (r11 verdict item 3): every
+    registered query name must appear there literally — a registered,
+    driver-green query whose only declaration lives in COVERAGE.md is
+    contract drift."""
+    from dumpr_spark.queries import REGISTRY
+
+    sect = _survey_section_2_2()
+    missing = [n for n in REGISTRY if n not in sect]
+    assert not missing, f"registry queries absent from SURVEY §2.2: {missing}"
+
+
+def test_survey_name_index_equals_registry_both_directions():
+    """The §2.2-T name index must be EXACTLY the registry: a name listed
+    but not registered is a phantom claim; a registered name missing from
+    the index is an undeclared operator. Backticked snake_case tokens in
+    the index block are the claim set."""
+    import re
+
+    from dumpr_spark.queries import REGISTRY
+
+    sect = _survey_section_2_2()
+    s = sect.index("#### T.")
+    idx = sect[s:]
+    # prose backticks that are not query names live outside the index
+    # bullets; restrict to bullet lines to keep the claim set precise
+    listed = set()
+    for line in idx.splitlines():
+        if line.startswith(("- **", "  ")):
+            listed |= set(re.findall(r"`([a-z0-9_]+)`", line))
+    assert listed == set(REGISTRY), (
+        f"index-only: {sorted(listed - set(REGISTRY))}; "
+        f"unlisted: {sorted(set(REGISTRY) - listed)}"
     )

@@ -3301,3 +3301,239 @@ def test_streaming_image_dedup_cross_batch(spark, tmp_path):
     # intra-batch pair in batch A
     by_pair = {(a, b): bid for a, b, bid in flagged}
     assert by_pair[(1, 3)] == 0 and by_pair[(2, 10)] == 1
+
+
+def test_key_bucket_exact_integral_arithmetic(spark):
+    """KeyBucket and suggest_key_bucket past 2^53 (r11 advice): the
+    bucket quotient and the ceil arithmetic must be EXACT integer
+    operations — double division blurs bucket boundaries for
+    snowflake/epoch-composed 64-bit keys (floor((2^62+7)/10) through a
+    double is off by 25), and float math.ceil mis-sizes the width, which
+    would make cdc_key_bucket_policy's self-check raise. Negatives take
+    the floor (not truncation toward zero), matching the documented
+    floor((id - origin) / width) contract."""
+    from dumpr_spark.streaming.sink import KeyBucket, suggest_key_bucket
+
+    # the decisive case: id one below a bucket boundary, with the offset
+    # from origin past 2^53 — as a DOUBLE the id rounds UP onto the
+    # boundary (ULP at 3.3e18 is 512), so floor(double-div) lands in the
+    # WRONG bucket (k, not k-1) while the exact integral form stays put
+    k = 3_000_000
+    width = 2 ** 40
+    edge = k * width - 1  # ~3.3e18, true bucket k-1
+    assert float(edge) == float(k * width)  # the double really does round up
+    cases = [
+        (KeyBucket(width=width, origin=0), [edge, k * width, 3, -3, -1]),
+        (KeyBucket(width=width, origin=-(2 ** 61)), [edge - 2 ** 61 - 1]),
+        (KeyBucket(width=7, origin=2 ** 62), [2 ** 62 + 13, 2 ** 62 - 13]),
+    ]
+    for kb, ids in cases:
+        df = spark.createDataFrame([(str(i),) for i in ids], "id string")
+        got = {r["id"]: r["b"] for r in df.select("id", kb(F.col("id")).alias("b")).collect()}
+        for i in ids:
+            want = (i - kb.origin) // kb.width
+            assert -(2 ** 31) <= want < 2 ** 31  # buckets stay int32-valid
+            assert got[str(i)] == want, (kb, i)
+    # non-numeric id still lands in -1, never NULL
+    df = spark.createDataFrame([("user_9",)], "id string")
+    assert df.select(KeyBucket(width=10)(F.col("id")).alias("b")).collect()[0]["b"] == -1
+
+    # suggest_key_bucket at a 2^62-wide span: width must be the exact
+    # integer ceil of span / n_buckets (float ceil disagrees here)
+    lo, hi = 3, 2 ** 62 + 3
+    ids = spark.createDataFrame(
+        [(str(lo),), (str(hi),), (str(2 ** 61),)], "id string"
+    )
+    kb = suggest_key_bucket(ids, target_rows_per_bucket=1)
+    n_buckets = max(1, (3 + 1 - 1) // 1)
+    want_width = max(1, (hi - lo + 1 + n_buckets - 1) // n_buckets)
+    assert (kb.width, kb.origin) == (want_width, lo)
+    assert isinstance(kb.width, int)
+
+
+def test_hash_key_bucket_recipe_for_string_keys(spark, tmp_path):
+    """The shipped non-numeric-domain recipe (r11 verdict item 5):
+    HashKeyBucket projects any string key through first-8-hex-of-md5 to
+    a pinned pmod bucket — total (NULL id -> -1), deterministic, and it
+    works end-to-end as the sink's key_bucket where suggest_key_bucket
+    refuses (UUID-ish keys). Its identity persists in the policy marker,
+    so a drifted n_buckets is refused exactly like a drifted range
+    policy; and the suggest refusal message points at it."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        HashKeyBucket, MergeSink, suggest_key_bucket,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, k, seq: ("upsert", tbl, k, json.dumps({"k": k, "s": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, k, seq: ("delete", tbl, k, None, None, "f1", seq, seq)  # noqa: E731
+
+    keys = [f"user-{i:04d}" for i in range(30)]
+    kb = HashKeyBucket(n_buckets=8)
+    # deterministic + total + in-range on the projected domain
+    df = spark.createDataFrame([(k,) for k in keys] + [(None,)], "id string")
+    got = [r["b"] for r in df.select(kb(F.col("id")).alias("b")).collect()]
+    assert got[-1] == -1  # NULL id
+    assert all(0 <= b < 8 for b in got[:-1])
+    again = [r["b"] for r in df.select(kb(F.col("id")).alias("b")).collect()]
+    assert got == again
+
+    state = str(tmp_path / "hash_kb")
+    sink = MergeSink(spark, state, key_bucket=kb)
+    sink(batch([up("users", k, i) for i, k in enumerate(keys)]), 0)
+    sink(batch([up("users", keys[0], 100), dele("users", keys[1], 101)]), 1)
+    live = {r["id"]: r["seq"] for r in sink.read_state().collect()}
+    assert live[keys[0]] == 100 and keys[1] not in live
+    assert len(live) == len(keys) - 1
+    # the marker carries the hash identity; a drifted n_buckets is refused
+    with open(os.path.join(state, "_kb_policy.json")) as f:
+        assert json.load(f) == {"hash": "md5_8", "n_buckets": 8}
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        MergeSink(spark, state, key_bucket=HashKeyBucket(n_buckets=16)).read_state()
+    # same policy object (fresh instance) is accepted
+    assert MergeSink(
+        spark, state, key_bucket=HashKeyBucket(n_buckets=8)
+    ).read_state().count() == len(keys) - 1
+
+    # the range helper refuses this domain and names the recipe
+    with pytest.raises(ValueError, match="HashKeyBucket"):
+        suggest_key_bucket(
+            spark.createDataFrame([(k,) for k in keys], "id string")
+        )
+
+
+def test_opaque_callable_over_policy_marker_refused(spark, tmp_path):
+    """The drift check's blind spot, closed (r11 advice, medium): a state
+    directory whose _kb_policy.json proves it was cut by a policy object
+    must refuse an OPAQUE callable sink — same tbl=/_kb= shape, no
+    identity to compare, so a DIFFERENT bucket function would otherwise
+    merge with mismatched pruning (deletes resurrect, updates fork). A
+    properly migrated opaque-callable state has no marker and keeps
+    working."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, MergeSink, migrate_key_bucket,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    opaque = lambda c: F.coalesce(  # same MATH as KeyBucket(3), no identity  # noqa: E731
+        F.call_function(
+            "div",
+            c.try_cast("long") - F.pmod(c.try_cast("long"), F.lit(3).cast("long")),
+            F.lit(3).cast("long"),
+        ), F.lit(-1),
+    ).cast("int")
+
+    state = str(tmp_path / "opq_state")
+    MergeSink(spark, state, key_bucket=KeyBucket(width=3))(
+        batch([up("orders", i, i) for i in range(9)]), 0
+    )
+    assert os.path.exists(os.path.join(state, "_kb_policy.json"))
+    opq = MergeSink(spark, state, key_bucket=opaque)
+    with pytest.raises(ValueError, match="opaque"):
+        opq.read_state()
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        opq(batch([up("orders", 99, 99)]), 1)
+    # the sanctioned path: migrate to the opaque callable — the fresh
+    # layout carries no marker, and the opaque sink then operates
+    migrate_key_bucket(spark, state, opaque)
+    assert not os.path.exists(os.path.join(state, "_kb_policy.json"))
+    after = MergeSink(spark, state, key_bucket=opaque)
+    after(batch([up("orders", 99, 99)]), 1)
+    assert {r["id"] for r in after.read_state().collect()} == {str(i) for i in range(9)} | {"99"}
+
+
+def test_history_sink_policy_migration_parity(spark, tmp_path):
+    """The r11 policy/migration surface works end-to-end on an SCD2 state
+    directory too (r11 verdict item 6): HistorySink shares MergeSink's
+    `_validate_layout`/_kb_policy.json/`migrate_key_bucket` machinery,
+    but until now no test exercised a HISTORY migration (extra valid_to
+    column, delete rows as interval terminators rather than tombstones).
+    Covers: flip refusal both directions, policy-drift refusal, the
+    opaque-callable-over-marker refusal, migration with HISTORY_SCHEMA
+    preserving every interval (including terminator rows), continued
+    folding + untouched-bucket carry-forward after migration, and crash
+    recovery of a torn history migration."""
+    import shutil
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HISTORY_SCHEMA, HistorySink
+    from dumpr_spark.streaming.sink import KeyBucket, migrate_key_bucket
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i, "v": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, i, seq: ("delete", tbl, str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    state = str(tmp_path / "hist_mig")
+    plain = HistorySink(spark, state)
+    plain(batch([up("w", i, i) for i in range(1, 13)] + [up("x", 1, 3)]), 0)
+    plain(batch([up("w", 2, 20), dele("w", 5, 21)]), 1)
+
+    def hist(sink):
+        return {
+            (r["tbl"], r["id"], r["seq"], r["valid_to"], r["is_current"])
+            for r in sink.read_history().collect()
+        }
+
+    def raw(sink):
+        return {
+            (r["tbl"], r["id"], r["op"], r["seq"], r["valid_to"])
+            for r in sink._read_raw().drop("_kb").collect()
+        }
+
+    want_hist, want_raw = hist(plain), raw(plain)
+    assert any(op == "delete" for _t, _i, op, _s, _v in want_raw)
+
+    # flip refusal: bucketed sink over the plain SCD2 directory
+    kb = KeyBucket(width=4)
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        HistorySink(spark, state, key_bucket=kb).read_history()
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        HistorySink(spark, state, key_bucket=kb)(batch([up("w", 99, 99)]), 2)
+
+    # sanctioned migration with the HISTORY schema: every interval AND
+    # the delete terminator rows survive byte-identically
+    migrate_key_bucket(spark, state, kb, schema=HISTORY_SCHEMA)
+    bucketed = HistorySink(spark, state, key_bucket=kb)
+    assert hist(bucketed) == want_hist
+    assert raw(bucketed) == want_raw
+    assert os.path.exists(os.path.join(state, "_kb_policy.json"))
+
+    # drift + opaque refusals hold on the history directory
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        HistorySink(spark, state, key_bucket=KeyBucket(width=9)).read_history()
+    with pytest.raises(ValueError, match="opaque"):
+        HistorySink(
+            spark, state, key_bucket=lambda c: (c.try_cast("long") % 4).cast("int")
+        ).read_history()
+    # ...and the reverse flip (plain sink over the bucketed directory)
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        HistorySink(spark, state)(batch([up("w", 99, 99)]), 2)
+
+    # continued folding: a later change closes the right interval, and
+    # untouched buckets carry forward by hardlink (inode-stable)
+    kb0 = os.path.join(state, "tbl=w", "_kb=0")
+    inodes = {f: os.stat(os.path.join(kb0, f)).st_ino for f in os.listdir(kb0)}
+    bucketed(batch([up("w", 9, 30)]), 2)  # id 9 -> bucket 2; bucket 0 untouched
+    assert {f: os.stat(os.path.join(kb0, f)).st_ino
+            for f in os.listdir(kb0)} == inodes
+    rows9 = sorted(
+        (r["seq"], r["valid_to"]) for r in bucketed.read_history()
+        .where((F.col("tbl") == "w") & (F.col("id") == "9")).collect()
+    )
+    assert rows9 == [(9, 30), (30, None)]
+
+    # torn migration crash: only .migrate-bak holds the data — the next
+    # sink touch restores it (shared _recover discipline, history schema)
+    shutil.move(state, state + ".migrate-bak")
+    recovered = HistorySink(spark, state, key_bucket=kb)
+    got = hist(recovered)
+    assert ("w", "9", 30, None, True) in got and len(got) == len(want_hist) + 1
+    assert os.path.exists(state) and not os.path.exists(state + ".migrate-bak")

@@ -185,8 +185,9 @@ def _pair_filter(pairs):
     if null_tbls:
         raise ValueError(
             f"key_bucket produced a NULL bucket for table(s) {null_tbls}: "
-            "the bucket function must be TOTAL over ids — wrap it, e.g. "
-            "coalesce(try_cast(id as long) / W, lit(-1))"
+            "the bucket function must be TOTAL over ids — use a policy "
+            "object (KeyBucket / HashKeyBucket, both total by construction) "
+            "or wrap yours, e.g. coalesce(<bucket expr>, lit(-1))"
         )
     for tbl, kb in pairs:
         by_tbl.setdefault(tbl, []).append(kb)
@@ -646,8 +647,9 @@ def migrate_key_bucket(spark: SparkSession, state_path: str, key_bucket,
             raise ValueError(
                 f"key_bucket produced a NULL bucket for table(s) "
                 f"{sorted(null_tbls)}: the bucket function must be TOTAL "
-                "over ids — wrap it, e.g. coalesce(try_cast(id as long) / W, "
-                "lit(-1)), or use the KeyBucket policy object"
+                "over ids — use a policy object (KeyBucket / HashKeyBucket, "
+                "both total by construction) or wrap yours, e.g. "
+                "coalesce(<bucket expr>, lit(-1))"
             )
         out.write.mode("overwrite").partitionBy("tbl", "_kb").parquet(tmp)
         pol = MergeSink(spark, state_path, key_bucket=key_bucket)._kb_policy()

@@ -38,7 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_SOURCES = 8
 TX_ROWS = 100
-N_FILES = 60
+# HORIZON_FILES extends the batch COUNT without touching the per-batch
+# size (r12: the >=2x crossover separation needs state to outgrow the
+# per-batch floor, and the floor scales with batch size — so a longer
+# horizon at the same batch size is the lever, not a denser feed)
+N_FILES = int(os.environ.get("HORIZON_FILES", "60"))
 SEGMENT = 12  # files (= batches) per segment; cadence boundary for B
 
 

@@ -293,6 +293,25 @@ def main(n_rows: int, mode: str) -> None:
         replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         n_ops, n_events = build_feed(spark, staging, n_rows,
                                      layout="range", replicate=replicate)
+        # JVM/codegen warmup before EITHER variant measures (r12: three
+        # scored runs showed the first variant's committed early window
+        # — batches 3-10 — reading ~1.3x the session's steady per-batch
+        # floor: JIT/codegen transients land inside it and inflate the
+        # late/early denominator for whichever variant runs first, while
+        # the second variant opens warm. One throwaway segment into a
+        # scratch state burns the transient; same basis as bench.py's
+        # cold_run/steady split.)
+        warm_work = os.path.join(work, "WARM")
+        warm_feed = os.path.join(warm_work, "feed")
+        os.makedirs(warm_feed, exist_ok=True)
+        warm_files = sorted(
+            f for f in os.listdir(staging) if f.endswith(".json")
+        )[:SEGMENT]
+        for f in warm_files:
+            shutil.copy(os.path.join(staging, f), os.path.join(warm_feed, f))
+        stream_segment(spark, warm_feed, os.path.join(warm_work, "state"),
+                       os.path.join(warm_work, "ckpt"))
+        shutil.rmtree(warm_work, ignore_errors=True)
         ids = (
             spark.read.json(staging).where("tbl IS NOT NULL")
             .select(F.get_json_object("payload", "$.o_orderkey").alias("id"))

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Measure HashKeyBucket on its STATED workload (r12 — the recipe's
+docstring claims it pays for stable-key-population tables where state >>
+batch; this probe puts a number on that claim, on the key domain the
+recipe exists for: NON-NUMERIC string keys, where range bucketing is
+impossible and `suggest_key_bucket` refuses).
+
+Shape: a large string-keyed reference table receives a TRICKLE of small
+update batches (point updates revisiting existing keys — the CDC shape of
+a dimension/profile table). The plain tbl-partitioned sink rewrites the
+WHOLE table every batch (O(state)); HashKeyBucket(n_buckets) touches only
+the <= batch_keys slices the batch's md5 projection lands in, each
+~1/n_buckets of the table, so per-batch work is O(state * touched /
+n_buckets) + metadata-sized hardlink carry-forward of untouched slices.
+
+Determinism: seed ids user-0000000..user-(N-1); batch b updates the 200
+keys congruent to b under a fixed stride, so every run touches the same
+slices. Both variants must end with IDENTICAL live state (asserted).
+
+Usage: python scripts/hash_bucket_trickle.py [state_rows] [batches] [keys_per_batch]
+Prints one JSON line: per-batch ms for both variants + the win ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BUCKETS = 4096
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.session import get_spark
+    from dumpr_spark.streaming.sink import HashKeyBucket, MergeSink
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+
+    spark = get_spark("hash_bucket_trickle")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = "/tmp/hash_bucket_trickle"
+    shutil.rmtree(work, ignore_errors=True)
+
+    def env(ids_df, seq_base):
+        return ids_df.select(
+            F.lit("upsert").alias("op"),
+            F.lit("profiles").alias("tbl"),
+            F.format_string("user-%07d", F.col("k")).alias("id"),
+            F.to_json(F.struct(F.col("k"), (F.col("k") + seq_base).alias("v")))
+                .alias("content"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("f1").alias("next_file"),
+            F.lit(None).cast("long").alias("next_position"),
+            (F.col("k") + F.lit(seq_base)).cast("long").alias("seq"),
+        )
+
+    seed = env(spark.range(n_rows).select(F.col("id").alias("k")), 0)
+    stride = n_rows // per_batch
+
+    def trickle(b):
+        # batch b point-updates `per_batch` keys spread across the key
+        # space (k = b + i*stride): zero range locality by construction —
+        # the workload where a range policy buys nothing even if the
+        # domain were numeric
+        ks = spark.range(per_batch).select(
+            (F.lit(b) + F.col("id") * stride).alias("k")
+        )
+        return env(ks, (b + 1) * n_rows)
+
+    results = {}
+    for name, kb in (("plain", None), ("hash_bucketed", HashKeyBucket(N_BUCKETS))):
+        state = os.path.join(work, name)
+        sink = MergeSink(spark, state, key_bucket=kb)
+        t0 = time.monotonic()
+        sink(seed, 0)  # seed batch; env() already emits ENVELOPE_SCHEMA
+        seed_s = time.monotonic() - t0
+        per = []
+        for b in range(1, n_batches + 1):
+            t1 = time.monotonic()
+            sink(trickle(b), b)
+            per.append(round((time.monotonic() - t1) * 1000))
+        live = sink.read_state()
+        results[name] = {
+            "seed_s": round(seed_s, 1),
+            "per_batch_ms": per,
+            "mean_ms": round(sum(per) / len(per)),
+            "state_rows": live.count(),
+            "checksum": live.agg(
+                F.sum(F.xxhash64("id", "content", "seq")).cast("string")
+            ).collect()[0][0],
+        }
+    assert results["plain"]["checksum"] == results["hash_bucketed"]["checksum"], \
+        "variants diverged"
+    print(json.dumps({
+        "metric": "hash_bucket_trickle",
+        "state_rows": n_rows, "batches": n_batches,
+        "keys_per_batch": per_batch, "n_buckets": N_BUCKETS,
+        "plain": results["plain"], "hash_bucketed": results["hash_bucketed"],
+        "win": round(results["plain"]["mean_ms"]
+                     / results["hash_bucketed"]["mean_ms"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,14 @@ Determinism: seed ids user-0000000..user-(N-1); batch b updates the 200
 keys congruent to b under a fixed stride, so every run touches the same
 slices. Both variants must end with IDENTICAL live state (asserted).
 
+The bucket count is a REAL dial with a measured failure mode on each
+side: too few buckets and a batch's keys blanket them (rewrite share ->
+100%); too many and the per-batch hardlink carry-forward — O(total data
+files in the table) — dominates (the r12 smoke at 4096 uncompacted
+32-file dirs read 6x SLOWER than plain). n_buckets=2048 with the
+documented compact_files cadence after seeding keeps both terms small:
+~200 touched slices ~= 10% of state rewritten + ~2k links per batch.
+
 Usage: python scripts/hash_bucket_trickle.py [state_rows] [batches] [keys_per_batch]
 Prints one JSON line: per-batch ms for both variants + the win ratio.
 """
@@ -31,7 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_BUCKETS = 4096
+N_BUCKETS = 2048
 
 
 def main():
@@ -81,6 +89,14 @@ def main():
         sink = MergeSink(spark, state, key_bucket=kb)
         t0 = time.monotonic()
         sink(seed, 0)  # seed batch; env() already emits ENVELOPE_SCHEMA
+        # the documented small-files cadence BEFORE the trickle starts:
+        # the seed's partitionBy write leaves ~shuffle-partition files per
+        # bucket dir, and the carry-forward hardlinks EVERY untouched data
+        # file each batch — at 2048 buckets x 32 files that metadata term
+        # alone dwarfs the rewrite it saves (measured in the r12 smoke:
+        # 8.8 s/batch at 4096 uncompacted dirs vs 1.4 s plain). One
+        # compact_files pass -> 1 file/dir, links become O(n_buckets).
+        sink.compact_files(target_file_mb=128)
         seed_s = time.monotonic() - t0
         per = []
         for b in range(1, n_batches + 1):
@@ -93,8 +109,11 @@ def main():
             "per_batch_ms": per,
             "mean_ms": round(sum(per) / len(per)),
             "state_rows": live.count(),
+            # decimal accumulator: a long sum of 2M xxhash64 values
+            # overflows (ANSI raises)
             "checksum": live.agg(
-                F.sum(F.xxhash64("id", "content", "seq")).cast("string")
+                F.sum(F.xxhash64("id", "content", "seq")
+                      .cast("decimal(38,0)")).cast("string")
             ).collect()[0][0],
         }
     assert results["plain"]["checksum"] == results["hash_bucketed"]["checksum"], \

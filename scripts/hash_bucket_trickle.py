@@ -17,15 +17,18 @@ Determinism: seed ids user-0000000..user-(N-1); batch b updates the 200
 keys congruent to b under a fixed stride, so every run touches the same
 slices. Both variants must end with IDENTICAL live state (asserted).
 
-The bucket count is a REAL dial with a measured failure mode on each
-side: too few buckets and a batch's keys blanket them (rewrite share ->
-100%); too many and the per-batch hardlink carry-forward — O(total data
-files in the table) — dominates (the r12 smoke at 4096 uncompacted
-32-file dirs read 6x SLOWER than plain). n_buckets=2048 with the
-documented compact_files cadence after seeding keeps both terms small:
-~200 touched slices ~= 10% of state rewritten + ~2k links per batch.
+The bucket count is a REAL dial with a measured failure mode on EVERY
+side (r12 smokes + a stage profile): too few buckets and a batch's keys
+blanket them (rewrite share -> 100%); uncompacted dirs make the hardlink
+carry-forward O(total data files) (4096 x 32-file dirs read 6x SLOWER
+than plain); and even compacted, each batch pays a DRIVER-side partition
+discovery floor of ~1.7 ms per bucket dir (spark.read lists every dir
+before pruning — 3.5 s of a 5.6 s batch at 2048 dirs). So the recipe
+wins only where plain's O(state) rewrite dwarfs that listing floor:
+state_rows must be large. On a metastore/ACID table format the listing
+floor is O(touched) instead — the local-fs number is the WORST case.
 
-Usage: python scripts/hash_bucket_trickle.py [state_rows] [batches] [keys_per_batch]
+Usage: python scripts/hash_bucket_trickle.py [state_rows] [batches] [keys_per_batch] [n_buckets]
 Prints one JSON line: per-batch ms for both variants + the win ratio.
 """
 
@@ -51,6 +54,7 @@ def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else N_BUCKETS
 
     spark = get_spark("hash_bucket_trickle")
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,7 +88,7 @@ def main():
         return env(ks, (b + 1) * n_rows)
 
     results = {}
-    for name, kb in (("plain", None), ("hash_bucketed", HashKeyBucket(N_BUCKETS))):
+    for name, kb in (("plain", None), ("hash_bucketed", HashKeyBucket(n_buckets))):
         state = os.path.join(work, name)
         sink = MergeSink(spark, state, key_bucket=kb)
         t0 = time.monotonic()
@@ -121,7 +125,7 @@ def main():
     print(json.dumps({
         "metric": "hash_bucket_trickle",
         "state_rows": n_rows, "batches": n_batches,
-        "keys_per_batch": per_batch, "n_buckets": N_BUCKETS,
+        "keys_per_batch": per_batch, "n_buckets": n_buckets,
         "plain": results["plain"], "hash_bucketed": results["hash_bucketed"],
         "win": round(results["plain"]["mean_ms"]
                      / results["hash_bucketed"]["mean_ms"], 2),

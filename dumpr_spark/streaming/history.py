@@ -149,7 +149,10 @@ class HistorySink(MergeSink):
             ]
             if not touched:
                 return
-            current = self._read_raw()
+            # touched-dirs scan — O(touched) listing, not O(all buckets);
+            # _pair_filter stays for its NULL-bucket raise (see
+            # MergeSink._read_touched)
+            current = self._read_touched(touched)
             prior = current.where(_pair_filter(touched)).drop("valid_to", "_kb")
             merged = prior.unionByName(batch.select(*env_cols))
             merged = merged.dropDuplicates(["tbl", "id", "seq"])

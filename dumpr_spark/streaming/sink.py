@@ -416,6 +416,45 @@ class MergeSink:
         # looking `tbl` value (schema pins it to STRING)
         return self.spark.read.schema(schema).parquet(self.state_path)
 
+    def _read_touched(self, pairs) -> DataFrame:
+        """Bucketed-mode scan of ONLY the touched (tbl, bucket) slice
+        dirs, read as explicit paths under a basePath — O(touched)
+        driver-side listing instead of `spark.read.parquet(state)`'s
+        O(all bucket dirs) partition discovery (measured ~1.7 ms/dir:
+        at 2048 bucket dirs the discovery alone cost 3.5 s of a 5.6 s
+        micro-batch, state-independent — the r12 trickle profile). The
+        per-batch merge term is O(touched slices) only if the SCAN SETUP
+        is too.
+
+        Falls back to the full pruned read when a table name is not
+        identity under URL quoting (exotic names) so hand-built paths
+        can never diverge from Spark's own partition-dir escaping; new
+        buckets with no dir yet simply don't contribute rows. Callers
+        still apply `_pair_filter` on top — it carries the loud
+        NULL-bucket raise, and the redundant predicate prunes nothing
+        further."""
+        self._recover()
+        self._validate_layout()
+        schema = self._ext_schema()
+        if not os.path.exists(self.state_path):
+            return self.spark.createDataFrame([], schema)
+        from urllib.parse import quote
+
+        dirs = []
+        for tbl, kb in pairs:
+            if kb is None or quote(str(tbl), safe="") != str(tbl):
+                return self._read_raw().where(_pair_filter(pairs))
+            d = os.path.join(self.state_path, f"tbl={tbl}", f"_kb={kb}")
+            if os.path.isdir(d):
+                dirs.append(d)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", self.state_path)
+            .parquet(*dirs)
+        )
+
     def read_state(self) -> DataFrame:
         """The live materialized view: tombstones are an implementation detail
         of the incremental fold, not part of the entity-map contract (and
@@ -577,10 +616,12 @@ class MergeSink:
             ]
             if not touched:
                 return
-            current = self._read_raw()  # runs _recover() first
-            # the pair filter prunes to the touched bucket DIRS at scan
-            # time; the fold drops _kb (materialize returns envelope
-            # columns) and it is recomputed — deterministic in id
+            # touched-dirs scan (runs _recover first): O(touched) listing,
+            # not O(all buckets) — see _read_touched; _pair_filter stays
+            # for its NULL-bucket raise. The fold drops _kb (materialize
+            # returns envelope columns) and it is recomputed —
+            # deterministic in id
+            current = self._read_touched(touched)
             folded = materialize(
                 current.where(_pair_filter(touched)).drop("_kb")
                 .unionByName(batch.drop("_kb")),

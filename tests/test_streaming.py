@@ -3537,3 +3537,58 @@ def test_history_sink_policy_migration_parity(spark, tmp_path):
     got = hist(recovered)
     assert ("w", "9", 30, None, True) in got and len(got) == len(want_hist) + 1
     assert os.path.exists(state) and not os.path.exists(state + ".migrate-bak")
+
+
+def test_read_touched_fast_path_matches_full_read(spark, tmp_path):
+    """The r12 touched-dirs scan (`_read_touched`): the bucketed merge
+    path lists only the touched (tbl, bucket) slice dirs — O(touched)
+    driver listing instead of spark.read's O(all bucket dirs) partition
+    discovery (measured ~1.7 ms/dir, 3.5 s of a 5.6 s batch at 2048
+    dirs). Must be ROW-IDENTICAL to the full pruned read, including
+    tombstones, for any pair list — touched-only, a not-yet-existing
+    bucket, a missing table — and must FALL BACK to the full read for a
+    table name that is not identity under URL quoting, so hand-built
+    paths can never diverge from Spark's own dir escaping."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink, _pair_filter
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, i, seq: ("delete", tbl, str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    kb = KeyBucket(width=3)
+    state = str(tmp_path / "rt_state")
+    sink = MergeSink(spark, state, key_bucket=kb)
+    sink(batch([up("orders", i, i) for i in range(12)]
+               + [up("parts", 2, 2), dele("orders", 4, 40)]), 0)
+
+    def rows(df):
+        return {
+            (r["tbl"], r["id"], r["op"], r["seq"], r["_kb"]) for r in df.collect()
+        }
+
+    cases = [
+        [("orders", 0), ("orders", 1)],           # touched subset
+        [("orders", 0), ("orders", 99)],           # bucket dir that never existed
+        [("parts", 0), ("orders", 2)],             # cross-table
+        [("nope", 0)],                             # missing table entirely
+    ]
+    for pairs in cases:
+        fast = rows(sink._read_touched(pairs).where(_pair_filter(pairs)))
+        full = rows(sink._read_raw().where(_pair_filter(pairs)))
+        assert fast == full, pairs
+    # tombstones flow through the fast path (the fold depends on them)
+    t = rows(sink._read_touched([("orders", 1)]).where(
+        _pair_filter([("orders", 1)])))
+    assert ("orders", "4", "delete", 40, 1) in t
+
+    # exotic table name (space: not identity under URL quoting) exercises
+    # the fallback end-to-end through the merge path — two batches so the
+    # second one READS the escaped dir it wrote
+    ex = MergeSink(spark, str(tmp_path / "rt_exotic"), key_bucket=kb)
+    ex(batch([up("a b", 1, 1), up("a b", 7, 2)]), 0)
+    ex(batch([up("a b", 1, 10)]), 1)
+    live = {(r["tbl"], r["id"], r["seq"]) for r in ex.read_state().collect()}
+    assert live == {("a b", "1", 10), ("a b", "7", 2)}

@@ -144,30 +144,10 @@ _R5_VERIFIED: set = set()
 # literal above; cdc_materialize was evicted to never-green by the r6
 # _unpack_winner refactor, then re-greened by the r6 driver walk — its
 # freshest row now lives in _R6_VERIFIED.
-# Names the driver hash-verified in round 6 (CORRECTNESS_r06.json: 50 of 50
-# checked, all hash_match): all 15 _R6_NEW registrations, the 8-name
-# never-green backlog (cdc_materialize/_salted twins share one oracle;
-# cdc_stamp_filename post-rewrite; the two embedding near-dup rewrites;
-# cdc_time_travel / cdc_consistency_check / customer_rfm_scores /
-# events_interval_merge re-greens), and 27 r1-vintage re-certifications.
-_R6_VERIFIED = {
-    "agg_collect_sorted", "agg_count_distinct", "agg_cube", "agg_global",
-    "agg_gmean_hmean", "agg_grouping_sets", "agg_having",
-    "agg_hhi_concentration", "agg_max_by", "agg_percentiles", "agg_rollup",
-    "cdc_consistency_check", "cdc_materialize", "cdc_materialize_salted",
-    "cdc_stamp_filename", "cdc_time_travel", "customer_rfm_scores",
-    "dedup_embedding_cosine",
-    "embed_debias_apply", "embed_debias_topdir",
-    "embed_kmeans_converged", "embed_pca_power", "events_gap_percentiles",
-    "events_hourly_profile", "events_interval_merge", "filter_in_set",
-    "filter_predicates", "join_asof", "join_asof_union",
-    "join_bloom_prefilter", "multimodal_resolution_buckets",
-    "orders_backlog_timeseries", "q1_pricing_summary", "sample_weighted_topk",
-    "scalar_array", "scalar_array_fold", "scalar_datetime", "scalar_math",
-    "scalar_string", "text_pmi_cooccurrence", "win_first_last",
-    "win_lag_lead", "win_nth_value", "win_pct_rank", "win_range_frame",
-    "win_rank_dense", "win_running_sum", "win_topk_per_group",
-}
+# _R6_VERIFIED is EMPTY as of round 13: the r12 driver walk re-certified
+# all 47 remaining r6-vintage rows (their freshest green rows now live in
+# _R12_VERIFIED), completing the rotation goal the r11 verdict set.
+_R6_VERIFIED: set = set()
 # Removed from _R6_VERIFIED (stale evidence, r7 edits):
 # dedup_minhash_accuracy (builder refactored onto
 # functions/dedup.minhash_accuracy_audit to grow the sample_frac/max_pairs
@@ -426,11 +406,37 @@ _R11_VERIFIED -= {
     "agg_kendall_tau", "agg_kendall_mergeable", "cdc_key_bucket_policy",
 }
 
-# Queries first registered in round 12: NONE — the round spends its slots
-# on the rotation (the whole 47-name r6 tier) plus the 3 evictions above.
-# Budget check: evictions + len(_R12_NEW) = 3 <= 3 (cap per the r11
-# verdict) so the remaining >= 47 slots re-certify the entire r6 tier.
-_R12_NEW: set = set()
+# Names the driver hash-verified in round 12 (CORRECTNESS_r12.json: 50 of
+# 50 checked, all hash_match): the whole 3-name never-green backlog (the
+# r11-advice-fix evictions: agg_kendall_tau, agg_kendall_mergeable,
+# cdc_key_bucket_policy) and the entire 47-name r6 tier (r6 now EMPTY).
+_R12_VERIFIED = {
+    "agg_collect_sorted", "agg_count_distinct", "agg_cube", "agg_global",
+    "agg_gmean_hmean", "agg_grouping_sets", "agg_having",
+    "agg_hhi_concentration", "agg_kendall_mergeable", "agg_kendall_tau",
+    "agg_max_by", "agg_percentiles", "agg_rollup", "cdc_consistency_check",
+    "cdc_key_bucket_policy", "cdc_materialize", "cdc_materialize_salted",
+    "cdc_stamp_filename", "cdc_time_travel", "customer_rfm_scores",
+    "dedup_embedding_cosine", "embed_debias_apply", "embed_debias_topdir",
+    "embed_kmeans_converged", "embed_pca_power", "events_gap_percentiles",
+    "events_hourly_profile", "events_interval_merge", "filter_in_set",
+    "filter_predicates", "join_asof", "join_asof_union",
+    "multimodal_resolution_buckets",
+    "orders_backlog_timeseries", "q1_pricing_summary", "sample_weighted_topk",
+    "scalar_array", "scalar_array_fold", "scalar_datetime", "scalar_math",
+    "scalar_string", "text_pmi_cooccurrence", "win_first_last",
+    "win_lag_lead", "win_nth_value", "win_pct_rank", "win_range_frame",
+    "win_rank_dense", "win_running_sum", "win_topk_per_group",
+}
+# (join_bloom_prefilter is NOT here: its r6 green was evicted by the r8
+# Arrow-collect rebuild and its freshest row lives in _R8_VERIFIED.)
+
+# Queries first registered in round 13 are added to _R13_NEW as they land;
+# evictions for r13 builder/oracle changes are edited into their tier sets
+# below. Budget check (r12 verdict cap: evictions + new <= 5, enforced by
+# tests/test_docs_consistency.py): the remaining >= 45 slots re-certify the
+# entire 45-name r7 tier.
+_R13_NEW: set = set()
 
 # The union is computed ONCE, after every tier literal (and eviction edit)
 # is final — a snapshot taken before a later edit would leave a name in
@@ -439,14 +445,14 @@ _R12_NEW: set = set()
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
     | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
-    | _R10_VERIFIED | _R11_VERIFIED
+    | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
 )
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-12 addition. A name
-# accidentally left out of _R12_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-13 addition. A name
+# accidentally left out of _R13_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R12_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R13_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
 # the only remaining correctness risk — r5-vintage green rows on evolving
@@ -456,14 +462,14 @@ _NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R12_NEW
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
-    _R11_VERIFIED,
+    _R11_VERIFIED, _R12_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R12_NEW:
+    if n in _R13_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

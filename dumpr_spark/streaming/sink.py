@@ -53,8 +53,14 @@ class KeyBucket:
     once the id is more than 2^53 from the origin (realistic for
     snowflake/epoch-composed 64-bit keys), which would blur bucket
     boundaries away from the documented contract and from
-    `suggest_key_bucket`'s integer arithmetic. Identical results below
-    2^53, so existing layouts are unaffected."""
+    `suggest_key_bucket`'s integer arithmetic. Identical results while
+    |id - origin| < 2^53, so layouts whose keys stay below that are
+    unaffected — but a layout WRITTEN by the pre-r12 double arithmetic
+    whose ids ever exceeded it has rows filed under the old (blurred)
+    buckets that this exact arithmetic would prune PAST (deletes
+    resurrect, updates fork), and kb_identity cannot see the difference
+    (same (width, origin)): re-bucket such snowflake-scale state once
+    via `migrate_key_bucket` before pointing a current sink at it."""
 
     width: int
     origin: int = 0
@@ -166,21 +172,45 @@ def suggest_key_bucket(state_df: DataFrame,
     return KeyBucket(width=width, origin=int(row["lo"]))
 
 
+def _check_tbls(tbls) -> None:
+    """Reject NULL / empty-string table names loudly BEFORE any state
+    mutates (every caller collects its touched list first). Either value
+    round-trips through the Hive partition layout as
+    __HIVE_DEFAULT_PARTITION__ and reads back NULL, so the touched
+    filter (`tbl = ''` / `isin`) can never match the persisted rows —
+    the slice reads as empty and `_commit`'s carry-forward-vs-fresh-write
+    rename collision wedges the stream on every checkpoint replay. A
+    table genuinely named the empty string is not representable in this
+    layout; upstream should rename or drop such envelopes (R20's error
+    channel is the place for them)."""
+    bad = sorted({repr(t) for t in tbls if t is None or t == ""})
+    if bad:
+        raise ValueError(
+            f"envelope batch carries unrepresentable table name(s) {bad}: "
+            "NULL/empty tbl cannot round-trip through the Hive partition "
+            "layout (it becomes __HIVE_DEFAULT_PARTITION__ and reads back "
+            "NULL, so the touched-slice filter can never match it) — "
+            "route such rows to the dead-letter channel upstream"
+        )
+
+
 def _pair_filter(pairs):
     """Partition-prunable predicate for a (tbl, _kb) pair list: one
     `tbl = t AND _kb IN (...)` disjunct per table — simple comparisons on
     partition columns, so the scan reads ONLY the touched bucket dirs
     (a concat/isin over both would defeat pruning).
 
-    Rejects NULL buckets loudly: every caller collects its pair list
-    BEFORE writing, so this raise fires before any state mutates. A
-    key_bucket function that can yield NULL (e.g. try_cast on a
-    non-numeric id) would otherwise poison the layout — the NULL bucket
-    writes as __HIVE_DEFAULT_PARTITION__, `isin([None])` never matches
-    it on the read side (open intervals never close / deleted keys
-    resurrect), and the carry-forward vs fresh-write collision wedges
-    the stream on every checkpoint replay."""
+    Rejects NULL buckets and NULL/empty table names loudly: every caller
+    collects its pair list BEFORE writing, so these raises fire before
+    any state mutates. A key_bucket function that can yield NULL (e.g.
+    try_cast on a non-numeric id) would otherwise poison the layout —
+    the NULL bucket writes as __HIVE_DEFAULT_PARTITION__, `isin([None])`
+    never matches it on the read side (open intervals never close /
+    deleted keys resurrect), and the carry-forward vs fresh-write
+    collision wedges the stream on every checkpoint replay; an empty
+    tbl is the same hazard one level up (see `_check_tbls`)."""
     by_tbl: dict = {}
+    _check_tbls(tbl for tbl, _kb in pairs)
     null_tbls = sorted({tbl for tbl, kb in pairs if kb is None})
     if null_tbls:
         raise ValueError(
@@ -442,7 +472,11 @@ class MergeSink:
 
         dirs = []
         for tbl, kb in pairs:
-            if kb is None or quote(str(tbl), safe="") != str(tbl):
+            # `not tbl` guards NULL/empty names (quote('') == '' would
+            # pass, but Spark wrote the value as __HIVE_DEFAULT_PARTITION__
+            # — the hand-built `tbl=/` path would silently read the slice
+            # as empty); the fallback's _pair_filter raises loudly on them
+            if not tbl or kb is None or quote(str(tbl), safe="") != str(tbl):
                 return self._read_raw().where(_pair_filter(pairs))
             d = os.path.join(self.state_path, f"tbl={tbl}", f"_kb={kb}")
             if os.path.isdir(d):
@@ -649,6 +683,10 @@ class MergeSink:
         touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
         if not touched:
             return
+        # NULL/empty tbl is unrepresentable in the Hive layout in PLAIN
+        # mode too (isin(['']) can never match the read-back NULL) — same
+        # loud pre-write raise the bucketed path gets via _pair_filter
+        _check_tbls(touched)
         current = self._read_raw()  # runs _recover() first
         # fold ONLY the touched partitions: union + per-key max_by(seq);
         # deletes persist as tombstones (see module docstring)

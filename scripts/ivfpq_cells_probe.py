@@ -80,10 +80,13 @@ def main():
         index[5].count()
         train_s = time.monotonic() - t0
         sl = _ivfpq_serve_shortlist(n, cells=cells)
-        # nprobe legs: the pinned serving nprobe, then scaled-with-k legs
-        # (same probed FRACTION as nprobe=4 at 8 cells would need
-        # nprobe = cells/2 — bracketed below by powers of two)
-        legs = sorted({4, 8, 16, max(1, round(cells / 8))} | (
+        # nprobe legs: the pinned serving nprobe, scaled-with-k legs, AND
+        # the equal-fraction point itself — matching nprobe=4 at 8 cells'
+        # probed fraction needs nprobe = cells/2 at the scaled k, so that
+        # leg (r12 advice: the sweep previously only bracketed it from
+        # below, capped at 16) shows where the recall fully returns
+        legs = sorted({4, 8, 16, max(1, round(cells / 8)),
+                       max(1, round(cells / 2))} | (
             {2} if cells <= 8 else set()
         ))
         for nprobe in legs:

@@ -1037,6 +1037,40 @@ def test_key_bucket_null_bucket_rejected_before_any_write(spark, tmp_path):
         assert {r["id"] for r in total.read_state().collect()} == {"user_42", "7"}
 
 
+def test_empty_or_null_tbl_rejected_before_any_write(spark, tmp_path):
+    """NULL / empty-string table names are unrepresentable in the Hive
+    partition layout (both write as __HIVE_DEFAULT_PARTITION__ and read
+    back NULL, so the touched-slice filter — isin(['']) in plain mode,
+    the tbl= disjunct in bucketed mode — can never match the persisted
+    rows; the slice reads as empty and _commit's carry-forward vs
+    fresh-write rename collision wedges every checkpoint replay). The
+    r12 advice traced the bucketed hand-built-path variant
+    (quote('') == '' slipped past _read_touched's identity guard); the
+    fix is a loud pre-write raise in BOTH layouts, before any state
+    mutates."""
+    import pytest
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    # NULL tbl is already structurally impossible (ENVELOPE_SCHEMA pins the
+    # field non-nullable, so it cannot enter a batch); empty string is the
+    # live hazard this pins
+    rows = [
+        ("upsert", "", "1", json.dumps({"k": 1}), None, "f1", 1, 1),
+        ("upsert", "w", "2", json.dumps({"k": 2}), None, "f1", 2, 2),
+    ]
+    for kb in (None, KeyBucket(width=10)):
+        state = str(tmp_path / f"tbl_empty_{'kb' if kb else 'plain'}")
+        sink = MergeSink(spark, state, key_bucket=kb)
+        with pytest.raises(ValueError, match="unrepresentable table name"):
+            sink(batch(rows), 0)
+        assert not os.path.exists(state)  # nothing written, nothing wedged
+
+
 def test_key_bucket_layout_flip_refused_both_directions(spark, tmp_path):
     """Enabling key_bucket over an existing PLAIN state directory must be
     refused before any read or write: legacy files would read back with

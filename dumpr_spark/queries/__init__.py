@@ -365,6 +365,17 @@ _R10_VERIFIED -= {"join_bucketed_colocated"}
 # decayed to .369 at sf0.1. Output rows change (better neighbors), the
 # oracle derives the same dial in SQL — needs a fresh driver row.
 _R10_VERIFIED -= {"sim_ivfpq_topk"}
+# Removed from _R10_VERIFIED (stale evidence, r13 edit): sim_ivfpq_recall
+# — the shared index (_ivfpq_index) is now built at the DERIVED cells
+# (= round(sqrt(n)), per the r12 verdict item 3: the r12 cells probe
+# measured the sqrt rule dominating the 8-cell pin at two corpus sizes),
+# and train_sample_mod now also bounds the coarse Lloyd trainer (the
+# registered path keeps the full-corpus default). Cell geometry changes
+# every shortlist, so output rows change; the oracle derives the same
+# cells in its ncells CTE — locally re-gated green at all 3 scales,
+# fresh driver row required. (sim_ivfpq_topk, the same certified path,
+# is removed from _R11_VERIFIED below.)
+_R10_VERIFIED -= {"sim_ivfpq_recall"}
 
 # Names the driver hash-verified in round 11 (CORRECTNESS_r11.json: 50 of
 # 50 checked, all hash_match): all 3 _R11_NEW registrations, the 2-name
@@ -405,6 +416,11 @@ _R11_VERIFIED = {
 _R11_VERIFIED -= {
     "agg_kendall_tau", "agg_kendall_mergeable", "cdc_key_bucket_policy",
 }
+# Removed from _R11_VERIFIED (stale evidence, r13 edit): sim_ivfpq_topk —
+# same derived-cells index change as the sim_ivfpq_recall eviction above
+# (the registered serve path now trains at cells = round(sqrt(n)) and
+# derives its shortlist against that count).
+_R11_VERIFIED -= {"sim_ivfpq_topk"}
 
 # Names the driver hash-verified in round 12 (CORRECTNESS_r12.json: 50 of
 # 50 checked, all hash_match): the whole 3-name never-green backlog (the

@@ -3232,23 +3232,47 @@ def sim_ann_recall_curve(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 # The index configuration. M=8 subspaces of 8 dims with a 16-codeword
-# codebook compress a 512-byte vector to 8 bytes; 8 coarse cells at
-# testdata scale (cells ~ sqrt(n) is the at-volume rule, see
-# sim_ivfpq_recall). nprobe=2/shortlist=32 are the r9 dial the RECALL
-# SWEEP keeps as its baseline legs; since r11 the registered SERVE path
-# runs at the dial the r10 sweep measured and recommends: nprobe=4 and
-# shortlist DERIVED from corpus size (~ n/cells, floor 32) so the
-# shortlist keeps a constant fraction of each probed cell as the corpus
-# grows — the fixed-32 shortlist was the measured recall cliff
-# (.369 at sf0.1 vs .681 at the swept dial).
+# codebook compress a 512-byte vector to 8 bytes. Since r13 the coarse
+# cell count is DERIVED from corpus size — cells = max(1, floor(sqrt(n)
+# + 0.5)), the standard IVF heuristic every serving docstring states and
+# the r12 probe measured dominating the old pin of 8 at two corpus sizes
+# (better recall probing 2.8% of the corpus vs 50%, with a 17.6x smaller
+# exact re-rank; SCALE.md r12) — identical double arithmetic in
+# _ivfpq_derive_cells and the oracle's ncells CTE. nprobe=2/shortlist=32
+# are the r9 dial the RECALL SWEEP keeps as its baseline legs; since r11
+# the registered SERVE path runs at the dial the r10 sweep measured and
+# recommends: nprobe=4 and shortlist DERIVED from corpus size
+# (~ n/cells, floor 32) so the shortlist keeps a constant fraction of
+# each probed cell as the corpus grows — the fixed-32 shortlist was the
+# measured recall cliff (.369 at sf0.1 vs .681 at the swept dial).
 _IVFPQ_NPROBE = 2     # baseline sweep leg (serving default is _SERVE_NPROBE)
 _IVFPQ_M = 8          # PQ subspaces
 _IVFPQ_SUB = 8        # dims per subspace (M * SUB = embedding dim 64)
 _IVFPQ_KC = 16        # codewords per subspace (vec_id < KC residual SEEDS)
 _IVFPQ_SHORTLIST = 32 # baseline sweep-leg shortlist (and the serve floor)
 _IVFPQ_TRAIN_ITERS = 2  # per-subspace Lloyd rounds refining the seeds (r9)
-_IVFPQ_CELLS = 8      # coarse IVF cells (k of train_centroids_lloyd below)
+_IVFPQ_CELLS = 8      # the r8-r12 registered PIN — kept as the probes'
+                      # comparison baseline (scripts/ivfpq_cells_probe.py)
+                      # and _ivfpq_index's explicit-arg default; the
+                      # REGISTERED rows derive cells via _ivfpq_derive_cells
 _IVFPQ_SERVE_NPROBE = 4  # serving nprobe: the r10 sweep's measured pick
+
+
+def _ivfpq_derive_cells(n: int) -> int:
+    """THE coarse-cell rule — cells = max(1, floor(sqrt(n) + 0.5)), i.e.
+    round-half-up of sqrt(corpus size). Shared by the registered builders
+    and the probe scripts so a measurement always exercises the rule the
+    registered path serves at; the oracle's `ncells` CTE is its SQL twin
+    (GREATEST/FLOOR/SQRT over the same double arithmetic — floor(x + .5)
+    rather than a round() builtin because Python round() is banker's
+    rounding while SQL ROUND is half-away-from-zero; sqrt of an integer
+    below 2^52 is correctly rounded on both engines, so the composition
+    is bit-identical). Why sqrt: per-cell lists grow only as sqrt(n), so
+    the derived shortlist (~ n/cells, also ~ sqrt(n)) keeps a constant
+    fraction of each probed cell while the probed CORPUS fraction
+    (nprobe/cells) shrinks — the serve-cost shape the r12 cells probe
+    measured (SCALE.md r12)."""
+    return max(1, int(math.floor(math.sqrt(n) + 0.5)))
 
 
 def _pq_train_iter_sql(i: int) -> str:
@@ -3301,8 +3325,18 @@ def _ivfpq_base_ctes() -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM corpus
-          WHERE vec_id IS NOT NULL ORDER BY vec_id LIMIT 8),
+    -- the derived coarse-cell rule (r13): cells = max(1, floor(sqrt(n)
+    -- + .5)) — the SQL twin of _ivfpq_derive_cells, same double sqrt
+    ncells AS (
+      SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*)) + 0.5) AS INT)) AS k
+      FROM corpus
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cid, v AS cvec
+      FROM corpus, ncells
+      WHERE vec_id IS NOT NULL
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= k
+    ),
     """
         + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3, 4))
         + f""",
@@ -3449,12 +3483,14 @@ def _ivfpq_ctes() -> str:
     the serve leg runs at the CALIBRATED dial: nprobe=_IVFPQ_SERVE_NPROBE
     and shortlist derived from corpus size exactly as the Spark side
     derives it (GREATEST(floor, ceil(n / cells)) — the sim_ivfpq_recall
-    scaling rule), so the replay stays bit-for-bit at every scale."""
+    scaling rule, with cells itself derived by the ncells CTE since
+    r13), so the replay stays bit-for-bit at every scale."""
     dial = f"""
     serve_dial AS (
       SELECT GREATEST({_IVFPQ_SHORTLIST},
-                      CAST(CEIL(COUNT(*) / {_IVFPQ_CELLS}.0) AS BIGINT)) AS sl
-      FROM corpus
+                      CAST(CEIL((SELECT COUNT(*) FROM corpus) * 1.0 / k)
+                           AS BIGINT)) AS sl
+      FROM ncells
     )"""
     return (
         _ivfpq_base_ctes()
@@ -3471,15 +3507,23 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
     codebook and the encoded corpus pinned, so a dial sweep
     (sim_ivfpq_recall) pays for training and encoding exactly once.
 
-    train_sample_mod: the at-volume trainer dial — when set, the PQ
-    Lloyd rounds read only the deterministic hash sample
-    `xxhash64(vec_id) % mod == 0` of the corpus residuals (the
+    train_sample_mod: the at-volume trainer dial — when set, BOTH
+    trainers (the coarse Lloyd since r13, and the per-subspace PQ Lloyd
+    rounds) read only the deterministic hash sample
+    `xxhash64(vec_id) % mod == 0` of the corpus (the
     embed_cosine_histogram sampling discipline: stable across runs,
     unbiased in the population), cutting trainer input ~mod-fold; the
-    ENCODE stage still codes every vector against the resulting
-    codebooks. A PQ codebook estimates 16 cell means per 8-dim subspace
-    — thousands of residuals saturate it, so a 100 TB corpus never
-    needs (or wants) the full scan in the trainer. Default None = full
+    ENCODE stage still assigns and codes every vector against the
+    resulting centroids/codebooks. Seeds are forced into the sample on
+    both trainers (vec_id < cells for the coarse seeds, vec_id < KC for
+    the codeword seeds) so the seeded starting point is identical to the
+    full-corpus trainer's. Centroid/codebook estimation saturates on
+    thousands of points per estimated mean, so a 100 TB corpus never
+    needs (or wants) the full scan in either trainer — and the coarse
+    Lloyd is the one k-DEPENDENT stage (O(n_train x cells x dim)
+    assignment), which at the derived cells ~ sqrt(n) is exactly the
+    cost the sample bounds (the r12 train-cost MISS's named cause;
+    SCALE.md r13 measures the dial closing it). Default None = full
     corpus (the registered, oracle-replayed path — at testdata scale
     the corpus IS the sample). Measured at sf0.1 (SCALE.md round-10):
     recall@5 is noise-flat at mod=2 (~5k training vectors) and dips ~5%
@@ -3512,8 +3556,19 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
 
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
+    coarse_src = e
+    if train_sample_mod is not None:
+        # deterministic hash sample for the COARSE trainer (r13 — the
+        # k-dependent Lloyd assignment is the train cost that grows with
+        # the derived cells); seeds (the k lowest ids, vec_id < cells on
+        # this corpus) are forced in so the seeded start matches the
+        # full trainer's
+        coarse_src = e.where(
+            (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(train_sample_mod)) == 0)
+            | (F.col("vec_id") < cells)
+        )
     cdf, _counts, _iters, _conv = sim.train_centroids_lloyd(
-        e, k=cells, max_iter=4, eps=0.06
+        coarse_src, k=cells, max_iter=4, eps=0.06
     )
     cents = cdf.select(
         F.col("cent_id").alias("cell"), F.col("cent_vec").alias("cvec")
@@ -3716,15 +3771,20 @@ def _ivfpq_reranked(spark, sf_dir):
     the fixed r9 (2, 32): nprobe=4 and shortlist = max(32, ceil(n /
     cells)), where n is the corpus count — one metadata-sized count()
     action (the only driver traffic), so the shortlist keeps a constant
-    fraction of each probed cell as the corpus grows. Measured at sf0.1
-    the fixed dial had decayed to recall@5 .369 while (4, 128) measures
-    .681 (SCALE.md round-10); this derived dial is (4, 250) there and
-    MEASURES .750 (scripts/ivfpq_dial_probe.py, SCALE.md round-11) —
-    recall is monotone in shortlist at fixed nprobe (a longer ADC
-    shortlist only ADDS exact-re-rank candidates)."""
-    index = _ivfpq_index(spark, sf_dir)
+    fraction of each probed cell as the corpus grows. Since r13 the
+    INDEX is derived the same way — cells = _ivfpq_derive_cells(n), the
+    sqrt rule the r12 probe measured dominating the old 8-cell pin at
+    two corpus sizes (SCALE.md r12), so every dial of the registered
+    path now follows the corpus. Measured at sf0.1 the fixed (2, 32)
+    dial had decayed to recall@5 .369 while (4, 128) measures .681
+    (SCALE.md round-10); the derived shortlist at the old pin measured
+    .750 there (SCALE.md round-11), and the fully derived index's rows
+    are re-measured in SCALE.md r13."""
+    n = t(spark, sf_dir, "embeddings").count()
+    cells = _ivfpq_derive_cells(n)
+    index = _ivfpq_index(spark, sf_dir, cells=cells)
     return _ivfpq_query(*index, nprobe=_IVFPQ_SERVE_NPROBE,
-                        shortlist=_ivfpq_serve_shortlist(index[0].count()))
+                        shortlist=_ivfpq_serve_shortlist(n, cells=cells))
 
 
 def _ivfpq_serve_shortlist(n: int, cells: int = _IVFPQ_CELLS) -> int:
@@ -3732,10 +3792,10 @@ def _ivfpq_serve_shortlist(n: int, cells: int = _IVFPQ_CELLS) -> int:
     scripts/ivfpq_dial_probe.py so the probe always measures the dial
     the registered path actually serves at (a hand-copy would silently
     keep certifying a stale rule); the oracle's serve_dial CTE is its
-    SQL twin (GREATEST/CEIL over the same constants). `cells` defaults
-    to the registered index's pinned cell count; the r12 cells ~ sqrt(n)
-    exercise (scripts/ivfpq_cells_probe.py) passes the scaled count so
-    the rule and the index agree at every k."""
+    SQL twin (GREATEST/CEIL over the same arithmetic). `cells` defaults
+    to the historical 8-cell pin for the probes' baseline legs; the
+    registered path passes _ivfpq_derive_cells(n) (r13) so the rule and
+    the index agree at every corpus size."""
     return max(_IVFPQ_SHORTLIST, math.ceil(n / cells))
 
 
@@ -3751,8 +3811,10 @@ def _ivfpq_serve_shortlist(n: int, cells: int = _IVFPQ_CELLS) -> int:
 def sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ serving top-k — the industry-standard at-scale ANN read
     path, composed end-to-end: Lloyd-trained IVF cells prune the corpus
-    (nprobe=4 of 8 since r11 — the dial the r10 recall sweep measured
-    and recommends), product quantization compresses each pruned
+    (cells = round(sqrt(n)) since r13 — the at-volume rule the r12 probe
+    measured dominating the 8-cell pin; nprobe=4 since r11 — the dial
+    the r10 recall sweep measured and recommends), product quantization
+    compresses each pruned
     candidate to M=8 one-byte codes over RESIDUALS (v - cell centroid —
     classic IVF-PQ, ~half the variance of quantizing raw vectors) with
     codebooks TRAINED by per-subspace Lloyd from deterministic seeds
@@ -3871,8 +3933,14 @@ def sim_ivfpq_recall(spark, sf_dir):
 
     The measured rows are what justify — or veto — swapping brute-force
     re-scoring for ADC at volume, exactly like the MinHash accuracy
-    table does for signature Jaccard."""
-    e, q, cdf, cents, cb, vcode = _ivfpq_index(spark, sf_dir)
+    table does for signature Jaccard. Since r13 the shared index is
+    built at the DERIVED cells (= _ivfpq_derive_cells(n), the sqrt rule
+    this docstring has always stated), so the sweep's legs measure the
+    dial space of the index the registered serve path actually uses."""
+    n = t(spark, sf_dir, "embeddings").count()
+    e, q, cdf, cents, cb, vcode = _ivfpq_index(
+        spark, sf_dir, cells=_ivfpq_derive_cells(n)
+    )
     exact = (
         sim.brute_force_topk(e, q, k=5, round_eps=1e-9)
         .select("q_id", "n_id")

@@ -165,6 +165,11 @@ class HistorySink(MergeSink):
         touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
         if not touched:
             return
+        # same pre-write NULL/empty-tbl refusal as MergeSink's plain path
+        # (the bucketed path above gets it via _pair_filter)
+        from dumpr_spark.streaming.sink import _check_tbls
+
+        _check_tbls(touched)
         current = self._read_raw()
         # versions already persisted for the touched tables, stripped back to
         # raw change rows (valid_to is derived state, recomputed below)

@@ -52,12 +52,14 @@ def main():
     spark = get_spark("ivfpq_cells_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from dumpr_spark.queries.llm import _ivfpq_derive_cells
+
     e = t(spark, sf_dir, "embeddings")
     n = e.count()
     cells_list = (
         [int(a) for a in sys.argv[2:]]
         if len(sys.argv) > 2
-        else [8, round(math.sqrt(n))]
+        else [8, _ivfpq_derive_cells(n)]
     )
 
     # exact ground truth once, shared by every leg (same queries: the

@@ -21,21 +21,24 @@ def main():
         print(f"{r['method']:12s} nprobe={r['dial']} hits={r['hits']:4d} "
               f"n_exact={r['n_exact']} recall={r['recall']}")
 
-    # the REGISTERED serving dial since r11 — shortlist from the SHARED
-    # rule (_ivfpq_serve_shortlist), so this row always certifies the
-    # dial the registered path actually serves at
+    # the REGISTERED serving dial — cells and shortlist from the SHARED
+    # rules (_ivfpq_derive_cells since r13, _ivfpq_serve_shortlist since
+    # r11), so this row always certifies the dial the registered path
+    # actually serves at
     from pyspark.sql import functions as F
 
     from dumpr_spark.functions import similarity as sim
+    from dumpr_spark.queries.base import t
     from dumpr_spark.queries.llm import (
-        _IVFPQ_SERVE_NPROBE, _ivfpq_index, _ivfpq_query,
-        _ivfpq_serve_shortlist,
+        _IVFPQ_SERVE_NPROBE, _ivfpq_derive_cells, _ivfpq_index,
+        _ivfpq_query, _ivfpq_serve_shortlist,
     )
 
-    index = _ivfpq_index(spark, sf_dir)
+    n = t(spark, sf_dir, "embeddings").count()
+    cells = _ivfpq_derive_cells(n)
+    index = _ivfpq_index(spark, sf_dir, cells=cells)
     e, q = index[0], index[1]
-    n = e.count()
-    sl = _ivfpq_serve_shortlist(n)
+    sl = _ivfpq_serve_shortlist(n, cells=cells)
     exact = sim.brute_force_topk(e, q, k=5, round_eps=1e-9).select("q_id", "n_id")
     tot = exact.count()
     hits = (
@@ -44,7 +47,8 @@ def main():
         .join(exact, ["q_id", "n_id"]).count()
     )
     print(f"{'serving':12s} nprobe={_IVFPQ_SERVE_NPROBE} hits={hits:4d} "
-          f"n_exact={tot} recall={hits / tot:.4f}  (derived shortlist={sl}, n={n})")
+          f"n_exact={tot} recall={hits / tot:.4f}  "
+          f"(derived cells={cells}, shortlist={sl}, n={n})")
 
 
 if __name__ == "__main__":

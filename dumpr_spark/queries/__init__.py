@@ -447,12 +447,13 @@ _R12_VERIFIED = {
 # (join_bloom_prefilter is NOT here: its r6 green was evicted by the r8
 # Arrow-collect rebuild and its freshest row lives in _R8_VERIFIED.)
 
-# Queries first registered in round 13 are added to _R13_NEW as they land;
-# evictions for r13 builder/oracle changes are edited into their tier sets
-# below. Budget check (r12 verdict cap: evictions + new <= 5, enforced by
-# tests/test_docs_consistency.py): the remaining >= 45 slots re-certify the
+# Queries first registered in round 13: cdc_hash_bucket_policy (the
+# suggest_hash_bucket_count declarative twin, r12 verdict item 4).
+# Budget check (r12 verdict cap: evictions + new <= 5, enforced by
+# tests/test_docs_consistency.py): 2 evictions (the derived-cells ivfpq
+# pair) + 1 new = 3 <= 5, so the remaining >= 45 slots re-certify the
 # entire 45-name r7 tier.
-_R13_NEW: set = set()
+_R13_NEW: set = {"cdc_hash_bucket_policy"}
 
 # The union is computed ONCE, after every tier literal (and eviction edit)
 # is final — a snapshot taken before a later edit would leave a name in

@@ -1084,3 +1084,87 @@ def cdc_key_bucket_policy(spark, sf_dir):
             f"twin ({row['width']}, {row['origin']})"
         )
     return out
+
+
+@query(
+    "cdc_hash_bucket_policy",
+    """
+    WITH ids AS (
+      SELECT 'user-' || CAST(o_orderkey AS VARCHAR) AS id FROM orders
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+    raw AS (
+      SELECT n,
+             GREATEST(CAST(1 AS BIGINT), (n + 1000 - 1) // 1000) AS raw_buckets
+      FROM m
+    )
+    SELECT n, raw_buckets,
+           LEAST(raw_buckets, CAST(4096 AS BIGINT)) AS n_buckets,
+           LEAST(raw_buckets, CAST(8 AS BIGINT)) AS n_buckets_capped,
+           (n + LEAST(raw_buckets, CAST(8 AS BIGINT)) - 1)
+             // LEAST(raw_buckets, CAST(8 AS BIGINT)) AS rows_per_slice_capped
+    FROM raw
+    """,
+    tags=("cdc", "streaming", "policy"),
+)
+def cdc_hash_bucket_policy(spark, sf_dir):
+    """The hash-bucket sizing policy for NON-NUMERIC key domains
+    (streaming/sink.suggest_hash_bucket_count, r12 verdict item 4),
+    certified value-level exactly like its range sibling
+    cdc_key_bucket_policy: derive n_buckets from the observed key
+    population (`orders` keys rendered as 'user-<pk>' strings — the
+    UUID/composite-key shape `suggest_key_bucket` refuses and
+    HashKeyBucket exists for) at ~1000 live rows per slice, with BOTH
+    sides of the dial's measured failure modes visible in the output —
+    the rows-per-slice target (too few buckets: rewrite blankets) as
+    raw_buckets, and the metadata-floor cap (too many: O(n_buckets)
+    listing/link terms, SCALE.md r12) as the LEAST() clamp, exercised
+    here at cap=8 so the clamp is live at sf0.01 data sizes next to the
+    default 4096 cap that is not. rows_per_slice_capped shows the cost
+    of the clamp: the slice the rewrite term actually pays under the
+    capped count. The builder ALSO runs suggest_hash_bucket_count at
+    both caps and RAISES on any disagreement, so the driver's gate
+    certifies the helper's collected path and the declarative path
+    against DuckDB in one row.
+
+    Scale shape: one map-side-combined COUNT over the key column —
+    metadata-sized output, no shuffle of rows; the policy itself needs
+    no min/max (the md5 projection spreads keys uniformly by
+    construction, so rows/slice ~= n/n_buckets for any key
+    distribution)."""
+    from dumpr_spark.streaming.sink import suggest_hash_bucket_count
+
+    target = 1_000
+    ids = t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("user-"), F.col("o_orderkey").cast("string")).alias("id")
+    )
+    m = ids.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = m.select(
+        "n",
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr(f"(n + {target} - 1) div {target}")).alias("raw_buckets"),
+    ).select(
+        "n", "raw_buckets",
+        F.least(F.col("raw_buckets"), F.lit(4096).cast("long")).alias("n_buckets"),
+        F.least(F.col("raw_buckets"), F.lit(8).cast("long")).alias("n_buckets_capped"),
+    ).select(
+        "n", "raw_buckets", "n_buckets", "n_buckets_capped",
+        F.expr("(n + n_buckets_capped - 1) div n_buckets_capped")
+        .alias("rows_per_slice_capped"),
+    )
+    # self-check: the shipped helper (its own count collect) must agree
+    # with the declarative twin the oracle checks — a drifted helper
+    # fails the gate loudly instead of silently suggesting a different
+    # layout (the cdc_key_bucket_policy discipline)
+    kb = suggest_hash_bucket_count(ids, target_rows_per_bucket=target)
+    kbc = suggest_hash_bucket_count(ids, target_rows_per_bucket=target,
+                                    max_buckets=8)
+    row = out.collect()[0]
+    if (kb.n_buckets, kbc.n_buckets) != (row["n_buckets"],
+                                         row["n_buckets_capped"]):
+        raise AssertionError(
+            f"suggest_hash_bucket_count ({kb.n_buckets}, {kbc.n_buckets}) "
+            f"!= declarative twin ({row['n_buckets']}, "
+            f"{row['n_buckets_capped']})"
+        )
+    return out

@@ -103,7 +103,11 @@ class HashKeyBucket:
     TOTAL over ids (NULL id lands in bucket -1, never NULL — see
     `_pair_filter`), DETERMINISTIC in n_buckets alone, and carries a
     persistable identity so `_validate_layout` catches a drifted
-    n_buckets exactly like a drifted range policy."""
+    n_buckets exactly like a drifted range policy. Size n_buckets from
+    observed state with `suggest_hash_bucket_count` (r13) rather than
+    guessing — the dial has a measured failure mode on each side (too
+    few: rewrite blankets; too many: O(n_buckets) listing/link metadata
+    floors), and the helper folds both in."""
 
     n_buckets: int
 
@@ -170,6 +174,52 @@ def suggest_key_bucket(state_df: DataFrame,
     n_buckets = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
     width = max(1, (span + n_buckets - 1) // n_buckets)
     return KeyBucket(width=width, origin=int(row["lo"]))
+
+
+def suggest_hash_bucket_count(state_df: DataFrame,
+                              target_rows_per_bucket: int = 250_000,
+                              max_buckets: int = 4096) -> HashKeyBucket:
+    """Derive a HashKeyBucket's n_buckets from observed state — the
+    sizing helper for the NON-NUMERIC key domain, mirroring what
+    `suggest_key_bucket` does for range widths (one metadata-sized
+    count, no shuffle of rows, deterministic given the input). The dial
+    has a MEASURED failure mode on each side (SCALE.md r12, the 50M-row
+    trickle + stage profiles), and this helper folds both in:
+
+    - too FEW buckets (n_buckets driven down): each touched slice is
+      state/n_buckets rows, so the per-batch rewrite term grows until a
+      batch's keys blanket the table — governed by the
+      ``target_rows_per_bucket`` ceiling (exact integer arithmetic,
+      (a + b - 1) // b, same as suggest_key_bucket's);
+    - too MANY buckets (n_buckets driven up): per-batch METADATA terms
+      are O(n_buckets), not O(touched) — the local-FS partition
+      discovery floor (~1.7 ms/dir measured; `_read_touched` removed it
+      from the merge read, but any plain ``spark.read`` over the state
+      and every `compact_files` pass still lists all dirs) and
+      `_commit`'s carry-forward listdir + per-file hardlink walk (~1
+      file/slice under the clustered write) — bounded by ``max_buckets``.
+      The default cap of 4096 keeps the worst measured term under ~7 s
+      per full listing on local FS; on a metastore/ACID table format
+      discovery is O(touched) and the cap can be raised.
+
+    Unlike the range policy there is no width/origin to estimate: the
+    md5 projection spreads keys uniformly by construction, so live
+    rows/slice ~= n/n_buckets regardless of the key distribution. Pin
+    the returned policy for the stream's lifetime exactly like a range
+    policy (its kb_identity is stamped and drift-refused); re-bucketing
+    existing state goes through `migrate_key_bucket`. Remember the
+    locality caveat on HashKeyBucket itself: this layout pays on
+    stable-key-population tables (state >> batch), not append-heavy
+    autoincrement feeds."""
+    n = int(state_df.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+    if n == 0:
+        raise ValueError(
+            "suggest_hash_bucket_count needs observed state to size from; "
+            "for an empty stream pick n_buckets from the source table's "
+            "expected row count instead"
+        )
+    raw = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    return HashKeyBucket(n_buckets=min(raw, max_buckets))
 
 
 def _check_tbls(tbls) -> None:

@@ -29,6 +29,8 @@ state_rows must be large. On a metastore/ACID table format the listing
 floor is O(touched) instead — the local-fs number is the WORST case.
 
 Usage: python scripts/hash_bucket_trickle.py [state_rows] [batches] [keys_per_batch] [n_buckets]
+n_buckets defaults to the shipped sizing helper (suggest_hash_bucket_count)
+so the probe exercises the derivation a production caller would use.
 Prints one JSON line: per-batch ms for both variants + the win ratio.
 """
 
@@ -42,19 +44,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_BUCKETS = 2048
-
 
 def main():
     from pyspark.sql import functions as F
 
     from dumpr_spark.session import get_spark
-    from dumpr_spark.streaming.sink import HashKeyBucket, MergeSink
+    from dumpr_spark.streaming.sink import (
+        HashKeyBucket, MergeSink, suggest_hash_bucket_count,
+    )
 
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 200
-    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else N_BUCKETS
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     spark = get_spark("hash_bucket_trickle")
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +77,13 @@ def main():
         )
 
     seed = env(spark.range(n_rows).select(F.col("id").alias("k")), 0)
+    if n_buckets is None:
+        # the shipped sizing helper (r13) — same dials a production
+        # caller would use; pass an explicit 4th arg to pin a count
+        # (the committed r12/r13 configs pin 1024)
+        n_buckets = suggest_hash_bucket_count(seed.select("id")).n_buckets
+        print(f"n_buckets derived by suggest_hash_bucket_count: {n_buckets}",
+              file=sys.stderr)
     stride = n_rows // per_batch
 
     def trickle(b):

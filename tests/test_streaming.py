@@ -1261,6 +1261,49 @@ def test_suggest_key_bucket_policy(spark, tmp_path):
         suggest_key_bucket(spark.createDataFrame([], "id string"))
 
 
+def test_suggest_hash_bucket_count_policy(spark, tmp_path):
+    """suggest_hash_bucket_count (r13) derives HashKeyBucket.n_buckets
+    from observed state: exact-integer ceil(n / target) clamped by
+    max_buckets — the two measured failure-mode bounds (rewrite
+    blanketing vs the O(n_buckets) metadata floors). Deterministic,
+    persistable (one int), usable directly as the sink's key_bucket,
+    and it refuses empty state like its range sibling."""
+    import pytest
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        HashKeyBucket, MergeSink, suggest_hash_bucket_count,
+    )
+
+    ids = spark.createDataFrame(
+        [(f"user-{i:04d}",) for i in range(200)], "id string"
+    )
+    kb = suggest_hash_bucket_count(ids, target_rows_per_bucket=50)
+    assert kb == HashKeyBucket(n_buckets=4)  # ceil(200/50), under the cap
+    # the cap clamps (the O(n_buckets) listing/link floor bound)
+    capped = suggest_hash_bucket_count(ids, target_rows_per_bucket=1,
+                                       max_buckets=16)
+    assert capped.n_buckets == 16
+    # exact ceiling, not float: 201 rows at target 50 -> 5 buckets
+    ids201 = spark.createDataFrame(
+        [(f"user-{i:04d}",) for i in range(201)], "id string"
+    )
+    assert suggest_hash_bucket_count(
+        ids201, target_rows_per_bucket=50).n_buckets == 5
+    # usable directly as the sink's key_bucket (policy stamped + refused
+    # on drift is covered by the HashKeyBucket drift test)
+    rows = [
+        ("upsert", "profiles", f"user-{i:04d}", json.dumps({"i": i}),
+         None, "f1", i, i)
+        for i in range(200)
+    ]
+    sink = MergeSink(spark, str(tmp_path / "hsug"), key_bucket=kb)
+    sink(spark.createDataFrame(rows, ENVELOPE_SCHEMA), 0)
+    assert sink.read_state().count() == 200
+    with pytest.raises(ValueError, match="empty"):
+        suggest_hash_bucket_count(spark.createDataFrame([], "id string"))
+
+
 def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):
     """A delete must defeat a lower-seq upsert arriving in a LATER batch
     (replay / out-of-order delivery): the tombstone persists across batches.

@@ -161,6 +161,7 @@ class HistorySink(MergeSink):
                 .withColumn("_kb", self._kb())
             )
             self._commit(next_touched, touched, batch_id)
+            self._maybe_compact_files(batch_id)
             return
         touched = [r["tbl"] for r in batch.select("tbl").distinct().collect()]
         if not touched:
@@ -179,6 +180,7 @@ class HistorySink(MergeSink):
         merged = merged.dropDuplicates(["tbl", "id", "seq"])
         next_touched = merged.withColumn("valid_to", F.lead("seq").over(w))
         self._commit(next_touched, touched, batch_id)
+        self._maybe_compact_files(batch_id)
 
 
 def start_history_stream(
@@ -189,14 +191,18 @@ def start_history_stream(
     errors_path: str | None = None,
     output_mode: str = "update",
     key_bucket=None,
+    compact_every_n_batches: int | None = None,
 ):
     """Start the SCD2-materializing stream (R18/R19 lifecycle, temporal).
     output_mode: same contract as start_merge_stream — foreachBatch itself
     is mode-agnostic, but an upstream applyInPandasWithState declared in
     append mode (the streaming tx filter) requires output_mode="append".
-    key_bucket: optional (tbl, bucket)-sliced layout — see MergeSink."""
+    key_bucket: optional (tbl, bucket)-sliced layout — see MergeSink.
+    compact_every_n_batches: optional small-files auto-cadence — see
+    MergeSink._maybe_compact_files."""
     sink = HistorySink(changes.sparkSession, history_path,
-                       errors_path=errors_path, key_bucket=key_bucket)
+                       errors_path=errors_path, key_bucket=key_bucket,
+                       compact_every_n_batches=compact_every_n_batches)
     writer = (
         changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)

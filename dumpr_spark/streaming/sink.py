@@ -327,11 +327,38 @@ class MergeSink:
     _schema = ENVELOPE_SCHEMA
 
     def __init__(self, spark: SparkSession, state_path: str,
-                 errors_path: str | None = None, key_bucket=None):
+                 errors_path: str | None = None, key_bucket=None,
+                 compact_every_n_batches: int | None = None,
+                 compact_target_file_mb: int = 128):
         self.spark = spark
         self.state_path = state_path
         self.errors_path = errors_path
         self.key_bucket = key_bucket
+        if compact_every_n_batches is not None and compact_every_n_batches < 1:
+            raise ValueError("compact_every_n_batches must be >= 1 (or None)")
+        self.compact_every_n_batches = compact_every_n_batches
+        self.compact_target_file_mb = compact_target_file_mb
+
+    def _maybe_compact_files(self, batch_id: int) -> None:
+        """The small-files cadence as a SINK OPTION (r12 verdict item 5):
+        with ``compact_every_n_batches=N``, every Nth batch ends with a
+        `compact_files` pass, so the file discipline the r10-r12
+        measurements proved load-bearing (uncompacted dirs make the
+        hardlink carry-forward O(total data files) — a measured 6x LOSS
+        at 4096 uncompacted dirs) is product behavior, not operator
+        memory. END-OF-BATCH is the one sanctioned in-band call site:
+        foreachBatch invocations are serial and `_commit` has already
+        completed and swapped, so the compactor's .compact-tmp/.bak swap
+        cannot interleave with a merge swap (the out-of-band warning on
+        `compact_files` targets CONCURRENT invocation, e.g. a cron job
+        racing a live stream). Replay-safe: a replayed batch re-runs a
+        value-preserving rewrite (and a crash mid-compaction recovers
+        through `_recover`'s .compact-bak discipline like any other torn
+        swap). Cadence keys off the stream's monotonically increasing
+        batch_id — deterministic across restarts, no extra state."""
+        n = self.compact_every_n_batches
+        if n and (int(batch_id) + 1) % n == 0:
+            self.compact_files(target_file_mb=self.compact_target_file_mb)
 
     def _kb(self, id_col=None):
         return self.key_bucket(
@@ -727,6 +754,7 @@ class MergeSink:
                 keep_tombstones=True,
             )
             self._commit(folded.withColumn("_kb", self._kb()), touched, batch_id)
+            self._maybe_compact_files(batch_id)
             return
         # the touched-table list is tiny (bounded by table count, not rows) —
         # the one acceptable collect in this path
@@ -745,6 +773,7 @@ class MergeSink:
             keep_tombstones=True,
         )
         self._commit(next_touched, touched, batch_id)
+        self._maybe_compact_files(batch_id)
 
 
 def migrate_key_bucket(spark: SparkSession, state_path: str, key_bucket,
@@ -815,6 +844,7 @@ def start_merge_stream(
     errors_path: str | None = None,
     output_mode: str = "update",
     key_bucket=None,
+    compact_every_n_batches: int | None = None,
 ):
     """Start the materializing stream (R18/R19: sink + lifecycle).
 
@@ -822,9 +852,12 @@ def start_merge_stream(
     whatever the batch carries), but upstream stateful operators constrain
     the legal mode — applyInPandasWithState declared in append mode (the
     streaming tx filter) requires output_mode="append".
-    key_bucket: optional (tbl, bucket)-sliced state layout — see MergeSink."""
+    key_bucket: optional (tbl, bucket)-sliced state layout — see MergeSink.
+    compact_every_n_batches: optional small-files auto-cadence — see
+    MergeSink._maybe_compact_files."""
     sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path,
-                     key_bucket=key_bucket)
+                     key_bucket=key_bucket,
+                     compact_every_n_batches=compact_every_n_batches)
     writer = (
         changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)

@@ -1304,6 +1304,54 @@ def test_suggest_hash_bucket_count_policy(spark, tmp_path):
         suggest_hash_bucket_count(spark.createDataFrame([], "id string"))
 
 
+def test_compact_every_n_batches_equivalence(spark, tmp_path):
+    """The small-files cadence as a sink option (r12 verdict item 5): a
+    compaction-interleaved replay must be value-identical to the plain
+    run — same live state (MergeSink), same intervals + terminators
+    (HistorySink) — while actually compacting (fewer-or-equal data
+    files), and a replayed batch landing right after a cadence fire must
+    still be a no-op. Covers both layouts (plain + key-bucketed)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HistorySink
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(b):
+        rows = [
+            ("upsert", "orders", str(i), json.dumps({"i": i, "b": b}),
+             None, "f1", b * 100 + i, b * 100 + i)
+            for i in range(b * 5, b * 5 + 20)
+        ] + ([("delete", "orders", str(b * 5), None, None, "f1",
+               b * 100 + 99, b * 100 + 99)] if b % 2 else [])
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    def data_files(path):
+        return sum(
+            1 for root, _d, files in os.walk(path)
+            for f in files if f.endswith(".parquet")
+        )
+
+    for cls, kb in ((MergeSink, None), (MergeSink, KeyBucket(width=7)),
+                    (HistorySink, KeyBucket(width=7))):
+        tag = f"{cls.__name__}_{'kb' if kb else 'plain'}"
+        plain = cls(spark, str(tmp_path / f"{tag}_plain"), key_bucket=kb)
+        auto = cls(spark, str(tmp_path / f"{tag}_auto"), key_bucket=kb,
+                   compact_every_n_batches=2)
+        for b in range(6):
+            plain(batch(b), b)
+            auto(batch(b), b)
+        # replay the last batch (checkpoint restart right after a cadence
+        # fire at b=5): must stay a no-op
+        auto(batch(5), 5)
+        want = {tuple(r) for r in plain.read_state().collect()}
+        got = {tuple(r) for r in auto.read_state().collect()}
+        assert got == want, tag
+        if cls is HistorySink:
+            wh = {tuple(r) for r in plain.read_history().collect()}
+            gh = {tuple(r) for r in auto.read_history().collect()}
+            assert gh == wh, tag
+        assert data_files(auto.state_path) <= data_files(plain.state_path), tag
+
+
 def test_merge_sink_delete_tombstone_blocks_resurrection(spark, tmp_path):
     """A delete must defeat a lower-seq upsert arriving in a LATER batch
     (replay / out-of-order delivery): the tombstone persists across batches.

@@ -355,7 +355,18 @@ class MergeSink:
         value-preserving rewrite (and a crash mid-compaction recovers
         through `_recover`'s .compact-bak discipline like any other torn
         swap). Cadence keys off the stream's monotonically increasing
-        batch_id — deterministic across restarts, no extra state."""
+        batch_id — deterministic across restarts, no extra state.
+
+        COST MODEL (size N against it): each pass is a FULL O(state)
+        rewrite (`compact_small_files` reads and rewrites the whole
+        directory — about one seed-write of wall time), so the amortized
+        per-batch overhead is rewrite/N. Under the r12 clustered write
+        each touched slice already lands as one file, so at steady state
+        the pass mostly repacks what churn fragmented — pick N so
+        rewrite/N stays well under the per-batch merge cost (e.g. a
+        ~45 s rewrite at 50M rows wants N >= ~50 against 5 s batches),
+        or leave the option None and keep compaction on a maintenance
+        window, which remains the right call for very large states."""
         n = self.compact_every_n_batches
         if n and (int(batch_id) + 1) % n == 0:
             self.compact_files(target_file_mb=self.compact_target_file_mb)

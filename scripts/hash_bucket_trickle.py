@@ -96,10 +96,18 @@ def main():
         )
         return env(ks, (b + 1) * n_rows)
 
+    # TRICKLE_CADENCE=N runs the BUCKETED variant with the shipped
+    # compact_every_n_batches option active (r13) — the auto-cadence
+    # fires inside the timed batches, so fire-batch cost is visible in
+    # the per-batch series (each pass is a full O(state) rewrite; see
+    # MergeSink._maybe_compact_files' cost model)
+    cadence = int(os.environ.get("TRICKLE_CADENCE", "0")) or None
+
     results = {}
     for name, kb in (("plain", None), ("hash_bucketed", HashKeyBucket(n_buckets))):
         state = os.path.join(work, name)
-        sink = MergeSink(spark, state, key_bucket=kb)
+        sink = MergeSink(spark, state, key_bucket=kb,
+                         compact_every_n_batches=cadence if kb else None)
         t0 = time.monotonic()
         sink(seed, 0)  # seed batch; env() already emits ENVELOPE_SCHEMA
         # the documented small-files cadence BEFORE the trickle starts:
@@ -135,6 +143,7 @@ def main():
         "metric": "hash_bucket_trickle",
         "state_rows": n_rows, "batches": n_batches,
         "keys_per_batch": per_batch, "n_buckets": n_buckets,
+        "cadence": cadence,
         "plain": results["plain"], "hash_bucketed": results["hash_bucketed"],
         "win": round(results["plain"]["mean_ms"]
                      / results["hash_bucketed"]["mean_ms"], 2),

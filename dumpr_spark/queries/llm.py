@@ -3275,6 +3275,20 @@ def _ivfpq_derive_cells(n: int) -> int:
     return max(1, int(math.floor(math.sqrt(n) + 0.5)))
 
 
+def _ivfpq_train_sample_mod(n: int, cells: int) -> int | None:
+    """THE trainer-sample rule (r13, corrected by a scored miss): sample
+    budget = max(5000, 100 * cells) — the PQ codebooks' absolute
+    saturation floor OR ~100 training points per estimated coarse
+    centroid, whichever binds (see _ivfpq_index's train_sample_mod
+    docstring for the measurement trail) — and the deterministic hash
+    dial is mod = n // budget, engaged only when it actually thins
+    (mod >= 2; None = train on the full corpus, which at n < 2x budget
+    IS the right sample). Shared by the probe scripts so a measurement
+    always exercises the rule the docstrings state."""
+    mod = n // max(5000, 100 * cells)
+    return mod if mod >= 2 else None
+
+
 def _pq_train_iter_sql(i: int) -> str:
     """One unrolled per-subspace Lloyd round of the PQ codebook trainer
     (oracle side, mirroring the Spark loop in _ivfpq_reranked): assign
@@ -3501,7 +3515,8 @@ def _ivfpq_ctes() -> str:
     )
 
 
-def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
+def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
+                 stage_timings=None):
     """Spark side of the IVF-PQ TRAIN + ENCODE stages, shared by every
     serving dial: returns (e, q, cdf, cents, cb, vcode) with the trained
     codebook and the encoded corpus pinned, so a dial sweep
@@ -3525,12 +3540,18 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
     cost the sample bounds (the r12 train-cost MISS's named cause;
     SCALE.md r13 measures the dial closing it). Default None = full
     corpus (the registered, oracle-replayed path — at testdata scale
-    the corpus IS the sample). Measured at sf0.1 (SCALE.md round-10):
-    recall@5 is noise-flat at mod=2 (~5k training vectors) and dips ~5%
-    at mod=4 (~2.5k — approaching the saturation floor for M x KC =
-    128 codewords), so the at-volume rule is an ABSOLUTE sample budget
-    (>= thousands of vectors per codebook), not a fraction: at 100 TB
-    that budget is a vanishing sampling rate.
+    the corpus IS the sample). The sample BUDGET is cells-dependent
+    (r13 — a scored miss taught this): the PQ codebooks saturate on an
+    absolute few thousand residuals (SCALE.md round-10: recall
+    noise-flat at ~5k, -5% near ~2.5k for M x KC = 128 codewords), but
+    the COARSE quantizer estimates `cells` means and needs ~100 points
+    per cell (the standard k-means-for-IVF training band is ~40-256
+    points per centroid): at 20k vectors and 141 cells a 5k sample
+    (35/cell) measured recall@5 .7625 vs the full trainer's .8812
+    (SCALE.md r13). So budget = max(5000, 100 * cells) and
+    mod = max(1, n // budget) — still a vanishing sampling RATE at
+    volume (at n = 10^9, cells = sqrt(n) ~ 31.6k, the budget is ~3.2M
+    vectors, 0.3% of the corpus and shrinking as 100/sqrt(n)).
 
     Scale shape, stage by stage:
     - coarse training: `train_centroids_lloyd` (broadcast k x dim
@@ -3551,8 +3572,25 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
     codebook entries eps-rounded 6dp, every ranked value eps-rounded with
     id tie-breaks, and the ADC sum assembled as M positionally-fixed
     terms (max-per-m pivot) so shuffle arrival order cannot move an ulp
-    into the shortlist cut (the r7 flake-class rule)."""
+    into the shortlist cut (the r7 flake-class rule).
+
+    stage_timings: pass a dict to receive per-stage wall seconds
+    (coarse_train_s / corpus_assign_s / pq_train_s / encode_s) — the
+    measurement hook the r13 train-cost scoring needed, because a single
+    build wall CONFLATES the trainer (what train_sample_mod bounds) with
+    the unavoidable O(n x cells) full-corpus assignment and the
+    O(n x M x KC) encode (per-vector map work that scales out with
+    executors, sample-independent by design). When set, the pinned
+    stages checkpoint EAGERLY at the stage boundaries — identical
+    values and plans, only materialization timing moves; default None
+    keeps the registered lazy pinning."""
     from pyspark.sql import Window
+
+    timed = stage_timings is not None
+    if timed:
+        import time as _time
+
+        _t0 = _time.monotonic()
 
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 32)
@@ -3566,10 +3604,19 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
         coarse_src = e.where(
             (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(train_sample_mod)) == 0)
             | (F.col("vec_id") < cells)
-        )
+        # pin the sample: Lloyd re-reads its input every iteration, and
+        # an unpinned sample would re-scan (and re-filter) the FULL
+        # corpus 4x — the sample exists so the trainer never touches
+        # corpus-sized data more than once
+        ).localCheckpoint(eager=False)
     cdf, _counts, _iters, _conv = sim.train_centroids_lloyd(
         coarse_src, k=cells, max_iter=4, eps=0.06
     )
+    if timed:
+        # train_centroids_lloyd iterates eagerly (per-iteration movement
+        # collects), so the call wall IS the coarse-trainer stage
+        stage_timings["coarse_train_s"] = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
     cents = cdf.select(
         F.col("cent_id").alias("cell"), F.col("cent_vec").alias("cvec")
     )
@@ -3591,8 +3638,14 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
         sim.ivf_assign(e, cdf)
         .join(F.broadcast(cents), "cell")
         .select("vec_id", "cell", residual(F.col("embedding")).alias("r"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=timed)
     )
+    if timed:
+        # the full-corpus coarse assignment + residuals: O(n x cells)
+        # per-vector map work — unavoidable index-construction cost,
+        # NOT bounded by train_sample_mod (every vector must be filed)
+        stage_timings["corpus_assign_s"] = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
     sv, cv = F.col("sv"), F.col("cv")
     # ||c||^2 is a per-codeword constant and ||s||^2 a per-(row, m)
     # constant: both are computed ONCE below the candidate join (their
@@ -3666,7 +3719,10 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
         )
     # pinned: the trained codebook feeds the encoder (all corpus rows),
     # the query LUT, and — unpinned — each would replay the Lloyd rounds
-    cb = cbk.withColumn("_cvv", sim.dot(cv, cv)).localCheckpoint(eager=False)
+    cb = cbk.withColumn("_cvv", sim.dot(cv, cv)).localCheckpoint(eager=timed)
+    if timed:
+        stage_timings["pq_train_s"] = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
     code_w = Window.partitionBy("n_id", "m").orderBy("d2", "ccid")
     vcode = (
         vres.select(F.col("vec_id").alias("n_id"), "cell", ms, "r")
@@ -3681,8 +3737,10 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS):
         # (4 legs in the recall sweep + the topk cut) — unpinned, each
         # leg would replay the corpus-wide encode join and its
         # (n_id, m) window (the review's 4-5x redundant-encode finding)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=timed)
     )
+    if timed:
+        stage_timings["encode_s"] = _time.monotonic() - _t0
     return e, q, cdf, cents, cb, vcode
 
 

@@ -17,6 +17,10 @@ by reading through the engine loader (events' TIMESTAMP(NANOS) becomes the
 usual TIMESTAMP_NTZ before the copy is written).
 
 Usage: python scripts/make_sf1_local.py [out_dir]
+  SF_LOCAL_COPIES=N          override the copy count (default 10; embedding
+                             rotations stay distinct up to dim=64 copies)
+  SF_LOCAL_EMBEDDINGS_ONLY=1 write only the rotated embeddings table (the
+                             ANN probes' corpus — skips the 5 TPC-H tables)
 Then:  python scripts/scaling_curve_sf1.py   (measure predicted vs actual)
 """
 
@@ -28,7 +32,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHIFT = 231_000_000
-COPIES = 10
+COPIES = int(os.environ.get("SF_LOCAL_COPIES", "10"))
 # the five shuffle-bearing headline queries' inputs + the warmup table
 TABLES = {
     "orders": ["o_orderkey", "o_custkey"],
@@ -49,7 +53,8 @@ def main(out_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = "/root/testdata/sf0.1"
     os.makedirs(out_dir, exist_ok=True)
-    for name, keys in TABLES.items():
+    tables = {} if os.environ.get("SF_LOCAL_EMBEDDINGS_ONLY") else TABLES
+    for name, keys in tables.items():
         base = t(spark, sf_dir, name)
         parts = []
         for i in range(COPIES):

@@ -3281,12 +3281,17 @@ def _ivfpq_train_sample_mod(n: int, cells: int) -> int | None:
     saturation floor OR ~100 training points per estimated coarse
     centroid, whichever binds (see _ivfpq_index's train_sample_mod
     docstring for the measurement trail) — and the deterministic hash
-    dial is mod = n // budget, engaged only when it actually thins
-    (mod >= 2; None = train on the full corpus, which at n < 2x budget
-    IS the right sample). Shared by the probe scripts so a measurement
-    always exercises the rule the docstrings state."""
+    dial is mod = n // budget, engaged only when the thinning is worth
+    its own overhead: mod >= 4 (None = train on the full corpus). The
+    threshold is MEASURED, not guessed: at mod=2 (283 cells, 80k
+    corpus, SCALE.md r13 run 2b) the sampled trainer cost MORE than the
+    full one (76.3 vs 68.4 s — the sample pin's materialization plus
+    convergence-iteration variance eat a 2x thinning) while paying the
+    same recall trade, so a 2-3x dial is all cost and no benefit.
+    Shared by the probe scripts so a measurement always exercises the
+    rule the docstrings state."""
     mod = n // max(5000, 100 * cells)
-    return mod if mod >= 2 else None
+    return mod if mod >= 4 else None
 
 
 def _pq_train_iter_sql(i: int) -> str:
@@ -3549,9 +3554,19 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
     points per centroid): at 20k vectors and 141 cells a 5k sample
     (35/cell) measured recall@5 .7625 vs the full trainer's .8812
     (SCALE.md r13). So budget = max(5000, 100 * cells) and
-    mod = max(1, n // budget) — still a vanishing sampling RATE at
-    volume (at n = 10^9, cells = sqrt(n) ~ 31.6k, the budget is ~3.2M
-    vectors, 0.3% of the corpus and shrinking as 100/sqrt(n)).
+    mod = n // budget, engaged at mod >= 4 (`_ivfpq_train_sample_mod`)
+    — still a vanishing sampling RATE at volume (at n = 10^9,
+    cells = sqrt(n) ~ 31.6k, the budget is ~3.2M vectors, 0.3% of the
+    corpus and shrinking as 100/sqrt(n)). THE MEASURED TRADE (SCALE.md
+    r13 run 2b, 80k corpus): the sampled trainer is provably
+    sample-bounded (its wall FELL below the 20k full trainer's while
+    the corpus grew 4x), but even above the 100/cell floor it costs
+    ~.09 recall@5 at the registered nprobe=4 on that corpus (.8875 vs
+    .9812 full-trained), with nprobe buying about half of it back
+    (.9250 at the scaled probe) at shortlist-fixed serve cost. The
+    registered path therefore stays on the FULL trainer; turn this
+    dial at volume when the train budget binds, and bump nprobe when
+    you do.
 
     Scale shape, stage by stage:
     - coarse training: `train_centroids_lloyd` (broadcast k x dim

@@ -260,6 +260,15 @@ _R8_VERIFIED -= {
 # (dedup_minhash_lsh was re-greened by the r9 driver walk; its freshest row
 # now lives in _R9_VERIFIED.)
 _R7_VERIFIED -= {"dedup_minhash_lsh"}
+# Removed from _R7_VERIFIED (r13 — a LIVE flake, not just stale evidence):
+# agg_pareto_abc failed 1 of 2 closing-sweep runs (green on re-run; 0/10
+# in a fresh session). Mechanism found and fixed: the partition TOTAL was
+# an order-free SUM() OVER (PARTITION BY) whose parallel fold re-adds the
+# rounded addends in arrival order — its last ulp moved a boundary part's
+# 9dp-rounded share across the 0.7 class edge. The total is now
+# MAX(cum_rev) (the last value of the order-pinned running sum) on both
+# engines; fresh driver row required.
+_R7_VERIFIED -= {"agg_pareto_abc"}
 
 # Names the driver hash-verified in round 9 (CORRECTNESS_r09.json: 50 of 50
 # checked, all hash_match): all 9 _R9_NEW registrations, the whole 5-name

@@ -2743,14 +2743,20 @@ def agg_entropy_gini(spark, sf_dir):
     ranked AS (
       SELECT n_name, l_partkey, revenue,
              SUM(revenue) OVER (PARTITION BY n_name ORDER BY revenue DESC, l_partkey
-                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             SUM(revenue) OVER (PARTITION BY n_name) AS total_rev
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev
       FROM rev
     ),
     classed AS (
+      -- total = MAX(cum_rev): the LAST value of the ORDER-PINNED running
+      -- sum (revenue > 0 so cum_rev is increasing) — an order-free
+      -- SUM() OVER (PARTITION BY) would re-add the rounded addends in
+      -- each engine's own arrival order, and its last ulp is what
+      -- flipped a boundary part's class between runs (r13 flake hunt)
       SELECT n_name,
-             CASE WHEN ROUND(cum_rev / total_rev + 1e-9, 9) <= 0.7 THEN 'A'
-                  WHEN ROUND(cum_rev / total_rev + 1e-9, 9) <= 0.9 THEN 'B'
+             CASE WHEN ROUND(cum_rev / MAX(cum_rev) OVER (PARTITION BY n_name)
+                            + 1e-9, 9) <= 0.7 THEN 'A'
+                  WHEN ROUND(cum_rev / MAX(cum_rev) OVER (PARTITION BY n_name)
+                             + 1e-9, 9) <= 0.9 THEN 'B'
                   ELSE 'C' END AS cls,
              revenue
       FROM ranked
@@ -2766,12 +2772,14 @@ def agg_pareto_abc(spark, sf_dir):
     revenue share reaches 70% are class A, to 90% class B, the tail C —
     the inventory-analytics split ("which 20% of parts carry 80% of
     revenue"). Cumulative share via a window over the part-level revenue
-    rollup, with the part-level revenue eps-rounded BEFORE the window and
-    the share eps-rounded before classification, so the hard class
-    boundary cannot flip on a 1-ulp sum-order difference — across engines
-    or across Spark runs (the r7 flake: an unrounded rollup fed the
-    running sum, and one boundary part's class depended on shuffle
-    arrival order).
+    rollup, with the part-level revenue eps-rounded BEFORE the window,
+    the share eps-rounded before classification, and (r13) the partition
+    TOTAL taken as MAX(cum_rev) — the last value of the order-pinned
+    running sum — instead of an order-free SUM() OVER (PARTITION BY), so
+    the hard class boundary cannot flip on a 1-ulp sum-order difference
+    — across engines or across Spark runs (r7 flake: unrounded ADDENDS;
+    r13 flake: the total's free fold order — both caught live by the
+    sweep-repetition discipline).
 
     Scale shape: the raw fact scan reduces to |nation| x |part| BEFORE any
     window; the running sum partitions by nation over that rollup. At the
@@ -2802,9 +2810,22 @@ def agg_pareto_abc(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    ranked = rev.select(
+        "n_name", "revenue", F.sum("revenue").over(w_cum).alias("cum_rev")
+    )
+    # total = MAX(cum_rev), the LAST value of the order-pinned running sum
+    # (revenue > 0 so cum_rev is increasing): bit-identical on every
+    # engine and every run because its addends fold in the window's
+    # deterministic order. The previous SUM() OVER (PARTITION BY) total
+    # re-added the rounded addends in ARRIVAL order — an order-free
+    # parallel fold whose last ulp wiggled run-to-run, and one boundary
+    # part's 9dp-rounded share sat exactly where that ulp decides the
+    # 0.7 class edge (caught by the r13 flake hunt: 1 mismatch in 2
+    # sweeps, 0 in 10 on a fresh session — the r7 fix rounded the
+    # ADDENDS but left the total's fold order free).
     w_tot = Window.partitionBy("n_name")
-    share = eps_round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot), 9)
-    classed = rev.select(
+    share = eps_round(F.col("cum_rev") / F.max("cum_rev").over(w_tot), 9)
+    classed = ranked.select(
         "n_name",
         F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("cls"),
         "revenue",

@@ -178,7 +178,10 @@ def suggest_key_bucket(state_df: DataFrame,
 
 def suggest_hash_bucket_count(state_df: DataFrame,
                               target_rows_per_bucket: int = 250_000,
-                              max_buckets: int = 4096) -> HashKeyBucket:
+                              max_buckets: int = 4096,
+                              expected_keys_per_batch: int | None = None,
+                              target_rewrite_share: float = 0.125
+                              ) -> HashKeyBucket:
     """Derive a HashKeyBucket's n_buckets from observed state — the
     sizing helper for the NON-NUMERIC key domain, mirroring what
     `suggest_key_bucket` does for range widths (one metadata-sized
@@ -202,6 +205,19 @@ def suggest_hash_bucket_count(state_df: DataFrame,
       per full listing on local FS; on a metastore/ACID table format
       discovery is O(touched) and the cap can be raised.
 
+    The rows-per-slice target alone does NOT prevent the too-few mode
+    when batches carry many keys: hash spreading means a batch of k
+    keys touches ~k distinct slices (for k << n_buckets), so per-batch
+    rewrite volume ~= k x state/n_buckets — at n_buckets ~ k that is
+    the WHOLE table regardless of slice size. Pass
+    ``expected_keys_per_batch`` to floor the count at
+    ceil(k / target_rewrite_share) (default share 1/8: a batch rewrites
+    at most ~1/8 of the state even when every key lands in its own
+    slice); the floor loses to ``max_buckets`` if they conflict, since
+    the metadata terms are the hard bound — a workload that needs more
+    buckets than the cap tolerates should shrink its batches or move to
+    a metastore-backed format where discovery is O(touched).
+
     Unlike the range policy there is no width/origin to estimate: the
     md5 projection spreads keys uniformly by construction, so live
     rows/slice ~= n/n_buckets regardless of the key distribution. Pin
@@ -219,6 +235,10 @@ def suggest_hash_bucket_count(state_df: DataFrame,
             "expected row count instead"
         )
     raw = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    if expected_keys_per_batch:
+        import math
+
+        raw = max(raw, math.ceil(expected_keys_per_batch / target_rewrite_share))
     return HashKeyBucket(n_buckets=min(raw, max_buckets))
 
 

@@ -1290,6 +1290,17 @@ def test_suggest_hash_bucket_count_policy(spark, tmp_path):
     )
     assert suggest_hash_bucket_count(
         ids201, target_rows_per_bucket=50).n_buckets == 5
+    # the batch-aware floor (r13): rows/slice targeting alone cannot
+    # prevent batch-blanketing — 200 rows at target 50 gives 4 buckets,
+    # but a 100-key batch would rewrite the whole table; the floor
+    # sizes against the batch (ceil(100 / 0.125) = 800, under the cap)
+    batched = suggest_hash_bucket_count(
+        ids, target_rows_per_bucket=50, expected_keys_per_batch=100)
+    assert batched.n_buckets == 800
+    # ...and the metadata cap still wins over the floor
+    assert suggest_hash_bucket_count(
+        ids, target_rows_per_bucket=50, expected_keys_per_batch=100,
+        max_buckets=256).n_buckets == 256
     # usable directly as the sink's key_bucket (policy stamped + refused
     # on drift is covered by the HashKeyBucket drift test)
     rows = [

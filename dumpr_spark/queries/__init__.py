@@ -457,12 +457,15 @@ _R12_VERIFIED = {
 # Arrow-collect rebuild and its freshest row lives in _R8_VERIFIED.)
 
 # Queries first registered in round 13: cdc_hash_bucket_policy (the
-# suggest_hash_bucket_count declarative twin, r12 verdict item 4).
+# suggest_hash_bucket_count declarative twin, r12 verdict item 4) and
+# sim_ann_dial_policy (the r13 ANN derivation rules as a certified
+# policy ladder, incl. the 1e9 at-volume point).
 # Budget check (r12 verdict cap: evictions + new <= 5, enforced by
-# tests/test_docs_consistency.py): 2 evictions (the derived-cells ivfpq
-# pair) + 1 new = 3 <= 5, so the remaining >= 45 slots re-certify the
-# entire 45-name r7 tier.
-_R13_NEW: set = {"cdc_hash_bucket_policy"}
+# tests/test_docs_consistency.py): 3 evictions (the derived-cells ivfpq
+# pair + the agg_pareto_abc flake fix) + 2 new = 5 <= 5; the walk order
+# puts these 5 first, then the 44 remaining r7-tier names (49 <= 50
+# slots), so the r7 tier still empties this round.
+_R13_NEW: set = {"cdc_hash_bucket_policy", "sim_ann_dial_policy"}
 
 # The union is computed ONCE, after every tier literal (and eviction edit)
 # is final — a snapshot taken before a later edit would leave a name in

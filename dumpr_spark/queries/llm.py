@@ -3860,6 +3860,109 @@ def _ivfpq_reranked(spark, sf_dir):
                         shortlist=_ivfpq_serve_shortlist(n, cells=cells))
 
 
+# the certified dial ladder: the actual testdata corpus sizes plus the
+# at-volume points the docstrings reason about (1e6; 1e9 ~ the 100 TB
+# corpus) and the two probe corpora, so the driver's gate re-certifies
+# the rule arithmetic at every scale the docs cite — not just at the
+# n the testdata happens to have
+_ANN_POLICY_NS = (500, 2_000, 20_000, 80_000, 1_000_000, 1_000_000_000)
+
+
+@query(
+    "sim_ann_dial_policy",
+    f"""
+    WITH ns AS (
+      SELECT DISTINCT n FROM (
+        SELECT CAST(unnest({list(_ANN_POLICY_NS)}) AS BIGINT) AS n
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+      )
+    ),
+    d AS (
+      SELECT n,
+             GREATEST(1, CAST(FLOOR(SQRT(n) + 0.5) AS BIGINT)) AS cells
+      FROM ns
+    ),
+    b AS (
+      SELECT n, cells,
+             GREATEST(CAST(5000 AS BIGINT), 100 * cells) AS train_budget
+      FROM d
+    )
+    SELECT n, cells,
+           GREATEST(CAST(32 AS BIGINT),
+                    CAST(CEIL(n * 1.0 / cells) AS BIGINT)) AS shortlist,
+           train_budget,
+           CASE WHEN n // train_budget >= 4 THEN n // train_budget
+                ELSE CAST(1 AS BIGINT) END AS train_mod
+    FROM b ORDER BY n
+    """,
+    tags=("llm", "similarity", "policy"),
+)
+def sim_ann_dial_policy(spark, sf_dir):
+    """The ANN serving/training dial derivations as a certified policy
+    row — the cdc_key_bucket_policy discipline applied to §2.2-J: for a
+    ladder of corpus sizes (the testdata corpora, the r12/r13 probe
+    corpora, and the at-volume points the docstrings reason about, plus
+    the ACTUAL embeddings count of the sf under test) derive, in pure
+    engine expressions, cells = max(1, floor(sqrt(n) + .5)), shortlist
+    = max(32, ceil(n / cells)), the trainer sample budget
+    max(5000, 100 * cells), and the engagement-gated sampling mod
+    (n // budget when >= 4, else 1 = train on the full corpus). The
+    builder ALSO runs the shipped Python helpers (_ivfpq_derive_cells /
+    _ivfpq_serve_shortlist / _ivfpq_train_sample_mod) on every ladder
+    row and RAISES on any disagreement, so the driver's gate certifies
+    the rules the registered IVF-PQ paths serve at — including their
+    behavior at 1e9 vectors, where no testdata can reach — in one
+    hash-compared row set. (The rules' measurement trail: cells r12
+    probe + r13 registered derivation; shortlist r10 sweep; budget and
+    mod >= 4 threshold SCALE.md r13 runs 1-2b.)
+
+    Scale shape: one metadata-sized COUNT plus constant-folded
+    arithmetic over a 7-row literal ladder — the cheapest row in the
+    registry, certifying the arithmetic the most expensive ones rely
+    on."""
+    n_actual = t(spark, sf_dir, "embeddings").count()
+    rows = sorted(set(_ANN_POLICY_NS) | {int(n_actual)})
+    df = spark.createDataFrame([(int(n),) for n in rows], "n long")
+    cells = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("CAST(FLOOR(SQRT(n) + 0.5) AS BIGINT)"),
+    )
+    out = (
+        df.select("n", cells.alias("cells"))
+        .select(
+            "n", "cells",
+            F.greatest(F.lit(32).cast("long"),
+                       F.expr("CAST(CEIL(n * 1.0 / cells) AS BIGINT)"))
+            .alias("shortlist"),
+            F.greatest(F.lit(5000).cast("long"),
+                       F.expr("100 * cells")).alias("train_budget"),
+        )
+        .select(
+            "n", "cells", "shortlist", "train_budget",
+            F.expr("CASE WHEN n div train_budget >= 4 THEN n div train_budget "
+                   "ELSE CAST(1 AS BIGINT) END").alias("train_mod"),
+        )
+        .orderBy("n")
+    )
+    # self-check: the declarative twin must agree with the shipped
+    # helpers on every ladder row — helper drift fails the gate loudly
+    for r in out.collect():
+        want = (
+            _ivfpq_derive_cells(r["n"]),
+            _ivfpq_serve_shortlist(r["n"], cells=_ivfpq_derive_cells(r["n"])),
+            max(5000, 100 * _ivfpq_derive_cells(r["n"])),
+            _ivfpq_train_sample_mod(r["n"], _ivfpq_derive_cells(r["n"])) or 1,
+        )
+        got = (r["cells"], r["shortlist"], r["train_budget"], r["train_mod"])
+        if got != want:
+            raise AssertionError(
+                f"dial policy twin disagrees with helpers at n={r['n']}: "
+                f"declarative {got} != helpers {want}"
+            )
+    return out
+
+
 def _ivfpq_serve_shortlist(n: int, cells: int = _IVFPQ_CELLS) -> int:
     """THE serving-dial shortlist rule — shared by _ivfpq_reranked and
     scripts/ivfpq_dial_probe.py so the probe always measures the dial

@@ -160,32 +160,10 @@ _R6_VERIFIED: set = set()
 # identical, locally re-gated green, but the shared helper changed —
 # same eviction applies to dedup_clusters in the r2 tier).
 
-# Names the driver hash-verified in round 7 (CORRECTNESS_r07.json: 50 of 50
-# checked, all hash_match): all 10 _R7_NEW registrations, the whole 7-name
-# never-green backlog (the agg_pareto_abc flake fix + its proactive
-# events_changepoint_cusum twin, the events_ewma pandas-ewm swap, the
-# sim_ann_hyperplane folded-literal planes, the dedup_minhash_accuracy knob
-# refactor, and the two connected-components sym-checkpoint re-greens), all
-# 20 remaining r1-vintage rows (r1 tier now EMPTY), and 13 r2-vintage
-# re-certifications.
-_R7_VERIFIED = {
-    "agg_bool", "agg_bootstrap_ci", "agg_pareto_abc", "agg_pivot",
-    "cdc_seq_gap_audit", "dedup_clusters", "dedup_exact", "dedup_exact_hash",
-    "dedup_fingerprint", "dedup_jaccard_containment", "dedup_lsh_scaled",
-    "dedup_minhash_accuracy", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_semantic_clusters", "dedup_winnow_pairs", "embed_norm_clip",
-    "events_changepoint_cusum", "events_ewma", "events_overdispersion",
-    "join_anti", "join_broadcast_hint", "join_cross", "join_full_outer",
-    "join_inner_star", "join_left_outer", "join_multikey",
-    "join_right_outer", "join_semi", "join_skew_salted", "join_theta_range",
-    "multimodal_payload_dedup", "project_distinct",
-    "sample_balanced_classes", "set_except", "set_intersect",
-    "set_union_all", "set_union_distinct", "sim_ann_hyperplane",
-    "sim_ann_recall_curve", "sim_embedding_stats", "sim_topk_bruteforce",
-    "sort_multi_nulls", "sort_topk", "text_fingerprint_rolling",
-    "text_js_divergence", "text_lang_stats", "text_quality",
-    "text_winnow_fingerprints", "text_zipf_fit",
-}
+# _R7_VERIFIED is EMPTY as of round 14: the r13 driver walk re-certified
+# all 44 remaining r7-vintage rows (their freshest green rows now live in
+# _R13_VERIFIED), completing the rotation goal the r12 verdict set.
+_R7_VERIFIED: set = set()
 # Removed from _R7_VERIFIED (stale evidence, r8 edits):
 # dedup_jaccard_containment (grew the same sample_frac/max_pairs knobs its
 # minhash_accuracy_audit sibling got in r7 — full population stays the
@@ -236,6 +214,10 @@ _R8_VERIFIED = {
     "text_tfidf_topk", "text_token_stats", "text_unigram_logprob",
     "text_vocab_topk",
 }
+# Moved OUT of _R8_VERIFIED to _R13_VERIFIED (re-certified by the r13
+# driver walk's one spare slot after the 5-name budget + 44-name r7 tier):
+# cdc_scd2_history.
+_R8_VERIFIED -= {"cdc_scd2_history"}
 # Removed from _R8_VERIFIED (stale evidence, r9 edits):
 # sim_ivfpq_topk + sim_ivfpq_recall (the PQ codebooks are now per-subspace
 # Lloyd-TRAINED instead of first-16-residual sampled — the r8 verdict's
@@ -456,16 +438,51 @@ _R12_VERIFIED = {
 # (join_bloom_prefilter is NOT here: its r6 green was evicted by the r8
 # Arrow-collect rebuild and its freshest row lives in _R8_VERIFIED.)
 
-# Queries first registered in round 13: cdc_hash_bucket_policy (the
-# suggest_hash_bucket_count declarative twin, r12 verdict item 4) and
-# sim_ann_dial_policy (the r13 ANN derivation rules as a certified
-# policy ladder, incl. the 1e9 at-volume point).
-# Budget check (r12 verdict cap: evictions + new <= 5, enforced by
-# tests/test_docs_consistency.py): 3 evictions (the derived-cells ivfpq
-# pair + the agg_pareto_abc flake fix) + 2 new = 5 <= 5; the walk order
-# puts these 5 first, then the 44 remaining r7-tier names (49 <= 50
-# slots), so the r7 tier still empties this round.
-_R13_NEW: set = {"cdc_hash_bucket_policy", "sim_ann_dial_policy"}
+# Names the driver hash-verified in round 13 (CORRECTNESS_r13.json: 50 of
+# 50 checked, all hash_match): both _R13_NEW registrations
+# (cdc_hash_bucket_policy, sim_ann_dial_policy), the whole 3-name
+# never-green backlog (the derived-cells ivfpq pair + the agg_pareto_abc
+# live-flake fix), all 44 remaining r7-vintage rows (r7 tier now EMPTY),
+# and 1 r8-vintage re-certification (cdc_scd2_history, the spare slot).
+_R13_VERIFIED = {
+    "agg_bool", "agg_bootstrap_ci", "agg_pareto_abc", "agg_pivot",
+    "cdc_hash_bucket_policy", "cdc_scd2_history", "cdc_seq_gap_audit",
+    "dedup_clusters", "dedup_exact", "dedup_exact_hash",
+    "dedup_fingerprint", "dedup_lsh_scaled", "dedup_ngram_jaccard",
+    "dedup_semantic_clusters", "dedup_winnow_pairs", "embed_norm_clip",
+    "events_changepoint_cusum", "join_anti", "join_broadcast_hint",
+    "join_cross", "join_full_outer", "join_inner_star", "join_left_outer",
+    "join_multikey", "join_right_outer", "join_semi", "join_skew_salted",
+    "join_theta_range", "multimodal_payload_dedup", "project_distinct",
+    "sample_balanced_classes", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "sim_ann_dial_policy",
+    "sim_ann_hyperplane", "sim_ann_recall_curve", "sim_embedding_stats",
+    "sim_ivfpq_recall", "sim_ivfpq_topk", "sim_topk_bruteforce",
+    "sort_multi_nulls", "sort_topk", "text_fingerprint_rolling",
+    "text_js_divergence", "text_lang_stats", "text_quality",
+    "text_winnow_fingerprints", "text_zipf_fit",
+}
+# Removed from _R13_VERIFIED (stale evidence, r14 edit): the three
+# oracle-replay-bound ANN rows — sim_ann_recall_curve, sim_ivfpq_recall,
+# sim_ivfpq_topk — whose oracle text gained MATERIALIZED annotations on
+# the shared CTE stages (r13 verdict item 6: gate-cost hygiene). Values
+# are unchanged by construction and were A/B-verified identical at sf0.1
+# (DuckDB side 53.6/11.9/13.2 s -> 0.8/2.4/1.6 s), but the ORACLE text is
+# part of the certified identity, so fresh driver rows are required.
+_R13_VERIFIED -= {
+    "sim_ann_recall_curve", "sim_ivfpq_recall", "sim_ivfpq_topk",
+}
+
+# Queries first registered in round 14: cdc_auto_layout_policy (the
+# seed-time auto-derived sink layout, r13 verdict item 3: given an
+# observed first batch, which policy does key_bucket="auto" stamp —
+# numeric keys -> suggest_key_bucket range slices, string keys ->
+# suggest_hash_bucket_count with the batch-aware floor).
+# Budget check (r13 verdict cap: evictions + new <= 6, enforced by
+# tests/test_docs_consistency.py): the walk order puts never-green +
+# these first, then the 44 remaining r8-tier names, so the r8 tier
+# empties this round (<= 50 slots).
+_R14_NEW: set = {"cdc_auto_layout_policy"}
 
 # The union is computed ONCE, after every tier literal (and eviction edit)
 # is final — a snapshot taken before a later edit would leave a name in
@@ -474,14 +491,14 @@ _R13_NEW: set = {"cdc_hash_bucket_policy", "sim_ann_dial_policy"}
 _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
     | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
-    | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
+    | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED | _R13_VERIFIED
 )
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-13 addition. A name
-# accidentally left out of _R13_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-14 addition. A name
+# accidentally left out of _R14_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R13_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R14_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
 # the only remaining correctness risk — r5-vintage green rows on evolving
@@ -491,14 +508,14 @@ _NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R13_NEW
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
-    _R11_VERIFIED, _R12_VERIFIED,
+    _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R13_NEW:
+    if n in _R14_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

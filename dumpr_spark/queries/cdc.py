@@ -1168,3 +1168,135 @@ def cdc_hash_bucket_policy(spark, sf_dir):
             f"{row['n_buckets_capped']})"
         )
     return out
+
+
+@query(
+    "cdc_auto_layout_policy",
+    """
+    WITH num AS (SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders),
+    strs AS (SELECT 'user-' || CAST(o_orderkey AS VARCHAR) AS id FROM orders),
+    obs AS (
+      SELECT 'numeric' AS scenario, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN TRY_CAST(id AS BIGINT) IS NULL
+                         THEN 1 END) AS BIGINT) AS bad,
+             CAST(COUNT(DISTINCT id) AS BIGINT) AS k,
+             CAST(MIN(TRY_CAST(id AS BIGINT)) AS BIGINT) AS lo,
+             CAST(MAX(TRY_CAST(id AS BIGINT)) AS BIGINT) AS hi
+      FROM num
+      UNION ALL
+      SELECT 'strings', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN TRY_CAST(id AS BIGINT) IS NULL
+                         THEN 1 END) AS BIGINT),
+             CAST(COUNT(DISTINCT id) AS BIGINT),
+             CAST(MIN(TRY_CAST(id AS BIGINT)) AS BIGINT),
+             CAST(MAX(TRY_CAST(id AS BIGINT)) AS BIGINT)
+      FROM strs
+    ),
+    nb AS (
+      SELECT *, GREATEST(CAST(1 AS BIGINT), (n + 2000 - 1) // 2000) AS rawb
+      FROM obs
+    )
+    SELECT scenario,
+           CASE WHEN bad = 0 THEN 'range' ELSE 'hash' END AS kind,
+           n, k,
+           CASE WHEN bad = 0
+                THEN GREATEST(CAST(1 AS BIGINT),
+                              (hi - lo + 1 + rawb - 1) // rawb) END AS width,
+           CASE WHEN bad = 0 THEN lo END AS origin,
+           CASE WHEN bad > 0
+                THEN LEAST(GREATEST(rawb, CAST(CEIL(k / 0.125) AS BIGINT)),
+                           CAST(4096 AS BIGINT)) END AS n_buckets
+    FROM nb
+    """,
+    tags=("cdc", "streaming", "policy"),
+)
+def cdc_auto_layout_policy(spark, sf_dir):
+    """The seed-time auto-layout dispatch for the sinks
+    (streaming/sink.derive_auto_policy behind ``key_bucket="auto"``, r13
+    verdict item 3), certified value-level like its two parents: given an
+    observed FIRST BATCH, which policy does auto stamp? Two scenarios
+    over the same key population (`orders` primary keys): rendered as
+    digit strings the batch is integer-castable (bad = 0) and dispatches
+    RANGE — the pinned (width, origin) from suggest_key_bucket's exact
+    integer ceilings; rendered as 'user-<pk>' strings (the UUID/composite
+    shape the range helper refuses) it dispatches HASH — n_buckets from
+    suggest_hash_bucket_count with the batch's observed DISTINCT key
+    count as the anti-blanketing floor (ceil(k / 0.125), exact here
+    because the default share is a power of two) clamped by the 4096
+    metadata cap, which is LIVE in this row at sf0.01 key counts (the
+    floor alone would ask for ~8x the cap). The builder ALSO runs
+    derive_auto_policy itself on both batches and RAISES on any
+    disagreement in dispatch or values, so the driver's gate certifies
+    the shipped seed path and the declarative twin against DuckDB in one
+    row.
+
+    Scale shape: one map-side-combined 5-scalar aggregate per scenario
+    (count / bad-count / distinct-keys / min / max) — metadata-sized
+    output, no shuffle of rows; paid once at stream seed time, never
+    per batch."""
+    from dumpr_spark.streaming.sink import (
+        HashKeyBucket, KeyBucket, derive_auto_policy,
+    )
+
+    target = 2_000
+    orders = t(spark, sf_dir, "orders")
+    num = orders.select(F.col("o_orderkey").cast("string").alias("id"))
+    strs = orders.select(
+        F.concat(F.lit("user-"), F.col("o_orderkey").cast("string")).alias("id")
+    )
+
+    def observe(df, scen):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("id").try_cast("long").isNull(), 1))
+            .cast("long").alias("bad"),
+            F.count_distinct(F.col("id")).cast("long").alias("k"),
+            F.min(F.col("id").try_cast("long")).cast("long").alias("lo"),
+            F.max(F.col("id").try_cast("long")).cast("long").alias("hi"),
+        ).select(F.lit(scen).alias("scenario"), "*")
+
+    nb = (
+        observe(num, "numeric").unionByName(observe(strs, "strings"))
+        .withColumn(
+            "rawb",
+            F.expr(f"greatest(cast(1 as bigint), (n + {target} - 1) div {target})"),
+        )
+    )
+    out = nb.select(
+        "scenario",
+        F.when(F.col("bad") == 0, F.lit("range"))
+        .otherwise(F.lit("hash")).alias("kind"),
+        "n", "k",
+        F.when(
+            F.col("bad") == 0,
+            F.expr("greatest(cast(1 as bigint), (hi - lo + 1 + rawb - 1) div rawb)"),
+        ).alias("width"),
+        F.when(F.col("bad") == 0, F.col("lo")).alias("origin"),
+        F.when(
+            F.col("bad") > 0,
+            F.expr("least(greatest(rawb, cast(ceil(k / 0.125) as bigint)), "
+                   "cast(4096 as bigint))"),
+        ).alias("n_buckets"),
+    )
+    # self-check: the shipped seed path (derive_auto_policy's own
+    # observation aggregate + the helper it dispatches to) must agree
+    # with the declarative twin the oracle checks, in DISPATCH and in
+    # values — a drifted rule fails the gate loudly (the
+    # cdc_key_bucket_policy discipline)
+    pol_num = derive_auto_policy(num, target_rows_per_bucket=target)
+    pol_str = derive_auto_policy(strs, target_rows_per_bucket=target)
+    rows = {r["scenario"]: r for r in out.collect()}
+    rn, rs = rows["numeric"], rows["strings"]
+    if not (isinstance(pol_num, KeyBucket)
+            and (pol_num.width, pol_num.origin) == (rn["width"], rn["origin"])):
+        raise AssertionError(
+            f"derive_auto_policy(numeric) = {pol_num!r} != declarative "
+            f"twin (range, width={rn['width']}, origin={rn['origin']})"
+        )
+    if not (isinstance(pol_str, HashKeyBucket)
+            and pol_str.n_buckets == rs["n_buckets"]):
+        raise AssertionError(
+            f"derive_auto_policy(strings) = {pol_str!r} != declarative "
+            f"twin (hash, n_buckets={rs['n_buckets']})"
+        )
+    return out

@@ -10,6 +10,7 @@ recomputes them identically.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import functions as F
 
@@ -2436,6 +2437,25 @@ def embed_kmeans_step(spark, sf_dir):
     )
 
 
+def _materialize_ctes(sql: str, names: tuple) -> str:
+    """Gate-cost hygiene for the unrolled exact-replay oracles (r13
+    verdict item 6): annotate the named CTEs ``AS MATERIALIZED`` so DuckDB
+    evaluates each shared stage ONCE instead of re-inlining its whole
+    upstream (the Lloyd unroll, the exact top-5, the corpus cast) into
+    every consumer — the same fix the r9 pass applied to the IVF-PQ
+    trainer CTEs by hand, applied here as a post-processing step scoped
+    to a single query's composed SQL so the SHARED helper text (and
+    therefore other consumers' oracle identities) stays untouched.
+    Values are unchanged by construction (materialization only pins
+    evaluation count; every CTE here is deterministic — ROW_NUMBER with
+    full tie-breaks, eps-rounded folds) and were A/B-verified identical
+    at sf0.1; only gate wall-clock moves (SCALE.md r14: the recall curve
+    53.6 -> 0.8 s, the ivfpq pair 11.9/13.2 -> 2.4/1.6 s DuckDB-side)."""
+    for n in names:
+        sql = re.sub(r"\b" + n + r" AS \(", n + " AS MATERIALIZED (", sql)
+    return sql
+
+
 def _kmeans_iter_sql(i: int) -> str:
     """One unrolled Lloyd iteration for the embed_kmeans_converged oracle:
     assign against cents c{i-1} (unrounded cosine, cid tie-break — the
@@ -3017,7 +3037,7 @@ def _lsh_sig_tables_sql(tables: tuple = (0, 1, 2, 3)) -> str:
 
 @query(
     "sim_ann_recall_curve",
-    """
+    _materialize_ctes("""
     WITH corpus AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -3090,7 +3110,12 @@ def _lsh_sig_tables_sql(tables: tuple = (0, 1, 2, 3)) -> str:
           UNION ALL SELECT * FROM lsh1 UNION ALL SELECT * FROM lsh2
           UNION ALL SELECT * FROM lsh4) r, n_exact n
     ORDER BY method, dial
-    """,
+    """, (
+        "corpus", "q", "exact", "vassign", "qassign", "cents",
+        "c1", "c2", "c3", "c4",
+        "vsig0", "vsig1", "vsig2", "vsig3",
+        "qsig0", "qsig1", "qsig2", "qsig3",
+    )),
     tags=("llm", "similarity", "approx", "calibration"),
 )
 def sim_ann_recall_curve(spark, sf_dir):
@@ -3977,11 +4002,15 @@ def _ivfpq_serve_shortlist(n: int, cells: int = _IVFPQ_CELLS) -> int:
 
 @query(
     "sim_ivfpq_topk",
-    _ivfpq_ctes()
-    + """
+    _materialize_ctes(
+        _ivfpq_ctes()
+        + """
     SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim, adc_d2
     FROM final WHERE rank <= 5 ORDER BY q_id, rank
     """,
+        ("corpus", "q", "cents", "cb", "vcode", "ms", "ncells",
+         "c1", "c2", "c3", "c4"),
+    ),
     tags=("llm", "similarity", "approx", "serving"),
 )
 def sim_ivfpq_topk(spark, sf_dir):
@@ -4078,7 +4107,11 @@ def _ivfpq_recall_oracle() -> str:
 
 @query(
     "sim_ivfpq_recall",
-    _ivfpq_recall_oracle(),
+    _materialize_ctes(
+        _ivfpq_recall_oracle(),
+        ("corpus", "q", "exact", "n_exact", "cents", "cb", "vcode", "ms",
+         "ncells", "c1", "c2", "c3", "c4"),
+    ),
     tags=("llm", "similarity", "approx", "calibration"),
 )
 def sim_ivfpq_recall(spark, sf_dir):

@@ -132,6 +132,9 @@ class HistorySink(MergeSink):
         # (MergeSink gets this for free because materialize() filters
         # OP_ERROR; the lead() fold has no such built-in filter)
         batch = batch.where(F.col("op") != OP_ERROR)
+        self._resolve_auto(batch)
+        if self.key_bucket == "auto":
+            return  # empty seed batch, no state yet: nothing to derive from
         env_cols = ENVELOPE_COLS
         w = Window.partitionBy("tbl", "id").orderBy("seq")
         if self.key_bucket is not None:
@@ -197,7 +200,9 @@ def start_history_stream(
     output_mode: same contract as start_merge_stream — foreachBatch itself
     is mode-agnostic, but an upstream applyInPandasWithState declared in
     append mode (the streaming tx filter) requires output_mode="append".
-    key_bucket: optional (tbl, bucket)-sliced layout — see MergeSink.
+    key_bucket: optional (tbl, bucket)-sliced layout — a policy object,
+    or "auto" to derive one from the first non-empty batch via the
+    certified sizing helpers; see MergeSink.
     compact_every_n_batches: optional small-files auto-cadence — see
     MergeSink._maybe_compact_files."""
     sink = HistorySink(changes.sparkSession, history_path,

@@ -123,6 +123,28 @@ class HashKeyBucket:
         ).cast("int")
 
 
+def policy_from_identity(identity: dict):
+    """Reconstruct the policy OBJECT from a persisted `_kb_policy.json`
+    identity — the restart half of ``key_bucket="auto"``: a sink started
+    in auto mode over an existing bucketed state must adopt EXACTLY the
+    layout that cut it, and the stamped identity is the only durable
+    record of that. Raises on an identity no shipped policy class claims
+    (a user policy object's custom kb_identity) — auto cannot guess a
+    bucket function it does not ship; pass the original object."""
+    if isinstance(identity, dict) and set(identity) == {"width", "origin"}:
+        return KeyBucket(width=int(identity["width"]),
+                         origin=int(identity["origin"]))
+    if (isinstance(identity, dict) and identity.get("hash") == "md5_8"
+            and "n_buckets" in identity):
+        return HashKeyBucket(n_buckets=int(identity["n_buckets"]))
+    raise ValueError(
+        f"persisted bucket-policy identity {identity!r} matches no shipped "
+        "policy class (KeyBucket / HashKeyBucket) — this state was cut by a "
+        "custom policy object; key_bucket=\"auto\" cannot reconstruct it, "
+        "pass the original object instead"
+    )
+
+
 def suggest_key_bucket(state_df: DataFrame,
                        target_rows_per_bucket: int = 250_000) -> KeyBucket:
     """Derive a range-bucket width from observed id min/max/density — the
@@ -148,6 +170,10 @@ def suggest_key_bucket(state_df: DataFrame,
     (queries/cdc.cdc_key_bucket_policy); a float `math.ceil(a / b)` would
     disagree with it past 2^53 (snowflake-scale id spans) and mis-size
     the width."""
+    if target_rows_per_bucket < 1:
+        raise ValueError(
+            f"target_rows_per_bucket must be >= 1, got {target_rows_per_bucket}"
+        )
     row = state_df.select(
         F.count(F.lit(1)).alias("n"),
         F.min(F.col("id").try_cast("long")).alias("lo"),
@@ -227,6 +253,23 @@ def suggest_hash_bucket_count(state_df: DataFrame,
     locality caveat on HashKeyBucket itself: this layout pays on
     stable-key-population tables (state >> batch), not append-heavy
     autoincrement feeds."""
+    # loud up-front dial refusal (same style as suggest_key_bucket's
+    # empty/non-numeric raises): a zero/negative rows target breaks the
+    # ceiling arithmetic, max_buckets=0 would mint a HashKeyBucket whose
+    # pmod-by-zero yields NULL buckets (caught only much later by
+    # _pair_filter), and a share outside (0, 1] is either a
+    # ZeroDivisionError or a negative floor
+    if target_rows_per_bucket < 1:
+        raise ValueError(
+            f"target_rows_per_bucket must be >= 1, got {target_rows_per_bucket}"
+        )
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    if not (0 < target_rewrite_share <= 1):
+        raise ValueError(
+            "target_rewrite_share must be in (0, 1], got "
+            f"{target_rewrite_share}"
+        )
     n = int(state_df.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
     if n == 0:
         raise ValueError(
@@ -240,6 +283,49 @@ def suggest_hash_bucket_count(state_df: DataFrame,
 
         raw = max(raw, math.ceil(expected_keys_per_batch / target_rewrite_share))
     return HashKeyBucket(n_buckets=min(raw, max_buckets))
+
+
+def derive_auto_policy(batch_df: DataFrame,
+                       target_rows_per_bucket: int = 250_000,
+                       max_buckets: int = 4096,
+                       target_rewrite_share: float = 0.125):
+    """Seed-time layout derivation from the FIRST observed batch — the
+    dispatch rule behind ``key_bucket="auto"`` (r13 verdict item 3: both
+    sizing dials are certified policy, so the sink should apply them by
+    default instead of requiring the caller to run the helpers by hand):
+
+    - every id integer-castable -> RANGE policy via `suggest_key_bucket`
+      (autoincrement locality is the layout's whole win — see KeyBucket);
+    - any non-numeric id -> HASH policy via `suggest_hash_bucket_count`
+      with ``expected_keys_per_batch`` = the batch's observed DISTINCT id
+      count (the anti-blanketing floor sized from the one batch shape we
+      have; a snapshot-sized seed batch overstates the trickle's key rate
+      and simply drives the floor into the `max_buckets` cap, which is
+      the hard metadata bound anyway);
+    - empty batch -> None (stay unresolved; the sink skips empty batches).
+
+    One extra metadata-sized aggregate over the batch (count / bad-count /
+    distinct-keys) before the chosen helper's own — seed-time only, never
+    per-batch. The derived policy is returned, not stamped: the sink's
+    `_commit` stamps it into `_kb_policy.json` exactly as if the caller
+    had passed the object, so drift refusal works unchanged and a restart
+    adopts the stamped identity via `policy_from_identity`. The declarative
+    twin certified by the correctness gate is
+    queries/cdc.cdc_auto_layout_policy."""
+    row = batch_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("id").try_cast("long").isNull(), 1)).alias("bad"),
+        F.count_distinct(F.col("id")).alias("k"),
+    ).collect()[0]
+    if int(row["n"]) == 0:
+        return None
+    if int(row["bad"]) == 0:
+        return suggest_key_bucket(batch_df, target_rows_per_bucket)
+    return suggest_hash_bucket_count(
+        batch_df, target_rows_per_bucket, max_buckets,
+        expected_keys_per_batch=int(row["k"]),
+        target_rewrite_share=target_rewrite_share,
+    )
 
 
 def _check_tbls(tbls) -> None:
@@ -341,6 +427,19 @@ class MergeSink:
     byte-identical behavior. HistorySink supports the same option (a
     key's whole history shares one bucket, so the validity-interval
     window never spans buckets).
+
+    ``key_bucket="auto"`` (r13 verdict item 3) applies the certified
+    sizing policies by DEFAULT instead of requiring the caller to run the
+    helpers by hand: at the first non-empty batch the sink derives the
+    policy via `derive_auto_policy` (numeric keys -> range via
+    `suggest_key_bucket`, else hash via `suggest_hash_bucket_count` with
+    the observed batch's distinct-key count as the anti-blanketing floor),
+    stamps it into `_kb_policy.json` through the normal `_commit` path,
+    and refuses drift exactly as an explicit policy would; a RESTART over
+    existing bucketed state adopts the stamped identity
+    (`policy_from_identity`) so the layout is pinned for the stream's
+    lifetime. Auto over an existing PLAIN or opaque-callable-cut state is
+    refused loudly (`_resolve_auto`) — those remain migration events.
     """
 
     # persisted-row schema; subclasses (HistorySink) extend the envelope
@@ -439,6 +538,56 @@ class MergeSink:
         for d in os.listdir(parent or "."):
             if d.startswith(stale) or d in (base + ".compact-tmp", base + ".migrate-tmp"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    def _resolve_auto(self, batch: DataFrame | None = None) -> None:
+        """Resolve ``key_bucket="auto"`` into a concrete policy object —
+        idempotent, a no-op once resolved or when auto was never asked for.
+
+        Resolution order (r13 verdict item 3):
+        1. RESTART: an existing state's `_kb_policy.json` identity wins —
+           the stream must keep the exact layout that cut the state
+           (`policy_from_identity`; an existing bucketed state WITHOUT a
+           marker was cut by an opaque callable and is refused — auto
+           cannot reconstruct it, and adopting a guessed policy would
+           merge with mismatched pruning). An existing PLAIN state is a
+           migration event, refused with the same message
+           `_validate_layout` gives an explicit policy.
+        2. SEED: with no state yet, the first NON-EMPTY batch is the
+           observation `derive_auto_policy` dispatches on; the derived
+           policy is stamped by `_commit` like any caller-passed object.
+        3. Neither (no state, empty/absent batch): stay unresolved — the
+           caller skips the batch; reads see the empty bucketed schema."""
+        if self.key_bucket != "auto":
+            return
+        self._recover()
+        marker = os.path.join(self.state_path, "_kb_policy.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                self.key_bucket = policy_from_identity(json.load(f))
+            return
+        if os.path.isdir(self.state_path):
+            for d in os.listdir(self.state_path):
+                if not d.startswith("tbl="):
+                    continue
+                if any(e.startswith("_kb=")
+                       for e in os.listdir(os.path.join(self.state_path, d))):
+                    raise ValueError(
+                        f"state at {self.state_path} is bucketed but carries "
+                        "no _kb_policy.json marker — it was cut by an opaque "
+                        "key_bucket callable whose identity key_bucket=\"auto\" "
+                        "cannot reconstruct; pass the original callable"
+                    )
+                raise ValueError(
+                    f"state at {self.state_path} has a plain (tbl=) layout: "
+                    "key_bucket=\"auto\" derives a BUCKETED policy at seed "
+                    "time and cannot adopt plain state — migrate via "
+                    "migrate_key_bucket(spark, state_path, key_bucket) with "
+                    "the stream stopped, then restart the sink"
+                )
+        if batch is not None:
+            pol = derive_auto_policy(batch)
+            if pol is not None:
+                self.key_bucket = pol
 
     def _kb_policy(self) -> dict | None:
         """The persistable identity of the bucket function, when it has
@@ -544,6 +693,7 @@ class MergeSink:
         """Full persisted state INCLUDING delete tombstones (+ the `_kb`
         partition column in bucketed mode — internal, dropped by
         read_state)."""
+        self._resolve_auto()  # marker-only: adopt an existing layout
         self._recover()
         self._validate_layout()
         schema = self._ext_schema() if self.key_bucket else self._schema
@@ -571,6 +721,7 @@ class MergeSink:
         still apply `_pair_filter` on top — it carries the loud
         NULL-bucket raise, and the redundant predicate prunes nothing
         further."""
+        self._resolve_auto()
         self._recover()
         self._validate_layout()
         schema = self._ext_schema()
@@ -636,16 +787,22 @@ class MergeSink:
         ~target-sized files (one per tbl= partition at test scales) via
         operators.scale.compact_small_files. The compactor preserves the
         Hive partition layout, so `_commit`'s hardlink carry-forward keeps
-        matching untouched tables afterward. Run OUT-OF-BAND with the stream
-        stopped — the compactor's swap discipline (.compact-tmp/.bak) is
-        separate from `_commit`'s and must not interleave with it. Cadence
-        guidance in SCALE.md. Returns the new data-file count. The persisted
+        matching untouched tables afterward. Two sanctioned call sites:
+        END-OF-BATCH via ``compact_every_n_batches`` (foreachBatch
+        invocations are serial and `_commit` has already swapped, so the
+        compactor's .compact-tmp/.bak swap cannot interleave with a merge
+        swap — see `_maybe_compact_files`), or OUT-OF-BAND with the stream
+        STOPPED. What is NOT sanctioned is a concurrent/external invocation
+        racing a live stream (e.g. a cron job): the two swap disciplines
+        would interleave and a torn pair of swaps can restore the wrong
+        backup. Cadence guidance in SCALE.md. Returns the new data-file count. The persisted
         schema is pinned through the rewrite so partition-value inference
         cannot re-type a numeric-looking `tbl` value (tbl=007 -> tbl=7).
         ``order_by`` (e.g. ``["id"]``) sorts rows within each table's file
         so point lookups on the key prune row groups via footer stats."""
         from dumpr_spark.operators.scale import compact_small_files
 
+        self._resolve_auto()
         self._recover()
         self._validate_layout()
         schema = self._ext_schema() if self.key_bucket else self._schema
@@ -762,6 +919,9 @@ class MergeSink:
                 errors.write.mode("overwrite").parquet(
                     f"{self.errors_path}/batch_id={batch_id}"
                 )
+        self._resolve_auto(batch)
+        if self.key_bucket == "auto":
+            return  # empty seed batch, no state yet: nothing to derive from
         if self.key_bucket is not None:
             # bucketed layout: the touched unit is the (tbl, bucket) pair
             # — still metadata-sized (bounded by tables x buckets a batch
@@ -822,6 +982,14 @@ def migrate_key_bucket(spark: SparkSession, state_path: str, key_bucket,
     Cost is one full read + rewrite of the table — O(state), paid once,
     which is the honest price of a layout change; pass the HistorySink's
     HISTORY_SCHEMA as `schema` when migrating an SCD2 state directory."""
+    if isinstance(key_bucket, str):
+        raise ValueError(
+            "key_bucket=\"auto\" is a SEED-TIME convenience (derive from the "
+            "first observed batch); a migration re-cuts existing state and "
+            "must pin an explicit policy — derive one from the state itself "
+            "(suggest_key_bucket / suggest_hash_bucket_count / "
+            "derive_auto_policy) and pass the returned object"
+        )
     if not os.path.exists(state_path):
         raise ValueError(f"no state directory at {state_path} to migrate")
     # recovery only (no layout validation — a migration EXPECTS the
@@ -883,7 +1051,9 @@ def start_merge_stream(
     whatever the batch carries), but upstream stateful operators constrain
     the legal mode — applyInPandasWithState declared in append mode (the
     streaming tx filter) requires output_mode="append".
-    key_bucket: optional (tbl, bucket)-sliced state layout — see MergeSink.
+    key_bucket: optional (tbl, bucket)-sliced state layout — a policy
+    object, or "auto" to derive one from the first non-empty batch via
+    the certified sizing helpers; see MergeSink.
     compact_every_n_batches: optional small-files auto-cadence — see
     MergeSink._maybe_compact_files."""
     sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path,

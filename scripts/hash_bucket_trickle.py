@@ -56,7 +56,11 @@ def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 200
-    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    # 4th arg: an explicit count, or "auto" to run the bucketed variant
+    # with key_bucket="auto" (the sink derives the policy from the seed
+    # batch itself, r14 — the zero-config production path)
+    use_auto = len(sys.argv) > 4 and sys.argv[4] == "auto"
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 and not use_auto else None
 
     spark = get_spark("hash_bucket_trickle")
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,10 +82,16 @@ def main():
 
     seed = env(spark.range(n_rows).select(F.col("id").alias("k")), 0)
     if n_buckets is None:
-        # the shipped sizing helper (r13) — same dials a production
-        # caller would use; pass an explicit 4th arg to pin a count
-        # (the committed r12/r13 configs pin 1024)
-        n_buckets = suggest_hash_bucket_count(seed.select("id")).n_buckets
+        # the shipped sizing helper (r13) — the FULL production
+        # derivation incl. the batch-aware floor (without
+        # expected_keys_per_batch the default 2M/250k run derives just 8
+        # buckets and measures the rewrite-blanketing regime, not the
+        # layout the helper would actually recommend for these 200-key
+        # batches); pass an explicit 4th arg to pin a count (the
+        # committed r12/r13 configs pin 1024)
+        n_buckets = suggest_hash_bucket_count(
+            seed.select("id"), expected_keys_per_batch=per_batch,
+        ).n_buckets
         print(f"n_buckets derived by suggest_hash_bucket_count: {n_buckets}",
               file=sys.stderr)
     stride = n_rows // per_batch
@@ -104,7 +114,8 @@ def main():
     cadence = int(os.environ.get("TRICKLE_CADENCE", "0")) or None
 
     results = {}
-    for name, kb in (("plain", None), ("hash_bucketed", HashKeyBucket(n_buckets))):
+    bucketed_kb = "auto" if use_auto else HashKeyBucket(n_buckets)
+    for name, kb in (("plain", None), ("hash_bucketed", bucketed_kb)):
         state = os.path.join(work, name)
         sink = MergeSink(spark, state, key_bucket=kb,
                          compact_every_n_batches=cadence if kb else None)
@@ -126,6 +137,9 @@ def main():
             per.append(round((time.monotonic() - t1) * 1000))
         live = sink.read_state()
         results[name] = {
+            # auto resolves at the seed batch; record what it derived
+            **({"derived_n_buckets": sink.key_bucket.n_buckets}
+               if kb == "auto" else {}),
             "seed_s": round(seed_s, 1),
             "per_batch_ms": per,
             "mean_ms": round(sum(per) / len(per)),

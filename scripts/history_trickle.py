@@ -43,6 +43,10 @@ def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    # 4th arg "auto": run the bucketed variant with key_bucket="auto" —
+    # the sink derives the policy from the SEED batch itself (r14), so
+    # this leg measures exactly what a zero-config production caller gets
+    use_auto = len(sys.argv) > 4 and sys.argv[4] == "auto"
 
     spark = get_spark("history_trickle")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,7 +81,8 @@ def main():
         return env(ks, (b + 1) * n_rows)
 
     results = {}
-    for name, policy in (("plain", None), ("hash_bucketed", kb)):
+    for name, policy in (("plain", None),
+                         ("hash_bucketed", "auto" if use_auto else kb)):
         state = os.path.join(work, name)
         sink = HistorySink(spark, state, key_bucket=policy)
         t0 = time.monotonic()
@@ -91,6 +96,9 @@ def main():
             per.append(round((time.monotonic() - t1) * 1000))
         hist = sink.read_history()
         results[name] = {
+            # auto resolves at the seed batch; record what it derived
+            **({"derived_n_buckets": sink.key_bucket.n_buckets}
+               if policy == "auto" else {}),
             "seed_s": round(seed_s, 1),
             "per_batch_ms": per,
             "mean_ms": round(sum(per) / len(per)),

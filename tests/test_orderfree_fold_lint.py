@@ -1,0 +1,165 @@
+"""Registry-wide lint for the order-sensitive-aggregate flake class
+(r13 verdict item 2: make the r13 audit structural, not a commit note).
+
+The class, found LIVE twice (r7 and r13, both in agg_pareto_abc): a
+floating-point SUM/AVG windowed over PARTITION BY with NO ORDER BY is
+fold-order-FREE — Spark re-adds the addends in shuffle ARRIVAL order, so
+its last ulp varies run-to-run on identical code and data. Harmless in a
+rounded output column; catastrophic when the value feeds a hard decision
+(CASE class edge, argmax pick, threshold compare): the ulp flips whole
+rows and the query flakes at ~1e-3..1e-4 per sweep (SCALE.md r13
+postscript quantifies the collision arithmetic). The r13 fix replaced
+pareto's partition total with MAX(cum_rev) — the last value of the
+ORDER-pinned running sum, fold-order-independent — and the r13 audit
+hand-checked every other order-free window SUM in the registry. This test
+IS that audit, re-run on every suite: any order-free partition SUM/AVG in
+any registered oracle must carry a written justification below, exactly
+like tests/test_plan_lint.py's BNLJ allowlist, so a future registration
+cannot silently reintroduce the class.
+
+The scan is over the ORACLE SQL text: the gate forces the Spark builder
+and the oracle to be semantically identical, so an order-free window sum
+on one side exists on the other (the r7/r13 flakes were both visible in
+the oracle text). MIN/MAX/COUNT windows are exempt by construction —
+they are fold-order-independent regardless of type.
+"""
+
+from __future__ import annotations
+
+import re
+
+# (query name, func, normalized summand) -> why this order-free fold can
+# never flip a downstream decision. An entry here is a CLAIM the author
+# makes in writing; delete the query's window or justify it — never
+# blanket-allow.
+ALLOWLIST: dict[tuple[str, str, str], str] = {
+    ("agg_quantile_mergeable", "SUM", "c"): (
+        "c is a merged per-(event_type, bin) COUNT(*) (BIGINT) — integer "
+        "addends, exact in any fold order (no ulp to vary), so the "
+        "downstream `cum >= q * n` pick reads one deterministic total."
+    ),
+    ("events_markov_transitions", "SUM", "n"): (
+        "n is a per-(prev, next) transition COUNT(*) — integer addends, "
+        "exact in any fold order."
+    ),
+    ("agg_weighted_median", "SUM", "l_quantity"): (
+        "l_quantity is a whole number (TPC-H: 1..50; verified 0 fractional "
+        "parts in the testdata) stored as a double: every addend and "
+        "partial sum is an exact integer far below 2^53, so the fold is "
+        "exact in any order and the `cum >= total / 2.0` threshold scan "
+        "reads one deterministic total."
+    ),
+    ("udf_grouped_map_zscore", "AVG", "c_acctbal"): (
+        "the avg feeds the zscore NUMERATOR only, and the output is "
+        "eps-rounded to 4dp before the gate's hash — a last-ulp wobble "
+        "(~1e-13 relative) is 9 orders of magnitude under the rounding "
+        "step and no hard decision (CASE/filter/rank) reads the value."
+    ),
+}
+
+
+def _strip_sql_comments(sql: str) -> str:
+    # line comments only (the registry uses no /* */ blocks); good enough
+    # for a lint that must not match its own prose (the pareto oracle
+    # DOCUMENTS the hazard in a comment)
+    return re.sub(r"--[^\n]*", "", sql)
+
+
+def order_free_partition_aggs(sql: str) -> list[tuple[str, str]]:
+    """All (func, summand) pairs in `sql` of the form
+    SUM/AVG(<expr>) OVER (PARTITION BY ... <no ORDER BY>) — the
+    fold-order-free shape. Paren-matching scanner (nesting-safe), case
+    insensitive, comment-stripped."""
+    s = _strip_sql_comments(sql)
+    hits = []
+    for m in re.finditer(r"\b(SUM|AVG)\s*\(", s, re.I):
+        i = m.end() - 1
+        depth = 0
+        for j in range(i, len(s)):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        arg = s[i + 1:j]
+        m2 = re.match(r"\s*OVER\s*\(", s[j + 1:], re.I)
+        if not m2:
+            continue
+        k = j + 1 + m2.end() - 1
+        depth = 0
+        for l in range(k, len(s)):  # noqa: E741
+            if s[l] == "(":
+                depth += 1
+            elif s[l] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        spec = s[k + 1:l]
+        if (re.search(r"\bPARTITION\s+BY\b", spec, re.I)
+                and not re.search(r"\bORDER\s+BY\b", spec, re.I)):
+            hits.append((m.group(1).upper(), re.sub(r"\s+", " ", arg).strip()))
+    return hits
+
+
+def test_registry_order_free_window_folds_all_justified():
+    from dumpr_spark.queries.base import oracle_sql
+
+    flagged = set()
+    for name, sql in oracle_sql().items():
+        for fn, arg in order_free_partition_aggs(sql):
+            flagged.add((name, fn, arg))
+    unjustified = flagged - set(ALLOWLIST)
+    assert not unjustified, (
+        "order-free float window fold(s) without a written justification "
+        f"(the agg_pareto_abc flake class, bitten live in r7 AND r13): "
+        f"{sorted(unjustified)} — pin the fold with ORDER BY and take the "
+        "last running value (MAX of the cumulative sum), or add an "
+        "ALLOWLIST entry in tests/test_orderfree_fold_lint.py explaining "
+        "why this fold can never flip a downstream decision"
+    )
+    stale = set(ALLOWLIST) - flagged
+    assert not stale, (
+        f"stale ALLOWLIST entries (window no longer in the oracle): "
+        f"{sorted(stale)} — delete them so the allowlist stays a live claim"
+    )
+
+
+def test_lint_catches_the_prefix_pareto_regression():
+    """The seeded regression the r13 verdict asks for: the PRE-fix pareto
+    shape — an order-free float partition total feeding a CASE class
+    edge — must be flagged. (The shipped oracle pins the fold with
+    ORDER BY and reads MAX(cum_rev); this is what it looked like before.)"""
+    pre_fix = """
+    WITH ranked AS (
+      SELECT n_name, l_partkey, revenue,
+             SUM(revenue) OVER (PARTITION BY n_name
+                                ORDER BY revenue DESC, l_partkey) AS cum_rev,
+             SUM(revenue) OVER (PARTITION BY n_name) AS total_rev
+      FROM part_revenue
+    )
+    SELECT n_name, l_partkey,
+           CASE WHEN cum_rev / total_rev <= 0.7 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """
+    hits = order_free_partition_aggs(pre_fix)
+    assert ("SUM", "revenue") in hits, hits
+    # and the ORDER-pinned running sum is NOT flagged
+    assert all(arg != "revenue" or fn != "AVG" for fn, arg in hits)
+    assert len(hits) == 1
+    # the flagged shape carries no allowlist entry — a re-registration
+    # of the pre-fix SQL would fail the registry-wide test above
+    assert ("agg_pareto_abc", "SUM", "revenue") not in ALLOWLIST
+
+
+def test_lint_ignores_comments_and_pinned_folds():
+    sql = """
+    -- an order-free SUM() OVER (PARTITION BY) in prose must not match
+    SELECT SUM(x) OVER (PARTITION BY g ORDER BY ts) AS running,
+           MAX(x) OVER (PARTITION BY g) AS mx,
+           COUNT(*) OVER (PARTITION BY g) AS cnt
+    FROM t
+    """
+    assert order_free_partition_aggs(sql) == []

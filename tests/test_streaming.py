@@ -3728,3 +3728,192 @@ def test_read_touched_fast_path_matches_full_read(spark, tmp_path):
     ex(batch([up("a b", 1, 10)]), 1)
     live = {(r["tbl"], r["id"], r["seq"]) for r in ex.read_state().collect()}
     assert live == {("a b", "1", 10), ("a b", "7", 2)}
+
+
+def test_merge_sink_auto_layout_numeric_seeds_range_policy(spark, tmp_path):
+    """key_bucket="auto" (r13 verdict item 3): a fresh sink derives its
+    policy from the FIRST non-empty batch via the certified helpers —
+    numeric ids dispatch to suggest_key_bucket — stamps it, folds
+    identically to the plain layout, and a RESTART in auto mode adopts
+    exactly the stamped policy (the layout is pinned for the stream's
+    lifetime, never re-derived as state grows)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, MergeSink, suggest_key_bucket,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, i, seq: ("delete", tbl, str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    seed = [up("orders", i, i) for i in range(1, 40)]
+    state = str(tmp_path / "auto_num")
+    auto = MergeSink(spark, state, key_bucket="auto")
+    plain = MergeSink(spark, str(tmp_path / "auto_num_plain"))
+    auto(batch(seed), 0)
+    plain(batch(seed), 0)
+
+    # the derived policy IS the helper's, run on the same observation
+    expect = suggest_key_bucket(batch(seed).select("id"))
+    assert isinstance(auto.key_bucket, KeyBucket)
+    assert auto.key_bucket == expect
+    # stamped for drift refusal, exactly like a caller-passed policy
+    with open(os.path.join(state, "_kb_policy.json")) as f:
+        assert json.load(f) == expect.kb_identity()
+
+    # restart in auto mode: adopts the stamped identity, keeps folding
+    auto2 = MergeSink(spark, state, key_bucket="auto")
+    follow = [up("orders", 2, 100), dele("orders", 5, 101), up("orders", 77, 102)]
+    auto2(batch(follow), 1)
+    plain(batch(follow), 1)
+    assert auto2.key_bucket == expect
+
+    def snap(sink):
+        return {(r["tbl"], r["id"], r["seq"]) for r in sink.read_state().collect()}
+
+    assert snap(auto2) == snap(plain) and snap(plain)
+    assert "_kb" not in auto2.read_state().columns
+    # drift is refused exactly as with an explicit policy
+    drifted = MergeSink(spark, state, key_bucket=KeyBucket(width=expect.width + 1,
+                                                           origin=expect.origin))
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        drifted.read_state()
+
+
+def test_merge_sink_auto_layout_string_seeds_hash_policy(spark, tmp_path):
+    """Non-numeric ids dispatch to suggest_hash_bucket_count with the
+    observed batch's distinct-key count as the anti-blanketing floor —
+    the full production derivation, not just the rows/slice ceiling."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import (
+        HashKeyBucket, MergeSink, suggest_hash_bucket_count,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, f"user-{i:05d}", json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    seed = [up("profiles", i, i) for i in range(1, 25)]
+    state = str(tmp_path / "auto_str")
+    auto = MergeSink(spark, state, key_bucket="auto")
+    auto(batch(seed), 0)
+
+    expect = suggest_hash_bucket_count(
+        batch(seed).select("id"), expected_keys_per_batch=24,
+    )
+    assert isinstance(auto.key_bucket, HashKeyBucket)
+    assert auto.key_bucket == expect
+    with open(os.path.join(state, "_kb_policy.json")) as f:
+        assert json.load(f) == expect.kb_identity()
+    # restart adopts it; the fold keeps working across the restart
+    auto2 = MergeSink(spark, state, key_bucket="auto")
+    auto2(batch([up("profiles", 3, 99)]), 1)
+    assert auto2.key_bucket == expect
+    live = {(r["id"], r["seq"]) for r in auto2.read_state().collect()}
+    assert ("user-00003", 99) in live and len(live) == 24
+
+
+def test_auto_layout_empty_seed_and_refusals(spark, tmp_path):
+    """Auto-mode edges: an empty first batch leaves the sink unresolved
+    and writes nothing (the next non-empty batch seeds); auto over an
+    existing PLAIN state is a migration event, refused; auto over a
+    bucketed state cut by an OPAQUE callable (no policy marker) is
+    refused — auto cannot reconstruct an identity the layout never
+    stamped; and migrate_key_bucket refuses the string outright."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import MergeSink, migrate_key_bucket
+    from pyspark.sql import functions as F
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    # empty seed: unresolved, no state dir; then a real batch seeds
+    state = str(tmp_path / "auto_empty")
+    sink = MergeSink(spark, state, key_bucket="auto")
+    sink(batch([]), 0)
+    assert sink.key_bucket == "auto" and not os.path.exists(state)
+    sink(batch([up("orders", 1, 1)]), 1)
+    assert sink.key_bucket != "auto"
+    assert {r["id"] for r in sink.read_state().collect()} == {"1"}
+
+    # plain state + auto -> migration refusal (state untouched)
+    plain_state = str(tmp_path / "auto_plain")
+    MergeSink(spark, plain_state)(batch([up("orders", i, i) for i in range(5)]), 0)
+    with pytest.raises(ValueError, match="migrate_key_bucket"):
+        MergeSink(spark, plain_state, key_bucket="auto")(batch([up("orders", 9, 9)]), 1)
+
+    # opaque-callable bucketed state (no marker) + auto -> refused
+    opaque_state = str(tmp_path / "auto_opaque")
+    kb = lambda c: F.coalesce((c.try_cast("long") / F.lit(3)).cast("int"), F.lit(-1))  # noqa: E731
+    MergeSink(spark, opaque_state, key_bucket=kb)(batch([up("orders", i, i) for i in range(5)]), 0)
+    with pytest.raises(ValueError, match="opaque"):
+        MergeSink(spark, opaque_state, key_bucket="auto").read_state()
+
+    with pytest.raises(ValueError, match="SEED-TIME"):
+        migrate_key_bucket(spark, plain_state, "auto")
+
+
+def test_history_sink_auto_layout_equals_plain(spark, tmp_path):
+    """HistorySink supports key_bucket="auto" with the same seed/restart
+    discipline: identical intervals and current state as the plain
+    layout, policy equal to the helper's derivation."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HistorySink
+    from dumpr_spark.streaming.sink import suggest_key_bucket
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i, "s": seq}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda tbl, i, seq: ("delete", tbl, str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    seed = [up("orders", i, i) for i in range(1, 20)]
+    follow = [up("orders", 3, 50), dele("orders", 7, 51)]
+    auto = HistorySink(spark, str(tmp_path / "h_auto"), key_bucket="auto")
+    plain = HistorySink(spark, str(tmp_path / "h_plain"))
+    for i, rows in enumerate([seed, follow]):
+        auto(batch(rows), i)
+        plain(batch(rows), i)
+    assert auto.key_bucket == suggest_key_bucket(batch(seed).select("id"))
+
+    def hist(sink):
+        return {
+            (r["tbl"], r["id"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in sink.read_history().collect()
+        }
+
+    assert hist(auto) == hist(plain) and hist(plain)
+    cur_a = {(r["id"], r["seq"]) for r in auto.read_state().collect()}
+    cur_p = {(r["id"], r["seq"]) for r in plain.read_state().collect()}
+    assert cur_a == cur_p and ("7", 51) not in cur_a
+
+
+def test_hash_bucket_helper_dial_validation(spark):
+    """suggest_hash_bucket_count / suggest_key_bucket refuse broken dials
+    up front (r13 ADVICE): max_buckets=0 would mint a pmod-by-zero policy
+    whose NULL buckets only explode much later in _pair_filter; a
+    non-positive rows target breaks the ceiling; a share outside (0, 1]
+    is a ZeroDivisionError or a negative floor."""
+    from dumpr_spark.streaming.sink import (
+        suggest_hash_bucket_count, suggest_key_bucket,
+    )
+
+    ids = spark.createDataFrame([("u1",), ("u2",)], "id string")
+    nids = spark.createDataFrame([("1",), ("2",)], "id string")
+    with pytest.raises(ValueError, match="max_buckets"):
+        suggest_hash_bucket_count(ids, max_buckets=0)
+    with pytest.raises(ValueError, match="target_rows_per_bucket"):
+        suggest_hash_bucket_count(ids, target_rows_per_bucket=0)
+    with pytest.raises(ValueError, match="target_rewrite_share"):
+        suggest_hash_bucket_count(ids, expected_keys_per_batch=5,
+                                  target_rewrite_share=0.0)
+    with pytest.raises(ValueError, match="target_rewrite_share"):
+        suggest_hash_bucket_count(ids, expected_keys_per_batch=5,
+                                  target_rewrite_share=1.5)
+    with pytest.raises(ValueError, match="target_rows_per_bucket"):
+        suggest_key_bucket(nids, target_rows_per_bucket=0)

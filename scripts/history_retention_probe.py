@@ -113,13 +113,15 @@ def main():
         results[name] = {
             "seed_s": round(seed_s, 1),
             "per_batch_ms": per,
+            # a compaction cadence fire lands INSIDE the batch whose
+            # (batch_id + 1) % compact_every == 0 (see
+            # _maybe_compact_files) — exclude exactly those; prune fires
+            # are timed separately so their batches stay in the mean
             "mean_nonfire_ms": round(
                 sum(ms for i, ms in enumerate(per, 1)
-                    if not (maint and (i % prune_every == 0
-                                       or i % compact_every == 0)))
+                    if not (maint and (i + 1) % compact_every == 0))
                 / max(1, sum(1 for i in range(1, n_batches + 1)
-                             if not (maint and (i % prune_every == 0
-                                                or i % compact_every == 0))))),
+                             if not (maint and (i + 1) % compact_every == 0)))),
             "fires": fires,
             "history_rows": hist.count(),
             "open_rows": sink.read_state().count(),

@@ -469,6 +469,9 @@ _R13_VERIFIED = {
 # are unchanged by construction and were A/B-verified identical at sf0.1
 # (DuckDB side 53.6/11.9/13.2 s -> 0.8/2.4/1.6 s), but the ORACLE text is
 # part of the certified identity, so fresh driver rows are required.
+# (The r14 _ivfpq_index docstring update — the engagement-point trainer
+# trade, SCALE.md r14 prediction 3 — is covered by the same two ivfpq
+# evictions: _ivfpq_index's only registered consumers are these rows.)
 _R13_VERIFIED -= {
     "sim_ann_recall_curve", "sim_ivfpq_recall", "sim_ivfpq_topk",
 }

@@ -3582,16 +3582,20 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
     mod = n // budget, engaged at mod >= 4 (`_ivfpq_train_sample_mod`)
     — still a vanishing sampling RATE at volume (at n = 10^9,
     cells = sqrt(n) ~ 31.6k, the budget is ~3.2M vectors, 0.3% of the
-    corpus and shrinking as 100/sqrt(n)). THE MEASURED TRADE (SCALE.md
-    r13 run 2b, 80k corpus): the sampled trainer is provably
-    sample-bounded (its wall FELL below the 20k full trainer's while
-    the corpus grew 4x), but even above the 100/cell floor it costs
-    ~.09 recall@5 at the registered nprobe=4 on that corpus (.8875 vs
-    .9812 full-trained), with nprobe buying about half of it back
-    (.9250 at the scaled probe) at shortlist-fixed serve cost. The
-    registered path therefore stays on the FULL trainer; turn this
-    dial at volume when the train budget binds, and bump nprobe when
-    you do.
+    corpus and shrinking as 100/sqrt(n)). THE MEASURED TRADE, two-point
+    envelope: at the rule's OWN engagement point (SCALE.md r14 —
+    250k-vector natural-cluster corpus, derived cells=500, rule-derived
+    mod=5 = 100 sampled points/cell) the sampled trainer costs 0.24x
+    the full trainer's wall and the recall trade is -0.025 at the
+    registered nprobe=4 (.9750 vs 1.0000 full-trained) — the scored
+    PASS at epsilon .05; FORCING the dial below its threshold or
+    starving cells below ~100 points costs -0.09..-0.12 (SCALE.md r13
+    run 2b: mod=2-forced on the unusually clustered 40-rotation-family
+    80k corpus read .8875 vs .9812, nprobe buying about half back at
+    shortlist-fixed serve cost). The registered path stays on the FULL
+    trainer (at testdata scale the corpus is the sample); turn this
+    dial at volume when the train budget binds — at mod >= 4 with the
+    100/cell budget it is measured cheap and near-lossless.
 
     Scale shape, stage by stage:
     - coarse training: `train_centroids_lloyd` (broadcast k x dim

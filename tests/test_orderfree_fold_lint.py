@@ -21,12 +21,20 @@ The scan is over the ORACLE SQL text: the gate forces the Spark builder
 and the oracle to be semantically identical, so an order-free window sum
 on one side exists on the other (the r7/r13 flakes were both visible in
 the oracle text). MIN/MAX/COUNT windows are exempt by construction —
-they are fold-order-independent regardless of type.
+they are fold-order-independent regardless of type. The scan also covers
+the variance class (STDDEV/VAR/COVAR/CORR/REGR_*, and AVG) — same
+parallel-merge ulp mechanism, one extra merge term (the cross-partition
+delta^2), same downstream amplifier.
 """
 
 from __future__ import annotations
 
 import re
+
+_FUNCS = (
+    r"SUM|AVG|STDDEV_SAMP|STDDEV_POP|STDDEV|VAR_SAMP|VAR_POP|VARIANCE"
+    r"|CORR|COVAR_SAMP|COVAR_POP|REGR_[A-Z]+"
+)
 
 # (query name, func, normalized summand) -> why this order-free fold can
 # never flip a downstream decision. An entry here is a CLAIM the author
@@ -55,6 +63,15 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "(~1e-13 relative) is 9 orders of magnitude under the rounding "
         "step and no hard decision (CASE/filter/rank) reads the value."
     ),
+    ("udf_grouped_map_zscore", "STDDEV_SAMP", "c_acctbal"): (
+        "the stddev feeds NULLIF(.., 0) — a hard zero-compare — but the "
+        "compare is ulp-robust: the only input that makes it fire is an "
+        "all-equal group, where every per-partition M2 term is EXACTLY 0 "
+        "(x - mean == 0 in floats) and the merge's cross-partition "
+        "delta^2 is exactly 0 too (equal means), so the fold is 0 in any "
+        "arrival order; for non-degenerate groups the value only feeds "
+        "the 4dp-rounded z denominator."
+    ),
 }
 
 
@@ -67,12 +84,13 @@ def _strip_sql_comments(sql: str) -> str:
 
 def order_free_partition_aggs(sql: str) -> list[tuple[str, str]]:
     """All (func, summand) pairs in `sql` of the form
-    SUM/AVG(<expr>) OVER (PARTITION BY ... <no ORDER BY>) — the
-    fold-order-free shape. Paren-matching scanner (nesting-safe), case
-    insensitive, comment-stripped."""
+    <float-foldable agg>(<expr>) OVER (PARTITION BY ... <no ORDER BY>) —
+    the fold-order-free shape, for SUM/AVG and the variance class.
+    Paren-matching scanner (nesting-safe), case insensitive,
+    comment-stripped."""
     s = _strip_sql_comments(sql)
     hits = []
-    for m in re.finditer(r"\b(SUM|AVG)\s*\(", s, re.I):
+    for m in re.finditer(r"\b(" + _FUNCS + r")\s*\(", s, re.I):
         i = m.end() - 1
         depth = 0
         for j in range(i, len(s)):

@@ -3917,3 +3917,51 @@ def test_hash_bucket_helper_dial_validation(spark):
                                   target_rewrite_share=1.5)
     with pytest.raises(ValueError, match="target_rows_per_bucket"):
         suggest_key_bucket(nids, target_rows_per_bucket=0)
+
+
+def test_stream_restart_into_auto_adopts_seeded_policy(spark, tmp_path):
+    """The r13 verdict item 3 "Done" clause at STREAM level (the sink-level
+    twins above restart the sink object; this restarts the QUERY from its
+    checkpoint): a start_merge_stream(key_bucket="auto") run seeds the
+    layout from its first batch, a SECOND stream started later in auto
+    mode over the same state + checkpoint adopts the stamped policy —
+    equal to the helper's derivation on the seed observation — and the
+    fold stays correct across the restart."""
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, MergeSink, start_merge_stream, suggest_key_bucket,
+    )
+
+    feed = str(tmp_path / "a_feed")
+    state = str(tmp_path / "a_state")
+    ckpt = str(tmp_path / "a_ckpt")
+
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:00:00Z",
+         "next_position": 10, "rows": [{"id": str(i), "v": "a"} for i in range(1, 13)], "seq": 1},
+    ])
+    q = start_merge_stream(stream_changes(spark, feed, {"widgets": "id"}, db="shop"),
+                           state, ckpt, key_bucket="auto")
+    q.awaitTermination(120)
+
+    # the stamped policy equals the helper's derivation on the seed ids
+    seed_ids = spark.createDataFrame([(str(i),) for i in range(1, 13)], "id string")
+    expect = suggest_key_bucket(seed_ids)
+    with open(os.path.join(state, "_kb_policy.json")) as f:
+        assert json.load(f) == expect.kb_identity()
+
+    write_events(feed, [
+        {"event_type": "update", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:01:00Z",
+         "next_position": 20, "rows": [{"id": "3", "v": "b"}], "seq": 2},
+        {"event_type": "delete", "db": "shop", "tbl": "widgets", "ts": "2026-01-01T00:02:00Z",
+         "next_position": 30, "rows": [{"id": "7", "v": "a"}], "seq": 3},
+    ], file_name="part-001.json")
+    q2 = start_merge_stream(stream_changes(spark, feed, {"widgets": "id"}, db="shop"),
+                            state, ckpt, key_bucket="auto")
+    q2.awaitTermination(120)
+
+    reader = MergeSink(spark, state, key_bucket="auto")
+    got = {r["id"]: json.loads(r["content"])["v"] for r in reader.read_state().collect()}
+    assert got == {str(i): ("b" if i == 3 else "a") for i in range(1, 13) if i != 7}
+    assert isinstance(reader.key_bucket, KeyBucket)
+    assert reader.key_bucket == expect

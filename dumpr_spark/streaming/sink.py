@@ -805,6 +805,12 @@ class MergeSink:
         self._resolve_auto()
         self._recover()
         self._validate_layout()
+        if not os.path.exists(self.state_path):
+            # a maintenance call before any batch has seeded state (e.g. a
+            # cron firing against a not-yet-started stream) compacts
+            # nothing — prefer the honest no-op over compact_small_files'
+            # FileNotFoundError from its size walk
+            return 0
         schema = self._ext_schema() if self.key_bucket else self._schema
         n = compact_small_files(
             self.spark, self.state_path, target_file_mb=target_file_mb,

@@ -3965,3 +3965,17 @@ def test_stream_restart_into_auto_adopts_seeded_policy(spark, tmp_path):
     assert got == {str(i): ("b" if i == 3 else "a") for i in range(1, 13) if i != 7}
     assert isinstance(reader.key_bucket, KeyBucket)
     assert reader.key_bucket == expect
+
+
+def test_compact_files_before_any_state_is_a_noop(spark, tmp_path):
+    """Maintenance against a not-yet-seeded stream (cron firing early)
+    compacts nothing and returns 0 — for plain, explicit-policy, and
+    unresolved-auto sinks alike — instead of surfacing the compactor's
+    FileNotFoundError from its size walk."""
+    from dumpr_spark.streaming.sink import HashKeyBucket, MergeSink
+
+    for name, kb in (("plain", None), ("bucketed", HashKeyBucket(8)),
+                     ("auto", "auto")):
+        sink = MergeSink(spark, str(tmp_path / f"nostate_{name}"), key_bucket=kb)
+        assert sink.compact_files() == 0
+        assert not os.path.exists(sink.state_path)

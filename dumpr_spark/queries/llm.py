@@ -2450,9 +2450,22 @@ def _materialize_ctes(sql: str, names: tuple) -> str:
     evaluation count; every CTE here is deterministic — ROW_NUMBER with
     full tie-breaks, eps-rounded folds) and were A/B-verified identical
     at sf0.1; only gate wall-clock moves (SCALE.md r14: the recall curve
-    53.6 -> 0.8 s, the ivfpq pair 11.9/13.2 -> 2.4/1.6 s DuckDB-side)."""
+    53.6 -> 0.8 s, the ivfpq pair 11.9/13.2 -> 2.4/1.6 s DuckDB-side).
+
+    Each name must match EXACTLY ONCE — a CTE rename/reformat that
+    silently stopped matching would quietly revert the measured win, so
+    drift raises at import time instead (the module's loud-failure
+    discipline)."""
     for n in names:
-        sql = re.sub(r"\b" + n + r" AS \(", n + " AS MATERIALIZED (", sql)
+        sql, count = re.subn(r"\b" + n + r" AS \(", n + " AS MATERIALIZED (", sql)
+        if count == 0 and re.search(r"\b" + n + r" AS MATERIALIZED \(", sql):
+            continue  # already annotated at source (the r9/r13 hand passes)
+        if count != 1:
+            raise AssertionError(
+                f"_materialize_ctes: CTE '{n}' matched {count} definitions "
+                "(expected exactly 1) — the composed SQL drifted from the "
+                "annotation list; update the names tuple"
+            )
     return sql
 
 

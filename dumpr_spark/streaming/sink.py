@@ -28,7 +28,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from dumpr_spark.cdc.envelope import OP_DELETE, ENVELOPE_SCHEMA
+from dumpr_spark.cdc.envelope import OP_DELETE, OP_ERROR, ENVELOPE_SCHEMA
 from dumpr_spark.cdc.materialize import materialize
 
 
@@ -130,7 +130,18 @@ def policy_from_identity(identity: dict):
     layout that cut it, and the stamped identity is the only durable
     record of that. Raises on an identity no shipped policy class claims
     (a user policy object's custom kb_identity) — auto cannot guess a
-    bucket function it does not ship; pass the original object."""
+    bucket function it does not ship; pass the original object.
+
+    CONTRACT (the identity SHAPE is a semantic claim): a custom policy
+    object whose kb_identity() (or duck-typed width/origin ints, see
+    `_kb_policy`) collides with a shipped class's shape is DECLARING its
+    bucket arithmetic identical to that class's — `_validate_layout`'s
+    drift check already treats equal identities as equal functions, and
+    this reconstructs under the same rule. A custom policy with
+    different arithmetic must emit a distinguishable identity (add any
+    extra key); one that mimics KeyBucket's {width, origin} while
+    bucketing differently corrupts state under an EXPLICIT restart just
+    as it would under auto."""
     if isinstance(identity, dict) and set(identity) == {"width", "origin"}:
         return KeyBucket(width=int(identity["width"]),
                          origin=int(identity["origin"]))
@@ -925,7 +936,13 @@ class MergeSink:
                 errors.write.mode("overwrite").parquet(
                     f"{self.errors_path}/batch_id={batch_id}"
                 )
-        self._resolve_auto(batch)
+        # derive from DATA rows only: with errors_path=None in-band
+        # op='error' rows are still in the batch here (materialize()
+        # drops them later), and an error row's NULL/"" id would flip
+        # the dispatch to hash and pin the wrong layout for the
+        # stream's lifetime — HistorySink filters errors before its
+        # resolve for the same reason
+        self._resolve_auto(batch.where(F.col("op") != OP_ERROR))
         if self.key_bucket == "auto":
             return  # empty seed batch, no state yet: nothing to derive from
         if self.key_bucket is not None:

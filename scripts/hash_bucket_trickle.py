@@ -81,14 +81,17 @@ def main():
         )
 
     seed = env(spark.range(n_rows).select(F.col("id").alias("k")), 0)
-    if n_buckets is None:
+    if n_buckets is None and not use_auto:
         # the shipped sizing helper (r13) — the FULL production
         # derivation incl. the batch-aware floor (without
         # expected_keys_per_batch the default 2M/250k run derives just 8
         # buckets and measures the rewrite-blanketing regime, not the
         # layout the helper would actually recommend for these 200-key
         # batches); pass an explicit 4th arg to pin a count (the
-        # committed r12/r13 configs pin 1024)
+        # committed r12/r13 configs pin 1024). In auto mode the SINK
+        # derives the count from the seed batch itself — running the
+        # helper here would both waste an aggregate and mislabel the
+        # run's JSON with a count the run never used
         n_buckets = suggest_hash_bucket_count(
             seed.select("id"), expected_keys_per_batch=per_batch,
         ).n_buckets
@@ -156,7 +159,10 @@ def main():
     print(json.dumps({
         "metric": "hash_bucket_trickle",
         "state_rows": n_rows, "batches": n_batches,
-        "keys_per_batch": per_batch, "n_buckets": n_buckets,
+        # in auto mode the run's real count is what the sink derived
+        "keys_per_batch": per_batch,
+        "n_buckets": (results["hash_bucketed"].get("derived_n_buckets")
+                      if use_auto else n_buckets),
         "cadence": cadence,
         "plain": results["plain"], "hash_bucketed": results["hash_bucketed"],
         "win": round(results["plain"]["mean_ms"]

@@ -48,6 +48,16 @@ def main():
     per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 200
     prune_every = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     compact_every = int(sys.argv[5]) if len(sys.argv) > 5 else 6
+    if prune_every > n_batches:
+        # no fire would ever happen: final_horizon stays None and the
+        # surviving-history comparison below would filter A on a NULL
+        # predicate (dropping every closed row) and abort spuriously on
+        # two identical states — refuse the meaningless config up front
+        raise SystemExit(
+            f"prune_every ({prune_every}) > batches ({n_batches}): no "
+            "prune would fire; this probe measures the retention x "
+            "bucketed interplay, run with prune_every <= batches"
+        )
 
     spark = get_spark("history_retention_probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -67,11 +67,15 @@ def main():
         )
 
     seed = env(spark.range(n_rows).select(F.col("id").alias("k")), 0)
-    kb = suggest_hash_bucket_count(
+    # in auto mode the SINK derives the count from the seed batch itself;
+    # running the helper here would waste an aggregate and mislabel the
+    # run's JSON with a count the run never used
+    kb = None if use_auto else suggest_hash_bucket_count(
         seed.select("id"), expected_keys_per_batch=per_batch
     )
-    print(f"helper-derived n_buckets={kb.n_buckets} "
-          f"(rows target + batch-aware floor)", file=sys.stderr)
+    if kb is not None:
+        print(f"helper-derived n_buckets={kb.n_buckets} "
+              f"(rows target + batch-aware floor)", file=sys.stderr)
     stride = n_rows // per_batch
 
     def trickle(b):
@@ -115,7 +119,10 @@ def main():
     print(json.dumps({
         "metric": "history_trickle",
         "state_rows": n_rows, "batches": n_batches,
-        "keys_per_batch": per_batch, "n_buckets": kb.n_buckets,
+        # in auto mode the run's real count is what the sink derived
+        "keys_per_batch": per_batch,
+        "n_buckets": (results["hash_bucketed"].get("derived_n_buckets")
+                      if use_auto else kb.n_buckets),
         "plain": results["plain"], "hash_bucketed": results["hash_bucketed"],
         "win": round(results["plain"]["mean_ms"]
                      / results["hash_bucketed"]["mean_ms"], 2),

@@ -82,38 +82,65 @@ def _strip_sql_comments(sql: str) -> str:
     return re.sub(r"--[^\n]*", "", sql)
 
 
+def _match_parens(s: str, i: int) -> int:
+    """Index of the ')' closing the '(' at s[i]."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return len(s)
+
+
 def order_free_partition_aggs(sql: str) -> list[tuple[str, str]]:
     """All (func, summand) pairs in `sql` of the form
-    <float-foldable agg>(<expr>) OVER (PARTITION BY ... <no ORDER BY>) —
+    <float-foldable agg>(<expr>) [FILTER (WHERE ...)] OVER (<spec>) or
+    OVER <named window>, where <spec> has PARTITION BY and no ORDER BY —
     the fold-order-free shape, for SUM/AVG and the variance class.
     Paren-matching scanner (nesting-safe), case insensitive,
-    comment-stripped."""
+    comment-stripped; named windows (WINDOW w AS (...)) are resolved so
+    `OVER w` cannot smuggle the shape past the lint."""
     s = _strip_sql_comments(sql)
+    # named-window definitions: WINDOW w AS (spec)[, w2 AS (spec2) ...]
+    named = {}
+    for m in re.finditer(r"\bWINDOW\s+(\w+)\s+AS\s*\(", s, re.I):
+        name, start = m.group(1), m.end() - 1
+        while True:
+            end = _match_parens(s, start)
+            named[name] = s[start + 1:end]
+            m2 = re.match(r"\s*,\s*(\w+)\s+AS\s*\(", s[end + 1:], re.I)
+            if not m2:
+                break
+            name = m2.group(1)
+            start = end + 1 + m2.end() - 1
     hits = []
     for m in re.finditer(r"\b(" + _FUNCS + r")\s*\(", s, re.I):
-        i = m.end() - 1
-        depth = 0
-        for j in range(i, len(s)):
-            if s[j] == "(":
-                depth += 1
-            elif s[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        arg = s[i + 1:j]
-        m2 = re.match(r"\s*OVER\s*\(", s[j + 1:], re.I)
-        if not m2:
+        j = _match_parens(s, m.end() - 1)
+        arg = s[m.end():j]
+        rest = s[j + 1:]
+        # optional FILTER (WHERE ...) between the agg and OVER
+        mf = re.match(r"\s*FILTER\s*\(", rest, re.I)
+        if mf:
+            jf = _match_parens(rest, mf.end() - 1)
+            rest = rest[jf + 1:]
+        spec = None
+        m2 = re.match(r"\s*OVER\s*\(", rest, re.I)
+        if m2:
+            k = m2.end() - 1
+            spec = rest[k + 1:_match_parens(rest, k)]
+        else:
+            m3 = re.match(r"\s*OVER\s+(\w+)", rest, re.I)
+            if m3:
+                spec = named.get(m3.group(1))
+                assert spec is not None, (
+                    f"OVER {m3.group(1)} references an undefined/unparsed "
+                    "named window — extend the lint's WINDOW-clause parser"
+                )
+        if spec is None:
             continue
-        k = j + 1 + m2.end() - 1
-        depth = 0
-        for l in range(k, len(s)):  # noqa: E741
-            if s[l] == "(":
-                depth += 1
-            elif s[l] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        spec = s[k + 1:l]
         if (re.search(r"\bPARTITION\s+BY\b", spec, re.I)
                 and not re.search(r"\bORDER\s+BY\b", spec, re.I)):
             hits.append((m.group(1).upper(), re.sub(r"\s+", " ", arg).strip()))
@@ -181,3 +208,24 @@ def test_lint_ignores_comments_and_pinned_folds():
     FROM t
     """
     assert order_free_partition_aggs(sql) == []
+
+
+def test_lint_sees_filter_clauses_and_named_windows():
+    """The shapes that could smuggle the flake class past a naive scanner
+    (r14 review finding): an aggregate FILTER clause between the fold and
+    OVER, and a named WINDOW reference."""
+    filtered = """
+    SELECT SUM(revenue) FILTER (WHERE region = 'EU')
+             OVER (PARTITION BY n_name) AS t
+    FROM part_revenue
+    """
+    assert order_free_partition_aggs(filtered) == [("SUM", "revenue")]
+
+    named = """
+    SELECT SUM(revenue) OVER w AS t,
+           AVG(price) OVER w2 AS a
+    FROM part_revenue
+    WINDOW w AS (PARTITION BY n_name),
+           w2 AS (PARTITION BY n_name ORDER BY price)
+    """
+    assert order_free_partition_aggs(named) == [("SUM", "revenue")]

@@ -3979,3 +3979,36 @@ def test_compact_files_before_any_state_is_a_noop(spark, tmp_path):
         sink = MergeSink(spark, str(tmp_path / f"nostate_{name}"), key_bucket=kb)
         assert sink.compact_files() == 0
         assert not os.path.exists(sink.state_path)
+
+
+def test_auto_layout_ignores_error_rows_in_seed_batch(spark, tmp_path):
+    """r14 review finding: with errors_path=None, in-band op='error' rows
+    are still in the batch at resolve time (materialize drops them later)
+    — an error row's NULL id must not flip the dispatch to hash and pin
+    the wrong layout for the stream's lifetime. Both sinks derive from
+    DATA rows only."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.history import HistorySink
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, MergeSink, suggest_key_bucket,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda tbl, i, seq: ("upsert", tbl, str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    err = ("error", "orders", "", json.dumps({"reason": "bad row"}), None, "f1", 99, 99)
+
+    seed = [up("orders", i, i) for i in range(1, 20)] + [err]
+    data_ids = spark.createDataFrame([(str(i),) for i in range(1, 20)], "id string")
+    expect = suggest_key_bucket(data_ids)
+
+    for cls, name in ((MergeSink, "m"), (HistorySink, "h")):
+        sink = cls(spark, str(tmp_path / f"auto_err_{name}"), key_bucket="auto")
+        sink(batch(seed), 0)
+        assert isinstance(sink.key_bucket, KeyBucket), (
+            f"{cls.__name__}: error row flipped auto dispatch to "
+            f"{sink.key_bucket!r}"
+        )
+        assert sink.key_bucket == expect
+        assert sink.read_state().count() == 19

@@ -29,14 +29,16 @@ HEADLINE = [
     "stream_session_window",
     "stream_tumbling_window",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    # the at-volume near-dup form (exact-copy prepass + capped buckets):
-    # the r8 sf1-local run measured the plain LSH row above going
-    # duplicate-quadratic (4.4-5.4x over its power-law prediction on a
-    # duplicate-heavy 10x corpus) while this one tracked prediction at
-    # 1.17x — the headline measures BOTH so the number that matters at
-    # 100 TB is in the record; the plain row stays for cross-round
-    # comparability (see SCALE.md round-8 and functions/dedup.py).
+    # near-dup is benched ONLY in its at-volume form (exact-copy prepass
+    # + capped buckets) as of r15: the textbook-plain dedup_minhash_lsh
+    # stays REGISTERED (its correctness row and the measured
+    # duplicate-quadratic characterization in SCALE.md r8 both stand)
+    # but leaves the headline set — it was the bench's top time sink
+    # (1.4-2.3 s, ~12% of total) measuring a shape every docstring says
+    # NOT to run at volume, and the scaled twin below is the facade
+    # default and the form whose number matters at 100 TB (r14 verdict
+    # item 6; totals are comparable to r14 by subtracting the r14 plain
+    # row, see SCALE.md r15).
     "dedup_lsh_scaled",
     "sim_topk_bruteforce",
     "text_quality",

@@ -380,6 +380,18 @@ def compact_small_files(
         else:
             shaped = df.repartition(n_files)
         shaped.write.format(fmt).mode("overwrite").save(tmp)
+    # carry root-level underscore marker FILES (e.g. MergeSink's
+    # _kb_policy.json) into the rewrite BEFORE the swap: a crash between
+    # the swap and any caller-side re-stamp would otherwise leave state
+    # that was cut by a known policy with no marker, and a later
+    # key_bucket="auto" restart is refused as if the layout were opaque
+    # (r14 advice item 2). Hardlink, same immutability argument as the
+    # sink's carry-forward; _SUCCESS is the writer's own and stays fresh.
+    for f in os.listdir(path):
+        src = os.path.join(path, f)
+        if (f.startswith("_") and f != "_SUCCESS" and os.path.isfile(src)
+                and not os.path.exists(os.path.join(tmp, f))):
+            os.link(src, os.path.join(tmp, f))
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)

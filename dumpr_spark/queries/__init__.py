@@ -188,52 +188,10 @@ _R7_VERIFIED -= {
 # changed.
 _R6_VERIFIED -= {"join_bloom_prefilter"}
 
-# Names the driver hash-verified in round 8 (CORRECTNESS_r08.json: 50 of 50
-# checked, all hash_match): all 10 _R8_NEW registrations, the whole 5-name
-# never-green backlog (the containment/minhash audit-knob threads, the
-# eps-rounded overdispersion verdict, the events_ewma NaN assert, the bloom
-# Arrow-collect rebuild), the 25 remaining r2-vintage rows (r2 tier now
-# EMPTY), and 10 r3-vintage re-certifications.
-_R8_VERIFIED = {
-    "agg_chi2_independence", "agg_gini_lorenz", "agg_ks_test",
-    "cdc_churn_stats", "cdc_schema_evolution", "cdc_scd2_history",
-    "chunk_documents", "contamination_ngrams", "dedup_cross_corpus",
-    "dedup_jaccard_containment", "dedup_keep_best", "dedup_lines_global",
-    "dedup_minhash_accuracy", "dedup_suffix_containment",
-    "embed_cosine_histogram", "embed_quantize_int8", "events_ewma",
-    "events_overdispersion", "graph_pagerank_3iter", "index_inverted",
-    "join_asof_nearest", "join_bloom_prefilter", "join_fuzzy_edit1",
-    "join_overlap_intervals", "join_range_bucketed",
-    "multimodal_frame_plan", "multimodal_image_ahash", "pack_sequences",
-    "pipeline_curation", "rollup_timeseries", "sample_stratified_hash",
-    "scalar_url_parse", "shuffle_deterministic", "sim_centroid_by_label",
-    "sim_ivfpq_recall", "sim_ivfpq_topk", "split_train_val_test",
-    "text_boilerplate_share", "text_bpe_pairs", "text_concordance",
-    "text_lang_confusion", "text_lang_id", "text_markup_strip",
-    "text_pii_scrub", "text_quality_model", "text_repetition",
-    "text_tfidf_topk", "text_token_stats", "text_unigram_logprob",
-    "text_vocab_topk",
-}
-# Moved OUT of _R8_VERIFIED to _R13_VERIFIED (re-certified by the r13
-# driver walk's one spare slot after the 5-name budget + 44-name r7 tier):
-# cdc_scd2_history.
-_R8_VERIFIED -= {"cdc_scd2_history"}
-# Removed from _R8_VERIFIED (stale evidence, r9 edits):
-# sim_ivfpq_topk + sim_ivfpq_recall (the PQ codebooks are now per-subspace
-# Lloyd-TRAINED instead of first-16-residual sampled — the r8 verdict's
-# item 3; the serving plan is unchanged but codewords, and therefore codes
-# and shortlists, differ);
-# agg_ks_test + agg_gini_lorenz (their shared operator
-# operators/ntile.global_prefix_sums changed: the distinctness guard
-# FOLDED into the bucket-totals collect — previously a full extra
-# aggregate job over the operator input — and a new with_totals option
-# ships exact grand totals as folded literals, letting both consumers
-# drop their separate n/T rollup job and its crossJoin; values
-# identical, but the shared helper and both builders changed, same
-# precedent as the r6 connected-components eviction).
-_R8_VERIFIED -= {
-    "sim_ivfpq_topk", "sim_ivfpq_recall", "agg_ks_test", "agg_gini_lorenz",
-}
+# _R8_VERIFIED is EMPTY as of round 15: the r14 driver walk re-certified
+# all 44 remaining r8-vintage rows (their freshest green rows now live in
+# _R14_VERIFIED), completing the rotation goal the r13 verdict set.
+_R8_VERIFIED: set = set()
 # Removed from _R7_VERIFIED (stale evidence, r9 edit): dedup_minhash_lsh —
 # the builder docstring now states the at-volume guidance the r8 sf1 run
 # measured (plain form is duplicate-quadratic; dedup_lsh_scaled is the
@@ -300,6 +258,10 @@ _R9_VERIFIED -= {
     "join_bucketed_colocated", "agg_spearman_corr", "text_perplexity",
     "sim_ivfpq_recall", "sim_ivfpq_topk",
 }
+# Moved OUT of _R9_VERIFIED to _R14_VERIFIED (re-certified by the r14
+# driver walk's two spare slots after the 1-name budget + 44-name r8
+# tier): cdc_tx_filter, dedup_minhash_lsh.
+_R9_VERIFIED -= {"cdc_tx_filter", "dedup_minhash_lsh"}
 # NOT evicted for the r10 global_prefix_sums edit (agg_ks_test,
 # agg_gini_lorenz, agg_mann_whitney): the change is pure-Python argument
 # validation that RAISES before any plan is built, on argument shapes no
@@ -476,16 +438,55 @@ _R13_VERIFIED -= {
     "sim_ann_recall_curve", "sim_ivfpq_recall", "sim_ivfpq_topk",
 }
 
-# Queries first registered in round 14: cdc_auto_layout_policy (the
-# seed-time auto-derived sink layout, r13 verdict item 3: given an
-# observed first batch, which policy does key_bucket="auto" stamp —
-# numeric keys -> suggest_key_bucket range slices, string keys ->
-# suggest_hash_bucket_count with the batch-aware floor).
-# Budget check (r13 verdict cap: evictions + new <= 6, enforced by
-# tests/test_docs_consistency.py): the walk order puts never-green +
-# these first, then the 44 remaining r8-tier names, so the r8 tier
-# empties this round (<= 50 slots).
-_R14_NEW: set = {"cdc_auto_layout_policy"}
+# Names the driver hash-verified in round 14 (CORRECTNESS_r14.json: 50 of
+# 50 checked, all hash_match): the 1 _R14_NEW registration
+# (cdc_auto_layout_policy), the 3-name never-green backlog (the
+# MATERIALIZED-oracle ANN evictions), all 44 remaining r8-vintage rows
+# (r8 tier now EMPTY), and 2 r9-vintage re-certifications (cdc_tx_filter,
+# dedup_minhash_lsh).
+_R14_VERIFIED = {
+    "agg_chi2_independence", "cdc_auto_layout_policy", "cdc_churn_stats",
+    "cdc_schema_evolution", "cdc_tx_filter", "chunk_documents",
+    "contamination_ngrams", "dedup_cross_corpus",
+    "dedup_jaccard_containment", "dedup_keep_best", "dedup_lines_global",
+    "dedup_minhash_accuracy", "dedup_minhash_lsh",
+    "dedup_suffix_containment", "embed_cosine_histogram",
+    "embed_quantize_int8", "events_ewma", "events_overdispersion",
+    "graph_pagerank_3iter", "index_inverted", "join_asof_nearest",
+    "join_bloom_prefilter", "join_fuzzy_edit1", "join_overlap_intervals",
+    "join_range_bucketed", "multimodal_frame_plan",
+    "multimodal_image_ahash", "pack_sequences", "pipeline_curation",
+    "rollup_timeseries", "sample_stratified_hash", "scalar_url_parse",
+    "shuffle_deterministic", "sim_ann_recall_curve",
+    "sim_centroid_by_label", "sim_ivfpq_recall", "sim_ivfpq_topk",
+    "split_train_val_test", "text_boilerplate_share", "text_bpe_pairs",
+    "text_concordance", "text_lang_confusion", "text_lang_id",
+    "text_markup_strip", "text_pii_scrub", "text_quality_model",
+    "text_repetition", "text_tfidf_topk", "text_token_stats",
+    "text_vocab_topk",
+}
+# Removed from _R14_VERIFIED (stale evidence, r15 edits):
+# cdc_auto_layout_policy — the certified seed rule changed TWICE over:
+# derive_auto_policy's range leg now shares the hash leg's three-term
+# count rule (the r14 ADVICE item 1 degenerate small-seed guard: floor at
+# ceil(k / share), cap at max_buckets) with the whole observation folded
+# into ONE aggregate, and the oracle text changed with it (a third
+# 'numeric_small' scenario exercising the floor live, plus the share/cap
+# literals now f-strung from the sink's AUTO_* constants per r14 ADVICE
+# item 4). Locally re-gated green at all 3 scales; fresh driver row
+# required.
+_R14_VERIFIED -= {"cdc_auto_layout_policy"}
+
+# Queries first registered in round 15: cdc_bucket_growth_policy (the
+# seed-pinned layout's growth/migration decision rule behind
+# MergeSink.suggest_migration and the post-commit growth warn, r14
+# verdict item 2: a live bucket past GROWTH_WARN_FACTOR x target is
+# outgrown, and the remedy is the auto rule re-run on today's live ids).
+# Budget check (r14 verdict cap: evictions + new <= 7, enforced by
+# tests/test_docs_consistency.py): the walk order puts the 1 never-green
+# eviction + this 1 registration first, then the 43 remaining r9-tier
+# names, so the r9 tier empties this round with 5 spare slots (<= 50).
+_R15_NEW: set = {"cdc_bucket_growth_policy"}
 
 # The union is computed ONCE, after every tier literal (and eviction edit)
 # is final — a snapshot taken before a later edit would leave a name in
@@ -495,13 +496,14 @@ _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
     | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
     | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED | _R13_VERIFIED
+    | _R14_VERIFIED
 )
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-14 addition. A name
-# accidentally left out of _R14_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-15 addition. A name
+# accidentally left out of _R15_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R14_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R15_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
 # the only remaining correctness risk — r5-vintage green rows on evolving
@@ -511,14 +513,14 @@ _NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R14_NEW
 _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
-    _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED,
+    _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED, _R14_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R14_NEW:
+    if n in _R15_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

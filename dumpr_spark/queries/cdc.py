@@ -23,6 +23,15 @@ from dumpr_spark.cdc.envelope import snapshot_to_changes
 from dumpr_spark.cdc.materialize import materialize
 from dumpr_spark.queries.base import eps_round, query, t
 
+# The auto-layout dial constants — f-strung into the oracle SQL below so
+# a dial edit surfaces as a reviewable oracle diff + driver re-cert, not
+# a runtime self-check assertion (r14 advice item 4).
+from dumpr_spark.streaming.sink import (  # noqa: E402
+    AUTO_MAX_BUCKETS as _CAP,
+    AUTO_TARGET_REWRITE_SHARE as _SHARE,
+    GROWTH_WARN_FACTOR as _GROW,
+)
+
 # DuckDB-side synthetic stream (identical derivation; content carried as
 # typed columns — the JSON content column is exercised by cdc_envelope_shape).
 _CHANGES_CTE = """
@@ -1172,9 +1181,11 @@ def cdc_hash_bucket_policy(spark, sf_dir):
 
 @query(
     "cdc_auto_layout_policy",
-    """
+    f"""
     WITH num AS (SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders),
     strs AS (SELECT 'user-' || CAST(o_orderkey AS VARCHAR) AS id FROM orders),
+    small AS (SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders
+              WHERE o_orderkey % 97 = 1),
     obs AS (
       SELECT 'numeric' AS scenario, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(CASE WHEN TRY_CAST(id AS BIGINT) IS NULL
@@ -1191,44 +1202,63 @@ def cdc_hash_bucket_policy(spark, sf_dir):
              CAST(MIN(TRY_CAST(id AS BIGINT)) AS BIGINT),
              CAST(MAX(TRY_CAST(id AS BIGINT)) AS BIGINT)
       FROM strs
+      UNION ALL
+      SELECT 'numeric_small', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN TRY_CAST(id AS BIGINT) IS NULL
+                         THEN 1 END) AS BIGINT),
+             CAST(COUNT(DISTINCT id) AS BIGINT),
+             CAST(MIN(TRY_CAST(id AS BIGINT)) AS BIGINT),
+             CAST(MAX(TRY_CAST(id AS BIGINT)) AS BIGINT)
+      FROM small
     ),
     nb AS (
       SELECT *, GREATEST(CAST(1 AS BIGINT), (n + 2000 - 1) // 2000) AS rawb
       FROM obs
+    ),
+    sized AS (
+      SELECT *, LEAST(GREATEST(rawb, CAST(CEIL(k / {_SHARE}) AS BIGINT)),
+                      CAST({_CAP} AS BIGINT)) AS n_buckets
+      FROM nb
     )
     SELECT scenario,
            CASE WHEN bad = 0 THEN 'range' ELSE 'hash' END AS kind,
-           n, k,
+           n, k, n_buckets,
            CASE WHEN bad = 0
                 THEN GREATEST(CAST(1 AS BIGINT),
-                              (hi - lo + 1 + rawb - 1) // rawb) END AS width,
-           CASE WHEN bad = 0 THEN lo END AS origin,
-           CASE WHEN bad > 0
-                THEN LEAST(GREATEST(rawb, CAST(CEIL(k / 0.125) AS BIGINT)),
-                           CAST(4096 AS BIGINT)) END AS n_buckets
-    FROM nb
+                              (hi - lo + 1 + n_buckets - 1) // n_buckets)
+           END AS width,
+           CASE WHEN bad = 0 THEN lo END AS origin
+    FROM sized
     """,
     tags=("cdc", "streaming", "policy"),
 )
 def cdc_auto_layout_policy(spark, sf_dir):
     """The seed-time auto-layout dispatch for the sinks
     (streaming/sink.derive_auto_policy behind ``key_bucket="auto"``, r13
-    verdict item 3), certified value-level like its two parents: given an
-    observed FIRST BATCH, which policy does auto stamp? Two scenarios
-    over the same key population (`orders` primary keys): rendered as
-    digit strings the batch is integer-castable (bad = 0) and dispatches
-    RANGE — the pinned (width, origin) from suggest_key_bucket's exact
-    integer ceilings; rendered as 'user-<pk>' strings (the UUID/composite
-    shape the range helper refuses) it dispatches HASH — n_buckets from
-    suggest_hash_bucket_count with the batch's observed DISTINCT key
-    count as the anti-blanketing floor (ceil(k / 0.125), exact here
-    because the default share is a power of two) clamped by the 4096
-    metadata cap, which is LIVE in this row at sf0.01 key counts (the
-    floor alone would ask for ~8x the cap). The builder ALSO runs
-    derive_auto_policy itself on both batches and RAISES on any
-    disagreement in dispatch or values, so the driver's gate certifies
-    the shipped seed path and the declarative twin against DuckDB in one
-    row.
+    verdict item 3; r15 closes the range leg's degenerate-seed failure
+    mode), certified value-level like its two parents: given an observed
+    FIRST BATCH, which policy does auto stamp? Three scenarios over the
+    `orders` key population. Rendered as digit strings the batch is
+    integer-castable (bad = 0) and dispatches RANGE; as 'user-<pk>'
+    strings (the UUID/composite shape the range helper refuses) it
+    dispatches HASH. BOTH legs now size the bucket count by the same
+    three-term rule — min(max(ceil(n/target), ceil(k/share)), cap) —
+    with every term LIVE somewhere in this row at sf0.01: the
+    rows-per-bucket target as rawb, the distinct-key anti-blanketing
+    floor (ceil(k / share), exact here because the default share is a
+    power of two) visible UNCAPPED in the 'numeric_small' scenario (a
+    ~150-key spread sample of the domain — the small non-snapshot seed
+    that pre-r15 derived a degenerate 1-bucket range layout, r14 ADVICE
+    item 1), and the metadata cap binding in both full-population
+    scenarios (the floor alone would ask for ~30x the cap). The range
+    width divides the observed span by the FINAL count. The share / cap
+    literals in the oracle SQL are f-strung from the sink module's
+    AUTO_* constants (r14 ADVICE item 4: a dial edit must surface as a
+    reviewable oracle diff, not a runtime assertion). The builder ALSO
+    runs derive_auto_policy itself on all three batches and RAISES on
+    any disagreement in dispatch or values, so the driver's gate
+    certifies the shipped seed path and the declarative twin against
+    DuckDB in one row.
 
     Scale shape: one map-side-combined 5-scalar aggregate per scenario
     (count / bad-count / distinct-keys / min / max) — metadata-sized
@@ -1244,6 +1274,9 @@ def cdc_auto_layout_policy(spark, sf_dir):
     strs = orders.select(
         F.concat(F.lit("user-"), F.col("o_orderkey").cast("string")).alias("id")
     )
+    small = orders.where(F.col("o_orderkey") % 97 == 1).select(
+        F.col("o_orderkey").cast("string").alias("id")
+    )
 
     def observe(df, scen):
         return df.agg(
@@ -1256,47 +1289,204 @@ def cdc_auto_layout_policy(spark, sf_dir):
         ).select(F.lit(scen).alias("scenario"), "*")
 
     nb = (
-        observe(num, "numeric").unionByName(observe(strs, "strings"))
+        observe(num, "numeric")
+        .unionByName(observe(strs, "strings"))
+        .unionByName(observe(small, "numeric_small"))
         .withColumn(
             "rawb",
             F.expr(f"greatest(cast(1 as bigint), (n + {target} - 1) div {target})"),
+        )
+        .withColumn(
+            "n_buckets",
+            F.expr(f"least(greatest(rawb, cast(ceil(k / {_SHARE}) as bigint)), "
+                   f"cast({_CAP} as bigint))"),
         )
     )
     out = nb.select(
         "scenario",
         F.when(F.col("bad") == 0, F.lit("range"))
         .otherwise(F.lit("hash")).alias("kind"),
-        "n", "k",
+        "n", "k", "n_buckets",
         F.when(
             F.col("bad") == 0,
-            F.expr("greatest(cast(1 as bigint), (hi - lo + 1 + rawb - 1) div rawb)"),
+            F.expr("greatest(cast(1 as bigint), "
+                   "(hi - lo + 1 + n_buckets - 1) div n_buckets)"),
         ).alias("width"),
         F.when(F.col("bad") == 0, F.col("lo")).alias("origin"),
-        F.when(
-            F.col("bad") > 0,
-            F.expr("least(greatest(rawb, cast(ceil(k / 0.125) as bigint)), "
-                   "cast(4096 as bigint))"),
-        ).alias("n_buckets"),
     )
-    # self-check: the shipped seed path (derive_auto_policy's own
-    # observation aggregate + the helper it dispatches to) must agree
-    # with the declarative twin the oracle checks, in DISPATCH and in
-    # values — a drifted rule fails the gate loudly (the
-    # cdc_key_bucket_policy discipline)
-    pol_num = derive_auto_policy(num, target_rows_per_bucket=target)
-    pol_str = derive_auto_policy(strs, target_rows_per_bucket=target)
+    # self-check: the shipped seed path (derive_auto_policy's single
+    # observation aggregate + inline arithmetic) must agree with the
+    # declarative twin the oracle checks, in DISPATCH and in values —
+    # a drifted rule fails the gate loudly (the cdc_key_bucket_policy
+    # discipline)
     rows = {r["scenario"]: r for r in out.collect()}
-    rn, rs = rows["numeric"], rows["strings"]
-    if not (isinstance(pol_num, KeyBucket)
-            and (pol_num.width, pol_num.origin) == (rn["width"], rn["origin"])):
-        raise AssertionError(
-            f"derive_auto_policy(numeric) = {pol_num!r} != declarative "
-            f"twin (range, width={rn['width']}, origin={rn['origin']})"
+    for scen, df, want_cls in (("numeric", num, KeyBucket),
+                               ("numeric_small", small, KeyBucket),
+                               ("strings", strs, HashKeyBucket)):
+        pol = derive_auto_policy(df, target_rows_per_bucket=target)
+        r = rows[scen]
+        twin = (want_cls(width=r["width"], origin=r["origin"])
+                if want_cls is KeyBucket
+                else want_cls(n_buckets=r["n_buckets"]))
+        if pol != twin:
+            raise AssertionError(
+                f"derive_auto_policy({scen}) = {pol!r} != declarative "
+                f"twin {twin!r}"
+            )
+    return out
+
+
+@query(
+    "cdc_bucket_growth_policy",
+    f"""
+    WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders),
+    dom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT id) AS BIGINT) AS k,
+             CAST(MIN(id) AS BIGINT) AS lo,
+             CAST(MAX(id) AS BIGINT) AS hi,
+             CAST(MAX(id) - MIN(id) + 1 AS BIGINT) AS span
+      FROM ids
+    ),
+    pol AS (
+      SELECT 'outgrown' AS scenario, CAST(100 AS BIGINT) AS target,
+             span AS width, lo AS origin
+      FROM dom
+      UNION ALL
+      SELECT 'fits', CAST(5000 AS BIGINT), (span + 7) // 8, lo FROM dom
+    ),
+    per AS (
+      SELECT p.scenario, p.target, (i.id - p.origin) // p.width AS b,
+             CAST(COUNT(*) AS BIGINT) AS rows_in_b
+      FROM ids i CROSS JOIN pol p
+      GROUP BY p.scenario, p.target, (i.id - p.origin) // p.width
+    ),
+    worst AS (
+      SELECT scenario, target, MAX(rows_in_b) AS max_rows_per_bucket
+      FROM per GROUP BY scenario, target
+    ),
+    dec AS (
+      SELECT w.scenario, w.target, w.max_rows_per_bucket,
+             CAST({_GROW} AS BIGINT) * w.target AS threshold,
+             w.max_rows_per_bucket > CAST({_GROW} AS BIGINT) * w.target
+               AS migrate,
+             d.n, d.k, d.lo, d.span,
+             LEAST(GREATEST(GREATEST(CAST(1 AS BIGINT),
+                                     (d.n + w.target - 1) // w.target),
+                            CAST(CEIL(d.k / {_SHARE}) AS BIGINT)),
+                   CAST({_CAP} AS BIGINT)) AS nb
+      FROM worst w CROSS JOIN dom d
+    )
+    SELECT scenario, target, max_rows_per_bucket, threshold, migrate,
+           CASE WHEN migrate THEN nb END AS new_n_buckets,
+           CASE WHEN migrate
+                THEN GREATEST(CAST(1 AS BIGINT), (span + nb - 1) // nb)
+           END AS new_width,
+           CASE WHEN migrate THEN lo END AS new_origin
+    FROM dec
+    """,
+    tags=("cdc", "streaming", "policy"),
+)
+def cdc_bucket_growth_policy(spark, sf_dir):
+    """The seed-pinned layout's growth/migration decision rule
+    (streaming/sink.MergeSink.suggest_migration, r14 verdict item 2),
+    certified value-level like the other three policy rows: the auto
+    layout is pinned at seed by design — never re-derived as state grows
+    — so the sink needs a principled answer to "has the state OUTGROWN
+    its policy, and what policy would auto derive today?". The rule: a
+    layout is outgrown when any live bucket holds more than
+    GROWTH_WARN_FACTOR x target_rows_per_bucket rows; the remedy is the
+    SAME three-term derivation a fresh auto seed would run on today's
+    live ids (cdc_auto_layout_policy's arithmetic), handed to
+    migrate_key_bucket.
+
+    Two scenarios over the `orders` key population, each bucketing the
+    live ids under a pinned range policy derived in-query (scale-robust):
+    'outgrown' pins the whole span as ONE bucket against a target of 100
+    rows/bucket — every id lands in bucket 0, max rows/bucket = n >> 4 x
+    100, so migrate fires and the re-derived (n_buckets, width, origin)
+    is emitted; 'fits' pins an 8-bucket layout against a 5000 target —
+    max rows/bucket stays under 20,000 at every shipped scale, so the
+    verdict is keep (NULL policy columns). The factor / share / cap
+    literals are f-strung from the sink module's constants (the r14
+    advice-4 discipline). The builder ALSO runs derive_auto_policy on
+    the live ids at the outgrown target and RAISES on any disagreement
+    with the emitted policy, and asserts the two verdicts, so the
+    driver's gate certifies the shipped decision path end to end.
+
+    Scale shape: the per-bucket census is one hash aggregate keyed by
+    (scenario, bucket) — the bucket id from exact integer arithmetic,
+    never a window; the 2-row policy frame rides a broadcast (the 1-row
+    scalar-broadcast class, plan-lint allowlisted); everything after the
+    census is metadata-sized. The sink's own suggest_migration pays the
+    same single full-state aggregate, as a maintenance call, never
+    per-batch."""
+    from dumpr_spark.streaming.sink import KeyBucket, derive_auto_policy
+
+    ids = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id")
+    )
+    dom = ids.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col("id")).cast("long").alias("k"),
+        F.min("id").cast("long").alias("lo"),
+        F.max("id").cast("long").alias("hi"),
+    ).withColumn("span", F.expr("hi - lo + 1"))
+    pol = dom.select(
+        F.lit("outgrown").alias("scenario"),
+        F.lit(100).cast("long").alias("target"),
+        F.col("span").alias("width"), F.col("lo").alias("origin"),
+    ).unionByName(dom.select(
+        F.lit("fits").alias("scenario"),
+        F.lit(5000).cast("long").alias("target"),
+        F.expr("(span + 7) div 8").alias("width"),
+        F.col("lo").alias("origin"),
+    ))
+    per = (
+        ids.crossJoin(F.broadcast(pol))
+        .groupBy("scenario", "target",
+                 F.expr("(id - origin) div width").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_in_b"))
+    )
+    worst = per.groupBy("scenario", "target").agg(
+        F.max("rows_in_b").alias("max_rows_per_bucket")
+    )
+    dec = (
+        worst.crossJoin(F.broadcast(dom))
+        .withColumn("threshold", F.expr(f"cast({_GROW} as bigint) * target"))
+        .withColumn("migrate", F.expr("max_rows_per_bucket > threshold"))
+        .withColumn(
+            "nb",
+            F.expr(f"least(greatest(greatest(cast(1 as bigint), "
+                   f"(n + target - 1) div target), "
+                   f"cast(ceil(k / {_SHARE}) as bigint)), "
+                   f"cast({_CAP} as bigint))"),
         )
-    if not (isinstance(pol_str, HashKeyBucket)
-            and pol_str.n_buckets == rs["n_buckets"]):
+    )
+    out = dec.select(
+        "scenario", "target", "max_rows_per_bucket", "threshold", "migrate",
+        F.when(F.col("migrate"), F.col("nb")).alias("new_n_buckets"),
+        F.when(
+            F.col("migrate"),
+            F.expr("greatest(cast(1 as bigint), (span + nb - 1) div nb)"),
+        ).alias("new_width"),
+        F.when(F.col("migrate"), F.col("lo")).alias("new_origin"),
+    )
+    # self-check: verdicts are the committed ones at every shipped scale,
+    # and the emitted remedy IS what the shipped seed rule derives from
+    # the same live ids
+    rows = {r["scenario"]: r for r in out.collect()}
+    if not rows["outgrown"]["migrate"] or rows["fits"]["migrate"]:
         raise AssertionError(
-            f"derive_auto_policy(strings) = {pol_str!r} != declarative "
-            f"twin (hash, n_buckets={rs['n_buckets']})"
+            f"growth verdicts drifted: {rows['outgrown']['migrate']=} "
+            f"{rows['fits']['migrate']=}"
+        )
+    pol_re = derive_auto_policy(ids, target_rows_per_bucket=100)
+    twin = KeyBucket(width=rows["outgrown"]["new_width"],
+                     origin=rows["outgrown"]["new_origin"])
+    if pol_re != twin:
+        raise AssertionError(
+            f"derive_auto_policy(live ids) = {pol_re!r} != emitted "
+            f"remedy {twin!r}"
         )
     return out

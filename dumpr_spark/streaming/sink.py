@@ -31,6 +31,26 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from dumpr_spark.cdc.envelope import OP_DELETE, OP_ERROR, ENVELOPE_SCHEMA
 from dumpr_spark.cdc.materialize import materialize
 
+# The certified auto-layout dials (r13-r15). These are the SINGLE source
+# the seed-time dispatch (`derive_auto_policy`), the growth signal
+# (`MergeSink.suggest_migration` / the post-commit warn), and the
+# declarative twins the correctness gate certifies
+# (queries/cdc.cdc_auto_layout_policy, cdc_bucket_growth_policy — their
+# oracle SQL f-strings THESE values) all read, so a dial edit surfaces as
+# a reviewable oracle diff, not a runtime self-check assertion (r14
+# advice item 4). The sizing helpers' own signature defaults are pinned
+# EQUAL to these by tests/test_streaming.py (kept as literals there so
+# the certified helper source stays untouched).
+AUTO_TARGET_ROWS_PER_BUCKET = 250_000
+AUTO_MAX_BUCKETS = 4096
+AUTO_TARGET_REWRITE_SHARE = 0.125
+# A bucket holding more than GROWTH_WARN_FACTOR x the rows-per-bucket
+# target is declared OUTGROWN: the layout was seed-pinned (never
+# re-derived as state grows, by design — see derive_auto_policy) and the
+# per-batch rewrite term for that slice now runs >= 4x what the policy
+# promised, so the sink should say so instead of degrading silently.
+GROWTH_WARN_FACTOR = 4
+
 
 @dataclass(frozen=True)
 class KeyBucket:
@@ -297,46 +317,95 @@ def suggest_hash_bucket_count(state_df: DataFrame,
 
 
 def derive_auto_policy(batch_df: DataFrame,
-                       target_rows_per_bucket: int = 250_000,
-                       max_buckets: int = 4096,
-                       target_rewrite_share: float = 0.125):
+                       target_rows_per_bucket: int = AUTO_TARGET_ROWS_PER_BUCKET,
+                       max_buckets: int = AUTO_MAX_BUCKETS,
+                       target_rewrite_share: float = AUTO_TARGET_REWRITE_SHARE):
     """Seed-time layout derivation from the FIRST observed batch — the
     dispatch rule behind ``key_bucket="auto"`` (r13 verdict item 3: both
     sizing dials are certified policy, so the sink should apply them by
     default instead of requiring the caller to run the helpers by hand):
 
-    - every id integer-castable -> RANGE policy via `suggest_key_bucket`
-      (autoincrement locality is the layout's whole win — see KeyBucket);
-    - any non-numeric id -> HASH policy via `suggest_hash_bucket_count`
-      with ``expected_keys_per_batch`` = the batch's observed DISTINCT id
-      count (the anti-blanketing floor sized from the one batch shape we
-      have; a snapshot-sized seed batch overstates the trickle's key rate
-      and simply drives the floor into the `max_buckets` cap, which is
-      the hard metadata bound anyway);
+    - every id integer-castable -> RANGE policy (autoincrement locality
+      is the layout's whole win — see KeyBucket);
+    - any non-numeric id -> HASH policy;
     - empty batch -> None (stay unresolved; the sink skips empty batches).
 
-    One extra metadata-sized aggregate over the batch (count / bad-count /
-    distinct-keys) before the chosen helper's own — seed-time only, never
-    per-batch. The derived policy is returned, not stamped: the sink's
-    `_commit` stamps it into `_kb_policy.json` exactly as if the caller
-    had passed the object, so drift refusal works unchanged and a restart
-    adopts the stamped identity via `policy_from_identity`. The declarative
-    twin certified by the correctness gate is
-    queries/cdc.cdc_auto_layout_policy."""
+    BOTH legs size the bucket count by the same three-term rule (r15 —
+    previously the hash leg only, leaving the range leg with a measured
+    failure mode: a small non-snapshot seed batch spanning a wide key
+    range derived n_buckets = 1, a single-bucket layout pinned for the
+    stream's lifetime):
+
+        n_buckets = min(max(ceil(n / target_rows_per_bucket),
+                            ceil(k / target_rewrite_share)),
+                        max_buckets)
+
+    where n / k are the batch's observed row / DISTINCT-id counts. The
+    ceil(k / share) term is the anti-blanketing floor: a batch of k keys
+    can touch up to k distinct slices (hash spreading guarantees it;
+    range layouts guarantee the OPPOSITE only when the workload has key
+    locality, which a seed batch cannot prove), so the floor keeps any
+    batch's worst-case rewrite under ~`target_rewrite_share` of state.
+    A snapshot-sized seed overstates the trickle's key rate and simply
+    drives the floor into the `max_buckets` cap — the hard metadata
+    bound (O(n_buckets) listing/link terms, measured acceptable at 4096
+    in the r13/r14 30M trickles); for a LOCAL workload the extra range
+    buckets past the rows target cost only that bounded metadata, while
+    for a spread workload they are what keeps the rewrite term sane.
+    The range width then divides the observed span by the final count:
+    width = max(1, ceil(span / n_buckets)), origin = observed min.
+
+    All ceilings are the exact arithmetic the certified twins pin —
+    integer (a + b - 1) // b for the rows term and the span division
+    (same as suggest_key_bucket / suggest_hash_bucket_count, agreeing
+    past 2^53), float math.ceil(k / share) for the floor term (the
+    oracle's CEIL(k / share); exact for the power-of-two default share).
+
+    ONE metadata-sized observation aggregate over the batch (count /
+    bad-count / distinct-keys / min / max — seed-time only, never
+    per-batch; r15 folds what were two scans — the dispatch probe plus
+    the chosen helper's own — into one). The derived policy is returned,
+    not stamped: the sink's `_commit` stamps it into `_kb_policy.json`
+    exactly as if the caller had passed the object, so drift refusal
+    works unchanged and a restart adopts the stamped identity via
+    `policy_from_identity`. The layout is seed-PINNED — never re-derived
+    as state grows; `MergeSink.suggest_migration` is the growth check.
+    The declarative twin certified by the correctness gate is
+    queries/cdc.cdc_auto_layout_policy (its oracle f-strings this
+    module's AUTO_* dial constants)."""
+    import math
+
+    # same loud up-front dial refusals as the sizing helpers (the inline
+    # arithmetic below is the helpers' — validated identically)
+    if target_rows_per_bucket < 1:
+        raise ValueError(
+            f"target_rows_per_bucket must be >= 1, got {target_rows_per_bucket}"
+        )
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    if not (0 < target_rewrite_share <= 1):
+        raise ValueError(
+            "target_rewrite_share must be in (0, 1], got "
+            f"{target_rewrite_share}"
+        )
     row = batch_df.select(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("id").try_cast("long").isNull(), 1)).alias("bad"),
         F.count_distinct(F.col("id")).alias("k"),
+        F.min(F.col("id").try_cast("long")).alias("lo"),
+        F.max(F.col("id").try_cast("long")).alias("hi"),
     ).collect()[0]
-    if int(row["n"]) == 0:
+    n = int(row["n"])
+    if n == 0:
         return None
+    raw = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    floored = max(raw, math.ceil(int(row["k"]) / target_rewrite_share))
+    n_buckets = min(floored, max_buckets)
     if int(row["bad"]) == 0:
-        return suggest_key_bucket(batch_df, target_rows_per_bucket)
-    return suggest_hash_bucket_count(
-        batch_df, target_rows_per_bucket, max_buckets,
-        expected_keys_per_batch=int(row["k"]),
-        target_rewrite_share=target_rewrite_share,
-    )
+        span = int(row["hi"]) - int(row["lo"]) + 1
+        width = max(1, (span + n_buckets - 1) // n_buckets)
+        return KeyBucket(width=width, origin=int(row["lo"]))
+    return HashKeyBucket(n_buckets=n_buckets)
 
 
 def _check_tbls(tbls) -> None:
@@ -442,15 +511,23 @@ class MergeSink:
     ``key_bucket="auto"`` (r13 verdict item 3) applies the certified
     sizing policies by DEFAULT instead of requiring the caller to run the
     helpers by hand: at the first non-empty batch the sink derives the
-    policy via `derive_auto_policy` (numeric keys -> range via
-    `suggest_key_bucket`, else hash via `suggest_hash_bucket_count` with
-    the observed batch's distinct-key count as the anti-blanketing floor),
+    policy via `derive_auto_policy` (numeric keys -> range, else hash;
+    both legs sized by the rows-per-bucket target, the distinct-key
+    anti-blanketing floor, and the metadata cap — see that docstring),
     stamps it into `_kb_policy.json` through the normal `_commit` path,
     and refuses drift exactly as an explicit policy would; a RESTART over
     existing bucketed state adopts the stamped identity
     (`policy_from_identity`) so the layout is pinned for the stream's
     lifetime. Auto over an existing PLAIN or opaque-callable-cut state is
     refused loudly (`_resolve_auto`) — those remain migration events.
+
+    The pinned layout gets a GROWTH SIGNAL (r15): after each bucketed
+    commit the sink reads the touched slices' parquet-footer row counts
+    (driver-side metadata, no job) and warns once per instance when a
+    slice exceeds ``growth_warn_rows_per_bucket`` (default
+    GROWTH_WARN_FACTOR x the auto rows-per-bucket target; None disables),
+    naming `suggest_migration` — the maintenance call that re-derives the
+    policy from live state when outgrown — and `migrate_key_bucket`.
     """
 
     # persisted-row schema; subclasses (HistorySink) extend the envelope
@@ -459,7 +536,9 @@ class MergeSink:
     def __init__(self, spark: SparkSession, state_path: str,
                  errors_path: str | None = None, key_bucket=None,
                  compact_every_n_batches: int | None = None,
-                 compact_target_file_mb: int = 128):
+                 compact_target_file_mb: int = 128,
+                 growth_warn_rows_per_bucket: int | None =
+                 GROWTH_WARN_FACTOR * AUTO_TARGET_ROWS_PER_BUCKET):
         self.spark = spark
         self.state_path = state_path
         self.errors_path = errors_path
@@ -468,6 +547,113 @@ class MergeSink:
             raise ValueError("compact_every_n_batches must be >= 1 (or None)")
         self.compact_every_n_batches = compact_every_n_batches
         self.compact_target_file_mb = compact_target_file_mb
+        if (growth_warn_rows_per_bucket is not None
+                and growth_warn_rows_per_bucket < 1):
+            raise ValueError("growth_warn_rows_per_bucket must be >= 1 (or None)")
+        self.growth_warn_rows_per_bucket = growth_warn_rows_per_bucket
+        self._growth_warned = False
+
+    def _check_bucket_growth(self, pairs) -> None:
+        """The seed-pinned layout's growth signal (r14 verdict item 2):
+        after a bucketed commit, sum the parquet-footer row counts of the
+        TOUCHED slices (pyarrow metadata on the driver — no Spark job, no
+        data read; O(touched files), the same metadata cost class as
+        `_commit`'s own hardlink walk) and warn ONCE per sink instance
+        when any slice holds more than `growth_warn_rows_per_bucket` rows
+        (default GROWTH_WARN_FACTOR x the auto rows-per-bucket target).
+        The layout is pinned at seed by design — auto never re-derives as
+        state grows — so an outgrown bucket would otherwise degrade the
+        per-batch rewrite term silently for the stream's lifetime; the
+        warning names the remedy (`suggest_migration` to re-derive, then
+        `migrate_key_bucket` to re-cut, stream stopped). Footer counts
+        include tombstones/closed versions: the slice's REWRITE cost is
+        what outgrows the policy, and every persisted row pays it.
+        Advisory only — a slice whose table name is not identity under
+        URL quoting is skipped (the merge itself handles those via the
+        `_read_touched` fallback)."""
+        if self._growth_warned or not self.growth_warn_rows_per_bucket:
+            return
+        from urllib.parse import quote
+
+        import pyarrow.parquet as pq
+
+        worst_pair, worst_rows = None, 0
+        for tbl, kb in pairs:
+            if not tbl or kb is None or quote(str(tbl), safe="") != str(tbl):
+                continue
+            d = os.path.join(self.state_path, f"tbl={tbl}", f"_kb={kb}")
+            if not os.path.isdir(d):
+                continue
+            rows = 0
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        rows += pq.ParquetFile(
+                            os.path.join(root, f)).metadata.num_rows
+            if rows > worst_rows:
+                worst_pair, worst_rows = (tbl, kb), rows
+        if worst_rows > self.growth_warn_rows_per_bucket:
+            import warnings
+
+            warnings.warn(
+                f"bucket slice tbl={worst_pair[0]}/_kb={worst_pair[1]} at "
+                f"{self.state_path} holds {worst_rows} rows, past the "
+                f"{self.growth_warn_rows_per_bucket}-row growth threshold: "
+                "the seed-pinned bucket layout has been outgrown and every "
+                "batch touching this slice rewrites it — re-derive with "
+                "sink.suggest_migration() and re-cut via migrate_key_bucket "
+                "with the stream stopped",
+                stacklevel=3,
+            )
+            self._growth_warned = True
+
+    def suggest_migration(self,
+                          target_rows_per_bucket: int = AUTO_TARGET_ROWS_PER_BUCKET,
+                          max_buckets: int = AUTO_MAX_BUCKETS,
+                          target_rewrite_share: float = AUTO_TARGET_REWRITE_SHARE,
+                          growth_factor: int = GROWTH_WARN_FACTOR):
+        """Maintenance check for the seed-pinned layout (r14 verdict item
+        2): has the state OUTGROWN its stamped bucket policy, and if so,
+        what policy would the certified auto rule derive from the state
+        as it stands today?
+
+        Returns None while the layout still fits — no LIVE (tbl, bucket)
+        slice holds more than ``growth_factor x target_rows_per_bucket``
+        rows (the same threshold the post-commit warn fires on, but over
+        live rows: tombstones are `compact()`-able, not real growth) —
+        and otherwise the re-derived policy object (`derive_auto_policy`
+        over the live ids: the exact rule a fresh auto seed would apply),
+        ready to hand to `migrate_key_bucket(spark, state_path, policy)`
+        with the stream stopped. Decision rule is certified value-level
+        by queries/cdc.cdc_bucket_growth_policy.
+
+        Cost: one full-state aggregate (per-slice counts + the
+        observation scalars) — a deliberate maintenance scan, never part
+        of the per-batch merge path (the in-band signal is the footer
+        check in `_check_bucket_growth`). Only meaningful for a bucketed
+        sink; raises on a plain one (there is no pinned policy to
+        outgrow — adopting bucketing for a plain state is a design
+        choice, not drift)."""
+        self._resolve_auto()
+        self._recover()
+        self._validate_layout()
+        if self.key_bucket is None or self.key_bucket == "auto":
+            raise ValueError(
+                "suggest_migration checks a PINNED bucket layout for "
+                "growth; this sink has no resolved bucket policy (plain "
+                "layout, or auto before its seed batch)"
+            )
+        live = self._read_raw().where(F.col("op") != OP_DELETE)
+        worst = (
+            live.groupBy("tbl", "_kb").agg(F.count(F.lit(1)).alias("rows"))
+            .agg(F.max("rows").alias("worst")).collect()[0]["worst"]
+        )
+        if worst is None or worst <= growth_factor * target_rows_per_bucket:
+            return None
+        return derive_auto_policy(
+            live.select("id"), target_rows_per_bucket, max_buckets,
+            target_rewrite_share,
+        )
 
     def _maybe_compact_files(self, batch_id: int) -> None:
         """The small-files cadence as a SINK OPTION (r12 verdict item 5):
@@ -584,9 +770,13 @@ class MergeSink:
                        for e in os.listdir(os.path.join(self.state_path, d))):
                     raise ValueError(
                         f"state at {self.state_path} is bucketed but carries "
-                        "no _kb_policy.json marker — it was cut by an opaque "
-                        "key_bucket callable whose identity key_bucket=\"auto\" "
-                        "cannot reconstruct; pass the original callable"
+                        "no _kb_policy.json marker — either it was cut by an "
+                        "opaque key_bucket callable whose identity "
+                        "key_bucket=\"auto\" cannot reconstruct (pass the "
+                        "original callable), or a pre-r15 compact_files pass "
+                        "crashed between its swap and the marker re-stamp "
+                        "(recover by passing the known policy OBJECT once — "
+                        "the next commit re-stamps it — then restart in auto)"
                     )
                 raise ValueError(
                     f"state at {self.state_path} has a plain (tbl=) layout: "
@@ -923,6 +1113,10 @@ class MergeSink:
             os.rename(self.state_path, bak)
         os.rename(nxt, self.state_path)
         shutil.rmtree(bak, ignore_errors=True)
+        if bucketed:
+            # post-commit growth signal over the slices just written —
+            # metadata-only (parquet footers), warns once per instance
+            self._check_bucket_growth(touched)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if self.errors_path is not None:

@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _NEVER_GREEN, _R14_NEW, _VERIFIED_STALEST_FIRST,
+        REGISTRY, _NEVER_GREEN, _R15_NEW, _VERIFIED_STALEST_FIRST,
     )
 
     names = set(REGISTRY)
-    tiers = [_R14_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
+    tiers = [_R15_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):
@@ -46,30 +46,30 @@ def test_rank_tiers_cover_every_query_exactly_once():
             assert not (a & b), f"rank tiers overlap: {a & b}"
 
 
-def test_round14_registration_count_claim_matches():
+def test_round15_registration_count_claim_matches():
     import re
 
-    from dumpr_spark.queries import _R14_NEW
+    from dumpr_spark.queries import _R15_NEW
 
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"Round 14 \(`_R14_NEW`, (\d+) registrations", cov)
-    assert m, "COVERAGE.md round-14 registration claim missing"
-    assert int(m.group(1)) == len(_R14_NEW), (
-        f"COVERAGE.md claims {m.group(1)} round-14 registrations, "
-        f"registry has {len(_R14_NEW)}"
+    m = re.search(r"Round 15 \(`_R15_NEW`, (\d+) registrations", cov)
+    assert m, "COVERAGE.md round-15 registration claim missing"
+    assert int(m.group(1)) == len(_R15_NEW), (
+        f"COVERAGE.md claims {m.group(1)} round-15 registrations, "
+        f"registry has {len(_R15_NEW)}"
     )
 
 
-def test_round14_eviction_budget_respected():
-    """The r13 verdict caps never-green backlog + _R14_NEW at <= 6 so the
-    50-slot driver walk re-certifies the whole 44-name r8 tier in one
+def test_round15_eviction_budget_respected():
+    """The r14 verdict caps never-green backlog + _R15_NEW at <= 7 so the
+    50-slot driver walk re-certifies the whole 43-name r9 tier in one
     round. An unplanned eviction (helper edit cascading into consumers)
     silently eats a re-cert slot — fail loudly instead."""
-    from dumpr_spark.queries import _NEVER_GREEN, _R14_NEW
+    from dumpr_spark.queries import _NEVER_GREEN, _R15_NEW
 
-    assert len(_NEVER_GREEN) + len(_R14_NEW) <= 6, (
+    assert len(_NEVER_GREEN) + len(_R15_NEW) <= 7, (
         f"driver budget blown: {len(_NEVER_GREEN)} never-green + "
-        f"{len(_R14_NEW)} new > 6 leaves the r8 tier partially stale"
+        f"{len(_R15_NEW)} new > 7 leaves the r9 tier partially stale"
     )
 
 

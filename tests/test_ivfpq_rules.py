@@ -11,6 +11,7 @@ No SparkSession needed (DuckDB evaluates the SQL side)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from dumpr_spark.queries.llm import (
     _IVFPQ_SHORTLIST,
@@ -72,3 +73,83 @@ def test_train_sample_mod_rule():
     assert _ivfpq_train_sample_mod(10**9, 31_623) == 316  # at-volume shape
     # the PQ floor binds when cells are few
     assert _ivfpq_train_sample_mod(100_000, 8) == 20     # budget 5000
+
+
+@pytest.mark.slow
+def test_trainer_sampling_recall_envelope_at_engaged_geometry(spark, tmp_path):
+    """CI twin of the r14 engagement-point probe (r14 verdict item 5: the
+    -0.025 recall PASS lived in a one-off 250k-vector /tmp run — a future
+    sampling edit would invalidate it silently). Scaled-down deterministic
+    corpus, SAME generator arithmetic as scripts/make_ann_engage_corpus.py
+    (xxhash64 mixture of 200 soft clusters; noise 1.5 here so recall is
+    off the 1.0 ceiling and the bound has teeth — at 0.5 this size
+    saturates), at the rule's own engaged geometry: n=25k, cells=50 ->
+    budget max(5000, 100*50) = 5000, mod = 5 = exactly 100 sampled
+    points/cell, the regime the r13 budget correction was FOR. Asserts
+    (a) the rule engages at mod 5 here (a budget/gate edit moves this),
+    (b) the full-trained recall is in a sane band (the geometry did not
+    trivialize), and (c) the rule-sampled recall is within the committed
+    epsilon 0.03 of full-trained — measured delta 0.000 at this geometry
+    (r15), while a STARVED dial (mod=50, ~10 points/cell) measured
+    -0.044, below the bound, so a sampling-path regression (seed forcing
+    dropped, sample biased, budget shrunk) fails here instead of only in
+    a probe rerun. Everything is deterministic by the repo's exact-replay
+    discipline (hash-derived corpus, eps-rounded Lloyd, positionally
+    assembled ADC)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dumpr_spark.functions import similarity as sim
+    from dumpr_spark.queries.llm import (
+        _ivfpq_index, _ivfpq_query, _ivfpq_serve_shortlist,
+    )
+
+    n, centers, noise, dim, cells = 25_000, 200, 1.5, 64, 50
+    assert _ivfpq_train_sample_mod(n, cells) == 5
+
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"cast(pmod(id, {centers}) as int)").alias("label"),
+    ).withColumn(
+        "embedding",
+        F.expr(
+            f"transform(sequence(1, {dim}), j -> cast("
+            f"((pmod(xxhash64('c', cast(label as bigint), j), 2001) / 1000.0) - 1.0) "
+            f"+ {noise} * ((pmod(xxhash64('n', vec_id, j), 2001) / 1000.0) - 1.0) "
+            f"as float))"
+        ),
+    ).select("vec_id", "embedding", "label")
+    sf_dir = str(tmp_path)
+    corpus.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.where(F.col("vec_id") < 32)
+    exact = (
+        sim.brute_force_topk(e.select("vec_id", "embedding"),
+                             q.select("vec_id", "embedding"),
+                             k=5, round_eps=1e-9)
+        .select("q_id", "n_id").localCheckpoint(eager=False)
+    )
+    tot = exact.count()
+    sl = _ivfpq_serve_shortlist(n, cells=cells)
+
+    def recall(mod):
+        index = _ivfpq_index(spark, sf_dir, train_sample_mod=mod, cells=cells)
+        hits = (
+            _ivfpq_query(*index, nprobe=4, shortlist=sl)
+            .where(F.col("rank") <= 5).select("q_id", "n_id")
+            .join(exact, ["q_id", "n_id"]).count()
+        )
+        return hits / tot
+
+    full = recall(None)
+    sampled = recall(5)
+    assert 0.85 <= full <= 1.0, f"geometry drifted: full-trained {full=}"
+    assert sampled >= full - 0.03, (
+        f"rule-sampled trainer recall {sampled} fell more than the "
+        f"committed 0.03 below full-trained {full} — the sampling path "
+        "regressed (check seed forcing, sample hash, budget arithmetic)"
+    )

@@ -76,10 +76,32 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
 
 
 def _strip_sql_comments(sql: str) -> str:
-    # line comments only (the registry uses no /* */ blocks); good enough
-    # for a lint that must not match its own prose (the pareto oracle
-    # DOCUMENTS the hazard in a comment)
-    return re.sub(r"--[^\n]*", "", sql)
+    """Drop `--` line comments — but NOT a `--` inside a single-quoted
+    SQL string literal (r14 ADVICE item 3: `WHERE sep = '--'` followed by
+    an order-free window SUM on the same line was silently excluded from
+    the scan). Small state machine; '' escapes inside literals fall out
+    naturally (the second quote reopens literal state for one char, which
+    only ever HIDES a quote-adjacent `--` inside the literal — the safe
+    direction). Line comments only (the registry uses no /* */ blocks)."""
+    out, i, n, in_str = [], 0, len(sql), False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            out.append(c)
+            i += 1
+        elif c == "'":
+            in_str = True
+            out.append(c)
+            i += 1
+        elif c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _match_parens(s: str, i: int) -> int:
@@ -208,6 +230,20 @@ def test_lint_ignores_comments_and_pinned_folds():
     FROM t
     """
     assert order_free_partition_aggs(sql) == []
+
+
+def test_lint_sees_past_dashes_inside_string_literals():
+    """r14 ADVICE item 3: a '--' INSIDE a single-quoted literal is data,
+    not a comment — the rest of that line must still be scanned (and a
+    real trailing comment must still be stripped)."""
+    sql = """
+    SELECT SUM(revenue) OVER (PARTITION BY n) AS t
+    FROM x WHERE sep = '--'  -- SUM(bogus) OVER (PARTITION BY prose)
+    """
+    assert order_free_partition_aggs(sql) == [("SUM", "revenue")]
+    # the hazardous shape AFTER the literal on the same line is seen
+    sql2 = "SELECT 1 FROM x WHERE sep = '--' AND 0 < SUM(r) OVER (PARTITION BY g)"
+    assert order_free_partition_aggs(sql2) == [("SUM", "r")]
 
 
 def test_lint_sees_filter_clauses_and_named_windows():

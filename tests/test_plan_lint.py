@@ -67,6 +67,8 @@ BNLJ_ALLOWED = {
                                 # contract) + two 1-row tie-total scalars
     "agg_kendall_mergeable",    # same grid densification + tie scalars,
                                 # over the merged per-day cell sketches
+    "cdc_bucket_growth_policy", # 2-row pinned-policy frame + 1-row domain
+                                # aggregate broadcast over the key census
 }
 
 

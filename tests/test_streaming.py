@@ -3732,14 +3732,14 @@ def test_read_touched_fast_path_matches_full_read(spark, tmp_path):
 
 def test_merge_sink_auto_layout_numeric_seeds_range_policy(spark, tmp_path):
     """key_bucket="auto" (r13 verdict item 3): a fresh sink derives its
-    policy from the FIRST non-empty batch via the certified helpers —
-    numeric ids dispatch to suggest_key_bucket — stamps it, folds
+    policy from the FIRST non-empty batch via the certified rule —
+    numeric ids dispatch to a RANGE policy — stamps it, folds
     identically to the plain layout, and a RESTART in auto mode adopts
     exactly the stamped policy (the layout is pinned for the stream's
     lifetime, never re-derived as state grows)."""
     from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
     from dumpr_spark.streaming.sink import (
-        KeyBucket, MergeSink, suggest_key_bucket,
+        KeyBucket, MergeSink, derive_auto_policy,
     )
 
     def batch(rows):
@@ -3755,10 +3755,14 @@ def test_merge_sink_auto_layout_numeric_seeds_range_policy(spark, tmp_path):
     auto(batch(seed), 0)
     plain(batch(seed), 0)
 
-    # the derived policy IS the helper's, run on the same observation
-    expect = suggest_key_bucket(batch(seed).select("id"))
+    # the derived policy IS the shipped rule's, run on the same
+    # observation — and the arithmetic is pinned explicitly: 39 rows,
+    # 39 distinct keys -> n_buckets = min(max(ceil(39/250000)=1,
+    # ceil(39/0.125)=312), 4096) = 312; span 39 -> width
+    # ceil(39/312) -> 1, origin = min id = 1
+    expect = derive_auto_policy(batch(seed).select("id"))
     assert isinstance(auto.key_bucket, KeyBucket)
-    assert auto.key_bucket == expect
+    assert auto.key_bucket == expect == KeyBucket(width=1, origin=1)
     # stamped for drift refusal, exactly like a caller-passed policy
     with open(os.path.join(state, "_kb_policy.json")) as f:
         assert json.load(f) == expect.kb_identity()
@@ -3861,10 +3865,10 @@ def test_auto_layout_empty_seed_and_refusals(spark, tmp_path):
 def test_history_sink_auto_layout_equals_plain(spark, tmp_path):
     """HistorySink supports key_bucket="auto" with the same seed/restart
     discipline: identical intervals and current state as the plain
-    layout, policy equal to the helper's derivation."""
+    layout, policy equal to the shipped rule's derivation."""
     from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
     from dumpr_spark.streaming.history import HistorySink
-    from dumpr_spark.streaming.sink import suggest_key_bucket
+    from dumpr_spark.streaming.sink import derive_auto_policy
 
     def batch(rows):
         return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
@@ -3879,7 +3883,7 @@ def test_history_sink_auto_layout_equals_plain(spark, tmp_path):
     for i, rows in enumerate([seed, follow]):
         auto(batch(rows), i)
         plain(batch(rows), i)
-    assert auto.key_bucket == suggest_key_bucket(batch(seed).select("id"))
+    assert auto.key_bucket == derive_auto_policy(batch(seed).select("id"))
 
     def hist(sink):
         return {
@@ -3919,6 +3923,177 @@ def test_hash_bucket_helper_dial_validation(spark):
         suggest_key_bucket(nids, target_rows_per_bucket=0)
 
 
+def test_derive_auto_policy_range_floor_and_cap(spark):
+    """The r15 range-leg guard (r14 ADVICE item 1): a small seed batch
+    spanning a wide key range no longer derives a degenerate 1-bucket
+    range layout — BOTH dispatch legs now share the three-term count
+    rule min(max(ceil(n/target), ceil(k/share)), max_buckets), with the
+    distinct-key anti-blanketing floor and the metadata cap pinned here
+    arithmetically."""
+    from dumpr_spark.streaming.sink import KeyBucket, derive_auto_policy
+
+    # 20 keys spread over a ~9.5M-wide domain (a mid-stream trickle
+    # seed, NOT a snapshot): rows target alone says 1 bucket — the
+    # pre-r15 degenerate pin; the floor says ceil(20 / 0.125) = 160,
+    # so width = ceil(9_500_001 / 160) = 59_376, origin = 0
+    wide = spark.createDataFrame(
+        [(str(i * 500_000),) for i in range(20)], "id string"
+    )
+    assert derive_auto_policy(wide) == KeyBucket(width=59_376, origin=0)
+
+    # the metadata cap still binds the floor: 1000 keys at target 1
+    # asks for max(1000, 8000) buckets, capped to 50 -> width 20
+    dense = spark.createDataFrame([(str(i),) for i in range(1000)], "id string")
+    assert derive_auto_policy(
+        dense, target_rows_per_bucket=1, max_buckets=50
+    ) == KeyBucket(width=20, origin=0)
+
+    # dial refusals moved inline with the arithmetic (same messages as
+    # the sizing helpers')
+    with pytest.raises(ValueError, match="target_rows_per_bucket"):
+        derive_auto_policy(dense, target_rows_per_bucket=0)
+    with pytest.raises(ValueError, match="max_buckets"):
+        derive_auto_policy(dense, max_buckets=0)
+    with pytest.raises(ValueError, match="target_rewrite_share"):
+        derive_auto_policy(dense, target_rewrite_share=2.0)
+
+
+def test_auto_dial_constants_pin_helper_defaults():
+    """The AUTO_* module constants are the single source the oracle SQL
+    f-strings (r14 ADVICE item 4: a silent default drift must surface as
+    a reviewable diff / red test, not a runtime self-check assertion) —
+    so the sizing helpers' own signature defaults, kept as literals to
+    leave the certified helper source untouched, are pinned EQUAL here."""
+    import inspect
+
+    from dumpr_spark.streaming import sink as S
+
+    kb = inspect.signature(S.suggest_key_bucket).parameters
+    hb = inspect.signature(S.suggest_hash_bucket_count).parameters
+    da = inspect.signature(S.derive_auto_policy).parameters
+    assert kb["target_rows_per_bucket"].default == S.AUTO_TARGET_ROWS_PER_BUCKET
+    assert hb["target_rows_per_bucket"].default == S.AUTO_TARGET_ROWS_PER_BUCKET
+    assert hb["max_buckets"].default == S.AUTO_MAX_BUCKETS
+    assert hb["target_rewrite_share"].default == S.AUTO_TARGET_REWRITE_SHARE
+    assert da["target_rows_per_bucket"].default == S.AUTO_TARGET_ROWS_PER_BUCKET
+    assert da["max_buckets"].default == S.AUTO_MAX_BUCKETS
+    assert da["target_rewrite_share"].default == S.AUTO_TARGET_REWRITE_SHARE
+    # the growth threshold default derives from the same target
+    init = inspect.signature(S.MergeSink.__init__).parameters
+    assert (init["growth_warn_rows_per_bucket"].default
+            == S.GROWTH_WARN_FACTOR * S.AUTO_TARGET_ROWS_PER_BUCKET)
+
+
+def test_bucket_growth_warning_fires_once_past_threshold(spark, tmp_path):
+    """The seed-pinned layout's growth signal (r14 verdict item 2): a
+    bucketed sink whose slice outgrows `growth_warn_rows_per_bucket`
+    warns ONCE, naming the migration path; below the threshold it stays
+    silent."""
+    import warnings
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    # width 1000 over ids < 1000: every row lands in bucket 0
+    sink = MergeSink(spark, str(tmp_path / "growth"),
+                     key_bucket=KeyBucket(width=1000, origin=0),
+                     growth_warn_rows_per_bucket=50)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sink(batch([up(i, i) for i in range(30)]), 0)  # 30 rows: below
+        assert [x for x in w if "growth threshold" in str(x.message)] == []
+        sink(batch([up(i, i) for i in range(30, 80)]), 1)  # 80 rows: past
+        hits = [x for x in w if "growth threshold" in str(x.message)]
+        assert len(hits) == 1
+        assert "suggest_migration" in str(hits[0].message)
+        assert "migrate_key_bucket" in str(hits[0].message)
+        sink(batch([up(99, 999)]), 2)  # still outgrown: warns only once
+        assert len([x for x in w if "growth threshold" in str(x.message)]) == 1
+
+    # disabled signal stays silent at any size
+    off = MergeSink(spark, str(tmp_path / "growth_off"),
+                    key_bucket=KeyBucket(width=1000, origin=0),
+                    growth_warn_rows_per_bucket=None)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        off(batch([up(i, i) for i in range(80)]), 0)
+        assert [x for x in w if "growth threshold" in str(x.message)] == []
+
+
+def test_suggest_migration_rederives_when_outgrown(spark, tmp_path):
+    """suggest_migration (r14 verdict item 2): None while every LIVE
+    slice fits growth_factor x target; past it, the policy a fresh auto
+    seed would derive from today's live state — tombstones excluded
+    (they are compact()-able, not growth). Plain sinks are refused."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+    dele = lambda i, seq: ("delete", "orders", str(i), None, None, "f1", seq, seq)  # noqa: E731
+
+    sink = MergeSink(spark, str(tmp_path / "outgrown"),
+                     key_bucket=KeyBucket(width=10_000, origin=0),
+                     growth_warn_rows_per_bucket=None)
+    sink(batch([up(i, i) for i in range(100)]), 0)  # all in bucket 0
+
+    # 100 live rows vs threshold 4 x 30 = 120: still fits
+    assert sink.suggest_migration(target_rows_per_bucket=30) is None
+    # vs threshold 4 x 20 = 80: outgrown -> re-derived policy = what a
+    # fresh auto seed would pin on the live ids (100 keys, span 100:
+    # n_buckets = min(max(ceil(100/20), ceil(100/0.125)), 4096) = 800,
+    # width = ceil(100/800) -> 1)
+    pol = sink.suggest_migration(target_rows_per_bucket=20)
+    assert pol == KeyBucket(width=1, origin=0)
+
+    # tombstones are not growth: delete 30 keys -> 70 live <= 80
+    sink(batch([dele(i, 1000 + i) for i in range(30)]), 1)
+    assert sink.suggest_migration(target_rows_per_bucket=20) is None
+
+    plain = MergeSink(spark, str(tmp_path / "outgrown_plain"))
+    plain(batch([up(1, 1)]), 0)
+    with pytest.raises(ValueError, match="no resolved bucket policy"):
+        plain.suggest_migration()
+
+
+def test_compactor_preserves_policy_marker_through_swap(spark, tmp_path):
+    """r14 ADVICE item 2 (the compaction crash window): the generic
+    compactor itself now carries root-level underscore marker files into
+    its rewrite BEFORE the swap, so there is no instant at which bucketed
+    state exists without its _kb_policy.json — a crash between the swap
+    and MergeSink.compact_files' re-stamp can no longer strand an auto
+    restart."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.operators.scale import compact_small_files
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    state = str(tmp_path / "marker")
+    sink = MergeSink(spark, state, key_bucket=KeyBucket(width=10, origin=0))
+    sink(batch([up(i, i) for i in range(25)]), 0)
+    marker = os.path.join(state, "_kb_policy.json")
+    assert os.path.exists(marker)
+
+    # the compactor DIRECTLY (no sink-side re-stamp): marker survives
+    compact_small_files(spark, state, schema=sink._ext_schema())
+    assert os.path.exists(marker)
+    # and an auto restart over the freshly compacted state adopts it
+    auto = MergeSink(spark, state, key_bucket="auto")
+    auto(batch([up(3, 99)]), 1)
+    assert auto.key_bucket == KeyBucket(width=10, origin=0)
+
+
 def test_stream_restart_into_auto_adopts_seeded_policy(spark, tmp_path):
     """The r13 verdict item 3 "Done" clause at STREAM level (the sink-level
     twins above restart the sink object; this restarts the QUERY from its
@@ -3929,7 +4104,7 @@ def test_stream_restart_into_auto_adopts_seeded_policy(spark, tmp_path):
     fold stays correct across the restart."""
     from dumpr_spark.streaming.ingest import stream_changes
     from dumpr_spark.streaming.sink import (
-        KeyBucket, MergeSink, start_merge_stream, suggest_key_bucket,
+        KeyBucket, MergeSink, derive_auto_policy, start_merge_stream,
     )
 
     feed = str(tmp_path / "a_feed")
@@ -3944,9 +4119,9 @@ def test_stream_restart_into_auto_adopts_seeded_policy(spark, tmp_path):
                            state, ckpt, key_bucket="auto")
     q.awaitTermination(120)
 
-    # the stamped policy equals the helper's derivation on the seed ids
+    # the stamped policy equals the shipped rule's derivation on the seed ids
     seed_ids = spark.createDataFrame([(str(i),) for i in range(1, 13)], "id string")
-    expect = suggest_key_bucket(seed_ids)
+    expect = derive_auto_policy(seed_ids)
     with open(os.path.join(state, "_kb_policy.json")) as f:
         assert json.load(f) == expect.kb_identity()
 
@@ -3990,7 +4165,7 @@ def test_auto_layout_ignores_error_rows_in_seed_batch(spark, tmp_path):
     from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
     from dumpr_spark.streaming.history import HistorySink
     from dumpr_spark.streaming.sink import (
-        KeyBucket, MergeSink, suggest_key_bucket,
+        KeyBucket, MergeSink, derive_auto_policy,
     )
 
     def batch(rows):
@@ -4001,7 +4176,7 @@ def test_auto_layout_ignores_error_rows_in_seed_batch(spark, tmp_path):
 
     seed = [up("orders", i, i) for i in range(1, 20)] + [err]
     data_ids = spark.createDataFrame([(str(i),) for i in range(1, 20)], "id string")
-    expect = suggest_key_bucket(data_ids)
+    expect = derive_auto_policy(data_ids)
 
     for cls, name in ((MergeSink, "m"), (HistorySink, "h")):
         sink = cls(spark, str(tmp_path / f"auto_err_{name}"), key_bucket="auto")

@@ -38,7 +38,9 @@ from pyspark.sql.types import LongType, StructField, StructType
 from dumpr_spark.cdc.envelope import (
     ENVELOPE_COLS, ENVELOPE_SCHEMA, OP_ERROR, OP_UPSERT,
 )
-from dumpr_spark.streaming.sink import MergeSink
+from dumpr_spark.streaming.sink import (
+    AUTO_TARGET_ROWS_PER_BUCKET, GROWTH_WARN_FACTOR, MergeSink,
+)
 
 HISTORY_SCHEMA = StructType(
     list(ENVELOPE_SCHEMA.fields) + [StructField("valid_to", LongType(), nullable=True)]
@@ -195,6 +197,8 @@ def start_history_stream(
     output_mode: str = "update",
     key_bucket=None,
     compact_every_n_batches: int | None = None,
+    growth_warn_rows_per_bucket: int | None =
+    GROWTH_WARN_FACTOR * AUTO_TARGET_ROWS_PER_BUCKET,
 ):
     """Start the SCD2-materializing stream (R18/R19 lifecycle, temporal).
     output_mode: same contract as start_merge_stream — foreachBatch itself
@@ -204,10 +208,15 @@ def start_history_stream(
     or "auto" to derive one from the first non-empty batch via the
     certified sizing helpers; see MergeSink.
     compact_every_n_batches: optional small-files auto-cadence — see
-    MergeSink._maybe_compact_files."""
+    MergeSink._maybe_compact_files.
+    growth_warn_rows_per_bucket: the seed-pinned layout's growth-signal
+    threshold (None disables) — see MergeSink._check_bucket_growth (a
+    history slice's footer count includes closed versions, which is the
+    honest unit: the rewrite term pays every persisted row)."""
     sink = HistorySink(changes.sparkSession, history_path,
                        errors_path=errors_path, key_bucket=key_bucket,
-                       compact_every_n_batches=compact_every_n_batches)
+                       compact_every_n_batches=compact_every_n_batches,
+                       growth_warn_rows_per_bucket=growth_warn_rows_per_bucket)
     writer = (
         changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)

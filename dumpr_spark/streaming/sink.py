@@ -1261,6 +1261,8 @@ def start_merge_stream(
     output_mode: str = "update",
     key_bucket=None,
     compact_every_n_batches: int | None = None,
+    growth_warn_rows_per_bucket: int | None =
+    GROWTH_WARN_FACTOR * AUTO_TARGET_ROWS_PER_BUCKET,
 ):
     """Start the materializing stream (R18/R19: sink + lifecycle).
 
@@ -1272,10 +1274,13 @@ def start_merge_stream(
     object, or "auto" to derive one from the first non-empty batch via
     the certified sizing helpers; see MergeSink.
     compact_every_n_batches: optional small-files auto-cadence — see
-    MergeSink._maybe_compact_files."""
+    MergeSink._maybe_compact_files.
+    growth_warn_rows_per_bucket: the seed-pinned layout's growth-signal
+    threshold (None disables) — see MergeSink._check_bucket_growth."""
     sink = MergeSink(changes.sparkSession, state_path, errors_path=errors_path,
                      key_bucket=key_bucket,
-                     compact_every_n_batches=compact_every_n_batches)
+                     compact_every_n_batches=compact_every_n_batches,
+                     growth_warn_rows_per_bucket=growth_warn_rows_per_bucket)
     writer = (
         changes.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)

@@ -3978,10 +3978,16 @@ def test_auto_dial_constants_pin_helper_defaults():
     assert da["target_rows_per_bucket"].default == S.AUTO_TARGET_ROWS_PER_BUCKET
     assert da["max_buckets"].default == S.AUTO_MAX_BUCKETS
     assert da["target_rewrite_share"].default == S.AUTO_TARGET_REWRITE_SHARE
-    # the growth threshold default derives from the same target
-    init = inspect.signature(S.MergeSink.__init__).parameters
-    assert (init["growth_warn_rows_per_bucket"].default
-            == S.GROWTH_WARN_FACTOR * S.AUTO_TARGET_ROWS_PER_BUCKET)
+    # the growth threshold default derives from the same target, on the
+    # sink AND on both stream starters (API parity with the compaction
+    # cadence dial)
+    from dumpr_spark.streaming.history import start_history_stream
+
+    want = S.GROWTH_WARN_FACTOR * S.AUTO_TARGET_ROWS_PER_BUCKET
+    for fn in (S.MergeSink.__init__, S.start_merge_stream,
+               start_history_stream):
+        p = inspect.signature(fn).parameters
+        assert p["growth_warn_rows_per_bucket"].default == want, fn
 
 
 def test_bucket_growth_warning_fires_once_past_threshold(spark, tmp_path):

@@ -437,6 +437,20 @@ _R13_VERIFIED = {
 _R13_VERIFIED -= {
     "sim_ann_recall_curve", "sim_ivfpq_recall", "sim_ivfpq_topk",
 }
+# Removed from _R13_VERIFIED (r15 — a LIVE flake, the class's THIRD
+# catch): agg_pareto_abc failed 1 of 2 re-verify sweeps (green on
+# re-run; 0/12 in a dedicated repro session). Mechanism found by exact
+# audit, different site than r7 (unrounded addends) and r13 (order-free
+# partition total): the OUTPUT aggregate summed 4dp-QUANTIZED class
+# revenues in float — the exact sum lands on a .xx50 half-cent boundary
+# with prob ~1/100 per group (NATION_13/B = 11572169.1050 exactly at
+# sf0.01) and at ~1e7-1e8 magnitudes one ulp exceeds the 1e-9 nudge, so
+# the fold's arrival order decided the 2dp rounding. class_revenue now
+# folds in exact DECIMAL(38,4) before the coarser round on both engines;
+# a registry-wide lint pins the shape out
+# (tests/test_orderfree_fold_lint.py::test_no_requantized_float_group_sums_in_registry).
+# Fresh driver row required.
+_R13_VERIFIED -= {"agg_pareto_abc"}
 
 # Names the driver hash-verified in round 14 (CORRECTNESS_r14.json: 50 of
 # 50 checked, all hash_match): the 1 _R14_NEW registration
@@ -483,9 +497,11 @@ _R14_VERIFIED -= {"cdc_auto_layout_policy"}
 # verdict item 2: a live bucket past GROWTH_WARN_FACTOR x target is
 # outgrown, and the remedy is the auto rule re-run on today's live ids).
 # Budget check (r14 verdict cap: evictions + new <= 7, enforced by
-# tests/test_docs_consistency.py): the walk order puts the 1 never-green
-# eviction + this 1 registration first, then the 43 remaining r9-tier
-# names, so the r9 tier empties this round with 5 spare slots (<= 50).
+# tests/test_docs_consistency.py): the walk order puts the 2 never-green
+# evictions (cdc_auto_layout_policy — the r15 range-leg rule change;
+# agg_pareto_abc — the r15 live-flake fix) + this 1 registration first,
+# then the 43 remaining r9-tier names, so the r9 tier empties this round
+# with 4 spare slots (<= 50).
 _R15_NEW: set = {"cdc_bucket_growth_policy"}
 
 # The union is computed ONCE, after every tier literal (and eviction edit)

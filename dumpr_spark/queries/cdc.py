@@ -1353,7 +1353,7 @@ def cdc_auto_layout_policy(spark, sf_dir):
              span AS width, lo AS origin
       FROM dom
       UNION ALL
-      SELECT 'fits', CAST(5000 AS BIGINT), (span + 7) // 8, lo FROM dom
+      SELECT 'fits', n, (span + 7) // 8, lo FROM dom
     ),
     per AS (
       SELECT p.scenario, p.target, (i.id - p.origin) // p.width AS b,
@@ -1405,9 +1405,19 @@ def cdc_bucket_growth_policy(spark, sf_dir):
     'outgrown' pins the whole span as ONE bucket against a target of 100
     rows/bucket — every id lands in bucket 0, max rows/bucket = n >> 4 x
     100, so migrate fires and the re-derived (n_buckets, width, origin)
-    is emitted; 'fits' pins an 8-bucket layout against a 5000 target —
-    max rows/bucket stays under 20,000 at every shipped scale, so the
-    verdict is keep (NULL policy columns). The factor / share / cap
+    is emitted; 'fits' pins an 8-bucket layout (the multi-bucket census
+    stays live) against target = the observed row count n — a threshold
+    generous BY CONSTRUCTION (max rows/bucket <= n <= 4n) at any scale
+    AND any key density, so the verdict is keep (NULL policy columns).
+    The density caveat is the point of that construction: a fixed
+    rows-target threshold is only scale-portable on roughly uniform key
+    domains — the 10x key-shifted .sf1_local copies (ten 600k-wide key
+    islands in a 2.08B span) concentrate ~2 islands into one of 8
+    equal-width buckets, flipping a naive fixed-5000 'fits' scenario to
+    migrate at sf1 even though it held at every driver scale (caught by
+    this builder's own self-check during the r15 sf1 exercise, SCALE.md
+    r15; equal-width range bucketing concentrates rows wherever keys
+    cluster, which is exactly when the growth signal SHOULD fire). The factor / share / cap
     literals are f-strung from the sink module's constants (the r14
     advice-4 discipline). The builder ALSO runs derive_auto_policy on
     the live ids at the outgrown target and RAISES on any disagreement
@@ -1438,7 +1448,7 @@ def cdc_bucket_growth_policy(spark, sf_dir):
         F.col("span").alias("width"), F.col("lo").alias("origin"),
     ).unionByName(dom.select(
         F.lit("fits").alias("scenario"),
-        F.lit(5000).cast("long").alias("target"),
+        F.col("n").alias("target"),
         F.expr("(span + 7) div 8").alias("width"),
         F.col("lo").alias("origin"),
     ))

@@ -2761,8 +2761,18 @@ def agg_entropy_gini(spark, sf_dir):
              revenue
       FROM ranked
     )
+    -- class_revenue folds EXACTLY: the addends are 4dp-QUANTIZED, so the
+    -- exact class sum lands on a .xx50 half-cent boundary with prob
+    -- ~1/100 per group (one group at sf0.01 sits EXACTLY on one:
+    -- NATION_13/B = 11572169.1050), and at ~1e7-1e8 magnitudes one
+    -- double ulp (1.9e-9..1.5e-8) exceeds the 1e-9 nudge — a float
+    -- SUM's fold-order wobble then rounds .10 or .11 run-to-run (the
+    -- r15 flake catch, third live instance of the class). DECIMAL(38,4)
+    -- addition is exact in any fold order; ROUND half-up on the exact
+    -- decimal is deterministic and engine-identical.
     SELECT n_name, cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(SUM(revenue) + 1e-9, 2) AS class_revenue
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS class_revenue
     FROM classed GROUP BY n_name, cls ORDER BY n_name, cls
     """,
     tags=("agg", "window"),
@@ -2834,7 +2844,18 @@ def agg_pareto_abc(spark, sf_dir):
         classed.groupBy("n_name", "cls")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            eps_round(F.sum("revenue"), 2).alias("class_revenue"),
+            # EXACT decimal fold (r15 — the class's third live catch):
+            # the 4dp-quantized addends put exact class sums on a .xx50
+            # half-cent boundary with prob ~1/100 per group, and at
+            # ~1e7-1e8 sums one double ulp exceeds the eps_round nudge,
+            # so a float SUM's arrival-order wobble flipped the 2dp
+            # rounding run-to-run (NATION_13/B's exact sum is
+            # 11572169.1050 at sf0.01 — caught by a 1-in-2-sweeps hash
+            # mismatch, confirmed by the boundary audit in SCALE.md r15).
+            # decimal(38,4) addition is fold-order-exact; the half-up
+            # round on the exact decimal matches DuckDB's bit-for-bit.
+            F.round(F.sum(F.col("revenue").cast("decimal(38,4)")), 2)
+            .cast("double").alias("class_revenue"),
         )
         .orderBy("n_name", "cls")
     )

@@ -51,11 +51,17 @@ def normalize(pdf):
 
 def register_views(con, sf_dir: str) -> None:
     """Register the testdata parquet tables as DuckDB views, mirroring the
-    driver harness (shared with scripts/flake_hunt.py)."""
+    driver harness (shared with scripts/flake_hunt.py). Spark-written
+    tables (e.g. the .sf1_local 10x copies) are DIRECTORIES of part
+    files — glob those; the driver testdata is single files."""
+    import os
+
     from dumpr_spark.sources.files import TPCH_TABLES
 
     for name in TPCH_TABLES:
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+        p = f"{sf_dir}/{name}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 
 def check_one(spark, con, sf_dir: str, name: str):

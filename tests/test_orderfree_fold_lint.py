@@ -265,3 +265,82 @@ def test_lint_sees_filter_clauses_and_named_windows():
            w2 AS (PARTITION BY n_name ORDER BY price)
     """
     assert order_free_partition_aggs(named) == [("SUM", "revenue")]
+
+
+# ---------------------------------------------------------------------------
+# The boundary-collision sibling of the window-fold class (r15, third live
+# catch of the order-sensitivity family): a GROUP-BY SUM over addends that
+# are themselves ROUND(..., j)-QUANTIZED, re-rounded to a coarser k < j,
+# puts the EXACT sum on a k-digit rounding half-boundary with probability
+# ~10^-(j-k)/2 per group — and once group sums are large enough that one
+# double ulp exceeds the 1e-9 nudge (>= ~5e6), the float fold's arrival-
+# order wobble decides the boundary side run-to-run. agg_pareto_abc's
+# class_revenue hit it at sf0.01 (NATION_13/B exact sum 11572169.1050,
+# caught as a 1-in-2-sweeps hash mismatch, confirmed by exact-decimal
+# audit — SCALE.md r15); the fix is an exact DECIMAL(38,j) fold before
+# the coarser round. This lint pins the shape out of every oracle.
+
+def requantized_group_sums(sql: str) -> list[tuple[str, int, int]]:
+    """(col, j, k) for every ROUND(SUM(col), k) over a col defined as
+    ROUND(... + 1e-9, j) with j > k — the exact-boundary-collision shape.
+    A SUM over CAST(col AS DECIMAL(38,j)) does not match: that is the
+    sanctioned exact-fold fix. Paren-matching scanner (the addend
+    definitions nest arbitrarily: ROUND(SUM(x * (1 - d)) + 1e-9, 4))."""
+    s = _strip_sql_comments(sql)
+    defs: dict[str, int] = {}
+    for m in re.finditer(r"\bROUND\s*\(", s, re.I):
+        j = _match_parens(s, m.end() - 1)
+        inner = s[m.end():j]
+        mq = re.search(r"\+\s*1e-9\s*,\s*(\d)\s*$", inner)
+        ma = re.match(r"\s*AS\s+(\w+)", s[j + 1:], re.I)
+        if mq and ma:
+            defs[ma.group(1)] = int(mq.group(1))
+    return [
+        (col, defs[col], int(k))
+        for col, k in re.findall(
+            r"ROUND\(SUM\((\w+)\)\s*(?:\+\s*1e-9)?\s*,\s*(\d)\)", s, re.I)
+        if col in defs and defs[col] > int(k)
+    ]
+
+
+def test_no_requantized_float_group_sums_in_registry():
+    from dumpr_spark.queries.base import oracle_sql
+
+    flagged = {
+        (name, *hit)
+        for name, sql in oracle_sql().items()
+        for hit in requantized_group_sums(sql)
+    }
+    assert not flagged, (
+        "float SUM over finer-quantized rounded addends, re-rounded "
+        f"coarser (the agg_pareto_abc boundary-collision class): {sorted(flagged)} "
+        "— fold exactly via SUM(CAST(col AS DECIMAL(38, j))) before the "
+        "coarser ROUND (see agg_pareto_abc's class_revenue), or justify "
+        "why the group sums stay small enough (< ~5e6) that the 1e-9 "
+        "nudge dominates a double ulp"
+    )
+
+
+def test_requantize_lint_catches_the_prefix_pareto_output():
+    """Seeded regression: the pre-r15 pareto output aggregate — a float
+    SUM over 4dp-rounded revenue re-rounded to 2dp — must be flagged;
+    the shipped decimal-exact form must NOT."""
+    pre_fix = """
+    WITH rev AS (
+      SELECT n_name, ROUND(SUM(x * (1 - d)) + 1e-9, 4) AS revenue
+      FROM t GROUP BY n_name
+    )
+    SELECT n_name, ROUND(SUM(revenue) + 1e-9, 2) AS class_revenue
+    FROM rev GROUP BY n_name
+    """
+    assert requantized_group_sums(pre_fix) == [("revenue", 4, 2)]
+
+    fixed = pre_fix.replace(
+        "ROUND(SUM(revenue) + 1e-9, 2)",
+        "CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,4))), 2) AS DOUBLE)",
+    )
+    assert requantized_group_sums(fixed) == []
+    # same-precision re-rounding is safe (2dp sums cannot sit on a 2dp
+    # half-boundary) and must not be flagged
+    same = pre_fix.replace(", 4) AS revenue", ", 2) AS revenue")
+    assert requantized_group_sums(same) == []

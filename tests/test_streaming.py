@@ -4193,3 +4193,29 @@ def test_auto_layout_ignores_error_rows_in_seed_batch(spark, tmp_path):
         )
         assert sink.key_bucket == expect
         assert sink.read_state().count() == 19
+
+
+def test_bucket_growth_check_skips_exotic_table_names(spark, tmp_path):
+    """The growth check is advisory and must never break a merge: a table
+    name that is not identity under URL quoting (space -> %20 dirs) is
+    skipped by the footer walk (same guard as _read_touched's fallback),
+    so the batch commits fine and no spurious warning fires even past the
+    threshold."""
+    import warnings
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "a b", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    sink = MergeSink(spark, str(tmp_path / "exotic_growth"),
+                     key_bucket=KeyBucket(width=1000, origin=0),
+                     growth_warn_rows_per_bucket=5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sink(batch([up(i, i) for i in range(20)]), 0)  # 20 rows >> 5
+        assert [x for x in w if "growth threshold" in str(x.message)] == []
+    assert sink.read_state().count() == 20

@@ -387,11 +387,19 @@ def compact_small_files(
     # key_bucket="auto" restart is refused as if the layout were opaque
     # (r14 advice item 2). Hardlink, same immutability argument as the
     # sink's carry-forward; _SUCCESS is the writer's own and stays fresh.
+    # This is a GENERIC operator (not sink-only), so a filesystem that
+    # refuses hardlinks (or a marker living on another device) falls back
+    # to a plain copy — markers are small metadata files, and aborting
+    # the whole compaction pre-swap over a link refusal would be a new
+    # failure mode for non-sink callers (r15 advice item 5).
     for f in os.listdir(path):
         src = os.path.join(path, f)
         if (f.startswith("_") and f != "_SUCCESS" and os.path.isfile(src)
                 and not os.path.exists(os.path.join(tmp, f))):
-            os.link(src, os.path.join(tmp, f))
+            try:
+                os.link(src, os.path.join(tmp, f))
+            except OSError:
+                shutil.copy2(src, os.path.join(tmp, f))
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)

@@ -210,30 +210,13 @@ _R7_VERIFIED -= {"dedup_minhash_lsh"}
 # engines; fresh driver row required.
 _R7_VERIFIED -= {"agg_pareto_abc"}
 
-# Names the driver hash-verified in round 9 (CORRECTNESS_r09.json: 50 of 50
-# checked, all hash_match): all 9 _R9_NEW registrations, the whole 5-name
-# never-green backlog (the trained-PQ ivfpq pair, the prefix-scan-totals
-# KS/Gini re-greens, the minhash_lsh docstring re-green), the 32 remaining
-# r3-vintage rows (r3 tier now EMPTY), and 4 r4-vintage re-certifications.
-_R9_VERIFIED = {
-    "agg_gini_lorenz", "agg_histogram", "agg_ks_test", "agg_mann_whitney",
-    "agg_mode_deterministic", "agg_spearman_corr", "agg_stats_moments",
-    "agg_theil_decomposed", "cdc_tx_filter", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_url_canonical", "events_funnel",
-    "join_bucketed_colocated", "join_lateral_topk", "layout_zorder",
-    "multimodal_ahash_neardup", "multimodal_audio_windows",
-    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "reshape_unpivot", "scalar_bitwise", "scalar_conditional",
-    "scalar_encode_decode", "scalar_json", "scalar_json_struct",
-    "scalar_struct_map", "scalar_try_errors", "sim_ivfpq_recall",
-    "sim_ivfpq_topk", "sim_topk_ivf", "source_csv_scan", "source_jsonl_scan",
-    "source_orc_scan", "stream_dedup_first", "stream_session_window",
-    "stream_sliding_window", "stream_tumbling_window", "text_bigram_logprob",
-    "text_char_entropy", "text_hashed_features", "text_perplexity",
-    "train_mixture_weights", "udf_grouped_agg", "udf_grouped_map_zscore",
-    "udf_pandas_scalar", "udf_python_scalar", "udf_python_udtf",
-    "udf_table_function",
-}
+# _R9_VERIFIED is EMPTY as of round 16: the r15 driver walk re-certified
+# all 43 remaining r9-vintage rows (CORRECTNESS_r15.json, all hash_match);
+# they live in _R15_VERIFIED, completing the rotation goal the r14
+# verdict set. (Historical note: the tier originally held 50 names from
+# the round-9 walk — 9 _R9_NEW registrations, the 5-name never-green
+# backlog, the 32 remaining r3-vintage rows, and 4 r4 re-certs.)
+_R9_VERIFIED: set = set()
 # Removed from _R9_VERIFIED (stale evidence, r10 edits):
 # join_bucketed_colocated — the one-time bucketed layout is factored out of
 # the query hot path (build-once keyed by dataset fingerprint, r9 verdict
@@ -318,6 +301,14 @@ _R10_VERIFIED -= {"join_bucketed_colocated"}
 # decayed to .369 at sf0.1. Output rows change (better neighbors), the
 # oracle derives the same dial in SQL — needs a fresh driver row.
 _R10_VERIFIED -= {"sim_ivfpq_topk"}
+# Moved OUT of _R10_VERIFIED to _R15_VERIFIED (re-certified by the r15
+# driver walk's four spare slots after the 3-name budget + 43-name r9
+# tier): embed_matryoshka, embed_pq_codes, search_hybrid_rrf,
+# text_bm25_topk.
+_R10_VERIFIED -= {
+    "embed_matryoshka", "embed_pq_codes", "search_hybrid_rrf",
+    "text_bm25_topk",
+}
 # Removed from _R10_VERIFIED (stale evidence, r13 edit): sim_ivfpq_recall
 # — the shared index (_ivfpq_index) is now built at the DERIVED cells
 # (= round(sqrt(n)), per the r12 verdict item 3: the r12 cells probe
@@ -491,18 +482,79 @@ _R14_VERIFIED = {
 # required.
 _R14_VERIFIED -= {"cdc_auto_layout_policy"}
 
-# Queries first registered in round 15: cdc_bucket_growth_policy (the
-# seed-pinned layout's growth/migration decision rule behind
-# MergeSink.suggest_migration and the post-commit growth warn, r14
-# verdict item 2: a live bucket past GROWTH_WARN_FACTOR x target is
-# outgrown, and the remedy is the auto rule re-run on today's live ids).
-# Budget check (r14 verdict cap: evictions + new <= 7, enforced by
-# tests/test_docs_consistency.py): the walk order puts the 2 never-green
-# evictions (cdc_auto_layout_policy — the r15 range-leg rule change;
-# agg_pareto_abc — the r15 live-flake fix) + this 1 registration first,
-# then the 43 remaining r9-tier names, so the r9 tier empties this round
-# with 4 spare slots (<= 50).
-_R15_NEW: set = {"cdc_bucket_growth_policy"}
+# Removed from _R13_VERIFIED (stale evidence, r16 edit):
+# cdc_hash_bucket_policy — suggest_hash_bucket_count's anti-blanketing
+# floor moved from float math.ceil(k / share) to exact integer division
+# over the share's binary expansion (_ceil_div_share, r15 ADVICE item 3).
+# The registered builder never passes expected_keys_per_batch, so the
+# changed branch is outside its exercised path and values are identical
+# — but the row self-checks the helper, so the helper IS part of the
+# certified path (the r11 cdc_key_bucket_policy precedent: same class of
+# ceiling-arithmetic change, same eviction call).
+_R13_VERIFIED -= {"cdc_hash_bucket_policy"}
+
+# Names the driver hash-verified in round 15 (CORRECTNESS_r15.json: 50 of
+# 50 checked, all hash_match): the 1 _R15_NEW registration
+# (cdc_bucket_growth_policy), the 2-name never-green backlog
+# (cdc_auto_layout_policy — the r15 range-leg rule change;
+# agg_pareto_abc — the r15 exact-decimal-fold flake fix), all 43
+# remaining r9-vintage rows (r9 tier now EMPTY), and 4 r10-vintage
+# re-certifications (embed_matryoshka, embed_pq_codes, search_hybrid_rrf,
+# text_bm25_topk).
+_R15_VERIFIED = {
+    "agg_gini_lorenz", "agg_histogram", "agg_ks_test", "agg_mann_whitney",
+    "agg_mode_deterministic", "agg_pareto_abc", "agg_stats_moments",
+    "agg_theil_decomposed", "cdc_auto_layout_policy",
+    "cdc_bucket_growth_policy", "dedup_simhash", "dedup_url_canonical",
+    "embed_matryoshka", "embed_pq_codes", "events_funnel",
+    "join_lateral_topk", "layout_zorder", "multimodal_ahash_neardup",
+    "multimodal_audio_windows", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "reshape_unpivot", "scalar_bitwise",
+    "scalar_conditional", "scalar_encode_decode", "scalar_json",
+    "scalar_json_struct", "scalar_struct_map", "scalar_try_errors",
+    "search_hybrid_rrf", "sim_topk_ivf", "source_csv_scan",
+    "source_jsonl_scan", "source_orc_scan", "stream_dedup_first",
+    "stream_session_window", "stream_sliding_window",
+    "stream_tumbling_window", "text_bigram_logprob", "text_bm25_topk",
+    "text_char_entropy", "text_hashed_features", "train_mixture_weights",
+    "udf_grouped_agg", "udf_grouped_map_zscore", "udf_pandas_scalar",
+    "udf_python_scalar", "udf_python_udtf", "udf_table_function",
+}
+# Removed from _R15_VERIFIED (stale evidence, r16 edits):
+# cdc_auto_layout_policy — derive_auto_policy's floor term moved to the
+# same exact integer arithmetic (_ceil_div_share) and its body was
+# factored into _observe_ids + _policy_from_observation so
+# suggest_migration's re-derivation shares the seed rule by construction
+# (values identical at the power-of-two default share, locally re-gated
+# green at all 3 scales, but the self-checked helper's source changed);
+# cdc_bucket_growth_policy — the certified decision rule GAINED the
+# density fallback (r15 verdict item 2): a re-derived RANGE candidate is
+# censused against the same growth threshold and a still-outgrown
+# candidate falls back to HashKeyBucket at the three-term count; the row
+# adds a third 'clustered' scenario + cand_max/new_kind columns and the
+# oracle text changed with it. Locally re-gated green at all 3 scales;
+# fresh driver rows required.
+_R15_VERIFIED -= {"cdc_auto_layout_policy", "cdc_bucket_growth_policy"}
+# Removed from _R15_VERIFIED (stale evidence, r16 edit):
+# multimodal_ahash_neardup — docstring-only: the registered doc now
+# carries the PEDAGOGICAL-TWIN banner the weak-twin policy requires
+# (r15 verdict item 6; the r9 text_perplexity/dedup_minhash_lsh
+# precedent: a docstring is part of the certified identity). Query body
+# untouched, values identical.
+_R15_VERIFIED -= {"multimodal_ahash_neardup"}
+
+# Queries first registered in round 16: none — the round's new surface
+# (the suggest_migration density fallback) is certified through the
+# evicted-and-recertified cdc_bucket_growth_policy row plus the
+# end-to-end streaming tests, not a new registry name.
+# Budget check (r15 verdict cap: evictions + new <= 7, enforced by
+# tests/test_docs_consistency.py): the walk order puts the 4 never-green
+# evictions (cdc_auto_layout_policy, cdc_bucket_growth_policy,
+# cdc_hash_bucket_policy — the r16 exact-ceil / density-fallback edits —
+# and multimodal_ahash_neardup — the weak-twin banner) first, then the
+# 43 remaining r10-tier names, so the r10 tier empties this round with
+# 3 spare slots (<= 50).
+_R16_NEW: set = set()
 
 # The union is computed ONCE, after every tier literal (and eviction edit)
 # is final — a snapshot taken before a later edit would leave a name in
@@ -512,14 +564,14 @@ _DRIVER_VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
     | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
     | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED | _R13_VERIFIED
-    | _R14_VERIFIED
+    | _R14_VERIFIED | _R15_VERIFIED
 )
 
 # Never-green backlog, by construction: every registered name without
-# current-code green driver evidence that is not a round-15 addition. A name
-# accidentally left out of _R15_NEW falls in here and gets checked EARLIER —
+# current-code green driver evidence that is not a round-16 addition. A name
+# accidentally left out of _R16_NEW falls in here and gets checked EARLIER —
 # the failure mode is extra verification, never a skipped query.
-_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R15_NEW
+_NEVER_GREEN = set(REGISTRY) - _DRIVER_VERIFIED - _R16_NEW
 
 # Verified tiers ordered STALEST ROUND FIRST: driver evidence staleness is
 # the only remaining correctness risk — r5-vintage green rows on evolving
@@ -530,13 +582,14 @@ _VERIFIED_STALEST_FIRST = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
     _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED, _R14_VERIFIED,
+    _R15_VERIFIED,
 )
 
 
 def _rank(n: str) -> int:
     if n in _NEVER_GREEN:
         return 0
-    if n in _R15_NEW:
+    if n in _R16_NEW:
         return 1
     for i, tier in enumerate(_VERIFIED_STALEST_FIRST):
         if n in tier:

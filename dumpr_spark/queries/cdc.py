@@ -1339,34 +1339,47 @@ def cdc_auto_layout_policy(spark, sf_dir):
 @query(
     "cdc_bucket_growth_policy",
     f"""
-    WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders),
-    dom AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    WITH uids AS (SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders),
+    cids AS (SELECT (CAST(o_orderkey AS BIGINT) % 10) * 10000000000
+                    + CAST(o_orderkey AS BIGINT) AS id FROM orders),
+    allids AS (
+      SELECT 'uniform' AS dom, id FROM uids
+      UNION ALL
+      SELECT 'clustered', id FROM cids
+    ),
+    doms AS (
+      SELECT dom, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(DISTINCT id) AS BIGINT) AS k,
              CAST(MIN(id) AS BIGINT) AS lo,
              CAST(MAX(id) AS BIGINT) AS hi,
              CAST(MAX(id) - MIN(id) + 1 AS BIGINT) AS span
-      FROM ids
+      FROM allids GROUP BY dom
     ),
     pol AS (
-      SELECT 'outgrown' AS scenario, CAST(100 AS BIGINT) AS target,
+      SELECT 'outgrown' AS scenario, dom, CAST(100 AS BIGINT) AS target,
              span AS width, lo AS origin
-      FROM dom
+      FROM doms WHERE dom = 'uniform'
       UNION ALL
-      SELECT 'fits', n, (span + 7) // 8, lo FROM dom
+      SELECT 'fits', dom, n, (span + 7) // 8, lo
+      FROM doms WHERE dom = 'uniform'
+      UNION ALL
+      SELECT 'clustered', dom, GREATEST(CAST(1 AS BIGINT), n // 400),
+             span, lo
+      FROM doms WHERE dom = 'clustered'
     ),
     per AS (
-      SELECT p.scenario, p.target, (i.id - p.origin) // p.width AS b,
+      SELECT p.scenario, p.target, p.dom,
+             (i.id - p.origin) // p.width AS b,
              CAST(COUNT(*) AS BIGINT) AS rows_in_b
-      FROM ids i CROSS JOIN pol p
-      GROUP BY p.scenario, p.target, (i.id - p.origin) // p.width
+      FROM allids i JOIN pol p ON i.dom = p.dom
+      GROUP BY p.scenario, p.target, p.dom, (i.id - p.origin) // p.width
     ),
     worst AS (
-      SELECT scenario, target, MAX(rows_in_b) AS max_rows_per_bucket
-      FROM per GROUP BY scenario, target
+      SELECT scenario, target, dom, MAX(rows_in_b) AS max_rows_per_bucket
+      FROM per GROUP BY scenario, target, dom
     ),
     dec AS (
-      SELECT w.scenario, w.target, w.max_rows_per_bucket,
+      SELECT w.scenario, w.target, w.dom, w.max_rows_per_bucket,
              CAST({_GROW} AS BIGINT) * w.target AS threshold,
              w.max_rows_per_bucket > CAST({_GROW} AS BIGINT) * w.target
                AS migrate,
@@ -1375,94 +1388,147 @@ def cdc_auto_layout_policy(spark, sf_dir):
                                      (d.n + w.target - 1) // w.target),
                             CAST(CEIL(d.k / {_SHARE}) AS BIGINT)),
                    CAST({_CAP} AS BIGINT)) AS nb
-      FROM worst w CROSS JOIN dom d
+      FROM worst w JOIN doms d ON w.dom = d.dom
+    ),
+    cand AS (
+      SELECT *, GREATEST(CAST(1 AS BIGINT), (span + nb - 1) // nb) AS cwidth
+      FROM dec
+    ),
+    cper AS (
+      SELECT c.scenario, (i.id - c.lo) // c.cwidth AS b,
+             CAST(COUNT(*) AS BIGINT) AS rows_in_b
+      FROM allids i JOIN cand c ON i.dom = c.dom
+      GROUP BY c.scenario, (i.id - c.lo) // c.cwidth
+    ),
+    cworst AS (
+      SELECT scenario, MAX(rows_in_b) AS cand_max FROM cper GROUP BY scenario
+    ),
+    fin AS (
+      SELECT c.*, cw.cand_max
+      FROM cand c JOIN cworst cw ON c.scenario = cw.scenario
     )
     SELECT scenario, target, max_rows_per_bucket, threshold, migrate,
+           CASE WHEN migrate THEN cand_max END AS cand_max_rows_per_bucket,
+           CASE WHEN migrate THEN
+             CASE WHEN cand_max > threshold THEN 'hash' ELSE 'range' END
+           END AS new_kind,
            CASE WHEN migrate THEN nb END AS new_n_buckets,
-           CASE WHEN migrate
-                THEN GREATEST(CAST(1 AS BIGINT), (span + nb - 1) // nb)
+           CASE WHEN migrate AND cand_max <= threshold THEN cwidth
            END AS new_width,
-           CASE WHEN migrate THEN lo END AS new_origin
-    FROM dec
+           CASE WHEN migrate AND cand_max <= threshold THEN lo
+           END AS new_origin
+    FROM fin
     """,
     tags=("cdc", "streaming", "policy"),
 )
 def cdc_bucket_growth_policy(spark, sf_dir):
     """The seed-pinned layout's growth/migration decision rule
-    (streaming/sink.MergeSink.suggest_migration, r14 verdict item 2),
-    certified value-level like the other three policy rows: the auto
-    layout is pinned at seed by design — never re-derived as state grows
-    — so the sink needs a principled answer to "has the state OUTGROWN
-    its policy, and what policy would auto derive today?". The rule: a
-    layout is outgrown when any live bucket holds more than
-    GROWTH_WARN_FACTOR x target_rows_per_bucket rows; the remedy is the
-    SAME three-term derivation a fresh auto seed would run on today's
-    live ids (cdc_auto_layout_policy's arithmetic), handed to
-    migrate_key_bucket.
+    (streaming/sink.MergeSink.suggest_migration, r14 verdict item 2; the
+    r15 verdict item 2 density fallback), certified value-level like the
+    other three policy rows: the auto layout is pinned at seed by design
+    — never re-derived as state grows — so the sink needs a principled
+    answer to "has the state OUTGROWN its policy, and what policy would
+    auto derive today?". The rule: a layout is outgrown when any live
+    bucket holds more than GROWTH_WARN_FACTOR x target_rows_per_bucket
+    rows; the remedy is the SAME three-term derivation a fresh auto seed
+    would run on today's live ids (cdc_auto_layout_policy's arithmetic)
+    — EXCEPT that a re-derived RANGE candidate is first censused against
+    the same threshold (equal-width range bucketing concentrates rows
+    wherever keys cluster, so on a clustered numeric domain the candidate
+    is outgrown the moment it is adopted — the exact condition that
+    triggered the call), and a still-outgrown candidate falls back to
+    HashKeyBucket at the same three-term count (md5 spread is
+    density-independent). Handed to migrate_key_bucket.
 
-    Two scenarios over the `orders` key population, each bucketing the
-    live ids under a pinned range policy derived in-query (scale-robust):
-    'outgrown' pins the whole span as ONE bucket against a target of 100
-    rows/bucket — every id lands in bucket 0, max rows/bucket = n >> 4 x
-    100, so migrate fires and the re-derived (n_buckets, width, origin)
-    is emitted; 'fits' pins an 8-bucket layout (the multi-bucket census
-    stays live) against target = the observed row count n — a threshold
+    Three scenarios, each bucketing live ids under a pinned range policy
+    derived in-query (scale-robust): 'outgrown' pins the whole UNIFORM
+    `orders` key span as ONE bucket against a target of 100 rows/bucket
+    — max rows/bucket = n >> 4 x 100, migrate fires, the range candidate
+    (cap-bound count over a dense domain: <= ~40 rows/bucket at sf0.1)
+    passes the density census, and the re-derived (range, n_buckets,
+    width, origin) is emitted; 'fits' pins an 8-bucket layout (the
+    multi-bucket census stays live) against target = n — a threshold
     generous BY CONSTRUCTION (max rows/bucket <= n <= 4n) at any scale
-    AND any key density, so the verdict is keep (NULL policy columns).
-    The density caveat is the point of that construction: a fixed
-    rows-target threshold is only scale-portable on roughly uniform key
-    domains — the 10x key-shifted .sf1_local copies (ten 600k-wide key
-    islands in a 2.08B span) concentrate ~2 islands into one of 8
-    equal-width buckets, flipping a naive fixed-5000 'fits' scenario to
-    migrate at sf1 even though it held at every driver scale (caught by
-    this builder's own self-check during the r15 sf1 exercise, SCALE.md
-    r15; equal-width range bucketing concentrates rows wherever keys
-    cluster, which is exactly when the growth signal SHOULD fire). The factor / share / cap
-    literals are f-strung from the sink module's constants (the r14
+    AND any key density, so the verdict is keep (all policy columns
+    NULL, including the candidate census: fallback never overrides
+    keep); 'clustered' maps the same keys onto ten 1e10-spaced islands
+    (id = (key % 10) * 1e10 + key — each island's extent ~n << the
+    candidate width ~2.2e7, so a whole island lands in one candidate
+    bucket) against target = n/400 — migrate fires AND the candidate
+    census still exceeds the threshold (~n/10 > 4n/400), so new_kind is
+    'hash' with the three-term count and NULL width/origin. This is the
+    sf1-local lesson of r15 (key-shifted islands concentrating under
+    equal-width buckets) made a certified scenario. The factor / share /
+    cap literals are f-strung from the sink module's constants (the r14
     advice-4 discipline). The builder ALSO runs derive_auto_policy on
-    the live ids at the outgrown target and RAISES on any disagreement
-    with the emitted policy, and asserts the two verdicts, so the
-    driver's gate certifies the shipped decision path end to end.
+    both migrate scenarios' live ids and RAISES on any disagreement with
+    the emitted candidate arithmetic (and, for 'clustered', on the
+    fallback count vs the shipped _three_term_count), so the driver's
+    gate certifies the shipped decision path — census, candidate,
+    fallback — end to end; suggest_migration's own end-to-end behavior
+    on a clustered domain is pinned by
+    tests/test_streaming.py::test_suggest_migration_density_fallback_on_clustered_domain.
 
-    Scale shape: the per-bucket census is one hash aggregate keyed by
-    (scenario, bucket) — the bucket id from exact integer arithmetic,
-    never a window; the 2-row policy frame rides a broadcast (the 1-row
+    Scale shape: both censuses are hash aggregates keyed by (scenario,
+    bucket) — the bucket id from exact integer arithmetic, never a
+    window; the 3-row policy frame rides a broadcast (the 1-row
     scalar-broadcast class, plan-lint allowlisted); everything after the
-    census is metadata-sized. The sink's own suggest_migration pays the
-    same single full-state aggregate, as a maintenance call, never
-    per-batch."""
-    from dumpr_spark.streaming.sink import KeyBucket, derive_auto_policy
+    censuses is metadata-sized. The sink's own suggest_migration pays
+    the same shape — per-slice census, then (only when outgrown) one
+    observation aggregate and one candidate census — as a maintenance
+    call, never per-batch."""
+    from dumpr_spark.streaming.sink import (
+        KeyBucket, _three_term_count, derive_auto_policy,
+    )
 
-    ids = t(spark, sf_dir, "orders").select(
+    uids = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("id")
     )
-    dom = ids.agg(
+    cids = t(spark, sf_dir, "orders").select(
+        F.expr("(cast(o_orderkey as bigint) % 10) * 10000000000 "
+               "+ cast(o_orderkey as bigint)").alias("id")
+    )
+    allids = (
+        uids.select(F.lit("uniform").alias("dom"), "id")
+        .unionByName(cids.select(F.lit("clustered").alias("dom"), "id"))
+    )
+    doms = allids.groupBy("dom").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count_distinct(F.col("id")).cast("long").alias("k"),
         F.min("id").cast("long").alias("lo"),
         F.max("id").cast("long").alias("hi"),
     ).withColumn("span", F.expr("hi - lo + 1"))
-    pol = dom.select(
-        F.lit("outgrown").alias("scenario"),
-        F.lit(100).cast("long").alias("target"),
-        F.col("span").alias("width"), F.col("lo").alias("origin"),
-    ).unionByName(dom.select(
-        F.lit("fits").alias("scenario"),
-        F.col("n").alias("target"),
-        F.expr("(span + 7) div 8").alias("width"),
-        F.col("lo").alias("origin"),
-    ))
+    uni = doms.where(F.col("dom") == "uniform")
+    clu = doms.where(F.col("dom") == "clustered")
+    pol = (
+        uni.select(
+            F.lit("outgrown").alias("scenario"), "dom",
+            F.lit(100).cast("long").alias("target"),
+            F.col("span").alias("width"), F.col("lo").alias("origin"),
+        )
+        .unionByName(uni.select(
+            F.lit("fits").alias("scenario"), "dom",
+            F.col("n").alias("target"),
+            F.expr("(span + 7) div 8").alias("width"),
+            F.col("lo").alias("origin"),
+        ))
+        .unionByName(clu.select(
+            F.lit("clustered").alias("scenario"), "dom",
+            F.expr("greatest(cast(1 as bigint), n div 400)").alias("target"),
+            F.col("span").alias("width"), F.col("lo").alias("origin"),
+        ))
+    )
     per = (
-        ids.crossJoin(F.broadcast(pol))
-        .groupBy("scenario", "target",
+        allids.join(F.broadcast(pol), "dom")
+        .groupBy("scenario", "target", "dom",
                  F.expr("(id - origin) div width").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("rows_in_b"))
     )
-    worst = per.groupBy("scenario", "target").agg(
+    worst = per.groupBy("scenario", "target", "dom").agg(
         F.max("rows_in_b").alias("max_rows_per_bucket")
     )
     dec = (
-        worst.crossJoin(F.broadcast(dom))
+        worst.join(F.broadcast(doms), "dom")
         .withColumn("threshold", F.expr(f"cast({_GROW} as bigint) * target"))
         .withColumn("migrate", F.expr("max_rows_per_bucket > threshold"))
         .withColumn(
@@ -1472,31 +1538,71 @@ def cdc_bucket_growth_policy(spark, sf_dir):
                    f"cast(ceil(k / {_SHARE}) as bigint)), "
                    f"cast({_CAP} as bigint))"),
         )
+        .withColumn(
+            "cwidth",
+            F.expr("greatest(cast(1 as bigint), (span + nb - 1) div nb)"),
+        )
     )
-    out = dec.select(
+    cworst = (
+        allids.join(
+            F.broadcast(dec.select("scenario", "dom", "lo", "cwidth")), "dom")
+        .groupBy("scenario", F.expr("(id - lo) div cwidth").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_in_b"))
+        .groupBy("scenario").agg(F.max("rows_in_b").alias("cand_max"))
+    )
+    fin = dec.join(F.broadcast(cworst), "scenario")
+    out = fin.select(
         "scenario", "target", "max_rows_per_bucket", "threshold", "migrate",
-        F.when(F.col("migrate"), F.col("nb")).alias("new_n_buckets"),
+        F.when(F.col("migrate"), F.col("cand_max"))
+        .alias("cand_max_rows_per_bucket"),
         F.when(
             F.col("migrate"),
-            F.expr("greatest(cast(1 as bigint), (span + nb - 1) div nb)"),
-        ).alias("new_width"),
-        F.when(F.col("migrate"), F.col("lo")).alias("new_origin"),
+            F.when(F.col("cand_max") > F.col("threshold"), F.lit("hash"))
+            .otherwise(F.lit("range")),
+        ).alias("new_kind"),
+        F.when(F.col("migrate"), F.col("nb")).alias("new_n_buckets"),
+        F.when(F.col("migrate") & (F.col("cand_max") <= F.col("threshold")),
+               F.col("cwidth")).alias("new_width"),
+        F.when(F.col("migrate") & (F.col("cand_max") <= F.col("threshold")),
+               F.col("lo")).alias("new_origin"),
     )
     # self-check: verdicts are the committed ones at every shipped scale,
-    # and the emitted remedy IS what the shipped seed rule derives from
-    # the same live ids
+    # and the emitted candidate/fallback arithmetic IS what the shipped
+    # rule derives from the same live ids
     rows = {r["scenario"]: r for r in out.collect()}
-    if not rows["outgrown"]["migrate"] or rows["fits"]["migrate"]:
+    if (not rows["outgrown"]["migrate"] or rows["fits"]["migrate"]
+            or not rows["clustered"]["migrate"]):
         raise AssertionError(
             f"growth verdicts drifted: {rows['outgrown']['migrate']=} "
-            f"{rows['fits']['migrate']=}"
+            f"{rows['fits']['migrate']=} {rows['clustered']['migrate']=}"
         )
-    pol_re = derive_auto_policy(ids, target_rows_per_bucket=100)
+    if (rows["outgrown"]["new_kind"] != "range"
+            or rows["clustered"]["new_kind"] != "hash"):
+        raise AssertionError(
+            f"density fallback verdicts drifted: "
+            f"{rows['outgrown']['new_kind']=} {rows['clustered']['new_kind']=}"
+        )
+    pol_re = derive_auto_policy(uids, target_rows_per_bucket=100)
     twin = KeyBucket(width=rows["outgrown"]["new_width"],
                      origin=rows["outgrown"]["new_origin"])
     if pol_re != twin:
         raise AssertionError(
-            f"derive_auto_policy(live ids) = {pol_re!r} != emitted "
+            f"derive_auto_policy(uniform live ids) = {pol_re!r} != emitted "
             f"remedy {twin!r}"
+        )
+    clu_row = rows["clustered"]
+    cand_re = derive_auto_policy(
+        cids, target_rows_per_bucket=int(clu_row["target"]))
+    clu_dom = clu.collect()[0]
+    count_re = _three_term_count(
+        int(clu_dom["n"]), int(clu_dom["k"]), int(clu_row["target"]),
+        _CAP, _SHARE)
+    cw_re = max(1, (int(clu_dom["span"]) + count_re - 1) // count_re)
+    if (cand_re != KeyBucket(width=cw_re, origin=int(clu_dom["lo"]))
+            or count_re != clu_row["new_n_buckets"]):
+        raise AssertionError(
+            f"clustered fallback arithmetic drifted: candidate {cand_re!r} "
+            f"vs re-derived ({cw_re}, {clu_dom['lo']}), _three_term_count "
+            f"= {count_re} != emitted {clu_row['new_n_buckets']}"
         )
     return out

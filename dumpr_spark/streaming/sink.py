@@ -310,10 +310,51 @@ def suggest_hash_bucket_count(state_df: DataFrame,
         )
     raw = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
     if expected_keys_per_batch:
-        import math
-
-        raw = max(raw, math.ceil(expected_keys_per_batch / target_rewrite_share))
+        raw = max(raw,
+                  _ceil_div_share(expected_keys_per_batch, target_rewrite_share))
     return HashKeyBucket(n_buckets=min(raw, max_buckets))
+
+
+def _ceil_div_share(k: int, share: float) -> int:
+    """Exact ``ceil(k / share)`` over the share's BINARY value: the float's
+    exact Fraction expansion keeps the whole computation integral, so the
+    anti-blanketing floor agrees with an exact-rational implementation for
+    ANY share and any k — a ``math.ceil(k / share)`` through double can
+    disagree by 1 off the power-of-two shares or past 2^53 (r15 advice
+    item 3). At the power-of-two default share the result is identical to
+    the float path and to the certified oracles' ``CEIL(k / share)``
+    (queries/cdc f-strings AUTO_TARGET_REWRITE_SHARE = 0.125, where
+    double CEIL is exact), so oracle parity is preserved by construction."""
+    from fractions import Fraction
+
+    fr = Fraction(share)  # exact binary expansion of the float dial
+    return -((-int(k) * fr.denominator) // fr.numerator)
+
+
+def _three_term_count(n: int, k: int, target_rows_per_bucket: int,
+                      max_buckets: int, target_rewrite_share: float) -> int:
+    """The certified bucket-count rule, shared verbatim by the seed path
+    (`derive_auto_policy`) and the migration re-derivation
+    (`MergeSink.suggest_migration`'s density fallback):
+    ``min(max(ceil(n / target), ceil(k / share)), cap)`` — rows target,
+    distinct-key anti-blanketing floor, metadata cap."""
+    raw = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
+    floored = max(raw, _ceil_div_share(k, target_rewrite_share))
+    return min(floored, max_buckets)
+
+
+def _observe_ids(df: DataFrame):
+    """The ONE metadata-sized observation aggregate the auto dispatch
+    reads (count / bad-count / distinct-keys / min / max over ``id``) —
+    factored out so `suggest_migration` can size its hash fallback from
+    the same scan instead of re-aggregating the live ids."""
+    return df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("id").try_cast("long").isNull(), 1)).alias("bad"),
+        F.count_distinct(F.col("id")).alias("k"),
+        F.min(F.col("id").try_cast("long")).alias("lo"),
+        F.max(F.col("id").try_cast("long")).alias("hi"),
+    ).collect()[0]
 
 
 def derive_auto_policy(batch_df: DataFrame,
@@ -358,8 +399,11 @@ def derive_auto_policy(batch_df: DataFrame,
     All ceilings are the exact arithmetic the certified twins pin —
     integer (a + b - 1) // b for the rows term and the span division
     (same as suggest_key_bucket / suggest_hash_bucket_count, agreeing
-    past 2^53), float math.ceil(k / share) for the floor term (the
-    oracle's CEIL(k / share); exact for the power-of-two default share).
+    past 2^53), and for the floor term exact integer division over the
+    share's binary expansion (`_ceil_div_share`, r15 advice item 3 —
+    identical to the oracle's float CEIL(k / share) at the power-of-two
+    default share, exact where double arithmetic would drift by 1 for
+    custom shares or snowflake-scale k).
 
     ONE metadata-sized observation aggregate over the batch (count /
     bad-count / distinct-keys / min / max — seed-time only, never
@@ -373,8 +417,6 @@ def derive_auto_policy(batch_df: DataFrame,
     The declarative twin certified by the correctness gate is
     queries/cdc.cdc_auto_layout_policy (its oracle f-strings this
     module's AUTO_* dial constants)."""
-    import math
-
     # same loud up-front dial refusals as the sizing helpers (the inline
     # arithmetic below is the helpers' — validated identically)
     if target_rows_per_bucket < 1:
@@ -388,19 +430,21 @@ def derive_auto_policy(batch_df: DataFrame,
             "target_rewrite_share must be in (0, 1], got "
             f"{target_rewrite_share}"
         )
-    row = batch_df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("id").try_cast("long").isNull(), 1)).alias("bad"),
-        F.count_distinct(F.col("id")).alias("k"),
-        F.min(F.col("id").try_cast("long")).alias("lo"),
-        F.max(F.col("id").try_cast("long")).alias("hi"),
-    ).collect()[0]
-    n = int(row["n"])
-    if n == 0:
+    row = _observe_ids(batch_df)
+    if int(row["n"]) == 0:
         return None
-    raw = max(1, (n + target_rows_per_bucket - 1) // target_rows_per_bucket)
-    floored = max(raw, math.ceil(int(row["k"]) / target_rewrite_share))
-    n_buckets = min(floored, max_buckets)
+    return _policy_from_observation(row, target_rows_per_bucket, max_buckets,
+                                    target_rewrite_share)
+
+
+def _policy_from_observation(row, target_rows_per_bucket: int,
+                             max_buckets: int, target_rewrite_share: float):
+    """`derive_auto_policy`'s dispatch + sizing over an already-collected
+    `_observe_ids` row (non-empty) — shared with `suggest_migration` so
+    the re-derivation is the seed rule by construction, not a copy."""
+    n_buckets = _three_term_count(int(row["n"]), int(row["k"]),
+                                  target_rows_per_bucket, max_buckets,
+                                  target_rewrite_share)
     if int(row["bad"]) == 0:
         span = int(row["hi"]) - int(row["lo"]) + 1
         width = max(1, (span + n_buckets - 1) // n_buckets)
@@ -570,12 +614,19 @@ class MergeSink:
         what outgrows the policy, and every persisted row pays it.
         Advisory only — a slice whose table name is not identity under
         URL quoting is skipped (the merge itself handles those via the
-        `_read_touched` fallback)."""
+        `_read_touched` fallback), and so is any file whose footer cannot
+        be read (a zero-byte/torn leftover is not evidence of growth):
+        this runs AFTER `_commit` swapped the batch in, so a raise here
+        would fail an already-committed batch and crash-loop the stream
+        on replay (r15 advice item 1) — the signal must never throw."""
         if self._growth_warned or not self.growth_warn_rows_per_bucket:
             return
         from urllib.parse import quote
 
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return
 
         worst_pair, worst_rows = None, 0
         for tbl, kb in pairs:
@@ -587,9 +638,13 @@ class MergeSink:
             rows = 0
             for root, _dirs, files in os.walk(d):
                 for f in files:
-                    if not f.startswith(("_", ".")):
+                    if f.startswith(("_", ".")):
+                        continue
+                    try:
                         rows += pq.ParquetFile(
                             os.path.join(root, f)).metadata.num_rows
+                    except Exception:
+                        continue
             if rows > worst_rows:
                 worst_pair, worst_rows = (tbl, kb), rows
         if worst_rows > self.growth_warn_rows_per_bucket:
@@ -602,7 +657,8 @@ class MergeSink:
                 "the seed-pinned bucket layout has been outgrown and every "
                 "batch touching this slice rewrites it — re-derive with "
                 "sink.suggest_migration() and re-cut via migrate_key_bucket "
-                "with the stream stopped",
+                "with the stream stopped (this count includes tombstones; "
+                "if suggest_migration says keep, compact() is the remedy)",
                 stacklevel=3,
             )
             self._growth_warned = True
@@ -621,19 +677,34 @@ class MergeSink:
         slice holds more than ``growth_factor x target_rows_per_bucket``
         rows (the same threshold the post-commit warn fires on, but over
         live rows: tombstones are `compact()`-able, not real growth) —
-        and otherwise the re-derived policy object (`derive_auto_policy`
-        over the live ids: the exact rule a fresh auto seed would apply),
-        ready to hand to `migrate_key_bucket(spark, state_path, policy)`
-        with the stream stopped. Decision rule is certified value-level
-        by queries/cdc.cdc_bucket_growth_policy.
+        and otherwise the re-derived policy object: the exact three-term
+        rule a fresh auto seed would apply to today's live ids
+        (`derive_auto_policy`'s dispatch + sizing, shared code), ready to
+        hand to `migrate_key_bucket(spark, state_path, policy)` with the
+        stream stopped.
 
-        Cost: one full-state aggregate (per-slice counts + the
-        observation scalars) — a deliberate maintenance scan, never part
-        of the per-batch merge path (the in-band signal is the footer
-        check in `_check_bucket_growth`). Only meaningful for a bucketed
-        sink; raises on a plain one (there is no pinned policy to
-        outgrow — adopting bucketing for a plain state is a design
-        choice, not drift)."""
+        DENSITY CHECK on the range leg (r15 verdict item 2 / what's-wrong
+        3): equal-width range bucketing concentrates rows wherever keys
+        cluster, so on a clustered numeric domain (key islands) the
+        re-derived RANGE layout can be outgrown the moment it is adopted
+        — the exact condition that triggered this call. Before returning
+        a range candidate, the live ids are censused under the CANDIDATE
+        layout; if its worst bucket still exceeds the same
+        ``growth_factor x target_rows_per_bucket`` threshold, the rule
+        falls back to `HashKeyBucket` at the three-term count (the md5
+        spread is uniform regardless of key density — the remedy the
+        HashKeyBucket docstring names, now applied instead of merely
+        documented). Decision rule incl. the fallback is certified
+        value-level by queries/cdc.cdc_bucket_growth_policy.
+
+        Cost: one full-state per-slice census + (when outgrown) the
+        observation aggregate and, for a range candidate, one more
+        census under the candidate layout — a deliberate maintenance
+        scan, never part of the per-batch merge path (the in-band signal
+        is the footer check in `_check_bucket_growth`). Only meaningful
+        for a bucketed sink; raises on a plain one (there is no pinned
+        policy to outgrow — adopting bucketing for a plain state is a
+        design choice, not drift)."""
         self._resolve_auto()
         self._recover()
         self._validate_layout()
@@ -648,12 +719,24 @@ class MergeSink:
             live.groupBy("tbl", "_kb").agg(F.count(F.lit(1)).alias("rows"))
             .agg(F.max("rows").alias("worst")).collect()[0]["worst"]
         )
-        if worst is None or worst <= growth_factor * target_rows_per_bucket:
+        threshold = growth_factor * target_rows_per_bucket
+        if worst is None or worst <= threshold:
             return None
-        return derive_auto_policy(
-            live.select("id"), target_rows_per_bucket, max_buckets,
-            target_rewrite_share,
-        )
+        obs = _observe_ids(live.select("id"))
+        cand = _policy_from_observation(obs, target_rows_per_bucket,
+                                        max_buckets, target_rewrite_share)
+        if isinstance(cand, KeyBucket):
+            cand_worst = (
+                live.groupBy(cand(F.col("id")).alias("_cb"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .agg(F.max("rows").alias("worst")).collect()[0]["worst"]
+            )
+            if cand_worst is not None and cand_worst > threshold:
+                return HashKeyBucket(n_buckets=_three_term_count(
+                    int(obs["n"]), int(obs["k"]), target_rows_per_bucket,
+                    max_buckets, target_rewrite_share,
+                ))
+        return cand
 
     def _maybe_compact_files(self, batch_id: int) -> None:
         """The small-files cadence as a SINK OPTION (r12 verdict item 5):

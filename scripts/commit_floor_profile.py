@@ -84,19 +84,36 @@ def main():
     os.link = timed("link", real_link)
     os.listdir = timed("listdir", real_listdir)
     os.scandir = timed("scandir", real_scandir)
+
+    # r16: time the growth signal's own post-commit footer walk
+    # (_check_bucket_growth — O(touched files) parquet-footer reads; the
+    # r15 verdict item 4 asked for its measured share of the floor)
+    growth = {"s": 0.0}
+    real_check = sink._check_bucket_growth
+
+    def timed_check(pairs):
+        t0 = time.perf_counter()
+        try:
+            return real_check(pairs)
+        finally:
+            growth["s"] += time.perf_counter() - t0
+
+    sink._check_bucket_growth = timed_check
     try:
         base = n_rows - n_batches * per_batch
-        walls, metas, links = [], [], []
+        walls, metas, links, growths = [], [], [], []
         for b in range(1, n_batches + 1):
             ks = spark.range(per_batch).select(
                 (F.lit(base + (b - 1) * per_batch) + F.col("id")).alias("k")
             )
             meta.update(s=0.0, link=0, listdir=0, scandir=0)
+            growth["s"] = 0.0
             t0 = time.monotonic()
             sink(env(ks, (b + 1) * n_rows), b)
             walls.append(round((time.monotonic() - t0) * 1000))
             metas.append(round(meta["s"] * 1000))
             links.append(meta["link"])
+            growths.append(round(growth["s"] * 1000, 2))
     finally:
         os.link, os.listdir, os.scandir = real_link, real_listdir, real_scandir
 
@@ -108,9 +125,11 @@ def main():
         "per_batch_wall_ms": walls,
         "per_batch_metadata_ms": metas,
         "per_batch_links": links,
+        "per_batch_growth_check_ms": growths,
         "mean_wall_ms": round(sum(walls) / len(walls)),
         "mean_metadata_ms": round(sum(metas) / len(metas)),
         "metadata_share": round(sum(metas) / max(1, sum(walls)), 3),
+        "growth_check_share": round(sum(growths) / max(1, sum(walls)), 4),
     }))
 
 

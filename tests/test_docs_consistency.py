@@ -34,11 +34,11 @@ def test_rank_tiers_cover_every_query_exactly_once():
     registry with no overlaps (an overlap would let a stale-evidence name
     shadow a never-checked one)."""
     from dumpr_spark.queries import (
-        REGISTRY, _NEVER_GREEN, _R15_NEW, _VERIFIED_STALEST_FIRST,
+        REGISTRY, _NEVER_GREEN, _R16_NEW, _VERIFIED_STALEST_FIRST,
     )
 
     names = set(REGISTRY)
-    tiers = [_R15_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
+    tiers = [_R16_NEW, _NEVER_GREEN, *(v & names for v in _VERIFIED_STALEST_FIRST)]
     union = set().union(*tiers)
     assert union == names
     for i, a in enumerate(tiers):
@@ -46,30 +46,30 @@ def test_rank_tiers_cover_every_query_exactly_once():
             assert not (a & b), f"rank tiers overlap: {a & b}"
 
 
-def test_round15_registration_count_claim_matches():
+def test_round16_registration_count_claim_matches():
     import re
 
-    from dumpr_spark.queries import _R15_NEW
+    from dumpr_spark.queries import _R16_NEW
 
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"Round 15 \(`_R15_NEW`, (\d+) registrations", cov)
-    assert m, "COVERAGE.md round-15 registration claim missing"
-    assert int(m.group(1)) == len(_R15_NEW), (
-        f"COVERAGE.md claims {m.group(1)} round-15 registrations, "
-        f"registry has {len(_R15_NEW)}"
+    m = re.search(r"Round 16 \(`_R16_NEW`, (\d+) registrations", cov)
+    assert m, "COVERAGE.md round-16 registration claim missing"
+    assert int(m.group(1)) == len(_R16_NEW), (
+        f"COVERAGE.md claims {m.group(1)} round-16 registrations, "
+        f"registry has {len(_R16_NEW)}"
     )
 
 
-def test_round15_eviction_budget_respected():
-    """The r14 verdict caps never-green backlog + _R15_NEW at <= 7 so the
-    50-slot driver walk re-certifies the whole 43-name r9 tier in one
+def test_round16_eviction_budget_respected():
+    """The r15 verdict caps never-green backlog + _R16_NEW at <= 7 so the
+    50-slot driver walk re-certifies the whole 43-name r10 tier in one
     round. An unplanned eviction (helper edit cascading into consumers)
     silently eats a re-cert slot — fail loudly instead."""
-    from dumpr_spark.queries import _NEVER_GREEN, _R15_NEW
+    from dumpr_spark.queries import _NEVER_GREEN, _R16_NEW
 
-    assert len(_NEVER_GREEN) + len(_R15_NEW) <= 7, (
+    assert len(_NEVER_GREEN) + len(_R16_NEW) <= 7, (
         f"driver budget blown: {len(_NEVER_GREEN)} never-green + "
-        f"{len(_R15_NEW)} new > 7 leaves the r9 tier partially stale"
+        f"{len(_R16_NEW)} new > 7 leaves the r10 tier partially stale"
     )
 
 

@@ -285,20 +285,31 @@ def requantized_group_sums(sql: str) -> list[tuple[str, int, int]]:
     ROUND(... + 1e-9, j) with j > k — the exact-boundary-collision shape.
     A SUM over CAST(col AS DECIMAL(38,j)) does not match: that is the
     sanctioned exact-fold fix. Paren-matching scanner (the addend
-    definitions nest arbitrarily: ROUND(SUM(x * (1 - d)) + 1e-9, 4))."""
+    definitions nest arbitrarily: ROUND(SUM(x * (1 - d)) + 1e-9, 4)).
+
+    SCANNER LIMITS (stated like the builder-side lint's, r15 advice
+    item 4): round scales parse as any digit run; the summed column may
+    be alias-qualified (t.col — matched on the bare name, since the
+    addend's AS alias is necessarily unqualified); the half-even nudge
+    must be spelled literally ``+ 1e-9`` — that is this repo's single
+    house spelling (grep-enforced by the oracles' shared style; an eps
+    hoisted into a named constant would be a new spelling introduced
+    AFTER this lint, i.e. a reviewable choice, not silent drift)."""
     s = _strip_sql_comments(sql)
     defs: dict[str, int] = {}
     for m in re.finditer(r"\bROUND\s*\(", s, re.I):
         j = _match_parens(s, m.end() - 1)
         inner = s[m.end():j]
-        mq = re.search(r"\+\s*1e-9\s*,\s*(\d)\s*$", inner)
+        mq = re.search(r"\+\s*1e-9\s*,\s*(\d+)\s*$", inner)
         ma = re.match(r"\s*AS\s+(\w+)", s[j + 1:], re.I)
         if mq and ma:
             defs[ma.group(1)] = int(mq.group(1))
     return [
         (col, defs[col], int(k))
-        for col, k in re.findall(
-            r"ROUND\(SUM\((\w+)\)\s*(?:\+\s*1e-9)?\s*,\s*(\d)\)", s, re.I)
+        for name, k in re.findall(
+            r"ROUND\(SUM\((\w+(?:\.\w+)?)\)\s*(?:\+\s*1e-9)?\s*,\s*(\d+)\)",
+            s, re.I)
+        for col in [name.split(".")[-1]]
         if col in defs and defs[col] > int(k)
     ]
 
@@ -344,3 +355,24 @@ def test_requantize_lint_catches_the_prefix_pareto_output():
     # half-boundary) and must not be flagged
     same = pre_fix.replace(", 4) AS revenue", ", 2) AS revenue")
     assert requantized_group_sums(same) == []
+
+
+def test_requantize_lint_matches_broadened_spellings():
+    """r15 advice item 4: scale >= 10 and alias-qualified summed columns
+    must not escape the scanner."""
+    wide_scale = """
+    WITH rev AS (
+      SELECT g, ROUND(SUM(x) + 1e-9, 10) AS revenue FROM t GROUP BY g
+    )
+    SELECT g, ROUND(SUM(revenue) + 1e-9, 2) AS cr FROM rev GROUP BY g
+    """
+    assert requantized_group_sums(wide_scale) == [("revenue", 10, 2)]
+
+    qualified = """
+    WITH rev AS (
+      SELECT g, ROUND(SUM(x) + 1e-9, 4) AS revenue FROM t GROUP BY g
+    )
+    SELECT r.g, ROUND(SUM(r.revenue) + 1e-9, 2) AS cr
+    FROM rev r GROUP BY r.g
+    """
+    assert requantized_group_sums(qualified) == [("revenue", 4, 2)]

@@ -1650,3 +1650,29 @@ def test_ahash_real_decode_when_pillow_present(spark):
     )
     # and it is the REAL decode, not the hash stub
     assert row["ahash"] != _ahash_stub(png)[0]
+
+
+def test_compactor_marker_copy_fallback_without_hardlinks(spark, tmp_path, monkeypatch):
+    """r15 advice item 5: compact_small_files is a GENERIC operator — on a
+    filesystem that refuses hardlinks, the root-level marker carry falls
+    back to a plain copy instead of aborting the compaction pre-swap."""
+    import json
+    import os
+
+    from dumpr_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "nolink")
+    spark.range(1000).withColumn("k", F.col("id") % 4).repartition(16) \
+        .write.partitionBy("k").parquet(path)
+    marker = os.path.join(path, "_my_policy.json")
+    with open(marker, "w") as f:
+        json.dump({"width": 7, "origin": 0}, f)
+
+    def no_link(src, dst, *a, **kw):
+        raise OSError(95, "Operation not supported")
+
+    monkeypatch.setattr("os.link", no_link)
+    compact_small_files(spark, path, target_file_mb=128)
+    with open(marker) as f:
+        assert json.load(f) == {"width": 7, "origin": 0}
+    assert spark.read.parquet(path).count() == 1000

@@ -4219,3 +4219,204 @@ def test_bucket_growth_check_skips_exotic_table_names(spark, tmp_path):
         sink(batch([up(i, i) for i in range(20)]), 0)  # 20 rows >> 5
         assert [x for x in w if "growth threshold" in str(x.message)] == []
     assert sink.read_state().count() == 20
+
+
+def test_suggest_migration_density_fallback_on_clustered_domain(spark, tmp_path):
+    """r15 verdict item 2 (what's-wrong 3): on a CLUSTERED numeric domain
+    (key islands), the re-derived equal-width RANGE layout concentrates
+    whole islands into single buckets and would be outgrown the moment it
+    is adopted — suggest_migration must detect that (census under the
+    candidate layout) and fall back to HashKeyBucket at the same
+    three-term count, whose md5 spread is density-independent."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import HashKeyBucket, KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    # ten 30-key islands spaced 1e9 apart: span ~9e9, n = k = 300
+    ids = [i * 1_000_000_000 + j for i in range(10) for j in range(30)]
+    sink = MergeSink(spark, str(tmp_path / "clustered"),
+                     key_bucket=KeyBucket(width=10_000_000_000, origin=0),
+                     growth_warn_rows_per_bucket=None)
+    sink(batch([up(v, n) for n, v in enumerate(ids)]), 0)  # all in bucket 0
+
+    # threshold 4 x 5 = 20; pinned layout worst = 300 -> outgrown. The
+    # range candidate (three-term count capped at 64 -> width ~1.4e8)
+    # holds each 30-row island inside ONE bucket: 30 > 20, still
+    # outgrown -> hash fallback at the same capped count.
+    pol = sink.suggest_migration(target_rows_per_bucket=5, max_buckets=64)
+    assert pol == HashKeyBucket(n_buckets=64)
+
+    # same state, generous threshold: fits -> None (fallback never
+    # overrides the keep verdict)
+    assert sink.suggest_migration(target_rows_per_bucket=300) is None
+
+
+def test_growth_check_skips_unreadable_footers_and_never_raises(spark, tmp_path):
+    """r15 advice item 1: the growth signal runs AFTER _commit swapped the
+    batch in, so it must never throw — an unreadable (zero-byte / torn
+    leftover) file in a slice is skipped, and the warning still fires
+    from the readable footers."""
+    import warnings
+
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    state = str(tmp_path / "torn")
+    seed = MergeSink(spark, state, key_bucket=KeyBucket(width=1000, origin=0),
+                     growth_warn_rows_per_bucket=None)
+    seed(batch([up(i, i) for i in range(80)]), 0)  # 80 rows in bucket 0
+
+    # a zero-byte parquet-named leftover in the slice: pq.ParquetFile raises
+    slice_dir = os.path.join(state, "tbl=orders", "_kb=0")
+    open(os.path.join(slice_dir, "zz-torn.parquet"), "wb").close()
+
+    snk = MergeSink(spark, state, key_bucket=KeyBucket(width=1000, origin=0),
+                    growth_warn_rows_per_bucket=50)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        snk._check_bucket_growth([("orders", 0)])  # must not raise
+    hits = [x for x in w if "growth threshold" in str(x.message)]
+    assert len(hits) == 1  # 80 readable rows > 50: signal intact
+
+
+def test_ceil_div_share_exact_integer_arithmetic():
+    """r15 advice item 3: the anti-blanketing floor's ceil(k / share) is
+    exact integer arithmetic over the share's binary value — agrees with
+    a rational reference for ANY share/k, and with the float path (the
+    oracle's CEIL) at the power-of-two default where double is exact."""
+    import math
+    from fractions import Fraction
+
+    from dumpr_spark.streaming.sink import (
+        AUTO_TARGET_REWRITE_SHARE, _ceil_div_share,
+    )
+
+    for k in (0, 1, 7, 8, 1000, 2**53 + 1, 10**16, 10**18):
+        for share in (0.125, 0.5, 1.0, 0.1, 0.3, 0.0078125):
+            assert _ceil_div_share(k, share) == math.ceil(
+                Fraction(k) / Fraction(share)
+            ), (k, share)
+    # oracle parity at the certified default (power-of-two): identical to
+    # the float CEIL the DuckDB oracle computes while k is exactly
+    # representable in a double (every driver-scale k by ~10 orders)
+    for k in list(range(0, 2049)) + [10**12, 2**53 - 1]:
+        assert (_ceil_div_share(k, AUTO_TARGET_REWRITE_SHARE)
+                == math.ceil(k / AUTO_TARGET_REWRITE_SHARE))
+    # the motivating drifts: float ceil disagrees off power-of-two shares,
+    # and past 2^53 even at the default (k itself rounds in double)
+    assert _ceil_div_share(10**16, 0.1) != math.ceil(10**16 / 0.1)
+    assert _ceil_div_share(2**53 + 1, 0.125) == 2**56 + 8  # float: 2**56
+
+
+def test_grow_warn_migrate_auto_restart_journey(spark, tmp_path):
+    """r15 verdict item 3 — the full operator journey at STREAM level, one
+    test: (1) auto seeds a range layout from a small first batch; (2) a
+    later stream grows one slice past the warn threshold and the growth
+    signal fires in-stream; (3) with the stream stopped, suggest_migration
+    re-derives — and on this clustered-by-construction state falls back to
+    a hash policy — and migrate_key_bucket re-cuts; (4) a restart with
+    key_bucket="auto" adopts the MIGRATED policy, state is value-identical
+    across the migration, and the warn latch is RE-ARMED (a fresh instance
+    warns again when a slice of the new layout crosses its threshold)."""
+    import hashlib
+    import warnings
+
+    from dumpr_spark.streaming.ingest import stream_changes
+    from dumpr_spark.streaming.sink import (
+        HashKeyBucket, KeyBucket, MergeSink, derive_auto_policy,
+        migrate_key_bucket, start_merge_stream,
+    )
+
+    feed = str(tmp_path / "j_feed")
+    state = str(tmp_path / "j_state")
+    ckpt = str(tmp_path / "j_ckpt")
+
+    def changes():
+        return stream_changes(spark, feed, {"widgets": "id"}, db="shop")
+
+    # (1) seed: two ids spanning 1e6 -> auto pins a coarse range layout
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets",
+         "ts": "2026-01-01T00:00:00Z", "next_position": 10,
+         "rows": [{"id": "0", "v": "a"}, {"id": "1000000", "v": "a"}],
+         "seq": 1},
+    ])
+    q1 = start_merge_stream(changes(), state, ckpt, key_bucket="auto",
+                            growth_warn_rows_per_bucket=50)
+    q1.awaitTermination(120)
+    seed_ids = spark.createDataFrame([("0",), ("1000000",)], "id string")
+    seeded = derive_auto_policy(seed_ids)
+    assert isinstance(seeded, KeyBucket)
+    with open(os.path.join(state, "_kb_policy.json")) as f:
+        assert json.load(f) == seeded.kb_identity()
+
+    # (2) growth: 80 keys land in the seeded layout's bucket 0 -> the
+    # in-stream post-commit signal fires (once) on the restarted query
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets",
+         "ts": "2026-01-01T00:01:00Z", "next_position": 20,
+         "rows": [{"id": str(i), "v": "b"} for i in range(2, 82)],
+         "seq": 2},
+    ], file_name="part-001.json")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q2 = start_merge_stream(changes(), state, ckpt, key_bucket="auto",
+                                growth_warn_rows_per_bucket=50)
+        q2.awaitTermination(120)
+        assert len([x for x in w
+                    if "growth threshold" in str(x.message)]) == 1
+
+    # (3) stream stopped: re-derive + migrate. 82 live keys, 81 of them
+    # clustered at the bottom of a 1e6 span -> the range candidate is
+    # still outgrown -> hash fallback
+    sink = MergeSink(spark, state, key_bucket="auto")
+    pol = sink.suggest_migration(target_rows_per_bucket=10)
+    assert isinstance(pol, HashKeyBucket)
+    before = sorted(
+        (r["id"], r["content"]) for r in sink.read_state().collect()
+    )
+    migrate_key_bucket(spark, state, pol)
+
+    # (4a) auto restart adopts the MIGRATED policy; state value-identical
+    adopted = MergeSink(spark, state, key_bucket="auto")
+    after = sorted(
+        (r["id"], r["content"]) for r in adopted.read_state().collect()
+    )
+    assert after == before
+    assert adopted.key_bucket == pol
+
+    # (4b) warn re-arming: a new stream instance over the new layout warns
+    # again when one of ITS slices crosses the (tiny) threshold — drive a
+    # second key into id "3"'s md5 bucket so that slice holds 2 rows
+    nb = pol.n_buckets
+
+    def bucket_of(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % nb
+
+    collider = next(i for i in range(2_000_000, 3_000_000)
+                    if bucket_of(i) == bucket_of("3"))
+    write_events(feed, [
+        {"event_type": "write", "db": "shop", "tbl": "widgets",
+         "ts": "2026-01-01T00:02:00Z", "next_position": 30,
+         "rows": [{"id": str(collider), "v": "c"}], "seq": 3},
+    ], file_name="part-002.json")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q3 = start_merge_stream(changes(), state, ckpt, key_bucket="auto",
+                                growth_warn_rows_per_bucket=1)
+        q3.awaitTermination(120)
+        assert len([x for x in w
+                    if "growth threshold" in str(x.message)]) == 1
+
+    final = MergeSink(spark, state, key_bucket="auto")
+    got = {r["id"] for r in final.read_state().collect()}
+    assert str(collider) in got and len(got) == 83

@@ -74,9 +74,10 @@ def main():
         live = MergeSink(spark, state, key_bucket=key_bucket).read_state()
         row = live.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("id", "content", "seq")).alias("h"),
+            F.sum(F.xxhash64("id", "content", "seq")
+                  .cast("decimal(38,0)")).cast("string").alias("h"),
         ).collect()[0]
-        return (int(row["n"]), int(row["h"]))
+        return (int(row["n"]), row["h"])
 
     def census(path):
         files = dirs = 0

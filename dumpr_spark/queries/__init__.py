@@ -529,11 +529,14 @@ _R15_VERIFIED = {
 # green at all 3 scales, but the self-checked helper's source changed);
 # cdc_bucket_growth_policy — the certified decision rule GAINED the
 # density fallback (r15 verdict item 2): a re-derived RANGE candidate is
-# censused against the same growth threshold and a still-outgrown
-# candidate falls back to HashKeyBucket at the three-term count; the row
-# adds a third 'clustered' scenario + cand_max/new_kind columns and the
-# oracle text changed with it. Locally re-gated green at all 3 scales;
-# fresh driver rows required.
+# censused against the same growth threshold, and the rule falls back to
+# HashKeyBucket at the three-term count when that census exceeds BOTH
+# the threshold AND the ceil(n/nb) uniform spread (the second conjunct
+# is the r16 30M prediction-3 catch: a cap-bound uniform domain keeps
+# the range candidate); the row adds a third 'clustered' scenario +
+# cand_max/unif_max/new_kind columns and the oracle text changed with
+# it. Locally re-gated green at all 3 scales; fresh driver rows
+# required.
 _R15_VERIFIED -= {"cdc_auto_layout_policy", "cdc_bucket_growth_policy"}
 # Removed from _R15_VERIFIED (stale evidence, r16 edit):
 # multimodal_ahash_neardup — docstring-only: the registered doc now

@@ -1409,14 +1409,20 @@ def cdc_auto_layout_policy(spark, sf_dir):
     )
     SELECT scenario, target, max_rows_per_bucket, threshold, migrate,
            CASE WHEN migrate THEN cand_max END AS cand_max_rows_per_bucket,
+           CASE WHEN migrate THEN (n + nb - 1) // nb
+           END AS unif_max_rows_per_bucket,
            CASE WHEN migrate THEN
-             CASE WHEN cand_max > threshold THEN 'hash' ELSE 'range' END
+             CASE WHEN cand_max > threshold
+                       AND cand_max > (n + nb - 1) // nb
+                  THEN 'hash' ELSE 'range' END
            END AS new_kind,
            CASE WHEN migrate THEN nb END AS new_n_buckets,
-           CASE WHEN migrate AND cand_max <= threshold THEN cwidth
-           END AS new_width,
-           CASE WHEN migrate AND cand_max <= threshold THEN lo
-           END AS new_origin
+           CASE WHEN migrate AND NOT (cand_max > threshold
+                                      AND cand_max > (n + nb - 1) // nb)
+                THEN cwidth END AS new_width,
+           CASE WHEN migrate AND NOT (cand_max > threshold
+                                      AND cand_max > (n + nb - 1) // nb)
+                THEN lo END AS new_origin
     FROM fin
     """,
     tags=("cdc", "streaming", "policy"),
@@ -1436,9 +1442,17 @@ def cdc_bucket_growth_policy(spark, sf_dir):
     the same threshold (equal-width range bucketing concentrates rows
     wherever keys cluster, so on a clustered numeric domain the candidate
     is outgrown the moment it is adopted — the exact condition that
-    triggered the call), and a still-outgrown candidate falls back to
-    HashKeyBucket at the same three-term count (md5 spread is
-    density-independent). Handed to migrate_key_bucket.
+    triggered the call), and the rule falls back to HashKeyBucket at the
+    same three-term count ONLY when the censused candidate worst exceeds
+    BOTH the threshold AND the ceil(n / nb) uniform spread md5 hashing
+    guarantees regardless of density (emitted as
+    unif_max_rows_per_bucket). The second conjunct is the r16 30M
+    measurement catch: on a cap-bound UNIFORM domain (tight target at
+    volume) the range worst EQUALS the uniform spread — no nb-bucket
+    layout can fit the threshold, the binding constraint is the dials,
+    and hash would only destroy the key locality the trickle workload
+    depends on — so the range candidate is kept there. Handed to
+    migrate_key_bucket.
 
     Three scenarios, each bucketing live ids under a pinned range policy
     derived in-query (scale-robust): 'outgrown' pins the whole UNIFORM
@@ -1455,8 +1469,9 @@ def cdc_bucket_growth_policy(spark, sf_dir):
     (id = (key % 10) * 1e10 + key — each island's extent ~n << the
     candidate width ~2.2e7, so a whole island lands in one candidate
     bucket) against target = n/400 — migrate fires AND the candidate
-    census still exceeds the threshold (~n/10 > 4n/400), so new_kind is
-    'hash' with the three-term count and NULL width/origin. This is the
+    census exceeds both the threshold (~n/10 > 4n/400) and the uniform
+    spread (~n/10 > ceil(n/4096)), so new_kind is 'hash' with the
+    three-term count and NULL width/origin. This is the
     sf1-local lesson of r15 (key-shifted islands concentrating under
     equal-width buckets) made a certified scenario. The factor / share /
     cap literals are f-strung from the sink module's constants (the r14
@@ -1550,20 +1565,27 @@ def cdc_bucket_growth_policy(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("rows_in_b"))
         .groupBy("scenario").agg(F.max("rows_in_b").alias("cand_max"))
     )
-    fin = dec.join(F.broadcast(cworst), "scenario")
+    fin = (
+        dec.join(F.broadcast(cworst), "scenario")
+        .withColumn("unif_max", F.expr("(n + nb - 1) div nb"))
+        .withColumn("fall_hash",
+                    F.expr("cand_max > threshold AND cand_max > unif_max"))
+    )
     out = fin.select(
         "scenario", "target", "max_rows_per_bucket", "threshold", "migrate",
         F.when(F.col("migrate"), F.col("cand_max"))
         .alias("cand_max_rows_per_bucket"),
+        F.when(F.col("migrate"), F.col("unif_max"))
+        .alias("unif_max_rows_per_bucket"),
         F.when(
             F.col("migrate"),
-            F.when(F.col("cand_max") > F.col("threshold"), F.lit("hash"))
+            F.when(F.col("fall_hash"), F.lit("hash"))
             .otherwise(F.lit("range")),
         ).alias("new_kind"),
         F.when(F.col("migrate"), F.col("nb")).alias("new_n_buckets"),
-        F.when(F.col("migrate") & (F.col("cand_max") <= F.col("threshold")),
+        F.when(F.col("migrate") & ~F.col("fall_hash"),
                F.col("cwidth")).alias("new_width"),
-        F.when(F.col("migrate") & (F.col("cand_max") <= F.col("threshold")),
+        F.when(F.col("migrate") & ~F.col("fall_hash"),
                F.col("lo")).alias("new_origin"),
     )
     # self-check: verdicts are the committed ones at every shipped scale,
@@ -1598,11 +1620,14 @@ def cdc_bucket_growth_policy(spark, sf_dir):
         int(clu_dom["n"]), int(clu_dom["k"]), int(clu_row["target"]),
         _CAP, _SHARE)
     cw_re = max(1, (int(clu_dom["span"]) + count_re - 1) // count_re)
+    unif_re = -(-int(clu_dom["n"]) // count_re)
     if (cand_re != KeyBucket(width=cw_re, origin=int(clu_dom["lo"]))
-            or count_re != clu_row["new_n_buckets"]):
+            or count_re != clu_row["new_n_buckets"]
+            or unif_re != clu_row["unif_max_rows_per_bucket"]):
         raise AssertionError(
             f"clustered fallback arithmetic drifted: candidate {cand_re!r} "
             f"vs re-derived ({cw_re}, {clu_dom['lo']}), _three_term_count "
-            f"= {count_re} != emitted {clu_row['new_n_buckets']}"
+            f"= {count_re} != emitted {clu_row['new_n_buckets']}, uniform "
+            f"spread {unif_re} != emitted {clu_row['unif_max_rows_per_bucket']}"
         )
     return out

@@ -690,12 +690,17 @@ class MergeSink:
         — the exact condition that triggered this call. Before returning
         a range candidate, the live ids are censused under the CANDIDATE
         layout; if its worst bucket still exceeds the same
-        ``growth_factor x target_rows_per_bucket`` threshold, the rule
-        falls back to `HashKeyBucket` at the three-term count (the md5
-        spread is uniform regardless of key density — the remedy the
-        HashKeyBucket docstring names, now applied instead of merely
-        documented). Decision rule incl. the fallback is certified
-        value-level by queries/cdc.cdc_bucket_growth_policy.
+        ``growth_factor x target_rows_per_bucket`` threshold AND the
+        ``ceil(n / n_buckets)`` spread md5 hashing guarantees regardless
+        of density, the rule falls back to `HashKeyBucket` at the
+        three-term count (the remedy the HashKeyBucket docstring names,
+        now applied instead of merely documented). The second conjunct is
+        the r16 30M catch: a cap-bound UNIFORM domain (tight target at
+        volume) has range worst == uniform spread > threshold — no
+        nb-bucket layout fits the threshold there, the binding constraint
+        is the dials, and hash would only destroy key locality — so the
+        range candidate is kept. Decision rule incl. the fallback is
+        certified value-level by queries/cdc.cdc_bucket_growth_policy.
 
         Cost: one full-state per-slice census + (when outgrown) the
         observation aggregate and, for a range candidate, one more
@@ -731,11 +736,23 @@ class MergeSink:
                 .agg(F.count(F.lit(1)).alias("rows"))
                 .agg(F.max("rows").alias("worst")).collect()[0]["worst"]
             )
-            if cand_worst is not None and cand_worst > threshold:
-                return HashKeyBucket(n_buckets=_three_term_count(
-                    int(obs["n"]), int(obs["k"]), target_rows_per_bucket,
-                    max_buckets, target_rewrite_share,
-                ))
+            nb = _three_term_count(int(obs["n"]), int(obs["k"]),
+                                   target_rows_per_bucket, max_buckets,
+                                   target_rewrite_share)
+            # hash only when it actually HELPS: md5 spreads ~uniformly, so
+            # its worst bucket is ~ceil(n / nb) regardless of key density
+            # — the fallback fires when the censused range worst exceeds
+            # BOTH the threshold and that uniform spread (the clustered
+            # case). A cap-bound uniform domain (range worst == uniform
+            # spread > threshold, e.g. a tight target at volume) keeps the
+            # RANGE candidate: no nb-bucket layout can fit the threshold
+            # there — the binding constraint is the dials, not density —
+            # and swapping to hash would only destroy the key locality the
+            # trickle workload depends on (r16 30M measurement catch).
+            unif_worst = -(-int(obs["n"]) // nb)
+            if (cand_worst is not None and cand_worst > threshold
+                    and cand_worst > unif_worst):
+                return HashKeyBucket(n_buckets=nb)
         return cand
 
     def _maybe_compact_files(self, batch_id: int) -> None:

@@ -4255,6 +4255,36 @@ def test_suggest_migration_density_fallback_on_clustered_domain(spark, tmp_path)
     assert sink.suggest_migration(target_rows_per_bucket=300) is None
 
 
+def test_suggest_migration_keeps_range_on_capbound_uniform_domain(spark, tmp_path):
+    """The r16 30M measurement catch: on a UNIFORM domain with the bucket
+    count cap-bound (a tight target at volume), the range candidate's
+    censused worst EQUALS the ceil(n / nb) spread md5 hashing guarantees
+    — no nb-bucket layout can fit the threshold, the binding constraint
+    is the dials, and hash would only destroy key locality. The fallback
+    must NOT fire: the range candidate is returned (hash requires the
+    candidate to be worse than the uniform spread, not just over the
+    threshold)."""
+    from dumpr_spark.cdc.envelope import ENVELOPE_SCHEMA
+    from dumpr_spark.streaming.sink import KeyBucket, MergeSink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+    up = lambda i, seq: ("upsert", "orders", str(i), json.dumps({"id": i}), None, "f1", seq, seq)  # noqa: E731
+
+    # 3000 DENSE ids 0..2999 in one pinned bucket -> outgrown at target 5
+    sink = MergeSink(spark, str(tmp_path / "capbound"),
+                     key_bucket=KeyBucket(width=10**9, origin=0),
+                     growth_warn_rows_per_bucket=None)
+    sink(batch([up(i, i) for i in range(3000)]), 0)
+
+    # three-term count: max(ceil(3000/5), ceil(3000/share)) caps at 64;
+    # width = ceil(3000/64) = 47 -> candidate worst 47 > threshold 20,
+    # but unif spread ceil(3000/64) = 47 too -> keep RANGE
+    pol = sink.suggest_migration(target_rows_per_bucket=5, max_buckets=64)
+    assert pol == KeyBucket(width=47, origin=0)
+
+
 def test_growth_check_skips_unreadable_footers_and_never_raises(spark, tmp_path):
     """r15 advice item 1: the growth signal runs AFTER _commit swapped the
     batch in, so it must never throw — an unreadable (zero-byte / torn

@@ -64,7 +64,8 @@ def minhash_base_hash(col):
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      num_hashes: int = 8, k: int = 3) -> DataFrame:
+                      num_hashes: int = 8, k: int = 3,
+                      pre_partitioned: bool = False) -> DataFrame:
     """Per-doc MinHash signature: num_hashes columns mh0..mh{n-1}, each the
     min over the doc's shingles of family hash i (see minhash_family).
 
@@ -72,14 +73,22 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     shuffle carries one row per (doc, hash), not per shingle. Duplicate
     shingles need no dedup: min over a multiset equals min over its set.
 
-    The pre-explode repartition matters: a compact corpus file arrives in few
-    input partitions, and the explode multiplies rows ~100x — fan the rows out
-    across the cluster BEFORE the multiplication so shingling parallelizes
-    (at 100 TB the input is already many partitions and this is a no-op cost).
-    """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    The pre-explode fan-out matters: a compact corpus file arrives in few
+    input partitions, and the explode multiplies rows ~100x — fan the rows
+    out across the cluster BEFORE the multiplication so shingling
+    parallelizes. r17: the fan-out is CONDITIONAL (operators.scale.fan_out)
+    — on a cluster-scale input the scan is already many splits and the old
+    unconditional repartition was a full round-robin shuffle of the corpus
+    for nothing. Callers whose input is already the product of a shuffle
+    (e.g. the scaled path's rep election) pass ``pre_partitioned=True`` to
+    skip the file-metadata probe entirely."""
+    proj = df.select(id_col, text_col)
+    if not pre_partitioned:
+        from dumpr_spark.operators.scale import fan_out
+
+        proj = fan_out(proj)
     sh = (
-        df.select(id_col, text_col).repartition(n_parts)
+        proj
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
         .select(F.col(id_col), minhash_base_hash(F.col("sh")).alias("h"))
     )
@@ -165,8 +174,9 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 8, band_size: int = 2, k: int = 3,
-                      max_bucket_size: int | None = None) -> DataFrame:
-    sig = minhash_signature(df, id_col, text_col, num_hashes, k)
+                      max_bucket_size: int | None = None,
+                      pre_partitioned: bool = False) -> DataFrame:
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k, pre_partitioned)
     return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, band_size), id_col,
                                max_bucket_size)
 
@@ -199,11 +209,56 @@ def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: st
     texts only, and a bucket-size cap bounds any residual near-dup blowup.
     Output edges span the ORIGINAL ids: (copy -> representative) edges unioned
     with representative-level LSH candidate pairs — connected_components over
-    them yields the same clusters as the naive form, without the c² pairs."""
-    edges, rep_ids = exact_prepass_edges(df, id_col, text_col)
-    reps_df = df.join(rep_ids, id_col, "left_semi")
+    them yields the same clusters as the naive form, without the c² pairs.
+
+    r17 shape: ONE hash-groupBy replaces the old three-legged prepass
+    (groupBy for reps + broadcast join for edges + left-semi join to re-read
+    representative texts — each leg re-evaluated the corpus subtree, so the
+    corpus was scanned ~3x per run and shuffled twice). The single aggregate
+    elects the representative, carries its text (min_by, map-side partial
+    combine: one candidate text per distinct hash per input partition crosses
+    the wire — on a duplicate-heavy corpus that is LESS than one full-corpus
+    pass), and collects the member ids for the copy->rep edges. The group
+    result is the dedup *decision table* of guide §8 — localCheckpoint'd so
+    the edge leg and the LSH leg both read it instead of re-deriving it, and
+    already hash-distributed, so the signature stage skips its fan-out
+    (``pre_partitioned=True``). Grouping by the 16-byte md5 (never the raw
+    text) keeps the shuffle key narrow and matches the oracle's hmap/reps
+    CTEs bit-for-bit.
+
+    (`exact_prepass_edges` keeps the join-based shape for payloads that must
+    NOT ride a shuffle or an aggregation buffer — the multimodal twin's
+    binary payloads — where re-scanning beats moving the bytes.)"""
+    from dumpr_spark.operators.scale import scan_splits
+
+    grp = (
+        df.select(F.col(id_col), F.col(text_col), content_hash(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("_rep"),
+            F.collect_list(F.col(id_col)).alias("_ids"),
+            F.min_by(F.col(text_col), F.col(id_col)).alias(text_col),
+        )
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        grp.select(F.col("_rep"), F.explode("_ids").alias("_m"))
+        .where(F.col("_m") != F.col("_rep"))
+        .select(F.col("_m").alias("a"), F.col("_rep").alias("b"))
+    )
+    reps_df = grp.select(F.col("_rep").alias(id_col), F.col(text_col))
+    # Re-fan the rep table before the ~100x shingle explode when the CORPUS
+    # scan is narrow (file-metadata probe, no job): on tiny local inputs AQE
+    # coalesces the rep-election shuffle to ~1 partition, and without this
+    # the whole signature stage runs on one task (measured 2x regression).
+    # On a cluster-wide scan the rep table keeps advisory-sized partitions
+    # and no re-shuffle is paid — the input width is the cheap, faithful
+    # proxy (a narrow-input corpus can only produce a narrow rep table).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < scan_splits(df) < n_parts // 2:
+        reps_df = reps_df.repartition(n_parts)
     lsh = minhash_lsh_pairs(reps_df, id_col, text_col, num_hashes, band_size, k,
-                            max_bucket_size)
+                            max_bucket_size, pre_partitioned=True)
     return edges.unionByName(lsh)
 
 
@@ -408,11 +463,11 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Set-join formulation: |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
     Only candidate docs' shingles are exploded — the verification cost tracks
     the candidate set, not the corpus."""
+    from dumpr_spark.operators.scale import fan_out
+
     ids = pairs.select(F.col("a").alias("_id")).union(pairs.select("b")).distinct()
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.join(F.broadcast(ids), df[id_col] == ids._id)
-        .select(id_col, text_col).repartition(n_parts)
+        fan_out(df.join(F.broadcast(ids), df[id_col] == ids._id).select(id_col, text_col))
         .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -471,9 +526,10 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     two 32-bit halves, and bit-count via 64 cheap sum aggregates with
     map-side partial combine. One shuffle on id; scales like
     minhash_signature."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from dumpr_spark.operators.scale import fan_out
+
     sh = (
-        df.select(id_col, text_col).repartition(n_parts)
+        fan_out(df.select(id_col, text_col))
         .select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
     )
     h = F.md5(F.col("sh"))

@@ -50,7 +50,14 @@ def brute_force_topk(
     Output: (q_id, n_id, sim, rank).
     """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    v = vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # r17: conditional fan-out of the corpus side — the cosine scoring is
+    # the heavy stage and runs ON the scan, single-threaded when the corpus
+    # arrives as one compact file; a no-op on cluster-wide scans. The
+    # per-partition WindowGroupLimit (top-k per query per partition) then
+    # also runs in parallel, so the window shuffle stays tiny.
+    from dumpr_spark.operators.scale import fan_out
+
+    v = fan_out(vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
     sim = cosine(F.col("q_vec"), F.col("n_vec"))
     if round_digits is not None:
         sim = F.round(sim + F.lit(round_eps), round_digits)

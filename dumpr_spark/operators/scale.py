@@ -296,6 +296,91 @@ def repartition_for_explode(df: DataFrame, cols: list[str] | None = None) -> Dat
     return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
+def scan_splits(df: DataFrame) -> int:
+    """Estimated scan-partition count of a file-backed scan, from file
+    metadata only. `df.rdd.getNumPartitions()` answers the same question but
+    converts the plan to an RDD and runs a job (~1 s of driver/JVM work PER
+    CALL on a fresh DataFrame) — far too expensive for a planning-time
+    heuristic that gates a repartition. File listing + sizes is O(files)
+    metadata.
+
+    Mirrors Spark's FilePartition packing (FilePartition.maxSplitBytes):
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / defaultParallelism)) where totalBytes pads each file with
+    openCostInBytes; partitions ~= ceil(totalBytes / maxSplitBytes). The
+    bytes-per-core term matters: one 1 GB file on a 32-core session scans
+    as ~32 partitions, not ceil(1GB/128MB)=8, and the open-cost padding
+    keeps many-tiny-files estimates honest (they bin-pack into few
+    partitions)."""
+    import math
+    import os
+
+    spark = df.sparkSession
+
+    def _conf_bytes(key: str, default: int) -> int:
+        try:
+            v = spark.conf.get(key)
+        except Exception:
+            return default
+        try:
+            v = v.strip().lower().rstrip("b")
+            for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+                if v.endswith(suf):
+                    return int(float(v[:-1]) * mult)
+            return int(v)
+        except (ValueError, AttributeError):
+            return default
+
+    max_partition_bytes = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    parallelism = spark.sparkContext.defaultParallelism
+
+    total = 0
+    for f in df.inputFiles():
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(path) + open_cost
+        except OSError:  # non-local / unreadable: count the open cost alone
+            total += open_cost
+    if total == 0:
+        return 0
+    max_split = min(max_partition_bytes, max(open_cost, total // max(parallelism, 1)))
+    return math.ceil(total / max(max_split, 1))
+
+
+def fan_out(df: DataFrame, *cols: str, by_range: bool = False) -> DataFrame:
+    """Scale-adaptive fan-out before a heavy per-row stage (guide §2 posture):
+    repartition to the session parallelism ONLY when the file-backed scan
+    under-parallelizes (fewer estimated splits than half the cores) — the
+    compact-single-file regime of the local testdata. On a cluster-scale
+    input the scan is already wide and this is a zero-cost no-op, so the
+    shuffle is never paid where it buys nothing.
+
+    Modes:
+    - no `cols`: round-robin (pure parallelism; pays the sort-before-
+      repartition of keyless round-robin, use for cheap narrow inputs).
+    - `cols`, by_range=False: hash on `cols` — downstream groupBy/window
+      keyed on a superset of `cols` then REUSES this exchange (hash
+      partitioning on a subset of the clustering keys satisfies
+      ClusteredDistribution), collapsing two shuffles into one.
+    - `cols`, by_range=True: range on `cols` — additionally a trailing
+      global orderBy whose sort keys extend `cols` needs NO further
+      exchange (RangePartitioning prefix-satisfies OrderedDistribution);
+      costs one extra sampling pass over the (narrow, local-only) input.
+    """
+    splits = scan_splits(df)
+    if splits == 0 or splits >= df.sparkSession.sparkContext.defaultParallelism // 2:
+        # 0 = not file-backed (in-memory/derived input): its distribution is
+        # whatever the producing stage chose — don't shuffle blind.
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if not cols:
+        return df.repartition(n)
+    if by_range:
+        return df.repartitionByRange(n, *[F.col(c) for c in cols])
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (for tests that assert plan shape)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -51,56 +51,10 @@ _CHANGES_CTE = """
 """
 
 
-def _scan_splits(df: DataFrame) -> int:
-    """Estimated scan-partition count of a file-backed scan, from file
-    metadata only. `df.rdd.getNumPartitions()` answers the same question but
-    converts the plan to an RDD and runs a job (~1 s of driver/JVM work PER
-    CALL on a fresh DataFrame) — far too expensive for a planning-time
-    heuristic that gates a repartition. File listing + sizes is O(files)
-    metadata.
-
-    Mirrors Spark's FilePartition packing (FilePartition.maxSplitBytes):
-    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-    totalBytes / defaultParallelism)) where totalBytes pads each file with
-    openCostInBytes; partitions ~= ceil(totalBytes / maxSplitBytes). The
-    bytes-per-core term matters: one 1 GB file on a 32-core session scans
-    as ~32 partitions, not ceil(1GB/128MB)=8, and the open-cost padding
-    keeps many-tiny-files estimates honest (they bin-pack into few
-    partitions)."""
-    import math
-    import os
-
-    spark = df.sparkSession
-
-    def _conf_bytes(key: str, default: int) -> int:
-        try:
-            v = spark.conf.get(key)
-        except Exception:
-            return default
-        try:
-            v = v.strip().lower().rstrip("b")
-            for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-                if v.endswith(suf):
-                    return int(float(v[:-1]) * mult)
-            return int(v)
-        except (ValueError, AttributeError):
-            return default
-
-    max_partition_bytes = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
-    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
-    parallelism = spark.sparkContext.defaultParallelism
-
-    total = 0
-    for f in df.inputFiles():
-        path = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            total += os.path.getsize(path) + open_cost
-        except OSError:  # non-local / unreadable: count the open cost alone
-            total += open_cost
-    if total == 0:
-        return 0
-    max_split = min(max_partition_bytes, max(open_cost, total // max(parallelism, 1)))
-    return math.ceil(total / max(max_split, 1))
+# _scan_splits moved to operators.scale (shared by every conditional
+# fan-out in the engine); the alias keeps this module's call sites and
+# docstring references stable.
+from dumpr_spark.operators.scale import scan_splits as _scan_splits  # noqa: E402
 
 
 def _synthetic_changes(spark, sf_dir) -> DataFrame:
@@ -118,21 +72,34 @@ def _synthetic_changes(spark, sf_dir) -> DataFrame:
     # 1-3x explode (same pre-multiplication repartition as minhash shingling).
     # CONDITIONAL: only when the scan under-parallelizes — a 100 TB input is
     # already ~800k splits, and an unconditional repartition there is a full-
-    # table round-robin shuffle for nothing (r3 interleaved A/B: the shuffle
-    # costs ~10% at sf0.1 even against a page-cached triple scan; skipping it
-    # when the scan is wide makes this the strictly-cheapest form: one scan,
-    # zero extra shuffles)
+    # table shuffle for nothing (r3 interleaved A/B: the shuffle costs ~10%
+    # at sf0.1 even against a page-cached triple scan; skipping it when the
+    # scan is wide makes this the strictly-cheapest form: one scan, zero
+    # extra shuffles).
+    # r17: the fan-out hashes on the envelope `id` (projected BEFORE the
+    # exchange) instead of round-robin, and `tbl`/`id` ride as top-level
+    # columns through the explode rather than inside the variant structs.
+    # HashPartitioning([id]) satisfies ClusteredDistribution([tbl, id]) and
+    # survives Project/Generate (id is a pass-through attribute), so every
+    # downstream groupBy("tbl", "id") / Window.partitionBy("id") REUSES this
+    # exchange: cdc_materialize drops from 3 exchanges + 2 SortAggregate
+    # sorts to 2 exchanges + 1 sort, and the shuffle moves the narrow
+    # pre-explode rows (~3 columns), not the JSON-bearing envelope. Hashing
+    # also avoids round-robin's sort-before-repartition pass and is
+    # deterministic under stage retry (guide §2.5).
     n_parts = spark.sparkContext.defaultParallelism
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
-    if _scan_splits(o) < n_parts // 2:
-        o = o.repartition(n_parts)
     k = F.col("o_orderkey")
+    pre = o.select(
+        F.col("o_orderkey"), F.col("o_totalprice"), F.col("o_orderstatus"),
+        k.cast("string").alias("id"),
+    )
+    if _scan_splits(o) < n_parts // 2:
+        pre = pre.repartition(n_parts, F.col("id"))
 
     def env(op, content, ts, nfile, npos, seq):
         return F.struct(
             op.alias("op"),
-            F.lit("orders").alias("tbl"),
-            k.cast("string").alias("id"),
             content.alias("content"),
             ts.alias("ts"),
             nfile.alias("next_file"),
@@ -170,7 +137,16 @@ def _synthetic_changes(spark, sf_dir) -> DataFrame:
         ),
     )
     variants = F.filter(F.array(base, update, delete), lambda x: x.isNotNull())
-    return o.select(F.explode(variants).alias("e")).select("e.*")
+    return pre.select(F.col("id"), F.explode(variants).alias("e")).select(
+        F.col("e.op").alias("op"),
+        F.lit("orders").alias("tbl"),
+        F.col("id"),
+        F.col("e.content").alias("content"),
+        F.col("e.ts").alias("ts"),
+        F.col("e.next_file").alias("next_file"),
+        F.col("e.next_position").alias("next_position"),
+        F.col("e.seq").alias("seq"),
+    )
 
 
 @query(

@@ -77,15 +77,29 @@ _SIMHASH_SIG_CTES = """
 
 
 def _dup_corpus(spark, sf_dir, near: bool = False):
+    """Documents plus an exact/near twin for every %10 doc.
+
+    r17: built from ONE scan — each row emits 1-2 variants as an array a
+    single explode flattens (same shape as cdc._synthetic_changes), instead
+    of the old two-branch union whose twin leg re-scanned the table. Halves
+    the read cost of every corpus evaluation; row-multiset identical."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     twin_text = (
         F.expr("substr(text, instr(text, ' ') + 1)") if near else F.col("text")
     )
-    twins = (
-        d.where(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), twin_text.alias("text"), "lang")
+    base = F.struct(
+        F.col("doc_id"), F.col("text").alias("text"), F.col("lang")
     )
-    return d.unionByName(twins)
+    twin = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            twin_text.alias("text"),
+            F.col("lang"),
+        ),
+    )
+    variants = F.filter(F.array(base, twin), lambda x: x.isNotNull())
+    return d.select(F.explode(variants).alias("c")).select("c.*")
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +163,13 @@ def dedup_exact_hash(spark, sf_dir):
 )
 def dedup_fingerprint(spark, sf_dir):
     """Normalized-text fingerprint (lower/strip/collapse -> md5)."""
-    d = t(spark, sf_dir, "documents")
+    from dumpr_spark.operators.scale import fan_out
+
+    # r17: conditional range fan-out (see text_quality) — the heavy per-row
+    # stage parallelizes off the compact single-file scan, the trailing
+    # orderBy("doc_id") rides the range partitioning exchange-free; no-op
+    # on cluster-wide scans.
+    d = fan_out(t(spark, sf_dir, "documents"), "doc_id", by_range=True)
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
@@ -246,9 +266,10 @@ def text_winnow_fingerprints(spark, sf_dir):
     -> distinct selected set. Guarantees any shared >= w+k-1 token run between
     docs shares a fingerprint — the substring-robust dedup/clone-detection
     primitive (functions.text.winnow_fingerprints_df)."""
+    from dumpr_spark.operators.scale import fan_out
+
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    n_parts = spark.sparkContext.defaultParallelism
-    fps = tx.winnow_fingerprints_df(d.repartition(n_parts), k=3, w=4)
+    fps = tx.winnow_fingerprints_df(fan_out(d), k=3, w=4)
     return (
         # explode_outer, deliberately: plain explode makes InferFiltersFromGenerate
         # add size(fps)>0, which predicate-pushdown rewrites into a filter that
@@ -301,9 +322,10 @@ def dedup_winnow_pairs(spark, sf_dir):
     sorted member array (hot fps capped at 50 — a stop-phrase fingerprint
     would otherwise emit c^2 pairs), array transforms emit intra-bucket
     pairs, then a (a, b) count keeps strong matches."""
+    from dumpr_spark.operators.scale import fan_out
+
     corpus = _dup_corpus(spark, sf_dir, near=True)
-    n_parts = spark.sparkContext.defaultParallelism
-    fps = tx.winnow_fingerprints_df(corpus.repartition(n_parts), k=3, w=4)
+    fps = tx.winnow_fingerprints_df(fan_out(corpus), k=3, w=4)
     flat = fps.select("doc_id", F.explode_outer("fps").alias("fp"))
     grouped = (
         flat.groupBy("fp")
@@ -377,19 +399,25 @@ def dedup_lsh_scaled(spark, sf_dir):
     exact copies collapse to a representative BEFORE banding (identical docs
     share all bands — the O(c²) bucket case), then rep-level LSH with a
     bucket-size cap. Edges = (copy -> rep) ∪ rep-level candidate pairs."""
+    # r17: the corpus is built from ONE documents scan (each row emits its
+    # 1-3 variants as an array, one explode flattens) instead of a 3-branch
+    # union that read the table three times per corpus evaluation.
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    tens = d.where(F.col("doc_id") % 10 == 0)
-    corpus = (
-        d.unionByName(
-            tens.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
-        ).unionByName(
-            tens.select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
-                F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
-                "lang",
-            )
-        )
+    is_ten = F.col("doc_id") % 10 == 0
+    base = F.struct(F.col("doc_id"), F.col("text").alias("text"), F.col("lang"))
+    copy = F.when(
+        is_ten,
+        F.struct((F.col("doc_id") + 100000).alias("doc_id"),
+                 F.col("text").alias("text"), F.col("lang")),
     )
+    near = F.when(
+        is_ten,
+        F.struct((F.col("doc_id") + 200000).alias("doc_id"),
+                 F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+                 F.col("lang")),
+    )
+    variants = F.filter(F.array(base, copy, near), lambda x: x.isNotNull())
+    corpus = d.select(F.explode(variants).alias("c")).select("c.*")
     return dd.minhash_lsh_pairs_scaled(corpus).orderBy("a", "b")
 
 
@@ -423,7 +451,13 @@ def text_fingerprint_rolling(spark, sf_dir):
     """Rabin-Karp rolling-hash fingerprint per document (order-sensitive,
     incremental — the chunk-fingerprint primitive for content-defined
     dedup). Pure JVM fold (transform + aggregate), no shuffle."""
-    d = t(spark, sf_dir, "documents")
+    from dumpr_spark.operators.scale import fan_out
+
+    # r17: conditional range fan-out (see text_quality) — the heavy per-row
+    # stage parallelizes off the compact single-file scan, the trailing
+    # orderBy("doc_id") rides the range partitioning exchange-free; no-op
+    # on cluster-wide scans.
+    d = fan_out(t(spark, sf_dir, "documents"), "doc_id", by_range=True)
     return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
@@ -748,7 +782,15 @@ def text_lang_stats(spark, sf_dir):
 def text_quality(spark, sf_dir):
     """Quality-signal battery: token counts (whitespace + BPE-ish regex),
     mean token length, lexical diversity, stopword hits, quality class."""
-    d = t(spark, sf_dir, "documents")
+    # r17: the tokenizer battery is the heavy stage and it used to run ON
+    # the scan — single-threaded when the corpus arrives as one compact
+    # file. Conditional range fan-out on doc_id moves the heavy Project
+    # ABOVE the exchange (32-way parallel) and the trailing orderBy needs
+    # no further exchange (range prefix) — same 1-exchange plan, parallel
+    # compute. At cluster scale the scan is wide and fan_out is a no-op.
+    from dumpr_spark.operators.scale import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents"), "doc_id", by_range=True)
     c = F.col("text")
     toks = tx.tokens(c)
     stop_arr = F.array(*[F.lit(w) for w in tx.LANG_MARKERS["en"]])
@@ -787,7 +829,13 @@ def text_quality(spark, sf_dir):
 def text_lang_id(spark, sf_dir):
     """Stopword-marker language ID (n-gram heuristic family). Tie-break:
     alphabetical language order, matching predict_lang()."""
-    d = t(spark, sf_dir, "documents")
+    from dumpr_spark.operators.scale import fan_out
+
+    # r17: conditional range fan-out (see text_quality) — the heavy per-row
+    # stage parallelizes off the compact single-file scan, the trailing
+    # orderBy("doc_id") rides the range partitioning exchange-free; no-op
+    # on cluster-wide scans.
+    d = fan_out(t(spark, sf_dir, "documents"), "doc_id", by_range=True)
     return d.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang")).orderBy(
         "doc_id"
     )
@@ -861,10 +909,11 @@ def text_repetition(spark, sf_dir):
     per document — the standard filter for boilerplate/looping text in
     training corpora. Explode + count/count-distinct aggregation: one
     shuffle on doc_id, partial combine map-side."""
+    from dumpr_spark.operators.scale import fan_out
+
     d = t(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
     grams = (
-        d.select("doc_id", "text").repartition(n_parts)
+        fan_out(d.select("doc_id", "text"))
         .select(F.col("doc_id"), F.explode(dd.shingles(F.col("text"), 3)).alias("g"))
         .where(F.size(F.split(F.col("g"), " ")) == 3)  # exclude short-doc fallback shingle
     )
@@ -2004,7 +2053,13 @@ def text_gopher_rules(spark, sf_dir):
     top-word count is O(distinct x tokens) per doc inside the row, which is
     bounded by document length, not corpus size.
     """
-    d = t(spark, sf_dir, "documents")
+    from dumpr_spark.operators.scale import fan_out
+
+    # r17: conditional range fan-out (see text_quality) — the heavy per-row
+    # stage parallelizes off the compact single-file scan, the trailing
+    # orderBy("doc_id") rides the range partitioning exchange-free; no-op
+    # on cluster-wide scans.
+    d = fan_out(t(spark, sf_dir, "documents"), "doc_id", by_range=True)
     c = F.col("text")
     tks = F.split(c, " ")
     n_words = F.size(tks).cast("long")
@@ -2233,7 +2288,15 @@ def text_sentence_stats(spark, sf_dir):
     Scale shape: pure narrow projection with higher-order array functions
     (split/filter/transform/aggregate) — evaluates inside the scan stage,
     zero shuffle, zero Python."""
-    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    from dumpr_spark.operators.scale import fan_out
+
+    # r17: conditional range fan-out (see text_quality) — the heavy per-row
+    # stage parallelizes off the compact single-file scan, the trailing
+    # orderBy("doc_id") rides the range partitioning exchange-free; no-op
+    # on cluster-wide scans.
+    d = fan_out(
+        t(spark, sf_dir, "documents"), "doc_id", by_range=True
+    ).where(F.col("doc_id") % 5 == 0)
     sents = F.filter(
         F.split(F.col("text"), r"[.!?]+"),
         lambda s: F.length(F.trim(s)) > 0,

@@ -409,13 +409,23 @@ def join_inner_star(spark, sf_dir):
     tags=("join",),
 )
 def join_left_outer(spark, sf_dir):
+    """r17 aggregate-before-join shape (guide §2.3): orders is reduced to one
+    row per custkey BEFORE the join, so the join moves aggregates, not fact
+    rows — at volume the shuffled/broadcast side shrinks from every order to
+    one row per customer, and the post-join groupBy disappears (c_custkey is
+    the customer key, one row each). Row-identical to the old
+    left-join-then-groupBy: customers without orders take the coalesce
+    defaults exactly as an empty COUNT/SUM group did."""
     c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    pre = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"), F.sum("o_totalprice").alias("_s")
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        c.join(pre, c.c_custkey == pre.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.col("_s"), F.lit(0.0)), 2).alias("spend"),
         )
         .orderBy("c_custkey")
     )

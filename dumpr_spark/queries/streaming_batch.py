@@ -97,7 +97,17 @@ def stream_session_window(spark, sf_dir):
     analog (R4 is marker-based sessionization; this is its gap-based twin).
     Spark session_window merges events whose gap < 30min; the oracle is the
     lag/cumsum formulation of the same rule."""
-    e = t(spark, sf_dir, "events")
+    # r17: when the scan under-parallelizes (compact local file), range-
+    # partition on user_id up front — it satisfies the session aggregation's
+    # clustering AND the trailing orderBy("user_id", "sess_start") prefix,
+    # so the plan needs ONE exchange instead of two. CONDITIONAL via
+    # fan_out: on a wide cluster-scale scan the original shape is kept —
+    # there the map-side partial session aggregate (events arrive time-
+    # clustered, so same-user runs pre-merge) cuts shuffle bytes, which the
+    # range form would give up by shuffling raw events.
+    from dumpr_spark.operators.scale import fan_out
+
+    e = fan_out(t(spark, sf_dir, "events"), "user_id", by_range=True)
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -100,6 +100,15 @@ def win_lag_lead(spark, sf_dir):
     tags=("window",),
 )
 def win_running_sum(spark, sf_dir):
+    # r17 one-exchange shape: range-partition on the window key UP FRONT.
+    # RangePartitioning([o_custkey]) satisfies the Window's
+    # ClusteredDistribution AND prefix-satisfies the trailing global
+    # orderBy's OrderedDistribution([o_custkey, o_orderkey]) (equal keys
+    # land in one partition; partitions are in key order), so the plan is
+    # ONE exchange + local sorts instead of hash-exchange + window +
+    # range-exchange over the full window output. The price is the range
+    # partitioner's sampling pass over the (column-pruned) scan — a read,
+    # which is cheaper than the full-output shuffle it replaces.
     o = t(spark, sf_dir, "orders")
     ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     w = (
@@ -108,7 +117,8 @@ def win_running_sum(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        o.select(
+        o.repartitionByRange("o_custkey")
+        .select(
             "o_custkey", "o_orderkey",
             F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
         )
@@ -241,6 +251,9 @@ def join_asof(spark, sf_dir):
     window formulation — linear, no native as-of needed (SURVEY §2.2-C).
     Declared as running MAX of the tagged timestamp so the DuckDB oracle is the
     same formulation."""
+    # r17 one-exchange shape (same reasoning as win_running_sum): range on
+    # user_id serves both the window's clustering and the trailing
+    # orderBy("user_id", "event_id") prefix, removing the second exchange.
     e = t(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     w = (
@@ -248,7 +261,7 @@ def join_asof(spark, sf_dir):
         .orderBy(ms, F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = e.select(
+    tagged = e.repartitionByRange("user_id").select(
         "user_id", "event_id", "event_type",
         F.max(F.when(F.col("event_type") == "click", ms)).over(w).alias("last_click_ms"),
     )

@@ -231,6 +231,15 @@ def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: st
     binary payloads — where re-scanning beats moving the bytes.)"""
     from dumpr_spark.operators.scale import scan_splits
 
+    # NO checkpoint on grp, deliberately: its two consumers (edge leg, LSH
+    # leg) contain byte-identical groupBy exchanges, and AQE's stage reuse
+    # dedups them at runtime — one shuffle write, two reads. An explicit
+    # localCheckpoint was measured SLOWER (interleaved A/B at sf0.1:
+    # 2.09 s no-ckpt vs 2.42 s ckpt vs 3.19 s pre-r17 three-leg prepass)
+    # because the RDD cache pays serialization of the text payloads that
+    # exchange reuse gets for free. (The bands checkpoint below this path
+    # stays: its consumers' exchanges are NOT identical — count-filter vs
+    # collect — so reuse cannot fire there.)
     grp = (
         df.select(F.col(id_col), F.col(text_col), content_hash(F.col(text_col)).alias("_h"))
         .groupBy("_h")
@@ -239,7 +248,6 @@ def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: st
             F.collect_list(F.col(id_col)).alias("_ids"),
             F.min_by(F.col(text_col), F.col(id_col)).alias(text_col),
         )
-        .localCheckpoint(eager=False)
     )
     edges = (
         grp.select(F.col("_rep"), F.explode("_ids").alias("_m"))

@@ -133,7 +133,9 @@ def stream_session_window(spark, sf_dir):
 def stream_dedup_first(spark, sf_dir):
     """Keyed dedup keeping the earliest event — the deterministic batch twin
     of streaming dropDuplicates(["user_id","event_type"]) + watermark."""
-    e = t(spark, sf_dir, "events")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    e = t(spark, sf_dir, "events").repartitionByRange("user_id", "event_type")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id", "event_type").orderBy(ms, F.asc("event_id"))
     return (
@@ -227,7 +229,10 @@ def events_sessionize(spark, sf_dir):
     comparison exact. Complements `stream_session_window`
     (session_window/gap semantics under streaming watermarks) with the form
     that also yields session ORDINALS."""
-    e = t(spark, sf_dir, "events")
+    # r17 one-exchange shape: range on user_id serves BOTH lag/cumsum
+    # windows, the (user_id, session_idx) rollup (subset clustering), and
+    # the trailing orderBy prefix — 3 exchanges collapse to 1.
+    e = t(spark, sf_dir, "events").repartitionByRange("user_id")
     w = Window.partitionBy("user_id").orderBy("ts")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -670,14 +675,20 @@ def events_changepoint_cusum(spark, sf_dir):
     type's rows once."""
     from pyspark.sql import Window
 
-    e = t(spark, sf_dir, "events")
+    # r17 one-exchange shape (stream side): range on event_type serves the
+    # cusum walk, the argmax pick, and the count windows, plus the trailing
+    # orderBy — the broadcast mu join preserves the stream partitioning.
+    # mu aggregates from the BARE scan (its own map-side combine), not the
+    # repartitioned stream, so the broadcast build pays no range exchange.
+    e0 = t(spark, sf_dir, "events")
+    e = e0.repartitionByRange("event_type")
     # mu is eps-rounded BEFORE the walk: the parallel avg's last ulp
     # varies with shuffle arrival order (run-to-run, not just
     # cross-engine), and the cusum accumulates that ulp n times — the
     # same boundary-flip class as the agg_pareto_abc r7 flake, hardened
     # proactively (a rounded mean changes the statistic immeasurably;
     # an unrounded one changes WHICH ROW is the argmax, rarely)
-    mu = e.groupBy("event_type").agg(eps_round(F.avg("value"), 6).alias("mu"))
+    mu = e0.groupBy("event_type").agg(eps_round(F.avg("value"), 6).alias("mu"))
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

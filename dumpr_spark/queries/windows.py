@@ -49,7 +49,9 @@ def win_topk_per_group(spark, sf_dir):
     tags=("window",),
 )
 def win_rank_dense(spark, sf_dir):
-    p = t(spark, sf_dir, "part")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    p = t(spark, sf_dir, "part").repartitionByRange("p_brand")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
     return (
         p.select(
@@ -74,7 +76,9 @@ def win_rank_dense(spark, sf_dir):
     tags=("window",),
 )
 def win_lag_lead(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    o = t(spark, sf_dir, "orders").repartitionByRange("o_custkey")
     ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     w = Window.partitionBy("o_custkey").orderBy(ts, F.asc("o_orderkey"))
     return (
@@ -141,7 +145,9 @@ def win_running_sum(spark, sf_dir):
 )
 def win_first_last(spark, sf_dir):
     """first/last over full frame — the binlog-filename-carry shape (R5)."""
-    o = t(spark, sf_dir, "orders")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    o = t(spark, sf_dir, "orders").repartitionByRange("o_custkey")
     ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     w = (
         Window.partitionBy("o_custkey")
@@ -197,7 +203,9 @@ def win_ntile(spark, sf_dir):
 def win_pct_rank(spark, sf_dir):
     """percent_rank/cume_dist per segment. No rounding needed: both engines
     compute the same exact rational in IEEE double ((rank-1)/(n-1), k/n)."""
-    c = t(spark, sf_dir, "customer")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    c = t(spark, sf_dir, "customer").repartitionByRange("c_mktsegment")
     w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     return (
         c.select(
@@ -222,7 +230,9 @@ def win_pct_rank(spark, sf_dir):
 )
 def win_range_frame(spark, sf_dir):
     """RANGE frame (value-based) — peers within +/-5 size units."""
-    p = t(spark, sf_dir, "part")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    p = t(spark, sf_dir, "part").repartitionByRange("p_brand")
     w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-5, 5)
     return (
         p.select("p_brand", "p_partkey", "p_size", F.count(F.lit(1)).over(w).alias("similar_sized"))
@@ -314,7 +324,9 @@ def join_asof_union(spark, sf_dir):
 )
 def win_nth_value(spark, sf_dir):
     """nth_value over a running frame (the k-th element carry)."""
-    c = t(spark, sf_dir, "customer")
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    c = t(spark, sf_dir, "customer").repartitionByRange("c_mktsegment")
     w = (
         Window.partitionBy("c_mktsegment")
         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
@@ -349,7 +361,11 @@ def win_cume_dist(spark, sf_dir):
     both engines by definition."""
     from pyspark.sql import Window
 
-    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    # r17 one-exchange shape: range on the window key serves the window's
+    # clustering AND the trailing orderBy prefix (see win_running_sum).
+    c = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 50 == 0
+    ).repartitionByRange("c_mktsegment")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     return (
         c.select(

@@ -74,6 +74,18 @@ def filter_committed_txs(events: DataFrame, seq_col: str = "seq", type_col: str 
     anyway, making this whole filter a no-op (SURVEY §4.2.3).
     """
     spark = events.sparkSession
+    # r17: the scan below makes THREE passes over `events` (approxQuantile
+    # range bounds, per-bucket summaries, the final windowed pass). When
+    # the feed arrives as a compact file-backed scan (locally: a derived
+    # explode riding a one-row-group file, so every pass is one task),
+    # fan it out on seq ONCE and pin it — each pass then reads the 32-way
+    # cached partitions instead of re-deriving the feed single-threaded.
+    # On a cluster-wide scan fan_out is a no-op and nothing is pinned.
+    from dumpr_spark.operators.scale import fan_out
+
+    fanned = fan_out(events, seq_col)
+    if fanned is not events:
+        events = fanned.localCheckpoint(eager=False)
     seqc = F.col(seq_col)
     is_marker = F.col(type_col).isin(*_TX_MARKERS)
     is_end_b = F.col(type_col).isin(TX_COMMIT, TX_ROLLBACK)

@@ -359,7 +359,14 @@ def shingle_overlap_pairs(df: DataFrame, pairs: DataFrame,
     candidate volume x document length, so at 100 TB it runs behind an
     LSH/banding candidate generator (and, for audit use, behind a
     deterministic pair sample — see minhash_accuracy_audit's knobs)."""
-    shset = df.select(
+    # r17: conditional fan-out before the ~100x shingle explode + per-
+    # shingle md5 (the same single-task-scan hazard minhash_signature
+    # guards against); hashing on the id means the distinct's (id, h)
+    # grouping and the sizes rollup both REUSE this exchange (hash on a
+    # subset of the clustering keys satisfies ClusteredDistribution).
+    from dumpr_spark.operators.scale import fan_out
+
+    shset = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(
             F.transform(shingles(F.col(text_col), k), minhash_base_hash)
@@ -411,31 +418,44 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = pairs.select(
         F.col("a").try_cast("long").alias("x"), F.col("b").try_cast("long").alias("y")
     )
-    bad = edges.where(F.col("x").isNull() | F.col("y").isNull()).limit(1).collect()
-    if bad:
-        raise TypeError(
-            "connected_components needs integral (long-castable) node ids; a pair "
-            "failed the cast — hash string ids to long (e.g. F.xxhash64) first"
-        )
     # checkpoint the symmetrized edge list ONCE: sym joins into every
     # iteration, and without this its lineage — the ENTIRE upstream
     # candidate-generation subtree (LSH banding, embedding pair scoring)
     # — re-evaluates per round (measured at sf0.1 warm:
     # dedup_semantic_clusters 19.3 s -> 9.3 s, dedup_clusters -> 2.7 s;
-    # the residual is one paid scoring pass + the rounds themselves —
-    # the r7 census catch)
+    # the r7 census catch). r17: the null-id guard probes the CHECKPOINTED
+    # sym instead of the raw edges — before, the guard's limit-1 collect
+    # was itself a full evaluation of the upstream subtree, paid before
+    # the checkpoint existed (the "one paid scoring pass" residual).
     sym = edges.union(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).localCheckpoint(eager=True)
+    bad = sym.where(F.col("x").isNull() | F.col("y").isNull()).limit(1).count()
+    if bad:
+        raise TypeError(
+            "connected_components needs integral (long-castable) node ids; a pair "
+            "failed the cast — hash string ids to long (e.g. F.xxhash64) first"
+        )
     labels = (
         sym.select(F.col("x").alias("n")).distinct().select("n", F.col("n").alias("comp"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr_min = sym.join(labels, sym.y == labels.n).select(
-            F.col("x").alias("n"), F.col("comp")
+        # r17: keep the OLD label alongside the propagated min (left join
+        # against the per-node neighbor min — F.least skips the null of an
+        # isolated... node never arises here since every n has an edge, but
+        # a node whose neighbors all carry larger labels keeps comp) so the
+        # convergence probe reads the checkpointed result instead of
+        # re-joining new-vs-old labels — one shuffle-join job per round
+        # gone, same labels, same fixpoint.
+        nbr_min = (
+            sym.join(labels, sym.y == labels.n)
+            .groupBy(F.col("x").alias("n"))
+            .agg(F.min("comp").alias("_nmin"))
         )
-        propagated = labels.unionByName(nbr_min).groupBy("n").agg(
-            F.min("comp").alias("comp")
+        propagated = (
+            labels.withColumnRenamed("comp", "_old")
+            .join(nbr_min, "n", "left")
+            .select("n", "_old", F.least("_old", "_nmin").alias("comp"))
         )
         # pointer jumping: comp <- comp's comp. Labels are node ids, so the
         # chain n -> comp -> comp(comp) halves every round — convergence in
@@ -445,17 +465,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         new_labels = (
             propagated.join(jump, propagated.comp == jump._jn, "left")
             .select(
-                "n", F.coalesce(F.col("_jc"), F.col("comp")).alias("comp")
+                "n", "_old",
+                F.coalesce(F.col("_jc"), F.col("comp")).alias("comp"),
             )
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "n")
-            .where(F.col("new.comp") != F.col("old.comp"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("comp") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("n", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -11,6 +11,8 @@ Python). Double accumulation for cross-engine reproducibility.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -91,10 +93,27 @@ def ivf_assign(
     Downstream ANN search equi-joins on cell, probing only matching cells —
     the 100 TB path that replaces the brute-force cross join.
     Output: vectors + (cell, cell_sim), one row per assigned cell.
+
+    r17: the norms are hoisted out of the per-pair cosine — ||v|| is
+    computed once per corpus row (below the join) and ||c|| once per
+    centroid (in the broadcast build) instead of once per (row x centroid)
+    pair. The division dot/(||v||*||c||) multiplies/divides the SAME double
+    values in the SAME order as `cosine`, so every _csim is bit-identical;
+    only the k-fold recomputation of the two array folds goes away (the
+    per-pair work drops from ~4 array traversals to the dot's 2). The
+    Projects sit under the join node, so projection collapse cannot
+    re-inline the folds into the per-pair expression.
     """
-    c = centroids.select(F.col(cent_id).alias("_cid"), F.col(cent_vec).alias("_cvec"))
-    sim = cosine(F.col(vec_col), F.col("_cvec"))
-    scored = vectors.join(F.broadcast(c)).select(
+    c = centroids.select(
+        F.col(cent_id).alias("_cid"),
+        F.col(cent_vec).alias("_cvec"),
+        l2_norm(F.col(cent_vec)).alias("_cn"),
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
+    )
+    sim = dot(F.col(vec_col), F.col("_cvec")) / (F.col("_vn") * F.col("_cn"))
+    scored = v.join(F.broadcast(c)).select(
         F.col(id_col), F.col(vec_col), F.col("_cid"), sim.alias("_csim")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("_cid"))
@@ -295,6 +314,22 @@ def train_centroids_lloyd(
     k x dim rounded doubles per iteration — metadata-sized by design.
     """
     spark = vectors.sparkSession
+    # r17 (guide §2/§5 iterative pattern): the corpus is the loop invariant
+    # — the guard, the seeds, and every Lloyd iteration re-read it. When it
+    # arrives as a compact file-backed scan (the local regime: one row
+    # group = one task, so the O(n x k) assignment fold would run
+    # single-threaded max_iter times), fan it out on the id ONCE — the
+    # per-iteration assignment window (partitionBy id) then reuses the
+    # hash clustering, no further exchange — and pin it so iterations read
+    # the 32-way cached partitions instead of replaying scan + exchange.
+    # On a cluster-wide scan (or the at-volume sampled trainer input,
+    # already pinned by the caller) fan_out is a no-op and nothing is
+    # pinned — the shape is unchanged from the r16-certified one.
+    from dumpr_spark.operators.scale import fan_out
+
+    fanned = fan_out(vectors, id_col)
+    if fanned is not vectors:
+        vectors = fanned.localCheckpoint(eager=False)
     # Contract guard (one tiny pre-scan): ids non-null, DISTINCT, and
     # int-castable; vectors a uniform non-zero dimension. Ragged/empty
     # arrays would silently undercount members in the posexplode rollup
@@ -350,7 +385,17 @@ def train_centroids_lloyd(
         )
         assigned = ivf_assign(vectors, cdf, id_col=id_col, vec_col=vec_col, n_cells=1)
         # per-(cell, pos) rounded mean + member count (c is identical across
-        # a cell's pos rows — each member contributes one row per dim)
+        # a cell's pos rows — each member contributes one row per dim),
+        # collected straight to the driver: k x dim rows, metadata-sized by
+        # construction. r17: the previous-centroid join and the per-cell
+        # movement rollup moved to the DRIVER — the old centroids already
+        # live here as `cents`, so the parallelize + join + second shuffle
+        # bought nothing; each iteration is now exactly ONE job (assign +
+        # mean + collect). The movement arithmetic replays the same
+        # expression on the same 6dp-rounded means (sqrt of the pos-ordered
+        # sum of squares, +1e-9, ROUND half-up to 6dp — the eps-rounding
+        # discipline that already absorbed the JVM's nondeterministic
+        # shuffle-order sum), so the stop decision is unchanged.
         dims = (
             assigned.select("cell", F.posexplode(_dbl(F.col(vec_col))).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -358,31 +403,26 @@ def train_centroids_lloyd(
                 F.round(F.avg("x") + 1e-9, 6).alias("m"),
                 F.count(F.lit(1)).alias("c"),
             )
-        )
-        old = spark.createDataFrame(
-            [(cid, p, v) for cid, vec in cents.items() for p, v in enumerate(vec)],
-            "cell INT, pos INT, old_m DOUBLE",
-        )
-        # ONE job per iteration returns counts, new means, and movement —
-        # a separate count pass would rescan the corpus (review pin)
-        stats = (
-            dims.join(old, ["cell", "pos"])
-            .groupBy("cell")
-            .agg(
-                F.round(
-                    F.sqrt(F.sum((F.col("m") - F.col("old_m")) * (F.col("m") - F.col("old_m")))) + 1e-9, 6
-                ).alias("move"),
-                F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("mvec"),
-                F.max("c").alias("n"),
-            )
             .collect()
         )
-        counts = sorted((r["cell"], r["n"]) for r in stats)
+        percell: dict[int, list] = {}
+        ncell: dict[int, int] = {}
+        for r in dims:
+            percell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
+            ncell[r["cell"]] = r["c"]
+        counts = sorted(ncell.items())
         new_cents = dict(cents)  # emptied clusters keep their centroid
         movement = 0.0
-        for r in stats:
-            new_cents[r["cell"]] = [x["m"] for x in r["mvec"]]
-            movement = max(movement, r["move"])
+        for cell, pm in percell.items():
+            vec = [m for _, m in sorted(pm)]
+            s = 0.0
+            for mnew, mold in zip(vec, cents[cell]):
+                d = mnew - mold
+                s += d * d
+            # ROUND-half-up twin of F.round(F.sqrt(..) + 1e-9, 6)
+            move = math.floor((math.sqrt(s) + 1e-9) * 1e6 + 0.5) / 1e6
+            new_cents[cell] = vec
+            movement = max(movement, move)
         cents = new_cents
         n_iters += 1
         if movement < eps:

@@ -3804,7 +3804,7 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
         .select("vec_id", "m", sub_slice(F.col("r")).alias("sv"))
         .withColumn("_svv", sim.dot(sv, sv))
     )
-    cbk = (
+    cbk_seed = (
         vres.where(F.col("vec_id") < _IVFPQ_KC)
         .select(F.col("vec_id").cast("int").alias("ccid"), ms, "r")
         .select(
@@ -3813,10 +3813,29 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
                         lambda x: eps_round(x, 6)).alias("cv"),
         )
     )
+    # r17: the codebook is metadata-sized by construction (M x KC = 128
+    # rows of SUB eps-rounded doubles) — keep it on the DRIVER between
+    # rounds. Before, `cbk` stayed a lazy plan, so round i's broadcast
+    # build REPLAYED rounds 1..i-1 (assignment join + window + rollup)
+    # inside the build, and the final codebook needed its own checkpoint
+    # pin. Now each round collects the <=128 updated codewords (the same
+    # rows the old left-join/coalesce merged: a (m, ccid) absent from
+    # `upd` received no points and keeps its previous codeword) and the
+    # next round broadcasts a literal 128-row table. Values are exact
+    # doubles either way — collect/createDataFrame round-trips IEEE
+    # doubles bit-for-bit, and the merge rule is the coalesce rule.
+    cwords = {(r["m"], r["ccid"]): list(r["cv"]) for r in cbk_seed.collect()}
+
+    def _cbk_df():
+        return spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(cwords.items())],
+            "m INT, ccid INT, cv ARRAY<DOUBLE>",
+        )
+
     train_w = Window.partitionBy("vec_id", "m").orderBy("d2", "ccid")
     for _ in range(_IVFPQ_TRAIN_ITERS):
         assigned = (
-            sub_all.join(F.broadcast(cbk.withColumn("_cvv", sim.dot(cv, cv))), "m")
+            sub_all.join(F.broadcast(_cbk_df().withColumn("_cvv", sim.dot(cv, cv))), "m")
             .select("vec_id", "m", "ccid", "sv", d2.alias("d2"))
             .withColumn("_rn", F.row_number().over(train_w))
             .where(F.col("_rn") == 1)
@@ -3833,13 +3852,12 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
                 ).alias("ucv")
             )
         )
-        cbk = (
-            cbk.join(upd, ["m", "ccid"], "left")
-            .select("m", "ccid", F.coalesce("ucv", "cv").alias("cv"))
-        )
-    # pinned: the trained codebook feeds the encoder (all corpus rows),
-    # the query LUT, and — unpinned — each would replay the Lloyd rounds
-    cb = cbk.withColumn("_cvv", sim.dot(cv, cv)).localCheckpoint(eager=timed)
+        for r in upd.collect():
+            cwords[(r["m"], r["ccid"])] = list(r["ucv"])
+    # the trained codebook is a literal 128-row frame — nothing to pin
+    # (the r16 checkpoint guarded against replaying the Lloyd rounds,
+    # which now live on the driver)
+    cb = _cbk_df().withColumn("_cvv", sim.dot(cv, cv))
     if timed:
         stage_timings["pq_train_s"] = _time.monotonic() - _t0
         _t0 = _time.monotonic()

@@ -2956,18 +2956,16 @@ def customer_rfm_scores(spark, sf_dir):
     the shape the plan lint bans as a naive window — so all three scores
     run through operators/ntile.global_ntile (approxQuantile range-bucket
     + per-bucket rank + broadcast offsets; see that module's cost model).
-    The per-customer rollup is PERSISTED across the three scoring passes'
-    six EAGER jobs (per pass: one approxQuantile, one bucket-count) —
-    without it each would recompute the orders scan + join + groupBy from
-    scratch — then UNPERSISTED before returning: the returned plan reads
-    the rollup exactly once (the three rank windows stack linearly), so
-    releasing the cache costs one rollup rebuild at materialization while
-    guaranteeing repeated invocations (oracle sweeps, bench loops, plan
-    lints) never accumulate session-lifetime cached DataFrames.
-    Monetary is eps-rounded before scoring so the tile boundary is a
-    function of the published figure on both engines."""
-    from pyspark import StorageLevel
-
+    The per-customer rollup is lazily localCheckpoint-pinned across the
+    three scoring passes' six EAGER jobs (per pass: one approxQuantile,
+    one bucket-count) and the returned plan — without it each would
+    recompute the orders scan + join + groupBy from scratch. r17: the
+    passes score INDEPENDENT 2-column projections of the rollup and the
+    (c_custkey, score) frames join back, instead of each pass stacking on
+    the previous pass's output (whose eager jobs then re-executed every
+    earlier rank window). Monetary is eps-rounded before scoring so the
+    tile boundary is a function of the published figure on both
+    engines."""
     from dumpr_spark.operators.ntile import global_ntile
 
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
@@ -2980,14 +2978,32 @@ def customer_rfm_scores(spark, sf_dir):
             F.count(F.lit(1)).cast("double").alias("frequency"),
             eps_round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # lazy pin (the repo-standard localCheckpoint-inside-a-query form,
+        # released by the ContextCleaner like every other query-internal
+        # pin): 7 readers — the three scoring passes' six eager jobs plus
+        # the returned plan's reads
+        .localCheckpoint(eager=False)
     )
-    try:
-        scored = global_ntile(rfm, 5, "recency_day", "c_custkey", out_col="r_score")
-        scored = global_ntile(scored, 5, "frequency", "c_custkey", out_col="f_score")
-        scored = global_ntile(scored, 5, "monetary", "c_custkey", out_col="m_score")
-    finally:
-        rfm.unpersist(blocking=False)
+    # r17: score the three axes INDEPENDENTLY on 2-column projections
+    # of the pinned rollup and join the (c_custkey, score) frames back.
+    # The old stacked form (ntile over the output of the previous
+    # ntile) made pass N's two eager jobs re-execute every earlier
+    # pass's rank window + offset join — quadratic re-evaluation for
+    # zero information: each score depends only on (its value, id).
+    # Same scores, same cells; the join-back keys are unique.
+    scores = [
+        global_ntile(
+            rfm.select("c_custkey", val), 5, val, "c_custkey", out_col=out
+        ).select("c_custkey", out)
+        for val, out in (
+            ("recency_day", "r_score"),
+            ("frequency", "f_score"),
+            ("monetary", "m_score"),
+        )
+    ]
+    scored = rfm.select("c_custkey", "monetary")
+    for s in scores:
+        scored = scored.join(s, "c_custkey")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -4271,11 +4287,20 @@ def layout_zorder(spark, sf_dir):
     order is total, so tile assignment is deterministic."""
     from dumpr_spark.operators.ntile import global_ntile
 
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("long").bitwiseAND(F.lit(65535)).alias("pk"),
-        F.col("l_suppkey").cast("long").bitwiseAND(F.lit(65535)).alias("sk"),
-        (F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber"))
-            .alias("rid"),
+    from dumpr_spark.operators.scale import fan_out
+
+    li = fan_out(
+        t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("long").bitwiseAND(F.lit(65535)).alias("pk"),
+            F.col("l_suppkey").cast("long").bitwiseAND(F.lit(65535)).alias("sk"),
+            (F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber"))
+                .alias("rid"),
+        ),
+        "rid",  # r17: the checkpointed zed below otherwise materializes as
+        # ONE cached partition on a compact scan — every global_ntile pass
+        # (quantile, counts, ranked join) then ran single-task; hash on the
+        # unique rid spreads the interleave + all three passes, no-op on a
+        # wide scan
     )
     z = F.lit(0).cast("long")
     for i in range(16):

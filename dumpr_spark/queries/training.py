@@ -130,15 +130,21 @@ def contamination_ngrams(spark, sf_dir):
     cost is one narrow gram projection + a broadcast semi-join: no shuffle
     of the 100 TB side. Near-twin plants (+100000 ids) are the expected
     hits."""
+    from dumpr_spark.operators.scale import fan_out
+
     bench = t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     bg = (
-        bench.select(F.explode(F.array_distinct(tx.gram_hashes(F.col("text"), 5))).alias("g"))
+        fan_out(bench.select("doc_id", "text"), "doc_id")
+        .select(F.explode(F.array_distinct(tx.gram_hashes(F.col("text"), 5))).alias("g"))
         .distinct()
     )
     train = _dup_corpus(spark, sf_dir, near=True).where(
         ~((F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 0))
     )
-    tg = train.select(
+    # r17: conditional fan-out before the two ~100x gram explodes (both
+    # otherwise ride the compact single-task documents scan); hashing the
+    # train side on doc_id lets the per-doc rollup reuse the exchange
+    tg = fan_out(train.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tx.gram_hashes(F.col("text"), 5))).alias("g")
     )
     return (

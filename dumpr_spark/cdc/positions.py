@@ -53,6 +53,14 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
         .collect()
     )
     data = events.where(F.col("rotate_file").isNull()).drop("rotate_file")
+    # r17: the unrolled binary search below is the heaviest narrow map in
+    # the CDC family (ceil(log2 n) interpreted let-probes per event) and
+    # otherwise runs single-task on a compact file-backed scan; range on
+    # seq also hands a caller's trailing ORDER BY seq its partitioning
+    # (prefix rule). No-op on a cluster-wide scan.
+    from dumpr_spark.operators.scale import fan_out
+
+    data = fan_out(data, seq_col, by_range=True)
     if not rot_rows:
         return data.withColumn("next_file", F.lit(init_file))
     files = [rf for _, rf in rot_rows]

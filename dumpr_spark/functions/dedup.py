@@ -645,7 +645,15 @@ def simhash_band_candidates(
     boilerplate cluster concentrates one bucket — cap with the
     grouped-bucket machinery of minhash_lsh_pairs_scaled if that arises.
     Sign-extension is immaterial: the 16-bit mask lands below any
-    arithmetic-shift fill bits."""
+    arithmetic-shift fill bits.
+
+    r17: `sigs` is pinned — the band self-join's two legs otherwise each
+    evaluate the whole signature subtree (the corpus-wide shingle explode
+    + 64-sum aggregate; ReuseExchange does not fire across a join's two
+    shuffles in practice — the lsh_candidate_pairs measurement). The
+    pinned table is (id, 16-byte sig): the operator's decision table,
+    cheap to hold at any scale."""
+    sigs = sigs.localCheckpoint(eager=False)
     bands = sigs.select(
         F.col(id_col),
         F.col(sig_col),

@@ -1062,13 +1062,17 @@ def cdc_key_bucket_policy(spark, sf_dir):
     # with the declarative twin the oracle checks — a drifted helper fails
     # the gate loudly instead of silently suggesting a different layout
     kb = suggest_key_bucket(ids, target_rows_per_bucket=target)
-    row = out.collect()[0]
+    rows_c = out.collect()
+    row = rows_c[0]
     if (kb.width, kb.origin) != (row["width"], row["origin"]):
         raise AssertionError(
             f"suggest_key_bucket ({kb.width}, {kb.origin}) != declarative "
             f"twin ({row['width']}, {row['origin']})"
         )
-    return out
+    # r17: the self-check above already materialized every output row —
+    # return them as a literal (same values, same schema) instead of a
+    # plan the consumer's action would re-evaluate end to end
+    return spark.createDataFrame(rows_c, out.schema)
 
 
 @query(
@@ -1144,7 +1148,8 @@ def cdc_hash_bucket_policy(spark, sf_dir):
     kb = suggest_hash_bucket_count(ids, target_rows_per_bucket=target)
     kbc = suggest_hash_bucket_count(ids, target_rows_per_bucket=target,
                                     max_buckets=8)
-    row = out.collect()[0]
+    rows_c = out.collect()
+    row = rows_c[0]
     if (kb.n_buckets, kbc.n_buckets) != (row["n_buckets"],
                                          row["n_buckets_capped"]):
         raise AssertionError(
@@ -1152,7 +1157,9 @@ def cdc_hash_bucket_policy(spark, sf_dir):
             f"!= declarative twin ({row['n_buckets']}, "
             f"{row['n_buckets_capped']})"
         )
-    return out
+    # r17: the self-check already materialized the output — return it as
+    # a literal rather than a plan the consumer re-evaluates
+    return spark.createDataFrame(rows_c, out.schema)
 
 
 @query(
@@ -1295,7 +1302,8 @@ def cdc_auto_layout_policy(spark, sf_dir):
     # declarative twin the oracle checks, in DISPATCH and in values —
     # a drifted rule fails the gate loudly (the cdc_key_bucket_policy
     # discipline)
-    rows = {r["scenario"]: r for r in out.collect()}
+    rows_c = out.collect()
+    rows = {r["scenario"]: r for r in rows_c}
     for scen, df, want_cls in (("numeric", num, KeyBucket),
                                ("numeric_small", small, KeyBucket),
                                ("strings", strs, HashKeyBucket)):
@@ -1309,7 +1317,9 @@ def cdc_auto_layout_policy(spark, sf_dir):
                 f"derive_auto_policy({scen}) = {pol!r} != declarative "
                 f"twin {twin!r}"
             )
-    return out
+    # r17: the self-check already materialized the output — return it as
+    # a literal rather than a plan the consumer re-evaluates
+    return spark.createDataFrame(rows_c, out.schema)
 
 
 @query(
@@ -1567,7 +1577,8 @@ def cdc_bucket_growth_policy(spark, sf_dir):
     # self-check: verdicts are the committed ones at every shipped scale,
     # and the emitted candidate/fallback arithmetic IS what the shipped
     # rule derives from the same live ids
-    rows = {r["scenario"]: r for r in out.collect()}
+    rows_c = out.collect()
+    rows = {r["scenario"]: r for r in rows_c}
     if (not rows["outgrown"]["migrate"] or rows["fits"]["migrate"]
             or not rows["clustered"]["migrate"]):
         raise AssertionError(
@@ -1606,4 +1617,6 @@ def cdc_bucket_growth_policy(spark, sf_dir):
             f"= {count_re} != emitted {clu_row['new_n_buckets']}, uniform "
             f"spread {unif_re} != emitted {clu_row['unif_max_rows_per_bucket']}"
         )
-    return out
+    # r17: the self-check already materialized the output — return it as
+    # a literal rather than a plan the consumer re-evaluates
+    return spark.createDataFrame(rows_c, out.schema)

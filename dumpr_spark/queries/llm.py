@@ -542,7 +542,12 @@ def dedup_simhash(spark, sf_dir):
     guard matters: DuckDB's SUM widens, and a sign-extended 128-bit xor
     counts 64 phantom bits). Bit-twiddling edge cases additionally pinned by
     tests/test_llm_ops.py simhash properties."""
-    sigs = dd.simhash_signatures(_dup_corpus(spark, sf_dir, near=True))
+    # r17: pinned — the twin-pair self-join's two legs otherwise each
+    # evaluate the corpus-wide signature subtree (the simhash_band_candidates
+    # finding); the pinned table is (id, 16-byte sig)
+    sigs = dd.simhash_signatures(
+        _dup_corpus(spark, sf_dir, near=True)
+    ).localCheckpoint(eager=False)
     a = sigs.select(F.col("doc_id").alias("a"), F.col("sh64").alias("ha"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("sh64").alias("hb"))
     return (
@@ -1482,8 +1487,18 @@ def graph_pagerank_3iter(spark, sf_dir):
         )
         .distinct()
     )
-    edges = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    edges = (
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # r17: the docstring's at-scale shape, implemented — co-partition
+        # the edge list on src ONCE and pin it. Before, the join+distinct
+        # edge subtree re-evaluated for nodes/deg/every iteration's join
+        # (7+ evaluations in the final plan); now degrees, the node
+        # distinct, and each iteration's src-join all reuse the pinned
+        # hash(src) partitioning, so iterations shuffle only the thin
+        # rank vector.
+        .repartition("src")
+        .localCheckpoint(eager=False)
     )
     # symmetric graph => every node appears as a src; degree never zero
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -3882,22 +3897,17 @@ def _ivfpq_index(spark, sf_dir, train_sample_mod=None, cells=_IVFPQ_CELLS,
     return e, q, cdf, cents, cb, vcode
 
 
-def _ivfpq_query(e, q, cdf, cents, cb, vcode,
-                 nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST):
-    """Spark side of the IVF-PQ SERVE stage against a built index: probe
-    the query's `nprobe` nearest cells, ADC-score the probed cells' codes
-    from the per-query LUT, cut the `shortlist`, exact-re-rank it.
-    Returns the re-ranked frame (q_id, n_id, adc_d2, sim, rank).
-    The two serving knobs are exactly the ones that recover recall as the
-    corpus grows (see sim_ivfpq_recall): nprobe buys back the cell-miss
-    term, shortlist the ADC-precision term.
-
-    Scale shape: the ADC lookup table is nq x nprobe x M x KC tiny rows,
-    broadcast into an equi-join against the probed cells' codes — the
-    scan touches only code columns, never the vectors; only the
-    SHORTLIST (nq x `shortlist` rows, broadcast) joins back to the full
-    vectors for exact cosine, so the one stage that reads an embedding
-    has its candidate count bounded by construction."""
+def _ivfpq_scored(q, cdf, cents, cb, vcode, max_nprobe):
+    """ADC-score every candidate of the `max_nprobe` nearest cells, with
+    each candidate's CELL PROBE RANK reified (r17): a candidate's adc_d2
+    is independent of nprobe — its n_id lives in exactly one cell — so a
+    (nprobe, shortlist) dial over this one table is a probe-rank FILTER
+    plus its own shortlist cut (`_ivfpq_cut`). The probe rank replays
+    ivf_assign's own n_cells slicing (cell_sim desc, cell asc), so
+    `_prn <= d` selects bit-for-bit the cells ivf_assign(n_cells=d)
+    would return; sim_ivfpq_recall's sweep shares ONE scored table where
+    it used to re-join and re-aggregate the codes per dial.
+    Returns (q_id, n_id, adc_d2, _prn)."""
     from pyspark.sql import Window
 
     def residual(vec_col):
@@ -3916,16 +3926,21 @@ def _ivfpq_query(e, q, cdf, cents, cb, vcode,
     d2 = eps_round(
         F.col("_svv") - 2 * sim.dot(sv, cv) + F.col("_cvv"), 6
     )
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
     qlut = (
-        sim.ivf_assign(q, cdf, n_cells=nprobe)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding"), "cell")
+        sim.ivf_assign(q, cdf, n_cells=max_nprobe)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding"),
+                "cell", "cell_sim")
+        .withColumn("_prn", F.row_number().over(probe_w))
         .join(F.broadcast(cents), "cell")
-        .select("q_id", "cell", residual(F.col("embedding")).alias("r"))
-        .select("q_id", "cell", ms, "r")
-        .select("q_id", "cell", "m", sub_slice(F.col("r")).alias("sv"))
+        .select("q_id", "cell", "_prn", residual(F.col("embedding")).alias("r"))
+        .select("q_id", "cell", "_prn", ms, "r")
+        .select("q_id", "cell", "_prn", "m", sub_slice(F.col("r")).alias("sv"))
         .withColumn("_svv", sim.dot(sv, sv))
         .join(F.broadcast(cb), "m")
-        .select("q_id", "cell", "m", "ccid", d2.alias("d2"))
+        .select("q_id", "cell", "_prn", "m", "ccid", d2.alias("d2"))
     )
     # fixed-order ADC sum: pivot the M per-subspace cells to columns, add
     # them in one expression — a groupBy SUM would re-order the float adds
@@ -3937,13 +3952,32 @@ def _ivfpq_query(e, q, cdf, cents, cb, vcode,
     adc_sum = F.col("_d0")
     for i in range(1, _IVFPQ_M):
         adc_sum = adc_sum + F.col(f"_d{i}")
-    short_w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
-    short = (
+    return (
         vcode.join(F.broadcast(qlut), ["cell", "m", "ccid"])
         .where(F.col("q_id") != F.col("n_id"))
+        # a candidate's M code rows all carry its single cell's probe
+        # rank — max() just surfaces that constant through the rollup
         .groupBy("q_id", "n_id")
-        .agg(*pivots)
-        .select("q_id", "n_id", eps_round(adc_sum, 6).alias("adc_d2"))
+        .agg(*pivots, F.max("_prn").alias("_prn"))
+        .select("q_id", "n_id", eps_round(adc_sum, 6).alias("adc_d2"), "_prn")
+    )
+
+
+def _ivfpq_cut(scored, e, q, nprobe, shortlist):
+    """One serving dial over a `_ivfpq_scored` table: keep the `nprobe`
+    nearest cells' candidates, cut the `shortlist` on ADC distance,
+    exact-re-rank the shortlist. Returns (q_id, n_id, adc_d2, sim, rank).
+
+    Scale shape: only the SHORTLIST (nq x `shortlist` rows, broadcast)
+    joins back to the full vectors for exact cosine, so the one stage
+    that reads an embedding has its candidate count bounded by
+    construction."""
+    from pyspark.sql import Window
+
+    short_w = Window.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    short = (
+        scored.where(F.col("_prn") <= nprobe)
+        .select("q_id", "n_id", "adc_d2")
         .withColumn("_srn", F.row_number().over(short_w))
         .where(F.col("_srn") <= shortlist)
         .select("q_id", "n_id", "adc_d2")
@@ -3956,6 +3990,27 @@ def _ivfpq_query(e, q, cdf, cents, cb, vcode,
         nv.join(F.broadcast(short.join(F.broadcast(qv), "q_id")), "n_id")
         .select("q_id", "n_id", "adc_d2", simv.alias("sim"))
         .withColumn("rank", F.row_number().over(rank_w))
+    )
+
+
+def _ivfpq_query(e, q, cdf, cents, cb, vcode,
+                 nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST):
+    """Spark side of the IVF-PQ SERVE stage against a built index: probe
+    the query's `nprobe` nearest cells, ADC-score the probed cells' codes
+    from the per-query LUT (`_ivfpq_scored`), cut the `shortlist`,
+    exact-re-rank it (`_ivfpq_cut`). Returns the re-ranked frame
+    (q_id, n_id, adc_d2, sim, rank). The two serving knobs are exactly
+    the ones that recover recall as the corpus grows (see
+    sim_ivfpq_recall): nprobe buys back the cell-miss term, shortlist
+    the ADC-precision term.
+
+    Scale shape: the ADC lookup table is nq x nprobe x M x KC tiny rows,
+    broadcast into an equi-join against the probed cells' codes — the
+    scan touches only code columns, never the vectors; only the
+    shortlist joins back to the full vectors for exact cosine."""
+    return _ivfpq_cut(
+        _ivfpq_scored(q, cdf, cents, cb, vcode, max_nprobe=nprobe),
+        e, q, nprobe, shortlist,
     )
 
 
@@ -4255,10 +4310,18 @@ def sim_ivfpq_recall(spark, sf_dir):
     )
     tot = exact.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
 
+    # r17: ONE ADC-scored candidate table at the sweep's max nprobe, each
+    # candidate's cell probe rank reified — a dial leg is then a filter +
+    # shortlist cut over this pinned table instead of re-joining and
+    # re-aggregating the encoded corpus per leg (see _ivfpq_scored)
+    scored = _ivfpq_scored(
+        q, cdf, cents, cb, vcode,
+        max_nprobe=max(np for _m, np, _sl in _IVFPQ_SWEEP),
+    ).localCheckpoint(eager=False)
+
     def recall_row(method, nprobe, shortlist):
         hits = (
-            _ivfpq_query(e, q, cdf, cents, cb, vcode,
-                         nprobe=nprobe, shortlist=shortlist)
+            _ivfpq_cut(scored, e, q, nprobe, shortlist)
             .where(F.col("rank") <= 5)
             .select("q_id", "n_id")
             .join(exact, ["q_id", "n_id"])
@@ -4660,8 +4723,15 @@ def text_boilerplate_share(spark, sf_dir):
     broadcast left-semi-style join back. The hard is_boilerplate verdict
     compares the eps-ROUNDED share on both engines (r7 rule); the share
     itself is a ratio of exact integers."""
+    from dumpr_spark.operators.scale import fan_out
+
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
+    # r17: conditional fan-out on doc_id before the shingle explode — the
+    # explode otherwise runs single-task on the compact scan, and hashing
+    # on doc_id lets BOTH the (doc_id, s) distinct and the per-doc rollup
+    # below reuse this exchange (subset clustering), so the plan loses the
+    # two exchanges they each paid before
+    sh = fan_out(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("s")
     ).distinct().localCheckpoint(eager=False)  # feeds the docfreq/bank
     # subtree AND the join probe side — unpinned, the explode+distinct

@@ -21,30 +21,39 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
     like the reference's stateful transducer.
 
     Scale shape (r4: replaced the single-partition ``last_value OVER (ORDER BY
-    seq)`` window; r6: replaced the broadcast-join linear scan): rotate
-    events are SPARSE — one per binlog file — so the boundary list is
-    METADATA-sized (a 1 GiB-capped binlog is ~100k files per 100 TB of
-    churn). It is collected once and inlined as two constant-folded plan
-    literals (one string literal each, split+cast — see
-    operators/bloom.py for why NOT F.lit(list) or a broadcast join);
-    each event then resolves its boundary with an UNROLLED branchless
-    binary search — ceil(log2 n) let-bound probes of the shared sorted
-    constant (~14 at 11.5k rotates, 17 at 100k), zero per-row
-    allocation. No join, no shuffle, no global sort: the event side
-    stays a pure narrow map on its scan partitioning.
+    seq)`` window; r6: an unrolled binary search against the rotate list
+    folded into plan literals; r17: the DISTRIBUTED PREFIX SCAN below —
+    the r16 round's filter_committed_txs shape, join-free). The r6 form's
+    ceil(log2 n) let-bound probes per event were interpreted-expression
+    work whose per-probe constant GREW with the boundary-array size: at
+    the sf1-local exercise (1.5M events x 115k rotates) it measured
+    45.6 s warm against a rows-x-log(n) prediction of ~20 s. This form:
 
-    Three rejected shapes, all measured at sf0.1 (150k events x 11.5k
-    rotates): per-row ``F.filter``+take-last over one broadcast array
-    (O(n) comparisons AND an O(n) materialization per event, 254.6 s);
-    the same lookup through a 1-row crossJoin (each joined row
-    physically copies the full array before the projection reads it —
-    ~350 KB/row, 45 s); two-level sqrt(n) chunked counting folds
-    (~2*sqrt(n) interpreted fold steps + a chunk slice per row, ~6 s).
-    The binary-search form takes ~4 s warm (each let costs an
-    interpreted transform wrapper, so the per-probe constant is higher
-    than a raw comparison — still the winning shape, and the gap to the
-    fold form widens with n)."""
-    from dumpr_spark.functions.expr import let
+    - bucket bounds are ~parallelism-many ROTATE seqs chosen on the
+      driver from the already-collected rotate list (no extra pass over
+      the feed; a binlog rotates per-bytes, so event mass between
+      rotates is roughly constant and rotate-drawn bounds balance the
+      buckets for exactly this feed shape);
+    - every row (data AND rotate markers) gets its bucket from one short
+      fold over the <=parallelism-element bounds literal;
+    - a per-bucket PARTITIONED window (last rotate_file ignorenulls,
+      rotate-before-data on seq ties, filename tiebreak) resolves
+      in-bucket stamps in whole-stage codegen;
+    - rows before their bucket's first in-bucket rotate read the CARRY —
+      the last rotate of any earlier bucket — from a <=33-element plan
+      literal indexed by bucket id (monotonicity of the bucket fold
+      guarantees every earlier-bucket rotate seq <= every seq in this
+      bucket, so the carry is exactly bisect_right semantics).
+
+    No join (the plan pin in test_plan_lint stays strict), no global
+    sort; ONE exchange on the bucket id replaces per-row interpreted
+    probe chains with a codegen'd running last — per-row cost is now
+    O(|bounds|) with |bounds| <= parallelism, INDEPENDENT of the rotate
+    count. Rejected shapes (measured, sf0.1, 150k x 11.5k): per-row
+    filter+take-last 254.6 s, 1-row crossJoin 45 s, two-level sqrt(n)
+    chunked folds ~6 s, r6 binary search ~4 s at 11.5k rotates but
+    super-linear in the rotate count (above)."""
+    import bisect
 
     rot_rows = sorted(
         (r["_rs"], r["_rf"])
@@ -52,60 +61,61 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
         .select(F.col(seq_col).alias("_rs"), F.col("rotate_file").alias("_rf"))
         .collect()
     )
-    data = events.where(F.col("rotate_file").isNull()).drop("rotate_file")
-    # r17: the unrolled binary search below is the heaviest narrow map in
-    # the CDC family (ceil(log2 n) interpreted let-probes per event) and
-    # otherwise runs single-task on a compact file-backed scan; range on
-    # seq also hands a caller's trailing ORDER BY seq its partitioning
-    # (prefix rule). No-op on a cluster-wide scan.
-    from dumpr_spark.operators.scale import fan_out
-
-    data = fan_out(data, seq_col, by_range=True)
     if not rot_rows:
-        return data.withColumn("next_file", F.lit(init_file))
-    files = [rf for _, rf in rot_rows]
-    if any(f is None or "\x1f" in f for f in files):
-        raise ValueError(
-            "stamp_binlog_filename: rotate filenames must be non-null and "
-            "free of the 0x1f literal separator"
+        return (
+            events.where(F.col("rotate_file").isNull())
+            .drop("rotate_file")
+            .withColumn("next_file", F.lit(init_file))
         )
+    spark = events.sparkSession
+    seq = F.col(seq_col)
     n = len(rot_rows)
     seqs = [rs for rs, _ in rot_rows]
-    flat_rs = F.split(F.lit(",".join(str(x) for x in seqs)), ",").cast("array<long>")
-    flat_rf = F.split(F.lit("\x1f".join(files)), "\x1f")
-    seq = F.col(seq_col)
+    files = [rf for _, rf in rot_rows]
 
-    # branchless binary search for "how many rotate seqs <= seq" — which,
-    # on the sorted constant, IS the 1-based index of the last applicable
-    # boundary (0 = none). Each step tests one probe position; k is
-    # let-bound so the chain evaluates each partial count exactly once.
-    # try_element_at past the end yields NULL -> NULL <= seq -> when
-    # falls through to otherwise(k), so no bounds branch is needed.
-    def search_step(prev, p):
-        # NOTE: the body must be a ONE-parameter callable — pyspark treats
-        # a two-parameter lambda passed to transform as (element, index),
-        # silently rebinding the second name to the array index
-        return let(
-            prev,
-            lambda k: F.when(
-                F.try_element_at(flat_rs, (k + F.lit(p)).cast("int")) <= seq,
-                k + F.lit(p),
-            ).otherwise(k),
+    # <= parallelism interior bounds, drawn from the rotate seqs
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    step = max(1, -(-n // n_part))  # ceil
+    bounds = seqs[step::step]
+    if bounds:
+        bucket = F.aggregate(
+            F.lit(bounds), F.lit(0), lambda a, b: a + F.when(seq >= b, 1).otherwise(0)
         )
+    else:
+        bucket = F.lit(0)
 
-    k_expr = F.lit(0)
-    for p in (1 << i for i in range(n.bit_length() - 1, -1, -1)):
-        k_expr = search_step(k_expr, p)
-    # events BEFORE the first rotate count 0 -> fall back to the initial
-    # file. The positivity test is EXPLICIT (not a coalesce on a NULL
-    # index): element_at with a NULL ordinal resolves as -1 (the LAST
-    # element) rather than NULL — observed on Spark 4.1,
-    # regression-pinned in test_cdc_core.
-    hit = let(
-        k_expr,
-        lambda k: F.when(k > 0, F.element_at(flat_rf, k.cast("int"))),
+    # carry[b] = file of the last rotate that landed in a bucket < b
+    # (None -> init_file: "no rotate anywhere before this bucket")
+    rot_buckets = [bisect.bisect_right(bounds, s) for s in seqs]
+    carry = []
+    for b in range(len(bounds) + 1):
+        idx = bisect.bisect_left(rot_buckets, b) - 1
+        carry.append(files[idx] if idx >= 0 else init_file)
+    carry_lit = F.lit(carry)
+
+    ev = events.withColumn("_b", bucket)
+    # rotate rows sort BEFORE data rows on a seq tie (a data event AT a
+    # rotate's seq takes that rotate — bisect_right semantics), and equal-
+    # seq rotates tie-break on filename so "last" is the max file, matching
+    # the sorted rotate list's element order
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(seq, F.col("rotate_file").isNull(), F.col("rotate_file"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return data.withColumn("next_file", F.coalesce(hit, F.lit(init_file)))
+    local_last = F.last(F.col("rotate_file"), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("_local", local_last)
+        .where(F.col("rotate_file").isNull())
+        .withColumn(
+            "next_file",
+            F.coalesce(
+                F.col("_local"),
+                F.element_at(carry_lit, (F.col("_b") + 1).cast("int")),
+            ),
+        )
+        .drop("rotate_file", "_b", "_local")
+    )
 
 
 def next_position(changes: DataFrame) -> dict | None:

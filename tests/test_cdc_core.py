@@ -288,6 +288,34 @@ def test_tx_filter_batch_equals_streaming_fold_property(spark):
     check()
 
 
+def test_binlog_filename_stamping_many_rotates_carry(spark):
+    """r17 prefix-scan internals: with MORE rotates than the parallelism,
+    the bucket bounds are a strict subsample of the rotate seqs (step > 1),
+    so buckets hold several rotates each and cross-bucket stamps exercise
+    the carry literal — data events at bucket fronts (before their
+    bucket's first in-bucket rotate), at rotate seqs exactly (rotate wins
+    the tie), and before the first rotate anywhere (init fallback). The
+    reference is a pure-Python bisect."""
+    import bisect
+
+    rot_seqs = list(range(10, 4010, 10))  # 400 rotates >> 32-ish parallelism
+    rotates = [(s, f"binlog.{i:06d}") for i, s in enumerate(rot_seqs, start=2)]
+    # events: one right below / at / right above every 37th rotate seq,
+    # plus a run before the first rotate
+    ev_seqs = [1, 2, 9]
+    for s in rot_seqs[::37]:
+        ev_seqs += [s - 1, s, s + 1]
+    rows = [(f, None, s) for s, f in rotates] + [(None, "write", s) for s in ev_seqs]
+    df = spark.createDataFrame(rows, "rotate_file string, event_type string, seq long")
+    got = {r["seq"]: r["next_file"]
+           for r in stamp_binlog_filename(df, "init.000001").collect()}
+    assert len(got) == len(set(ev_seqs))
+    for s in ev_seqs:
+        i = bisect.bisect_right(rot_seqs, s)
+        want = rotates[i - 1][1] if i else "init.000001"
+        assert got[s] == want, (s, got[s], want)
+
+
 def test_binlog_filename_stamping(spark):
     """R5 (stream.clj:56-74): rotate events consumed, filename carried."""
     rows = [

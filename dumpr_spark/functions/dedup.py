@@ -211,48 +211,56 @@ def minhash_lsh_pairs_scaled(df: DataFrame, id_col: str = "doc_id", text_col: st
     with representative-level LSH candidate pairs — connected_components over
     them yields the same clusters as the naive form, without the c² pairs.
 
-    r17 shape: ONE hash-groupBy replaces the old three-legged prepass
-    (groupBy for reps + broadcast join for edges + left-semi join to re-read
-    representative texts — each leg re-evaluated the corpus subtree, so the
-    corpus was scanned ~3x per run and shuffled twice). The single aggregate
-    elects the representative, carries its text (min_by, map-side partial
-    combine: one candidate text per distinct hash per input partition crosses
-    the wire — on a duplicate-heavy corpus that is LESS than one full-corpus
-    pass), and collects the member ids for the copy->rep edges. The group
-    result is the dedup *decision table* of guide §8 — localCheckpoint'd so
-    the edge leg and the LSH leg both read it instead of re-deriving it, and
-    already hash-distributed, so the signature stage skips its fan-out
-    (``pre_partitioned=True``). Grouping by the 16-byte md5 (never the raw
-    text) keeps the shuffle key narrow and matches the oracle's hmap/reps
-    CTEs bit-for-bit.
+    r17/r18 shape: the rep election is ONE hash-groupBy (min id + min_by
+    text — map-side partial combine: one candidate text per distinct hash
+    per input partition crosses the wire, on a duplicate-heavy corpus LESS
+    than one full-corpus pass), and the copy->rep edges come from a
+    SEPARATE narrow leg: project (id, 16-byte md5), one hash exchange of
+    those 24-byte rows, and a min-over-partition WINDOW. The window's row
+    buffer spills (ExternalAppendOnlyUnsafeRowContainer), so a hot
+    duplicate class — one boilerplate page copied 10M times — costs disk,
+    not an executor OOM; the r17 form collected every member id of a class
+    into ONE collect_list aggregation buffer, the exact §5 blowup this
+    operator exists to avoid. The price is a second corpus read (the edge
+    leg re-derives (id, md5) from the scan); the rejected alternatives are
+    strictly worse at volume: collect_list = unbounded memory, and a
+    single shared window over (id, text, md5) would shuffle EVERY copy's
+    text where the groupBy ships one candidate per partition (guide §8:
+    re-reading beats moving payload bytes). Grouping/partitioning by the
+    md5 (never the raw text) keeps both shuffle keys narrow and matches
+    the oracle's hmap/reps CTEs bit-for-bit.
 
     (`exact_prepass_edges` keeps the join-based shape for payloads that must
     NOT ride a shuffle or an aggregation buffer — the multimodal twin's
     binary payloads — where re-scanning beats moving the bytes.)"""
     from dumpr_spark.operators.scale import scan_splits
 
-    # NO checkpoint on grp, deliberately: its two consumers (edge leg, LSH
-    # leg) contain byte-identical groupBy exchanges, and AQE's stage reuse
-    # dedups them at runtime — one shuffle write, two reads. An explicit
-    # localCheckpoint was measured SLOWER (interleaved A/B at sf0.1:
-    # 2.09 s no-ckpt vs 2.42 s ckpt vs 3.19 s pre-r17 three-leg prepass)
-    # because the RDD cache pays serialization of the text payloads that
-    # exchange reuse gets for free. (The bands checkpoint below this path
-    # stays: its consumers' exchanges are NOT identical — count-filter vs
+    # NO checkpoint on grp, deliberately: since r18 it has ONE consumer
+    # (the LSH leg; edges moved to their own narrow window leg below), and
+    # the r17 A/B already measured an explicit localCheckpoint SLOWER
+    # (interleaved at sf0.1: 2.09 s no-ckpt vs 2.42 s ckpt vs 3.19 s
+    # pre-r17 three-leg prepass) because the RDD cache pays serialization
+    # of the text payloads. (The bands checkpoint below this path stays:
+    # its consumers' exchanges are NOT identical — count-filter vs
     # collect — so reuse cannot fire there.)
     grp = (
         df.select(F.col(id_col), F.col(text_col), content_hash(F.col(text_col)).alias("_h"))
         .groupBy("_h")
         .agg(
             F.min(id_col).alias("_rep"),
-            F.collect_list(F.col(id_col)).alias("_ids"),
             F.min_by(F.col(text_col), F.col(id_col)).alias(text_col),
         )
     )
+    # Edge leg: narrow (id, md5) rows, one exchange, spillable window —
+    # never an aggregation-buffer array of member ids (docstring above).
+    hn = df.select(F.col(id_col), content_hash(F.col(text_col)).alias("_h"))
     edges = (
-        grp.select(F.col("_rep"), F.explode("_ids").alias("_m"))
-        .where(F.col("_m") != F.col("_rep"))
-        .select(F.col("_m").alias("a"), F.col("_rep").alias("b"))
+        hn.select(
+            F.col(id_col),
+            F.min(id_col).over(Window.partitionBy("_h")).alias("_rep"),
+        )
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col).alias("a"), F.col("_rep").alias("b"))
     )
     reps_df = grp.select(F.col("_rep").alias(id_col), F.col(text_col))
     # Re-fan the rep table before the ~100x shingle explode when the CORPUS
@@ -427,6 +435,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # sym instead of the raw edges — before, the guard's limit-1 collect
     # was itself a full evaluation of the upstream subtree, paid before
     # the checkpoint existed (the "one paid scoring pass" residual).
+    # Deliberate error-path tradeoff: the loud non-castable-id TypeError
+    # now fires only AFTER the eager checkpoint has materialized the whole
+    # upstream subtree once — a contract failure costs one full pipeline
+    # evaluation. The old fail-before-checkpoint order made every GOOD run
+    # pay that evaluation twice instead; failures are the rare path.
     sym = edges.union(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).localCheckpoint(eager=True)

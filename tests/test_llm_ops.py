@@ -209,6 +209,36 @@ def test_lsh_scaled_handles_1000_copy_corpus(spark):
     assert copy_comp == {0}  # every copy clusters to the min-id representative
 
 
+def test_lsh_scaled_hot_class_edges_ride_a_spillable_window(spark):
+    """r18 §5 guard: the copy->rep edge leg must be a min-over-partition
+    WINDOW on narrow (id, md5) rows — the window's row container spills to
+    disk, so one boilerplate page copied 10M times costs disk, never an
+    executor OOM. The r17 form collect_list'ed every member id of a class
+    into ONE aggregation buffer; this pins that it cannot come back. The
+    only collect_list allowed in the plan is the count-capped LSH bucket
+    leg (keyed by band, filtered to <= max_bucket_size members first)."""
+    from dumpr_spark.functions.dedup import minhash_lsh_pairs_scaled
+
+    base = "one boilerplate page duplicated across the whole hot corpus"
+    rows = [(i, base if i % 2 == 0 else f"unique filler document {i} with "
+             "plenty of distinct words", "en") for i in range(200)]
+    # many input partitions: the hot class arrives from every map task
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(8)
+    out = minhash_lsh_pairs_scaled(df, max_bucket_size=100)
+
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    win_lines = [ln for ln in opt.splitlines() if "Window" in ln]
+    assert any("min(doc_id" in ln and "_h" in ln for ln in win_lines), opt
+    for ln in opt.splitlines():
+        if "collect_list" in ln:
+            # bucket leg only — never the rep-election/_h prepass
+            assert "band_key" in ln, ln
+
+    # hot-class edges are exact: every even member -> min even id (0)
+    star = {(r["a"], r["b"]) for r in out.where(F.col("b") == 0).collect()}
+    assert star == {(i, 0) for i in range(2, 200, 2)}
+
+
 def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     """max_bucket_size: an over-cap band bucket contributes no pairs; small
     buckets are unaffected."""

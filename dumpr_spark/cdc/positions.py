@@ -73,7 +73,14 @@ def stamp_binlog_filename(events: DataFrame, init_file: str, seq_col: str = "seq
     seqs = [rs for rs, _ in rot_rows]
     files = [rf for _, rf in rot_rows]
 
-    # <= parallelism interior bounds, drawn from the rotate seqs
+    # <= parallelism interior bounds, drawn from the rotate seqs.
+    # Skew assumption (r17 verdict note): rotate-drawn bounds presume event
+    # mass is roughly balanced BETWEEN rotates — true for byte-triggered
+    # binlog rotation, which is why this is acceptable. A pathological log
+    # (one giant transaction between two rotates) skews ONE bucket, whose
+    # codegen'd window then degrades to single-partition for that bucket
+    # only; if that regime ever matters, split buckets by a max-events
+    # bound drawn from a count-per-bucket pre-pass before the window.
     n_part = max(2, spark.sparkContext.defaultParallelism)
     step = max(1, -(-n // n_part))  # ceil
     bounds = seqs[step::step]

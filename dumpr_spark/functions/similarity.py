@@ -12,6 +12,7 @@ Python). Double accumulation for cross-engine reproducibility.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -298,9 +299,13 @@ def train_centroids_lloyd(
     recomputes per-cluster elementwise means EPS-ROUNDED to 6dp in-engine
     — so iteration i+1's inputs are bit-identical on any engine that
     follows the same recipe, and a SQL oracle can replay the whole loop
-    exactly. Stops when the max centroid movement (L2, eps-rounded 6dp,
-    computed in-engine for the same reason) drops below `eps`, or at
-    `max_iter`. An emptied cluster keeps its previous centroid.
+    exactly. Stops when the max centroid movement (L2, eps-rounded 6dp)
+    drops below `eps`, or at `max_iter`. Since r17 the movement is
+    computed ON THE DRIVER from the same 6dp-rounded means the engine
+    produced (they are already collected for the next broadcast), via
+    decimal HALF_UP so the rounding is a bit-exact twin of the JVM's
+    F.round (BigDecimal HALF_UP) that an oracle replaying the loop with
+    ROUND would apply. An emptied cluster keeps its previous centroid.
 
     Returns (centroids_df, per_cluster_stats, n_iters, converged) where
     per_cluster_stats is [(cid, n_assigned)] from the LAST executed
@@ -419,8 +424,16 @@ def train_centroids_lloyd(
             for mnew, mold in zip(vec, cents[cell]):
                 d = mnew - mold
                 s += d * d
-            # ROUND-half-up twin of F.round(F.sqrt(..) + 1e-9, 6)
-            move = math.floor((math.sqrt(s) + 1e-9) * 1e6 + 0.5) / 1e6
+            # ROUND-half-up twin of F.round(F.sqrt(..) + 1e-9, 6): decimal
+            # quantize over the shortest decimal repr mirrors BigDecimal
+            # HALF_UP exactly — the old *1e6+0.5 double arithmetic could
+            # flip the 6th decimal at representation boundaries and change
+            # the stop decision vs an oracle replaying the loop with ROUND
+            move = float(
+                Decimal(repr(math.sqrt(s) + 1e-9)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            )
             new_cents[cell] = vec
             movement = max(movement, move)
         cents = new_cents

@@ -311,7 +311,15 @@ def scan_splits(df: DataFrame) -> int:
     bytes-per-core term matters: one 1 GB file on a 32-core session scans
     as ~32 partitions, not ceil(1GB/128MB)=8, and the open-cost padding
     keeps many-tiny-files estimates honest (they bin-pack into few
-    partitions)."""
+    partitions).
+
+    Multi-source caveat: `df.inputFiles()` sums files over the WHOLE plan,
+    so for a multi-source df (e.g. a join whose other side is also
+    file-backed) the estimate includes the other side's bytes — it can
+    only OVER-estimate splits, i.e. suppress a fan-out, never add one.
+    That errs on the safe side (no blind shuffle), but callers probing a
+    specific heavy leg should pass that leg's base DataFrame, not the
+    joined plan."""
     import math
     import os
 

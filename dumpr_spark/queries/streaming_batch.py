@@ -135,7 +135,17 @@ def stream_dedup_first(spark, sf_dir):
     of streaming dropDuplicates(["user_id","event_type"]) + watermark."""
     # r17 one-exchange shape: range on the window key serves the window's
     # clustering AND the trailing orderBy prefix (see win_running_sum).
-    e = t(spark, sf_dir, "events").repartitionByRange("user_id", "event_type")
+    # r18: CONDITIONAL via fan_out, like stream_session_window — this query
+    # is REDUCTIVE (rn=1 keeps one row per key), so at cluster scale the
+    # hash+range shape is better: the trailing range exchange moves only
+    # deduped rows and the scan is evaluated once, where an unconditional
+    # upfront range would shuffle raw events AND pay the range-sampling
+    # pass a second evaluation of the full scan. (The r17 window-family
+    # batch keeps its UNconditional range: those queries emit one row per
+    # input row, so there the saved exchange is full-size at any scale.)
+    from dumpr_spark.operators.scale import fan_out
+
+    e = fan_out(t(spark, sf_dir, "events"), "user_id", "event_type", by_range=True)
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id", "event_type").orderBy(ms, F.asc("event_id"))
     return (
@@ -232,7 +242,13 @@ def events_sessionize(spark, sf_dir):
     # r17 one-exchange shape: range on user_id serves BOTH lag/cumsum
     # windows, the (user_id, session_idx) rollup (subset clustering), and
     # the trailing orderBy prefix — 3 exchanges collapse to 1.
-    e = t(spark, sf_dir, "events").repartitionByRange("user_id")
+    # r18: CONDITIONAL via fan_out (same reasoning as stream_dedup_first):
+    # the session rollup REDUCES, so at cluster scale hash(user_id) serving
+    # windows+rollup plus a small range exchange of the rollup output beats
+    # an upfront range that shuffles raw events and samples the full scan.
+    from dumpr_spark.operators.scale import fan_out
+
+    e = fan_out(t(spark, sf_dir, "events"), "user_id", by_range=True)
     w = Window.partitionBy("user_id").orderBy("ts")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))

@@ -256,16 +256,32 @@ def agg_collect_sorted(spark, sf_dir):
     tags=("agg",),
 )
 def agg_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles + sample stddev/variance."""
+    """Exact interpolated percentiles + sample stddev/variance.
+
+    r18 (§5): ONE array-fraction percentile aggregate instead of three
+    scalar ones. Exact Percentile's buffer is a value->count map of EVERY
+    value in the group; three scalar calls build and shuffle three
+    identical copies of that map per group per partition — the array form
+    builds one and reads the three interpolation points from it. Same
+    sorted-counts interpolation per fraction, identical doubles."""
+    q = F.percentile(
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            eps_round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
-            eps_round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
-            eps_round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+            q.alias("_q"),
             eps_round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
             eps_round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        )
+        .select(
+            "l_returnflag",
+            eps_round(F.col("_q")[0], 4).alias("p25"),
+            eps_round(F.col("_q")[1], 4).alias("p50"),
+            eps_round(F.col("_q")[2], 4).alias("p75"),
+            "sd_price",
+            "var_disc",
         )
         .orderBy("l_returnflag")
     )

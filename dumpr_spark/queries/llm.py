@@ -568,12 +568,25 @@ def _blocked_cosine_pairs(e):
     Norms precompute per ROW before the blocking join — the join boundary
     materializes them where projection collapse cannot re-inline the
     fold, leaving one dot fold per candidate pair (SCALE.md round-6).
-    Returns (pairs_df with a/b/ea/eb/na/nb, cosine Column)."""
+    Returns (pairs_df with a/b/ea/eb/na/nb, cosine Column).
+
+    r18 (§2): the blocking join is a BroadcastHashJoin (b side broadcast),
+    so the O(sum of block^2) pair generation + cosine folds all execute in
+    the STREAM side's stage — on a compact local scan that is ~1 task for
+    every pair in the corpus. Conditional fan_out on the probe side spreads
+    the quadratic work across the session's cores; at cluster scale the
+    scan is already wide and no shuffle is paid. Hash on vec_id (no
+    round-robin pre-sort); the probe side needs no particular clustering
+    for a broadcast join, and the per-pair doubles are untouched."""
+    from dumpr_spark.operators.scale import fan_out
+
     twins = e.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = e.select("vec_id", "embedding", "label").unionByName(twins)
-    a = corpus.select(
+    # fan the PROBE leg only — the b leg is the broadcast build and must
+    # not pay (or wait on) an exchange under its BroadcastExchange
+    a = fan_out(corpus, "vec_id").select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "label",
         sim.l2_norm(F.col("embedding")).alias("na"),
     )

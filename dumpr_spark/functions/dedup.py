@@ -366,42 +366,69 @@ def shingle_overlap_pairs(df: DataFrame, pairs: DataFrame,
     pair-restricted hash equi-join — never all-pairs: cost scales with
     candidate volume x document length, so at 100 TB it runs behind an
     LSH/banding candidate generator (and, for audit use, behind a
-    deterministic pair sample — see minhash_accuracy_audit's knobs)."""
+    deterministic pair sample — see minhash_accuracy_audit's knobs).
+
+    r18 (guide §8, decide with small rows): (ni, na, nb) depend only on
+    the two TEXTS, and the duplicate-heavy corpora this runs on make the
+    same text pair recur across many candidate id pairs (every copy of A
+    x every copy of B collides in the same LSH buckets). So the exact leg
+    now computes once per DISTINCT (content-hash, content-hash) pair over
+    one representative text per hash, and the id pairs re-attach by a
+    narrow (16-byte md5) join — the shingle explode + intersection join
+    volume tracks distinct CONTENT pairs, not id pairs (sf1-local: 1.67M
+    id pairs -> 33.8k content pairs, a 49x cut on the heavy legs). Equal
+    md5 => equal text => identical (ni, na, nb); on a duplicate-free
+    corpus the mapping is 1:1 and only the narrow key joins are added."""
     # r17: conditional fan-out before the ~100x shingle explode + per-
     # shingle md5 (the same single-task-scan hazard minhash_signature
-    # guards against); hashing on the id means the distinct's (id, h)
-    # grouping and the sizes rollup both REUSE this exchange (hash on a
-    # subset of the clustering keys satisfies ClusteredDistribution).
+    # guards against); hashing on the content hash means the distinct's
+    # (_ch, h) grouping and the sizes rollup both REUSE this exchange
+    # (hash on a subset of the clustering keys satisfies
+    # ClusteredDistribution).
     from dumpr_spark.operators.scale import fan_out
 
-    shset = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col),
+    hm = df.select(F.col(id_col), content_hash(F.col(text_col)).alias("_ch"))
+    keyed = (
+        pairs.join(hm.select(F.col(id_col).alias("a"), F.col("_ch").alias("_ha")), "a")
+        .join(hm.select(F.col(id_col).alias("b"), F.col("_ch").alias("_hb")), "b")
+    )
+    upairs = keyed.select("_ha", "_hb").distinct()
+    # one representative text per distinct hash (min over identical copies
+    # — deterministic, and every member IS the same text)
+    reps = (
+        df.select(content_hash(F.col(text_col)).alias("_ch"), F.col(text_col))
+        .groupBy("_ch")
+        .agg(F.min(text_col).alias(text_col))
+    )
+    shset = fan_out(reps, "_ch").select(
+        F.col("_ch"),
         F.explode(F.array_distinct(
             F.transform(shingles(F.col(text_col), k), minhash_base_hash)
         )).alias("h"),
     ).distinct()
-    sizes = shset.groupBy(id_col).agg(
+    sizes = shset.groupBy("_ch").agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
     xa, xb = shset.alias("xa"), shset.alias("xb")
     inter = (
-        pairs.join(xa, F.col("a") == F.col(f"xa.{id_col}"))
-        .join(xb, (F.col("b") == F.col(f"xb.{id_col}")) & (F.col("xa.h") == F.col("xb.h")))
-        .groupBy("a", "b")
+        upairs.join(xa, F.col("_ha") == F.col("xa._ch"))
+        .join(xb, (F.col("_hb") == F.col("xb._ch")) & (F.col("xa.h") == F.col("xb.h")))
+        .groupBy("_ha", "_hb")
         .agg(F.count(F.lit(1)).cast("double").alias("ni"))
     )
-    za = sizes.select(F.col(id_col).alias("_za"), F.col("n").alias("na"))
-    zb = sizes.select(F.col(id_col).alias("_zb"), F.col("n").alias("nb"))
-    return (
-        pairs.join(inter, ["a", "b"], "left")
-        .join(za, F.col("a") == F.col("_za"))
-        .join(zb, F.col("b") == F.col("_zb"))
+    za = sizes.select(F.col("_ch").alias("_za"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("_ch").alias("_zb"), F.col("n").alias("nb"))
+    per_pair = (
+        upairs.join(inter, ["_ha", "_hb"], "left")
+        .join(za, F.col("_ha") == F.col("_za"))
+        .join(zb, F.col("_hb") == F.col("_zb"))
         .select(
-            "a", "b",
+            "_ha", "_hb",
             F.coalesce(F.col("ni"), F.lit(0.0)).alias("ni"),
             "na", "nb",
         )
     )
+    return keyed.join(per_pair, ["_ha", "_hb"]).select("a", "b", "ni", "na", "nb")
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -12,6 +12,16 @@ input partition reduces to one candidate row per key BEFORE the shuffle,
 whereas a window function must shuffle every change row. Same result, far
 less shuffle I/O on high-churn keys (the skew case AQE handles poorest).
 
+The struct-valued max_by buffer forces SortAggregate (hash aggregation
+needs mutable fixed-width buffers). The r18 measured attempt at a
+hash-aggregable form — groupBy max(seq) (HashAggregate) + join the
+winner seqs back — was REJECTED with numbers: 0.83 vs 0.61 s at sf0.1
+and 4.61 vs 1.88 s at sf1 (interleaved, min-of-4). The join-back pays
+two SMJ sorts over payload rows and re-evaluates the envelope subtree
+per leg, where the fold pays one sort and keeps its map-side candidate
+reduction; it also breaks merge_batch's replay idempotence when the
+same (tbl, id, seq) row appears twice. Do not retry.
+
 Error rows (op='error', row_format.clj:15) never contribute state; they are
 routed out-of-band by ``split_errors``.
 """

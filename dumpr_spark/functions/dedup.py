@@ -508,10 +508,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 "n", "_old",
                 F.coalesce(F.col("_jc"), F.col("comp")).alias("comp"),
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.where(F.col("comp") != F.col("_old")).limit(1).count()
-        )
+        ).localCheckpoint(eager=False)
+        # r18 (§5): ONE job materializes the round AND probes convergence —
+        # the full count over the lazily-checkpointed frame computes every
+        # partition (completing the checkpoint; a limit-style early-stop
+        # action would leave it partial) and returns the changed count in
+        # the same pass. The old shape paid an eager-checkpoint job plus a
+        # separate limit-1 probe job per round. Interleaved sf1 A/B over
+        # the semantic-cluster edge list: 6.36 -> 5.94 s min-of-4.
+        changed = new_labels.where(F.col("comp") != F.col("_old")).count()
         labels = new_labels.select("n", "comp")
         if changed == 0:
             return labels

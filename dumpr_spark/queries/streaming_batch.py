@@ -307,10 +307,24 @@ def events_ewma(spark, sf_dir):
     every later y_t), so a null would silently change semantics rather
     than error. The events schema guarantees value NOT NULL (TESTDATA.md;
     asserted here so a future nullable feed fails loudly instead of
-    drifting)."""
+    drifting).
+
+    r18 (§2/§4): conditional fan_out on user_id before the groupBy — the
+    Python fold's cost is per GROUP, which AQE's byte-based partition
+    coalescing cannot see, so on a compact local scan it shrank the
+    exchange to ~2 partitions and serialized ~750 pandas calls onto two
+    tasks. The REPARTITION_BY_NUM exchange is reused by the groupBy
+    (ClusteredDistribution(user_id)) and is not coalesced; at cluster
+    scale fan_out no-ops and the groupBy's own exchange stays byte-sized.
+    Interleaved A/B at sf0.1: 8.71 -> 2.82 s min-of-3, rows identical."""
     import pandas as pd
 
-    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    from dumpr_spark.operators.scale import fan_out
+
+    e = fan_out(
+        t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value"),
+        "user_id",
+    )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf["value"].isna().any():

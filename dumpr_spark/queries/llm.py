@@ -327,10 +327,25 @@ def dedup_winnow_pairs(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir, near=True)
     fps = tx.winnow_fingerprints_df(fan_out(corpus), k=3, w=4)
     flat = fps.select("doc_id", F.explode_outer("fps").alias("fp"))
-    grouped = (
-        flat.groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
-        .where(F.size("_ids").between(2, 50))
+    # r18 (§5, the minhash_lsh_pairs_scaled discipline): cap the bucket
+    # BEFORE collect_list. The old shape collected every fp bucket's
+    # member array into one aggregation buffer and size-filtered after —
+    # a stop-phrase fingerprint shared corpus-wide would land its whole
+    # membership in a single buffer. The count-over-partition window is
+    # spillable (disk, never an agg-buffer blowup), evaluates the
+    # fingerprint subtree ONCE, and its fp exchange is the same hash
+    # clustering the collect's groupBy needs — no extra shuffle. (doc_id,
+    # fp) rows are unique per doc (winnow emits a set), so the window
+    # count equals the old post-collect size exactly.
+    from pyspark.sql import Window
+
+    flat = (
+        flat.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("_n").between(2, 50))
+        .drop("_n")
+    )
+    grouped = flat.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids")
     )
     ids = F.col("_ids")
     pair_arr = F.flatten(

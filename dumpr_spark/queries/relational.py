@@ -2480,20 +2480,31 @@ def agg_weighted_median(spark, sf_dir):
     the batch tx filter) exactly like any other huge running sum. The
     weighted SKETCH twin at volume is the histogram quantile family
     (`agg_quantile_mergeable`) with weight-summed bins — mergeable, no
-    sort at all."""
+    sort at all.
+
+    r18 (§2.3 aggregate-before-shuffle): weights pre-aggregate to ONE row
+    per (flag, price) before the window. The (orderkey, linenumber)
+    tie-break only ever decided WHICH ROW crossed the half-total — never
+    the resulting PRICE, because the crossing price is determined by the
+    per-price cumulative totals alone — so lumping equal prices is
+    result-identical. Sum reassociation is exact here: l_quantity is
+    whole-numbered (TPC-H spec, 1..50) and every partial sum stays far
+    below 2^53, so hash-agg partials, the window's sequential cum, and
+    the oracle's row-ordered cum all produce the same doubles
+    (oracle-certified at 3 SFs). The groupBy gets map-side combine — the
+    shuffle and the per-flag window sort now scale with the DISTINCT
+    price domain, not the row count (sf1-local: 6M rows -> 594k)."""
     from dumpr_spark.functions.stats import weighted_median
 
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         "l_extendedprice",
         "l_quantity",
-        "l_orderkey",
-        "l_linenumber",
     )
-    wm = weighted_median(
-        li, ["flag"], "l_extendedprice", "l_quantity",
-        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    g = li.groupBy("flag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("_w")
     )
+    wm = weighted_median(g, ["flag"], "l_extendedprice", "_w")
     return wm.select(
         "flag",
         eps_round(F.col("w_median"), 2).alias("w_median_price"),
